@@ -1,0 +1,18 @@
+"""Job-level operators: salted repartition, stable ordering/reassembly,
+quarantine split, anti-join resume. All pure DataFrame->DataFrame functions
+built from pyspark.sql builtins — no custom Catalyst rules (SURVEY.md §4)."""
+
+from .salting import salted_repartition
+from .ordering import explode_units, reassemble_turns, conversation_rollup
+from .quarantine import split_quarantine
+from .resume import completed_partitions, pending_only
+
+__all__ = [
+    "salted_repartition",
+    "explode_units",
+    "reassemble_turns",
+    "conversation_rollup",
+    "split_quarantine",
+    "completed_partitions",
+    "pending_only",
+]

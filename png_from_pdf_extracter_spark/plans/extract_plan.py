@@ -1,0 +1,261 @@
+"""Flagship extraction plan — the Spark re-expression of the reference's
+per-item workflow (``/root/reference/src/services/job_processor.py:51-184``:
+fetch -> whitelist -> MIME walk -> convert -> reassemble -> commit), as ONE
+declarative DataFrame plan:
+
+    scan transcripts
+      -> anti-join completed partitions (the "UNSEEN" predicate)
+      -> role whitelist filter (pushed to the scan by Catalyst)
+      -> stable partition buckets (md5(conv_id) % n_buckets)
+      -> salted repartition (hot-conversation skew)
+      -> mapInPandas(extract)  [Arrow batches, zero per-row Python UDF calls]
+      -> write extracted_turns partitioned by bucket (dynamic overwrite =
+         idempotent re-run), quarantine detail, per-bucket lineage metrics
+
+Scale notes (100 TB / 1000 executors):
+- The only wide exchanges are the salted repartition (needed for skew) and
+  the metrics groupBy over ~n_buckets groups (tiny). Extraction itself is a
+  map stage; no join touches the big table except the broadcast anti-join.
+- Column pruning: the UDF input is exactly the 6 transcript columns; the
+  post-write passes (errors, metrics) read back pruned columns from parquet
+  instead of re-running extraction.
+- Dynamic partition overwrite by bucket makes re-runs idempotent without a
+  read-modify-write dedup (the Iceberg overwrite-partition commit analog).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import EXTRACTOR_VERSION
+from ..datagen.transcripts import ROLE_WHITELIST, SYNTH_EXTRACTOR_CFG
+from ..extractor import ExtractorConfig, extract_batch_lists
+from ..operators import (
+    pending_only,
+    completed_partitions,
+    salted_repartition,
+    split_quarantine,
+)
+from ..sources.catalog import Catalog
+from ..sources.transcripts import SPAN_SCHEMA, with_partition_id
+from .metrics import partition_metrics
+
+UNITS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("unit_idx", T.IntegerType()),
+            T.StructField("unit_text", T.StringType()),
+            T.StructField("spans", SPAN_SCHEMA),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("units", UNITS_SCHEMA),
+        T.StructField("text_bytes", T.LongType()),
+        T.StructField("text_head", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class JobParams:
+    """Validated job parameters (the ``Configuration`` analog,
+    ref ``src/config.py:8-117``; range checks mirror ``config.py:54-112``)."""
+
+    n_buckets: int = 64
+    salt_buckets: int = 8
+    num_partitions: Optional[int] = None  # None -> 2x defaultParallelism
+    role_whitelist: str = ROLE_WHITELIST
+    extractor: ExtractorConfig = field(default_factory=lambda: SYNTH_EXTRACTOR_CFG)
+    extractor_version: str = EXTRACTOR_VERSION
+    write_units: bool = False  # also write the per-unit fan-out table
+
+    def __post_init__(self) -> None:
+        if self.n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
+        if self.salt_buckets <= 0:
+            raise ValueError("salt_buckets must be positive")
+        if not self.role_whitelist:
+            raise ValueError("role_whitelist must be a non-empty regex")
+
+
+def _make_extract_udf(cfg: ExtractorConfig):
+    """Build the mapInPandas function. The config rides the task closure once
+    per task, never per row (ref constant-folding of conversion params,
+    ``pdf_converter.py:74-89``)."""
+
+    def extract_fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            statuses, errors, texts_out, units = extract_batch_lists(
+                pdf["text"].tolist(), cfg
+            )
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "partition_id": pdf["partition_id"].values,
+                    "role": pdf["role"].values,
+                    "tool": pdf["tool"].values,
+                    "ts": pdf["ts"].values,
+                    "status": statuses,
+                    "error_class": errors,
+                    "extracted_text": texts_out,
+                    "units": [
+                        [
+                            {
+                                "unit_idx": ui,
+                                "unit_text": ut,
+                                "spans": [
+                                    {"start": s, "end": e, "kind": k}
+                                    for (s, e, k) in sp
+                                ],
+                            }
+                            for (ui, ut, sp) in row_units
+                        ]
+                        for row_units in units
+                    ],
+                    "text_bytes": pdf["text"].str.len().fillna(0).astype("int64"),
+                    "text_head": [
+                        (pdf["text"].iat[i] or "")[:256] if statuses[i] == "error" else ""
+                        for i in range(n)
+                    ],
+                }
+            )
+            yield out
+
+    return extract_fn
+
+
+def extract_turns(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    params: JobParams,
+    metrics: Optional[DataFrame] = None,
+) -> DataFrame:
+    """The lazy extraction DataFrame: whitelist -> bucket -> (resume) ->
+    salt -> mapInPandas. Callers write it or test it."""
+    df = transcripts.filter(F.col("role").rlike(params.role_whitelist))
+    df = with_partition_id(df, params.n_buckets)
+    if metrics is not None:
+        df = pending_only(
+            df, completed_partitions(metrics, params.extractor_version)
+        )
+    num = params.num_partitions or max(
+        2, spark.sparkContext.defaultParallelism * 2
+    )
+    df = salted_repartition(df, num, params.salt_buckets)
+    return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SCHEMA)
+
+
+def _final_turn_columns(extracted: DataFrame, params: JobParams) -> DataFrame:
+    """Flatten unit spans, stamp row digest + version; drop the units array
+    from the per-turn sink (the per-unit fan-out is its own optional table).
+    Everything here is JVM builtins — stays in whole-stage codegen."""
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "status",
+        "error_class",
+        "extracted_text",
+        F.flatten(F.transform("units", lambda u: u["spans"])).alias("spans"),
+        F.size("units").alias("n_units"),
+        "text_bytes",
+        "text_head",
+        F.xxhash64("conv_id", "turn_idx", "extracted_text", "status").alias(
+            "row_digest"
+        ),
+        F.lit(params.extractor_version).alias("extractor_version"),
+        "partition_id",
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog: Catalog,
+    params: JobParams,
+    resume: bool = True,
+) -> dict:
+    """Run the batch extraction job end-to-end with lineage + resume.
+
+    Commit protocol (delete-source-on-commit analog, ref
+    ``job_processor.py:148-153``): data lands first (per-bucket dynamic
+    overwrite), the lineage row in ``extract_metrics`` lands last. A crash
+    between the two leaves the bucket uncommitted -> next run re-extracts and
+    overwrites it (at-least-once + idempotent, spec NFR-007/008).
+    """
+    started_at = _dt.datetime.now(_dt.timezone.utc)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    metrics = (
+        catalog.read(spark, "extract_metrics")
+        if resume and catalog.exists("extract_metrics")
+        else None
+    )
+
+    extracted = extract_turns(spark, transcripts, params, metrics)
+    out = _final_turn_columns(extracted, params)
+
+    if params.write_units:
+        from ..operators import explode_units
+
+        out = out.persist()
+        explode_units(
+            extracted.select(
+                "conv_id", "turn_idx", "partition_id", "units"
+            )
+        ).write.mode("append").parquet(catalog.path("extracted_units"))
+
+    (
+        out.write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(catalog.path("extracted_turns"))
+    )
+    if params.write_units:
+        out.unpersist()
+
+    # Post-write passes read back pruned columns (no re-extraction).
+    written = catalog.read(spark, "extracted_turns")
+    if metrics is not None:
+        done = completed_partitions(metrics, params.extractor_version)
+        written = pending_only(written, done)
+
+    _, quarantined = split_quarantine(written)
+    (
+        quarantined.write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(catalog.path("extract_errors"))
+    )
+
+    m = partition_metrics(written, params.extractor_version, started_at)
+    catalog.append(m, "extract_metrics")
+
+    n_rows = written.count()
+    return {
+        "rows": n_rows,
+        "started_at": started_at.isoformat(),
+        "n_buckets": params.n_buckets,
+    }

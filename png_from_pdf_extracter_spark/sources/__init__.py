@@ -1,0 +1,18 @@
+"""Table IO: parquet-backed catalog with an Iceberg-shaped API, plus the
+transcripts reader and stable partition-bucket derivation."""
+
+from .catalog import Catalog
+from .transcripts import (
+    TRANSCRIPTS_SCHEMA,
+    generate_transcripts,
+    generate_expected,
+    with_partition_id,
+)
+
+__all__ = [
+    "Catalog",
+    "TRANSCRIPTS_SCHEMA",
+    "generate_transcripts",
+    "generate_expected",
+    "with_partition_id",
+]

@@ -1,0 +1,123 @@
+"""Transcripts source: schema, stable partition buckets, distributed generation.
+
+Partition identity for resume must be stable across runs and cluster layouts
+(SURVEY.md §7 hard part #3) — ``spark_partition_id()`` is neither. We bucket
+on the first 8 hex chars of ``md5(conv_id)``: computable identically by Spark
+builtins (stays in whole-stage codegen) and by pure Python (datagen/tests),
+and uniform over conversations. All turns of one conversation land in one
+bucket, so a bucket is a self-contained unit of work whose completion the
+lineage table can record (the "message uid" analog of the reference's
+delete-on-commit, ``/root/reference/src/services/imap_service.py:212-235``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..datagen.transcripts import GenConfig, conv_rows, expected_for_rows
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SPAN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+)
+
+EXPECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("spans", SPAN_SCHEMA),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+
+def partition_bucket_py(conv_id: str, n_buckets: int) -> int:
+    """Pure-Python twin of ``with_partition_id`` — MUST stay in lockstep."""
+    return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def with_partition_id(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable conv_id bucket via builtins only (codegen-friendly)."""
+    return df.withColumn(
+        "partition_id",
+        (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10).cast("long")
+         % F.lit(n_buckets)).cast("int"),
+    )
+
+
+def generate_transcripts(spark: SparkSession, gcfg: GenConfig) -> DataFrame:
+    """Distributed deterministic generation: one task generates a slice of
+    conversations; output is independent of parallelism because each conv is
+    a pure function of (seed, conv_idx)."""
+
+    def gen(iterator: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for conv_idx in pdf["id"]:
+                rows.extend(conv_rows(int(conv_idx), gcfg))
+            out = pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return (
+        spark.range(gcfg.n_convs)
+        .repartition(max(spark.sparkContext.defaultParallelism, 2))
+        .mapInPandas(gen, TRANSCRIPTS_SCHEMA)
+    )
+
+
+def generate_expected(spark: SparkSession, gcfg: GenConfig) -> DataFrame:
+    """Distributed golden-oracle generation (FIXTURES.md §3)."""
+
+    def gen(iterator: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for conv_idx in pdf["id"]:
+                rows.extend(
+                    expected_for_rows(conv_rows(int(conv_idx), gcfg), gcfg.extractor)
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "extracted_text", "spans",
+                    "status", "error_class",
+                ],
+            )
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return (
+        spark.range(gcfg.n_convs)
+        .repartition(max(spark.sparkContext.defaultParallelism, 2))
+        .mapInPandas(gen, EXPECTED_SCHEMA)
+    )

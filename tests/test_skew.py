@@ -1,0 +1,68 @@
+"""Skew: a hot conversation carrying ~50% of all rows must spread across
+many tasks after the salted repartition (SURVEY.md §7 hard part #2). Without
+salting, hash partitioning on conv_id alone would pin the hot conversation
+to one task — the straggler that kills scaling efficiency at 10^12 turns."""
+
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.datagen import GenConfig, gen_pandas
+from png_from_pdf_extracter_spark.operators import salted_repartition
+from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
+from png_from_pdf_extracter_spark.sources.transcripts import (
+    TRANSCRIPTS_SCHEMA,
+    with_partition_id,
+)
+
+GCFG = GenConfig(n_convs=30, hot_conv_share=0.5)
+
+
+def test_hot_conversation_spreads_over_tasks(spark):
+    tdf, _ = gen_pandas(GCFG)
+    hot_rows = (tdf.conv_id == "conv-00000000").sum()
+    assert hot_rows / len(tdf) > 0.3, "fixture not skewed enough"
+
+    df = with_partition_id(
+        spark.createDataFrame(tdf, schema=TRANSCRIPTS_SCHEMA), 16
+    )
+    salted = salted_repartition(df, 16, salt_buckets=8)
+    sizes = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "conv-00000000")
+        .groupBy("pid")
+        .count()
+        .toPandas()
+    )
+    # the hot conversation lands on >= salt_buckets/2 distinct tasks and no
+    # task holds more than half of it
+    assert len(sizes) >= 4, f"hot conv on only {len(sizes)} partitions"
+    assert sizes["count"].max() < hot_rows * 0.5
+
+    # unsalted control: everything on one partition
+    unsalted = (
+        df.repartition(16, F.col("conv_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "conv-00000000")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert unsalted == 1
+
+
+def test_skewed_input_still_correct(spark):
+    """Equality gate holds on the skewed table (salting must not disturb
+    per-turn results or ordering)."""
+    tdf, edf = gen_pandas(GCFG)
+    transcripts = spark.createDataFrame(tdf, schema=TRANSCRIPTS_SCHEMA)
+    params = JobParams(n_buckets=16, extractor=GCFG.extractor, num_partitions=16)
+    got = (
+        extract_turns(spark, transcripts, params)
+        .select("conv_id", "turn_idx", "extracted_text", "status")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = edf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["extracted_text"].values == exp["extracted_text"].values).all()
+    assert got["status"].tolist() == exp["status"].tolist()
