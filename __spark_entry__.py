@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   flagship extraction pipeline over sf0.001 parquet.
+``queries()``      one entry per implemented operator (SURVEY.md §2 + the
+                   training-data ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   DuckDB-runnable ANSI SQL twins. Non-SQL-expressible ops
+                   (the mapInPandas extraction kernel, multimodal stubs,
+                   streaming) are rows-only checked and say so below.
+
+Column names are aliased identically on both sides — the driver sorts
+columns by name before value-hashing.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.datagen import GenConfig
+from png_from_pdf_extracter_spark.functions import dedup, multimodal, similarity, text
+from png_from_pdf_extracter_spark.operators import explode_units, reassemble_turns
+from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
+from png_from_pdf_extracter_spark.sources import generate_transcripts
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table into the transcripts shape (conv_id, turn_idx,
+    role, text, tool, ts) so the flagship runs over real parquet input."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit(_dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)).alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction over sf0.001 — documents mapped to
+    the transcripts shape, plus a slice of synthetic multi-payload
+    transcripts, through the full salted mapInPandas extraction plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    params = JobParams(n_buckets=16, num_partitions=8)
+    docs = _documents_as_transcripts(spark, sf_dir)
+    synth = generate_transcripts(spark, GenConfig(n_convs=40))
+    transcripts = docs.unionByName(synth)
+    out = extract_turns(spark, transcripts, params)
+    return out.select(
+        "conv_id", "turn_idx", "status", "error_class", "extracted_text",
+        F.size("units").alias("n_units"), "partition_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def _q_sanitize(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", text.sanitize_name("p_name").alias("clean_name")
+    )
+
+
+def _q_regex_whitelist(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source").rlike("^src1[0-9]$"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _q_explode_reassembly(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    wds = F.split(F.trim(F.col("text")), r"\s+")
+    exploded = d.select("doc_id", F.posexplode(wds).alias("pos", "word")).filter(
+        F.col("word") != "the"
+    )
+    assembled = F.sort_array(F.collect_list(F.struct("pos", "word")))
+    return exploded.groupBy("doc_id").agg(
+        F.array_join(F.transform(assembled, lambda s: s["word"]), " ").alias(
+            "reassembled"
+        ),
+        F.count("*").cast("long").alias("n_words"),
+    )
+
+
+def _q_window_order(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn", "event_type")
+    )
+
+
+def _q_group_metrics(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("max_epoch"),
+    )
+
+
+def _q_error_classify(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    cls = (
+        F.when((F.col("event_type") == "error") & (F.col("value") > 50), "hard_error")
+        .when(F.col("event_type") == "error", "soft_error")
+        .when(F.col("value") > 90, "outlier")
+        .otherwise("ok")
+    )
+    return e.select(cls.alias("error_class")).groupBy("error_class").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text").filter(F.col("n_dupes") > 1)
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", text.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2)
+
+
+def _q_simhash(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=32).withColumnRenamed("id", "doc_id")
+
+
+def _q_knn_cosine(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(e, q, k=5)
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_quality_tokens(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.stopword_hits("text").alias("n_stopwords"),
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_join_topn(spark, sf_dir):
+    """Broadcast-join orders->customer->nation, top revenue per nation."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+
+
+def _q_cc_split(spark, sf_dir):
+    """Array split/trim/filter chain (ref config.py:142-143) over a derived
+    semicolon list."""
+    d = _read(spark, sf_dir, "documents")
+    lst = F.concat_ws(
+        ";", F.col("source"), F.lit(" padded "), F.lit(""), F.col("lang")
+    )
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.array_join(text.cc_split(lst), "|").alias("cc_joined")
+    )
+
+
+# ---- rows-only (non-SQL-expressible) ----
+
+def _q_extract_flagship(spark, sf_dir):
+    """The mapInPandas extraction kernel itself — not SQL-expressible (the
+    kernel is the 'reference extractor'); correctness is gated by the tier-2
+    per-turn equality suite in tests/ instead."""
+    params = JobParams(n_buckets=16, num_partitions=8)
+    transcripts = generate_transcripts(spark, GenConfig(n_convs=60))
+    out = extract_turns(spark, transcripts, params)
+    return out.select(
+        "conv_id", "turn_idx", "status", "error_class", "extracted_text"
+    )
+
+
+def _q_extract_units_roundtrip(spark, sf_dir):
+    """Explode->window-reassembly roundtrip over extraction units."""
+    params = JobParams(n_buckets=16, num_partitions=8)
+    transcripts = generate_transcripts(spark, GenConfig(n_convs=40))
+    extracted = extract_turns(spark, transcripts, params)
+    return reassemble_turns(explode_units(extracted))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing with the deterministic fake decoder (stub)."""
+    return multimodal.extract_media_features(multimodal.synth_media(spark, 64))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
+    so no exact SQL oracle (recall depends on bucketing)."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.lsh_bucket_topk(e, q, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_sanitize": _q_sanitize,
+        "q_regex_whitelist": _q_regex_whitelist,
+        "q_explode_reassembly": _q_explode_reassembly,
+        "q_window_order": _q_window_order,
+        "q_group_metrics": _q_group_metrics,
+        "q_error_classify": _q_error_classify,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_fingerprint": _q_fingerprint,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_minhash_lsh": _q_minhash_lsh,
+        "q_simhash": _q_simhash,
+        "q_knn_cosine": _q_knn_cosine,
+        "q_lang_id": _q_lang_id,
+        "q_quality_tokens": _q_quality_tokens,
+        "q_tpch_q1": _q_tpch_q1,
+        "q_join_topn": _q_join_topn,
+        "q_cc_split": _q_cc_split,
+        # rows-only (no oracle): kernel/stub/approximate ops
+        "q_extract_flagship": _q_extract_flagship,
+        "q_extract_units_roundtrip": _q_extract_units_roundtrip,
+        "q_media_features": _q_media_features,
+        "q_ann_lsh": _q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles — keep in exact lockstep with the Spark implementations
+# --------------------------------------------------------------------------
+
+_SANITIZE_SQL = (
+    "regexp_replace(regexp_replace(substring(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace({col}, '\\.[^.]*$', ''), "
+    "'[^a-zA-Z0-9_-]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g'), "
+    "1, 50), '^_+|_+$', '', 'g'), '^$', 'unnamed')"
+)
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+    WHERE len(w) >= 3
+  )
+)
+"""
+
+_STOP_EN = "the|and|of|to|is|in|that|it|for|on"
+_LANGS_SQL = {
+    "en": _STOP_EN,
+    "de": "der|die|das|und|ist|nicht|ein|zu|mit|von",
+    "fr": "le|la|les|et|est|une|que|des|pour|dans",
+    "es": "el|los|las|es|una|que|por|para|con|del",
+}
+_HITS = {
+    l: f"length(regexp_extract_all(lower(text), '\\b(?:{p})\\b'))"
+    for l, p in _LANGS_SQL.items()
+}
+_BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
+_LANG_CASE = (
+    f"CASE WHEN {_BEST} = 0 THEN 'und' "
+    f"WHEN {_HITS['en']} = {_BEST} THEN 'en' "
+    f"WHEN {_HITS['de']} = {_BEST} THEN 'de' "
+    f"WHEN {_HITS['fr']} = {_BEST} THEN 'fr' "
+    f"ELSE 'es' END"
+)
+
+_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp = (
+        "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    )
+    ntok = f"length(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))"
+    nstop = (
+        f"length(regexp_extract_all(lower(text), '\\b(?:{_STOP_EN}|as|with|was|at|by|an|be|this|are|or)\\b'))"
+    )
+    return {
+        "q_sanitize": (
+            "SELECT p_partkey, "
+            + _SANITIZE_SQL.format(col="p_name")
+            + " AS clean_name FROM part"
+        ),
+        "q_regex_whitelist": """
+            SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE regexp_matches(source, '^src1[0-9]$')
+            GROUP BY lang
+        """,
+        "q_explode_reassembly": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) + 1),
+                            i -> {'pos': i, 'word': w[i]})) AS u
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                    FROM documents)
+            )
+            SELECT doc_id,
+                   string_agg(u.word, ' ' ORDER BY u.pos) AS reassembled,
+                   count(*) AS n_words
+            FROM ex WHERE u.word <> 'the'
+            GROUP BY doc_id
+        """,
+        "q_window_order": """
+            SELECT user_id, event_id, rn::INTEGER AS rn, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "q_group_metrics": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users,
+                   min(floor(epoch(ts)))::BIGINT AS min_epoch,
+                   max(floor(epoch(ts)))::BIGINT AS max_epoch
+            FROM events GROUP BY event_type
+        """,
+        "q_error_classify": """
+            SELECT error_class, count(*) AS n FROM (
+              SELECT CASE
+                WHEN event_type = 'error' AND value > 50 THEN 'hard_error'
+                WHEN event_type = 'error' THEN 'soft_error'
+                WHEN value > 90 THEN 'outlier'
+                ELSE 'ok' END AS error_class
+              FROM events
+            ) GROUP BY error_class
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "q_fingerprint": f"""
+            SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents GROUP BY {fp} HAVING count(*) > 1
+        """,
+        "q_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id1, b.id AS id2, count(*)::DOUBLE AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id1, id2,
+                   round(common / (s1.n_sh + s2.n_sh - common), 4) AS jaccard
+            FROM common
+            JOIN sizes s1 ON common.id1 = s1.id
+            JOIN sizes s2 ON common.id2 = s2.id
+            WHERE round(common / (s1.n_sh + s2.n_sh - common), 4) >= 0.5
+        """,
+        "q_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT id, seed,
+                     min(CAST(('0x' || substring(md5(seed::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+              FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+              GROUP BY id, seed
+            ),
+            bands AS (
+              SELECT id, (seed // 2) AS band,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_hash
+              FROM sig GROUP BY id, (seed // 2)
+            )
+            SELECT DISTINCT a.id AS id1, b.id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        """,
+        "q_simhash": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id AS id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            ),
+            h AS (
+              SELECT id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+              FROM toks WHERE length(tok) > 0
+            ),
+            s AS (
+              SELECT id, pos, sum(((h >> pos) & 1) * 2 - 1) AS s
+              FROM h, (SELECT unnest(range(0, 32)) AS pos)
+              GROUP BY id, pos
+            )
+            SELECT id AS doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << pos) ELSE 0 END)::BIGINT AS simhash
+            FROM s GROUP BY id
+        """,
+        "q_knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM c, q WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, rank::INTEGER AS rank, cos_sim FROM (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "q_lang_id": f"""
+            SELECT lang, {_LANG_CASE} AS detected, count(*) AS n
+            FROM documents GROUP BY lang, {_LANG_CASE}
+        """,
+        "q_quality_tokens": f"""
+            SELECT doc_id,
+                   {ntok} AS n_tokens,
+                   round((0.4::DOUBLE * least({ntok}::DOUBLE / 100.0, 1.0::DOUBLE)
+                       + 0.3::DOUBLE * (CASE WHEN length(text) > 0 THEN
+                           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / length(text) ELSE 0.0::DOUBLE END)
+                       + 0.3::DOUBLE * least((CASE WHEN {ntok} > 0 THEN
+                           {nstop}::DOUBLE / {ntok} ELSE 0.0::DOUBLE END) * 5.0::DOUBLE,
+                           1.0::DOUBLE))::DOUBLE, 4)
+                     AS quality,
+                   {nstop} AS n_stopwords
+            FROM documents WHERE doc_id < 200
+        """,
+        "q_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_join_topn": """
+            SELECT n_name, revenue, n_orders, rank::INTEGER AS rank FROM (
+              SELECT n_name, revenue, n_orders,
+                     row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS rank
+              FROM (
+                SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                       count(*) AS n_orders
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name
+              )
+            ) WHERE rank <= 10
+        """,
+        "q_cc_split": """
+            SELECT doc_id,
+                   array_to_string(list_filter(list_transform(
+                     string_split(concat_ws(';', source, ' padded ', '', lang), ';'),
+                     x -> trim(x)), x -> length(x) > 0), '|') AS cc_joined
+            FROM documents WHERE doc_id < 100
+        """,
+    }

@@ -1,0 +1,15 @@
+"""Column/DataFrame function library.
+
+``text.py``        scalar text functions (sanitize chain, token counting,
+                   quality scoring, language-ID heuristic, fingerprinting) —
+                   pure pyspark.sql.functions chains, JVM-side, codegen-able.
+``dedup.py``       deduplication family: exact, n-gram Jaccard, MinHash+LSH,
+                   SimHash — relational formulations (explode/groupBy/join).
+``similarity.py``  embedding similarity: brute-force cosine top-k + an
+                   LSH-bucketed approximate variant.
+``multimodal.py``  opaque-binary column plumbing with stubbed decoders.
+"""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["text", "dedup", "similarity", "multimodal"]

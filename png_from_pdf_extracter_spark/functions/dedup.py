@@ -1,0 +1,201 @@
+"""Deduplication family for training-data pipelines, as relational plans.
+
+Everything is expressed with explode/groupBy/join builtins so Catalyst owns
+the physical strategy, and every hash is the cross-engine-stable
+``bigint(md5[:15 hex])`` so the DuckDB oracle can verify values exactly.
+
+Scale notes:
+- exact/fingerprint dedup: one shuffle on the hash key, map-side partial agg.
+- n-gram Jaccard: the shingle self-join explodes on frequent shingles; at
+  100 TB you cap it by dropping shingles above a document-frequency ceiling
+  (``max_shingle_df``) — standard candidate-pruning, on by default.
+- MinHash+LSH: signatures are one groupBy over (doc, seed); candidate pairs
+  come from equi-joins on (band, band_hash) buckets, never a cross join.
+- SimHash: pure per-document aggregation (explode tokens x 32 bit positions,
+  two groupBys), then self-join on the 16-bit band keys for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+# cross-engine-stable 60-bit hash: bigint of the first 15 hex chars of md5
+def _h(col, salt: str = "") -> F.Column:
+    c = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the smallest id as the
+    canonical representative. Returns (text_hash, keep_id, n_dupes)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Built array-side (transform over sequence) then exploded — one pass, no
+    window. Mirrors the DuckDB ``list_transform(range(...))`` oracle."""
+    w = words(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.filter(F.size(w) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 0,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by n-gram Jaccard >= threshold.
+    ``max_shingle_df`` > 0 drops shingles shared by more than that many docs
+    before the self-join (the skew/blow-up guard for web scale)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_df > 0:
+        rare = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").cast("double").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature rows: (id, seed, minhash). seed x shingle fan-out,
+    then min per (id, seed) — map-side combinable."""
+    sh = word_shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .select(
+            "id",
+            "seed",
+            _h(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (num_hashes/rows_per_band
+    bands), bucket-join on (band, band_hash). Never a cross join — candidate
+    generation is an equi-join, the LSH trick that makes near-dup detection
+    feasible at 10^12 rows."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash over distinct word tokens: hash each token to
+    ``bits`` bits, sum +/-1 per bit position, sign -> bit. Returns
+    (id, simhash:bigint)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+        .select(
+            "id", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h")
+        )
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos")
+    # shiftright/shiftleft builtins only take literal shift amounts from the
+    # Python API; use SQL expressions for column-valued shifts
+    contrib = toks.select("id", "h", pos).select(
+        "id",
+        "pos",
+        F.expr("(shiftright(h, pos) & 1) * 2 - 1").alias("c"),
+    )
+    return (
+        contrib.groupBy("id", "pos")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), pos) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` transforms.
+
+The decode kernels themselves are STUBS in this container (no image/audio
+libs baked in): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a clearly-marked deterministic fake (seeded by
+the payload's md5) produces stable pseudo-features. The Spark-side plumbing —
+schema, batch shape, partitioning, UDF signature — is real and tested; swap
+the kernel body for PIL/ffmpeg on a cluster that has them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+        T.StructField("meta_duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_feature(payload: bytes) -> list:
+    """Deterministic fake feature vector: 16 floats derived from md5 bytes.
+    Clearly NOT a real decoder — stands in for decode+embed so the
+    distributed plumbing is exercisable and testable."""
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list:
+    if fake:
+        return _fake_feature(payload)
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips — not available in this "
+        "container; pass fake=True for the deterministic stand-in"
+    )
+
+
+def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. Error-channel
+    semantics match the text pipeline: classification, never task failure."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats, statuses, errors, digests, nbytes = [], [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                nbytes.append(len(b))
+                if not b:
+                    feats.append(None)
+                    statuses.append("no_payload")
+                    errors.append("")
+                    digests.append("")
+                    continue
+                try:
+                    feats.append(decode_image(b, fake=fake))
+                    statuses.append("ok")
+                    errors.append("")
+                except NotImplementedError:
+                    feats.append(None)
+                    statuses.append("error")
+                    errors.append("decoder_unavailable")
+                digests.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "digest": digests,
+                    "feature": feats,
+                    "status": statuses,
+                    "error_class": errors,
+                }
+            )
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table (binary payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        payload = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 7)
+        kind = kinds[i % 3]
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                bytearray(payload),
+                64 + i % 512 if kind != "audio" else None,
+                64 + (i * 3) % 512 if kind != "audio" else None,
+                (i * 977) % 60000 if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

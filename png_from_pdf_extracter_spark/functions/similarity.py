@@ -1,0 +1,196 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+- ``cosine_topk``: brute-force top-k — the exact baseline. The query side is
+  small and broadcast; the corpus is scanned once; per-row math is
+  ``zip_with`` + ``aggregate`` builtins (JVM-side, no Python). At 100 TB you
+  shard the corpus by partition and take per-partition top-k before the
+  global top-k (that is exactly what the window + filter plan compiles to
+  under AQE partial aggregation).
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets via
+  deterministic seeded planes; candidates = bucket equi-join, then exact
+  rerank inside buckets. Planes are derived from md5 of (seed, dim) so both
+  engines / both runs agree without RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+    Returns (query_id, neighbor_id, rank, cos_sim). The queries side is
+    broadcast (small dim table); ranking window is per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int):
+    """Deterministic pseudo-random hyperplanes: component (p, d) is
+    ``bigint(md5(f"{p}:{d}")[:15]) / 2^59 - 1`` in [-1, 1). Pure function —
+    no RNG state, reproducible on any engine."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(h / float(1 << 59) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-of-dot-product with ``n_planes``
+    deterministic hyperplanes -> bucket key; candidates share the bucket;
+    exact rerank within. Misses across-bucket neighbors (the usual LSH
+    recall trade) but replaces the cross join with an equi-join — the 100 TB
+    path."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes)
+
+    def bucket(vec) -> F.Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in planes[p]])
+            bits.append(
+                F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+                * F.lit(1 << p)
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify
+    (id1 < id2, cos >= threshold)."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes)
+    plane_cols = [F.array(*[F.lit(x) for x in p]) for p in planes]
+    bucket = None
+    for i, pc in enumerate(plane_cols):
+        bit = F.when(_dot(F.col(vec_col), pc) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ) * F.lit(1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("l.vec"), F.col("r.vec"))
+                / (_norm(F.col("l.vec")) * _norm(F.col("r.vec"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("l.id").alias("id1"), F.col("r.id").alias("id2"), "cos_sim"
+        )
+    )

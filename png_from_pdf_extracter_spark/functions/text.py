@@ -1,0 +1,155 @@
+"""Scalar text functions — all built-in Column expression chains (JVM-side,
+whole-stage codegen; UDFs are the slow path and none are needed here).
+
+Each function has an exactly-matching ANSI-SQL twin in ``__spark_entry__.py``
+``oracle_sql()`` so DuckDB can verify it value-for-value. Keep the two in
+lockstep when editing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- sanitize
+
+def sanitize_name(col, max_length: int = 50) -> Column:
+    """Filename-sanitize chain (semantics of the reference's
+    ``sanitize_filename``, /root/reference/src/utils/file_utils.py:6-47):
+    strip extension -> non [A-Za-z0-9_-] to '_' -> collapse '_'+ -> trim '_'
+    -> truncate -> trim '_' -> default 'unnamed'."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(c, r"\.[^.]*$", "")
+    x = F.regexp_replace(x, "[^a-zA-Z0-9_-]", "_")
+    x = F.regexp_replace(x, "_+", "_")
+    x = _trim_us(x)
+    x = F.substring(x, 1, max_length)
+    x = _trim_us(x)
+    return F.coalesce(F.nullif(x, F.lit("")), F.lit("unnamed"))
+
+
+def _trim_us(x: Column) -> Column:
+    return F.regexp_replace(x, "^_+|_+$", "")
+
+
+# ---------------------------------------------------------------- tokens
+
+# BPE-ish word/number/punct tokenizer — safe common subset of Java regex and
+# RE2 so Spark and DuckDB agree.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def words(col) -> Column:
+    """Whitespace word split with empties dropped (both engines drop empties
+    differently on leading space — trim first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+# ---------------------------------------------------------------- quality
+
+_STOPWORDS_EN = (
+    "the|and|of|to|is|in|that|it|for|on|as|with|was|at|by|an|be|this|are|or"
+)
+
+
+def stopword_hits(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(c), F.lit(rf"\b(?:{_STOPWORDS_EN})\b"), 0
+        )
+    ).cast("long")
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: token volume, alphabetic ratio,
+    stopword ratio (fluent prose has stopwords), whitespace sanity. The
+    formula is arbitrary but fixed — the contract is determinism + oracle
+    parity, mirroring the reference's validation-predicate style checks."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tok = token_count(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    stop = stopword_hits(c).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    vol = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * vol + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0)),
+        4,
+    )
+
+
+# ---------------------------------------------------------------- lang id
+
+LANG_STOPWORDS = {
+    "en": "the|and|of|to|is|in|that|it|for|on",
+    "de": "der|die|das|und|ist|nicht|ein|zu|mit|von",
+    "fr": "le|la|les|et|est|une|que|des|pour|dans",
+    "es": "el|los|las|es|una|que|por|para|con|del",
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break priority
+
+
+def _lang_hits(c: Column, lang: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(c), F.lit(rf"\b(?:{LANG_STOPWORDS[lang]})\b"), 0
+        )
+    ).cast("long")
+
+
+def lang_id(col) -> Column:
+    """N-gram/stopword-hit language heuristic with deterministic tie-break
+    (priority order en > de > fr > es, 'und' = unknown when zero hits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = {l: _lang_hits(c, l) for l in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for l in reversed(LANG_ORDER):
+        expr = F.when((best > 0) & (hits[l] == best), F.lit(l)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------- fingerprint
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    the normalize-exactly-once determinism contract from the extractor,
+    applied as a standalone content key for dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+# ---------------------------------------------------------------- misc refs
+
+def cc_split(col) -> Column:
+    """Semicolon list split + trim + drop empties (ref config.py:142-143)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, ";"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def error_classify(col) -> Column:
+    """Marker-based error classification (the stderr-pattern table of the
+    reference, pdf_converter.py:100-122) as a pure CASE chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.rlike("(?i)password|encrypted|/Encrypt"), F.lit("protected"))
+        .when(c.rlike("(?i)corrupt|invalid"), F.lit("corrupted"))
+        .when(c.rlike("(?i)timeout|timed out"), F.lit("timeout"))
+        .otherwise(F.lit("ok"))
+    )
