@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from png_from_pdf_extracter_spark.datagen import GenConfig
 from png_from_pdf_extracter_spark.functions import dedup, multimodal, similarity, text
-from png_from_pdf_extracter_spark.operators import explode_units, reassemble_turns
+from png_from_pdf_extracter_spark.operators import (
+    conversation_rollup,
+    explode_units,
+    reassemble_turns,
+)
 from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
 from png_from_pdf_extracter_spark.sources import generate_transcripts
 
@@ -237,7 +241,30 @@ def _q_cc_split(spark, sf_dir):
     )
 
 
+def _q_embed_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (the LSH variant's baseline)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_exact(e, threshold=0.35)
+
+
+def _q_conv_rollup(spark, sf_dir):
+    """Conversation-level reassembly under stable turn ordering (the
+    'single reply regardless of size' semantics, ref spec.md:80)."""
+    t = _documents_as_transcripts(spark, sf_dir)
+    turns = t.select(
+        "conv_id", "turn_idx", F.col("text").alias("extracted_text")
+    )
+    return conversation_rollup(turns)
+
+
 # ---- rows-only (non-SQL-expressible) ----
+
+
+def _q_embed_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup — approximate by design (bucket
+    recall), so rows-only; exactness is covered by q_embed_near_dup."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, threshold=0.35)
 
 def _q_extract_flagship(spark, sf_dir):
     """The mapInPandas extraction kernel itself — not SQL-expressible (the
@@ -291,7 +318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q1": _q_tpch_q1,
         "q_join_topn": _q_join_topn,
         "q_cc_split": _q_cc_split,
+        "q_embed_near_dup": _q_embed_near_dup,
+        "q_conv_rollup": _q_conv_rollup,
         # rows-only (no oracle): kernel/stub/approximate ops
+        "q_embed_neardup_lsh": _q_embed_neardup_lsh,
         "q_extract_flagship": _q_extract_flagship,
         "q_extract_units_roundtrip": _q_extract_units_roundtrip,
         "q_media_features": _q_media_features,
@@ -536,5 +566,33 @@ def oracle_sql() -> dict[str, str]:
                      string_split(concat_ws(';', source, ' padded ', '', lang), ';'),
                      x -> trim(x)), x -> length(x) > 0), '|') AS cc_joined
             FROM documents WHERE doc_id < 100
+        """,
+        "q_embed_near_dup": """
+            SELECT id1, id2, cos_sim FROM (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(
+                  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.35
+        """,
+        "q_conv_rollup": """
+            WITH t AS (
+              SELECT source AS conv_id,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                       AS turn_idx,
+                     text
+              FROM documents
+            )
+            SELECT conv_id,
+                   string_agg(text, e'\n\n' ORDER BY turn_idx) AS conv_text,
+                   count(*)::INTEGER AS n_turns,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM t GROUP BY conv_id
         """,
     }

@@ -1,0 +1,269 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: the flagship extraction pipeline (read parquet transcripts
+-> whitelist -> stable buckets -> salted repartition -> mapInPandas extract
+-> write parquet) measured as turns/sec, and the north rule's two-cluster-
+size scaling criterion evidenced by running the SAME job on the SAME input
+at two parallelism levels (N and 4N cores, default local[2] vs local[8])
+and reporting throughput at both plus scaling efficiency.
+
+Why N=2/4N=8 and not 8/32: this sandbox VM's memory subsystem saturates at
+~8 concurrent streams (~17.7 GB/s) and then COLLAPSES under wider
+concurrency (16 streams -> 8.3 GB/s, 32 streams -> 3.1 GB/s; measured with
+a numpy stream benchmark, see BENCH.md). A text-extraction pipeline moves
+every payload byte through scan -> shuffle -> Arrow IPC -> write, so above
+8 streams the box gets SLOWER in absolute terms — a single-box artifact a
+real multi-executor cluster does not share (each executor has its own
+memory bus). The informational full-width run is included every round to
+show it. Per level we do one warm-up run (Python worker fork + import cost)
+then `runs` timed runs and take the min; all raw timings are reported.
+
+Input: deterministic synthetic transcripts (seed 42) at payload_scale=8
+(~6.4 KB/turn, realistic transcript density). To keep generation cheap the
+base conversations are replicated with distinct conv_id suffixes — the
+extractor does no cross-row caching, so replicated text costs exactly the
+same compute as unique text.
+
+Also: per-query wall times for the operator queries over
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), actions forced
+with the no-op sink so we time compute, not collect.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR        parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          informational full width (default 32)
+  SPARK_GRAFT_BENCH_WIDTH   high scaling level (default 8)
+  SPARK_GRAFT_BENCH_CONVS   base conversations (default 8000)
+  SPARK_GRAFT_BENCH_REPS    conv replication factor (default 8)
+  SPARK_GRAFT_BENCH_RUNS    timed runs per level after warm-up (default 2)
+  SPARK_GRAFT_SKIP_SCALING  1 -> only the high-level flagship + queries
+  SPARK_GRAFT_SKIP_WIDE     1 -> skip the informational full-width run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_session(cores: int) -> SparkSession:
+    # Shuffle spill + scratch on tmpfs: the single virtio disk would be a
+    # shared non-scaling resource; real clusters give each executor local
+    # NVMe. zstd halves text-heavy shuffle/output bytes; the extra codec
+    # CPU parallelizes, memory/disk bandwidth does not.
+    localdir = "/dev/shm/spark-bench-local"
+    os.makedirs(localdir, exist_ok=True)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-local-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(64, 4 * cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # generous heap: 32 concurrent tasks x (shuffle + Arrow + parquet
+        # writer buffers) thrash a small heap into GC storms (measured:
+        # 24g -> 3-7x run-to-run variance, 64g -> stable)
+        .config("spark.driver.memory", "64g")
+        .config("spark.local.dir", localdir)
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # rows carry multi-KB text payloads: 4096-row column vectors would
+        # need >100MB contiguous heap; 1024 keeps vectors ~10-30MB
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _bench_gen_config():
+    from png_from_pdf_extracter_spark.datagen import GenConfig
+
+    # standard 16KB/32-unit caps: the oversized/timeout payload classes are
+    # cap-relative, so raising caps just inflates the input; truncation of
+    # the big tail is pipeline semantics, not a shortcut
+    return GenConfig(
+        seed=42,
+        n_convs=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000")),
+        payload_scale=8,
+    )
+
+
+def materialize_input(spark: SparkSession, path: str, replicas: int) -> None:
+    """Deterministic synthetic transcripts, generated distributed, replicated
+    ``replicas``x under distinct conv_ids, written once; all scaling runs
+    read this same parquet."""
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.sources import generate_transcripts
+
+    gcfg = _bench_gen_config()
+    base = generate_transcripts(spark, gcfg)
+    reps = spark.range(replicas).select(F.col("id").cast("string").alias("rep"))
+    df = (
+        base.crossJoin(F.broadcast(reps))
+        .withColumn("conv_id", F.concat_ws("-", "conv_id", "rep"))
+        .drop("rep")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def run_flagship(spark: SparkSession, in_path: str, out_dir: str) -> float:
+    """One end-to-end extraction run (read -> extract -> write). Returns
+    wall seconds; row count is read from parquet footers outside the clock."""
+    from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
+    from png_from_pdf_extracter_spark.plans.extract_plan import _final_turn_columns
+
+    params = JobParams(
+        n_buckets=256,
+        salt_buckets=8,
+        num_partitions=256,  # fixed at every level: identical plan, more waves at low width
+    )
+    t0 = time.time()
+    transcripts = spark.read.parquet(in_path)
+    extracted = extract_turns(spark, transcripts, params)
+    out = _final_turn_columns(extracted, params)
+    out.write.mode("overwrite").parquet(out_dir)
+    return time.time() - t0
+
+
+def count_parquet_rows(path: str) -> int:
+    import pyarrow.dataset as ds
+
+    return sum(f.metadata.num_rows for f in ds.dataset(path).get_fragments())
+
+
+def level_runs(cores: int, in_path: str, out_base: str, runs: int) -> dict:
+    """One parallelism level: fresh session, 1 warm-up + ``runs`` timed.
+    Output dirs are deleted (tmpfs budget) except the warm-up's, kept for
+    the row count."""
+    spark = build_session(cores)
+    warm = round(run_flagship(spark, in_path, f"{out_base}_warm"), 3)
+    times = []
+    for i in range(runs):
+        out = f"{out_base}_{i}"
+        times.append(round(run_flagship(spark, in_path, out), 3))
+        shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+    # best over ALL observed runs (warm-up included): at low widths the
+    # fork/import warm-up cost is negligible and ambient drift can make the
+    # warm-up the fastest run — excluding it would overstate efficiency
+    return {"cores": cores, "warmup_sec": warm, "runs_sec": times,
+            "best_sec": min([warm] + times)}
+
+
+def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
+    """Time the headline operator queries from __spark_entry__ at sf_dir."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    keys = [
+        "q_minhash_lsh",
+        "q_ngram_jaccard",
+        "q_simhash",
+        "q_dedup_exact",
+        "q_knn_cosine",
+        "q_embed_near_dup",
+        "q_lang_id",
+        "q_quality_tokens",
+        "q_tpch_q1",
+        "q_join_topn",
+        "q_window_order",
+        "q_group_metrics",
+        "q_conv_rollup",
+    ]
+    times = {}
+    for k in keys:
+        t0 = time.time()
+        qs[k](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[k] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    width = int(os.environ.get("SPARK_GRAFT_BENCH_WIDTH", "8"))
+    replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    skip_wide = os.environ.get("SPARK_GRAFT_SKIP_WIDE") == "1"
+    low = max(1, width // 4)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    work = tempfile.mkdtemp(
+        prefix="bench_spark_graft_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    in_path = os.path.join(work, "transcripts")
+    queries: dict = {}
+    try:
+        # ---- materialize + sf queries in one session at the high width
+        spark = build_session(width)
+        t0 = time.time()
+        materialize_input(spark, in_path, replicas)
+        gen_s = time.time() - t0
+        print(f"# materialized input in {gen_s:.1f}s", file=sys.stderr)
+        queries.update(bench_sf_queries(spark, sf_dir))
+        spark.stop()
+
+        # ---- flagship at the high scaling level
+        hi = level_runs(width, in_path, os.path.join(work, "hi"), runs)
+        n_turns = count_parquet_rows(os.path.join(work, "hi_warm"))
+        hi_tps = n_turns / hi["best_sec"]
+        queries["extract_flagship"] = hi["best_sec"]
+
+        scaling = None
+        if not skip_scaling:
+            lo = level_runs(low, in_path, os.path.join(work, "lo"), runs)
+            lo_tps = n_turns / lo["best_sec"]
+            eff = (hi_tps / lo_tps) / (width / low)
+            scaling = {
+                "cores_low": low,
+                "cores_high": width,
+                "low": lo,
+                "high": hi,
+                "turns_per_sec_low": round(lo_tps, 1),
+                "turns_per_sec_high": round(hi_tps, 1),
+                "efficiency": round(eff, 3),
+            }
+
+        width32 = None
+        if not skip_wide and cpus > width:
+            w = level_runs(cpus, in_path, os.path.join(work, "wide"), 1)
+            width32 = {
+                "cores": cpus,
+                "best_sec": w["best_sec"],
+                "turns_per_sec": round(n_turns / w["best_sec"], 1),
+                "note": (
+                    "single-box memory bandwidth collapses above ~8 "
+                    "concurrent streams on this VM (see BENCH.md); real "
+                    "clusters scale executors, not one memory bus"
+                ),
+            }
+
+        result = {
+            "metric": "extract_turns_per_sec",
+            "value": round(hi_tps, 1),
+            "unit": "turns/sec",
+            "queries": queries,
+            "sf": sf,
+            "bench_turns": n_turns,
+            "total_sec": round(sum(queries.values()), 3),
+            "scaling": scaling,
+            "width_full": width32,
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

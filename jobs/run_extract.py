@@ -1,0 +1,79 @@
+"""Batch extraction job driver — the ``main()`` analog
+(``/root/reference/src/main.py:17-106``): validate params, build session,
+run the extraction plan with lineage + resume, exit non-zero on failure.
+
+Deployment (the north rule's spark-submit contract)::
+
+    python scripts/package_pyfiles.py dist/png_from_pdf_extracter_spark.zip
+    spark-submit --py-files dist/png_from_pdf_extracter_spark.zip \
+        jobs/run_extract.py \
+        --input /path/to/transcripts_parquet \
+        --warehouse /path/to/warehouse \
+        [--n-buckets 4096] [--salt-buckets 8] [--num-partitions N] [--no-resume]
+
+On a real cluster add ``--master yarn``/``--master k8s://...`` and executor
+sizing; the job code is identical — everything cluster-specific lives in
+spark-submit flags, the way the reference keeps all deployment knobs in env
+vars (``config.py:119-166``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--warehouse", required=True, help="output warehouse dir")
+    p.add_argument("--n-buckets", type=int, default=4096)
+    p.add_argument("--salt-buckets", type=int, default=8)
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--master", default=None, help="override (tests only)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    # import AFTER arg parsing so --help works without the zip on sys.path
+    from pyspark.sql import SparkSession
+
+    from png_from_pdf_extracter_spark.plans import JobParams, run_job
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+
+    try:
+        params = JobParams(
+            n_buckets=args.n_buckets,
+            salt_buckets=args.salt_buckets,
+            num_partitions=args.num_partitions,
+        )
+    except ValueError as e:  # config validation, ref config.py:54-112
+        print(f"invalid job params: {e}", file=sys.stderr)
+        return 1
+
+    builder = (
+        SparkSession.builder.appName("extract-transcripts")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+    )
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    try:
+        transcripts = spark.read.parquet(args.input)
+        catalog = Catalog(args.warehouse)
+        stats = run_job(
+            spark, transcripts, catalog, params, resume=not args.no_resume
+        )
+        print(f"extracted rows={stats['rows']} buckets={stats['n_buckets']}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

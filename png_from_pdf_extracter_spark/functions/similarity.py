@@ -152,6 +152,33 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_near_dup_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id1 < id2,
+    cos >= threshold) by self-join — the correctness baseline the LSH
+    variant is measured against. O(n^2): run on a bounded slice or one
+    LSH/IVF bucket; ``embedding_near_dup_pairs`` is the 100 TB path."""
+    l = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    r = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        l.join(F.broadcast(r), F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("v1"), F.col("v2"))
+                / (_norm(F.col("v1")) * _norm(F.col("v2"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,104 @@
+"""Structured Streaming surface — the daemon-loop analog.
+
+The reference runs an infinite poll loop: check INBOX, process, sleep 60s
+(``/root/reference/src/services/job_processor.py:223-262``). Spark's native
+shape for that is Structured Streaming over the transcripts location:
+
+- ``trigger(availableNow=True)``   = one poll cycle that drains the backlog
+  and exits (restartable batch — what our resume/lineage path also gives).
+- ``trigger(processingTime='60 seconds')`` = the literal daemon loop.
+
+The streaming checkpoint directory subsumes the reference's
+delete-on-commit bookkeeping for this surface: source offsets commit only
+after the sink write, so a crash re-processes the last micro-batch
+(at-least-once + idempotent file sink = the same NFR-007/008 contract the
+batch path implements with the lineage table).
+
+The extraction itself is the SAME ``mapInPandas`` kernel as the batch plan —
+one code path, two drivers (batch job / stream), like the reference reuses
+``process_next_email`` from both the CLI and the daemon.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.extract_plan import JobParams, EXTRACTED_SCHEMA, _make_extract_udf
+from ..sources.transcripts import TRANSCRIPTS_SCHEMA, with_partition_id
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    params: JobParams,
+) -> DataFrame:
+    """Streaming extraction DataFrame: readStream(parquet dir) -> whitelist
+    -> bucket -> mapInPandas(extract). No salted repartition here — in
+    streaming, micro-batch sizing (``maxFilesPerTrigger``) bounds task skew
+    instead; the kernel and output schema are identical to the batch plan.
+
+    Start it with, e.g.::
+
+        q = (stream_extract(spark, in_dir, params).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    df = stream.filter(F.col("role").rlike(params.role_whitelist))
+    df = with_partition_id(df, params.n_buckets)
+    return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SCHEMA)
+
+
+def stream_turn_rates(
+    extracted: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed throughput/error metrics with late-data tolerance: counts per
+    (event-time window, status). The watermark bounds state — without it a
+    10^12-turn stream accumulates unbounded window state."""
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("status"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("text_bytes").alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "status",
+            "n_turns",
+            "bytes_in",
+        )
+    )
+
+
+def stream_conv_progress(
+    extracted: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-conversation progress rollup (streaming 'ProcessingJob' rows):
+    last turn seen, turns done, error count — an aggregation keyed by
+    conv_id with watermarked event time, emitted in update mode. This is
+    the streaming twin of the batch lineage metrics."""
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .agg(
+            F.max("turn_idx").alias("last_turn_idx"),
+            F.count("*").alias("n_turns_done"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+            F.max("ts").alias("last_ts"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Structured Streaming surface: same kernel, daemon-loop semantics.
+
+- availableNow drain produces byte-identical per-turn output to the batch
+  plan (one code path, two drivers).
+- checkpoint restart processes only new input (no dupes, no gaps) — the
+  streaming twin of the lineage-table resume test.
+- windowed rates aggregate matches a batch groupBy over the same data.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.datagen import GenConfig
+from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
+from png_from_pdf_extracter_spark.sources import generate_transcripts
+from png_from_pdf_extracter_spark.streaming import (
+    stream_extract,
+    stream_turn_rates,
+)
+
+PARAMS = JobParams(n_buckets=16, num_partitions=4)
+
+
+def _drain(spark, in_dir, out_dir, ckpt):
+    q = (
+        stream_extract(spark, in_dir, PARAMS)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    d = {
+        "in": str(root / "in"),
+        "out": str(root / "out"),
+        "ckpt": str(root / "ckpt"),
+    }
+    os.makedirs(d["in"], exist_ok=True)
+    return d
+
+
+def test_stream_matches_batch(spark, dirs):
+    gcfg = GenConfig(seed=7, n_convs=30)
+    generate_transcripts(spark, gcfg).write.mode("append").parquet(dirs["in"])
+
+    _drain(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    streamed = spark.read.parquet(dirs["out"]).select(
+        "conv_id", "turn_idx", "status", "extracted_text"
+    )
+    batch = extract_turns(
+        spark, spark.read.parquet(dirs["in"]), PARAMS
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("status").alias("b_status"),
+        F.col("extracted_text").alias("b_text"),
+    )
+    joined = streamed.join(batch, ["conv_id", "turn_idx"], "full_outer")
+    n = joined.count()
+    assert n == streamed.count() == batch.count()
+    mismatches = joined.filter(
+        (F.col("status") != F.col("b_status"))
+        | ~F.col("extracted_text").eqNullSafe(F.col("b_text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_stream_restart_no_dupes_no_gaps(spark, dirs):
+    before = spark.read.parquet(dirs["out"]).count()
+
+    gcfg2 = GenConfig(seed=8, n_convs=10)
+    extra = generate_transcripts(spark, gcfg2).withColumn(
+        "conv_id", F.concat(F.lit("late-"), F.col("conv_id"))
+    )
+    n_new_expected = extra.filter(
+        F.col("role").rlike(PARAMS.role_whitelist)
+    ).count()
+    extra.write.mode("append").parquet(dirs["in"])
+
+    _drain(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == before + n_new_expected
+    dupes = (
+        out.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1)
+    ).count()
+    assert dupes == 0
+
+
+def test_stream_turn_rates_match_batch(spark, dirs, tmp_path):
+    q = (
+        stream_turn_rates(
+            stream_extract(spark, dirs["in"], PARAMS), "10 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rates"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["status"]): r["n_turns"]
+        for r in spark.sql("select * from rates").collect()
+    }
+    batch = extract_turns(spark, spark.read.parquet(dirs["in"]), PARAMS)
+    want = {
+        (r["ws"], r["status"]): r["n"]
+        for r in (
+            batch.groupBy(
+                F.window("ts", "10 minutes").alias("w"), "status"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "status", "n")
+        ).collect()
+    }
+    assert got == want
