@@ -45,20 +45,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------- shingles
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-    Built array-side (transform over sequence) then exploded — one pass, no
-    window. Mirrors the DuckDB ``list_transform(range(...))`` oracle."""
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle). Built array-side
+    (transform over sequence) then exploded — one pass, no window. Mirrors
+    the DuckDB ``list_transform(range(...))`` oracle.
+
+    ``distinct=True`` (set semantics, one shuffle) is required by Jaccard;
+    pass ``distinct=False`` for duplicate-insensitive consumers (MinHash)
+    — skipping the dedup shuffle is a free win at scale."""
     w = words(text_col)
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
     )
-    return (
-        df.filter(F.size(w) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    out = df.filter(F.size(w) >= n).select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -72,7 +77,9 @@ def ngram_jaccard_pairs(
     """Candidate near-duplicate pairs by n-gram Jaccard >= threshold.
     ``max_shingle_df`` > 0 drops shingles shared by more than that many docs
     before the self-join (the skew/blow-up guard for web scale)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    # persisted: referenced three times below (self-join sides + sizes) —
+    # without it Spark recomputes the shingle explosion per reference
+    sh = word_shingles(df, id_col, text_col, n).persist()
     if max_shingle_df > 0:
         rare = (
             sh.groupBy("shingle")
@@ -107,7 +114,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows: (id, seed, minhash). seed x shingle fan-out,
     then min per (id, seed) — map-side combinable."""
-    sh = word_shingles(df, id_col, text_col, n)
+    # distinct=False: min() is duplicate-insensitive, so the dedup shuffle
+    # would be pure waste; map-side partial min collapses per (id, seed)
+    # before the one remaining shuffle
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
         sh.select("id", "shingle", seeds)
@@ -136,6 +146,8 @@ def minhash_lsh_pairs(
     generation is an equi-join, the LSH trick that makes near-dup detection
     feasible at 10^12 rows."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # persisted: both sides of the candidate self-join read the band table;
+    # unpersisted, the whole shingle->minhash->band DAG runs twice
     bands = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
@@ -151,6 +163,7 @@ def minhash_lsh_pairs(
             ).alias("band_hash")
         )
     )
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
