@@ -25,6 +25,8 @@ from png_from_pdf_extracter_spark.operators import (
     conversation_rollup,
     explode_units,
     reassemble_turns,
+    session_stats,
+    sessionize,
 )
 from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
 from png_from_pdf_extracter_spark.sources import generate_transcripts
@@ -257,7 +259,39 @@ def _q_conv_rollup(spark, sf_dir):
     return conversation_rollup(turns)
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) over the events stream."""
+    e = _read(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", 1800, tiebreak_col="event_id").select(
+        "user_id", "event_id", "session_idx"
+    )
+
+
+def _q_session_stats(spark, sf_dir):
+    """Per-session rollup: bounds (as epochs), count, duration."""
+    e = _read(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 1800, tiebreak_col="event_id")
+    st = session_stats(s, "user_id", "ts")
+    return st.select(
+        "user_id",
+        "session_idx",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+        "duration_s",
+    )
+
+
 # ---- rows-only (non-SQL-expressible) ----
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (coarse-quantizer cells + nprobe rerank) —
+    approximate by design (cell recall), so rows-only; the exact baseline
+    is q_knn_cosine."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, q, k=5, n_cells=16, nprobe=2)
 
 
 def _q_embed_neardup_lsh(spark, sf_dir):
@@ -320,8 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cc_split": _q_cc_split,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_conv_rollup": _q_conv_rollup,
+        "q_sessionize": _q_sessionize,
+        "q_session_stats": _q_session_stats,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
+        "q_ann_ivf": _q_ann_ivf,
         "q_extract_flagship": _q_extract_flagship,
         "q_extract_units_roundtrip": _q_extract_units_roundtrip,
         "q_media_features": _q_media_features,
@@ -580,6 +617,47 @@ def oracle_sql() -> dict[str, str]:
                 AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.35
+        """,
+        "q_sessionize": """
+            WITH b AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                          THEN 1 ELSE 0 END AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT user_id, event_id,
+                   (sum(st) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING))::INTEGER
+                     AS session_idx
+            FROM b
+        """,
+        "q_session_stats": """
+            WITH b AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                          THEN 1 ELSE 0 END AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     (sum(st) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING))::INTEGER
+                       AS session_idx
+              FROM b
+            )
+            SELECT user_id, session_idx,
+                   min(floor(epoch(ts)))::BIGINT AS start_epoch,
+                   max(floor(epoch(ts)))::BIGINT AS end_epoch,
+                   count(*) AS n_events,
+                   (max(floor(epoch(ts))) - min(floor(epoch(ts))))::BIGINT
+                     AS duration_s
+            FROM s GROUP BY user_id, session_idx
         """,
         "q_conv_rollup": """
             WITH t AS (

@@ -152,6 +152,96 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_coarse_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16
+):
+    """Deterministic coarse centroids for IVF: the ``n_cells`` corpus
+    vectors with smallest md5(id) — a seeded sample with no RNG state, same
+    on every run/engine. (Real IVF runs a few k-means iterations; for the
+    index structure and query path that follows, the quantizer's quality
+    only affects recall, not correctness of the plumbing.) Returns a small
+    driver-side list of (cell_idx, vector)."""
+    rows = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def _cell_candidates(vec, centroids) -> F.Column:
+    """array<struct<neg_cos, cell>> for all cells — struct ordering sorts by
+    first field, so array_min / array_sort pick nearest cells. Pure builtins."""
+    cands = []
+    for idx, cvec in centroids:
+        plane = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = _dot(vec, plane) / (_norm(vec) * _norm(plane))
+        cands.append(F.struct((-cos).alias("neg_cos"), F.lit(idx).alias("cell")))
+    return F.array(*cands)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    coarse cell (inverted lists); each query probes its ``nprobe`` nearest
+    cells and reranks exactly inside them. Candidates come from a cell
+    equi-join — the other standard ANN scale path next to hyperplane LSH
+    (``lsh_bucket_topk``). At 100 TB the corpus side is written bucketed by
+    cell so the probe join prunes to nprobe/n_cells of the data."""
+    cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.array_min(_cell_candidates(F.col(vec_col), cents))["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_cell_candidates(F.col(vec_col), cents)),
+                    1, nprobe,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def embedding_near_dup_exact(
     df: DataFrame,
     id_col: str = "vec_id",

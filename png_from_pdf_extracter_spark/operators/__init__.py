@@ -6,6 +6,7 @@ from .salting import salted_repartition
 from .ordering import explode_units, reassemble_turns, conversation_rollup
 from .quarantine import split_quarantine
 from .resume import completed_partitions, pending_only
+from .sessions import sessionize, session_stats
 
 __all__ = [
     "salted_repartition",
@@ -15,4 +16,6 @@ __all__ = [
     "split_quarantine",
     "completed_partitions",
     "pending_only",
+    "sessionize",
+    "session_stats",
 ]

@@ -1,0 +1,86 @@
+"""Sessionization unit semantics + IVF ANN sanity."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.operators import session_stats, sessionize
+
+
+def _ts(minute):
+    return dt.datetime(2026, 1, 1, 0, minute, 0, tzinfo=dt.timezone.utc)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        # user a: events at 0, 10, 50, 55 min with 30-min gap -> sessions 1,1,2,2
+        ("a", 1, _ts(0)),
+        ("a", 2, _ts(10)),
+        ("a", 3, _ts(50)),
+        ("a", 4, _ts(55)),
+        # user b: single event
+        ("b", 5, _ts(7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id int, ts timestamp")
+    out = sessionize(df, "user_id", "ts", 1800, tiebreak_col="event_id")
+    got = {
+        (r["user_id"], r["event_id"]): (r["session_idx"], r["is_session_start"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 1): (1, 1),
+        ("a", 2): (1, 0),
+        ("a", 3): (2, 1),
+        ("a", 4): (2, 0),
+        ("b", 5): (1, 1),
+    }
+
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(out, "user_id", "ts").collect()
+    }
+    assert stats == {
+        ("a", 1): (2, 600),
+        ("a", 2): (2, 300),
+        ("b", 1): (1, 0),
+    }
+
+
+def test_sessionize_exact_gap_not_boundary(spark):
+    # diff == gap stays in-session (strict > starts a new one)
+    rows = [("u", 1, _ts(0)), ("u", 2, _ts(30))]
+    df = spark.createDataFrame(rows, "user_id string, event_id int, ts timestamp")
+    out = sessionize(df, "user_id", "ts", 1800, tiebreak_col="event_id")
+    assert {r["session_idx"] for r in out.collect()} == {1}
+
+
+def test_ivf_topk_matches_exact_for_probed_cells(spark):
+    """IVF with nprobe == n_cells degenerates to exact brute force — the
+    rerank math must then agree with cosine_topk rank-for-rank."""
+    from png_from_pdf_extracter_spark.functions import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(e, q, k=3).collect()
+    }
+    ivf_all = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(e, q, k=3, n_cells=4, nprobe=4).collect()
+    }
+    assert ivf_all == exact
+
+    # real IVF setting: nprobe < n_cells returns <= k ranked rows per query,
+    # each a genuine corpus neighbor with correctly ordered ranks
+    approx = similarity.ivf_topk(e, q, k=3, n_cells=8, nprobe=2)
+    rows = approx.collect()
+    assert len(rows) > 0
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for ranks in per_q.values():
+        ranks.sort()
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)
+        assert [i for i, _ in ranks] == list(range(1, len(ranks) + 1))
