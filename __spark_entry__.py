@@ -259,6 +259,23 @@ def _q_conv_rollup(spark, sf_dir):
     return conversation_rollup(turns)
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole band join + hamming verify."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=32, max_hamming=1, n_bands=2
+    ).withColumnRenamed("id1", "doc1").withColumnRenamed("id2", "doc2")
+
+
+def _q_dedup_latest(spark, sf_dir):
+    """Keep-newest-per-key dedup (late/duplicate re-ingest tolerance,
+    spec NFR-008 analog) over the events stream."""
+    e = _read(spark, sf_dir, "events")
+    return dedup.dedup_latest(
+        e, ["user_id"], "ts", tiebreak_col="event_id"
+    ).select("user_id", "event_id", "event_type")
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) over the events stream."""
     e = _read(spark, sf_dir, "events")
@@ -354,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cc_split": _q_cc_split,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_conv_rollup": _q_conv_rollup,
+        "q_simhash_neardup": _q_simhash_neardup,
+        "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
         # rows-only (no oracle): kernel/stub/approximate ops
@@ -617,6 +636,45 @@ def oracle_sql() -> dict[str, str]:
                 AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.35
+        """,
+        "q_simhash_neardup": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id AS id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            ),
+            h AS (
+              SELECT id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h
+              FROM toks WHERE length(tok) > 0
+            ),
+            s AS (
+              SELECT id, pos, sum(((h >> pos) & 1) * 2 - 1) AS s
+              FROM h, (SELECT unnest(range(0, 32)) AS pos)
+              GROUP BY id, pos
+            ),
+            sig AS (
+              SELECT id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << pos) ELSE 0 END)::BIGINT
+                       AS simhash
+              FROM s GROUP BY id
+            ),
+            bands AS (
+              SELECT id, simhash, band, (simhash >> (band * 16)) & 65535 AS band_val
+              FROM sig, (SELECT unnest(range(0, 2)) AS band)
+            )
+            SELECT DISTINCT a.id AS doc1, b.id AS doc2,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """,
+        "q_dedup_latest": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "q_sessionize": """
             WITH b AS (

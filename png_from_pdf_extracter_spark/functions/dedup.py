@@ -212,3 +212,76 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
             ).alias("simhash")
         )
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the ``bits``-bit signature into
+    ``n_bands`` slices; by pigeonhole, any pair within ``max_hamming``
+    (< n_bands) shares at least one identical band, so candidates come from
+    a band equi-join (never a cross join); verify with
+    ``bit_count(simhash1 XOR simhash2) <= max_hamming``.
+    Returns (id1, id2, hamming)."""
+    sig = simhash(df, id_col, text_col, bits).persist()
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"shiftright(simhash, {b * band_bits}) & {mask}"
+                    ).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- latest
+
+def dedup_latest(
+    df: DataFrame, key_cols: list, order_col: str, tiebreak_col: str = None
+) -> DataFrame:
+    """Keep the newest row per key (re-ingest / late-duplicate semantics,
+    the NFR-008 'duplicate emails tolerated' analog): row_number over a
+    descending window, keep rank 1. One shuffle on the key."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
