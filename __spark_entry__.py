@@ -244,8 +244,10 @@ def _q_cc_split(spark, sf_dir):
 
 
 def _q_embed_near_dup(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (the LSH variant's baseline)."""
-    e = _read(spark, sf_dir, "embeddings")
+    """Exact embedding-cosine near-dup pairs (the LSH variant's correctness
+    baseline). O(n^2) by construction, so bounded to a 500-vector slice at
+    any sf — the unbounded scale paths are q_embed_neardup_lsh / q_ann_*."""
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return similarity.embedding_near_dup_exact(e, threshold=0.35)
 
 
@@ -634,7 +636,9 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))), 6)
                 AS cos_sim
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              FROM (SELECT * FROM embeddings WHERE vec_id < 500) a
+              JOIN (SELECT * FROM embeddings WHERE vec_id < 500) b
+                ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.35
         """,
         "q_simhash_neardup": """

@@ -30,6 +30,10 @@ def parse_args(argv):
     p.add_argument("--n-buckets", type=int, default=4096)
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument(
+        "--salt-mode", choices=["always", "auto", "never"], default="always",
+        help="skew shuffle policy: always salt, sample-and-decide, or trust source splits",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None, help="override (tests only)")
     return p.parse_args(argv)
@@ -49,6 +53,7 @@ def main(argv=None) -> int:
             n_buckets=args.n_buckets,
             salt_buckets=args.salt_buckets,
             num_partitions=args.num_partitions,
+            salt_mode=args.salt_mode,
         )
     except ValueError as e:  # config validation, ref config.py:54-112
         print(f"invalid job params: {e}", file=sys.stderr)

@@ -86,6 +86,12 @@ class JobParams:
     extractor: ExtractorConfig = field(default_factory=lambda: SYNTH_EXTRACTOR_CFG)
     extractor_version: str = EXTRACTOR_VERSION
     write_units: bool = False  # also write the per-unit fan-out table
+    # "always": unconditional salted shuffle (the north-star default);
+    # "auto": sample-measure skew at plan time, shuffle only if a hot
+    #         conversation exceeds a task's fair share (skips the single
+    #         biggest data movement on uniform inputs);
+    # "never": trust the source splits (bucketed/pre-partitioned input)
+    salt_mode: str = "always"
 
     def __post_init__(self) -> None:
         if self.n_buckets <= 0:
@@ -94,6 +100,8 @@ class JobParams:
             raise ValueError("salt_buckets must be positive")
         if not self.role_whitelist:
             raise ValueError("role_whitelist must be a non-empty regex")
+        if self.salt_mode not in ("always", "auto", "never"):
+            raise ValueError("salt_mode must be always|auto|never")
 
 
 def _make_extract_udf(cfg: ExtractorConfig):
@@ -163,7 +171,12 @@ def extract_turns(
     num = params.num_partitions or max(
         2, spark.sparkContext.defaultParallelism * 2
     )
-    df = salted_repartition(df, num, params.salt_buckets)
+    if params.salt_mode == "always":
+        df = salted_repartition(df, num, params.salt_buckets)
+    elif params.salt_mode == "auto":
+        from ..operators import salted_repartition_auto
+
+        df = salted_repartition_auto(df, num, params.salt_buckets)
     return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SCHEMA)
 
 

@@ -66,3 +66,58 @@ def test_skewed_input_still_correct(spark):
     assert len(got) == len(exp)
     assert (got["extracted_text"].values == exp["extracted_text"].values).all()
     assert got["status"].tolist() == exp["status"].tolist()
+
+
+def test_auto_salt_shuffles_only_when_skewed(spark):
+    from png_from_pdf_extracter_spark.operators import (
+        max_key_share,
+        salted_repartition_auto,
+    )
+
+    # skewed input: hot conv > 1/num_partitions share -> Exchange present
+    hot_tdf, _ = gen_pandas(GCFG)
+    hot = with_partition_id(
+        spark.createDataFrame(hot_tdf, schema=TRANSCRIPTS_SCHEMA), 16
+    )
+    assert max_key_share(hot, sample_fraction=1.0) > 1 / 8
+    salted = salted_repartition_auto(hot, 8, sample_fraction=1.0)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+    # uniform input: no conversation exceeds a task's fair share -> no shuffle
+    uni_tdf, _ = gen_pandas(GenConfig(n_convs=60))
+    uni = with_partition_id(
+        spark.createDataFrame(uni_tdf, schema=TRANSCRIPTS_SCHEMA), 16
+    )
+    assert max_key_share(uni, sample_fraction=1.0) < 1 / 8
+    unsalted = salted_repartition_auto(uni, 8, sample_fraction=1.0)
+    plan = unsalted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_salt_mode_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        JobParams(salt_mode="sometimes")
+
+
+def test_auto_mode_extraction_matches_always(spark):
+    tdf, _ = gen_pandas(GenConfig(n_convs=25))
+    df = spark.createDataFrame(tdf, schema=TRANSCRIPTS_SCHEMA)
+    a = extract_turns(
+        spark, df, JobParams(n_buckets=16, num_partitions=4, salt_mode="always")
+    ).select("conv_id", "turn_idx", "extracted_text")
+    b = extract_turns(
+        spark, df, JobParams(n_buckets=16, num_partitions=4, salt_mode="auto")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text").alias("b_text"),
+    )
+    j = a.join(b, ["conv_id", "turn_idx"], "full_outer")
+    assert j.count() == a.count() == b.count()
+    assert (
+        j.filter(~F.col("extracted_text").eqNullSafe(F.col("b_text"))).count()
+        == 0
+    )
