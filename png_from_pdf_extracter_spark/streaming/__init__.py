@@ -3,5 +3,11 @@ from .extract_stream import (
     stream_turn_rates,
     stream_conv_progress,
 )
+from .stateful import conversation_progress_stateful
 
-__all__ = ["stream_extract", "stream_turn_rates", "stream_conv_progress"]
+__all__ = [
+    "stream_extract",
+    "stream_turn_rates",
+    "stream_conv_progress",
+    "conversation_progress_stateful",
+]
