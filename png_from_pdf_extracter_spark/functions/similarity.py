@@ -174,6 +174,52 @@ def ivf_coarse_centroids(
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 2,
+):
+    """Lloyd-refined coarse centroids: seed with the deterministic md5
+    sample, then ``iterations`` x (assign-to-nearest-cell, recompute cell
+    means). Each iteration is one small Spark job (explode dims -> avg per
+    (cell, dim) -> collect n_cells x dim rows to the driver). Empty cells
+    keep their previous centroid. Float-sum order across partitions makes
+    the means reproducible only to ~1e-12 — irrelevant for recall, which is
+    why ivf_topk is rows-only checked rather than value-hashed."""
+    cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
+    for _ in range(iterations):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            F.array_min(_cell_candidates(F.col(vec_col), cents))["cell"].alias(
+                "cell"
+            ),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["d"]] = r["m"]
+        cents = [
+            (
+                idx,
+                [by_cell[idx][d] for d in range(dim)]
+                if idx in by_cell
+                else old,
+            )
+            for idx, old in cents
+        ]
+    return cents
+
+
 def _cell_candidates(vec, centroids) -> F.Column:
     """array<struct<neg_cos, cell>> for all cells — struct ordering sorts by
     first field, so array_min / array_sort pick nearest cells. Pure builtins."""
@@ -193,14 +239,22 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 2,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     coarse cell (inverted lists); each query probes its ``nprobe`` nearest
     cells and reranks exactly inside them. Candidates come from a cell
     equi-join — the other standard ANN scale path next to hyperplane LSH
     (``lsh_bucket_topk``). At 100 TB the corpus side is written bucketed by
-    cell so the probe join prunes to nprobe/n_cells of the data."""
-    cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
+    cell so the probe join prunes to nprobe/n_cells of the data.
+    ``kmeans_iterations`` > 0 Lloyd-refines the coarse quantizer (better
+    cell balance/recall at the cost of that many extra small jobs)."""
+    if kmeans_iterations > 0:
+        cents = ivf_kmeans_centroids(
+            corpus, id_col, vec_col, n_cells, kmeans_iterations
+        )
+    else:
+        cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the plan properties that matter at 100 TB
+are asserted, not just eyeballed — a refactor that silently adds a shuffle,
+drops a broadcast, or un-prunes a scan fails here.
+"""
+
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.datagen import GenConfig, gen_pandas
+from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
+from png_from_pdf_extracter_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _transcripts(spark, tmp_path):
+    # parquet-backed source: a Catalyst LocalRelation would be constant-
+    # folded (filters evaluated at plan time), hiding the nodes under test
+    tdf, _ = gen_pandas(GenConfig(n_convs=10))
+    path = str(tmp_path / "transcripts")
+    spark.createDataFrame(tdf, schema=TRANSCRIPTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_flagship_single_exchange_and_filter_before_shuffle(spark, tmp_path):
+    df = extract_turns(
+        spark,
+        _transcripts(spark, tmp_path),
+        JobParams(n_buckets=16, num_partitions=4),
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    # whitelist evaluated below (before) the exchange: RLIKE appears after
+    # the Exchange line in the tree dump (children print below parents)
+    assert plan.index("Exchange") < plan.index("RLIKE")
+
+
+def test_flagship_never_mode_no_shuffle(spark, tmp_path):
+    df = extract_turns(
+        spark,
+        _transcripts(spark, tmp_path),
+        JobParams(n_buckets=16, num_partitions=4, salt_mode="never"),
+    )
+    assert "Exchange" not in _plan(df)
+
+
+def test_join_topn_broadcasts_both_dims(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["q_join_topn"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["q_tpch_q1"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: comment column never read
+    assert "l_comment" not in plan
+    # map-side partial aggregation present
+    assert "partial_sum" in plan
+
+
+def test_minhash_signature_single_exchange(spark):
+    from png_from_pdf_extracter_spark.functions.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(d, "doc_id", "text"))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_resume_antijoin_is_broadcast(spark, tmp_path):
+    from png_from_pdf_extracter_spark.operators import (
+        completed_partitions,
+        pending_only,
+    )
+    from png_from_pdf_extracter_spark.plans.metrics import METRICS_SCHEMA
+    from png_from_pdf_extracter_spark.sources.transcripts import with_partition_id
+
+    t = with_partition_id(_transcripts(spark, tmp_path), 16)
+    metrics = spark.createDataFrame([], METRICS_SCHEMA)
+    pending = pending_only(t, completed_partitions(metrics, "0.1.0"))
+    plan = _plan(pending)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
