@@ -67,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
     out = extract_turns(spark, transcripts, params)
     return out.select(
         "conv_id", "turn_idx", "status", "error_class", "extracted_text",
-        F.size("units").alias("n_units"), "partition_id",
+        "n_units", "partition_id",
     )
 
 
@@ -335,7 +335,7 @@ def _q_extract_units_roundtrip(spark, sf_dir):
     """Explode->window-reassembly roundtrip over extraction units."""
     params = JobParams(n_buckets=16, num_partitions=8)
     transcripts = generate_transcripts(spark, GenConfig(n_convs=40))
-    extracted = extract_turns(spark, transcripts, params)
+    extracted = extract_turns(spark, transcripts, params, with_units=True)
     return reassemble_turns(explode_units(extracted))
 
 

@@ -73,6 +73,30 @@ EXTRACTED_SCHEMA = T.StructType(
     ]
 )
 
+# Default (slim) UDF output: the nested ``units`` array would carry every
+# payload's text a SECOND time (unit_text duplicates extracted_text) across
+# the Arrow boundary and into the shuffle/write path — ~2x the bytes of the
+# hot pipeline for data only the per-unit fan-out table needs. The slim
+# schema ships pre-flattened spans + the unit count instead; callers that
+# need the fan-out (explode_units) opt in with ``with_units=True``.
+EXTRACTED_SLIM_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("spans", SPAN_SCHEMA),
+        T.StructField("n_units", T.IntegerType()),
+        T.StructField("text_bytes", T.LongType()),
+        T.StructField("text_head", T.StringType()),
+    ]
+)
+
 
 @dataclass
 class JobParams:
@@ -104,10 +128,11 @@ class JobParams:
             raise ValueError("salt_mode must be always|auto|never")
 
 
-def _make_extract_udf(cfg: ExtractorConfig):
+def _make_extract_udf(cfg: ExtractorConfig, emit_units: bool = False):
     """Build the mapInPandas function. The config rides the task closure once
     per task, never per row (ref constant-folding of conversion params,
-    ``pdf_converter.py:74-89``)."""
+    ``pdf_converter.py:74-89``). ``emit_units`` selects the full schema
+    (nested per-unit texts, 2x output bytes) vs the slim default."""
 
     def extract_fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -117,39 +142,52 @@ def _make_extract_udf(cfg: ExtractorConfig):
                 pdf["text"].tolist(), cfg
             )
             n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"].values,
-                    "turn_idx": pdf["turn_idx"].values,
-                    "partition_id": pdf["partition_id"].values,
-                    "role": pdf["role"].values,
-                    "tool": pdf["tool"].values,
-                    "ts": pdf["ts"].values,
-                    "status": statuses,
-                    "error_class": errors,
-                    "extracted_text": texts_out,
-                    "units": [
-                        [
-                            {
-                                "unit_idx": ui,
-                                "unit_text": ut,
-                                "spans": [
-                                    {"start": s, "end": e, "kind": k}
-                                    for (s, e, k) in sp
-                                ],
-                            }
-                            for (ui, ut, sp) in row_units
-                        ]
-                        for row_units in units
-                    ],
-                    "text_bytes": pdf["text"].str.len().fillna(0).astype("int64"),
-                    "text_head": [
-                        (pdf["text"].iat[i] or "")[:256] if statuses[i] == "error" else ""
-                        for i in range(n)
-                    ],
-                }
-            )
-            yield out
+            cols = {
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "partition_id": pdf["partition_id"].values,
+                "role": pdf["role"].values,
+                "tool": pdf["tool"].values,
+                "ts": pdf["ts"].values,
+                "status": statuses,
+                "error_class": errors,
+                "extracted_text": texts_out,
+                "text_bytes": pdf["text"].str.len().fillna(0).astype("int64"),
+                "text_head": [
+                    (pdf["text"].iat[i] or "")[:256] if statuses[i] == "error" else ""
+                    for i in range(n)
+                ],
+            }
+            if emit_units:
+                cols["units"] = [
+                    [
+                        {
+                            "unit_idx": ui,
+                            "unit_text": ut,
+                            "spans": [
+                                {"start": s, "end": e, "kind": k}
+                                for (s, e, k) in sp
+                            ],
+                        }
+                        for (ui, ut, sp) in row_units
+                    ]
+                    for row_units in units
+                ]
+                order = EXTRACTED_SCHEMA
+            else:
+                cols["spans"] = [
+                    [
+                        {"start": s, "end": e, "kind": k}
+                        for (_, _, sp) in row_units
+                        for (s, e, k) in sp
+                    ]
+                    for row_units in units
+                ]
+                cols["n_units"] = pd.Series(
+                    [len(ru) for ru in units], dtype="int32"
+                )
+                order = EXTRACTED_SLIM_SCHEMA
+            yield pd.DataFrame(cols)[[f.name for f in order.fields]]
 
     return extract_fn
 
@@ -159,9 +197,13 @@ def extract_turns(
     transcripts: DataFrame,
     params: JobParams,
     metrics: Optional[DataFrame] = None,
+    with_units: Optional[bool] = None,
 ) -> DataFrame:
     """The lazy extraction DataFrame: whitelist -> bucket -> (resume) ->
-    salt -> mapInPandas. Callers write it or test it."""
+    salt -> mapInPandas. Callers write it or test it. ``with_units``
+    (default: ``params.write_units``) selects the full nested-units output;
+    the slim default halves UDF output bytes (see EXTRACTED_SLIM_SCHEMA)."""
+    emit_units = params.write_units if with_units is None else with_units
     df = transcripts.filter(F.col("role").rlike(params.role_whitelist))
     df = with_partition_id(df, params.n_buckets)
     if metrics is not None:
@@ -177,13 +219,23 @@ def extract_turns(
         from ..operators import salted_repartition_auto
 
         df = salted_repartition_auto(df, num, params.salt_buckets)
-    return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SCHEMA)
+    schema = EXTRACTED_SCHEMA if emit_units else EXTRACTED_SLIM_SCHEMA
+    return df.mapInPandas(
+        _make_extract_udf(params.extractor, emit_units), schema
+    )
 
 
 def _final_turn_columns(extracted: DataFrame, params: JobParams) -> DataFrame:
-    """Flatten unit spans, stamp row digest + version; drop the units array
-    from the per-turn sink (the per-unit fan-out is its own optional table).
+    """Stamp row digest + version; flatten unit spans when the full nested
+    schema was requested (the per-unit fan-out is its own optional table).
     Everything here is JVM builtins — stays in whole-stage codegen."""
+    if "units" in extracted.columns:
+        spans = F.flatten(
+            F.transform("units", lambda u: u["spans"])
+        ).alias("spans")
+        n_units = F.size("units").alias("n_units")
+    else:
+        spans, n_units = F.col("spans"), F.col("n_units")
     return extracted.select(
         "conv_id",
         "turn_idx",
@@ -193,8 +245,8 @@ def _final_turn_columns(extracted: DataFrame, params: JobParams) -> DataFrame:
         "status",
         "error_class",
         "extracted_text",
-        F.flatten(F.transform("units", lambda u: u["spans"])).alias("spans"),
-        F.size("units").alias("n_units"),
+        spans,
+        n_units,
         "text_bytes",
         "text_head",
         F.xxhash64("conv_id", "turn_idx", "extracted_text", "status").alias(

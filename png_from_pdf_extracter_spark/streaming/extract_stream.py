@@ -26,7 +26,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.extract_plan import JobParams, EXTRACTED_SCHEMA, _make_extract_udf
+from ..plans.extract_plan import JobParams, EXTRACTED_SLIM_SCHEMA, _make_extract_udf
 from ..sources.transcripts import TRANSCRIPTS_SCHEMA, with_partition_id
 
 
@@ -54,7 +54,7 @@ def stream_extract(
     )
     df = stream.filter(F.col("role").rlike(params.role_whitelist))
     df = with_partition_id(df, params.n_buckets)
-    return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SCHEMA)
+    return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SLIM_SCHEMA)
 
 
 def stream_turn_rates(

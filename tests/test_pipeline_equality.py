@@ -39,7 +39,7 @@ def data(spark):
 def extracted_pdf(spark, data):
     transcripts, _ = data
     return (
-        extract_turns(spark, transcripts, PARAMS)
+        extract_turns(spark, transcripts, PARAMS, with_units=True)
         .select("conv_id", "turn_idx", "status", "error_class",
                 "extracted_text", "units")
         .toPandas()
@@ -97,7 +97,7 @@ def test_explode_reassemble_roundtrip(spark, data):
     kernel's joined text byte-for-byte (the reference's pages->single-reply
     reassembly contract)."""
     transcripts, _ = data
-    extracted = extract_turns(spark, transcripts, PARAMS)
+    extracted = extract_turns(spark, transcripts, PARAMS, with_units=True)
     per_turn = extracted.filter(F.size("units") > 0).select(
         "conv_id", "turn_idx", "extracted_text"
     )
