@@ -25,7 +25,11 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--input", required=True, help="transcripts table path")
+    p.add_argument(
+        "--format", choices=["parquet", "json", "csv"], default="parquet",
+        help="input format (schema enforced, never inferred)",
+    )
     p.add_argument("--warehouse", required=True, help="output warehouse dir")
     p.add_argument("--n-buckets", type=int, default=4096)
     p.add_argument("--salt-buckets", type=int, default=8)
@@ -46,6 +50,7 @@ def main(argv=None) -> int:
     from pyspark.sql import SparkSession
 
     from png_from_pdf_extracter_spark.plans import JobParams, run_job
+    from png_from_pdf_extracter_spark.sources import read_transcripts
     from png_from_pdf_extracter_spark.sources.catalog import Catalog
 
     try:
@@ -69,7 +74,7 @@ def main(argv=None) -> int:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
     try:
-        transcripts = spark.read.parquet(args.input)
+        transcripts = read_transcripts(spark, args.input, args.format)
         catalog = Catalog(args.warehouse)
         stats = run_job(
             spark, transcripts, catalog, params, resume=not args.no_resume

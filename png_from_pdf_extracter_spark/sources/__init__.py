@@ -6,6 +6,7 @@ from .transcripts import (
     TRANSCRIPTS_SCHEMA,
     generate_transcripts,
     generate_expected,
+    read_transcripts,
     with_partition_id,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "TRANSCRIPTS_SCHEMA",
     "generate_transcripts",
     "generate_expected",
+    "read_transcripts",
     "with_partition_id",
 ]

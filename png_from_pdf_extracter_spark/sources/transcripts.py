@@ -54,6 +54,43 @@ EXPECTED_SCHEMA = T.StructType(
 )
 
 
+def read_transcripts(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Schema-enforced transcript reader (no inference in the hot path —
+    the model is fixed-schema end to end, SURVEY.md §1.2). ``fmt``:
+    parquet | json (JSON-lines) | csv (header, quoted multi-line text).
+    The decode step is the RFC5322-parse analog (ref
+    ``imap_service.py:173-202``): external bytes -> typed rows, with
+    malformed rows surfaced as nulls for the validation predicates rather
+    than killing the scan (mode=PERMISSIVE is Spark's error-channel)."""
+    if fmt == "parquet":
+        return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+    if fmt == "json":
+        return (
+            spark.read.schema(TRANSCRIPTS_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+            .json(path)
+        )
+    if fmt == "csv":
+        # ignore*WhiteSpace must be explicit: text payloads carry
+        # significant leading/trailing whitespace and the per-turn equality
+        # contract is byte-for-byte.
+        return (
+            spark.read.schema(TRANSCRIPTS_SCHEMA)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .option("mode", "PERMISSIVE")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcript format: {fmt}")
+
+
 def partition_bucket_py(conv_id: str, n_buckets: int) -> int:
     """Pure-Python twin of ``with_partition_id`` — MUST stay in lockstep."""
     return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % n_buckets
