@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from png_from_pdf_extracter_spark.datagen import GenConfig
 from png_from_pdf_extracter_spark.functions import dedup, multimodal, similarity, text
 from png_from_pdf_extracter_spark.operators import (
+    asof_join,
     conversation_rollup,
     explode_units,
+    range_join,
     reassemble_turns,
     session_stats,
     sessionize,
@@ -301,6 +303,107 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_asof_attr(spark, sf_dir):
+    """Purchase->click attribution: each purchase matched to the user's
+    most recent at-or-before click via the single-shuffle union+window
+    as-of join (operators/temporal.py) — DuckDB's native ASOF JOIN is the
+    oracle."""
+    e = _read(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(p, c, ["user_id"], "ts", "ts", ["event_id", "value"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("event_id_right").alias("click_id"),
+        F.round("value_right", 2).alias("click_value"),
+    )
+
+
+def _q_range_attr(spark, sf_dir):
+    """Clicks inside a 10-minute window after any error of the same user —
+    bucketized interval join (equi-join on (key, time-bucket) + exact
+    filter) instead of the O(LxR) inequality join."""
+    e = _read(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("w_end"),
+        F.col("event_id").alias("error_id"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = range_join(clk, err, ["user_id"], "ts", "w_start", "w_end",
+                     bucket_seconds=300)
+    return out.select("user_id", "click_id", "error_id")
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: shipping-priority top-10. Customer dim broadcast
+    (small side), lineitem<->orders shuffle join on orderkey; date filters
+    pushed to both parquet scans."""
+    cutoff = "1996-06-30"
+    c = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_epoch"),
+            "o_orderpriority",
+            "revenue",
+            "rank",
+        )
+    )
+
+
+def _q_rollup_agg(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (returnflag -> linestatus -> grand
+    total) — partial aggregation keeps it one shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    """Set operations: engaged users (view UNION click) minus users with a
+    severe error (EXCEPT/subtract)."""
+    e = _read(spark, sf_dir, "events")
+    engaged = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .union(e.filter(F.col("event_type") == "click").select("user_id"))
+        .distinct()
+    )
+    severe = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 95))
+        .select("user_id")
+        .distinct()
+    )
+    return engaged.subtract(severe)
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -377,6 +480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_asof_attr": _q_asof_attr,
+        "q_range_attr": _q_range_attr,
+        "q_tpch_q3": _q_tpch_q3,
+        "q_rollup_agg": _q_rollup_agg,
+        "q_set_ops": _q_set_ops,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
         "q_ann_ivf": _q_ann_ivf,
@@ -734,5 +842,59 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_asof_attr": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   floor(epoch(p.ts))::BIGINT AS purchase_epoch,
+                   c.event_id AS click_id,
+                   round(c.value, 2) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_range_attr": """
+            SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts
+             AND c.ts <= e.ts + INTERVAL 600 SECONDS
+        """,
+        "q_tpch_q3": """
+            SELECT l_orderkey, o_epoch, o_orderpriority, revenue,
+                   rank::INTEGER AS rank FROM (
+              SELECT l_orderkey, o_epoch, o_orderpriority, revenue,
+                     row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC)
+                       AS rank
+              FROM (
+                SELECT l_orderkey,
+                       floor(epoch(o_orderdate))::BIGINT AS o_epoch,
+                       o_orderpriority,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+                  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+                GROUP BY l_orderkey, o_epoch, o_orderpriority
+              )
+            ) WHERE rank <= 10
+        """,
+        "q_rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_set_ops": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 95
         """,
     }

@@ -1,0 +1,158 @@
+"""Temporal joins Spark lacks as builtins: as-of join and interval
+(range) join — both expressed so the plan is ONE key-shuffle, never a
+row-explosion.
+
+As-of join (point-in-time correlation): for each left row, the single
+most recent right row at-or-before (backward) / earliest at-or-after
+(forward) its timestamp, per key. The naive formulation —
+``left JOIN right ON key AND r.ts <= l.ts`` then ``row_number() = 1`` —
+materializes every (left, candidate) pair before pruning: O(L x R_key)
+shuffle bytes per key, which at 100 TB is the whole job. Instead we tag
+the two sides, UNION them, and run one ordered window per key where
+``last(payload, ignorenulls)`` carries the latest right payload forward
+onto each left row: one Exchange + one Sort, O(L + R) rows end to end,
+O(1) state per row. This is the standard streaming/temporal-table
+formulation (Flink temporal join, kdb aj) built purely from Spark
+builtins, so it stays in whole-stage codegen outside the window.
+
+Range join (interval containment): ``l.ts BETWEEN r.start AND r.end``
+per key. Spark plans a raw inequality join as BroadcastNestedLoopJoin
+(O(L x R) comparisons). We bucketize time: each right interval explodes
+to the coarse buckets it covers, each left point computes its single
+bucket, and the join becomes an equi-join on (key, bucket) + an exact
+range filter. Each left row lands in exactly one bucket, so no
+post-join dedup is needed. Bucket width trades replication of right
+rows (interval_len / bucket + 1 copies) against candidate-pair
+selectivity — pick it near the median interval length.
+
+The reference has no joins at all (SURVEY.md §2.9); these are part of
+the training-data-pipeline surface (event attribution, windowed
+correlation) the brief requires as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join. ``on``: equi-key columns present in both sides.
+    ``right_cols``: right columns to carry onto matches (exposed as
+    ``<col><suffix>``), plus ``<right_ts><suffix>`` always. Unmatched
+    left rows keep nulls (left-outer semantics, like DuckDB
+    ``ASOF LEFT JOIN``). Backward matches ``r.ts <= l.ts``; forward
+    matches ``r.ts >= l.ts`` (both inclusive). ``tolerance_seconds``
+    voids matches farther than the bound. Rows with identical
+    (key, ts) on the RIGHT side yield an arbitrary-but-deterministic
+    winner only if a caller pre-dedups; keep right unique per (key, ts).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    left_keep = [c for c in left.columns if c not in on and c != left_ts]
+    payload_cols = [F.col(right_ts).alias(f"{right_ts}{suffix}")] + [
+        F.col(c).alias(f"{c}{suffix}") for c in right_cols
+    ]
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*payload_cols).alias("_rpay"),
+        F.lit(None)
+        .cast(left.select(F.struct(*left_keep).alias("s")).schema["s"].dataType)
+        .alias("_lpay"),
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_asof_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        F.struct(*left_keep).alias("_lpay"),
+    )
+
+    # Right sorts before left on timestamp ties (_side 0 < 1) so equal
+    # timestamps match inclusively in both directions.
+    if direction == "backward":
+        order = [F.col("_asof_t").asc(), F.col("_side").asc()]
+    else:
+        order = [F.col("_asof_t").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+
+    if tolerance_seconds is not None:
+        gap = F.unix_timestamp("_asof_t") - F.unix_timestamp(
+            F.col("_m")[f"{right_ts}{suffix}"]
+        )
+        if direction == "forward":
+            gap = -gap
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_seconds), F.col("_m"))
+        )
+
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col("_asof_t").alias(left_ts)]
+        + [F.col(f"_lpay.{c}").alias(c) for c in left_keep]
+        + [
+            F.col(f"_m.{right_ts}{suffix}").alias(f"{right_ts}{suffix}"),
+        ]
+        + [F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols]
+    )
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner interval join: left rows whose ``left_ts`` falls inside a
+    right row's ``[right_start, right_end]`` (inclusive), per equi-key.
+    Output: all left columns + all right columns except the keys. Emits
+    one row per matching (left, interval) pair — a left point inside k
+    overlapping intervals yields k rows (same as the SQL inequality
+    join it replaces). No duplicates per pair: each left point has
+    exactly one bucket."""
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    b = F.lit(bucket_seconds)
+    r = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(right_start) / b),
+                F.floor(F.unix_timestamp(right_end) / b),
+            )
+        ),
+    )
+    l = left.withColumn("_b", F.floor(F.unix_timestamp(left_ts) / b))
+    joined = l.join(r, on=on + ["_b"], how="inner").filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
+    )
+    return joined.drop("_b")

@@ -1,0 +1,154 @@
+"""As-of join and bucketized range join: hand-built expectations plus a
+cross-check against the naive (explosive) SQL formulation they replace."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.operators import asof_join, range_join
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # right side: one quote stream per key, unique (key, ts)
+    rows = [
+        ("a", _ts(0), 100.0),
+        ("a", _ts(10), 110.0),
+        ("a", _ts(20), 120.0),
+        ("b", _ts(5), 50.0),
+    ]
+    return spark.createDataFrame(rows, "key string, qts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("a", _ts(0), 1),   # tie with quote @0 -> inclusive match
+        ("a", _ts(9), 2),   # -> quote @0
+        ("a", _ts(10), 3),  # tie -> quote @10
+        ("a", _ts(25), 4),  # -> quote @20
+        ("b", _ts(4), 5),   # before first quote -> null (backward)
+        ("b", _ts(6), 6),   # -> quote @5
+        ("c", _ts(7), 7),   # key with no quotes -> null
+    ]
+    return spark.createDataFrame(rows, "key string, tts timestamp, tid int")
+
+
+def test_asof_backward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, ["key"], "tts", "qts", ["px"]
+    )
+    got = {
+        r["tid"]: r["px_right"]
+        for r in out.select("tid", "px_right").collect()
+    }
+    assert got == {1: 100.0, 2: 100.0, 3: 110.0, 4: 120.0,
+                   5: None, 6: 50.0, 7: None}
+    # left-outer: every trade survives, exactly once
+    assert out.count() == trades.count()
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, ["key"], "tts", "qts", ["px"],
+        direction="forward",
+    )
+    got = {
+        r["tid"]: r["px_right"]
+        for r in out.select("tid", "px_right").collect()
+    }
+    assert got == {1: 100.0, 2: 110.0, 3: 110.0, 4: None,
+                   5: 50.0, 6: None, 7: None}
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, ["key"], "tts", "qts", ["px"],
+        tolerance_seconds=5 * 60,
+    )
+    got = {
+        r["tid"]: r["px_right"]
+        for r in out.select("tid", "px_right").collect()
+    }
+    # tid=2 (9 min after quote @0) and tid=4 (5 min after quote @20 -> kept,
+    # inclusive) per the <= bound
+    assert got == {1: 100.0, 2: None, 3: 110.0, 4: 120.0,
+                   5: None, 6: 50.0, 7: None}
+
+
+def test_asof_matches_naive_join(spark):
+    """Union+window result == naive join+row_number on generated data."""
+    import random
+
+    rng = random.Random(99)
+    base = datetime(2024, 3, 1)
+    lrows = [
+        (f"k{rng.randrange(6)}", base + timedelta(seconds=rng.randrange(10_000)), i)
+        for i in range(300)
+    ]
+    rrows = list(
+        {
+            (f"k{rng.randrange(6)}", base + timedelta(seconds=rng.randrange(10_000))): v
+            for v in range(150)
+        }.items()
+    )
+    rrows = [(k, t, float(v)) for (k, t), v in rrows]
+    left = spark.createDataFrame(lrows, "key string, lts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "key string, rts timestamp, val double")
+
+    out = asof_join(left, right, ["key"], "lts", "rts", ["val"])
+
+    w = Window.partitionBy("lid").orderBy(F.col("rts").desc())
+    naive = (
+        left.join(right, on="key", how="left")
+        .filter(F.col("rts").isNull() | (F.col("rts") <= F.col("lts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lid", "val")
+    )
+    # naive drops left rows whose only candidates are in the future;
+    # compare on the as-of values for ids both produce, then check totals
+    got = {r["lid"]: r["val_right"] for r in out.select("lid", "val_right").collect()}
+    want = {r["lid"]: r["val"] for r in naive.collect()}
+    assert out.count() == left.count()
+    for lid, v in want.items():
+        assert got[lid] == v, lid
+
+
+def test_range_join_pairs(spark):
+    iv = spark.createDataFrame(
+        [
+            ("a", _ts(0), _ts(10), "w1"),
+            ("a", _ts(8), _ts(12), "w2"),  # overlaps w1
+            ("b", _ts(0), _ts(1), "w3"),
+        ],
+        "key string, start timestamp, end timestamp, wname string",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("a", _ts(9), 1),   # inside w1 AND w2 -> 2 rows
+            ("a", _ts(10), 2),  # boundary inclusive w1, inside w2
+            ("a", _ts(13), 3),  # outside all
+            ("b", _ts(1), 4),   # boundary w3
+            ("c", _ts(0), 5),   # no intervals for key
+        ],
+        "key string, pts timestamp, pid int",
+    )
+    for bucket in (60, 300, 7200):  # invariant under bucket width
+        out = range_join(pts, iv, ["key"], "pts", "start", "end",
+                         bucket_seconds=bucket)
+        pairs = {(r["pid"], r["wname"]) for r in out.collect()}
+        assert pairs == {(1, "w1"), (1, "w2"), (2, "w1"), (2, "w2"),
+                         (4, "w3")}, bucket
+
+
+def test_range_join_rejects_bad_bucket(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        range_join(df, df, ["id"], "id", "id", "id", bucket_seconds=0)
