@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from png_from_pdf_extracter_spark.datagen import GenConfig
-from png_from_pdf_extracter_spark.functions import dedup, multimodal, similarity, text
+from png_from_pdf_extracter_spark.functions import (
+    curate,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from png_from_pdf_extracter_spark.operators import (
     asof_join,
     conversation_rollup,
@@ -303,6 +309,26 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_curate(spark, sf_dir):
+    """Composed training-data curation pipeline: fingerprint dedup ->
+    language gate -> quality gate -> token budget (functions/curate.py).
+    Returns survivors + their evidence columns."""
+    d = _read(spark, sf_dir, "documents")
+    out = curate.curate_corpus(
+        d, langs=("en",), min_quality=0.3, min_tokens=10, max_tokens=100_000
+    )
+    return out.select("doc_id", "fingerprint", "lang", "n_tokens", "quality")
+
+
+def _q_curate_funnel(spark, sf_dir):
+    """Per-gate attrition report for the curation pipeline (each doc
+    labeled with the first gate that drops it)."""
+    d = _read(spark, sf_dir, "documents")
+    return curate.curation_funnel(
+        d, langs=("en",), min_quality=0.3, min_tokens=10, max_tokens=100_000
+    )
+
+
 def _q_asof_attr(spark, sf_dir):
     """Purchase->click attribution: each purchase matched to the user's
     most recent at-or-before click via the single-shuffle union+window
@@ -480,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_curate": _q_curate,
+        "q_curate_funnel": _q_curate_funnel,
         "q_asof_attr": _q_asof_attr,
         "q_range_attr": _q_range_attr,
         "q_tpch_q3": _q_tpch_q3,
@@ -550,6 +578,26 @@ def oracle_sql() -> dict[str, str]:
     nstop = (
         f"length(regexp_extract_all(lower(text), '\\b(?:{_STOP_EN}|as|with|was|at|by|an|be|this|are|or)\\b'))"
     )
+    qual = (
+        f"round((0.4::DOUBLE * least({ntok}::DOUBLE / 100.0, 1.0::DOUBLE)"
+        f" + 0.3::DOUBLE * (CASE WHEN length(text) > 0 THEN"
+        f" length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
+        f" / length(text) ELSE 0.0::DOUBLE END)"
+        f" + 0.3::DOUBLE * least((CASE WHEN {ntok} > 0 THEN"
+        f" {nstop}::DOUBLE / {ntok} ELSE 0.0::DOUBLE END) * 5.0::DOUBLE,"
+        f" 1.0::DOUBLE))::DOUBLE, 4)"
+    )
+    curate_cte = f"""
+        a AS (
+          SELECT doc_id, {fp} AS fingerprint, {_LANG_CASE} AS lang,
+                 {ntok} AS n_tokens, {qual} AS quality
+          FROM documents
+        ),
+        k AS (
+          SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep
+          FROM a
+        )
+    """
     return {
         "q_sanitize": (
             "SELECT p_partkey, "
@@ -842,6 +890,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_curate": f"""
+            WITH {curate_cte}
+            SELECT doc_id, fingerprint, lang, n_tokens, quality
+            FROM k
+            WHERE doc_id = keep AND lang = 'en' AND quality >= 0.3
+              AND n_tokens BETWEEN 10 AND 100000
+        """,
+        "q_curate_funnel": f"""
+            WITH {curate_cte}
+            SELECT stage, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+            FROM (
+              SELECT n_tokens,
+                     CASE WHEN doc_id <> keep THEN 'dup'
+                          WHEN lang <> 'en' THEN 'lang'
+                          WHEN quality < 0.3 THEN 'low_quality'
+                          WHEN n_tokens < 10 OR n_tokens > 100000
+                            THEN 'token_bounds'
+                          ELSE 'kept' END AS stage
+              FROM k
+            ) GROUP BY stage
         """,
         "q_asof_attr": """
             SELECT p.user_id,

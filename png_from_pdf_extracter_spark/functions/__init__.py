@@ -8,8 +8,10 @@
 ``similarity.py``  embedding similarity: brute-force cosine top-k + an
                    LSH-bucketed approximate variant.
 ``multimodal.py``  opaque-binary column plumbing with stubbed decoders.
+``curate.py``      composed corpus-curation pipeline (dedup -> lang -> quality
+                   -> token budget) and its per-stage funnel report.
 """
 
-from . import dedup, multimodal, similarity, text
+from . import curate, dedup, multimodal, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate"]
