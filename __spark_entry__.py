@@ -309,6 +309,35 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_profile(spark, sf_dir):
+    """Exact per-group data profiling: distinct cardinality + interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`)."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+def _q_profile_sketch(spark, sf_dir):
+    """Sketch-based profiling — the 100 TB path: HLL++ cardinality and
+    t-digest-style approx percentiles are mergeable partial aggregates
+    (no giant exact-distinct shuffle). Approximate by design -> rows-only;
+    accuracy vs the exact twin is pinned by tests/test_profile.py."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 10000)"), 4
+        ).alias("p50_approx"),
+        F.round(
+            F.expr("approx_percentile(value, 0.95, 10000)"), 4
+        ).alias("p95_approx"),
+    )
+
+
 def _q_curate(spark, sf_dir):
     """Composed training-data curation pipeline: fingerprint dedup ->
     language gate -> quality gate -> token budget (functions/curate.py).
@@ -506,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_profile": _q_profile,
         "q_curate": _q_curate,
         "q_curate_funnel": _q_curate_funnel,
         "q_asof_attr": _q_asof_attr,
@@ -514,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_agg": _q_rollup_agg,
         "q_set_ops": _q_set_ops,
         # rows-only (no oracle): kernel/stub/approximate ops
+        "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
         "q_ann_ivf": _q_ann_ivf,
         "q_extract_flagship": _q_extract_flagship,
@@ -890,6 +921,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_profile": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(avg(value), 4) AS mean_value
+            FROM events GROUP BY event_type
         """,
         "q_curate": f"""
             WITH {curate_cte}

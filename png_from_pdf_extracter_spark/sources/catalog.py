@@ -15,7 +15,9 @@ as the reference (spec NFR-008).
 
 from __future__ import annotations
 
+import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,9 +34,13 @@ class Catalog:
         p = self.path(table)
         if not os.path.isdir(p):
             return False
-        return any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        # must recurse: hive-partitioned tables written with dynamic
+        # partition overwrite keep their data (and _SUCCESS markers) under
+        # partition_col=value/ subdirs, with nothing at the top level
+        for _dirpath, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
+                return True
+        return False
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
@@ -46,6 +52,69 @@ class Catalog:
         df.write.mode("overwrite").parquet(self.path(table))
 
     def drop(self, table: str) -> None:
-        import shutil
-
         shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def table_bytes(self, table: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.path(table)):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    def table_files(self, table: str) -> int:
+        n = 0
+        for _dirpath, _dirs, files in os.walk(self.path(table)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        partition_col: str | None = None,
+        target_file_mb: int = 128,
+    ) -> dict:
+        """Small-files maintenance rewrite (the parquet analog of Iceberg's
+        ``rewrite_data_files``). Every incremental/resumed run appends task-
+        sized files; at 100 TB that metastasizes into millions of tiny files
+        and the NEXT job's scan is throttled by file-open overhead, not
+        bytes. Rewrites the table at ~``target_file_mb`` per file —
+        hive-partitioned tables keep their layout, with all rows of one
+        partition hashed to one task (=> one file per partition dir).
+
+        Commit is write-to-temp + directory swap: readers racing the swap
+        see old or new, never a mix of halves — the same visibility contract
+        the Iceberg snapshot commit gives for free. Returns a stats dict
+        ``{files_before, files_after, bytes}``."""
+        src = self.path(table)
+        files_before = self.table_files(table)
+        nbytes = self.table_bytes(table)
+        n_out = max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+
+        tmp = src + "__compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if partition_col:
+            df = spark.read.option("basePath", src).parquet(src)
+            (
+                df.repartition(n_out, partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(tmp)
+            )
+        else:
+            df = spark.read.parquet(src)
+            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+
+        old = src + "__compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+        return {
+            "files_before": files_before,
+            "files_after": self.table_files(table),
+            "bytes": nbytes,
+        }
