@@ -171,10 +171,16 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_lang_id",
         "q_quality_tokens",
         "q_tpch_q1",
+        "q_tpch_q3",
         "q_join_topn",
         "q_window_order",
         "q_group_metrics",
         "q_conv_rollup",
+        "q_asof_attr",
+        "q_range_attr",
+        "q_curate",
+        "q_profile",
+        "q_profile_sketch",
     ]
     times = {}
     for k in keys:
