@@ -2,6 +2,8 @@ from .extract_stream import (
     stream_extract,
     stream_turn_rates,
     stream_conv_progress,
+    stream_dedup,
+    stream_sessionize,
 )
 from .stateful import conversation_progress_stateful
 
@@ -9,5 +11,7 @@ __all__ = [
     "stream_extract",
     "stream_turn_rates",
     "stream_conv_progress",
+    "stream_dedup",
+    "stream_sessionize",
     "conversation_progress_stateful",
 ]

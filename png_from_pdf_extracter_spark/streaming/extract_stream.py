@@ -82,6 +82,52 @@ def stream_turn_rates(
     )
 
 
+def stream_dedup(
+    extracted: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming duplicate suppression: at-least-once upstream delivery
+    (the re-processed micro-batch after a crash, spec NFR-008) becomes
+    effectively-once downstream. ``dropDuplicatesWithinWatermark`` keeps
+    per-key state only within the watermark horizon, so state is bounded
+    — the streaming twin of the batch ``dedup_latest``."""
+    keys = keys or ["conv_id", "turn_idx"]
+    return extracted.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization via the native ``session_window``
+    merging-window aggregate — the streaming twin of
+    ``operators.sessions.sessionize``. Emits one row per closed session
+    (append mode once the watermark passes the session end): bounds,
+    event count. State merges adjacent windows within ``gap`` and is
+    dropped past the watermark, so it is bounded per active key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_conv_progress(
     extracted: DataFrame,
     watermark: str = "30 minutes",

@@ -1,0 +1,91 @@
+"""Streaming dedup (effectively-once) and native session windows."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.streaming import (
+    stream_dedup,
+    stream_sessionize,
+)
+
+BASE = datetime(2024, 5, 1)
+
+
+def _mins(m):
+    return BASE + timedelta(minutes=m)
+
+
+def test_stream_dedup_suppresses_replayed_rows(spark, tmp_path):
+    """A re-delivered batch (at-least-once upstream) must not duplicate
+    downstream rows."""
+    rows = [
+        ("c1", 0, "u", _mins(0)),
+        ("c1", 1, "u", _mins(1)),
+        ("c2", 0, "u", _mins(2)),
+    ]
+    schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    # two identical files = the same rows delivered twice
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stream_dedup(stream, keys=["conv_id", "turn_idx"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select conv_id, turn_idx from dedup_out").collect()
+    assert len(out) == 3
+    assert {(r["conv_id"], r["turn_idx"]) for r in out} == {
+        ("c1", 0), ("c1", 1), ("c2", 0)
+    }
+
+
+def test_stream_sessionize_closed_sessions(spark, tmp_path):
+    """session_window merges events within the gap and emits a session once
+    the watermark passes its end."""
+    rows = [
+        # u1 session A: 3 events within 30-min gap
+        ("u1", _mins(0)), ("u1", _mins(10)), ("u1", _mins(20)),
+        # u1 session B: 2 events, 3 hours later
+        ("u1", _mins(180)), ("u1", _mins(185)),
+        # watermark driver: a far-future event closes everything above
+        ("wm", _mins(60 * 24)),
+    ]
+    schema = "conv_id string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stream_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # session end = last event + gap (session_window semantics)
+    expect = {
+        ("u1", _mins(0), _mins(50), 3),
+        ("u1", _mins(180), _mins(215), 2),
+    }
+    assert expect <= got
+    # the watermark-driver session must NOT have been emitted (not closed)
+    assert all(k != "wm" for k, *_ in got)
