@@ -54,6 +54,33 @@ class Catalog:
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int,
+        sort: bool = True,
+    ) -> None:
+        """Bucketed external table (Spark bucketing metadata in the session
+        catalog, files under the warehouse root). Two tables bucketed on
+        the same key with the same bucket count join WITHOUT any Exchange
+        — and without the Sort, when ``sort=True`` — which is how repeated
+        big-table<->big-table joins amortize their shuffle at 100 TB: pay
+        the layout cost once at write time, join shuffle-free forever
+        after (the parquet analog of an Iceberg bucket-partitioned table).
+        Read back with ``read_bucketed`` (``spark.table``) — a plain
+        ``spark.read.parquet`` of the path would discard the bucketing
+        metadata and re-shuffle."""
+        writer = df.write.mode("overwrite").option("path", self.path(table))
+        writer = writer.bucketBy(n_buckets, bucket_col)
+        if sort:
+            writer = writer.sortBy(bucket_col)
+        writer.format("parquet").saveAsTable(table)
+
+    def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(table)
+
     def table_bytes(self, table: str) -> int:
         total = 0
         for dirpath, _dirs, files in os.walk(self.path(table)):
