@@ -29,6 +29,7 @@ from png_from_pdf_extracter_spark.functions import (
 )
 from png_from_pdf_extracter_spark.operators import (
     asof_join,
+    asof_join_broadcast,
     conversation_rollup,
     explode_units,
     range_join,
@@ -380,6 +381,25 @@ def _q_asof_attr(spark, sf_dir):
     )
 
 
+def _q_asof_dim(spark, sf_dir):
+    """Broadcast as-of variant (small dimension timeline): each view event
+    matched to the user's most recent signup — the big side never
+    shuffles (plan pinned in tests/test_temporal.py)."""
+    e = _read(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_broadcast(v, s, ["user_id"], "ts", "ts", ["event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_right").alias("signup_id"),
+    )
+
+
 def _q_range_attr(spark, sf_dir):
     """Clicks inside a 10-minute window after any error of the same user —
     bucketized interval join (equi-join on (key, time-bucket) + exact
@@ -539,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curate": _q_curate,
         "q_curate_funnel": _q_curate_funnel,
         "q_asof_attr": _q_asof_attr,
+        "q_asof_dim": _q_asof_dim,
         "q_range_attr": _q_range_attr,
         "q_tpch_q3": _q_tpch_q3,
         "q_rollup_agg": _q_rollup_agg,
@@ -960,6 +981,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_asof_dim": """
+            SELECT v.user_id, v.event_id AS view_id, s.event_id AS signup_id
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') s
+              ON v.user_id = s.user_id AND v.ts >= s.ts
         """,
         "q_range_attr": """
             SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id

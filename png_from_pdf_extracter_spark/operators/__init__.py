@@ -7,10 +7,11 @@ from .ordering import explode_units, reassemble_turns, conversation_rollup
 from .quarantine import split_quarantine
 from .resume import completed_partitions, pending_only
 from .sessions import sessionize, session_stats
-from .temporal import asof_join, range_join
+from .temporal import asof_join, asof_join_broadcast, range_join
 
 __all__ = [
     "asof_join",
+    "asof_join_broadcast",
     "range_join",
     "salted_repartition",
     "salted_repartition_auto",

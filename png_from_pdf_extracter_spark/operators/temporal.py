@@ -122,6 +122,52 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join for a SMALL right side (a dimension timeline:
+    per-key config/price/version history). The right side collapses to one
+    sorted array per key and broadcast-joins onto the left — the big side
+    is never shuffled or sorted at all, vs one Exchange for the union+
+    window form. Per-row match is a JVM array scan (``filter`` +
+    ``element_at(-1)``), O(R_key) per left row — right timelines must be
+    small (thousands per key, not millions). Same match/tolerance
+    semantics as ``asof_join(direction='backward')``."""
+    payload = F.struct(
+        F.col(right_ts).alias("t"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    timeline = right.groupBy(*on).agg(
+        F.sort_array(F.collect_list(payload)).alias("_tl")
+    )
+    lts = F.col(left_ts)
+    cand = F.filter(F.col("_tl"), lambda x: x["t"] <= lts)
+    if tolerance_seconds is not None:
+        cand = F.filter(
+            cand,
+            lambda x: F.unix_timestamp(lts) - F.unix_timestamp(x["t"])
+            <= F.lit(tolerance_seconds),
+        )
+    # try_element_at: empty candidate set -> null (left-outer semantics),
+    # where element_at would raise under ANSI mode
+    m = F.try_element_at(cand, F.lit(-1))
+    out = left.join(F.broadcast(timeline), on=on, how="left").withColumn(
+        "_m", m
+    )
+    return out.select(
+        *[c for c in left.columns],
+        F.col("_m.t").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from png_from_pdf_extracter_spark.operators import asof_join, range_join
+from png_from_pdf_extracter_spark.operators import (
+    asof_join,
+    asof_join_broadcast,
+    range_join,
+)
 
 
 def _ts(m):
@@ -119,6 +123,37 @@ def test_asof_matches_naive_join(spark):
     assert out.count() == left.count()
     for lid, v in want.items():
         assert got[lid] == v, lid
+
+
+def test_asof_broadcast_matches_shuffle_form(spark, quotes, trades):
+    """Broadcast variant == union+window variant, including tolerance."""
+    for tol in (None, 5 * 60):
+        a = asof_join(trades, quotes, ["key"], "tts", "qts", ["px"],
+                      tolerance_seconds=tol)
+        b = asof_join_broadcast(trades, quotes, ["key"], "tts", "qts",
+                                ["px"], tolerance_seconds=tol)
+        ga = {r["tid"]: (r["px_right"], r["qts_right"]) for r in a.collect()}
+        gb = {r["tid"]: (r["px_right"], r["qts_right"]) for r in b.collect()}
+        assert ga == gb, tol
+
+
+def test_asof_broadcast_left_never_shuffles(spark, tmp_path):
+    """The big (left) side must not hit an Exchange: only the tiny
+    timeline build shuffles, then broadcasts."""
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [("a", _ts(5), 1)], "key string, tts timestamp, tid int"
+    ).write.parquet(lp)
+    spark.createDataFrame(
+        [("a", _ts(0), 1.0)], "key string, qts timestamp, px double"
+    ).write.parquet(rp)
+    out = asof_join_broadcast(
+        spark.read.parquet(lp), spark.read.parquet(rp),
+        ["key"], "tts", "qts", ["px"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # right agg only
 
 
 def test_range_join_pairs(spark):
