@@ -310,6 +310,37 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_json_extract(spark, sf_dir):
+    """Typed JSON payload decode (from_json with explicit schema — never
+    inference in the hot path) + aggregation over the extracted field."""
+    e = _read(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null"),
+        )
+    )
+
+
+def _q_pivot(spark, sf_dir):
+    """Pivot (long->wide): per-user event-type counts as columns. The
+    pivot value list is explicit, so the plan is a single pass (no extra
+    distinct-values job)."""
+    e = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def _q_profile(spark, sf_dir):
     """Exact per-group data profiling: distinct cardinality + interpolated
     percentiles (Spark `percentile` == DuckDB `quantile_cont`)."""
@@ -555,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_json_extract": _q_json_extract,
+        "q_pivot": _q_pivot,
         "q_profile": _q_profile,
         "q_curate": _q_curate,
         "q_curate_funnel": _q_curate_funnel,
@@ -942,6 +975,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_json_extract": """
+            SELECT event_type,
+                   sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS sum_k,
+                   round(avg(json_extract(props, '$.k')::INTEGER), 4) AS avg_k,
+                   max(json_extract(props, '$.k')::INTEGER) AS max_k,
+                   count(CASE WHEN json_extract(props, '$.k') IS NULL
+                         THEN 1 END) AS n_null
+            FROM events GROUP BY event_type
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     AS purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+            FROM events GROUP BY user_id
         """,
         "q_profile": """
             SELECT event_type,
