@@ -30,6 +30,7 @@ from png_from_pdf_extracter_spark.functions import (
 from png_from_pdf_extracter_spark.operators import (
     asof_join,
     asof_join_broadcast,
+    validate_rows,
     conversation_rollup,
     explode_units,
     range_join,
@@ -310,6 +311,66 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_validate(spark, sf_dir):
+    """CHECK-constraint validation as a when-chain (operators/validate.py,
+    the reference's __post_init__ rules): documents are deterministically
+    mangled into a dirty transcripts-shaped frame, then each row reports
+    its FIRST violated rule; counts per violation class."""
+    d = _read(spark, sf_dir, "documents")
+    t = d.select(
+        F.when(F.col("doc_id") % 13 == 0, F.lit("")).otherwise(
+            F.col("source")
+        ).alias("conv_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(-1))
+        .otherwise(F.col("doc_id") % 50)
+        .cast("int")
+        .alias("turn_idx"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("robot"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.lit("").alias("tool"),
+        F.when(
+            F.col("doc_id") % 19 == 0, F.lit(None).cast("timestamp")
+        ).otherwise(F.lit("2026-01-01 00:00:00").cast("timestamp")).alias("ts"),
+    )
+    return (
+        validate_rows(t, max_text_bytes=5000)
+        .groupBy("violation")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_unpivot(spark, sf_dir):
+    """Unpivot (wide->long): lineitem measures melted to (measure, val)
+    rows, then aggregated — the inverse of q_pivot."""
+    li = _read(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=measures,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("val"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations of (returnflag, linestatus)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+    )
+
+
 def _q_json_extract(spark, sf_dir):
     """Typed JSON payload decode (from_json with explicit schema — never
     inference in the hot path) + aggregation over the extracted field."""
@@ -586,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_validate": _q_validate,
+        "q_unpivot": _q_unpivot,
+        "q_cube": _q_cube,
         "q_json_extract": _q_json_extract,
         "q_pivot": _q_pivot,
         "q_profile": _q_profile,
@@ -975,6 +1039,54 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_validate": """
+            SELECT violation, count(*) AS n FROM (
+              SELECT CASE
+                WHEN conv_id IS NULL OR length(conv_id) = 0
+                  THEN 'conv_id_empty'
+                WHEN turn_idx IS NULL OR turn_idx < 0
+                  THEN 'turn_idx_negative'
+                WHEN role IS NULL
+                  OR role NOT IN ('user', 'assistant', 'system', 'tool')
+                  THEN 'role_invalid'
+                WHEN text IS NULL THEN 'text_null'
+                WHEN strlen(text) > 5000 THEN 'text_oversized'
+                WHEN ts IS NULL THEN 'ts_null'
+                ELSE NULL END AS violation
+              FROM (
+                SELECT
+                  CASE WHEN doc_id % 13 = 0 THEN '' ELSE source END
+                    AS conv_id,
+                  CASE WHEN doc_id % 11 = 0 THEN -1
+                       ELSE (doc_id % 50)::INTEGER END AS turn_idx,
+                  CASE WHEN doc_id % 7 = 0 THEN 'robot' ELSE 'user' END
+                    AS role,
+                  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text,
+                  CASE WHEN doc_id % 19 = 0 THEN NULL
+                       ELSE TIMESTAMP '2026-01-01 00:00:00' END AS ts
+                FROM documents
+              )
+            ) GROUP BY violation
+        """,
+        "q_unpivot": """
+            SELECT measure, round(sum(val), 2) AS total, count(*) AS n
+            FROM (
+              SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY measure
+        """,
+        "q_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "q_json_extract": """
             SELECT event_type,

@@ -8,11 +8,14 @@ from .quarantine import split_quarantine
 from .resume import completed_partitions, pending_only
 from .sessions import sessionize, session_stats
 from .temporal import asof_join, asof_join_broadcast, range_join
+from .validate import split_valid, validate_rows
 
 __all__ = [
     "asof_join",
     "asof_join_broadcast",
     "range_join",
+    "split_valid",
+    "validate_rows",
     "salted_repartition",
     "salted_repartition_auto",
     "max_key_share",
