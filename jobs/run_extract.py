@@ -38,6 +38,11 @@ def parse_args(argv):
         "--salt-mode", choices=["always", "auto", "never"], default="always",
         help="skew shuffle policy: always salt, sample-and-decide, or trust source splits",
     )
+    p.add_argument(
+        "--validate", action="store_true",
+        help="CHECK-validate input rows first; rejects -> input_rejects "
+             "table (costs one extra input scan)",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None, help="override (tests only)")
     return p.parse_args(argv)
@@ -59,6 +64,7 @@ def main(argv=None) -> int:
             salt_buckets=args.salt_buckets,
             num_partitions=args.num_partitions,
             salt_mode=args.salt_mode,
+            validate_input=args.validate,
         )
     except ValueError as e:  # config validation, ref config.py:54-112
         print(f"invalid job params: {e}", file=sys.stderr)

@@ -116,6 +116,14 @@ class JobParams:
     #         biggest data movement on uniform inputs);
     # "never": trust the source splits (bucketed/pre-partitioned input)
     salt_mode: str = "always"
+    # Input-side CHECK validation (operators/validate.py). Off by default:
+    # it costs ONE EXTRA SCAN of the raw input (rejects are found by a
+    # second pass), which at 100 TB is a deliberate opt-in for untrusted
+    # sources, not a freebie. The extractor itself already tolerates any
+    # text payload; this gate catches structurally broken rows (null
+    # conv_id/ts, negative turn_idx, oversized payloads).
+    validate_input: bool = False
+    max_text_bytes: int = 100 * 1024 * 1024  # ref pdf_attachment.py:30
 
     def __post_init__(self) -> None:
         if self.n_buckets <= 0:
@@ -126,6 +134,8 @@ class JobParams:
             raise ValueError("role_whitelist must be a non-empty regex")
         if self.salt_mode not in ("always", "auto", "never"):
             raise ValueError("salt_mode must be always|auto|never")
+        if self.max_text_bytes <= 0:
+            raise ValueError("max_text_bytes must be positive")
 
 
 def _make_extract_udf(cfg: ExtractorConfig, emit_units: bool = False):
@@ -274,6 +284,12 @@ def run_job(
     """
     started_at = _dt.datetime.now(_dt.timezone.utc)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if params.validate_input:
+        from ..operators import split_valid
+
+        transcripts, rejects = split_valid(transcripts, params.max_text_bytes)
+        rejects.write.mode("append").parquet(catalog.path("input_rejects"))
 
     metrics = (
         catalog.read(spark, "extract_metrics")

@@ -97,11 +97,20 @@ def partition_bucket_py(conv_id: str, n_buckets: int) -> int:
 
 
 def with_partition_id(df: DataFrame, n_buckets: int) -> DataFrame:
-    """Stable conv_id bucket via builtins only (codegen-friendly)."""
+    """Stable conv_id bucket via builtins only (codegen-friendly). A null
+    conv_id (malformed input) gets sentinel bucket -1 rather than a null
+    partition_id, so such rows stay addressable by the lineage/quarantine
+    machinery instead of landing in a hive null-partition."""
     return df.withColumn(
         "partition_id",
-        (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10).cast("long")
-         % F.lit(n_buckets)).cast("int"),
+        F.coalesce(
+            (
+                F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
+                .cast("long")
+                % F.lit(n_buckets)
+            ).cast("int"),
+            F.lit(-1),
+        ),
     )
 
 
