@@ -311,6 +311,61 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_running_total(spark, sf_dir):
+    """Running aggregates (lag + cumulative sum per key) — the ordered-
+    window family beyond ranking."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            4,
+        ).alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+def _q_date_trunc(spark, sf_dir):
+    """Calendar functions: month truncation + year/quarter extraction over
+    the orders timeline."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct(
+                F.date_trunc("month", "o_orderdate")
+            ).alias("n_months"),
+        )
+    )
+
+
+def _q_array_funcs(spark, sf_dir):
+    """Higher-order array functions (transform/filter/aggregate) — word
+    lengths computed entirely JVM-side, no UDF."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    lens = F.transform(words, F.length)
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).alias("total_len"),
+        F.array_max(lens).alias("max_len"),
+        F.size(F.filter(lens, lambda x: x > 6)).alias("n_long"),
+    )
+
+
 def _q_validate(spark, sf_dir):
     """CHECK-constraint validation as a when-chain (operators/validate.py,
     the reference's __post_init__ rules): documents are deterministically
@@ -647,6 +702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_running_total": _q_running_total,
+        "q_date_trunc": _q_date_trunc,
+        "q_array_funcs": _q_array_funcs,
         "q_validate": _q_validate,
         "q_unpivot": _q_unpivot,
         "q_cube": _q_cube,
@@ -1039,6 +1097,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_running_total": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+                   lag(event_id) OVER w AS prev_event_id,
+                   lead(event_id) OVER w AS next_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "q_date_trunc": """
+            SELECT year(o_orderdate)::INTEGER AS yr,
+                   quarter(o_orderdate)::INTEGER AS qtr,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(DISTINCT date_trunc('month', o_orderdate))
+                     AS n_months
+            FROM orders GROUP BY yr, qtr
+        """,
+        "q_array_funcs": """
+            SELECT doc_id,
+                   len(w)::INTEGER AS n_words,
+                   list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                     ::INTEGER AS total_len,
+                   list_aggregate(list_transform(w, x -> length(x)), 'max')
+                     ::INTEGER AS max_len,
+                   len(list_filter(list_transform(w, x -> length(x)),
+                       x -> x > 6))::INTEGER AS n_long
+            FROM (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> length(x) > 0) AS w
+              FROM documents WHERE doc_id < 300
+            )
         """,
         "q_validate": """
             SELECT violation, count(*) AS n FROM (

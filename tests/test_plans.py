@@ -90,3 +90,29 @@ def test_resume_antijoin_is_broadcast(spark, tmp_path):
     plan = _plan(pending)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    """A bucket-filtered read of the hive-partitioned warehouse must prune
+    at the partition level (scan only the matching partition_id dirs) —
+    this is what makes per-bucket re-extraction and downstream
+    bucket-scoped queries O(bucket), not O(table)."""
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    df = (
+        spark.range(0, 1000)
+        .selectExpr(
+            "concat('c', id % 7) AS conv_id",
+            "cast(id % 16 AS int) AS partition_id",
+            "cast(id AS string) AS payload",
+        )
+    )
+    df.write.partitionBy("partition_id").parquet(catalog.path("t"))
+
+    got = catalog.read(spark, "t").filter(F.col("partition_id") == 3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(partition_id" in plan, plan
+    # partition filter must NOT degrade to a post-scan data filter
+    assert "PushedFilters: [IsNotNull(partition_id)" not in plan, plan
+    assert got.count() == len([i for i in range(1000) if i % 16 == 3])
