@@ -882,10 +882,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
+            base AS (
+              SELECT id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                       % 1000000007 AS hs
+              FROM sh
+            ),
             sig AS (
               SELECT id, seed,
-                     min(CAST(('0x' || substring(md5(seed::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
-              FROM sh, (SELECT unnest(range(0, 8)) AS seed)
+                     min(((seed * 2 + 1) * hs + seed * 12345 + 6789)
+                         % 1000000007) AS minhash
+              FROM base, (SELECT unnest(range(0, 8)) AS seed)
               GROUP BY id, seed
             ),
             bands AS (
