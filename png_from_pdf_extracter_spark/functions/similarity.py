@@ -46,11 +46,18 @@ def cosine_topk(
     """Exact cosine top-k of each query vector against the corpus.
     Returns (query_id, neighbor_id, rank, cos_sim). The queries side is
     broadcast (small dim table); ranking window is per query."""
+    # norms precomputed per ROW below the join (a join is a projection
+    # barrier, so they are not re-inlined per PAIR — O(n+q) norm
+    # aggregates instead of O(n*q))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -59,7 +66,7 @@ def cosine_topk(
             "cos_sim",
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ),
         )
@@ -123,11 +130,13 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
     scored = (
@@ -137,7 +146,7 @@ def lsh_bucket_topk(
             "cos_sim",
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ),
         )
@@ -275,13 +284,14 @@ def ivf_topk(
         ).alias("cell"),
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.withColumn("cn", _norm(F.col("cvec")))
+        .join(F.broadcast(q.withColumn("qn", _norm(F.col("qvec")))), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ),
         )
@@ -306,15 +316,22 @@ def embedding_near_dup_exact(
     cos >= threshold) by self-join — the correctness baseline the LSH
     variant is measured against. O(n^2): run on a bounded slice or one
     LSH/IVF bucket; ``embedding_near_dup_pairs`` is the 100 TB path."""
-    l = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    r = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    l = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        _norm(F.col(vec_col)).alias("n1"),
+    )
+    r = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        _norm(F.col(vec_col)).alias("n2"),
+    )
     return (
         l.join(F.broadcast(r), F.col("id1") < F.col("id2"))
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("v1"), F.col("v2"))
-                / (_norm(F.col("v1")) * _norm(F.col("v2"))),
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
                 6,
             ),
         )
@@ -343,7 +360,10 @@ def embedding_near_dup_pairs(
         ) * F.lit(1 << i)
         bucket = bit if bucket is None else bucket + bit
     b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("n"),
+        bucket.alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
     return (
@@ -356,7 +376,7 @@ def embedding_near_dup_pairs(
             "cos_sim",
             F.round(
                 _dot(F.col("l.vec"), F.col("r.vec"))
-                / (_norm(F.col("l.vec")) * _norm(F.col("r.vec"))),
+                / (F.col("l.n") * F.col("r.n")),
                 6,
             ),
         )
