@@ -669,6 +669,17 @@ def _q_media_features(spark, sf_dir):
     return multimodal.extract_media_features(multimodal.synth_media(spark, 64))
 
 
+def _q_media_frames(spark, sf_dir):
+    """Video frame sampling: 1:N mapInPandas fan-out (stub frame decoder),
+    rolled up per video — the per-page PNG enumeration analog."""
+    media = multimodal.synth_media(spark, 64)
+    frames = multimodal.sample_frames(media, every_ms=5000, max_frames=6)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
     so no exact SQL oracle (recall depends on bucketing)."""
@@ -726,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_flagship": _q_extract_flagship,
         "q_extract_units_roundtrip": _q_extract_units_roundtrip,
         "q_media_features": _q_media_features,
+        "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
     }
 

@@ -104,6 +104,135 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(fn, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: output bytes are a
+    digest-stream of (payload, target geometry), length proportional to
+    the target pixel count. Swap for PIL's ``Image.resize`` on a cluster
+    that has it — the Spark-side contract (bytes in, bytes out, fixed
+    geometry metadata) is what this pins."""
+    n_out = max(16, (width * height) // 64)
+    seed = hashlib.md5(payload + f":{width}x{height}".encode()).digest()
+    out = bytearray()
+    block = seed
+    while len(out) < n_out:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n_out])
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas image resize (the analog of the reference's
+    ``-resize 1920x1080!`` ImageMagick step, ``pdf_converter.py:74-89``,
+    with the subprocess swapped for an in-process kernel). Non-image rows
+    pass through the error channel (``status='skipped'``), never fail the
+    task."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            outs, statuses, errors = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if kind != "image":
+                    outs.append(None)
+                    statuses.append("skipped")
+                    errors.append("not_an_image")
+                elif not b:
+                    outs.append(None)
+                    statuses.append("no_payload")
+                    errors.append("")
+                else:
+                    outs.append(bytearray(_fake_resize(b, width, height)))
+                    statuses.append("ok")
+                    errors.append("")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": outs,
+                    "out_width": pd.Series(
+                        [width] * len(pdf), dtype="int32"
+                    ),
+                    "out_height": pd.Series(
+                        [height] * len(pdf), dtype="int32"
+                    ),
+                    "status": statuses,
+                    "error_class": errors,
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 100
+) -> DataFrame:
+    """mapInPandas frame sampling: one video row fans out to one row per
+    sampled frame (1-indexed, like the reference's per-page PNG ordinals,
+    ``pdf_converter.py:141-158``). The frame decode is the deterministic
+    stub; the 1:N batch fan-out, bounded by ``max_frames`` (the timeout/
+    cap analog), is the real plumbing. Non-video rows produce no frames."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["meta_duration_ms"],
+            ):
+                if kind != "video" or payload is None or dur is None:
+                    continue
+                b = bytes(payload)
+                n = min(int(dur) // every_ms + 1, max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i + 1)
+                    tss.append(i * every_ms)
+                    payloads.append(
+                        bytearray(
+                            hashlib.md5(b + f":frame:{i}".encode()).digest()
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(fn, FRAMES_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (binary payload = seeded bytes)."""
     rows = []
