@@ -311,6 +311,23 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_argmax(spark, sf_dir):
+    """Top-1-per-group via max_by aggregation — no window, no sort: the
+    partial-aggregation path that beats window ranking when k=1 at scale.
+    Tie-broken deterministically by (price, orderkey) struct comparison."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return j.groupBy("n_name").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
 def _q_running_total(spark, sf_dir):
     """Running aggregates (lag + cumulative sum per key) — the ordered-
     window family beyond ranking."""
@@ -713,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": _q_dedup_latest,
         "q_sessionize": _q_sessionize,
         "q_session_stats": _q_session_stats,
+        "q_argmax": _q_argmax,
         "q_running_total": _q_running_total,
         "q_date_trunc": _q_date_trunc,
         "q_array_funcs": _q_array_funcs,
@@ -1116,6 +1134,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::INTEGER AS n_turns,
                    sum(length(text))::BIGINT AS total_chars
             FROM t GROUP BY conv_id
+        """,
+        "q_argmax": """
+            SELECT n_name, o_orderkey AS top_orderkey,
+                   round(o_totalprice, 2) AS top_price
+            FROM (
+              SELECT n_name, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY n_name
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            ) WHERE rn = 1
         """,
         "q_running_total": """
             SELECT user_id, event_id,
