@@ -294,16 +294,20 @@ def dedup_latest(
     df: DataFrame, key_cols: list, order_col: str, tiebreak_col: str = None
 ) -> DataFrame:
     """Keep the newest row per key (re-ingest / late-duplicate semantics,
-    the NFR-008 'duplicate emails tolerated' analog): row_number over a
-    descending window, keep rank 1. One shuffle on the key."""
-    from pyspark.sql import Window
-
-    order = [F.col(order_col).desc()]
+    the NFR-008 'duplicate emails tolerated' analog): ``max_by`` the full
+    row on (order, tiebreak). An aggregation, not a window: map-side
+    partial max_by collapses duplicates BEFORE the exchange, so the
+    shuffle carries ~one row per (key, map partition) instead of every
+    duplicate — the win at web-scale re-ingest rates. (Struct-typed
+    max_by plans as SortAggregate, so a key-only sort remains; the window
+    form both shuffles all duplicates AND sorts by (key, ts, tie).)"""
+    order_keys = [F.col(order_col)]
     if tiebreak_col:
-        order.append(F.col(tiebreak_col).desc())
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        order_keys.append(F.col(tiebreak_col))
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    picked = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload_cols), F.struct(*order_keys)).alias("_r")
     )
+    return picked.select(
+        *key_cols, *[F.col(f"_r.{c}").alias(c) for c in payload_cols]
+    ).select(*df.columns)
