@@ -177,10 +177,19 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_group_metrics",
         "q_conv_rollup",
         "q_asof_attr",
+        "q_asof_dim",
         "q_range_attr",
         "q_curate",
         "q_profile",
         "q_profile_sketch",
+        "q_argmax",
+        "q_running_total",
+        "q_pivot",
+        "q_json_extract",
+        "q_rollup_agg",
+        "q_set_ops",
+        "q_sessionize",
+        "q_dedup_latest",
     ]
     times = {}
     for k in keys:
