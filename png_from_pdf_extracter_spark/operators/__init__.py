@@ -7,13 +7,19 @@ from .ordering import explode_units, reassemble_turns, conversation_rollup
 from .quarantine import split_quarantine
 from .resume import completed_partitions, pending_only
 from .sessions import sessionize, session_stats
-from .temporal import asof_join, asof_join_broadcast, range_join
+from .temporal import (
+    asof_join,
+    asof_join_broadcast,
+    range_join,
+    range_join_broadcast,
+)
 from .validate import split_valid, validate_rows
 
 __all__ = [
     "asof_join",
     "asof_join_broadcast",
     "range_join",
+    "range_join_broadcast",
     "split_valid",
     "validate_rows",
     "salted_repartition",

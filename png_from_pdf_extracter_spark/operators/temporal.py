@@ -56,6 +56,12 @@ def asof_join(
     voids matches farther than the bound. Rows with identical
     (key, ts) on the RIGHT side yield an arbitrary-but-deterministic
     winner only if a caller pre-dedups; keep right unique per (key, ts).
+
+    Skew: the window partitions by key, so one pathologically hot key's
+    full timeline lands in one task. Salting cannot be applied naively
+    (the running last() needs the key's complete ordered history); for a
+    small right side use ``asof_join_broadcast`` (no left shuffle at
+    all), otherwise split hot keys by coarse time range with a carry-in.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -202,3 +208,23 @@ def range_join(
         & (F.col(left_ts) <= F.col(right_end))
     )
     return joined.drop("_b")
+
+
+def range_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Interval join for a SMALL right side (per-key maintenance windows,
+    campaign periods): plain broadcast equi-join on the keys + range
+    filter. The big left side is never shuffled and no bucket replication
+    of intervals is needed — prefer this whenever the interval table fits
+    the broadcast threshold; ``range_join`` is the big-big path. Same
+    output contract (one row per matching pair, inclusive bounds)."""
+    return left.join(F.broadcast(right), on=on, how="inner").filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
+    )

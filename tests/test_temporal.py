@@ -11,6 +11,7 @@ from png_from_pdf_extracter_spark.operators import (
     asof_join,
     asof_join_broadcast,
     range_join,
+    range_join_broadcast,
 )
 
 
@@ -181,6 +182,30 @@ def test_range_join_pairs(spark):
         pairs = {(r["pid"], r["wname"]) for r in out.collect()}
         assert pairs == {(1, "w1"), (1, "w2"), (2, "w1"), (2, "w2"),
                          (4, "w3")}, bucket
+
+
+def test_range_join_broadcast_matches_bucketized(spark):
+    iv = spark.createDataFrame(
+        [
+            ("a", _ts(0), _ts(10), "w1"),
+            ("a", _ts(8), _ts(12), "w2"),
+            ("b", _ts(0), _ts(1), "w3"),
+        ],
+        "key string, start timestamp, end timestamp, wname string",
+    )
+    pts = spark.createDataFrame(
+        [("a", _ts(9), 1), ("a", _ts(10), 2), ("a", _ts(13), 3),
+         ("b", _ts(1), 4), ("c", _ts(0), 5)],
+        "key string, pts timestamp, pid int",
+    )
+    bc = {(r["pid"], r["wname"])
+          for r in range_join_broadcast(pts, iv, ["key"], "pts",
+                                        "start", "end").collect()}
+    bk = {(r["pid"], r["wname"])
+          for r in range_join(pts, iv, ["key"], "pts", "start", "end",
+                              bucket_seconds=300).collect()}
+    assert bc == bk == {(1, "w1"), (1, "w2"), (2, "w1"), (2, "w2"),
+                        (4, "w3")}
 
 
 def test_range_join_rejects_bad_bucket(spark):
