@@ -50,3 +50,24 @@ def test_format_roundtrip_matches_parquet(spark, tmp_path, fmt):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError):
         read_transcripts(spark, "/nope", "xml")
+
+
+def test_json_permissive_surfaces_malformed_as_nulls(spark, tmp_path):
+    """A corrupt line must become a null-field row (PERMISSIVE error
+    channel for the validation gate), never a scan failure."""
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"ok",'
+        '"tool":"","ts":"2026-01-01T00:00:00Z"}\n'
+        "THIS IS NOT JSON{{{\n"
+        '{"conv_id":"c2","turn_idx":"not_an_int","role":"user",'
+        '"text":"half-bad","tool":"","ts":"2026-01-01T00:00:00Z"}\n'
+    )
+    df = read_transcripts(spark, str(p), "json")
+    rows = df.collect()
+    assert len(rows) == 3  # nothing dropped, nothing raised
+    ok = [r for r in rows if r["conv_id"] == "c1"]
+    assert len(ok) == 1 and ok[0]["text"] == "ok"
+    # corrupt + type-mismatch rows surface with nulls for the bad fields
+    assert sum(1 for r in rows if r["turn_idx"] is None) == 2
