@@ -7,13 +7,18 @@ engine-dialect drift before the real correctness gate does.
 """
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/
+# sf0.01 to mirror the driver's gate scale exactly
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001"
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
