@@ -41,6 +41,8 @@ def trades(spark):
         ("b", _ts(4), 5),   # before first quote -> null (backward)
         ("b", _ts(6), 6),   # -> quote @5
         ("c", _ts(7), 7),   # key with no quotes -> null
+        ("a", _ts(9), 8),   # duplicate LEFT timestamp (same as tid=2):
+                            # both rows must match independently
     ]
     return spark.createDataFrame(rows, "key string, tts timestamp, tid int")
 
@@ -54,7 +56,7 @@ def test_asof_backward(spark, quotes, trades):
         for r in out.select("tid", "px_right").collect()
     }
     assert got == {1: 100.0, 2: 100.0, 3: 110.0, 4: 120.0,
-                   5: None, 6: 50.0, 7: None}
+                   5: None, 6: 50.0, 7: None, 8: 100.0}
     # left-outer: every trade survives, exactly once
     assert out.count() == trades.count()
 
@@ -69,7 +71,7 @@ def test_asof_forward(spark, quotes, trades):
         for r in out.select("tid", "px_right").collect()
     }
     assert got == {1: 100.0, 2: 110.0, 3: 110.0, 4: None,
-                   5: 50.0, 6: None, 7: None}
+                   5: 50.0, 6: None, 7: None, 8: 110.0}
 
 
 def test_asof_tolerance(spark, quotes, trades):
@@ -84,7 +86,7 @@ def test_asof_tolerance(spark, quotes, trades):
     # tid=2 (9 min after quote @0) and tid=4 (5 min after quote @20 -> kept,
     # inclusive) per the <= bound
     assert got == {1: 100.0, 2: None, 3: 110.0, 4: 120.0,
-                   5: None, 6: 50.0, 7: None}
+                   5: None, 6: 50.0, 7: None, 8: None}
 
 
 def test_asof_matches_naive_join(spark):
