@@ -40,6 +40,7 @@ from png_from_pdf_extracter_spark.operators import (
 )
 from png_from_pdf_extracter_spark.plans import JobParams, extract_turns
 from png_from_pdf_extracter_spark.sources import generate_transcripts
+from png_from_pdf_extracter_spark.sources.transcripts import SPAN_SCHEMA
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -152,13 +153,43 @@ def _q_error_classify(spark, sf_dir):
     )
 
 
+def _with_reingest_exact(d: DataFrame) -> DataFrame:
+    """Documents plus a deterministic re-ingest slice (every 7th doc again
+    under a shifted id) — the synthetic documents table has zero natural
+    duplicates at any sf, which made the dedup oracles pass vacuously
+    (0 rows == 0 rows proves nothing). The planted dupes give the
+    grouping/hash-match teeth; the oracle applies the identical union."""
+    base = d.select("doc_id", "text")
+    re = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    return base.unionByName(re)
+
+
+def _with_reingest_mangled(d: DataFrame) -> DataFrame:
+    """Re-ingest slice with whitespace-mangled text (double spaces, padded
+    ends): byte-unequal to the original, fingerprint-equal after the
+    normalize-exactly-once chain — so the fingerprint oracle proves the
+    normalization, not just grouping."""
+    base = d.select("doc_id", "text")
+    re = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("text"), " ", "  "),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    return base.unionByName(re)
+
+
 def _q_dedup_exact(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _with_reingest_exact(_read(spark, sf_dir, "documents"))
     return dedup.exact_dedup(d, "doc_id", "text").filter(F.col("n_dupes") > 1)
 
 
 def _q_fingerprint(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _with_reingest_mangled(_read(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", text.fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -643,6 +674,77 @@ def _q_set_ops(spark, sf_dir):
     return engaged.subtract(severe)
 
 
+def _q_base64_decode(spark, sf_dir):
+    """Base64 payload encode/decode roundtrip (``F.base64``/``F.unbase64``
+    builtins — the ``part.get_payload(decode=True)`` analog, ref
+    job_processor.py:207; SURVEY §2.3 row previously unwired)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip the line
+    # breaks so the length matches the unchunked RFC 4648 form DuckDB emits.
+    enc = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+    )
+    dec = F.unbase64(enc).cast("string")
+    return d.select(
+        "doc_id",
+        F.length(enc).alias("enc_len"),
+        (dec == F.col("text")).alias("roundtrip_ok"),
+        F.substring(dec, 1, 40).alias("decoded_head"),
+    )
+
+
+def _q_subject_prefix(spark, sf_dir):
+    """Address parse + reply-subject prefix one-liners (ref
+    imap_service.py:178 ``parseaddr``, job_processor.py:126 ``Re:``) over a
+    derived RFC5322-ish header — SURVEY §2.5 rows, standalone + oracle-able."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    hdr = F.concat(
+        F.lit("User Name <user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(hdr, "<([^>]+)>", 1).alias("sender"),
+        F.concat(F.lit("Re: "), F.col("source"), F.lit(" doc "),
+                 F.col("doc_id").cast("string")).alias("reply_subject"),
+    )
+
+
+def _q_units_roundtrip_sql(spark, sf_dir):
+    """The explode_units -> reassemble_turns operator pair under a DuckDB
+    oracle: deterministic 10-word units are built from documents with
+    builtins (no extraction kernel), fanned out per-unit, then reassembled
+    under stable unit ordering — proving the roundtrip's ordering/joining
+    semantics value-for-value (the kernel-backed twin is rows-only)."""
+    d = _read(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    d = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit(0).alias("partition_id"),
+        w.alias("w"),
+    ).filter(F.size("w") > 0)
+    empty_spans = F.array().cast(SPAN_SCHEMA)
+    units = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(10.0)).cast("int") - 1),
+        lambda i: F.struct(
+            (i + 1).cast("int").alias("unit_idx"),
+            F.array_join(F.slice(F.col("w"), i * 10 + 1, 10), " ").alias(
+                "unit_text"
+            ),
+            empty_spans.alias("spans"),
+        ),
+    )
+    framed = d.select("conv_id", "turn_idx", "partition_id", units.alias("units"))
+    out = reassemble_turns(explode_units(framed))
+    return out.select("conv_id", "turn_idx", "extracted_text", "n_units")
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -674,16 +776,38 @@ def _q_extract_flagship(spark, sf_dir):
 
 
 def _q_extract_units_roundtrip(spark, sf_dir):
-    """Explode->window-reassembly roundtrip over extraction units."""
+    """Explode->window-reassembly roundtrip over extraction units. The
+    ``spans`` struct array is serialized with ``to_json`` — the driver's
+    canonicalizer sorts result rows with pandas and chokes on list-typed
+    cells (the round-1 ERR), and a JSON string survives both the sort and
+    the value hash."""
     params = JobParams(n_buckets=16, num_partitions=8)
     transcripts = generate_transcripts(spark, GenConfig(n_convs=40))
     extracted = extract_turns(spark, transcripts, params, with_units=True)
-    return reassemble_turns(explode_units(extracted))
+    out = reassemble_turns(explode_units(extracted))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.to_json("spans").alias("spans_json"),
+        "n_units",
+    )
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing with the deterministic fake decoder (stub)."""
-    return multimodal.extract_media_features(multimodal.synth_media(spark, 64))
+    """Multimodal plumbing with the deterministic fake decoder (stub).
+    ``feature`` is array<float> — serialized to JSON for the driver's
+    row-sort canonicalizer (round-1 ERR fix)."""
+    out = multimodal.extract_media_features(multimodal.synth_media(spark, 64))
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        F.to_json("feature").alias("feature_json"),
+        "status",
+        "error_class",
+    )
 
 
 def _q_media_frames(spark, sf_dir):
@@ -748,6 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q3": _q_tpch_q3,
         "q_rollup_agg": _q_rollup_agg,
         "q_set_ops": _q_set_ops,
+        "q_base64_decode": _q_base64_decode,
+        "q_subject_prefix": _q_subject_prefix,
+        "q_units_roundtrip_sql": _q_units_roundtrip_sql,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -887,13 +1014,25 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY error_class
         """,
         "q_dedup_exact": """
+            WITH ingested AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+            )
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dupes
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM ingested GROUP BY md5(text) HAVING count(*) > 1
         """,
         "q_fingerprint": f"""
+            WITH ingested AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     '  ' || replace(text, ' ', '  ') || ' ' AS text
+              FROM documents WHERE doc_id % 5 = 0
+            )
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
-            FROM documents GROUP BY {fp} HAVING count(*) > 1
+            FROM ingested GROUP BY {fp} HAVING count(*) > 1
         """,
         "q_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
@@ -1338,5 +1477,45 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id FROM events
             WHERE event_type = 'error' AND value > 95
+        """,
+        "q_base64_decode": """
+            SELECT doc_id,
+                   length(to_base64(encode(text)))::INTEGER AS enc_len,
+                   decode(from_base64(to_base64(encode(text)))) = text
+                     AS roundtrip_ok,
+                   substring(decode(from_base64(to_base64(encode(text)))),
+                             1, 40) AS decoded_head
+            FROM documents WHERE doc_id < 150
+        """,
+        "q_subject_prefix": """
+            SELECT doc_id,
+                   regexp_extract(
+                     'User Name <user' || doc_id || '@' || source
+                       || '.example>',
+                     '<([^>]+)>', 1) AS sender,
+                   'Re: ' || source || ' doc ' || doc_id AS reply_subject
+            FROM documents WHERE doc_id < 100
+        """,
+        "q_units_roundtrip_sql": """
+            WITH w AS (
+              SELECT source, doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> length(x) > 0) AS w
+              FROM documents
+            ),
+            u AS (
+              SELECT source, doc_id,
+                     unnest(list_transform(
+                       range(0, cast(ceil(len(w) / 10.0) AS INTEGER)),
+                       i -> {'unit_idx': i + 1,
+                             'unit_text': array_to_string(
+                               w[i * 10 + 1 : i * 10 + 10], ' ')})) AS u
+              FROM w WHERE len(w) > 0
+            )
+            SELECT source AS conv_id, doc_id::INTEGER AS turn_idx,
+                   string_agg(u.unit_text, e'\n\n' ORDER BY u.unit_idx)
+                     AS extracted_text,
+                   count(*)::INTEGER AS n_units
+            FROM u GROUP BY source, doc_id
         """,
     }
