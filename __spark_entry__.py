@@ -1036,10 +1036,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            shf AS (
+              SELECT sh.id, sh.shingle FROM sh
+              JOIN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= 1000) rare USING (shingle)
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM shf GROUP BY id),
             common AS (
               SELECT a.id AS id1, b.id AS id2, count(*)::DOUBLE AS common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
               GROUP BY a.id, b.id
             )
             SELECT id1, id2,

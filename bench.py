@@ -191,11 +191,17 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_sessionize",
         "q_dedup_latest",
     ]
+    from png_from_pdf_extracter_spark.functions import dedup
+
     times = {}
     for k in keys:
         t0 = time.time()
-        qs[k](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = qs[k](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         times[k] = round(time.time() - t0, 3)
+        # outside the clock: reclaim any persisted intermediates so the
+        # session doesn't accumulate cached shingle/band tables
+        dedup.release(df)
     return times
 
 

@@ -30,6 +30,26 @@ def _h(col, salt: str = "") -> F.Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _with_cached_deps(out: DataFrame, deps: list) -> DataFrame:
+    """Record the persisted intermediates a result plan depends on, so
+    ``release(out)`` can unpersist them after the consuming action.
+    Long-lived sessions (bench loops, services) otherwise accumulate
+    cached shingle/band tables for the session lifetime."""
+    out._spark_graft_cached = deps  # type: ignore[attr-defined]
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the cached intermediates behind a dedup result. Call AFTER
+    the consuming action (collect/write); re-using the result afterwards
+    recomputes from source (correct, just slower). No-op for DataFrames
+    without cached deps — safe to call on any query result."""
+    for dep in getattr(df, "_spark_graft_cached", []) or []:
+        dep.unpersist()
+    if hasattr(df, "_spark_graft_cached"):
+        df._spark_graft_cached = []
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -84,14 +104,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int = 0,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by n-gram Jaccard >= threshold.
-    ``max_shingle_df`` > 0 drops shingles shared by more than that many docs
-    before the self-join (the skew/blow-up guard for web scale)."""
+    ``max_shingle_df`` drops shingles shared by more than that many docs
+    before the self-join — ON by default (1000): one boilerplate shingle
+    in k docs contributes k^2 join rows, the classic quadratic blow-up at
+    web scale, while carrying no near-dup signal. Pass 0 to disable (exact
+    Jaccard on ALL shingles; only safe on bounded inputs). Note the
+    Jaccard denominator counts the SURVIVING shingles per doc, so the
+    guard is part of the metric's definition, mirrored by the oracle."""
     # persisted: referenced three times below (self-join sides + sizes) —
     # without it Spark recomputes the shingle explosion per reference
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    cached = word_shingles(df, id_col, text_col, n).persist()
+    sh = cached
     if max_shingle_df > 0:
         rare = (
             sh.groupBy("shingle")
@@ -107,7 +133,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count("*").cast("double").alias("common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
         .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
         .withColumn(
@@ -117,6 +143,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    return _with_cached_deps(out, [cached])
 
 
 # ---------------------------------------------------------------- minhash
@@ -186,7 +213,7 @@ def minhash_lsh_pairs(
     )
     bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -196,6 +223,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+    return _with_cached_deps(out, [bands])
 
 
 # ---------------------------------------------------------------- simhash
@@ -250,6 +278,17 @@ def simhash_near_dup_pairs(
     a band equi-join (never a cross join); verify with
     ``bit_count(simhash1 XOR simhash2) <= max_hamming``.
     Returns (id1, id2, hamming)."""
+    # pigeonhole completeness requires both; violating callers would
+    # silently miss pairs, so fail loudly instead
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_bands ({n_bands}): "
+            "a pair may differ in every band otherwise"
+        )
+    if bits % n_bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by n_bands ({n_bands})"
+        )
     sig = simhash(df, id_col, text_col, bits).persist()
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
@@ -269,7 +308,7 @@ def simhash_near_dup_pairs(
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -286,6 +325,7 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _with_cached_deps(out, [sig])
 
 
 # ---------------------------------------------------------------- latest

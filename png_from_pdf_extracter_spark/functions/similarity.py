@@ -97,6 +97,16 @@ def hyperplanes(dim: int, n_planes: int):
     return planes
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector length from one row — costs a (tiny) Spark job. Callers that
+    know the embedding dimension from their pipeline contract should pass
+    ``dim`` explicitly and skip this."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(f"cannot probe dim: no rows / null {vec_col}")
+    return len(first[0])
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,14 +114,15 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-of-dot-product with ``n_planes``
     deterministic hyperplanes -> bucket key; candidates share the bucket;
     exact rerank within. Misses across-bucket neighbors (the usual LSH
     recall trade) but replaces the cross join with an equi-join — the 100 TB
-    path."""
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    path. ``dim``: embedding length; None -> probed with one extra job."""
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
     planes = hyperplanes(dim, n_planes)
 
     def bucket(vec) -> F.Column:
@@ -346,11 +357,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify
-    (id1 < id2, cos >= threshold)."""
-    first = df.select(vec_col).first()
-    dim = len(first[0])
+    (id1 < id2, cos >= threshold). ``dim``: embedding length; None ->
+    probed with one extra job."""
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     planes = hyperplanes(dim, n_planes)
     plane_cols = [F.array(*[F.lit(x) for x in p]) for p in planes]
     bucket = None

@@ -1,0 +1,114 @@
+"""Dedup family unit tests: the n-gram DF-ceiling blow-up guard, cache
+hygiene (persist/release), SimHash pigeonhole validation, and the explicit
+``dim`` parameter on the embedding similarity functions.
+
+The value-level correctness of every dedup op is pinned by the DuckDB
+oracle parity suite; these tests pin the SCALE-safety contracts the oracle
+cannot see (candidate-count bounds, cached-RDD lifecycle, fail-loud
+parameter validation).
+"""
+
+import pytest
+
+from png_from_pdf_extracter_spark.functions import dedup, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _hot_shingle_docs(spark, n_docs=40):
+    """Half the docs share one boilerplate sentence (the hot shingle);
+    every doc is otherwise unique."""
+    hot = "all rights reserved by the site"
+    rows = []
+    for i in range(n_docs):
+        body = f"unique words {i} alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((i, f"{body} {hot}" if i % 2 == 0 else body))
+    return _docs(spark, rows)
+
+
+def test_hot_shingle_guard_bounds_candidates(spark):
+    """One shingle in 50% of docs makes the self-join quadratic: C(20,2) =
+    190 candidate pairs from boilerplate alone. The DF ceiling drops those
+    shingles before the join, so zero cross-doc candidates remain."""
+    df = _hot_shingle_docs(spark)
+    unguarded = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=0
+    )
+    guarded = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=5
+    )
+    try:
+        assert unguarded.count() >= 190
+        assert guarded.count() == 0
+    finally:
+        dedup.release(unguarded)
+        dedup.release(guarded)
+
+
+def test_guard_on_by_default(spark):
+    """The default ``max_shingle_df`` must be active (non-zero) — round-1
+    shipped it off while the docstring claimed on."""
+    import inspect
+
+    sig = inspect.signature(dedup.ngram_jaccard_pairs)
+    assert sig.parameters["max_shingle_df"].default > 0
+
+
+def test_release_unpersists_cached_intermediates(spark):
+    """Each pair-generating dedup op persists an intermediate (shingles /
+    bands / signatures); ``release`` must return the session to its prior
+    cached-RDD set after the consuming action."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    df = _docs(spark, [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(20)])
+    makers = [
+        lambda: dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.9),
+        lambda: dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=2, num_hashes=4, rows_per_band=2
+        ),
+        lambda: dedup.simhash_near_dup_pairs(
+            df, "doc_id", "text", bits=32, max_hamming=1, n_bands=2
+        ),
+    ]
+    for make in makers:
+        out = make()
+        out.count()
+        dedup.release(out)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked cached RDDs: {after - before}"
+
+
+def test_release_noop_on_plain_dataframe(spark):
+    dedup.release(_docs(spark, [(1, "a")]))  # must not raise
+
+
+def test_simhash_band_validation(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(
+            df, "doc_id", "text", bits=32, max_hamming=4, n_bands=4
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_near_dup_pairs(
+            df, "doc_id", "text", bits=32, max_hamming=2, n_bands=5
+        )
+
+
+def test_similarity_explicit_dim_matches_probe(spark):
+    """Passing ``dim`` must produce identical results to the probed path
+    (it exists purely to skip the probe job)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3")
+    probed = similarity.lsh_bucket_topk(e, q, k=3)
+    explicit = similarity.lsh_bucket_topk(e, q, k=3, dim=64)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_probe_dim_raises_on_empty(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="probe"):
+        similarity._probe_dim(empty, "embedding")
