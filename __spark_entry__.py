@@ -30,6 +30,7 @@ from png_from_pdf_extracter_spark.functions import (
 from png_from_pdf_extracter_spark.operators import (
     asof_join,
     asof_join_broadcast,
+    asof_join_skewed,
     validate_rows,
     conversation_rollup,
     explode_units,
@@ -595,6 +596,31 @@ def _q_asof_dim(spark, sf_dir):
     )
 
 
+def _q_asof_skewed(spark, sf_dir):
+    """Same attribution as q_asof_attr but through the hot-key-safe
+    coarse-time-bucket as-of variant (operators/temporal.py
+    asof_join_skewed) — semantics identical, so the same DuckDB native
+    ASOF JOIN oracle must match hash-exactly."""
+    e = _read(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_skewed(
+        p, c, ["user_id"], "ts", "ts", ["event_id", "value"],
+        bucket_seconds=6 * 3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("event_id_right").alias("click_id"),
+        F.round("value_right", 2).alias("click_value"),
+    )
+
+
 def _q_range_attr(spark, sf_dir):
     """Clicks inside a 10-minute window after any error of the same user —
     bucketized interval join (equi-join on (key, time-bucket) + exact
@@ -868,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curate_funnel": _q_curate_funnel,
         "q_asof_attr": _q_asof_attr,
         "q_asof_dim": _q_asof_dim,
+        "q_asof_skewed": _q_asof_skewed,
         "q_range_attr": _q_range_attr,
         "q_tpch_q3": _q_tpch_q3,
         "q_rollup_agg": _q_rollup_agg,
@@ -1423,6 +1450,16 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY stage
         """,
         "q_asof_attr": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   floor(epoch(p.ts))::BIGINT AS purchase_epoch,
+                   c.event_id AS click_id,
+                   round(c.value, 2) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_asof_skewed": """
             SELECT p.user_id,
                    p.event_id AS purchase_id,
                    floor(epoch(p.ts))::BIGINT AS purchase_epoch,

@@ -10,6 +10,7 @@ from .sessions import sessionize, session_stats
 from .temporal import (
     asof_join,
     asof_join_broadcast,
+    asof_join_skewed,
     range_join,
     range_join_broadcast,
 )
@@ -18,6 +19,7 @@ from .validate import split_valid, validate_rows
 __all__ = [
     "asof_join",
     "asof_join_broadcast",
+    "asof_join_skewed",
     "range_join",
     "range_join_broadcast",
     "split_valid",

@@ -61,7 +61,8 @@ def asof_join(
     full timeline lands in one task. Salting cannot be applied naively
     (the running last() needs the key's complete ordered history); for a
     small right side use ``asof_join_broadcast`` (no left shuffle at
-    all), otherwise split hot keys by coarse time range with a carry-in.
+    all); for big-big with hot keys use ``asof_join_skewed`` (coarse
+    time-bucket split with carry-in — keys x buckets parallelism).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -123,6 +124,149 @@ def asof_join(
         + [
             F.col(f"_m.{right_ts}{suffix}").alias(f"{right_ts}{suffix}"),
         ]
+        + [F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols]
+    )
+    return matched.select(*out_cols)
+
+
+def asof_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_seconds: int = 3600,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Big-big as-of join for HOT keys: same contract as ``asof_join``, but
+    the per-key window is split by coarse time bucket so one pathological
+    key's timeline no longer pins a single task.
+
+    ``asof_join`` partitions its window by key alone — correct, one
+    exchange, but a key holding 50% of 100 TB serializes into one task.
+    Here each row gets ``bucket = floor(epoch(ts) / bucket_seconds)`` and
+    the running-last window partitions by (key, bucket): parallelism
+    becomes keys x buckets. Correctness across the bucket boundary is
+    restored with a CARRY-IN: per (key, bucket) we aggregate the last
+    (backward; first for forward) right row, lay those per-bucket summaries
+    on the key's bucket timeline — at most one row per (key, bucket), so
+    this small window is cheap even for the hottest key — and propagate the
+    most recent summary from earlier (later, for forward) buckets into
+    every bucket that has left rows, as a synthetic right row carrying its
+    ORIGINAL timestamp (so tolerance still measures the true gap).
+
+    Cost vs ``asof_join``: two extra small shuffles (per-bucket aggregate +
+    carry join-back), each over ~|keys x active buckets| rows, not data
+    rows. Pick ``bucket_seconds`` so a hot key's densest bucket fits a
+    task; more buckets = more parallelism, more carry rows.
+
+    Same right-side tie caveat as ``asof_join``: keep right unique per
+    (key, ts)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    backward = direction == "backward"
+
+    payload_cols = [F.col(right_ts).alias(f"{right_ts}{suffix}")] + [
+        F.col(c).alias(f"{c}{suffix}") for c in right_cols
+    ]
+    left_keep = [c for c in left.columns if c not in on and c != left_ts]
+
+    def bucket_of(ts_col) -> F.Column:
+        return F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_seconds))
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_t"),
+        F.struct(*payload_cols).alias("_rpay"),
+    ).withColumn("_b", bucket_of(F.col("_asof_t")))
+
+    # one summary row per (key, bucket): the bucket's best match seen from
+    # the boundary (last for backward, first for forward)
+    pick = F.max_by if backward else F.min_by
+    per_bucket = r.groupBy(*on, "_b").agg(
+        pick(F.struct(F.col("_asof_t"), F.col("_rpay")), F.col("_asof_t")).alias(
+            "_edge"
+        )
+    )
+
+    lb = (
+        left.select(*on, bucket_of(F.col(left_ts)).alias("_b"))
+        .distinct()
+        .withColumn("_has_left", F.lit(True))
+    )
+    timeline = lb.join(per_bucket, on + ["_b"], "full")
+
+    # carry = nearest summary strictly outside the bucket, toward the match
+    # direction; window rows are per-(key, bucket) summaries, so even the
+    # hottest key contributes only its active-bucket count here
+    wb = Window.partitionBy(*on).orderBy(F.col("_b").asc())
+    if backward:
+        carry = F.last("_edge", ignorenulls=True).over(
+            wb.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        carry = F.first("_edge", ignorenulls=True).over(
+            wb.rowsBetween(1, Window.unboundedFollowing)
+        )
+    carry_rows = (
+        timeline.withColumn("_carry", carry)
+        .filter(F.col("_has_left") & F.col("_carry").isNotNull())
+        .select(
+            *on,
+            F.col("_carry._asof_t").alias("_asof_t"),
+            F.col("_carry._rpay").alias("_rpay"),
+            "_b",
+        )
+    )
+
+    r_side = r.select(*on, "_asof_t", "_rpay", "_b").unionByName(carry_rows)
+    null_r = F.lit(None).cast(r.schema["_rpay"].dataType)
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("_asof_t"),
+        null_r.alias("_rpay"),
+        F.struct(*[F.col(c) for c in left_keep]).alias("_lpay"),
+    ).withColumn("_b", bucket_of(F.col("_asof_t")))
+    null_l = F.lit(None).cast(l_side.schema["_lpay"].dataType)
+    both = r_side.withColumn("_side", F.lit(0)).withColumn(
+        "_lpay", null_l
+    ).unionByName(l_side.withColumn("_side", F.lit(1)))
+
+    order = (
+        [F.col("_asof_t").asc(), F.col("_side").asc()]
+        if backward
+        else [F.col("_asof_t").desc(), F.col("_side").asc()]
+    )
+    w = (
+        Window.partitionBy(*on, "_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        both.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+
+    if tolerance_seconds is not None:
+        gap = F.unix_timestamp("_asof_t") - F.unix_timestamp(
+            F.col("_m")[f"{right_ts}{suffix}"]
+        )
+        if not backward:
+            gap = -gap
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_seconds), F.col("_m"))
+        )
+
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col("_asof_t").alias(left_ts)]
+        + [F.col(f"_lpay.{c}").alias(c) for c in left_keep]
+        + [F.col(f"_m.{right_ts}{suffix}").alias(f"{right_ts}{suffix}")]
         + [F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols]
     )
     return matched.select(*out_cols)

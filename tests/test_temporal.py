@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from png_from_pdf_extracter_spark.operators import (
     asof_join,
     asof_join_broadcast,
+    asof_join_skewed,
     range_join,
     range_join_broadcast,
 )
@@ -157,6 +158,84 @@ def test_asof_broadcast_left_never_shuffles(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan  # right agg only
+
+
+def test_asof_skewed_matches_plain_small(spark, quotes, trades):
+    """Skewed variant == plain as-of on the hand-built fixture, across
+    directions, tolerances, and bucket widths (including widths smaller
+    than the data span, which force carry-ins)."""
+    for direction in ("backward", "forward"):
+        for tol in (None, 5 * 60):
+            for bucket in (60, 300, 86400):
+                a = asof_join(trades, quotes, ["key"], "tts", "qts", ["px"],
+                              direction=direction, tolerance_seconds=tol)
+                b = asof_join_skewed(
+                    trades, quotes, ["key"], "tts", "qts", ["px"],
+                    bucket_seconds=bucket, direction=direction,
+                    tolerance_seconds=tol,
+                )
+                ga = sorted(
+                    (r["tid"], r["px_right"], r["qts_right"])
+                    for r in a.collect()
+                )
+                gb = sorted(
+                    (r["tid"], r["px_right"], r["qts_right"])
+                    for r in b.collect()
+                )
+                assert ga == gb, (direction, tol, bucket)
+
+
+def test_asof_skewed_hot_key(spark):
+    """One key holds 50% of all rows; the skewed variant must (a) agree
+    with the plain as-of join exactly and (b) split the hot key's window
+    across many (key, bucket) groups instead of one."""
+    import random
+
+    rng = random.Random(7)
+    base = datetime(2024, 3, 1)
+    span = 50_000  # seconds
+
+    def key_for(i):
+        return "hot" if i % 2 == 0 else f"k{i % 11}"
+
+    lrows = [
+        (key_for(i), base + timedelta(seconds=rng.randrange(span)), i)
+        for i in range(2000)
+    ]
+    rseen = {}
+    for v in range(1000):
+        rseen[(key_for(v), base + timedelta(seconds=rng.randrange(span)))] = v
+    rrows = [(k, t, float(v)) for (k, t), v in rseen.items()]
+    left = spark.createDataFrame(lrows, "key string, lts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "key string, rts timestamp, val double")
+
+    bucket = 5000
+    plain = asof_join(left, right, ["key"], "lts", "rts", ["val"])
+    skewed = asof_join_skewed(
+        left, right, ["key"], "lts", "rts", ["val"], bucket_seconds=bucket
+    )
+    gp = sorted((r["lid"], r["val_right"]) for r in plain.collect())
+    gs = sorted((r["lid"], r["val_right"]) for r in skewed.collect())
+    assert gp == gs
+    assert skewed.count() == left.count()
+
+    # the hot key's left rows span many window groups (keys x buckets)
+    n_groups = (
+        left.filter(F.col("key") == "hot")
+        .select(F.floor(F.unix_timestamp("lts") / F.lit(bucket)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_groups >= 8, n_groups
+
+
+def test_asof_skewed_validation(spark, quotes, trades):
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        asof_join_skewed(trades, quotes, ["key"], "tts", "qts", ["px"],
+                         bucket_seconds=0)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_skewed(trades, quotes, ["key"], "tts", "qts", ["px"],
+                         direction="sideways")
 
 
 def test_range_join_pairs(spark):
