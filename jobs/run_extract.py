@@ -43,6 +43,16 @@ def parse_args(argv):
         help="CHECK-validate input rows first; rejects -> input_rejects "
              "table (costs one extra input scan)",
     )
+    p.add_argument(
+        "--payload-base64", action="store_true",
+        help="input text column is base64-encoded; decode before extraction "
+             "(transfer-encoding analog, ref job_processor.py:207)",
+    )
+    p.add_argument(
+        "--cc-table", action="append", default=[],
+        help="extra sink table receiving a copy of this run's extracted "
+             "rows (repeatable; CC fan-out analog, ref smtp_service.py:120)",
+    )
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None, help="override (tests only)")
     return p.parse_args(argv)
@@ -65,6 +75,8 @@ def main(argv=None) -> int:
             num_partitions=args.num_partitions,
             salt_mode=args.salt_mode,
             validate_input=args.validate,
+            payload_base64=args.payload_base64,
+            cc_tables=tuple(args.cc_table),
         )
     except ValueError as e:  # config validation, ref config.py:54-112
         print(f"invalid job params: {e}", file=sys.stderr)

@@ -44,7 +44,7 @@ from ..operators import (
 )
 from ..sources.catalog import Catalog
 from ..sources.transcripts import SPAN_SCHEMA, with_partition_id
-from .metrics import partition_metrics
+from .metrics import METRICS_SCHEMA, partition_metrics
 
 UNITS_SCHEMA = T.ArrayType(
     T.StructType(
@@ -124,6 +124,16 @@ class JobParams:
     # conv_id/ts, negative turn_idx, oversized payloads).
     validate_input: bool = False
     max_text_bytes: int = 100 * 1024 * 1024  # ref pdf_attachment.py:30
+    # Input payloads arrive base64-encoded (the transfer-encoding decode of
+    # ref job_processor.py:207 ``part.get_payload(decode=True)``): decode
+    # with the try_to_binary builtin BEFORE extraction — invalid base64
+    # yields null text, which flows through the kernel's no_payload error
+    # channel instead of failing the task.
+    payload_base64: bool = False
+    # CC fan-out (ref smtp_service.py:120-144): extra sink tables that
+    # receive a copy of this run's extracted rows (written from the
+    # read-back parquet — one extra output scan each, never re-extraction).
+    cc_tables: tuple = ()
 
     def __post_init__(self) -> None:
         if self.n_buckets <= 0:
@@ -136,6 +146,8 @@ class JobParams:
             raise ValueError("salt_mode must be always|auto|never")
         if self.max_text_bytes <= 0:
             raise ValueError("max_text_bytes must be positive")
+        if any(not t or not isinstance(t, str) for t in self.cc_tables):
+            raise ValueError("cc_tables must be non-empty table names")
 
 
 def _make_extract_udf(cfg: ExtractorConfig, emit_units: bool = False):
@@ -215,6 +227,18 @@ def extract_turns(
     the slim default halves UDF output bytes (see EXTRACTED_SLIM_SCHEMA)."""
     emit_units = params.write_units if with_units is None else with_units
     df = transcripts.filter(F.col("role").rlike(params.role_whitelist))
+    if params.payload_base64:
+        # transfer-encoding decode (ref job_processor.py:207), builtin and
+        # null-safe: undecodable payloads become null -> kernel no_payload.
+        # MIME encoders wrap lines with CRLF; strip those first (base64's
+        # alphabet contains no whitespace, so this never corrupts data)
+        df = df.withColumn(
+            "text",
+            F.try_to_binary(
+                F.regexp_replace(F.col("text"), "[\\r\\n]", ""),
+                F.lit("base64"),
+            ).cast("string"),
+        )
     df = with_partition_id(df, params.n_buckets)
     if metrics is not None:
         df = pending_only(
@@ -289,7 +313,12 @@ def run_job(
         from ..operators import split_valid
 
         transcripts, rejects = split_valid(transcripts, params.max_text_bytes)
-        rejects.write.mode("append").parquet(catalog.path("input_rejects"))
+        # run identity on the dead-letter rows: a resumed/re-run job appends
+        # the same rejects again (the input is re-scanned), so consumers
+        # must be able to distinguish and dedup by run
+        rejects.withColumn(
+            "run_id", F.lit(started_at.isoformat())
+        ).write.mode("append").parquet(catalog.path("input_rejects"))
 
     metrics = (
         catalog.read(spark, "extract_metrics")
@@ -331,12 +360,27 @@ def run_job(
         .parquet(catalog.path("extract_errors"))
     )
 
-    m = partition_metrics(written, params.extractor_version, started_at)
-    catalog.append(m, "extract_metrics")
+    # CC fan-out (ref smtp_service.py:120-144): same extracted rows to the
+    # extra sinks, copied from the read-back parquet (one output scan per
+    # sink) BEFORE the lineage commit so a crash mid-fan-out re-runs the
+    # whole bucket rather than leaving a cc sink ahead of the commit record
+    for cc in params.cc_tables:
+        written.write.mode("append").partitionBy("partition_id").parquet(
+            catalog.path(cc)
+        )
 
-    n_rows = written.count()
+    # lineage commit lands LAST (delete-source-on-commit analog); the row
+    # count comes from the collected metrics rows — one scan of the output,
+    # no second count() pass
+    m_rows = partition_metrics(
+        written, params.extractor_version, started_at
+    ).collect()
+    if m_rows:
+        catalog.append(
+            spark.createDataFrame(m_rows, METRICS_SCHEMA), "extract_metrics"
+        )
     return {
-        "rows": n_rows,
+        "rows": int(sum(r["rows"] for r in m_rows)),
         "started_at": started_at.isoformat(),
         "n_buckets": params.n_buckets,
     }

@@ -30,7 +30,18 @@ class Catalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _recover(self, table: str) -> None:
+        """Crash recovery for ``compact``'s two-rename commit: if a crash
+        landed between the renames, the live path is missing and the data
+        sits in ``__compact_old`` — restore it. Called from every access
+        path so a torn compact self-heals on the next read."""
+        src = self.path(table)
+        old = src + "__compact_old"
+        if not os.path.exists(src) and os.path.isdir(old):
+            os.rename(old, src)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         p = self.path(table)
         if not os.path.isdir(p):
             return False
@@ -43,6 +54,7 @@ class Catalog:
         return False
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        self._recover(table)
         return spark.read.parquet(self.path(table))
 
     def append(self, df: DataFrame, table: str) -> None:
@@ -112,10 +124,15 @@ class Catalog:
         hive-partitioned tables keep their layout, with all rows of one
         partition hashed to one task (=> one file per partition dir).
 
-        Commit is write-to-temp + directory swap: readers racing the swap
-        see old or new, never a mix of halves — the same visibility contract
-        the Iceberg snapshot commit gives for free. Returns a stats dict
+        Commit is write-to-temp + two sequential directory renames (temp is
+        created beside the table, so both renames stay on one filesystem).
+        This is WEAKER than an Iceberg snapshot commit: a reader racing the
+        swap can momentarily see the table path missing (it never sees a
+        mix of old and new files), and a crash between the renames leaves
+        the data parked in ``__compact_old`` — which ``_recover`` restores
+        on the next read/exists/compact of the table. Returns a stats dict
         ``{files_before, files_after, bytes}``."""
+        self._recover(table)
         src = self.path(table)
         files_before = self.table_files(table)
         nbytes = self.table_bytes(table)

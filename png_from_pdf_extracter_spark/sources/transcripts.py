@@ -91,8 +91,11 @@ def read_transcripts(
     raise ValueError(f"unsupported transcript format: {fmt}")
 
 
-def partition_bucket_py(conv_id: str, n_buckets: int) -> int:
-    """Pure-Python twin of ``with_partition_id`` — MUST stay in lockstep."""
+def partition_bucket_py(conv_id: str | None, n_buckets: int) -> int:
+    """Pure-Python twin of ``with_partition_id`` — MUST stay in lockstep,
+    including the null-input sentinel."""
+    if conv_id is None:
+        return -1
     return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % n_buckets
 
 
