@@ -37,6 +37,7 @@ Env knobs:
   SPARK_GRAFT_BENCH_RUNS    timed runs per level after warm-up (default 2)
   SPARK_GRAFT_SKIP_SCALING  1 -> only the high-level flagship + queries
   SPARK_GRAFT_SKIP_WIDE     1 -> skip the informational full-width run
+  SPARK_GRAFT_SKIP_STREAM   1 -> skip the availableNow streaming drain
 """
 
 from __future__ import annotations
@@ -128,6 +129,29 @@ def run_flagship(spark: SparkSession, in_path: str, out_dir: str) -> float:
     extracted = extract_turns(spark, transcripts, params)
     out = _final_turn_columns(extracted, params)
     out.write.mode("overwrite").parquet(out_dir)
+    return time.time() - t0
+
+
+def run_stream(spark: SparkSession, in_path: str, out_dir: str,
+               ckpt: str) -> float:
+    """One availableNow streaming drain of the same input through the same
+    extraction kernel (the daemon-loop surface). Returns wall seconds.
+    Slower than the batch flagship by design: micro-batch scheduling +
+    checkpoint commits per trigger are the cost of restartable streaming."""
+    from png_from_pdf_extracter_spark.plans import JobParams
+    from png_from_pdf_extracter_spark.streaming import stream_extract
+
+    params = JobParams(n_buckets=256)
+    t0 = time.time()
+    q = (
+        stream_extract(spark, in_path, params)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return time.time() - t0
 
 
@@ -259,6 +283,26 @@ def main() -> None:
                 "efficiency": round(eff, 3),
             }
 
+        streaming = None
+        if os.environ.get("SPARK_GRAFT_SKIP_STREAM") != "1":
+            sp = build_session(width)
+            s_sec = run_stream(
+                sp, in_path, os.path.join(work, "s_out"),
+                os.path.join(work, "s_ckpt"),
+            )
+            sp.stop()
+            s_rows = count_parquet_rows(os.path.join(work, "s_out"))
+            streaming = {
+                "trigger": "availableNow",
+                "cores": width,
+                "sec": round(s_sec, 3),
+                "rows": s_rows,
+                "turns_per_sec": round(s_rows / s_sec, 1),
+            }
+            queries["extract_stream_availablenow"] = round(s_sec, 3)
+            shutil.rmtree(os.path.join(work, "s_out"), ignore_errors=True)
+            shutil.rmtree(os.path.join(work, "s_ckpt"), ignore_errors=True)
+
         width32 = None
         if not skip_wide and cpus > width:
             w = level_runs(cpus, in_path, os.path.join(work, "wide"), 1)
@@ -282,6 +326,7 @@ def main() -> None:
             "bench_turns": n_turns,
             "total_sec": round(sum(queries.values()), 3),
             "scaling": scaling,
+            "streaming": streaming,
             "width_full": width32,
         }
         print(json.dumps(result))

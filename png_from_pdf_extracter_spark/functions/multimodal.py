@@ -1,18 +1,30 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` transforms.
 
-The decode kernels themselves are STUBS in this container (no image/audio
-libs baked in): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a clearly-marked deterministic fake (seeded by
-the payload's md5) produces stable pseudo-features. The Spark-side plumbing —
-schema, batch shape, partitioning, UDF signature — is real and tested; swap
-the kernel body for PIL/ffmpeg on a cluster that has them.
+The image decode kernel is CAPABILITY-GATED: when PIL is installed
+(``HAVE_PIL``) ``decode_image`` really decodes (grayscale 4x4 thumbnail ->
+16 intensities); in this container (no image libs baked in) it raises
+``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
+deterministic fake (seeded by the payload's md5) produces stable
+pseudo-features. Both paths share the schema and error-channel contract
+(pinned by tests; real-path tests skip when PIL is absent). The Spark-side
+plumbing — schema, batch shape, partitioning, UDF signature — is real and
+tested either way. Audio/video decode remains stubbed.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterator
+
+try:  # capability gate: real decoder when the cluster has PIL
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # this container: deterministic fake only
+    _PILImage = None
+    HAVE_PIL = False
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,9 +65,25 @@ def _fake_feature(payload: bytes) -> list:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def _pil_feature(payload: bytes) -> list:
+    """Real decode path (used when PIL is installed): decode -> grayscale
+    -> 4x4 thumbnail -> 16 normalized pixel intensities. Same FEATURE_DIM
+    and value range as the fake, so downstream schema/contract is
+    identical on clusters with and without the decoder."""
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    return [p / 255.0 for p in img.getdata()]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list:
+    """Image -> FEATURE_DIM floats. ``fake=True`` forces the deterministic
+    stand-in; otherwise uses PIL when installed and raises
+    ``NotImplementedError`` when no decoder is available (this container).
+    Decode failures on real payloads raise PIL's errors — callers
+    classify them into the error channel, never fail the task."""
     if fake:
         return _fake_feature(payload)
+    if HAVE_PIL:
+        return _pil_feature(payload)
     raise NotImplementedError(
         "image decoding requires PIL/libvips — not available in this "
         "container; pass fake=True for the deterministic stand-in"
@@ -88,6 +116,10 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     feats.append(None)
                     statuses.append("error")
                     errors.append("decoder_unavailable")
+                except Exception:  # corrupt/unsupported payload via PIL
+                    feats.append(None)
+                    statuses.append("error")
+                    errors.append("decode_failed")
                 digests.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {

@@ -61,3 +61,43 @@ def test_frame_sampling_fanout(spark, media):
 def test_frame_sampling_rejects_bad_interval(spark, media):
     with pytest.raises(ValueError):
         multimodal.sample_frames(media, every_ms=0)
+
+
+def test_decode_capability_gate():
+    """Without PIL the real path must raise NotImplementedError (honest
+    stub); the fake path must always work. Contract is identical either
+    way: FEATURE_DIM floats in [0, 1]."""
+    payload = b"not really an image" * 4
+    fake = multimodal.decode_image(payload, fake=True)
+    assert len(fake) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in fake)
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(payload)
+
+
+def test_real_decode_error_channel(spark):
+    """When PIL IS available: a valid image decodes to FEATURE_DIM floats;
+    a corrupt payload is classified decode_failed — never a task failure.
+    Skips in containers without PIL (the fake-path twin of this contract
+    is exercised by test_features_deterministic)."""
+    if not multimodal.HAVE_PIL:
+        pytest.skip("PIL not installed in this container")
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (200, 10, 10)).save(buf, format="PNG")
+    rows = [
+        (0, "image", "image/png", bytearray(buf.getvalue()), 8, 8, None),
+        (1, "image", "image/png", bytearray(b"corrupt bytes"), 8, 8, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_media_features(df, fake=False).collect()
+    }
+    assert got[0]["status"] == "ok"
+    assert len(got[0]["feature"]) == multimodal.FEATURE_DIM
+    assert got[1]["status"] == "error"
+    assert got[1]["error_class"] == "decode_failed"

@@ -14,10 +14,11 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-# default sf0.001 for speed; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/
-# sf0.01 to mirror the driver's gate scale exactly
+# default sf0.01 — the driver's gate scale, so dialect drift can't hide in
+# the smaller sample; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.001
+# for a faster inner-loop run while iterating
 SF_DIR = os.environ.get(
-    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001"
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01"
 )
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
