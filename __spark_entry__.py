@@ -771,6 +771,147 @@ def _q_units_roundtrip_sql(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "extracted_text", "n_units")
 
 
+def _q_seq_pack(spark, sf_dir):
+    """Training-sequence packing (curate.sequence_pack): docs concatenated
+    per source in doc_id order, cut every 2000 tokens; per-sequence
+    rollup."""
+    d = _read(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "doc_id", text.token_count("text").alias("n_tok")
+    )
+    packed = curate.sequence_pack(
+        base, "source", "doc_id", "n_tok", target_tokens=2000
+    )
+    return packed.groupBy("source", "seq_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based sampling (curate.hash_sample, 30%) with
+    per-language stratum accounting — reproducible across engines/runs,
+    unlike RNG-based df.sample."""
+    d = _read(spark, sf_dir, "documents")
+    kept = curate.hash_sample(d, "doc_id", numerator=3, denominator=10)
+    return (
+        d.withColumn("_k", kept)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("_k"), 1).otherwise(0)).alias("n_sampled"),
+        )
+        .withColumn(
+            "rate", F.round(F.col("n_sampled") / F.col("n_total"), 4)
+        )
+    )
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan (dedup.contamination_check): bigram
+    overlap of every corpus doc against the deterministic benchmark slice
+    (every 97th doc)."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_check(d, bench, "doc_id", "text", n=2)
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/shape quality gate (curate.gopher_signals)
+    over documents — word count, mean word length, top-word ratio,
+    pass/fail."""
+    d = _read(spark, sf_dir, "documents")
+    out = curate.gopher_signals(d, "doc_id", "text")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _q_rank_family(spark, sf_dir):
+    """Ranking-window family beyond row_number: dense_rank / percent_rank
+    / cume_dist share the ties-respecting order; ntile gets a unique
+    order (ties would make its tile assignment nondeterministic)."""
+    e = _read(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    ties = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    uniq = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "n",
+        F.dense_rank().over(ties).alias("drank"),
+        F.round(F.percent_rank().over(ties), 4).alias("prank"),
+        F.round(F.cume_dist().over(ties), 4).alias("cdist"),
+        F.ntile(4).over(uniq).alias("quartile"),
+    )
+
+
+def _q_semi_anti(spark, sf_dir):
+    """Left semi + left anti joins: per nation, customers with at least
+    one order vs customers with none (EXISTS / NOT EXISTS oracle)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    n = _read(spark, sf_dir, "nation")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without"))
+    )
+    both = semi.join(anti, "c_nationkey", "full_outer")
+    return (
+        both.join(F.broadcast(n), both.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+def _q_asof_forward(spark, sf_dir):
+    """Forward as-of: each click matched to the user's EARLIEST at-or-after
+    purchase (time-to-conversion shape) — asof_join(direction='forward')
+    against DuckDB's forward ASOF comparator."""
+    e = _read(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        c, p, ["user_id"], "ts", "ts", ["event_id"], direction="forward"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.col("event_id_right").alias("next_purchase_id"),
+    )
+
+
+def _q_levenshtein(spark, sf_dir):
+    """Edit-distance + string-reversal builtins (fuzzy-matching family)
+    over part names."""
+    p = _read(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    name10 = F.substring("p_name", 1, 10)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.reverse(F.col("p_name"))).alias("lev_rev"),
+        F.levenshtein(name10, F.lit("promo brush")).alias("lev_ref"),
+        F.reverse(name10).alias("rev10"),
+    )
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -902,6 +1043,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_base64_decode": _q_base64_decode,
         "q_subject_prefix": _q_subject_prefix,
         "q_units_roundtrip_sql": _q_units_roundtrip_sql,
+        "q_seq_pack": _q_seq_pack,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_contamination": _q_contamination,
+        "q_gopher_quality": _q_gopher_quality,
+        "q_rank_family": _q_rank_family,
+        "q_semi_anti": _q_semi_anti,
+        "q_asof_forward": _q_asof_forward,
+        "q_levenshtein": _q_levenshtein,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -1559,5 +1708,125 @@ def oracle_sql() -> dict[str, str]:
                      AS extracted_text,
                    count(*)::INTEGER AS n_units
             FROM u GROUP BY source, doc_id
+        """,
+        "q_seq_pack": f"""
+            WITH base AS (
+              SELECT source, doc_id, {ntok}::BIGINT AS n_tok FROM documents
+            ),
+            p AS (
+              SELECT source, doc_id, n_tok,
+                     CAST(floor(coalesce(sum(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) / 2000.0) AS INTEGER) AS seq_idx
+              FROM base
+            )
+            SELECT source, seq_idx, count(*) AS n_docs,
+                   sum(n_tok)::BIGINT AS seq_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM p GROUP BY source, seq_idx
+        """,
+        "q_stratified_sample": """
+            SELECT lang, count(*) AS n_total,
+                   sum(CASE WHEN CAST(('0x' || substring(
+                         md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 3
+                       THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+                   round(sum(CASE WHEN CAST(('0x' || substring(
+                         md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 3
+                       THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS rate
+            FROM documents GROUP BY lang
+        """,
+        "q_contamination": """
+            WITH shc AS (
+              SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                         range(1, greatest(len(w) - 1, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1])) AS shingle
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') AS w
+                      FROM documents)
+                WHERE len(w) >= 2
+              )
+            )
+            SELECT c.id AS doc_id,
+                   count(DISTINCT c.shingle) AS n_shared_shingles,
+                   count(DISTINCT b.bench_id) AS n_benchmark_docs
+            FROM shc c
+            JOIN (SELECT id AS bench_id, shingle FROM shc
+                  WHERE id % 97 = 0) b USING (shingle)
+            WHERE c.id <> b.bench_id
+            GROUP BY c.id
+        """,
+        "q_gopher_quality": """
+            WITH wx AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM wx GROUP BY doc_id, word
+            ),
+            agg AS (
+              SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+                     max(cnt)::BIGINT AS top_cnt,
+                     sum(cnt * length(word))::BIGINT AS total_len
+              FROM wc GROUP BY doc_id
+            )
+            SELECT doc_id, n_words,
+                   round(total_len::DOUBLE / n_words, 4) AS mean_word_len,
+                   round(top_cnt::DOUBLE / n_words, 4) AS top_word_ratio,
+                   (n_words BETWEEN 5 AND 1000
+                    AND round(total_len::DOUBLE / n_words, 4)
+                        BETWEEN 2.0 AND 12.0
+                    AND round(top_cnt::DOUBLE / n_words, 4) <= 0.2)
+                     AS passes
+            FROM agg
+        """,
+        "q_rank_family": """
+            WITH pu AS (
+              SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, user_id, n,
+                   dense_rank() OVER t::INTEGER AS drank,
+                   round(percent_rank() OVER t, 4) AS prank,
+                   round(cume_dist() OVER t, 4) AS cdist,
+                   ntile(4) OVER u::INTEGER AS quartile
+            FROM pu
+            WINDOW t AS (PARTITION BY event_type ORDER BY n DESC),
+                   u AS (PARTITION BY event_type
+                         ORDER BY n DESC, user_id ASC)
+        """,
+        "q_semi_anti": """
+            SELECT n_name,
+                   count(CASE WHEN ex THEN 1 END)::BIGINT AS n_with,
+                   count(CASE WHEN NOT ex THEN 1 END)::BIGINT AS n_without
+            FROM (SELECT c_custkey, c_nationkey,
+                         EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey) AS ex
+                  FROM customer) c
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_asof_forward": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   floor(epoch(c.ts))::BIGINT AS click_epoch,
+                   p.event_id AS next_purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        "q_levenshtein": """
+            SELECT p_partkey,
+                   levenshtein(p_name, reverse(p_name))::INTEGER AS lev_rev,
+                   levenshtein(substring(p_name, 1, 10),
+                               'promo brush')::INTEGER AS lev_ref,
+                   reverse(substring(p_name, 1, 10)) AS rev10
+            FROM part WHERE p_partkey < 500
         """,
     }

@@ -214,6 +214,12 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_set_ops",
         "q_sessionize",
         "q_dedup_latest",
+        "q_contamination",
+        "q_gopher_quality",
+        "q_seq_pack",
+        "q_rank_family",
+        "q_asof_skewed",
+        "q_semi_anti",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

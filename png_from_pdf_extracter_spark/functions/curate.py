@@ -99,3 +99,108 @@ def curation_funnel(
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    token_col: str = "n_tok",
+    target_tokens: int = 2000,
+) -> DataFrame:
+    """Training-sequence packing: documents are concatenated per key in
+    ``order_col`` order and cut every ``target_tokens`` tokens; each doc
+    is assigned to the sequence its starting offset falls in (offset-based
+    chunking — the streaming-friendly approximation of bin packing, and
+    the one that is deterministic and SQL-expressible). Adds ``seq_idx``.
+
+    Plan: one window (running token sum per key) — a single shuffle on the
+    key. At 100 TB the key should be a corpus shard (source/date bucket),
+    never a global ordering: a single global sequence order would funnel
+    the whole corpus through one task. Exclusive prefix sum (the row's own
+    tokens excluded) so a document larger than ``target_tokens`` still
+    lands in the sequence where it starts."""
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return docs.withColumn(
+        "seq_idx", F.floor(cum_before / F.lit(target_tokens)).cast("int")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    numerator: int = 3,
+    denominator: int = 10,
+) -> F.Column:
+    """Deterministic content-hash sampling predicate: keep a row iff
+    ``bigint(md5(id)[:15]) % denominator < numerator``. Unlike
+    ``df.sample()`` this is reproducible across runs, engines, and
+    repartitioning (no RNG state), composes with stratification (apply the
+    predicate inside any groupBy), and a row's fate never changes when the
+    corpus around it grows — the property incremental 100 TB pipelines
+    need. Returns the boolean Column (not a filtered frame) so callers can
+    count kept/total in one pass."""
+    if not (0 <= numerator <= denominator) or denominator <= 0:
+        raise ValueError("need 0 <= numerator <= denominator, denominator > 0")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (h % F.lit(denominator)) < F.lit(numerator)
+
+
+def gopher_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 1000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_word_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition/shape quality signals per document:
+    word count, mean word length, and the top-word ratio (most frequent
+    word's share — the cheapest repetition detector), plus the combined
+    pass/fail gate. Returns (id, n_words, mean_word_len, top_word_ratio,
+    passes).
+
+    Plan: explode words -> count per (doc, word) -> per-doc aggregate.
+    Two shuffles, both keyed by doc id (the second collapses ~vocab-size
+    rows per doc), map-side combinable throughout. The gate compares the
+    ROUNDED ratios so an oracle on another engine agrees at boundaries."""
+    wds = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    wc = (
+        docs.select(F.col(id_col).alias("id"), F.explode(wds).alias("word"))
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = wc.groupBy("id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.col("cnt") * F.length("word")).alias("total_len"),
+    )
+    mean_len = F.round(F.col("total_len") / F.col("n_words"), 4)
+    top_ratio = F.round(F.col("top_cnt") / F.col("n_words"), 4)
+    out = agg.select(
+        "id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        top_ratio.alias("top_word_ratio"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("top_word_ratio") <= max_top_word_ratio)
+    )
+    return out.withColumn("passes", passes)

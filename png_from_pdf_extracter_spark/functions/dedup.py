@@ -146,6 +146,50 @@ def ngram_jaccard_pairs(
     return _with_cached_deps(out, [cached])
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_shingle_df: int = 0,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus doc, how much n-gram
+    overlap it has with ANY benchmark document (the eval-leakage check a
+    training pipeline runs before every data release). Returns
+    (doc_id, n_shared_shingles, n_benchmark_docs) for contaminated docs
+    only; self-pairs (same id on both sides) are excluded so the corpus
+    may contain the benchmark.
+
+    Plan: shingle both sides, equi-join on the shingle — the benchmark
+    side is tiny relative to the corpus, so at 100 TB its shingle table
+    broadcasts and the corpus side never shuffles. ``max_shingle_df`` > 0
+    additionally drops corpus-frequent shingles (stopword n-grams) before
+    the join, the same blow-up guard as ``ngram_jaccard_pairs``."""
+    sh_c = word_shingles(corpus, id_col, text_col, n)
+    if max_shingle_df > 0:
+        rare = (
+            sh_c.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh_c = sh_c.join(rare, "shingle")
+    sh_b = (
+        word_shingles(benchmark, id_col, text_col, n)
+        .withColumnRenamed("id", "bench_id")
+    )
+    return (
+        sh_c.join(F.broadcast(sh_b), "shingle")
+        .filter(F.col("id") != F.col("bench_id"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 # universal-hash family modulus for the per-seed permutations: prime just

@@ -31,3 +31,45 @@ def test_survivors_pass_all_gates(spark):
     # dedup: one survivor per fingerprint, and it is the min doc_id
     per_fp = s.groupBy("fingerprint").agg(F.count("*").alias("n"))
     assert per_fp.filter(F.col("n") > 1).count() == 0
+
+
+def test_sequence_pack_offsets(spark):
+    """Offset-based chunking: doc lands in the sequence its start offset
+    falls in; oversized docs keep their starting sequence."""
+    rows = [("s", 1, 800), ("s", 2, 800), ("s", 3, 800),  # 0,800,1600
+            ("s", 4, 5000),                               # starts 2400 -> seq 1
+            ("s", 5, 100),                                # starts 7400 -> seq 3
+            ("t", 1, 10)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok long")
+    out = curate.sequence_pack(df, "source", "doc_id", "n_tok", 2000)
+    got = {(r["source"], r["doc_id"]): r["seq_idx"] for r in out.collect()}
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 0,
+                   ("s", 4): 1, ("s", 5): 3, ("t", 1): 0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curate.sequence_pack(df, "source", "doc_id", "n_tok", 0)
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    """Same row -> same fate across runs and corpus growth; larger
+    numerator keeps a superset."""
+    import pytest as _pytest
+    d = spark.range(1000).withColumnRenamed("id", "doc_id")
+    k3 = set(r["doc_id"] for r in
+             d.filter(curate.hash_sample(d, "doc_id", 3, 10)).collect())
+    k3b = set(r["doc_id"] for r in
+              d.filter(curate.hash_sample(d, "doc_id", 3, 10)).collect())
+    k7 = set(r["doc_id"] for r in
+             d.filter(curate.hash_sample(d, "doc_id", 7, 10)).collect())
+    assert k3 == k3b
+    assert k3 <= k7
+    assert 0.2 < len(k3) / 1000 < 0.4  # ~30%
+    # growth never flips an existing row's fate
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    kbig = set(r["doc_id"] for r in
+               big.filter(curate.hash_sample(big, "doc_id", 3, 10)).collect())
+    assert k3 == {i for i in kbig if i < 1000}
+    with _pytest.raises(ValueError):
+        curate.hash_sample(d, "doc_id", 5, 0)
+    with _pytest.raises(ValueError):
+        curate.hash_sample(d, "doc_id", 11, 10)

@@ -112,3 +112,22 @@ def test_probe_dim_raises_on_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="probe"):
         similarity._probe_dim(empty, "embedding")
+
+
+def test_contamination_check_excludes_self_and_finds_overlap(spark):
+    """A corpus doc sharing an n-gram with a benchmark doc is flagged;
+    the benchmark doc itself (same id) is not flagged by its own shingles
+    alone."""
+    corpus = _docs(spark, [
+        (0, "the quick brown fox jumps"),      # benchmark member
+        (1, "lazy dog sleeps all day"),        # clean
+        (2, "a quick brown fox appears here"), # contaminated via bigrams
+    ])
+    bench = corpus.filter("doc_id = 0")
+    from png_from_pdf_extracter_spark.functions.dedup import contamination_check
+    out = {r["doc_id"]: (r["n_shared_shingles"], r["n_benchmark_docs"])
+           for r in contamination_check(corpus, bench, "doc_id", "text", n=2).collect()}
+    assert 2 in out and out[2][1] == 1
+    assert out[2][0] == 2  # "quick brown", "brown fox"
+    assert 0 not in out    # self-pair excluded
+    assert 1 not in out    # clean doc absent
