@@ -912,6 +912,108 @@ def _q_levenshtein(spark, sf_dir):
     )
 
 
+def _q_trailing_window(spark, sf_dir):
+    """RANGE-frame window (time-based, not row-based): per event, the
+    trailing-1-hour sum/count of the user's values — the sliding-metric
+    family rowsBetween can't express when events are irregularly
+    spaced."""
+    e = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+        F.count("*").over(w).alias("trailing_1h_n"),
+    )
+
+
+def _q_top_words(spark, sf_dir):
+    """Global heavy hitters: corpus-wide top-50 vocabulary terms by
+    document frequency (explode -> two map-combinable aggregations ->
+    global top-k). The exact baseline of a frequent-items sketch."""
+    d = _read(spark, sf_dir, "documents")
+    wds = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    wc = (
+        d.select("doc_id", F.explode(wds).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("word").asc())
+    return (
+        wc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("word", "df", "rank")
+    )
+
+
+def _q_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document (doc_id < 100): tf = in-doc count,
+    idf = ln(N / df) over the WHOLE corpus. Ranking is on the ROUNDED
+    score (word tie-break) so both engines agree at float boundaries."""
+    d = _read(spark, sf_dir, "documents")
+    n_docs = d.count()  # small deterministic scalar (one metadata-cheap job)
+    wds = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    terms = d.select("doc_id", F.explode(wds).alias("word"))
+    tf = terms.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_t = (
+        terms.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(df_t, "word")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "df", "score", "rank")
+    )
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-way join with the four
+    dimension tables broadcast and the two fact tables shuffle-joined on
+    orderkey; date + region filters pushed into the scans."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -1051,6 +1153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti": _q_semi_anti,
         "q_asof_forward": _q_asof_forward,
         "q_levenshtein": _q_levenshtein,
+        "q_trailing_window": _q_trailing_window,
+        "q_top_words": _q_top_words,
+        "q_tfidf": _q_tfidf,
+        "q_tpch_q5": _q_tpch_q5,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -1828,5 +1934,77 @@ def oracle_sql() -> dict[str, str]:
                                'promo brush')::INTEGER AS lev_ref,
                    reverse(substring(p_name, 1, 10)) AS rev10
             FROM part WHERE p_partkey < 500
+        """,
+        "q_trailing_window": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 2) AS trailing_1h_value,
+                   count(*) OVER w AS trailing_1h_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY floor(epoch(ts))::BIGINT
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "q_top_words": """
+            WITH wc AS (
+              SELECT word, count(*) AS df FROM (
+                SELECT DISTINCT doc_id,
+                       unnest(list_filter(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0)) AS word
+                FROM documents
+              ) GROUP BY word
+            )
+            SELECT word, df, rank::INTEGER AS rank FROM (
+              SELECT word, df,
+                     row_number() OVER (ORDER BY df DESC, word ASC) AS rank
+              FROM wc
+            ) WHERE rank <= 50
+        """,
+        "q_tfidf": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM terms GROUP BY doc_id, word
+            ),
+            dft AS (
+              SELECT word, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word
+            ),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word, tf.tf, dft.df,
+                     round(tf.tf * ln(n.n_docs / dft.df), 4) AS score
+              FROM tf JOIN dft USING (word), n
+              WHERE tf.doc_id < 100
+            )
+            SELECT doc_id, word, tf, df, score, rank::INTEGER AS rank FROM (
+              SELECT doc_id, word, tf, df, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, word ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "q_tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
         """,
     }

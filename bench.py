@@ -220,6 +220,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_rank_family",
         "q_asof_skewed",
         "q_semi_anti",
+        "q_tpch_q5",
+        "q_tfidf",
+        "q_trailing_window",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -1,5 +1,6 @@
 from .extract_stream import (
     stream_extract,
+    stream_interval_join,
     stream_turn_rates,
     stream_conv_progress,
     stream_dedup,
@@ -9,6 +10,7 @@ from .stateful import conversation_progress_stateful
 
 __all__ = [
     "stream_extract",
+    "stream_interval_join",
     "stream_turn_rates",
     "stream_conv_progress",
     "stream_dedup",

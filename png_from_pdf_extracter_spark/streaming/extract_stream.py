@@ -128,6 +128,44 @@ def stream_sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    window_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: left events matched to right events of
+    the same key where ``right_ts <= left_ts <= right_ts + window`` — the
+    streaming twin of ``operators.temporal.range_join`` (event
+    attribution across two live streams).
+
+    The time-interval predicate is not just semantics: it is what lets
+    Structured Streaming BOUND the join state — each side keeps only rows
+    within (watermark + window) of the stream clock, then drops them.
+    Without the interval condition a stream-stream join buffers both
+    streams forever. Both sides shuffle on the key (state store
+    partitioning), same as the batch join's exchange.
+
+    ``left_ts_col`` / ``right_ts_col`` must be distinct names (rename
+    before calling); payload columns must not collide."""
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    l = left.withWatermark(left_ts_col, watermark)
+    r = right.withWatermark(right_ts_col, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (l[left_ts_col] >= r[right_ts_col])
+        & (
+            l[left_ts_col]
+            <= r[right_ts_col] + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner").drop(r[key_col])
+
+
 def stream_conv_progress(
     extracted: DataFrame,
     watermark: str = "30 minutes",

@@ -89,3 +89,69 @@ def test_stream_sessionize_closed_sessions(spark, tmp_path):
     assert expect <= got
     # the watermark-driver session must NOT have been emitted (not closed)
     assert all(k != "wm" for k, *_ in got)
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join (inner, time-bounded state) must emit
+    exactly the pairs the batch range_join produces on the same data."""
+    from png_from_pdf_extracter_spark.operators import range_join_broadcast
+    from png_from_pdf_extracter_spark.streaming import stream_interval_join
+
+    clicks = [
+        (1, _mins(0), 100), (1, _mins(5), 101), (1, _mins(20), 102),
+        (2, _mins(1), 200), (3, _mins(2), 300),
+    ]
+    errors = [
+        (1, _mins(1), 900),   # catches clicks @5 (within 10 min after)
+        (2, _mins(0), 901),   # catches click @1
+        (4, _mins(0), 902),   # no clicks for key
+    ]
+    cs = "user_id int, c_ts timestamp, click_id int"
+    es = "user_id int, e_ts timestamp, error_id int"
+    cdir, edir = str(tmp_path / "c"), str(tmp_path / "e")
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(errors, es).coalesce(1).write.parquet(edir)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(cs).parquet(cdir),
+        spark.readStream.schema(es).parquet(edir),
+        "user_id", "c_ts", "e_ts", window_seconds=600,
+    )
+    q = (
+        joined.select("user_id", "click_id", "error_id")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["click_id"], r["error_id"])
+        for r in spark.sql("select * from ssj_out").collect()
+    }
+
+    iv = spark.createDataFrame(errors, es).select(
+        "user_id",
+        F.col("e_ts").alias("w_start"),
+        (F.col("e_ts") + F.expr("INTERVAL 600 SECONDS")).alias("w_end"),
+        "error_id",
+    )
+    want = {
+        (r["user_id"], r["click_id"], r["error_id"])
+        for r in range_join_broadcast(
+            spark.createDataFrame(clicks, cs), iv,
+            ["user_id"], "c_ts", "w_start", "w_end",
+        ).collect()
+    }
+    assert got == want
+    assert want == {(1, 101, 900), (2, 200, 901)}
+
+
+def test_stream_interval_join_rejects_bad_window(spark):
+    from png_from_pdf_extracter_spark.streaming import stream_interval_join
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        stream_interval_join(df, df, "value", "timestamp", "timestamp", 0)
