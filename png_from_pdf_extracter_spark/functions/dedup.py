@@ -30,6 +30,29 @@ def _h(col, salt: str = "") -> F.Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _pairs_from_sorted_ids(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(group, sorted distinct id array) -> one (id1, id2) row per id1 <
+    id2 combination, emitted with a nested array transform — replaces a
+    bucket SELF-JOIN for candidate generation (no second shuffle of the
+    bucket table, no join at all). Caller guarantees ``ids_col`` is
+    sorted and duplicate-free so each ordered pair appears exactly once
+    per group."""
+    ids = F.col(ids_col)
+    return grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2")
+
+
 def _with_cached_deps(out: DataFrame, deps: list) -> DataFrame:
     """Record the persisted intermediates a result plan depends on, so
     ``release(out)`` can unpersist them after the consuming action.
@@ -144,19 +167,7 @@ def ngram_jaccard_pairs(
     # ids is sorted and duplicate-free (shingles are distinct per doc), so
     # pairing element i with every later element yields each id1 < id2
     # candidate exactly once per shared shingle
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id1", "p.id2")
+    pairs = _pairs_from_sorted_ids(grouped)
     common = pairs.groupBy("id1", "id2").agg(
         F.count("*").cast("double").alias("common")
     )
@@ -261,40 +272,66 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (num_hashes/rows_per_band
-    bands), bucket-join on (band, band_hash). Never a cross join — candidate
-    generation is an equi-join, the LSH trick that makes near-dup detection
-    feasible at 10^12 rows."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    # persisted: both sides of the candidate self-join read the band table;
-    # unpersisted, the whole shingle->minhash->band DAG runs twice
-    bands = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
+    bands), bucket on (band, band_hash), emit pairs per bucket. Never a
+    cross join — the LSH trick that makes near-dup detection feasible at
+    10^12 rows.
+
+    Plan (round 2): the whole signature is computed in ONE id-keyed
+    aggregation — ``num_hashes`` min columns over the shared base hash,
+    each map-side combinable — instead of exploding rows num_hashes x and
+    shuffling (id, seed). Band hashes are then pure projection, and
+    candidates come from a (band, band_hash) bucket aggregate with direct
+    pair emission (no band self-join, no persist, nothing cached). Total:
+    three shuffles end to end (sig agg, bucket agg, final distinct) vs
+    five plus a double-read in the join formulation.
+
+    Degenerate corpora (millions of IDENTICAL docs) make one bucket's id
+    list huge — run ``exact_dedup`` first, as any dedup pipeline does,
+    so identical docs are already collapsed when MinHash runs."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by "
+            f"rows_per_band ({rows_per_band})"
+        )
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
+    base = sh.select("id", (_h(F.col("shingle")) % MINHASH_P).alias("hs"))
+    # same universal-hash family as minhash_signatures (a=2s+1, b=12345s+
+    # 6789 mod p) — the oracle's per-seed formulation produces identical
+    # minima, so the DuckDB twin is unchanged
+    sig = base.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(2 * s + 1) * F.col("hs") + F.lit(12345 * s + 6789))
+                % MINHASH_P
+            ).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"_m{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
                 )
-            ).alias("band_hash")
+            ).alias("band_hash"),
         )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    bands = bands.persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
-    return _with_cached_deps(out, [bands])
+    return _pairs_from_sorted_ids(buckets).distinct()
 
 
 # ---------------------------------------------------------------- simhash

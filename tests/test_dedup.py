@@ -131,3 +131,9 @@ def test_contamination_check_excludes_self_and_finds_overlap(spark):
     assert out[2][0] == 2  # "quick brown", "brown fox"
     assert 0 not in out    # self-pair excluded
     assert 1 not in out    # clean doc absent
+
+
+def test_minhash_band_validation(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=8, rows_per_band=3)

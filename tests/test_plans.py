@@ -76,6 +76,52 @@ def test_minhash_signature_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_minhash_lsh_pairs_joinless(spark):
+    """Round-2 plan: signature = ONE id-keyed aggregation (8 min columns),
+    candidates from bucket aggregate + direct pair emission — no join
+    operator of any kind may appear."""
+    from png_from_pdf_extracter_spark.functions.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = minhash_lsh_pairs(d, "doc_id", "text")
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    # three exchanges: signature agg, bucket agg, final distinct
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_ngram_jaccard_no_selfjoin_and_broadcast_sizes(spark):
+    """Round-2 plan: no shingle self-join (pair emission from grouped id
+    lists); the small per-doc sizes side must broadcast into the final
+    joins, never sort-merge."""
+    from png_from_pdf_extracter_spark.functions import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    dedup.release(out)
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    """The benchmark shingle table must broadcast — the corpus side never
+    shuffles for the join."""
+    from png_from_pdf_extracter_spark.functions.dedup import contamination_check
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = contamination_check(d, bench, "doc_id", "text", n=2)
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_resume_antijoin_is_broadcast(spark, tmp_path):
     from png_from_pdf_extracter_spark.operators import (
         completed_partitions,
