@@ -1,5 +1,6 @@
 from .extract_stream import (
     stream_extract,
+    stream_extract_to_catalog,
     stream_interval_join,
     stream_turn_rates,
     stream_conv_progress,
@@ -10,6 +11,7 @@ from .stateful import conversation_progress_stateful
 
 __all__ = [
     "stream_extract",
+    "stream_extract_to_catalog",
     "stream_interval_join",
     "stream_turn_rates",
     "stream_conv_progress",

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.extract_plan import JobParams, EXTRACTED_SLIM_SCHEMA, _make_extract_udf
+from ..sources.catalog import Catalog
 from ..sources.transcripts import TRANSCRIPTS_SCHEMA, with_partition_id
 
 
@@ -55,6 +56,67 @@ def stream_extract(
     df = stream.filter(F.col("role").rlike(params.role_whitelist))
     df = with_partition_id(df, params.n_buckets)
     return df.mapInPandas(_make_extract_udf(params.extractor), EXTRACTED_SLIM_SCHEMA)
+
+
+def stream_extract_to_catalog(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    params: JobParams,
+    checkpoint: str,
+    table: str = "extracted_turns_stream",
+    metrics_table: str = "extract_metrics_stream",
+    processing_time: str | None = None,
+):
+    """Streaming extraction with the batch job's lineage/commit semantics,
+    via ``foreachBatch``: each micro-batch writes data partitioned by its
+    ``batch_id`` under DYNAMIC partition overwrite, then appends
+    batch-stamped lineage rows. foreachBatch is at-least-once — a crash
+    after the data write replays the batch — but the replay OVERWRITES its
+    own batch_id partition (idempotent), and lineage consumers dedup on
+    (batch_id, partition_id), the same at-least-once + idempotence
+    contract as the batch path (spec NFR-007/008). Returns the started
+    ``StreamingQuery`` (caller awaits/stops). Default trigger is
+    ``availableNow`` — one drained poll cycle, restart-safe via the
+    checkpoint; pass ``processing_time='60 seconds'`` for the literal
+    daemon loop (runs until stopped)."""
+    from ..plans.extract_plan import _final_turn_columns
+    from ..plans.metrics import partition_metrics
+    import datetime as _dt
+
+    extracted = stream_extract(spark, input_path, params)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        out = _final_turn_columns(batch_df, params).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out = out.persist()  # data write + metrics read the same batch
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("batch_id", "partition_id")
+                .parquet(catalog.path(table))
+            )
+            m = partition_metrics(
+                out,
+                params.extractor_version,
+                _dt.datetime.now(_dt.timezone.utc),
+            ).withColumn("batch_id", F.lit(batch_id))
+            catalog.append(m, metrics_table)
+        finally:
+            out.unpersist()
+
+    writer = extracted.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_turn_rates(
