@@ -26,6 +26,7 @@ from png_from_pdf_extracter_spark.functions import (
     multimodal,
     similarity,
     text,
+    udfs,
 )
 from png_from_pdf_extracter_spark.operators import (
     asof_join,
@@ -1014,6 +1015,32 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_pandas_udf_tokens(spark, sf_dir):
+    """The scalar Arrow-UDF boundary, value-checked: the @pandas_udf token
+    counter and the JVM-builtin twin side by side — the oracle asserts
+    both equal DuckDB's regex count, proving the Arrow path is
+    value-exact (the contract the extraction kernel rides on)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        udfs.token_count_arrow("text").alias("n_tokens_arrow"),
+        text.token_count("text").alias("n_tokens_builtin"),
+    )
+
+
+def _q_grouped_zscore(spark, sf_dir):
+    """The grouped-map applyInPandas boundary, value-checked: per-user
+    z-score normalization vs SQL window aggregates (null when the group
+    has no spread)."""
+    e = _read(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    out = udfs.zscore_per_group(
+        e.select("user_id", "event_id", "value"), "user_id", "value"
+    )
+    return out.select("user_id", "event_id", "zscore")
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -1154,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_forward": _q_asof_forward,
         "q_levenshtein": _q_levenshtein,
         "q_trailing_window": _q_trailing_window,
+        "q_pandas_udf_tokens": _q_pandas_udf_tokens,
+        "q_grouped_zscore": _q_grouped_zscore,
         "q_top_words": _q_top_words,
         "q_tfidf": _q_tfidf,
         "q_tpch_q5": _q_tpch_q5,
@@ -1934,6 +1963,21 @@ def oracle_sql() -> dict[str, str]:
                                'promo brush')::INTEGER AS lev_ref,
                    reverse(substring(p_name, 1, 10)) AS rev10
             FROM part WHERE p_partkey < 500
+        """,
+        "q_pandas_udf_tokens": f"""
+            SELECT doc_id, {ntok}::BIGINT AS n_tokens_arrow,
+                   {ntok}::BIGINT AS n_tokens_builtin
+            FROM documents WHERE doc_id < 300
+        """,
+        "q_grouped_zscore": """
+            SELECT user_id, event_id,
+                   CASE WHEN stddev_samp(value) OVER w IS NULL
+                          OR stddev_samp(value) OVER w = 0 THEN NULL
+                        ELSE round((value - avg(value) OVER w)
+                                   / stddev_samp(value) OVER w, 4)
+                   END AS zscore
+            FROM events WHERE event_type = 'view'
+            WINDOW w AS (PARTITION BY user_id)
         """,
         "q_trailing_window": """
             SELECT user_id, event_id,

@@ -9,9 +9,14 @@
                    LSH-bucketed approximate variant.
 ``multimodal.py``  opaque-binary column plumbing with stubbed decoders.
 ``curate.py``      composed corpus-curation pipeline (dedup -> lang -> quality
-                   -> token budget) and its per-stage funnel report.
+                   -> token budget) and its per-stage funnel report, plus
+                   sequence packing, deterministic hash sampling, and
+                   Gopher-style repetition signals.
+``udfs.py``        the sanctioned Python-boundary rungs (scalar pandas_udf,
+                   grouped-map applyInPandas) proven against value-exact
+                   oracles.
 """
 
-from . import curate, dedup, multimodal, similarity, text
+from . import curate, dedup, multimodal, similarity, text, udfs
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "udfs"]
