@@ -1041,6 +1041,38 @@ def _q_grouped_zscore(spark, sf_dir):
     return out.select("user_id", "event_id", "zscore")
 
 
+def _q_stats_agg(spark, sf_dir):
+    """Statistical aggregate family (correlation, sample covariance/
+    variance, stddev) per event type — the numeric-profiling surface
+    beyond counts/percentiles."""
+    e = _read(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.unix_timestamp("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr(x, y), 4).alias("corr_vt"),
+        F.round(F.covar_samp(x, x), 4).alias("var_value"),
+        F.round(F.stddev(x), 4).alias("sd_value"),
+        F.round(F.avg(x), 4).alias("mean_value"),
+    )
+
+
+def _q_histogram(spark, sf_dir):
+    """Fixed-width histogram binning (floor(value / width)) with per-bin
+    counts and bounds — the value-distribution profile every data-quality
+    report needs; pure integer bin keys so both engines agree exactly."""
+    e = _read(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / F.lit(10.0)).cast("int")
+    return (
+        e.withColumn("bin", b)
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+    )
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -1182,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_levenshtein": _q_levenshtein,
         "q_trailing_window": _q_trailing_window,
         "q_pandas_udf_tokens": _q_pandas_udf_tokens,
+        "q_stats_agg": _q_stats_agg,
+        "q_histogram": _q_histogram,
         "q_grouped_zscore": _q_grouped_zscore,
         "q_top_words": _q_top_words,
         "q_tfidf": _q_tfidf,
@@ -1978,6 +2012,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS zscore
             FROM events WHERE event_type = 'view'
             WINDOW w AS (PARTITION BY user_id)
+        """,
+        "q_stats_agg": """
+            SELECT event_type,
+                   round(corr(value, floor(epoch(ts))), 4) AS corr_vt,
+                   round(covar_samp(value, value), 4) AS var_value,
+                   round(stddev_samp(value), 4) AS sd_value,
+                   round(avg(value), 4) AS mean_value
+            FROM events GROUP BY event_type
+        """,
+        "q_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 10.0) AS INTEGER) AS bin,
+                   count(*) AS n,
+                   round(min(value), 4) AS bin_min,
+                   round(max(value), 4) AS bin_max
+            FROM events GROUP BY event_type, bin
         """,
         "q_trailing_window": """
             SELECT user_id, event_id,

@@ -16,7 +16,10 @@ every payload byte through scan -> shuffle -> Arrow IPC -> write, so above
 real multi-executor cluster does not share (each executor has its own
 memory bus). The informational full-width run is included every round to
 show it. Per level we do one warm-up run (Python worker fork + import cost)
-then `runs` timed runs and take the min; all raw timings are reported.
+then `runs` timed runs and take the min; all raw timings and the
+max/min jitter per level are reported (this VM shows ambient-noise
+windows of 1.5-2x — a scaling ratio is only trusted when both levels'
+jitter is sane).
 
 Input: deterministic synthetic transcripts (seed 42) at payload_scale=8
 (~6.4 KB/turn, realistic transcript density). To keep generation cheap the
@@ -34,7 +37,7 @@ Env knobs:
   SPARK_GRAFT_BENCH_WIDTH   high scaling level (default 8)
   SPARK_GRAFT_BENCH_CONVS   base conversations (default 8000)
   SPARK_GRAFT_BENCH_REPS    conv replication factor (default 8)
-  SPARK_GRAFT_BENCH_RUNS    timed runs per level after warm-up (default 2)
+  SPARK_GRAFT_BENCH_RUNS    timed runs per level after warm-up (default 3)
   SPARK_GRAFT_SKIP_SCALING  1 -> only the high-level flagship + queries
   SPARK_GRAFT_SKIP_WIDE     1 -> skip the informational full-width run
   SPARK_GRAFT_SKIP_STREAM   1 -> skip the availableNow streaming drain
@@ -175,9 +178,15 @@ def level_runs(cores: int, in_path: str, out_base: str, runs: int) -> dict:
     spark.stop()
     # best over ALL observed runs (warm-up included): at low widths the
     # fork/import warm-up cost is negligible and ambient drift can make the
-    # warm-up the fastest run — excluding it would overstate efficiency
+    # warm-up the fastest run — excluding it would overstate efficiency.
+    # jitter = max/min over the observed runs — this VM shows windows of
+    # 1.5-2x ambient drift (hypervisor neighbors), so the scaling ratio is
+    # only meaningful when both levels' bests come from sane windows;
+    # report it so a noisy measurement is visibly noisy.
+    allt = [warm] + times
     return {"cores": cores, "warmup_sec": warm, "runs_sec": times,
-            "best_sec": min([warm] + times)}
+            "best_sec": min(allt),
+            "jitter": round(max(allt) / min(allt), 3)}
 
 
 def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
@@ -243,7 +252,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     width = int(os.environ.get("SPARK_GRAFT_BENCH_WIDTH", "8"))
     replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # 3 timed runs by default: this VM has ambient-noise windows where a
+    # single run can be 1.5-2x slow; best-of-4-samples (warm-up + 3) keeps
+    # the scaling ratio out of the noise
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
     skip_wide = os.environ.get("SPARK_GRAFT_SKIP_WIDE") == "1"
     low = max(1, width // 4)
