@@ -210,6 +210,18 @@ def _q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Pairs -> CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs (iterative min-label propagation) vs a DuckDB
+    RECURSIVE CTE transitive closure — the dedup-group assignment step
+    that completes the pair generators into an actual deduper."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    return dedup.connected_components(pairs)
+
+
 def _q_simhash(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return dedup.simhash(d, "doc_id", "text", bits=32).withColumnRenamed("id", "doc_id")
@@ -1169,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q_fingerprint,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
+        "q_dedup_components": _q_dedup_components,
         "q_simhash": _q_simhash,
         "q_knn_cosine": _q_knn_cosine,
         "q_lang_id": _q_lang_id,
@@ -1277,6 +1290,34 @@ _LANG_CASE = (
 )
 
 _TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# MinHash-LSH candidate pairs as a reusable CTE chain (q_minhash_lsh and
+# the q_dedup_components recursive closure both build on it)
+_MINHASH_PAIRS_CTES = """
+base AS (
+  SELECT id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+           % 1000000007 AS hs
+  FROM sh
+),
+sig AS (
+  SELECT id, seed,
+         min(((seed * 2 + 1) * hs + seed * 12345 + 6789)
+             % 1000000007) AS minhash
+  FROM base, (SELECT unnest(range(0, 8)) AS seed)
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, (seed // 2) AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY id, (seed // 2)
+),
+mh_pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1400,28 +1441,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(common / (s1.n_sh + s2.n_sh - common), 4) >= 0.5
         """,
         "q_minhash_lsh": f"""
-            WITH {_SHINGLES_CTE},
-            base AS (
-              SELECT id,
-                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
-                       % 1000000007 AS hs
-              FROM sh
+            WITH {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES}
+            SELECT id1, id2 FROM mh_pairs
+        """,
+        "q_dedup_components": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES},
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM mh_pairs
+              UNION
+              SELECT id2, id1 FROM mh_pairs
             ),
-            sig AS (
-              SELECT id, seed,
-                     min(((seed * 2 + 1) * hs + seed * 12345 + 6789)
-                         % 1000000007) AS minhash
-              FROM base, (SELECT unnest(range(0, 8)) AS seed)
-              GROUP BY id, seed
-            ),
-            bands AS (
-              SELECT id, (seed // 2) AS band,
-                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_hash
-              FROM sig GROUP BY id, (seed // 2)
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             )
-            SELECT DISTINCT a.id AS id1, b.id AS id2
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+            SELECT a AS node, least(a, min(b))::BIGINT AS component
+            FROM reach GROUP BY a
         """,
         "q_simhash": """
             WITH toks AS (

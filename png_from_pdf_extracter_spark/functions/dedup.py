@@ -436,6 +436,87 @@ def simhash_near_dup_pairs(
     return _with_cached_deps(out, [sig])
 
 
+# ---------------------------------------------------------------- clusters
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs — the step that turns
+    any pair generator (MinHash/SimHash/Jaccard/embedding) into dedup
+    groups: connected components by iterative min-label propagation, with
+    the component labeled by its smallest member id (the keep-min-id
+    winner convention shared by exact_dedup/curate). Returns
+    (node, component) for every node that appears in ``pairs``.
+
+    Plan per iteration: each node takes min(own label, neighbors'
+    labels) — one join + one aggregation, both keyed shuffles; converges
+    in O(component diameter) iterations (near-dup clusters are shallow —
+    single digits in practice; GraphFrames' large-star/small-star trades
+    more per-round work for O(log n) rounds, unneeded here). Convergence
+    is detected by a changed-labels count, so the loop exits early; the
+    ``max_iter`` cap bounds a pathological chain. Every
+    ``checkpoint_every`` rounds the label table is localCheckpoint-ed to
+    truncate the growing lineage — without it iteration k replans the
+    whole k-deep DAG.
+
+    Iterative-by-nature: each round's labels are materialized (count
+    action) — this is a driver-orchestrated algorithm, not one lazy plan.
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    labels = labels.persist()
+    labels.count()
+    try:
+        for it in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("a").alias("b"), F.col("label").alias("nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nl").alias("nbr_min"))
+            )
+            new_labels = labels.join(nbr, "a", "left").select(
+                "a",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            if (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.join(
+                    labels.select("a", F.col("label").alias("old")), "a"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = labels.select(
+            F.col("a").alias("node"), F.col("label").alias("component")
+        )
+        # the final label table stays cached (the result reads it);
+        # dedup.release(out) reclaims it after the consuming action
+        return _with_cached_deps(out, [labels])
+    finally:
+        edges.unpersist()
+
+
 # ---------------------------------------------------------------- latest
 
 def dedup_latest(

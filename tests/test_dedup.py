@@ -137,3 +137,47 @@ def test_minhash_band_validation(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="divisible"):
         dedup.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=8, rows_per_band=3)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random pair graphs: label propagation must match a pure-Python
+    union-find (component = min member id), across shapes that exercise
+    chains (slow diameter), stars, and singleton pairs."""
+    import random
+
+    rng = random.Random(123)
+    cases = []
+    # random graph
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(80)])
+    # long chain (worst-case diameter) + a star + isolated pair
+    cases.append([(i, i + 1) for i in range(30)] + [(100, x) for x in range(101, 110)] + [(500, 501)])
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        want = {}
+        nodes = {n for p in pairs for n in p}
+        comp_min = {}
+        for n in nodes:
+            comp_min.setdefault(find(n), []).append(n)
+        for root, members in comp_min.items():
+            m = min(members)
+            for n in members:
+                want[n] = m
+
+        df = spark.createDataFrame(pairs, "id1 long, id2 long")
+        out = dedup.connected_components(df, max_iter=50)
+        got = {r["node"]: r["component"] for r in out.collect()}
+        dedup.release(out)
+        assert got == want
