@@ -128,3 +128,38 @@ def test_conversation_rollup(spark, data):
     expected_text = "\n\n".join(exp_rows["extracted_text"])
     got = rolled[rolled.conv_id == conv]["conv_text"].iloc[0]
     assert got == expected_text
+
+
+def test_unicode_payloads_roundtrip_exactly(spark):
+    """Multi-byte text (CJK, emoji, RTL, combining marks, entities
+    decoding TO non-ASCII) through the full Spark plan must equal the
+    kernel run directly in-process — catches Arrow UTF-8 transfer bugs
+    and any byte-vs-char span arithmetic drift."""
+    import datetime as dt
+
+    from png_from_pdf_extracter_spark.extractor import extract_batch_lists
+
+    payloads = [
+        "日本語のテキスト です。これは 十分に長い 本文 段落 です ね。",
+        "emoji 🎉🎊 mixed with text and ςpecial çhars — em-dash",
+        "<html><body><p>café &amp; naïve &#x1F600; text here "
+        "with enough length to keep</p><nav>skip</nav></body></html>",
+        "مرحبا بالعا"
+        "لم hello world mixed rtl ltr text paragraph",
+        "áccents and combining̈ marks everywhere in this line",
+        "",
+    ]
+    cfg = PARAMS.extractor
+    statuses, errors, texts, units = extract_batch_lists(payloads, cfg)
+
+    rows = [
+        ("u1", i, "user", p, "", dt.datetime(2026, 1, 1))
+        for i, p in enumerate(payloads)
+    ]
+    t = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+    got = {
+        r["turn_idx"]: (r["status"], r["extracted_text"])
+        for r in extract_turns(spark, t, PARAMS).collect()
+    }
+    for i in range(len(payloads)):
+        assert got[i] == (statuses[i], texts[i]), (i, got[i])
