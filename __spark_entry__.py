@@ -1169,6 +1169,154 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, q, k=5)
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Per-source quota cap (curate.cap_per_group): at most 5 docs per
+    source, best-first by (n_chars desc, doc_id) — the hot-domain cap a
+    training mix needs. Spark >= 3.5 plans the rn<=k filter as
+    WindowGroupLimit (partial top-k before the shuffle), so the exchange
+    carries O(sources x k) rows per map task at any corpus size."""
+    d = _read(spark, sf_dir, "documents")
+    kept = curate.cap_per_group(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()], k=5
+    )
+    return kept.select("source", "doc_id", "n_chars", "rn")
+
+
+def _q_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix over events: users grouped by first-seen
+    day, distinct actives per (cohort_day, day_offset). Two map-side
+    combinable aggregations (min-per-user, then count-distinct via an
+    exact pre-distinct) — no windows, no skew hazard."""
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+def _q_url_extract(spark, sf_dir):
+    """URL/domain extraction and per-domain counts — regexp_extract_all
+    -> explode -> groupBy. The synthetic corpus carries no URLs, so each
+    doc is deterministically framed with two derived URLs (same framing
+    in the oracle) to give the extraction teeth. Map-only until one
+    combinable count shuffle."""
+    d = _read(spark, sf_dir, "documents")
+    framed = d.select(
+        F.concat(
+            F.lit("see https://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://mirror-"),
+            F.col("lang"),
+            F.lit(".example.org/x ref "),
+            F.substring("text", 1, 40),
+        ).alias("t")
+    )
+    domains = F.explode(
+        F.regexp_extract_all(F.col("t"), F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)
+    )
+    return (
+        framed.select(domains.alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+def _q_vector_stats(spark, sf_dir):
+    """Per-label embedding geometry report: L2-norm stats via
+    ``F.aggregate`` over the array (JVM higher-order function, no UDF).
+    The double accumulator runs in array order on both engines, so
+    min/max are bit-exact and the avg is stable to the 1e-4 rounding."""
+    e = _read(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = e.select(
+        "label",
+        F.sqrt(sq).alias("norm"),
+        F.element_at("embedding", 1).cast("double").alias("c0"),
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.avg("c0"), 4).alias("avg_c0"),
+    )
+
+
+def _q_dedup_ratio(spark, sf_dir):
+    """Per-source duplication-rate report over the mangled re-ingest
+    union (the dedup family's summary/reporting face): docs seen,
+    distinct normalized fingerprints, dup ratio. Exactly one combinable
+    shuffle (count-distinct pre-aggregates on (source, fp))."""
+    d = _read(spark, sf_dir, "documents")
+    re = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("text"), " ", "  "),
+            F.lit(" "),
+        ).alias("text"),
+        "source",
+    )
+    u = d.select("doc_id", "text", "source").unionByName(re)
+    fp = u.select("source", text.fingerprint("text").alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 4
+        ).alias("dup_ratio"),
+    )
+
+
+def _q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (udfs.nfc_normalize pandas UDF — Spark
+    has no NFC builtin) vs DuckDB's native nfc_normalize. Decomposed
+    text (combining acute, U+0301) is derived per-doc so composition
+    visibly shortens it; byte-dedup correctness at scale depends on
+    normalizing first."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    decomposed = F.concat(
+        F.lit("cafe"),
+        F.lit("́"),
+        F.lit(" "),
+        F.substring("text", 1, 40),
+        F.lit(" re"),
+        F.lit("́"),
+        F.lit("sume"),
+        F.lit("́"),
+    )
+    framed = d.select("doc_id", decomposed.alias("t"))
+    return framed.select(
+        "doc_id",
+        F.length("t").alias("len_before"),
+        F.length(udfs.nfc_normalize("t")).alias("len_after"),
+        udfs.nfc_normalize("t").alias("normalized"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -1242,6 +1390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
+        "q_domain_cap": _q_domain_cap,
+        "q_retention_cohort": _q_retention_cohort,
+        "q_url_extract": _q_url_extract,
+        "q_vector_stats": _q_vector_stats,
+        "q_dedup_ratio": _q_dedup_ratio,
+        "q_unicode_normalize": _q_unicode_normalize,
     }
 
 
@@ -2136,5 +2290,86 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_domain_cap": """
+            SELECT source, doc_id, n_chars, rn FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                     )::INTEGER AS rn
+              FROM documents
+            ) WHERE rn <= 5
+        """,
+        "q_retention_cohort": """
+            WITH ev AS (
+              SELECT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            coh AS (
+              SELECT user_id, min(day) AS cohort_day
+              FROM ev GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT e.user_id, c.cohort_day,
+                     date_diff('day', c.cohort_day, e.day) AS day_offset
+              FROM ev e JOIN coh c USING (user_id)
+            )
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   day_offset::INTEGER AS day_offset,
+                   count(*) AS n_users
+            FROM act GROUP BY 1, 2
+        """,
+        "q_url_extract": """
+            SELECT domain, count(*) AS n_refs FROM (
+              SELECT unnest(regexp_extract_all(
+                'see https://' || source || '.example.com/d/'
+                  || doc_id::VARCHAR || ' and http://mirror-' || lang
+                  || '.example.org/x ref ' || substring(text, 1, 40),
+                'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+              FROM documents
+            ) GROUP BY domain
+        """,
+        "q_vector_stats": """
+            WITH n AS (
+              SELECT label,
+                     sqrt(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       'sum')) AS norm,
+                     CAST(embedding[1] AS DOUBLE) AS c0
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n,
+                   round(min(norm), 4) AS min_norm,
+                   round(max(norm), 4) AS max_norm,
+                   round(avg(norm), 4) AS avg_norm,
+                   round(avg(c0), 4) AS avg_c0
+            FROM n GROUP BY label
+        """,
+        "q_dedup_ratio": f"""
+            WITH u AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     '  ' || replace(text, ' ', '  ') || ' ', source
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            f AS (SELECT source, {fp} AS fp FROM u)
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_distinct,
+                   round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4)
+                     AS dup_ratio
+            FROM f GROUP BY source
+        """,
+        "q_unicode_normalize": """
+            SELECT doc_id,
+                   length(t)::INTEGER AS len_before,
+                   length(nfc_normalize(t))::INTEGER AS len_after,
+                   nfc_normalize(t) AS normalized
+            FROM (
+              SELECT doc_id,
+                     'cafe' || chr(769) || ' ' || substring(text, 1, 40)
+                       || ' re' || chr(769) || 'sume' || chr(769) AS t
+              FROM documents WHERE doc_id < 200
+            )
         """,
     }

@@ -204,3 +204,32 @@ def gopher_signals(
         & (F.col("top_word_ratio") <= max_top_word_ratio)
     )
     return out.withColumn("passes", passes)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Per-group quota cap: keep the best ``k`` rows per ``group_col``
+    under ``order_cols`` (must be a total order for determinism — append
+    a unique id as the last key). The web-scale curation use: cap the
+    number of documents any single domain/source contributes so hot
+    domains can't dominate a training mix.
+
+    Plan: window ``row_number <= k``. Declared this way, Spark >= 3.5
+    inserts ``WindowGroupLimit`` below the shuffle — each map task keeps
+    only its local top-k per group before the exchange, so the shuffle
+    carries O(groups x k) per task, not the whole corpus (pinned in
+    tests/test_curate.py). A hot group therefore costs its reducer at
+    most ``maps x k`` rows, not the group's full size — this is the
+    skew-safe top-k the brief asks about at 100 TB.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StringType
 
 from .text import TOKEN_PATTERN
 
@@ -67,3 +67,14 @@ def zscore_per_group(
     return out.withColumn(
         out_col, F.when(~F.isnan(out_col), F.col(out_col))
     )
+
+
+@pandas_udf(StringType())
+def nfc_normalize(texts):
+    """Arrow-vectorized Unicode NFC normalization (pandas ``str.normalize``
+    — C-loop over the batch, no per-row Python). Spark has no NFC builtin,
+    so this is the canonical 'small vectorized UDF where builtins end'
+    example; DuckDB's ``nfc_normalize`` is the value-exact oracle twin.
+    Training-data relevance: byte-level dedup is wrong when the same text
+    arrives composed and decomposed — normalize first."""
+    return texts.str.normalize("NFC")

@@ -73,3 +73,61 @@ def test_hash_sample_deterministic_and_monotone(spark):
         curate.hash_sample(d, "doc_id", 5, 0)
     with _pytest.raises(ValueError):
         curate.hash_sample(d, "doc_id", 11, 10)
+
+
+def test_cap_per_group_correct_and_plan(spark):
+    """cap_per_group keeps exactly the best-k per group under a total
+    order, and the physical plan carries WindowGroupLimit — the partial
+    top-k that runs before the shuffle (the reason the window form is
+    skew-safe at scale)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    k = 3
+    capped = curate.cap_per_group(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()], k=k
+    )
+    rows = capped.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append(r)
+    base = d.collect()
+    for src, got in per_group.items():
+        want = sorted(
+            (r for r in base if r["source"] == src),
+            key=lambda r: (-r["n_chars"], r["doc_id"]),
+        )[:k]
+        assert sorted(r["doc_id"] for r in got) == sorted(
+            r["doc_id"] for r in want
+        )
+        assert sorted(r["rn"] for r in got) == list(range(1, len(want) + 1))
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate.cap_per_group(d, "source", [F.col("doc_id")], k=0)
+
+
+def test_nfc_normalize_matches_unicodedata(spark):
+    import unicodedata
+
+    from png_from_pdf_extracter_spark.functions import udfs
+
+    samples = [
+        "café",              # decomposed acute -> composed
+        "résumé",
+        "already composed café",
+        "ascii only",
+        "ṩ",                  # s with dot below and dot above
+        "ṩ",           # same, decomposed (NFC-equivalent)
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = {
+        r["t"]: r["n"]
+        for r in df.select(
+            "t", udfs.nfc_normalize("t").alias("n")
+        ).collect()
+    }
+    for s in samples:
+        assert got[s] == unicodedata.normalize("NFC", s)
