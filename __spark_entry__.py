@@ -1169,6 +1169,87 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, q, k=5)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction pass — the scrub every training corpus needs before
+    release: emails -> <EMAIL>, phones -> <PHONE>, IPv4 -> <IP>, with
+    per-doc redaction counts (regexp_count) for the audit trail. The
+    synthetic corpus carries no PII, so each doc is framed with derived
+    addresses (same framing in the oracle). Map-only: stays inside
+    whole-stage codegen, no shuffle at all."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    framed = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" re: "),
+            F.substring("text", 1, 60),
+        ).alias("t"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-555-[0-9]{4}"
+    ip_re = r"\b10\.0\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ),
+        ip_re,
+        "<IP>",
+    )
+    return framed.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(ip_re)).alias("n_ips"),
+        F.substring(scrubbed, 1, 80).alias("scrubbed_head"),
+    )
+
+
+def _q_corpus_diff(spark, sf_dir):
+    """Incremental-ingest snapshot diff: two corpus versions are derived
+    deterministically (v2 drops doc_id%11==3, adds nothing new here but
+    mangles text for doc_id%7==0), full-outer-joined on doc_id, and every
+    doc classified added/removed/changed/unchanged by normalized
+    fingerprint — the change-data report an incremental 100 TB pipeline
+    emits per ingest. One shuffle (the join); the classify+count is
+    map-side combinable."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.filter((F.col("doc_id") % 13) != 5)
+    v2 = d.filter((F.col("doc_id") % 11) != 3).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    f1 = v1.select("doc_id", text.fingerprint("text").alias("fp1"))
+    f2 = v2.select("doc_id", text.fingerprint("text").alias("fp2"))
+    j = f1.join(f2, "doc_id", "full_outer")
+    cls = (
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(cls.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _q_domain_cap(spark, sf_dir):
     """Per-source quota cap (curate.cap_per_group): at most 5 docs per
     source, best-first by (n_chars desc, doc_id) — the hot-domain cap a
@@ -1390,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
+        "q_pii_scrub": _q_pii_scrub,
+        "q_corpus_diff": _q_corpus_diff,
         "q_domain_cap": _q_domain_cap,
         "q_retention_cohort": _q_retention_cohort,
         "q_url_extract": _q_url_extract,
@@ -2290,6 +2373,55 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_pii_scrub": """
+            WITH f AS (
+              SELECT doc_id,
+                     'contact user' || doc_id::VARCHAR || '@' || source
+                       || '.example.com or +1-555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                       || ((doc_id * 7) % 256)::VARCHAR
+                       || ' re: ' || substring(text, 1, 60) AS t
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT doc_id,
+                   length(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   ))::INTEGER AS n_emails,
+                   length(regexp_extract_all(t,
+                     '\\+1-555-[0-9]{4}'))::INTEGER AS n_phones,
+                   length(regexp_extract_all(t,
+                     '\\b10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'
+                   ))::INTEGER AS n_ips,
+                   substring(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+                     '\\b10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                     1, 80) AS scrubbed_head
+            FROM f
+        """,
+        "q_corpus_diff": f"""
+            WITH v1 AS (
+              SELECT doc_id, {fp} AS fp1 FROM documents
+              WHERE doc_id % 13 <> 5
+            ),
+            v2 AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' [edited]' ELSE text END,
+                       '\\s+', ' ', 'g')))) AS fp2
+              FROM documents WHERE doc_id % 11 <> 3
+            )
+            SELECT CASE WHEN fp1 IS NULL THEN 'added'
+                        WHEN fp2 IS NULL THEN 'removed'
+                        WHEN fp1 <> fp2 THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   count(*) AS n_docs
+            FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+            GROUP BY change
         """,
         "q_domain_cap": """
             SELECT source, doc_id, n_chars, rn FROM (

@@ -232,6 +232,14 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_tpch_q5",
         "q_tfidf",
         "q_trailing_window",
+        "q_domain_cap",
+        "q_retention_cohort",
+        "q_url_extract",
+        "q_vector_stats",
+        "q_dedup_ratio",
+        "q_unicode_normalize",
+        "q_pii_scrub",
+        "q_corpus_diff",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
