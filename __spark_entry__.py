@@ -1027,6 +1027,52 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure filter-aggregate —
+    every predicate pushes to the parquet scan, the agg is one map-side
+    partial + one single-row exchange; the whole plan is one
+    WholeStageCodegen span."""
+    li = _read(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): fact-fact shuffle join on
+    orderkey, customer enriched via broadcast, top-20 by revenue with a
+    deterministic tie-break."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _read(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
 def _q_pandas_udf_tokens(spark, sf_dir):
     """The scalar Arrow-UDF boundary, value-checked: the @pandas_udf token
     counter and the JVM-builtin twin side by side — the oracle asserts
@@ -1471,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
+        "q_tpch_q6": _q_tpch_q6,
+        "q_tpch_q10": _q_tpch_q10,
         "q_pii_scrub": _q_pii_scrub,
         "q_corpus_diff": _q_corpus_diff,
         "q_domain_cap": _q_domain_cap,
@@ -2373,6 +2421,30 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
+        "q_tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "q_pii_scrub": """
             WITH f AS (

@@ -240,6 +240,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_unicode_normalize",
         "q_pii_scrub",
         "q_corpus_diff",
+        "q_tpch_q6",
+        "q_tpch_q10",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
