@@ -1215,6 +1215,19 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, q, k=5)
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk): 32x-compressed
+    codes + per-query ADC lookup tables + exact rerank of the shortlist —
+    the memory-bounded 100 TB ANN path next to LSH buckets and IVF cells.
+    Approximate by design (quantization error), so rows-only; recall is
+    pinned in tests/test_sessions.py."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(
+        e, q, k=5, m=16, ksub=64, iterations=3, rerank=4
+    )
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII redaction pass — the scrub every training corpus needs before
     release: emails -> <EMAIL>, phones -> <PHONE>, IPv4 -> <IP>, with
@@ -1517,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
+        "q_ann_pq": _q_ann_pq,
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q10": _q_tpch_q10,
         "q_pii_scrub": _q_pii_scrub,

@@ -242,6 +242,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_corpus_diff",
         "q_tpch_q6",
         "q_tpch_q10",
+        "q_ann_pq",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -398,3 +398,231 @@ def embedding_near_dup_pairs(
             F.col("l.id").alias("id1"), F.col("r.id").alias("id2"), "cos_sim"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN path.
+#
+# At 100 TB an embedding corpus doesn't fit in executor memory as floats:
+# a 64-dim float32 vector is 256 bytes, its PQ code (m=8, ksub=16) is 8
+# codes = 8 bytes — a 32x compression. The standard pipeline (FAISS-style,
+# "Product Quantization for Nearest Neighbor Search", Jegou et al., PAMI
+# 2011 — see PAPERS.md): train per-subspace codebooks on a sample, encode
+# the corpus once (stored compact), answer queries by Asymmetric Distance
+# Computation — a per-query lookup table of subspace distances, so scoring
+# a candidate is m table lookups instead of a dim-length dot product.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    sample: int = 256,
+):
+    """Train per-subspace codebooks driver-side on a deterministic sample.
+
+    Sample = the ``sample`` corpus vectors with smallest md5(id) (no RNG
+    state — identical across runs/engines, the same trick as
+    ``ivf_coarse_centroids``); Lloyd k-means per subspace in numpy.
+    Returns ``codebooks[s][j] = centroid j of subspace s`` (python lists).
+    Training state is tiny (m x ksub x dim/m floats) and rides to
+    executors inside the plan as literals — no shuffle, no broadcast var.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic seed: first ksub distinct sample rows
+        C = Xs[: min(ksub, len(Xs))].copy()
+        for _ in range(iterations):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector into its ``m`` subspace codes — the
+    compact representation stored at scale. Arrow-vectorized numpy over
+    ``mapInPandas``-style batches (a scalar pandas UDF): per batch one
+    einsum-free argmin over (batch, ksub) squared distances per subspace;
+    zero per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cbs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _codes(vecs):
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            C = cbs[s]
+            # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; row-constant ||x||^2
+            # drops out of the argmin
+            d2 = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    codebooks=None,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ approximate top-k via Asymmetric Distance Computation, the
+    query path entirely in JVM builtins:
+
+    - query side (tiny, broadcast): per subspace, a lookup table of
+      squared distances from the query subvector to every codebook entry
+      (``m`` arrays of ``ksub`` doubles). The tables are PROJECTED before
+      the join — the pre-join-projection fix for Catalyst re-inlining the
+      table expression into every downstream reference.
+    - corpus side: the compact codes from ``pq_encode``.
+    - score = sum over subspaces of ``element_at(table_s, code_s + 1)`` —
+      m array lookups per candidate, never a dim-length dot product.
+    - shortlist: top ``rerank * k`` per query by ADC distance
+      (``row_number <= R``, WindowGroupLimit partial top-k below the
+      shuffle), then EXACT cosine rerank of the shortlist only — the
+      standard PQ deployment: the compressed scan prunes the corpus, the
+      exact pass touches ``queries x R`` raw vectors (a broadcast join
+      back into the corpus). ``rerank=0`` returns the raw ADC ranking.
+
+    Approximate by construction (quantization error), so rows-only
+    checked; recall vs the exact baseline is pinned in tests
+    (~0.9 recall@5 at m=16/ksub=64/rerank=4 on near-random unit vectors
+    — the hardest case; clustered real embeddings do better).
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, id_col, vec_col, m=m, ksub=ksub, iterations=iterations
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    def _sqdist(sub, cent) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(f"_sub{s}")
+            for s in range(m)
+        ],
+    )
+    # materialize the per-subspace distance tables as their own projection
+    q = q.select(
+        "query_id",
+        *[
+            F.array(
+                *[_sqdist(F.col(f"_sub{s}"), c) for c in codebooks[s]]
+            ).alias(f"_tab{s}")
+            for s in range(m)
+        ],
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"_tab{s}"), F.element_at("codes", s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        encoded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("pq_dist", F.round(adc, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "pq_dist")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank * k)
+        .select("query_id", "neighbor_id", "pq_dist")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "pq_dist")
+    )
