@@ -1228,6 +1228,19 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composition (similarity.ivfpq_topk — the FAISS IVFADC
+    shape): coarse cells prune candidates via a cell equi-join, PQ codes
+    compress the scoring to ADC lookups, exact rerank restores recall.
+    Rows-only (approximate by design); recall pinned in tests."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        e, q, k=5, n_cells=16, nprobe=4, m=16, ksub=64, iterations=3,
+        rerank=4,
+    )
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII redaction pass — the scrub every training corpus needs before
     release: emails -> <EMAIL>, phones -> <PHONE>, IPv4 -> <IP>, with
@@ -1531,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
         "q_ann_pq": _q_ann_pq,
+        "q_ann_ivfpq": _q_ann_ivfpq,
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q10": _q_tpch_q10,
         "q_pii_scrub": _q_pii_scrub,

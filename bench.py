@@ -243,6 +243,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_tpch_q6",
         "q_tpch_q10",
         "q_ann_pq",
+        "q_ann_ivfpq",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

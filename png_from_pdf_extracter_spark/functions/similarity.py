@@ -626,3 +626,133 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim", "pq_dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF + PQ composition (the FAISS IVFADC index shape) — the full
+    100 TB ANN recipe in one plan:
+
+    - IVF cells PRUNE: corpus rows carry their nearest coarse cell; a
+      query only meets the rows of its ``nprobe`` nearest cells via a
+      cell equi-join (never an all-pairs join).
+    - PQ codes COMPRESS: within probed cells, candidates are scored by
+      ADC table lookups over the 8-byte codes, not the raw vectors.
+    - exact rerank of the top ``rerank*k`` shortlist restores recall.
+
+    So the big side is scanned once to build (cell, codes) — the compact
+    index you would persist bucketed by cell — and the query path touches
+    ~nprobe/n_cells of the corpus at m-lookups per candidate, then
+    ``queries x rerank*k`` raw vectors. Approximate by design; recall
+    pinned in tests.
+    """
+    codebooks = pq_codebooks(
+        corpus, id_col, vec_col, m=m, ksub=ksub, iterations=iterations
+    )
+    mm = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
+
+    indexed = pq_encode(corpus, codebooks, id_col, vec_col).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.array_min(_cell_candidates(F.col(vec_col), cents))[
+                "cell"
+            ].alias("cell"),
+        ),
+        "neighbor_id",
+    )
+
+    def _sqdist(sub, cent) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_cell_candidates(F.col(vec_col), cents)),
+                    1, nprobe,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+        *[
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(f"_sub{s}")
+            for s in range(mm)
+        ],
+    )
+    q = q.select(
+        "query_id",
+        "cell",
+        *[
+            F.array(
+                *[_sqdist(F.col(f"_sub{s}"), c) for c in codebooks[s]]
+            ).alias(f"_tab{s}")
+            for s in range(mm)
+        ],
+    )
+    adc = None
+    for s in range(mm):
+        term = F.element_at(
+            F.col(f"_tab{s}"), F.element_at("codes", s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        indexed.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("pq_dist", F.round(adc, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, 1) * k)
+        .select("query_id", "neighbor_id", "pq_dist")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "pq_dist")
+    )

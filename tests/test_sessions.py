@@ -164,3 +164,35 @@ def test_pq_topk_recall_and_structure(spark):
 
     with pytest.raises(ValueError):
         similarity.pq_codebooks(e, m=7)  # 64 % 7 != 0
+
+
+def test_ivfpq_topk_prune_and_recall(spark):
+    """IVF+PQ composition: k ranked rows per query; probing EVERY cell
+    removes the pruning loss, so recall must reach the pure-PQ+rerank
+    level (>= 0.6 on the near-random corpus); a real nprobe<n_cells
+    setting still returns well-formed ranked output."""
+    from png_from_pdf_extracter_spark.functions import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+
+    full = similarity.ivfpq_topk(
+        e, q, k=5, n_cells=8, nprobe=8, m=16, ksub=64, iterations=5,
+        rerank=4,
+    ).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert len(hits & exact) / len(exact) >= 0.6
+
+    pruned = similarity.ivfpq_topk(
+        e, q, k=5, n_cells=8, nprobe=3, m=16, ksub=64, iterations=3,
+        rerank=4,
+    ).collect()
+    per_q = {}
+    for r in pruned:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
