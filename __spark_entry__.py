@@ -1215,6 +1215,34 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, q, k=5)
 
 
+def _q_sql_surface(spark, sf_dir):
+    """The spark.sql(...) entry point itself — the same engine drives a
+    pure ANSI-SQL string over temp views (CTE + window + join + agg in
+    one statement), proving the SQL surface is first-class next to the
+    DataFrame DSL. The text is dialect-shared with the DuckDB oracle."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    _read(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql("""
+        WITH top_docs AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ) AS rn
+          FROM v_documents
+        ),
+        ev AS (
+          SELECT event_type, count(*) AS n_events,
+                 round(avg(value), 4) AS avg_value
+          FROM v_events GROUP BY event_type
+        )
+        SELECT t.source, t.doc_id, t.n_chars, t.rn,
+               e.event_type, e.n_events, e.avg_value
+        FROM top_docs t
+        CROSS JOIN ev e
+        WHERE t.rn <= 2 AND e.event_type = 'click'
+    """)
+
+
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (similarity.pq_topk): 32x-compressed
     codes + per-query ADC lookup tables + exact rerank of the shortlist —
@@ -1543,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
         "q_ann_lsh": _q_ann_lsh,
+        "q_sql_surface": _q_sql_surface,
         "q_ann_pq": _q_ann_pq,
         "q_ann_ivfpq": _q_ann_ivfpq,
         "q_tpch_q6": _q_tpch_q6,
@@ -2449,6 +2478,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_sql_surface": """
+            WITH top_docs AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     )::INTEGER AS rn
+              FROM documents
+            ),
+            ev AS (
+              SELECT event_type, count(*) AS n_events,
+                     round(avg(value), 4) AS avg_value
+              FROM events GROUP BY event_type
+            )
+            SELECT t.source, t.doc_id, t.n_chars, t.rn,
+                   e.event_type, e.n_events, e.avg_value
+            FROM top_docs t
+            CROSS JOIN ev e
+            WHERE t.rn <= 2 AND e.event_type = 'click'
         """,
         "q_tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -242,13 +242,18 @@ def ivf_kmeans_centroids(
 
 def _cell_candidates(vec, centroids) -> F.Column:
     """array<struct<neg_cos, cell>> for all cells — struct ordering sorts by
-    first field, so array_min / array_sort pick nearest cells. Pure builtins."""
-    cands = []
-    for idx, cvec in centroids:
-        plane = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = _dot(vec, plane) / (_norm(vec) * _norm(plane))
-        cands.append(F.struct((-cos).alias("neg_cos"), F.lit(idx).alias("cell")))
-    return F.array(*cands)
+    first field, so array_min / array_sort pick nearest cells. Pure
+    builtins: one ``transform`` (with the position index as the cell id)
+    over a single nested constant — the per-cell ``F.lit`` expansion cost
+    n_cells x dim py4j calls of driver overhead (see ``_nested_lit``)."""
+    cents = _nested_lit([cvec for _, cvec in sorted(centroids)])
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-(_dot(vec, c) / (_norm(vec) * _norm(c)))).alias("neg_cos"),
+            i.alias("cell"),
+        ),
+    )
 
 
 def ivf_topk(
@@ -504,6 +509,40 @@ def pq_encode(
     )
 
 
+def _nested_lit(values) -> F.Column:
+    """A list-of-lists constant as ONE column expression. Two naive forms
+    are catastrophically slow, both measured on a ksub=64 x m=16 x dsub=4
+    codebook: per-value ``F.lit`` + nested ``F.array`` is ~4,100 py4j
+    round-trips (~19 s of pure driver overhead before Spark sees the
+    plan), and expanding per-centroid expressions made Catalyst codegen
+    the bottleneck (~90 s). ``from_json`` of a single string literal is
+    one py4j call and one constant-folded expression."""
+    import json as _json
+
+    return F.from_json(
+        F.lit(_json.dumps(values)), "array<array<double>>"
+    )
+
+
+def _adc_table(sub, centroids) -> F.Column:
+    """Per-subspace ADC lookup table: squared distance from ``sub`` to
+    every codebook centroid — ONE ``transform`` over the single nested
+    constant (see ``_nested_lit`` for why not ksub separate
+    expressions)."""
+    return F.transform(
+        _nested_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(
+                sub,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -548,17 +587,6 @@ def pq_topk(
 
     encoded = pq_encode(corpus, codebooks, id_col, vec_col)
 
-    def _sqdist(sub, cent) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                sub,
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         *[
@@ -570,9 +598,7 @@ def pq_topk(
     q = q.select(
         "query_id",
         *[
-            F.array(
-                *[_sqdist(F.col(f"_sub{s}"), c) for c in codebooks[s]]
-            ).alias(f"_tab{s}")
+            _adc_table(F.col(f"_sub{s}"), codebooks[s]).alias(f"_tab{s}")
             for s in range(m)
         ],
     )
@@ -674,17 +700,6 @@ def ivfpq_topk(
         "neighbor_id",
     )
 
-    def _sqdist(sub, cent) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                sub,
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
@@ -705,9 +720,7 @@ def ivfpq_topk(
         "query_id",
         "cell",
         *[
-            F.array(
-                *[_sqdist(F.col(f"_sub{s}"), c) for c in codebooks[s]]
-            ).alias(f"_tab{s}")
+            _adc_table(F.col(f"_sub{s}"), codebooks[s]).alias(f"_tab{s}")
             for s in range(mm)
         ],
     )
