@@ -163,3 +163,27 @@ def test_unicode_payloads_roundtrip_exactly(spark):
     }
     for i in range(len(payloads)):
         assert got[i] == (statuses[i], texts[i]), (i, got[i])
+
+
+def test_output_invariant_across_parallelism(spark):
+    """The north rule's cluster-size criterion, correctness half: the
+    SAME input through the SAME plan at two parallelism configurations
+    (2 partitions / 2 salt buckets vs 16 / 8) must produce byte-identical
+    per-turn output — throughput may scale, results may not drift."""
+    from png_from_pdf_extracter_spark.sources import generate_transcripts
+
+    t = generate_transcripts(spark, GenConfig(n_convs=50))
+    cols = ["conv_id", "turn_idx", "status", "error_class", "extracted_text"]
+
+    def run(np_, sb):
+        p = JobParams(
+            n_buckets=16, extractor=GCFG.extractor,
+            num_partitions=np_, salt_buckets=sb,
+        )
+        rows = extract_turns(spark, t, p).select(*cols).collect()
+        return sorted(tuple(r) for r in rows)
+
+    narrow = run(2, 2)
+    wide = run(16, 8)
+    assert len(narrow) > 0
+    assert narrow == wide
