@@ -1367,7 +1367,14 @@ def _q_retention_cohort(spark, sf_dir):
     """Cohort retention matrix over events: users grouped by first-seen
     day, distinct actives per (cohort_day, day_offset). Two map-side
     combinable aggregations (min-per-user, then count-distinct via an
-    exact pre-distinct) — no windows, no skew hazard."""
+    exact pre-distinct) — no windows, no skew hazard.
+
+    Timezone note: events.ts is parquet timestamp WITHOUT
+    isAdjustedToUTC, which Spark reads as TIMESTAMP_NTZ — ``to_date`` on
+    NTZ never consults the session timezone, and DuckDB's
+    ``CAST(ts AS DATE)`` truncates the same naive wall time, so the
+    day-boundary oracle holds under any driver timezone. If this table
+    ever becomes an instant (LTZ) column, both sides must pin a zone."""
     e = _read(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )

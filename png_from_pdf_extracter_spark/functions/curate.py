@@ -228,6 +228,11 @@ def cap_per_group(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "rn" in df.columns:
+        raise ValueError(
+            "cap_per_group emits a 'rn' column; input already has one — "
+            "rename it first"
+        )
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     return (
         df.withColumn("rn", F.row_number().over(w))

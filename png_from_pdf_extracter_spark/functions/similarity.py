@@ -240,17 +240,46 @@ def ivf_kmeans_centroids(
     return cents
 
 
-def _cell_candidates(vec, centroids) -> F.Column:
+def _cell_candidates(vec, centroids, vec_norm=None) -> F.Column:
     """array<struct<neg_cos, cell>> for all cells — struct ordering sorts by
     first field, so array_min / array_sort pick nearest cells. Pure
     builtins: one ``transform`` (with the position index as the cell id)
     over a single nested constant — the per-cell ``F.lit`` expansion cost
-    n_cells x dim py4j calls of driver overhead (see ``_nested_lit``)."""
-    cents = _nested_lit([cvec for _, cvec in sorted(centroids)])
+    n_cells x dim py4j calls of driver overhead (see ``_nested_lit``).
+
+    The score is ``-dot(vec, c) / |c|`` — the ROW norm is deliberately
+    absent: it is a positive per-row constant across all cells, so it
+    cannot change the argmin / probe order, and keeping it inside the
+    lambda would re-evaluate an O(dim) aggregate once per CELL per row
+    (the Catalyst lambda-inlining pitfall — a pre-projected column would
+    not help either, CollapseProject re-inlines it into the lambda).
+    Centroid norms ARE per-cell and ship as a second folded constant.
+    ``vec_norm`` is accepted for signature compatibility and ignored.
+
+    Requires centroid ids to be exactly their position 0..n-1 (every
+    producer enumerates them; validated here because the transform index
+    IS the emitted cell id)."""
+    import json as _json
+    import math
+
+    ordered = sorted(centroids)
+    if [i for i, _ in ordered] != list(range(len(ordered))):
+        raise ValueError(
+            "centroid ids must be exactly 0..n-1 (positional); got "
+            f"{[i for i, _ in ordered]}"
+        )
+    cents = _nested_lit([cvec for _, cvec in ordered])
+    cnorms = F.from_json(
+        F.lit(_json.dumps(
+            [math.sqrt(sum(float(x) * float(x) for x in cvec))
+             for _, cvec in ordered]
+        )),
+        "array<double>",
+    )
     return F.transform(
         cents,
         lambda c, i: F.struct(
-            (-(_dot(vec, c) / (_norm(vec) * _norm(c)))).alias("neg_cos"),
+            (-(_dot(vec, c) / F.element_at(cnorms, i + 1))).alias("neg_cos"),
             i.alias("cell"),
         ),
     )
@@ -284,11 +313,15 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.array_min(_cell_candidates(F.col(vec_col), cents))["cell"].alias("cell"),
+        _norm(F.col(vec_col)).alias("cn"),
+        F.array_min(_cell_candidates(F.col(vec_col), cents))["cell"].alias(
+            "cell"
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(
             F.transform(
                 F.slice(
@@ -300,8 +333,7 @@ def ivf_topk(
         ).alias("cell"),
     )
     scored = (
-        c.withColumn("cn", _norm(F.col("cvec")))
-        .join(F.broadcast(q.withColumn("qn", _norm(F.col("qvec")))), "cell")
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
@@ -440,7 +472,8 @@ def pq_codebooks(
     import numpy as np
 
     rows = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(vec_col).alias("v"),
             F.md5(F.col(id_col).cast("string")).alias("_h"),
         )
@@ -476,12 +509,16 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra: dict | None = None,
 ) -> DataFrame:
     """Encode every corpus vector into its ``m`` subspace codes — the
     compact representation stored at scale. Arrow-vectorized numpy over
     ``mapInPandas``-style batches (a scalar pandas UDF): per batch one
     einsum-free argmin over (batch, ksub) squared distances per subspace;
-    zero per-row Python."""
+    zero per-row Python. Null embeddings are dropped (see below).
+    ``extra``: {name: Column} computed in the SAME projection — e.g. the
+    IVF cell id — so building a combined index never needs a second
+    corpus scan or a self-join."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -504,9 +541,14 @@ def pq_encode(
             out[:, s] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"), _codes(F.col(vec_col)).alias("codes")
-    )
+    # null embeddings would arrive as ragged None rows and crash the numpy
+    # batch — drop them here, matching the null-propagating builtins paths
+    # (a null vector has no meaningful code)
+    clean = corpus.filter(F.col(vec_col).isNotNull())
+    cols = [F.col(id_col).alias("neighbor_id"), _codes(F.col(vec_col)).alias("codes")]
+    for name, expr in (extra or {}).items():
+        cols.append(expr.alias(name))
+    return clean.select(*cols)
 
 
 def _nested_lit(values) -> F.Column:
@@ -543,75 +585,64 @@ def _adc_table(sub, centroids) -> F.Column:
     )
 
 
-def pq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    m: int = 8,
-    ksub: int = 16,
-    iterations: int = 3,
-    codebooks=None,
-    rerank: int = 4,
+def _adc_query_frame(
+    queries: DataFrame, id_col: str, vec_col: str, codebooks, cell_expr=None
 ) -> DataFrame:
-    """PQ approximate top-k via Asymmetric Distance Computation, the
-    query path entirely in JVM builtins:
-
-    - query side (tiny, broadcast): per subspace, a lookup table of
-      squared distances from the query subvector to every codebook entry
-      (``m`` arrays of ``ksub`` doubles). The tables are PROJECTED before
-      the join — the pre-join-projection fix for Catalyst re-inlining the
-      table expression into every downstream reference.
-    - corpus side: the compact codes from ``pq_encode``.
-    - score = sum over subspaces of ``element_at(table_s, code_s + 1)`` —
-      m array lookups per candidate, never a dim-length dot product.
-    - shortlist: top ``rerank * k`` per query by ADC distance
-      (``row_number <= R``, WindowGroupLimit partial top-k below the
-      shuffle), then EXACT cosine rerank of the shortlist only — the
-      standard PQ deployment: the compressed scan prunes the corpus, the
-      exact pass touches ``queries x R`` raw vectors (a broadcast join
-      back into the corpus). ``rerank=0`` returns the raw ADC ranking.
-
-    Approximate by construction (quantization error), so rows-only
-    checked; recall vs the exact baseline is pinned in tests
-    (~0.9 recall@5 at m=16/ksub=64/rerank=4 on near-random unit vectors
-    — the hardest case; clustered real embeddings do better).
-    """
-    if codebooks is None:
-        codebooks = pq_codebooks(
-            corpus, id_col, vec_col, m=m, ksub=ksub, iterations=iterations
-        )
+    """The broadcast query side shared by pq_topk / ivfpq_topk: query_id
+    (+ the exploded probe ``cell`` when given) and one ADC lookup table
+    per subspace, MATERIALIZED as their own projection before the join —
+    the pre-join-projection fix for Catalyst re-inlining the table
+    expression into every downstream reference."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-
-    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
+    head = [F.col(id_col).alias("query_id")]
+    keep = ["query_id"]
+    if cell_expr is not None:
+        head.append(cell_expr.alias("cell"))
+        keep.append("cell")
+    base = queries.select(
+        *head,
         *[
             F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(f"_sub{s}")
             for s in range(m)
         ],
     )
-    # materialize the per-subspace distance tables as their own projection
-    q = q.select(
-        "query_id",
+    return base.select(
+        *keep,
         *[
             _adc_table(F.col(f"_sub{s}"), codebooks[s]).alias(f"_tab{s}")
             for s in range(m)
         ],
     )
+
+
+def _adc_sum(m: int) -> F.Column:
+    """ADC score: sum over subspaces of ``table_s[code_s]`` — m array
+    lookups per candidate, never a dim-length dot product."""
     adc = None
     for s in range(m):
         term = F.element_at(
             F.col(f"_tab{s}"), F.element_at("codes", s + 1) + 1
         )
         adc = term if adc is None else adc + term
-    scored = (
-        encoded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("pq_dist", F.round(adc, 6))
-    )
+    return adc
+
+
+def _adc_finish(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """Shared tail of the PQ query path. ``rerank <= 0``: raw ADC ranking
+    (query_id, neighbor_id, rank, pq_dist). Otherwise: top ``rerank*k``
+    ADC shortlist per query (``row_number <= R`` — WindowGroupLimit
+    partial top-k below the shuffle), then EXACT cosine rerank of the
+    shortlist only — a broadcast join back into the corpus touching
+    ``queries x R`` raw vectors."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -654,6 +685,53 @@ def pq_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    codebooks=None,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ approximate top-k via Asymmetric Distance Computation, the
+    query path entirely in JVM builtins:
+
+    - query side (tiny, broadcast): per subspace, a lookup table of
+      squared distances from the query subvector to every codebook entry
+      (``m`` arrays of ``ksub`` doubles). The tables are PROJECTED before
+      the join — the pre-join-projection fix for Catalyst re-inlining the
+      table expression into every downstream reference.
+    - corpus side: the compact codes from ``pq_encode``.
+    - score = sum over subspaces of ``element_at(table_s, code_s + 1)`` —
+      m array lookups per candidate, never a dim-length dot product.
+    - shortlist: top ``rerank * k`` per query by ADC distance
+      (``row_number <= R``, WindowGroupLimit partial top-k below the
+      shuffle), then EXACT cosine rerank of the shortlist only — the
+      standard PQ deployment: the compressed scan prunes the corpus, the
+      exact pass touches ``queries x R`` raw vectors (a broadcast join
+      back into the corpus). ``rerank=0`` returns the raw ADC ranking.
+
+    Approximate by construction (quantization error), so rows-only
+    checked; recall vs the exact baseline is pinned in tests
+    (~0.9 recall@5 at m=16/ksub=64/rerank=4 on near-random unit vectors
+    — the hardest case; clustered real embeddings do better).
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, id_col, vec_col, m=m, ksub=ksub, iterations=iterations
+        )
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    q = _adc_query_frame(queries, id_col, vec_col, codebooks)
+    scored = encoded.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("pq_dist", F.round(_adc_sum(len(codebooks)), 6))
+    return _adc_finish(scored, corpus, queries, id_col, vec_col, k, rerank)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -675,7 +753,8 @@ def ivfpq_topk(
       cell equi-join (never an all-pairs join).
     - PQ codes COMPRESS: within probed cells, candidates are scored by
       ADC table lookups over the 8-byte codes, not the raw vectors.
-    - exact rerank of the top ``rerank*k`` shortlist restores recall.
+    - exact rerank of the top ``rerank*k`` shortlist restores recall
+      (``rerank=0``: raw ADC ranking, same contract as ``pq_topk``).
 
     So the big side is scanned once to build (cell, codes) — the compact
     index you would persist bucketed by cell — and the query path touches
@@ -686,86 +765,31 @@ def ivfpq_topk(
     codebooks = pq_codebooks(
         corpus, id_col, vec_col, m=m, ksub=ksub, iterations=iterations
     )
-    mm = len(codebooks)
-    dsub = len(codebooks[0][0])
     cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
 
-    indexed = pq_encode(corpus, codebooks, id_col, vec_col).join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.array_min(_cell_candidates(F.col(vec_col), cents))[
+    # codes AND cell in the one encode projection — no second corpus scan,
+    # no corpus-cardinality self-join
+    indexed = pq_encode(
+        corpus, codebooks, id_col, vec_col,
+        extra={
+            "cell": F.array_min(_cell_candidates(F.col(vec_col), cents))[
                 "cell"
-            ].alias("cell"),
-        ),
-        "neighbor_id",
+            ]
+        },
     )
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(_cell_candidates(F.col(vec_col), cents)),
-                    1, nprobe,
-                ),
-                lambda s: s["cell"],
-            )
-        ).alias("cell"),
-        *[
-            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(f"_sub{s}")
-            for s in range(mm)
-        ],
-    )
-    q = q.select(
-        "query_id",
-        "cell",
-        *[
-            _adc_table(F.col(f"_sub{s}"), codebooks[s]).alias(f"_tab{s}")
-            for s in range(mm)
-        ],
-    )
-    adc = None
-    for s in range(mm):
-        term = F.element_at(
-            F.col(f"_tab{s}"), F.element_at("codes", s + 1) + 1
+    probe = F.explode(
+        F.transform(
+            F.slice(
+                F.array_sort(_cell_candidates(F.col(vec_col), cents)),
+                1, nprobe,
+            ),
+            lambda s: s["cell"],
         )
-        adc = term if adc is None else adc + term
+    )
+    q = _adc_query_frame(queries, id_col, vec_col, codebooks, cell_expr=probe)
     scored = (
         indexed.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("pq_dist", F.round(adc, 6))
+        .withColumn("pq_dist", F.round(_adc_sum(len(codebooks)), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
-    )
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= max(rerank, 1) * k)
-        .select("query_id", "neighbor_id", "pq_dist")
-    )
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    cand = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-        )
-        .join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-                6,
-            ),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim", "pq_dist")
-    )
+    return _adc_finish(scored, corpus, queries, id_col, vec_col, k, rerank)

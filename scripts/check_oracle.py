@@ -79,6 +79,12 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo must not report "0 fail" success for a gate that never ran
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 2
     n_pass = n_rowsonly = n_fail = 0
     failures = []
     for name, fn in queries.items():
