@@ -1073,6 +1073,126 @@ def _q_tpch_q10(spark, sf_dir):
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
 
 
+def _q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): decorrelated EXISTS —
+    the subquery becomes a LEFT SEMI join on orderkey, which Spark
+    executes as a shuffled semi-join that only ships the join key from
+    the lineitem side; no fact-row duplication. The synthetic lineitem
+    has no commit/receipt dates, so the EXISTS predicate is the
+    returned-item flag instead (same plan shape)."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    sel = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return sel.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority split): fact-fact join on
+    orderkey + conditional CASE aggregation. The synthetic lineitem has
+    no shipmode, so the group key is l_linestatus (same two-sum CASE
+    plan). Both sums are map-side combinable."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): broadcast the 200-row part dim, one
+    single-row conditional aggregate — the promo ratio is computed from
+    two map-side-combinable sums, never a second pass."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    p = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): the IN-subquery over
+    sum(l_quantity) is planned as aggregate -> semi-join -> re-join, with
+    the qualifying-orderkey set (tiny after the HAVING) broadcast back
+    against both fact tables; the big lineitem table is aggregated
+    map-side first so the only wide exchange carries (orderkey, sum)."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 95)
+    )
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    j = (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return j.select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice",
+        F.col("total_qty").alias("sum_qty"),
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    brand/size/quantity disjunction stays INSIDE the join filter so
+    Catalyst derives the common l_partkey = p_partkey equi-condition —
+    a broadcast hash join, not a nested-loop over the disjunction."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 35))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 45))
+        )
+    )
+    return j.filter(clause).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def _q_pandas_udf_tokens(spark, sf_dir):
     """The scalar Arrow-UDF boundary, value-checked: the @pandas_udf token
     counter and the JVM-builtin twin side by side — the oracle asserts
@@ -1583,6 +1703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq": _q_ann_ivfpq,
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q10": _q_tpch_q10,
+        "q_tpch_q4": _q_tpch_q4,
+        "q_tpch_q12": _q_tpch_q12,
+        "q_tpch_q14": _q_tpch_q14,
+        "q_tpch_q18": _q_tpch_q18,
+        "q_tpch_q19": _q_tpch_q19,
         "q_pii_scrub": _q_pii_scrub,
         "q_corpus_diff": _q_corpus_diff,
         "q_domain_cap": _q_domain_cap,
@@ -2528,6 +2653,62 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q_tpch_q12": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "q_tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_revenue_pct,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        """,
+        "q_tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                   big.total_qty AS sum_qty
+            FROM orders
+            JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 95
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q_tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 25)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 45)
         """,
         "q_pii_scrub": """
             WITH f AS (
