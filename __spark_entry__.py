@@ -200,6 +200,28 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_chunk_dedup(spark, sf_dir):
+    """Passage-level exact-substring dedup (chunked ExactSubstr): the
+    planted re-ingest union guarantees cross-document repeated windows,
+    so the oracle proves chunking + corpus-wide grouping, not just an
+    empty result."""
+    d = _with_reingest_exact(
+        _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    )
+    return dedup.duplicated_chunks(d, "doc_id", "text", chunk=40, stride=40)
+
+
+def _q_mix_weights(spark, sf_dir):
+    """Source mixing weights for a training data mix: per-source token
+    share and the uniform-target sampling weight."""
+    d = _read(spark, sf_dir, "documents")
+    return curate.source_mix_weights(
+        d.select("source", text.token_count("text").alias("n_tokens")),
+        "source",
+        "n_tokens",
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
@@ -1634,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_metrics": _q_group_metrics,
         "q_error_classify": _q_error_classify,
         "q_dedup_exact": _q_dedup_exact,
+        "q_chunk_dedup": _q_chunk_dedup,
+        "q_mix_weights": _q_mix_weights,
         "q_fingerprint": _q_fingerprint,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
@@ -1882,6 +1906,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dupes
             FROM ingested GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "q_chunk_dedup": """
+            WITH ingested AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 500
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id < 500 AND doc_id % 7 = 0
+            ),
+            ch AS (
+              SELECT doc_id, substring(text, off::INTEGER, 40) AS chunk
+              FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 39, 40))
+                         AS off
+                FROM ingested WHERE length(text) >= 40
+              )
+            )
+            SELECT chunk,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occ,
+                   min(doc_id) AS first_doc
+            FROM ch GROUP BY chunk
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "q_mix_weights": f"""
+            WITH per AS (
+              SELECT source,
+                     sum(length(regexp_extract_all(text,
+                       '{_TOKEN_RE_SQL}')))::BIGINT AS tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, tokens,
+                   round(tokens::DOUBLE / sum(tokens) OVER (), 6)
+                     AS actual_share,
+                   round(1.0::DOUBLE / count(*) OVER (), 6) AS target_share,
+                   round((1.0::DOUBLE / count(*) OVER ())
+                     / (tokens::DOUBLE / sum(tokens) OVER ()), 6) AS weight
+            FROM per
         """,
         "q_fingerprint": f"""
             WITH ingested AS (

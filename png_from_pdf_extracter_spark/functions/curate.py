@@ -238,3 +238,55 @@ def cap_per_group(
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def source_mix_weights(
+    df: DataFrame,
+    source_col: str,
+    weight_col,
+    target_shares: dict | None = None,
+) -> DataFrame:
+    """Training-mixture reweighting: given a corpus and a per-row weight
+    (token count, usually), compute each source's actual share of the
+    mix and the sampling weight that moves it to its target share
+    (uniform across sources unless ``target_shares`` gives explicit
+    fractions). ``weight > 1`` means upsample (epochs over that source),
+    ``< 1`` means downsample — the knob a data-mixing stage feeds to a
+    hash_sample per source.
+    Returns (source, tokens, actual_share, target_share, weight).
+
+    Scale: one map-side-combinable sum per source is the only pass over
+    the corpus; the share/weight math runs on the post-aggregation table
+    (one row per source — tiny by construction), where the empty-frame
+    window's single-partition exchange is free."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    per = df.groupBy(source_col).agg(
+        F.sum(wcol).cast("long").alias("tokens")
+    )
+    if target_shares is not None:
+        total_share = sum(target_shares.values())
+        if abs(total_share - 1.0) > 1e-9:
+            raise ValueError(
+                f"target_shares must sum to 1, got {total_share}"
+            )
+        tgt = F.coalesce(
+            *[
+                F.when(F.col(source_col) == s, F.lit(float(v)))
+                for s, v in target_shares.items()
+            ],
+            F.lit(0.0),
+        )
+    else:
+        tgt = None
+    w = Window.partitionBy()
+    total = F.sum("tokens").over(w)
+    if tgt is None:
+        tgt = F.lit(1.0) / F.count("*").over(w)
+    actual = F.col("tokens") / total
+    return per.select(
+        F.col(source_col),
+        "tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(tgt / actual, 6).alias("weight"),
+    )

@@ -88,6 +88,54 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def duplicated_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 40,
+    stride: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level exact-substring duplication: the chunked
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better") — slide
+    fixed-width windows over each document, group identical windows
+    corpus-wide, report every chunk seen in >= ``min_docs`` distinct
+    documents. Catches copied PASSAGES inside otherwise-distinct
+    documents, which whole-document `exact_dedup` cannot.
+    Returns (chunk, n_docs, n_occ, first_doc).
+
+    Scale: chunk generation is map-only — one Generate (explode of the
+    per-doc offset array) plus a Project whose substr runs inside
+    whole-stage codegen; the document text never crosses a stage
+    boundary. The single exchange is the groupBy on the chunk value with
+    map-side partial aggregation. No join anywhere. At 100 TB, group on
+    ``_h(chunk)`` instead of the 40-byte string to shrink the shuffle
+    (the string form is kept here so the oracle can compare values), and
+    raise ``stride`` toward ``chunk`` to trade recall for volume."""
+    full = df.filter(F.length(text_col) >= chunk)
+    offs = F.sequence(
+        F.lit(1), F.length(text_col) - (chunk - 1), F.lit(stride)
+    )
+    chunks = full.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                offs, lambda o: F.col(text_col).substr(o, F.lit(chunk))
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count_distinct("_id").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(

@@ -131,3 +131,34 @@ def test_nfc_normalize_matches_unicodedata(spark):
     }
     for s in samples:
         assert got[s] == unicodedata.normalize("NFC", s)
+
+
+def test_source_mix_weights_uniform_and_explicit(spark):
+    rows = [("a", 600), ("a", 150), ("b", 150), ("c", 100)]
+    d = spark.createDataFrame(rows, ["source", "n_tokens"])
+    out = {
+        r["source"]: r
+        for r in curate.source_mix_weights(d, "source", "n_tokens").collect()
+    }
+    # totals: a=750 b=150 c=100, total=1000, uniform target 1/3
+    assert out["a"]["tokens"] == 750
+    assert abs(out["a"]["actual_share"] - 0.75) < 1e-9
+    assert abs(out["a"]["weight"] - (1 / 3) / 0.75) < 1e-6
+    assert abs(out["c"]["weight"] - (1 / 3) / 0.10) < 1e-6
+    # explicit targets override uniform
+    tgt = {"a": 0.5, "b": 0.25, "c": 0.25}
+    out2 = {
+        r["source"]: r
+        for r in curate.source_mix_weights(
+            d, "source", "n_tokens", target_shares=tgt
+        ).collect()
+    }
+    assert abs(out2["b"]["target_share"] - 0.25) < 1e-9
+    assert abs(out2["b"]["weight"] - 0.25 / 0.15) < 1e-6
+    # targets must sum to 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate.source_mix_weights(
+            d, "source", "n_tokens", target_shares={"a": 0.5}
+        )

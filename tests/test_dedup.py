@@ -181,3 +181,42 @@ def test_connected_components_vs_union_find(spark):
         got = {r["node"]: r["component"] for r in out.collect()}
         dedup.release(out)
         assert got == want
+
+
+class TestDuplicatedChunks:
+    def test_finds_cross_doc_passage(self, spark):
+        shared = "X" * 35 + "YABCD"  # one full 40-char window
+        rows = [
+            (1, shared + " unique tail one " + "a" * 40),
+            (2, "different head " + "b" * 30 + shared),
+            (3, "no overlap here " + "c" * 60),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        # stride 1 => every window; the shared passage must surface
+        out = dedup.duplicated_chunks(
+            d, "doc_id", "text", chunk=40, stride=1
+        ).collect()
+        assert any(r["chunk"] == shared and r["n_docs"] == 2 for r in out)
+        assert all(r["n_docs"] >= 2 for r in out)
+        assert all(3 not in (r["first_doc"],) for r in out)
+
+    def test_short_docs_skipped_and_no_partial_chunks(self, spark):
+        rows = [(1, "short"), (2, "short")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        assert (
+            dedup.duplicated_chunks(d, "doc_id", "text", chunk=40).count()
+            == 0
+        )
+
+    def test_within_doc_repeat_not_cross_doc(self, spark):
+        # same window twice in ONE doc: n_docs stays 1 -> filtered out
+        rep = "z" * 40
+        d = spark.createDataFrame(
+            [(1, rep + rep)], "doc_id long, text string"
+        )
+        assert (
+            dedup.duplicated_chunks(
+                d, "doc_id", "text", chunk=40, stride=40
+            ).count()
+            == 0
+        )
