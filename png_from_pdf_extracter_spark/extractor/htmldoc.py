@@ -94,20 +94,18 @@ class _Walker:
     stack: List[str] = field(default_factory=list)
     drop_depth: int = 0
     anchor_depth: int = 0
+    # Incremental twins of the stack scans the hot flush() used to do:
+    # block_stack mirrors the BLOCK_TAGS members of ``stack`` (in order),
+    # boiler_depth counts the BOILERPLATE_TAGS members. Both are kept in
+    # lockstep with every push AND every implicit pop, so
+    # block_stack[-1] / boiler_depth > 0 equal the old O(depth) scans.
+    block_stack: List[str] = field(default_factory=list)
+    boiler_depth: int = 0
     parts: List[str] = field(default_factory=list)
     link_len: int = 0
     start: int = -1
     end: int = -1
     blocks: List[Block] = field(default_factory=list)
-
-    def _current_block_tag(self) -> str:
-        for tag in reversed(self.stack):
-            if tag in BLOCK_TAGS:
-                return tag
-        return "body"
-
-    def _boiler(self) -> bool:
-        return any(t in BOILERPLATE_TAGS for t in self.stack)
 
     def flush(self) -> None:
         if not self.parts:
@@ -116,12 +114,12 @@ class _Walker:
         if text:
             self.blocks.append(
                 Block(
-                    tag=self._current_block_tag(),
+                    tag=self.block_stack[-1] if self.block_stack else "body",
                     text=text,
                     link_chars=min(self.link_len, len(text)),
                     raw_start=self.start,
                     raw_end=self.end,
-                    boilerplate=self._boiler(),
+                    boilerplate=self.boiler_depth > 0,
                 )
             )
         self.parts = []
@@ -133,7 +131,7 @@ class _Walker:
         if self.drop_depth > 0:
             return
         decoded = _htmllib.unescape(raw)
-        if not decoded.strip():
+        if not decoded or decoded.isspace():
             # pure-whitespace node: contributes separation, not provenance
             if self.parts:
                 self.parts.append(" ")
@@ -162,15 +160,19 @@ def extract_blocks(
     """
     w = _Walker()
     for m in _TOKEN_RE.finditer(html):
-        if m.group(5) is not None:  # text node
+        # lastindex discriminates the alternation in O(1): 5 = text node,
+        # 4 = tag (groups 1-4 all participate, group 4 is highest),
+        # None = comment / doctype / cdata.
+        li = m.lastindex
+        if li == 5:  # text node
             w.text_node(m.group(5), m.start(5), m.end(5))
             continue
-        tag = m.group(2)
-        if tag is None:  # comment / doctype / cdata
+        if li != 4:  # comment / doctype / cdata
             continue
+        slash, tag, close_slash = m.group(1, 2, 4)
         tag = tag.lower()
-        closing = m.group(1) == "/"
-        self_closing = m.group(4) == "/" or tag in VOID_TAGS
+        closing = slash == "/"
+        self_closing = close_slash == "/" or tag in VOID_TAGS
 
         if not closing and self_closing:
             if tag == "br" and w.parts:
@@ -185,14 +187,23 @@ def extract_blocks(
                     w.drop_depth -= 1
             if tag == "a" and w.anchor_depth > 0:
                 w.anchor_depth -= 1
-            # pop to matching open tag if present
+            # pop to matching open tag if present; implicit pops keep the
+            # incremental block/boiler state in lockstep with the stack
             if tag in w.stack:
                 while w.stack:
-                    if w.stack.pop() == tag:
+                    t = w.stack.pop()
+                    if t in BLOCK_TAGS:
+                        w.block_stack.pop()
+                        if t in BOILERPLATE_TAGS:
+                            w.boiler_depth -= 1
+                    if t == tag:
                         break
         else:
             if tag in BLOCK_TAGS:
                 w.flush()
+                w.block_stack.append(tag)
+                if tag in BOILERPLATE_TAGS:
+                    w.boiler_depth += 1
             if tag in DROP_TAGS:
                 w.drop_depth += 1
             if tag == "a":
