@@ -24,6 +24,7 @@ from png_from_pdf_extracter_spark.functions import (
     curate,
     dedup,
     multimodal,
+    incremental,
     similarity,
     text,
     udfs,
@@ -568,6 +569,25 @@ def _q_profile_sketch(spark, sf_dir):
             F.expr("approx_percentile(value, 0.95, 10000)"), 4
         ).alias("p95_approx"),
     )
+
+
+def _q_incremental_profile(spark, sf_dir):
+    """Incremental aggregate maintenance, verified by the merge law:
+    split the events table into two disjoint snapshots (old corpus /
+    newly-landed batch), aggregate each into mergeable partial states,
+    merge, finalize — the oracle computes the same moments DIRECTLY over
+    the whole table, so a green row proves merge(partial(A), partial(B))
+    == direct(A ∪ B). This is how a 10^12-turn metrics table absorbs a
+    new batch without re-aggregating the corpus."""
+    e = _read(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 2 == 0)
+    delta = e.filter(F.col("event_id") % 2 == 1)
+    merged = incremental.merge_profiles(
+        "event_type",
+        incremental.partial_profile(old, "event_type", "value"),
+        incremental.partial_profile(delta, "event_type", "value"),
+    )
+    return incremental.finalize_profile(merged, "event_type")
 
 
 def _q_curate(spark, sf_dir):
@@ -1685,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": _q_json_extract,
         "q_pivot": _q_pivot,
         "q_profile": _q_profile,
+        "q_incremental_profile": _q_incremental_profile,
         "q_curate": _q_curate,
         "q_curate_funnel": _q_curate_funnel,
         "q_asof_attr": _q_asof_attr,
@@ -2309,6 +2330,19 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                    count(CASE WHEN event_type = 'error' THEN 1 END) AS error
             FROM events GROUP BY user_id
+        """,
+        "q_incremental_profile": """
+            SELECT event_type,
+                   count(value)::BIGINT AS n,
+                   round(sum(value) / count(value), 4) AS mean,
+                   round(CASE WHEN count(value) >= 2 THEN
+                     sqrt(greatest(
+                       (sum(value * value)
+                        - sum(value) * sum(value) / count(value))
+                       / (count(value) - 1), 0.0)) END, 4) AS std,
+                   round(min(value), 4) AS mn,
+                   round(max(value), 4) AS mx
+            FROM events GROUP BY event_type
         """,
         "q_profile": """
             SELECT event_type,

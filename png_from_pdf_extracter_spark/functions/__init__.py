@@ -12,11 +12,13 @@
                    -> token budget) and its per-stage funnel report, plus
                    sequence packing, deterministic hash sampling, and
                    Gopher-style repetition signals.
+``incremental.py`` mergeable partial profiles (n/s/ss/min/max monoid
+                   states) for cross-run aggregate maintenance.
 ``udfs.py``        the sanctioned Python-boundary rungs (scalar pandas_udf,
                    grouped-map applyInPandas) proven against value-exact
                    oracles.
 """
 
-from . import curate, dedup, multimodal, similarity, text, udfs
+from . import curate, dedup, incremental, multimodal, similarity, text, udfs
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "udfs"]
+__all__ = ["text", "dedup", "incremental", "similarity", "multimodal", "curate", "udfs"]

@@ -93,6 +93,31 @@ class Catalog:
     def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.table(table)
 
+    def write_clustered(
+        self,
+        df: DataFrame,
+        table: str,
+        cluster_cols: list,
+        n_files: int,
+    ) -> None:
+        """Range-clustered layout (the Z-order-lite for a single sort
+        dimension): repartitionByRange + sortWithinPartitions before the
+        write, so each output file covers a narrow, non-overlapping slice
+        of the cluster key and carries tight parquet min/max column
+        statistics. A later filtered scan on that key then prunes whole
+        files (and row groups) from the footer stats alone — at 100 TB
+        the difference between reading 1/1000th of the table and reading
+        all of it. Unlike ``write_bucketed`` this needs no session-catalog
+        metadata: stats pruning works through a plain
+        ``spark.read.parquet``. Use bucketing to kill JOIN shuffles,
+        clustering to kill FILTER scan volume."""
+        (
+            df.repartitionByRange(n_files, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(self.path(table))
+        )
+
     def table_bytes(self, table: str) -> int:
         total = 0
         for dirpath, _dirs, files in os.walk(self.path(table)):

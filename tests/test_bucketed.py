@@ -57,3 +57,35 @@ def test_bucketed_roundtrip_rows(spark, tmp_path):
     back = catalog.read_bucketed(spark, "bk_rt")
     assert sorted(r["id"] for r in back.collect()) == list(range(500))
     spark.sql("DROP TABLE IF EXISTS bk_rt")
+
+
+def test_clustered_write_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered: each parquet file covers a non-overlapping slice
+    of the cluster key (range partitioning + in-file sort), which is what
+    lets footer min/max stats prune whole files on a filtered scan."""
+    import glob
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", (F.col("id") * 7919) % 5000)  # shuffled key
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    catalog.write_clustered(df, "clustered", ["k"], n_files=8)
+
+    files = sorted(glob.glob(str(tmp_path / "wh" / "clustered" / "*.parquet")))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+    # nothing lost in the re-layout
+    total = spark.read.parquet(str(tmp_path / "wh" / "clustered")).count()
+    assert total == 5000

@@ -36,3 +36,41 @@ def test_sketch_tracks_exact(spark):
         # within 5% of the exact quantile's value range
         for a, b in (("p50_approx", "p50"), ("p95_approx", "p95")):
             assert abs(s[a] - ex[b]) <= 0.05 * max(abs(ex[b]), 1.0), (et, a)
+
+
+def test_merge_law_random_splits(spark):
+    """merge(partial(A), partial(B), ...) == partial(whole), for arbitrary
+    disjoint splits — the contract that lets a stored profile absorb new
+    batches without rescanning the corpus."""
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.functions import incremental
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = {
+        r["event_type"]: r
+        for r in incremental.finalize_profile(
+            incremental.partial_profile(e, "event_type", "value"),
+            "event_type",
+        ).collect()
+    }
+    # three-way disjoint split on a hash, merged back
+    h = F.abs(F.hash("event_id")) % 3
+    parts = [
+        incremental.partial_profile(
+            e.filter(h == i), "event_type", "value"
+        )
+        for i in range(3)
+    ]
+    merged = {
+        r["event_type"]: r
+        for r in incremental.finalize_profile(
+            incremental.merge_profiles("event_type", *parts), "event_type"
+        ).collect()
+    }
+    assert set(merged) == set(direct)
+    for k in direct:
+        for col in ("n", "mn", "mx"):
+            assert merged[k][col] == direct[k][col], (k, col)
+        for col in ("mean", "std"):
+            assert abs(merged[k][col] - direct[k][col]) < 1e-3, (k, col)
