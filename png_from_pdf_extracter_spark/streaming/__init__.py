@@ -6,6 +6,8 @@ from .extract_stream import (
     stream_conv_progress,
     stream_dedup,
     stream_sessionize,
+    stream_profile_to_catalog,
+    read_profile,
 )
 from .stateful import conversation_progress_stateful
 
@@ -17,5 +19,7 @@ __all__ = [
     "stream_conv_progress",
     "stream_dedup",
     "stream_sessionize",
+    "stream_profile_to_catalog",
+    "read_profile",
     "conversation_progress_stateful",
 ]

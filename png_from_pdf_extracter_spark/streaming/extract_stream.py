@@ -248,3 +248,66 @@ def stream_conv_progress(
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+def stream_profile_to_catalog(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    table: str = "profile_state",
+    processing_time: str | None = None,
+):
+    """Streaming aggregate maintenance: each micro-batch is collapsed to
+    its mergeable partial-profile state (functions/incremental.py) and
+    written under its ``batch_id`` partition with dynamic overwrite —
+    at-least-once replay of a batch OVERWRITES its own partition, so the
+    state table is exactly-once without transactions. The live profile is
+    derived at read time by ``read_profile`` (a merge over the per-batch
+    states — rows = batches x groups, metadata-sized), which means the
+    stream never rewrites history: a 10^12-turn corpus profile absorbs
+    each new batch at the cost of aggregating THAT batch only."""
+    from ..functions import incremental
+
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        state = incremental.partial_profile(
+            batch_df, group_col, value_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            state.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_profile(
+    spark: SparkSession,
+    catalog: Catalog,
+    group_col: str,
+    table: str = "profile_state",
+) -> DataFrame:
+    """Finalized live profile from the per-batch state table: merge all
+    batch partials, derive (n, mean, std, mn, mx) per group."""
+    from ..functions import incremental
+
+    state = catalog.read(spark, table).drop("batch_id")
+    return incremental.finalize_profile(
+        incremental.merge_profiles(group_col, state), group_col
+    )

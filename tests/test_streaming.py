@@ -160,3 +160,56 @@ def test_stream_extract_to_catalog_lineage_and_restart(spark, tmp_path):
     q2 = stream_extract_to_catalog(spark, in_dir, cat, params, ckpt)
     q2.awaitTermination(300)
     assert cat.read(spark, "extracted_turns_stream").count() == n1
+
+
+def test_stream_profile_incremental_and_idempotent(spark, tmp_path):
+    """Per-batch partial states merge to the exact batch-side profile,
+    absorb a second batch incrementally, and a checkpointed re-run with
+    no new input changes nothing."""
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming import (
+        read_profile,
+        stream_profile_to_catalog,
+    )
+    from png_from_pdf_extracter_spark.functions import incremental
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def drain():
+        q = stream_profile_to_catalog(
+            spark, in_dir, catalog, ckpt, "event_type", "value"
+        )
+        q.awaitTermination()
+
+    def live():
+        return {
+            r["event_type"]: r
+            for r in read_profile(spark, catalog, "event_type").collect()
+        }
+
+    def batch_direct(df):
+        return {
+            r["event_type"]: r
+            for r in incremental.finalize_profile(
+                incremental.partial_profile(df, "event_type", "value"),
+                "event_type",
+            ).collect()
+        }
+
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.write.mode("append").parquet(in_dir)
+    drain()
+    assert live() == batch_direct(first)
+
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+        in_dir
+    )
+    drain()
+    after_two = live()
+    assert after_two == batch_direct(ev)
+
+    drain()  # no new files: nothing changes
+    assert live() == after_two
