@@ -1235,6 +1235,140 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between nation pairs): the two
+    fact tables shuffle-join on orderkey; both nation lookups ride
+    broadcast joins, and the pair filter collapses to two IN-filters
+    pushed below the join."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): orders collapse to
+    per-customer counts FIRST (map-side combinable, one exchange on
+    custkey), then a LEFT join preserves zero-order customers, then the
+    metadata-sized second aggregation builds the histogram."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = c.join(per, c.c_custkey == per.o_custkey, "left")
+    dist = j.select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count")
+    )
+    return dist.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): revenue per supplier, then the scalar
+    max is broadcast back as a 1-row join — no second scan of lineitem,
+    ties kept like the spec's view formulation."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _read(spark, sf_dir, "supplier")
+    top = rev.join(
+        F.broadcast(mx), rev.total_revenue == mx.mx, "left_semi"
+    )
+    return top.join(
+        F.broadcast(s), top.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery avg(l_quantity) per part is decorrelated into one
+    aggregation broadcast back against the fact — the standard rewrite
+    that turns a per-row rescan into a single extra exchange."""
+    p = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _read(spark, sf_dir, "lineitem")
+    li_b = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    avg_q = li_b.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    sel = li_b.join(F.broadcast(avg_q), "l_partkey").filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return sel.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (dormant high-balance customers): scalar
+    above-average filter (1-row broadcast) + broadcast ANTI join against
+    the orders key set, grouped by nation instead of the spec's phone
+    prefix (no phone column in the synthetic schema)."""
+    c = _read(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    # windowed dormancy: the synthetic data gives every customer at least
+    # one order, so "no orders ever" is vacuous — "no orders in the recent
+    # window" keeps the anti-join shape AND a non-empty answer
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    dormant = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def _q_pandas_udf_tokens(spark, sf_dir):
     """The scalar Arrow-UDF boundary, value-checked: the @pandas_udf token
     counter and the JVM-builtin twin side by side — the oracle asserts
@@ -1749,6 +1883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q10": _q_tpch_q10,
         "q_tpch_q4": _q_tpch_q4,
+        "q_tpch_q7": _q_tpch_q7,
+        "q_tpch_q13": _q_tpch_q13,
+        "q_tpch_q15": _q_tpch_q15,
+        "q_tpch_q17": _q_tpch_q17,
+        "q_tpch_q22": _q_tpch_q22,
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q14": _q_tpch_q14,
         "q_tpch_q18": _q_tpch_q18,
@@ -2749,6 +2888,85 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q_tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue,
+                   count(*) AS n_items
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     EXTRACT(year FROM l_shipdate)::INTEGER AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q_tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey,
+                     coalesce(per.n_orders, 0)::BIGINT AS c_count
+              FROM customer
+              LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders WHERE o_orderpriority <> '1-URGENT'
+                GROUP BY o_custkey
+              ) per ON c_custkey = per.o_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q_tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q_tpch_q17": """
+            WITH li_b AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'
+            ),
+            avg_q AS (
+              SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS half_avg_qty
+              FROM li_b GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM li_b JOIN avg_q ON l_partkey = ak
+            WHERE l_quantity < half_avg_qty
+        """,
+        "q_tpch_q22": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT avg(c_acctbal) FROM customer
+                    WHERE c_acctbal > 0.0
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                  )
+            GROUP BY c_nationkey
         """,
         "q_tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count
