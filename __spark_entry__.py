@@ -1369,6 +1369,243 @@ def _q_tpch_q22(spark, sf_dir):
     )
 
 
+def _q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated
+    min-subquery is decorrelated into a per-part best-offer aggregate
+    joined back on (partkey, offer) — lineitem stands in for partsupp
+    (no partsupp in the synthetic schema), with the discounted price as
+    the offer. Both aggregates cluster on l_partkey, so the second agg
+    and the join-back reuse the first exchange; part/supplier/nation/
+    region all ride broadcasts."""
+    li = _read(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "offer"
+        )
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("offer").alias("best_offer")
+    ).withColumnRenamed("l_partkey", "bk")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        offers.join(
+            best,
+            (offers.l_partkey == best.bk)
+            & (offers.offer == best.best_offer),
+        )
+        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        "n_name",
+        F.round("offer", 2).alias("best_price"),
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one pass computes both
+    the nation's volume (conditional sum) and the total volume per year,
+    so the share is a single grouped aggregate — no second scan, no
+    self-join. Facts shuffle-join on orderkey; all five dimensions ride
+    broadcasts."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _read(spark, sf_dir, "customer")
+    cn = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = _read(spark, sf_dir, "supplier")
+    sn = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    p = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nk"))
+        .join(F.broadcast(r), F.col("cn_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+            / F.sum(vol),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year): profit
+    uses 10% of p_retailprice as the per-unit cost stand-in for the
+    missing ps_supplycost. The name LIKE filter prunes part before the
+    broadcast, so the fact scan is the only large input; one grouped
+    aggregate, map-side combinable."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return j.groupBy(
+        "n_name", F.year("l_shipdate").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important inventory value): grouped HAVING
+    against a global-scalar threshold. The per-part aggregate is
+    computed once; the corpus total re-aggregates THAT (metadata-sized
+    input), and the 1-row threshold broadcasts back — lineitem is
+    scanned exactly once."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    )
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    per_part = j.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    thresh = per_part.agg(
+        (F.sum("raw_value") * 0.001).alias("thresh")
+    )
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per brand/type): the NOT IN
+    complaint-supplier subquery becomes a broadcast ANTI join (the
+    excluded key set is tiny), then count(DISTINCT l_suppkey) per
+    (brand, type) — Spark plans the distinct as a two-level partial
+    aggregate, no row explosion."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_size").isin(5, 11, 23, 37))
+    )
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return j.groupBy("p_brand", "p_type").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (excess-shipment suppliers): the nested IN
+    subqueries collapse into aggregate -> LEFT SEMI join. The
+    per-(supplier, part) quantity aggregate runs over the name-filtered
+    broadcast join, its HAVING filter shrinks it to a key list, and the
+    semi-join keeps supplier rows without duplicating them."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _read(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "n_name")
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting — the hardest
+    decorrelation in the suite). The textbook form is two correlated
+    self-joins on lineitem (EXISTS another supplier / NOT EXISTS another
+    LATE supplier); the oracle keeps exactly that form. The Spark plan
+    instead aggregates once per (orderkey, suppkey) and derives the
+    order-level supplier counts with a window over orderkey — the
+    fact-fact join shuffles on orderkey and EVERYTHING downstream
+    (grouped agg on a superset key, window on orderkey) reuses that one
+    exchange; the hash match against the EXISTS form proves the rewrite.
+    'Late' = shipped >90 days after the order date (no receipt/commit
+    dates in the synthetic schema)."""
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lf = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    # one wide exchange for the whole tail: hash on l_orderkey ALONE
+    # satisfies both the (orderkey, suppkey) group-by (subset clustering)
+    # and the orderkey window; letting groupBy pick its own partitioning
+    # would shuffle on (orderkey, suppkey) and force the window to
+    # re-shuffle on orderkey — two exchanges of the same data
+    per_supp = lf.repartition("l_orderkey").groupBy(
+        "l_orderkey", "l_suppkey"
+    ).agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_rows")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn(
+        "n_supp", F.count("*").over(w)
+    ).withColumn(
+        "n_late_supp",
+        F.count(F.when(F.col("late_rows") > 0, True)).over(w),
+    )
+    waiting = flagged.filter(
+        (F.col("late_rows") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
+    )
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+    )
+
+
 def _q_pandas_udf_tokens(spark, sf_dir):
     """The scalar Arrow-UDF boundary, value-checked: the @pandas_udf token
     counter and the JVM-builtin twin side by side — the oracle asserts
@@ -1888,6 +2125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q15": _q_tpch_q15,
         "q_tpch_q17": _q_tpch_q17,
         "q_tpch_q22": _q_tpch_q22,
+        "q_tpch_q2": _q_tpch_q2,
+        "q_tpch_q8": _q_tpch_q8,
+        "q_tpch_q9": _q_tpch_q9,
+        "q_tpch_q11": _q_tpch_q11,
+        "q_tpch_q16": _q_tpch_q16,
+        "q_tpch_q20": _q_tpch_q20,
+        "q_tpch_q21": _q_tpch_q21,
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q14": _q_tpch_q14,
         "q_tpch_q18": _q_tpch_q18,
@@ -2967,6 +3211,116 @@ def oracle_sql() -> dict[str, str]:
                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
                   )
             GROUP BY c_nationkey
+        """,
+        "q_tpch_q2": """
+            WITH offers AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice * (1 - l_discount)) AS offer
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            best AS (
+              SELECT l_partkey AS bk, min(offer) AS best_offer
+              FROM offers GROUP BY l_partkey
+            )
+            SELECT p_partkey, p_name, s_name, n_name,
+                   round(offer, 2) AS best_price
+            FROM offers
+            JOIN best ON l_partkey = bk AND offer = best_offer
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        """,
+        "q_tpch_q8": """
+            SELECT EXTRACT(year FROM o_orderdate)::INTEGER AS o_year,
+                   round(
+                     sum(CASE WHEN sn.n_name = 'NATION_5'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4
+                   ) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+             AND r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_year
+        """,
+        "q_tpch_q9": """
+            SELECT n_name,
+                   EXTRACT(year FROM l_shipdate)::INTEGER AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity), 2)
+                     AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, o_year
+        """,
+        "q_tpch_q11": """
+            WITH scoped AS (
+              SELECT l_partkey, l_extendedprice
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+               AND n_name IN ('NATION_3', 'NATION_8')
+            )
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+            FROM scoped
+            GROUP BY l_partkey
+            HAVING sum(l_extendedprice) >
+                   (SELECT sum(l_extendedprice) * 0.001 FROM scoped)
+        """,
+        "q_tpch_q16": """
+            SELECT p_brand, p_type,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#2' AND p_size IN (5, 11, 23, 37)
+              AND l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type
+        """,
+        "q_tpch_q20": """
+            SELECT s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+            WHERE s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+               AND p_name LIKE 'small%'
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(l_quantity) > 40)
+        """,
+        "q_tpch_q21": """
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name
         """,
         "q_tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count
