@@ -1606,6 +1606,61 @@ def _q_tpch_q21(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (curate.dedup_lines): the
+    documents table carries no newlines, so each doc is first recast as
+    four fixed-width lines with the first chunk planted twice (same
+    construction in the oracle) — the dedup itself is the engine under
+    test: Spark's map-only array_distinct first-occurrence path vs the
+    oracle's explode + min(pos) + ordered string_agg formulation."""
+    d = _read(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+            F.substring("text", 1, 40),
+            F.substring("text", 81, 40),
+        ).alias("text"),
+    )
+    return curate.dedup_lines(lined, "doc_id", "text")
+
+
+def _q_hash_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (curate.hashed_linear_score):
+    fastText-shape inference as pure column expressions — md5 token
+    hash -> deterministic weight -> mean score -> boolean gate. The
+    oracle recomputes the identical model in DuckDB (same md5 hex, same
+    bucket arithmetic), value-hashing a model inference end to end."""
+    d = _read(spark, sf_dir, "documents")
+    score = curate.hashed_linear_score("text")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("n_toks"),
+        F.round(score, 4).alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (similarity.semdedup): k-means cells -> within-cell
+    cosine pairs -> connected components -> keep-min-id. Rows-only:
+    Lloyd means are float-sum-order reproducible only to ~1e-12, same
+    as the IVF family; the invariants (partition into components,
+    planted duplicates collapse) are pinned in tests/test_sessions.py."""
+    e = _read(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(
+        e, "vec_id", "embedding", n_cells=8, threshold=0.97
+    )
+    return out.orderBy("id")
+
+
 def _q_pandas_udf_tokens(spark, sf_dir):
     """The scalar Arrow-UDF boundary, value-checked: the @pandas_udf token
     counter and the JVM-builtin twin side by side — the oracle asserts
@@ -2125,6 +2180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q15": _q_tpch_q15,
         "q_tpch_q17": _q_tpch_q17,
         "q_tpch_q22": _q_tpch_q22,
+        "q_line_dedup": _q_line_dedup,
+        "q_hash_classifier": _q_hash_classifier,
+        "q_semdedup": _q_semdedup,
         "q_tpch_q2": _q_tpch_q2,
         "q_tpch_q8": _q_tpch_q8,
         "q_tpch_q9": _q_tpch_q9,
@@ -3211,6 +3269,62 @@ def oracle_sql() -> dict[str, str]:
                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
                   )
             GROUP BY c_nationkey
+        """,
+        "q_line_dedup": """
+            WITH lined AS (
+              SELECT doc_id,
+                     [substr(text, 1, 40), substr(text, 41, 40),
+                      substr(text, 1, 40), substr(text, 81, 40)] AS lines
+              FROM documents
+            ),
+            flat AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       lines, (x, i) -> struct_pack(line := x, pos := i)
+                     )) AS u
+              FROM lined
+            ),
+            pos AS (
+              SELECT doc_id, u.line AS line, u.pos AS pos FROM flat
+            ),
+            firsts AS (
+              SELECT doc_id, line, min(pos) AS pos
+              FROM pos GROUP BY doc_id, line
+            )
+            SELECT p.doc_id,
+                   count(*)::INTEGER AS n_lines,
+                   (SELECT count(*) FROM firsts f
+                    WHERE f.doc_id = p.doc_id)::INTEGER AS n_unique_lines,
+                   (SELECT string_agg(f.line, chr(10) ORDER BY f.pos)
+                    FROM firsts f WHERE f.doc_id = p.doc_id)
+                     AS cleaned_text
+            FROM pos p
+            GROUP BY p.doc_id
+        """,
+        "q_hash_classifier": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0
+                     ) AS tok
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(tok)::INTEGER AS n_toks,
+                   round(CASE WHEN len(tok) > 0 THEN
+                     list_sum(list_transform(tok, t ->
+                       (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                          % 2001 - 1000) / 1000.0
+                     )) / len(tok)
+                   ELSE 0.0 END, 4) AS score,
+                   (CASE WHEN len(tok) > 0 THEN
+                     list_sum(list_transform(tok, t ->
+                       (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                          % 2001 - 1000) / 1000.0
+                     )) / len(tok)
+                   ELSE 0.0 END) > 0 AS keep
+            FROM toks
         """,
         "q_tpch_q2": """
             WITH offers AS (

@@ -290,3 +290,62 @@ def source_mix_weights(
         F.round(tgt, 6).alias("target_share"),
         F.round(tgt / actual, 6).alias("weight"),
     )
+
+
+def dedup_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repeated-line removal — the within-doc repetition
+    scrub (nav bars, footers, pasted-again paragraphs) that corpus-level
+    dedup can't see because the duplication never crosses a document
+    boundary (the Gopher/C4 'repetition' family, applied structurally).
+
+    Keeps the FIRST occurrence of every line, in original order:
+    ``array_distinct`` preserves first-occurrence order, so the whole op
+    is split -> array_distinct -> concat_ws — a pure per-row column
+    expression, map-only, zero shuffles, whole-stage codegen; at 100 TB
+    this costs exactly one pass over the text bytes.
+
+    Returns (id, n_lines, n_unique_lines, cleaned_text); rows where
+    nothing repeats pass through with n_lines == n_unique_lines.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(uniq).alias("n_unique_lines"),
+        F.concat_ws("\n", uniq).alias("cleaned_text"),
+    )
+
+
+def hashed_linear_score(
+    text_col, n_buckets: int = 2001
+) -> F.Column:
+    """Hashed bag-of-words linear classifier score — the fastText-style
+    quality-classifier shape (hash token -> bucket -> weight, mean over
+    tokens) with a DETERMINISTIC weight table derived from the hash
+    itself (w = (h mod n_buckets - half) / half in [-1, 1]), so the
+    score is reproducible across engines without shipping a model file:
+    DuckDB computes the identical value from md5 hex, which is what lets
+    the oracle value-hash a 'model' inference end to end.
+
+    All JVM builtins: split/filter produce the token array once; the
+    fold (``F.aggregate``) hashes each token exactly once inside the
+    lambda (per-token work is per-token — the Catalyst lambda-inlining
+    trap only bites when an OUTER expression is referenced inside the
+    lambda). Map-only, no shuffle, ~one md5 per token — the cheap gate
+    you run on 100 TB before anything that shuffles.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    half = (n_buckets - 1) // 2
+    toks = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+    def w(t):
+        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        return (h % n_buckets - half) / F.lit(float(half))
+
+    wsum = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
+    return F.when(F.size(toks) > 0, wsum / F.size(toks)).otherwise(F.lit(0.0))

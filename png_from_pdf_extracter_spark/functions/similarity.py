@@ -793,3 +793,73 @@ def ivfpq_topk(
         .withColumn("pq_dist", F.round(_adc_sum(len(codebooks)), 6))
     )
     return _adc_finish(scored, corpus, queries, id_col, vec_col, k, rerank)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication by k-means cluster + within-cluster
+# cosine ("SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", Abbas et al. 2023 — see PAPERS.md). The trick that makes
+# it web-scale: pairs are compared ONLY inside a k-means cell, so the
+# quadratic term is sum(cell^2), bounded by choosing n_cells ~ n/avg_cell,
+# and the join is a plain equi-join on cell id — never a cross join.
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.97,
+    iterations: int = 2,
+) -> DataFrame:
+    """Semantic dedup: deterministic Lloyd k-means (reuses the IVF
+    trainer), within-cell cosine pairs >= ``threshold``, connected
+    components over the pair graph, keep the min-id representative per
+    component (the corpus-wide winner convention).
+
+    Plan shape: centroid training is driver-side small state (n_cells x
+    dim); cell assignment is one ``transform`` over a folded constant
+    (no shuffle); the candidate join shuffles BOTH sides once on cell
+    id; component labeling runs on the (tiny) pair set. Returns every
+    corpus row as (id, cell, component, keep) — ``keep=false`` rows are
+    the semantic duplicates to drop; singleton rows keep themselves.
+    """
+    from .dedup import connected_components
+
+    cents = ivf_kmeans_centroids(corpus, id_col, vec_col, n_cells, iterations)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("n"),
+        F.array_min(_cell_candidates(F.col(vec_col), cents))["cell"].alias(
+            "cell"
+        ),
+    )
+    left, right = assigned.alias("l"), assigned.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("l.vec"), F.col("r.vec"))
+            / (F.col("l.n") * F.col("r.n")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "cid")
+    return (
+        assigned.select("id", "cell")
+        .join(comp, F.col("id") == F.col("cid"), "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("component", F.col("id")).alias("component"),
+            (F.coalesce("component", F.col("id")) == F.col("id")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -162,3 +162,43 @@ def test_source_mix_weights_uniform_and_explicit(spark):
         curate.source_mix_weights(
             d, "source", "n_tokens", target_shares={"a": 0.5}
         )
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from png_from_pdf_extracter_spark.functions import curate
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),
+            (2, "x\ny"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_unique_lines"], r["cleaned_text"])
+        for r in curate.dedup_lines(df).collect()
+    }
+    assert got[1] == (5, 3, "a\nb\nc")  # first occurrences, original order
+    assert got[2] == (2, 2, "x\ny")  # nothing repeats -> pass-through
+    assert got[3] == (1, 1, "")  # empty doc: one empty line, kept
+
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    from png_from_pdf_extracter_spark.functions import curate
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  beta   gamma"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id", curate.hashed_linear_score("text").alias("s")
+    )
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    # whitespace-normalization invariance: same tokens -> same score
+    assert got[1] == got[2]
+    assert -1.0 <= got[1] <= 1.0
+    assert got[3] == 0.0  # token-free text scores the neutral 0
+    # engine determinism: a second evaluation bit-matches
+    again = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got == again

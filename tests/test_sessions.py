@@ -196,3 +196,49 @@ def test_ivfpq_topk_prune_and_recall(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_semdedup_invariants_and_planted_duplicates(spark):
+    """SemDeDup: (a) output is a partition of the corpus — every id
+    exactly once, keep <=> id == component; (b) planted exact-duplicate
+    vectors share a cell (identical vectors -> identical nearest
+    centroid) and collapse into one component with the min id kept;
+    (c) every flagged non-keep row really has a >=threshold cosine twin
+    (verified against the exact O(n^2) pair set)."""
+    from png_from_pdf_extracter_spark.functions import similarity
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 60)
+    clones = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(clones)
+    n = corpus.count()
+
+    out = similarity.semdedup(
+        corpus, "vec_id", "embedding", n_cells=4, threshold=0.999
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r["id"] for r in rows}) == n
+    comp = {r["id"]: r["component"] for r in rows}
+    for r in rows:
+        assert r["keep"] == (r["id"] == r["component"])
+        assert comp[r["component"]] == r["component"]  # label is a root id
+
+    # planted clones: same component as their source, source id kept
+    for i in range(5):
+        assert comp[i + 10000] == comp[i] == i
+    kept = {r["id"] for r in rows if r["keep"]}
+    assert all(i in kept and (i + 10000) not in kept for i in range(5))
+
+    # every dropped row has an exact cosine >= threshold witness
+    exact_pairs = similarity.embedding_near_dup_exact(
+        corpus, "vec_id", "embedding", threshold=0.999
+    )
+    witnessed = {
+        x for r in exact_pairs.collect() for x in (r["id1"], r["id2"])
+    }
+    dropped = {r["id"] for r in rows if not r["keep"]}
+    assert dropped <= witnessed
