@@ -9,7 +9,12 @@ write-to-temp + directory-swap commit.
     spark-submit --py-files dist/png_from_pdf_extracter_spark.zip \
         jobs/run_compact.py --warehouse /path/to/warehouse \
         --table extracted_turns [--partition-col partition_id] \
-        [--target-file-mb 128]
+        [--target-file-mb 128] [--snapshot [--expire-keep 2]]
+
+With ``--snapshot`` the table is a ``SnapshotTable`` (manifest-versioned,
+``meta/`` + ``data/`` layout): compaction commits a new snapshot with the
+atomic pointer flip — readers racing the rewrite keep their pinned
+version — and old snapshots beyond ``--expire-keep`` are expired.
 """
 
 from __future__ import annotations
@@ -27,6 +32,15 @@ def parse_args(argv):
         help="hive partition column to preserve (e.g. partition_id)",
     )
     p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument(
+        "--snapshot", action="store_true",
+        help="table is a SnapshotTable (meta/ + data/ layout): compact "
+        "with a snapshot-atomic commit and expire old snapshots after",
+    )
+    p.add_argument(
+        "--expire-keep", type=int, default=2,
+        help="snapshot mode: how many snapshots to retain after compaction",
+    )
     p.add_argument("--master", default=None, help="override (tests only)")
     return p.parse_args(argv)
 
@@ -51,6 +65,26 @@ def main(argv=None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = builder.getOrCreate()
     try:
+        if args.snapshot:
+            from png_from_pdf_extracter_spark.sources.snapshots import (
+                SnapshotTable,
+            )
+
+            t = SnapshotTable(args.warehouse, args.table)
+            if t.current_version() is None:
+                print(f"no such snapshot table: {args.table}",
+                      file=sys.stderr)
+                return 1
+            stats = t.compact(spark, target_file_mb=args.target_file_mb)
+            exp = t.expire_snapshots(keep=max(1, args.expire_keep))
+            print(
+                f"compacted table={args.table} snapshot={stats['version']}"
+                f" files_before={stats['files_before']}"
+                f" bytes={stats['bytes']}"
+                f" expired_manifests={exp['removed_manifests']}"
+                f" expired_dirs={exp['removed_dirs']}"
+            )
+            return 0
         catalog = Catalog(args.warehouse)
         if not catalog.exists(args.table):
             print(f"no such table: {args.table}", file=sys.stderr)

@@ -2,6 +2,7 @@
 transcripts reader and stable partition-bucket derivation."""
 
 from .catalog import Catalog
+from .snapshots import CommitConflict, SnapshotTable
 from .transcripts import (
     TRANSCRIPTS_SCHEMA,
     generate_transcripts,

@@ -72,3 +72,34 @@ def test_compact_cli(spark, tmp_path):
     assert catalog.table_files("t") == 5
     rc = main(["--warehouse", str(tmp_path / "wh"), "--table", "missing"])
     assert rc == 1
+
+
+def test_compact_cli_snapshot_mode(spark, tmp_path):
+    from jobs.run_compact import main
+
+    from png_from_pdf_extracter_spark.sources import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wh"), "snap")
+    for lo in range(0, 30, 10):
+        t.append(
+            spark.range(lo, lo + 10).select("id").repartition(4)
+        )
+    assert len(t.manifest()["dirs"]) == 3
+
+    rc = main(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--table", "snap",
+            "--snapshot",
+            "--expire-keep", "1",
+        ]
+    )
+    assert rc == 0
+    assert len(t.manifest()["dirs"]) == 1
+    assert t.read(spark).count() == 30
+    assert len(t.versions()) == 1  # expired down to the compacted head
+
+    rc = main(
+        ["--warehouse", str(tmp_path / "wh"), "--table", "nope", "--snapshot"]
+    )
+    assert rc == 1

@@ -1,0 +1,170 @@
+"""Snapshot-versioned tables (sources/snapshots.py): the Iceberg commit
+protocol — atomic pointer flip, time travel, optimistic concurrency,
+snapshot-atomic compaction, expiry + orphan cleanup. This is the
+stronger commit the plain Catalog documents itself as lacking
+(catalog.py:152-158: a reader racing the rename swap can see the path
+missing; here readers always see exactly one committed snapshot)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.sources import CommitConflict, SnapshotTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "events")
+    v1 = t.append(_df(spark, 0, 10))
+    v2 = t.append(_df(spark, 10, 15))
+    v3 = t.overwrite(_df(spark, 100, 103))
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    # head = overwrite result; every older snapshot still readable as-of
+    assert t.read(spark).count() == 3
+    assert t.read(spark, version=1).count() == 10
+    assert t.read(spark, version=2).count() == 15
+    assert sorted(r["id"] for r in t.read(spark, 2).collect())[:3] == [0, 1, 2]
+
+    m = t.manifest(2)
+    assert m["op"] == "append" and m["parent"] == 1 and len(m["dirs"]) == 2
+
+
+def test_pointer_flip_never_exposes_missing_table(spark, tmp_path):
+    """The commit order (data -> manifest -> pointer flip) means a reader
+    interleaved at ANY point sees the old snapshot until the instant the
+    new one is complete — verified by reading between every step of a
+    manually-unrolled commit."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 5))
+    old = t.read(spark).count()
+
+    # unrolled second commit: stage data, then claim manifest — a reader
+    # at both points still sees v1
+    staged = os.path.join(t.data, "v2-manual")
+    _df(spark, 0, 50).write.parquet(staged)
+    assert t.read(spark).count() == old
+    t._claim(2, {"version": 2, "parent": 1, "op": "overwrite",
+                 "dirs": [staged]})
+    assert t.current_version() == 1
+    assert t.read(spark).count() == old
+    t._flip(2)
+    assert t.read(spark).count() == 50
+
+
+def test_commit_conflict_retries_on_fresh_head(spark, tmp_path):
+    """Optimistic concurrency: if another writer claims the version first,
+    the loser's retry re-reads the head — an append retried after a
+    conflicting append must include BOTH writers' rows."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 5))
+
+    real_claim = t._claim
+    raced = {"done": False}
+
+    def racing_claim(version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # interleaved writer lands v2 before ours
+            other = os.path.join(t.data, "v2-other")
+            _df(spark, 500, 510).write.parquet(other)
+            real_claim(version, {"version": version, "parent": 1,
+                                 "op": "append",
+                                 "dirs": list(t.manifest(1)["dirs"]) + [other]})
+            t._flip(version)
+        return real_claim(version, manifest)
+
+    t._claim = racing_claim
+    try:
+        v = t.append(_df(spark, 1000, 1003))
+    finally:
+        t._claim = real_claim
+    assert v == 3
+    ids = {r["id"] for r in t.read(spark).collect()}
+    assert {0, 500, 1000} <= ids and len(ids) == 5 + 10 + 3
+
+    # retries exhausted -> CommitConflict surfaces
+    t._claim = lambda *a, **k: (_ for _ in ()).throw(
+        CommitConflict("always"))
+    try:
+        with pytest.raises(CommitConflict):
+            t.append(_df(spark, 0, 1))
+    finally:
+        t._claim = real_claim
+
+
+def test_crashed_write_is_invisible_and_expired(spark, tmp_path):
+    """A crash after the data write but before the manifest claim leaves
+    an orphan data dir: readers never see it, expire reclaims it."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 5))
+    orphan = os.path.join(t.data, "v9-crashed")
+    _df(spark, 0, 99).write.parquet(orphan)
+
+    assert t.read(spark).count() == 5  # orphan invisible
+    stats = t.expire_snapshots(keep=1)
+    assert stats["removed_dirs"] == 1
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 5
+
+
+def test_compact_is_snapshot_atomic_and_pins_old_readers(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "tbl")
+    for lo in range(0, 40, 10):
+        t.append(_df(spark, lo, lo + 10).repartition(4))
+    head = t.current_version()
+    pinned = t.read(spark, head)  # reader pinned pre-compact
+
+    stats = t.compact(spark, target_file_mb=1024)
+    assert stats["version"] == head + 1
+    files_after = sum(
+        1
+        for dirpath, _d, files in os.walk(t.data)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    # pre-expire both snapshots' files exist; post head is 1 dir
+    assert len(t.manifest()["dirs"]) == 1
+    assert t.read(spark).count() == 40
+    assert pinned.count() == 40  # old snapshot untouched
+
+    t.expire_snapshots(keep=1)
+    assert t.read(spark).count() == 40
+    remaining = sum(
+        1
+        for dirpath, _d, files in os.walk(t.data)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert remaining < files_after  # old dirs reclaimed
+    assert t.versions() == [head + 1]
+
+
+def test_expire_never_drops_head(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 3))
+    t.append(_df(spark, 3, 6))
+    t.expire_snapshots(keep=1)
+    assert t.versions() == [2]
+    assert t.read(spark).count() == 6
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
+
+
+def test_manifest_is_directory_granular(spark, tmp_path):
+    """Manifests list data DIRECTORIES, not files — O(appends) metadata,
+    reset to one entry by compact (the 100 TB manifest-bloat guard)."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    for lo in range(0, 30, 10):
+        t.append(_df(spark, lo, lo + 10).repartition(8))
+    m = t.manifest()
+    assert len(m["dirs"]) == 3  # not 24 files
+    raw = json.load(open(os.path.join(t.meta, f"v{m['version']}.json")))
+    assert raw == m
+    t.compact(spark)
+    assert len(t.manifest()["dirs"]) == 1
