@@ -86,21 +86,44 @@ class SnapshotTable:
         return sorted(out)
 
     def _claim(self, version: int, manifest: dict) -> None:
-        """Create ``v{version}.json`` with O_EXCL — the CAS that makes two
-        racing writers serialize. Content is fully written before the
-        pointer flip, so a crash here leaves an unreferenced manifest
-        (harmless; expire cleans it), never a torn committed one."""
+        """Claim ``v{version}.json`` atomically WITH its content: the
+        manifest is fully written + fsynced to a temp file first, then
+        ``os.link`` publishes it — link fails if the name exists (the CAS
+        that serializes racing writers) and can never expose a torn or
+        empty manifest. A claimed manifest is therefore always complete,
+        which is what makes ``_roll_forward`` safe: a writer that crashes
+        after claiming has already made its commit durable, and any later
+        writer may finish the pointer flip on its behalf."""
         path = os.path.join(self.meta, f"v{version}.json")
+        tmp = os.path.join(
+            self.meta, f".claim-{os.getpid()}-{next(self._seq)}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            os.link(tmp, path)
         except FileExistsError:
             raise CommitConflict(
                 f"snapshot v{version} already claimed in {self.root}"
             )
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        finally:
+            os.unlink(tmp)
+
+    def _roll_forward(self) -> None:
+        """Crash recovery: flip the pointer to the highest contiguous
+        CLAIMED version. A claimed manifest is durable by construction
+        (``_claim``), so finishing a crashed writer's flip is correct —
+        without this, an orphan claim would block its version number
+        forever and wedge every later commit."""
+        claimed = set(self.versions())
+        cur = self.current_version() or 0
+        head = cur
+        while head + 1 in claimed:
+            head += 1
+        if head != cur:
+            self._flip(head)
 
     def _flip(self, version: int) -> None:
         tmp = self._pointer() + ".tmp"
@@ -111,12 +134,20 @@ class SnapshotTable:
         os.replace(tmp, self._pointer())  # atomic: readers see old or new
 
     # ------------------------------------------------------------ writes
-    def _commit(self, df: DataFrame, op: str, retries: int = 3) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        op: str,
+        retries: int = 3,
+        extra: dict | None = None,
+    ) -> int:
         """Write df's files into a fresh data dir, then commit a manifest
         referencing them. On CommitConflict the DATA is kept (it is
         version-independent) and only the metadata round retries against
         the new head — Iceberg's retry loop, where the expensive file
-        write never re-runs."""
+        write never re-runs. ``extra`` keys are merged into the manifest
+        (used by the streaming sink to stamp batch ids)."""
+        self._roll_forward()
         base = (self.current_version() or 0) + 1
         # pid + in-process counter make the staged dir unique even when two
         # threads of one writer race the same base version
@@ -126,22 +157,23 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(staged)
         last: Exception | None = None
         for _ in range(retries + 1):
+            self._roll_forward()
             head = self.current_version()
             version = (head or 0) + 1
             if op == "append" and head is not None:
                 dirs = list(self.manifest(head)["dirs"]) + [staged]
             else:
                 dirs = [staged]
+            manifest = {
+                "version": version,
+                "parent": head,
+                "op": op,
+                "dirs": dirs,
+            }
+            if extra:
+                manifest.update(extra)
             try:
-                self._claim(
-                    version,
-                    {
-                        "version": version,
-                        "parent": head,
-                        "op": op,
-                        "dirs": dirs,
-                    },
-                )
+                self._claim(version, manifest)
             except CommitConflict as exc:  # head moved: re-read, retry
                 last = exc
                 continue
@@ -149,11 +181,11 @@ class SnapshotTable:
             return version
         raise last  # type: ignore[misc]
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit(df, "append")
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
+        return self._commit(df, "append", extra=extra)
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
+        return self._commit(df, "overwrite", extra=extra)
 
     # ------------------------------------------------------------- reads
     def read(

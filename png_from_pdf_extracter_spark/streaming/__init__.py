@@ -1,6 +1,7 @@
 from .extract_stream import (
     stream_extract,
     stream_extract_to_catalog,
+    stream_extract_to_snapshots,
     stream_interval_join,
     stream_turn_rates,
     stream_conv_progress,
@@ -14,6 +15,7 @@ from .stateful import conversation_progress_stateful
 __all__ = [
     "stream_extract",
     "stream_extract_to_catalog",
+    "stream_extract_to_snapshots",
     "stream_interval_join",
     "stream_turn_rates",
     "stream_conv_progress",

@@ -250,6 +250,58 @@ def stream_conv_progress(
     )
 
 
+def stream_extract_to_snapshots(
+    spark: SparkSession,
+    input_path: str,
+    table,
+    params: JobParams,
+    checkpoint: str,
+    processing_time: str | None = None,
+):
+    """Streaming extraction committing each micro-batch as a SNAPSHOT —
+    the exactly-once upgrade over ``stream_extract_to_catalog``'s
+    at-least-once + idempotent-overwrite contract. foreachBatch replays
+    the last in-flight batch after a crash; here the sink consults the
+    head manifest's ``max_batch_id`` (carried forward monotonically
+    through every commit, so it survives ``expire_snapshots``) and SKIPS
+    any batch id already committed. Result: a replayed batch becomes a
+    no-op instead of an overwrite, and readers — who always see exactly
+    one committed snapshot thanks to the atomic pointer flip — observe
+    each batch's rows exactly once. This is the Iceberg streaming-sink
+    commit design (snapshot per epoch, epoch id in the summary), minus
+    the jars. ``table`` is a ``SnapshotTable``."""
+    from ..plans.extract_plan import _final_turn_columns
+
+    extracted = stream_extract(spark, input_path, params)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            prev_max = int(table.manifest().get("max_batch_id", -1))
+        except FileNotFoundError:
+            prev_max = -1
+        if batch_id <= prev_max:
+            return  # replay of a committed batch: exactly-once no-op
+        out = _final_turn_columns(batch_df, params).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        table.append(
+            out,
+            extra={
+                "batch_id": batch_id,
+                "max_batch_id": max(batch_id, prev_max),
+            },
+        )
+
+    writer = extracted.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_profile_to_catalog(
     spark: SparkSession,
     input_path: str,

@@ -168,3 +168,60 @@ def test_manifest_is_directory_granular(spark, tmp_path):
     assert raw == m
     t.compact(spark)
     assert len(t.manifest()["dirs"]) == 1
+
+
+def test_stream_extract_to_snapshots_exactly_once(spark, tmp_path):
+    """Streaming snapshot sink: one snapshot per micro-batch; restart
+    with the same checkpoint drains nothing; a REPLAYED batch id (fresh
+    checkpoint over the same input re-delivers batch 0) is skipped by
+    the max_batch_id guard — rows land exactly once; and new input under
+    the original checkpoint commits a new snapshot."""
+    from png_from_pdf_extracter_spark.datagen import GenConfig
+    from png_from_pdf_extracter_spark.plans import JobParams
+    from png_from_pdf_extracter_spark.sources import generate_transcripts
+    from png_from_pdf_extracter_spark.streaming import (
+        stream_extract_to_snapshots,
+    )
+
+    params = JobParams(n_buckets=8, num_partitions=4)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    generate_transcripts(spark, GenConfig(seed=3, n_convs=20)).write.parquet(
+        in_dir
+    )
+    t = SnapshotTable(str(tmp_path / "wh"), "turns")
+
+    def drain(checkpoint):
+        q = stream_extract_to_snapshots(
+            spark, in_dir, t, params, checkpoint
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    drain(ckpt)
+    v1 = t.current_version()
+    n1 = t.read(spark).count()
+    assert v1 == 1 and n1 > 0
+    assert t.manifest()["max_batch_id"] == 0
+
+    # restart, same checkpoint, no new input -> offsets say done
+    drain(ckpt)
+    assert t.current_version() == v1
+
+    # replayed batch id: a fresh checkpoint re-delivers batch 0 over the
+    # same input — the sink guard makes it a no-op instead of a dupe
+    drain(str(tmp_path / "ckpt2"))
+    assert t.current_version() == v1
+    assert t.read(spark).count() == n1
+
+    # genuinely new input under the original checkpoint -> batch 1 commits
+    generate_transcripts(spark, GenConfig(seed=4, n_convs=10)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain(ckpt)
+    assert t.current_version() == v1 + 1
+    assert t.manifest()["max_batch_id"] == 1
+    n2 = t.read(spark).count()
+    assert n2 > n1
+    # time travel still shows the first batch alone
+    assert t.read(spark, v1).count() == n1
