@@ -244,6 +244,12 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_tpch_q10",
         "q_ann_pq",
         "q_ann_ivfpq",
+        "q_tpch_q2",
+        "q_tpch_q13",
+        "q_tpch_q21",
+        "q_line_dedup",
+        "q_hash_classifier",
+        "q_semdedup",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
