@@ -2093,6 +2093,210 @@ def _q_unicode_normalize(spark, sf_dir):
     )
 
 
+def _q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (operators/merge.py merge_upsert) — the warehouse
+    mutating write the reference's append-only SMTP sink never needed
+    (smtp_service.py:94-152) but a re-ingesting corpus does. Target =
+    orders; change set derived deterministically: keys %7 update (price
+    +1000, status U), %13 delete, %17 insert under shifted keys. One
+    full-outer shuffle; the broadcast map-only variant is plan-pinned in
+    tests/test_merge.py. Oracle replays the same MERGE semantics as a
+    FULL OUTER JOIN + CASE in DuckDB."""
+    from png_from_pdf_extracter_spark.operators import merge_upsert
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = o.filter((F.col("k") % 7) == 0).select(
+        "k",
+        F.lit("U").alias("status"),
+        (F.col("price") + F.lit(1000.0)).alias("price"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = o.filter(((F.col("k") % 13) == 0) & ((F.col("k") % 7) != 0)).select(
+        "k",
+        F.lit("X").alias("status"),
+        F.lit(0.0).alias("price"),
+        F.lit(True).alias("deleted"),
+    )
+    inserts = o.filter((F.col("k") % 17) == 0).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit(1.0).alias("price"),
+        F.lit(False).alias("deleted"),
+    )
+    src = updates.unionByName(deletes).unionByName(inserts)
+    return merge_upsert(
+        o, src, ["k"], delete_col="deleted", check_cardinality=False
+    )
+
+
+def _q_scd2(spark, sf_dir):
+    """SCD Type-2 dimension history (operators/merge.py scd2_apply):
+    current customer segments + one update batch (keys %3: half no-op,
+    half changed; %11: brand-new keys) -> closed-out rows, new current
+    rows, untouched history. The oracle unions the same three branches
+    off a FULL OUTER JOIN. Shuffle sized |current|+|updates| — history
+    passes through map-only."""
+    from png_from_pdf_extracter_spark.operators import scd2_apply
+
+    c = _read(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        c.filter((F.col("c_custkey") % 3) == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when((F.col("c_custkey") % 2) == 0, F.col("c_mktsegment"))
+            .otherwise(F.lit("CHANGED"))
+            .alias("seg"),
+            F.lit(5).alias("effective_ts"),
+        )
+        .unionByName(
+            c.filter((F.col("c_custkey") % 11) == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("k"),
+                F.lit("NEW").alias("seg"),
+                F.lit(5).alias("effective_ts"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, upd, ["k"], ["seg"], "effective_ts", check_cardinality=False
+    )
+
+
+def _q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank, 3 unrolled iterations (functions/
+    graph.py) over a deterministic directed graph derived from orders
+    (o_custkey -> o_orderkey % 1500). All rank arithmetic is scaled
+    BIGINT with integer division, so the result is bit-exact across
+    engines — the trick that makes an iterative float algorithm
+    oracle-checkable. Per iteration: one join + one aggregate shuffle."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        pagerank_fixed_point,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % 1500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iters=3)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights for data selection (hashed unigram
+    importance of a target domain vs the raw corpus — Xie et al.'s Data
+    Selection with Importance Resampling, bucketed-n-gram form): tokens
+    hash into 1024 md5 buckets; per-bucket importance = smoothed
+    target/raw count ratio; per-doc weight = mean bucket importance of
+    its tokens. Ratios are kept in scaled-integer space (x1e6, integer
+    division) so the cross-engine hash is exact — production would take
+    log-ratios; the swap is one expression. Two combinable aggregates +
+    one broadcast-size lookup join."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % 1024
+    ).alias("b")
+    tb = toks.select("doc_id", "lang", b)
+    raw = tb.groupBy("b").agg(F.count("*").alias("n_raw"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    lut = raw.join(tgt, "b", "left").select(
+        "b",
+        F.expr("((coalesce(n_tgt, 0) + 1) * 1000000) div (n_raw + 1)").alias(
+            "lr"
+        ),
+    )
+    return (
+        tb.join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("lr").alias("w_sum"))
+        .select(
+            "doc_id", "n_toks", F.expr("w_sum div n_toks").alias("w_avg")
+        )
+    )
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization + blocklist gate — the crawl-side dedup
+    precondition (the same URL arrives as http/https, with/without www,
+    query strings, fragments, trailing slashes). Each doc is framed with
+    a deterministically-noised URL, canonicalized with pure regexp
+    builtins, blocked domains anti-joined away, and distinct canonical
+    URLs counted per domain. Map-only until one count shuffle."""
+    d = _read(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.when((F.col("doc_id") % 2) == 0, F.lit("HTTPS://WWW."))
+            .otherwise(F.lit("http://")),
+            F.col("source"),
+            F.lit(".Example.COM/d/"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.when((F.col("doc_id") % 3) == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+            F.when((F.col("doc_id") % 5) == 0, F.lit("?utm_source=x&ref=y"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") % 7) == 0, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    canon = F.regexp_replace(  # strip trailing slash last
+        F.regexp_replace(  # drop query + fragment
+            F.regexp_replace(  # scheme + www off, lowercase host via lower()
+                F.lower("url"), r"^https?://(www\.)?", ""
+            ),
+            r"[?#].*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    canon_df = noisy.select(
+        canon.alias("curl"),
+        F.regexp_extract(canon, r"^([^/]+)", 1).alias("domain"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src0.example.com",), ("src7.example.com",)], ["domain"]
+    )
+    return (
+        canon_df.join(F.broadcast(blocklist), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("curl").alias("n_canonical"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -2202,6 +2406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_stats": _q_vector_stats,
         "q_dedup_ratio": _q_dedup_ratio,
         "q_unicode_normalize": _q_unicode_normalize,
+        "q_merge_upsert": _q_merge_upsert,
+        "q_scd2": _q_scd2,
+        "q_pagerank": _q_pagerank,
+        "q_dsir_weights": _q_dsir_weights,
+        "q_url_canonical": _q_url_canonical,
     }
 
 
@@ -3621,5 +3830,159 @@ def oracle_sql() -> dict[str, str]:
                        || ' re' || chr(769) || 'sume' || chr(769) AS t
               FROM documents WHERE doc_id < 200
             )
+        """,
+        "q_merge_upsert": """
+            WITH t AS (
+              SELECT o_orderkey AS k, o_orderstatus AS status,
+                     o_totalprice AS price
+              FROM orders
+            ),
+            src AS (
+              SELECT k, 'U' AS status, price + 1000.0 AS price,
+                     false AS deleted
+              FROM t WHERE k % 7 = 0
+              UNION ALL
+              SELECT k, 'X', 0.0, true
+              FROM t WHERE k % 13 = 0 AND k % 7 <> 0
+              UNION ALL
+              SELECT k + 10000000, 'N', 1.0, false FROM t WHERE k % 17 = 0
+            ),
+            j AS (
+              SELECT COALESCE(t.k, src.k) AS k,
+                     t.k IS NOT NULL AS in_t,
+                     src.k IS NOT NULL AS in_s,
+                     COALESCE(src.deleted, false) AS del,
+                     CASE WHEN src.k IS NOT NULL THEN src.status
+                          ELSE t.status END AS status,
+                     CASE WHEN src.k IS NOT NULL THEN src.price
+                          ELSE t.price END AS price
+              FROM t FULL OUTER JOIN src ON t.k = src.k
+            )
+            SELECT k, status, price FROM j
+            WHERE (in_t AND NOT in_s) OR (in_s AND NOT del)
+        """,
+        "q_scd2": """
+            WITH cur AS (
+              SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+            ),
+            upd AS (
+              SELECT c_custkey AS k,
+                     CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                          ELSE 'CHANGED' END AS seg,
+                     5 AS ts
+              FROM customer WHERE c_custkey % 3 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW', 5
+              FROM customer WHERE c_custkey % 11 = 0
+            ),
+            j AS (
+              SELECT cur.k AS ck, cur.seg AS cseg,
+                     upd.k AS uk, upd.seg AS useg, upd.ts AS ts
+              FROM cur FULL OUTER JOIN upd ON cur.k = upd.k
+            )
+            SELECT ck AS k, cseg AS seg, 0 AS valid_from,
+                   CAST(NULL AS INTEGER) AS valid_to, true AS is_current
+            FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR cseg = useg)
+            UNION ALL
+            SELECT ck, cseg, 0, ts, false
+            FROM j
+            WHERE ck IS NOT NULL AND uk IS NOT NULL AND cseg <> useg
+            UNION ALL
+            SELECT uk, useg, ts, CAST(NULL AS INTEGER), true
+            FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cseg <> useg)
+        """,
+        "q_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank
+                   FROM nodes),
+            c1 AS (SELECT dst AS node, sum(rank // deg) AS in_sum
+                   FROM e JOIN deg USING (src)
+                   JOIN r0 ON e.src = r0.node GROUP BY dst),
+            r1 AS (SELECT n.node,
+                          CAST(150000000 + (85 * COALESCE(in_sum, 0)) // 100
+                               AS BIGINT) AS rank
+                   FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+            c2 AS (SELECT dst AS node, sum(rank // deg) AS in_sum
+                   FROM e JOIN deg USING (src)
+                   JOIN r1 ON e.src = r1.node GROUP BY dst),
+            r2 AS (SELECT n.node,
+                          CAST(150000000 + (85 * COALESCE(in_sum, 0)) // 100
+                               AS BIGINT) AS rank
+                   FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+            c3 AS (SELECT dst AS node, sum(rank // deg) AS in_sum
+                   FROM e JOIN deg USING (src)
+                   JOIN r2 ON e.src = r2.node GROUP BY dst)
+            SELECT n.node,
+                   CAST(150000000 + (85 * COALESCE(in_sum, 0)) // 100
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c3 ON n.node = c3.node
+        """,
+        "q_dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0)) AS tok
+              FROM documents
+            ),
+            tb AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       % 1024 AS b
+              FROM toks
+            ),
+            raw AS (SELECT b, count(*) AS n_raw FROM tb GROUP BY b),
+            tgt AS (SELECT b, count(*) AS n_tgt FROM tb
+                    WHERE lang = 'en' GROUP BY b),
+            lut AS (
+              SELECT raw.b,
+                     ((COALESCE(n_tgt, 0) + 1) * 1000000) // (n_raw + 1)
+                       AS lr
+              FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+            )
+            SELECT doc_id, count(*) AS n_toks,
+                   CAST(sum(lr) // count(*) AS BIGINT) AS w_avg
+            FROM tb JOIN lut USING (b)
+            GROUP BY doc_id
+        """,
+        "q_url_canonical": """
+            WITH noisy AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                           ELSE 'http://' END)
+                     || source || '.Example.COM/d/'
+                     || CAST(doc_id % 100 AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                         THEN '?utm_source=x&ref=y' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN '#frag'
+                         ELSE '' END) AS url
+              FROM documents
+            ),
+            canon AS (
+              SELECT regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(url),
+                                        '^https?://(www\\.)?', ''),
+                         '[?#].*$', ''),
+                       '/$', '') AS curl
+              FROM noisy
+            ),
+            withdom AS (
+              SELECT curl, regexp_extract(curl, '^([^/]+)', 1) AS domain
+              FROM canon
+            )
+            SELECT domain, count(*) AS n_urls,
+                   count(DISTINCT curl) AS n_canonical
+            FROM withdom
+            WHERE domain NOT IN ('src0.example.com', 'src7.example.com')
+            GROUP BY domain
         """,
     }

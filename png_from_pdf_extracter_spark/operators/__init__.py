@@ -15,8 +15,12 @@ from .temporal import (
     range_join_broadcast,
 )
 from .validate import split_valid, validate_rows
+from .merge import MergeCardinalityError, merge_upsert, scd2_apply
 
 __all__ = [
+    "MergeCardinalityError",
+    "merge_upsert",
+    "scd2_apply",
     "asof_join",
     "asof_join_broadcast",
     "asof_join_skewed",

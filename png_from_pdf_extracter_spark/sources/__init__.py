@@ -2,7 +2,7 @@
 transcripts reader and stable partition-bucket derivation."""
 
 from .catalog import Catalog
-from .snapshots import CommitConflict, SnapshotTable
+from .snapshots import CommitConflict, IncrementalScanError, SnapshotTable
 from .transcripts import (
     TRANSCRIPTS_SCHEMA,
     generate_transcripts,
@@ -13,6 +13,9 @@ from .transcripts import (
 
 __all__ = [
     "Catalog",
+    "CommitConflict",
+    "IncrementalScanError",
+    "SnapshotTable",
     "TRANSCRIPTS_SCHEMA",
     "generate_transcripts",
     "generate_expected",

@@ -50,13 +50,26 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version this writer was building."""
 
 
+class IncrementalScanError(RuntimeError):
+    """The requested snapshot range contains a non-append commit, so the
+    appended-directories diff does not describe the change set."""
+
+
 class SnapshotTable:
     _seq = itertools.count()
 
-    def __init__(self, root: str, table: str):
+    def __init__(
+        self, root: str, table: str, stats_cols: list | None = None
+    ):
+        """``stats_cols``: column names whose per-data-dir min/max are
+        recorded in every manifest this writer commits (Iceberg's
+        column-stats file skipping, directory granularity). Readers use
+        them via ``read_pruned``; tables written without stats still read
+        fine — pruning just keeps every dir."""
         self.root = os.path.join(root, table)
         self.meta = os.path.join(self.root, "meta")
         self.data = os.path.join(self.root, "data")
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(self.meta, exist_ok=True)
         os.makedirs(self.data, exist_ok=True)
 
@@ -155,13 +168,19 @@ class SnapshotTable:
             self.data, f"v{base}-{os.getpid()}-{next(self._seq)}"
         )
         df.write.mode("overwrite").parquet(staged)
+        staged_stats = self._collect_stats(df, staged)
         last: Exception | None = None
         for _ in range(retries + 1):
             self._roll_forward()
             head = self.current_version()
             version = (head or 0) + 1
+            stats = dict(staged_stats)
             if op == "append" and head is not None:
-                dirs = list(self.manifest(head)["dirs"]) + [staged]
+                parent = self.manifest(head)
+                dirs = list(parent["dirs"]) + [staged]
+                # carry forward the parent's per-dir stats — dirs are
+                # immutable, so their ranges never change
+                stats = {**parent.get("stats", {}), **stats}
             else:
                 dirs = [staged]
             manifest = {
@@ -169,6 +188,7 @@ class SnapshotTable:
                 "parent": head,
                 "op": op,
                 "dirs": dirs,
+                "stats": stats,
             }
             if extra:
                 manifest.update(extra)
@@ -187,12 +207,141 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         return self._commit(df, "overwrite", extra=extra)
 
+    def _collect_stats(self, df: DataFrame, staged: str) -> dict:
+        """Per-dir min/max for ``stats_cols``, read back from the staged
+        parquet (a column-pruned footer-driven scan, not a recompute of
+        the writer's plan). Values are stored JSON-native (numbers/strings;
+        anything else stringified) — the same ordering the pruner uses."""
+        if not self.stats_cols:
+            return {}
+        from pyspark.sql import functions as F
+
+        back = df.sparkSession.read.parquet(staged)
+        cols = [c for c in self.stats_cols if c in back.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        row = back.agg(*aggs).first()
+        def _json(v):
+            return v if isinstance(v, (int, float, str)) or v is None else str(v)
+        return {
+            staged: {
+                c: [_json(row[f"min_{c}"]), _json(row[f"max_{c}"])]
+                for c in cols
+            }
+        }
+
     # ------------------------------------------------------------- reads
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
         m = self.manifest(version)
         return spark.read.parquet(*m["dirs"])
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple:
+        """Manifest-level file skipping: plan only the data dirs whose
+        recorded [min, max] range for ``col`` intersects [lo, hi] — the
+        scan for ``WHERE col BETWEEN lo AND hi`` never opens the skipped
+        dirs at all (Iceberg's stats-based pruning; parquet row-group
+        pruning still applies inside the dirs that survive). Dirs with no
+        recorded stats (older writers, null-only ranges) are always kept —
+        pruning is an optimization, never a correctness filter, so the
+        caller STILL applies the predicate. Returns (df, n_kept, n_total).
+        """
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        kept = []
+        for d in m["dirs"]:
+            rng = stats.get(d, {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                kept.append(d)
+                continue
+            mn, mx = rng
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                continue
+            kept.append(d)
+        if not kept:
+            # empty result with the right schema: scan one dir, keep 0 rows
+            df = spark.read.parquet(*m["dirs"]).limit(0)
+        else:
+            df = spark.read.parquet(*kept)
+        return df, len(kept), len(m["dirs"])
+
+    def read_changes(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> DataFrame:
+        """Incremental (CDC-style) scan: the rows APPENDED strictly after
+        snapshot ``since`` up to and including ``until`` (default: head).
+        Walks the parent chain validating every commit in the range is an
+        ``append`` — an overwrite/compact in between rewrites history, so
+        the directory diff would be wrong; raises IncrementalScanError
+        and the caller falls back to a full diff. This is Iceberg's
+        incremental append scan: the streaming/backfill primitive that
+        lets a 100 TB consumer process only the new data per run."""
+        head = self.current_version() if until is None else until
+        if head is None or since > head:
+            raise IncrementalScanError(
+                f"bad range: since={since} until={head}"
+            )
+        new_dirs: list = []
+        v = head
+        while v is not None and v > since:
+            m = self.manifest(v)
+            if m["op"] != "append":
+                raise IncrementalScanError(
+                    f"snapshot v{v} is op={m['op']!r}; incremental append "
+                    f"scan over ({since}, {head}] is not well-defined"
+                )
+            parent_dirs = (
+                set(self.manifest(m["parent"])["dirs"])
+                if m["parent"] is not None
+                else set()
+            )
+            new_dirs.extend(d for d in m["dirs"] if d not in parent_dirs)
+            v = m["parent"]
+        if v != since and since != 0:
+            raise IncrementalScanError(
+                f"snapshot v{since} is not an ancestor of v{head}"
+            )
+        if not new_dirs:
+            return self.read(spark, head).limit(0)
+        return spark.read.parquet(*new_dirs)
+
+    # ------------------------------------------------------------- merge
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys,
+        delete_col: str | None = None,
+        broadcast_source: bool = True,
+    ) -> int:
+        """Transactional MERGE INTO: read the head snapshot, apply
+        ``operators.merge.merge_upsert``, commit the result as an
+        ``overwrite`` snapshot (copy-on-write, Iceberg's default MERGE).
+        Readers pinned to older versions keep their view; the atomic
+        pointer flip publishes the merged table all-or-nothing."""
+        from ..operators.merge import merge_upsert
+
+        target = self.read(spark)
+        merged = merge_upsert(
+            target,
+            source,
+            keys,
+            delete_col=delete_col,
+            broadcast_source=broadcast_source,
+        )
+        return self._commit(merged, "overwrite")
 
     # ------------------------------------------------------ maintenance
     def compact(

@@ -1,0 +1,52 @@
+"""Fixed-point PageRank (functions/graph.py) — hand-checked on a tiny
+graph, plus the invariants that matter at scale: determinism across
+partitionings (the reason for integer arithmetic) and rank ordering on a
+known topology."""
+
+from pyspark.sql import Row
+
+from png_from_pdf_extracter_spark.functions.graph import pagerank_fixed_point
+
+SCALE = 10**9
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=s, dst=d) for s, d in pairs])
+
+
+def test_pagerank_hand_computed(spark):
+    # a -> b, a -> c, b -> c : c must outrank b, b must outrank a after 1 it
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2)])
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank_fixed_point(e, iters=1).collect()
+    }
+    base = 15 * SCALE // 100
+    # a: no in-edges -> base; b: half of a's rank damped; c: half a + all b
+    assert r[0] == base
+    assert r[1] == base + 85 * (SCALE // 2) // 100
+    assert r[2] == base + 85 * (SCALE // 2 + SCALE) // 100
+
+
+def test_pagerank_sink_accumulates(spark):
+    # star into node 9: it must hold the top rank, sources share the floor
+    e = _edges(spark, [(i, 9) for i in range(5)])
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank_fixed_point(e, iters=3).collect()
+    }
+    assert max(r, key=r.get) == 9
+    assert len({r[i] for i in range(5)}) == 1  # symmetric sources tie exactly
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Bit-exact under different partition counts — float PageRank can't
+    promise this; the fixed-point form is why the oracle hash works."""
+    pairs = [(i % 17, (i * 7) % 13) for i in range(200) if i % 17 != (i * 7) % 13]
+    a = pagerank_fixed_point(
+        _edges(spark, pairs).repartition(1), iters=4
+    ).collect()
+    b = pagerank_fixed_point(
+        _edges(spark, pairs).repartition(16), iters=4, checkpoint_every=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -225,3 +225,80 @@ def test_stream_extract_to_snapshots_exactly_once(spark, tmp_path):
     assert n2 > n1
     # time travel still shows the first batch alone
     assert t.read(spark, v1).count() == n1
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """CDC-style incremental scan: exactly the rows appended after a
+    snapshot, none of the older data — the per-run consumption primitive
+    for a 100 TB streaming/backfill consumer."""
+    from png_from_pdf_extracter_spark.sources import IncrementalScanError
+
+    t = SnapshotTable(str(tmp_path), "inc")
+    v1 = t.append(_df(spark, 0, 10))
+    v2 = t.append(_df(spark, 10, 15))
+    v3 = t.append(_df(spark, 15, 18))
+
+    got = {r["id"] for r in t.read_changes(spark, since=v1).collect()}
+    assert got == set(range(10, 18))
+    got = {r["id"] for r in t.read_changes(spark, v1, until=v2).collect()}
+    assert got == set(range(10, 15))
+    # since == head -> empty, schema intact
+    empty = t.read_changes(spark, v3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # everything since the beginning
+    assert t.read_changes(spark, 0).count() == 18
+
+    # an overwrite in the range invalidates the append diff
+    t.overwrite(_df(spark, 100, 102))
+    with pytest.raises(IncrementalScanError):
+        t.read_changes(spark, v1)
+    # ... but a range that starts after the overwrite works again
+    v5 = t.append(_df(spark, 200, 203))
+    got = {r["id"] for r in t.read_changes(spark, since=4).collect()}
+    assert got == {200, 201, 202}
+
+
+def test_stats_pruning_skips_dirs(spark, tmp_path):
+    """Manifest min/max stats: a range predicate plans only the data dirs
+    whose range intersects — Iceberg's file skipping. Results must equal
+    the unpruned scan + filter (pruning is never a correctness filter)."""
+    t = SnapshotTable(str(tmp_path), "pruned", stats_cols=["id"])
+    t.append(_df(spark, 0, 100))
+    t.append(_df(spark, 100, 200))
+    t.append(_df(spark, 200, 300))
+
+    df, kept, total = t.read_pruned(spark, "id", lo=120, hi=180)
+    assert (kept, total) == (1, 3)  # only the middle dir survives
+    got = {r["id"] for r in df.filter("id between 120 and 180").collect()}
+    expect = {
+        r["id"]
+        for r in t.read(spark).filter("id between 120 and 180").collect()
+    }
+    assert got == expect and len(got) == 61
+
+    # disjoint range -> zero dirs, empty result, schema intact
+    df0, kept0, _ = t.read_pruned(spark, "id", lo=1000, hi=2000)
+    assert kept0 == 0 and df0.count() == 0 and df0.columns == ["id", "v"]
+
+    # open-ended ranges
+    _, kept_lo, _ = t.read_pruned(spark, "id", lo=250)
+    assert kept_lo == 1
+    _, kept_hi, _ = t.read_pruned(spark, "id", hi=50)
+    assert kept_hi == 1
+
+    # stats survive append carry-forward and are recorded per dir
+    m = t.manifest()
+    assert len(m["stats"]) == 3
+    for d, st in m["stats"].items():
+        assert set(st) == {"id"} and st["id"][0] < st["id"][1]
+
+
+def test_stats_pruning_unstatted_dirs_always_kept(spark, tmp_path):
+    """Dirs written without stats (older writer) are never pruned."""
+    plain = SnapshotTable(str(tmp_path), "mixed")
+    plain.append(_df(spark, 0, 10))
+    statted = SnapshotTable(str(tmp_path), "mixed", stats_cols=["id"])
+    statted.append(_df(spark, 1000, 1010))
+    df, kept, total = statted.read_pruned(spark, "id", lo=5000, hi=6000)
+    assert total == 2 and kept == 1  # unstatted v1 dir kept, statted pruned
+    assert df.count() == 10
