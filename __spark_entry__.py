@@ -2297,6 +2297,76 @@ def _q_url_canonical(spark, sf_dir):
     )
 
 
+def _q_cms_freq(spark, sf_dir):
+    """Count-min sketch (functions/sketch.py): the mergeable bounded-state
+    frequency sketch next to the exact heavy-hitters query — at 100 TB the
+    distinct-term state is the problem, the CMS caps it at depth x width
+    cells. All-integer md5 cell hashing makes the sketch AND its estimates
+    bit-exact across engines, so the oracle rebuilds the identical sketch
+    in DuckDB. Estimates for the exact top-20 tokens, overestimate-only by
+    construction. One combinable sketch aggregate + one tiny broadcast."""
+    from png_from_pdf_extracter_spark.functions import sketch as sk
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok")
+    )
+    cms = sk.cms_build(toks, "tok", depth=4, width=512)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact"))
+    w = Window.orderBy(F.desc("exact"), F.asc("tok"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = sk.cms_estimate(cms, top, "tok", depth=4, width=512)
+    return est.join(
+        top.select(F.col("tok").alias("item"), "exact"), "item"
+    ).select("item", "est", "exact")
+
+
+def _q_skew_join(spark, sf_dir):
+    """Generalized big-big skewed equi-join (operators/salting.py
+    salted_equi_join): one planted hot key holds a third of the left
+    side; left rows salt deterministically, hot right rows replicate
+    once per salt, so the hot key runs on salt_buckets tasks instead of
+    pinning one. The oracle is the PLAIN join — the hash match proves
+    the salted plan is a pure physical rewrite."""
+    from png_from_pdf_extracter_spark.operators import salted_equi_join
+
+    o = _read(spark, sf_dir, "orders")
+    left = o.select(
+        F.when((F.col("o_orderkey") % 3) == 0, F.lit("HOT"))
+        .otherwise(
+            F.concat(F.lit("k"), (F.col("o_custkey") % 97).cast("string"))
+        )
+        .alias("key"),
+        F.col("o_orderkey").alias("lv"),
+    )
+    c = _read(spark, sf_dir, "customer")
+    right = (
+        c.filter((F.col("c_custkey") % 97) < 40)
+        .select(
+            F.concat(F.lit("k"), (F.col("c_custkey") % 97).cast("string"))
+            .alias("key")
+        )
+        .distinct()
+        .unionByName(spark.createDataFrame([("HOT",)], ["key"]))
+        .withColumn("rtag", F.length("key"))
+    )
+    j = salted_equi_join(left, right, "key", ["HOT"], salt_buckets=8)
+    return j.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("lv").alias("sum_lv"),
+        F.max("rtag").alias("rtag"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -2411,6 +2481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q_pagerank,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
+        "q_cms_freq": _q_cms_freq,
+        "q_skew_join": _q_skew_join,
     }
 
 
@@ -3984,5 +4056,58 @@ def oracle_sql() -> dict[str, str]:
             FROM withdom
             WHERE domain NOT IN ('src0.example.com', 'src7.example.com')
             GROUP BY domain
+        """,
+        "q_cms_freq": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0)) AS tok
+              FROM documents
+            ),
+            depths AS (SELECT unnest(range(4)) AS d),
+            cells AS (
+              SELECT d,
+                     CAST(concat('0x', substr(
+                       md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8))
+                       AS BIGINT) % 512 AS w
+              FROM toks, depths
+            ),
+            sketch AS (SELECT d, w, count(*) AS cnt
+                       FROM cells GROUP BY d, w),
+            top AS (
+              SELECT tok, count(*) AS exact FROM toks GROUP BY tok
+              ORDER BY exact DESC, tok ASC LIMIT 20
+            ),
+            icells AS (
+              SELECT tok, exact, d,
+                     CAST(concat('0x', substr(
+                       md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8))
+                       AS BIGINT) % 512 AS w
+              FROM top, depths
+            )
+            SELECT tok AS item, min(cnt) AS est, exact
+            FROM icells JOIN sketch USING (d, w)
+            GROUP BY tok, exact
+        """,
+        "q_skew_join": """
+            WITH l AS (
+              SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'HOT'
+                          ELSE 'k' || CAST(o_custkey % 97 AS VARCHAR)
+                     END AS key,
+                     o_orderkey AS lv
+              FROM orders
+            ),
+            r AS (
+              SELECT key, length(key) AS rtag FROM (
+                SELECT DISTINCT
+                       'k' || CAST(c_custkey % 97 AS VARCHAR) AS key
+                FROM customer WHERE c_custkey % 97 < 40
+                UNION ALL SELECT 'HOT'
+              )
+            )
+            SELECT key, count(*) AS n, CAST(sum(lv) AS BIGINT) AS sum_lv,
+                   CAST(max(rtag) AS INTEGER) AS rtag
+            FROM l JOIN r USING (key)
+            GROUP BY key
         """,
     }

@@ -250,6 +250,13 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_line_dedup",
         "q_hash_classifier",
         "q_semdedup",
+        "q_merge_upsert",
+        "q_scd2",
+        "q_pagerank",
+        "q_dsir_weights",
+        "q_url_canonical",
+        "q_cms_freq",
+        "q_skew_join",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -2,7 +2,12 @@
 quarantine split, anti-join resume. All pure DataFrame->DataFrame functions
 built from pyspark.sql builtins — no custom Catalyst rules (SURVEY.md §4)."""
 
-from .salting import salted_repartition, salted_repartition_auto, max_key_share
+from .salting import (
+    salted_repartition,
+    salted_repartition_auto,
+    salted_equi_join,
+    max_key_share,
+)
 from .ordering import explode_units, reassemble_turns, conversation_rollup
 from .quarantine import split_quarantine
 from .resume import completed_partitions, pending_only
@@ -30,6 +35,7 @@ __all__ = [
     "validate_rows",
     "salted_repartition",
     "salted_repartition_auto",
+    "salted_equi_join",
     "max_key_share",
     "explode_units",
     "reassemble_turns",

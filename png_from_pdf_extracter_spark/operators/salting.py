@@ -75,3 +75,74 @@ def salted_repartition_auto(
     if share > threshold:
         return salted_repartition(df, num_partitions, salt_buckets)
     return df
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: DataFrame | list,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big equi-join with explicit hot-key splitting — the general
+    form of the skew fix ``asof_join_skewed`` applies to temporal joins.
+
+    A sort-merge join puts every row of one key into one task; a key
+    holding 10% of a 100 TB table pins that task for hours (AQE's skew
+    split helps only when the skewed side can be sub-split WITHOUT
+    replicating the other side's matching partition — for very hot keys
+    the replicated-salt form below is the standard fix). Plan:
+
+    - LEFT rows of a hot key get a deterministic salt in [0, S):
+      ``pmod(xxhash64(all left columns), S)`` — no randomness, so the
+      join is replayable and task-retry-safe.
+    - RIGHT rows of a hot key are replicated S times (posexplode over a
+      static array), once per salt value.
+    - Both sides join on (key, salt): the hot key now occupies S tasks
+      instead of 1. Cold keys carry salt 0 on both sides — single copy,
+      zero overhead.
+
+    ``hot_keys``: a small DataFrame with column ``key`` (or a Python
+    list) — typically the output of a cheap sampled count like
+    ``max_key_share``'s aggregate; it is broadcast to tag both sides
+    map-only. Result equals the plain join exactly (pinned in tests).
+
+    Cost: |right ∩ hot| * S extra rows — bounded and chosen; the
+    alternative is an unbounded straggler.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        # an unmatched replicated RIGHT row would surface S times
+        raise ValueError(
+            f"salted_equi_join supports inner/left joins, got {how!r}"
+        )
+    spark = left.sparkSession
+    if isinstance(hot_keys, list):
+        hot_keys = spark.createDataFrame(
+            [(k,) for k in hot_keys], [key]
+        )
+    hot = F.broadcast(hot_keys.select(key).distinct().withColumn("__hot", F.lit(True)))
+
+    l_tag = left.join(hot, key, "left")
+    l_salted = l_tag.withColumn(
+        "__salt",
+        F.when(
+            F.col("__hot").isNotNull(),
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)),
+        ).otherwise(F.lit(0)),
+    ).drop("__hot")
+
+    r_tag = right.join(hot, key, "left")
+    r_salted = (
+        r_tag.withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("__salt", F.explode("__salts"))
+        .drop("__salts", "__hot")
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")

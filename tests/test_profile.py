@@ -74,3 +74,38 @@ def test_merge_law_random_splits(spark):
             assert merged[k][col] == direct[k][col], (k, col)
         for col in ("mean", "std"):
             assert abs(merged[k][col] - direct[k][col]) < 1e-3, (k, col)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-min sketch (functions/sketch.py): estimates are exact or
+    one-sided overestimates, unseen items report 0, and merging per-batch
+    sketches equals sketching the union — the mergeability that makes it
+    an incremental 100 TB aggregate."""
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.functions import sketch as sk
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 7 + [("z",)] * 1, ["w"]
+    )
+    b = spark.createDataFrame([("x",)] * 25 + [("q",)] * 3, ["w"])
+    s_a = sk.cms_build(a, "w", depth=4, width=64)
+    s_b = sk.cms_build(b, "w", depth=4, width=64)
+    merged = sk.cms_merge(s_a, s_b)
+    union_sketch = sk.cms_build(a.unionByName(b), "w", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union_sketch.collect())
+    )
+
+    items = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("q",), ("never",)], ["w"]
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in sk.cms_estimate(merged, items, "w", depth=4, width=64).collect()
+    }
+    true = {"x": 75, "y": 7, "z": 1, "q": 3, "never": 0}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # width 64 >> 4 distinct items: collisions are unlikely; x at least exact
+    assert est["x"] == 75 and est["never"] == 0

@@ -121,3 +121,58 @@ def test_auto_mode_extraction_matches_always(spark):
         j.filter(~F.col("extracted_text").eqNullSafe(F.col("b_text"))).count()
         == 0
     )
+
+
+def test_salted_equi_join_equals_plain_join(spark):
+    """General big-big skewed equi-join: one key holds 50% of both sides;
+    the salted plan must return exactly the plain join's rows, and the
+    hot key's left rows must actually spread over >1 salt."""
+    from png_from_pdf_extracter_spark.operators import salted_equi_join
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("key"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 400).select(
+        F.when(F.col("id") < 200, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("key"),
+        F.col("id").alias("rv"),
+    )
+    plain = left.join(right, "key").select("key", "lv", "rv")
+    salted = salted_equi_join(left, right, "key", ["HOT"], salt_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.select("key", "lv", "rv").collect())
+    )
+    # determinism: same result twice (hash salt, not rand())
+    again = salted_equi_join(left, right, "key", ["HOT"], salt_buckets=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_salted_equi_join_left_outer_and_guard(spark):
+    import pytest as _pytest
+
+    from png_from_pdf_extracter_spark.operators import salted_equi_join
+
+    left = spark.createDataFrame(
+        [("HOT", 1), ("HOT", 2), ("cold", 3), ("nomatch", 4)], ["key", "lv"]
+    )
+    right = spark.createDataFrame(
+        [("HOT", 10), ("cold", 30)], ["key", "rv"]
+    )
+    out = salted_equi_join(
+        left, right, "key", ["HOT"], salt_buckets=4, how="left"
+    )
+    rows = sorted(map(tuple, out.select("key", "lv", "rv").collect()))
+    assert rows == [
+        ("HOT", 1, 10),
+        ("HOT", 2, 10),
+        ("cold", 3, 30),
+        ("nomatch", 4, None),  # unmatched left row appears exactly once
+    ]
+    with _pytest.raises(ValueError):
+        salted_equi_join(left, right, "key", ["HOT"], how="right")
