@@ -2367,6 +2367,67 @@ def _q_skew_join(spark, sf_dir):
     )
 
 
+def _q_grouping_cube(spark, sf_dir):
+    """CUBE grouping sets over orders (status x priority): all four
+    grouping combinations in ONE pass — Spark plans a single Expand +
+    aggregate, not four scans. The grouping indicator is derived as
+    (a IS NULL)*2 + (b IS NULL) on both sides to dodge engine-specific
+    GROUPING_ID bit conventions (cols are non-null, so NULL means
+    'rolled up')."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            (
+                F.when(F.col("o_orderstatus").isNull(), 2).otherwise(0)
+                + F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+            ).alias("gid"),
+            "n",
+            "total",
+        )
+    )
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Inverted index build (term -> document-frequency + ordered posting
+    head) — the search-side artifact of an extraction pipeline. Postings
+    are collect_set -> sort_array -> slice(10) so the stored list is
+    bounded per term regardless of corpus size; terms below df>=20 are
+    dropped (index pruning). Two combinable shuffles: distinct(doc,term),
+    then the per-term aggregate."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: F.length(t) > 2,
+                )
+            )
+        ).alias("term"),
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, 10
+                ).cast("array<string>"),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -2483,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
         "q_skew_join": _q_skew_join,
+        "q_grouping_cube": _q_grouping_cube,
+        "q_inverted_index": _q_inverted_index,
     }
 
 
@@ -4109,5 +4172,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(rtag) AS INTEGER) AS rtag
             FROM l JOIN r USING (key)
             GROUP BY key
+        """,
+        "q_grouping_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   (CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+                    + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                     AS gid,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 2)) AS term
+              FROM documents
+            )
+            SELECT term, count(*) AS df,
+                   array_to_string(
+                     list_sort(list(doc_id))[1:10], ',') AS postings_head
+            FROM pairs
+            GROUP BY term
+            HAVING count(*) >= 20
         """,
     }

@@ -257,6 +257,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_url_canonical",
         "q_cms_freq",
         "q_skew_join",
+        "q_grouping_cube",
+        "q_inverted_index",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

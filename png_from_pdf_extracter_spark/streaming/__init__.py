@@ -10,7 +10,11 @@ from .extract_stream import (
     stream_profile_to_catalog,
     read_profile,
 )
-from .stateful import conversation_progress_stateful
+from .stateful import (
+    conversation_progress_stateful,
+    conversation_progress_tws,
+    tws_available,
+)
 
 __all__ = [
     "stream_extract",
@@ -24,4 +28,6 @@ __all__ = [
     "stream_profile_to_catalog",
     "read_profile",
     "conversation_progress_stateful",
+    "conversation_progress_tws",
+    "tws_available",
 ]

@@ -84,3 +84,77 @@ def conversation_progress_stateful(extracted: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` needs ``google.protobuf``
+    in the Python workers (the typed-state server protocol); this
+    container does not ship it, so the TWS path is capability-gated the
+    same way the PIL image decoder is: real when the dependency exists,
+    a clear error otherwise."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def conversation_progress_tws(extracted: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``conversation_progress_stateful`` — the Spark 4 successor API with
+    typed per-key state (ValueState here; ListState/MapState/TTL/timers
+    are the features the legacy API lacks). Semantically identical to the
+    legacy operator so the parity test can pin one against the other when
+    the dependency is present. Requires the RocksDB state store provider
+    (set by the caller's session conf) and ``google.protobuf`` in the
+    workers."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python workers; not available in this environment "
+            "(capability-gated, see tws_available)"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ConvProgress(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("progress", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n_turns, n_errors, total_chars, max_turn = self._state.get()
+            else:
+                n_turns, n_errors, total_chars, max_turn = 0, 0, 0, -1
+            for pdf in rows:
+                n_turns += len(pdf)
+                n_errors += int((pdf["status"] == "error").sum())
+                total_chars += int(
+                    pdf["extracted_text"].str.len().fillna(0).sum()
+                )
+                if len(pdf):
+                    max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+            self._state.update((n_turns, n_errors, total_chars, max_turn))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_errors": [n_errors],
+                    "total_chars": [total_chars],
+                    "max_turn_idx": [max_turn],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return extracted.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=_ConvProgress(),
+        outputStructType=PROGRESS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -103,3 +103,41 @@ def test_state_survives_restart_and_accumulates(spark, dirs):
     # conversations from the first append really did get updated twice
     assert any(n > 0 for (n, _, _) in got.values())
     assert len(got) == 30
+
+
+def test_tws_capability_gate(spark, dirs):
+    """transformWithStateInPandas (Spark 4 typed-state API) is gated on
+    google.protobuf in the workers — absent here, so the operator must
+    refuse with a clear ImportError; when the dependency exists the twin
+    runs the same tally as the legacy operator (parity pinned below)."""
+    from png_from_pdf_extracter_spark.streaming import (
+        conversation_progress_tws,
+        tws_available,
+    )
+
+    generate_transcripts(spark, GenConfig(seed=31, n_convs=5)).write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    extracted = stream_extract(spark, dirs["in"], PARAMS)
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            conversation_progress_tws(extracted)
+        return
+    out = conversation_progress_tws(extracted)  # pragma: no cover
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_prog")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(dirs["ckpt"], "tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["conv_id"]: (r["n_turns"], r["n_errors"], r["total_chars"])
+        for r in spark.sql(
+            "select * from tws_prog qualify row_number() over "
+            "(partition by conv_id order by n_turns desc) = 1"
+        ).collect()
+    }
+    assert got == _batch_expect(spark, dirs)
