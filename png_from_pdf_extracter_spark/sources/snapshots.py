@@ -238,8 +238,18 @@ class SnapshotTable:
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
+        """Plan the snapshot's data dirs. ``mergeSchema`` makes column
+        ADDITION a metadata-only operation (Iceberg's commonest schema
+        evolution): an append whose df carries a new column commits
+        normally, and reads project the union schema — rows from older
+        dirs surface NULL for the new column, no rewrite of old data.
+        Parquet resolves by name, so column order may differ per dir;
+        renames/drops still need a rewrite (overwrite), same as
+        parquet-backed Iceberg v1."""
         m = self.manifest(version)
-        return spark.read.parquet(*m["dirs"])
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
+        )
 
     def read_pruned(
         self,
@@ -272,9 +282,9 @@ class SnapshotTable:
             kept.append(d)
         if not kept:
             # empty result with the right schema: scan one dir, keep 0 rows
-            df = spark.read.parquet(*m["dirs"]).limit(0)
+            df = self.read(spark, version).limit(0)
         else:
-            df = spark.read.parquet(*kept)
+            df = spark.read.option("mergeSchema", "true").parquet(*kept)
         return df, len(kept), len(m["dirs"])
 
     def read_changes(
@@ -315,7 +325,7 @@ class SnapshotTable:
             )
         if not new_dirs:
             return self.read(spark, head).limit(0)
-        return spark.read.parquet(*new_dirs)
+        return spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
     # ------------------------------------------------------------- merge
     def merge(

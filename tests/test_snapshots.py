@@ -302,3 +302,25 @@ def test_stats_pruning_unstatted_dirs_always_kept(spark, tmp_path):
     df, kept, total = statted.read_pruned(spark, "id", lo=5000, hi=6000)
     assert total == 2 and kept == 1  # unstatted v1 dir kept, statted pruned
     assert df.count() == 10
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Column addition is metadata-only (Iceberg's commonest evolution):
+    append a df with a new column, old dirs are never rewritten, reads
+    project the union schema with NULLs for pre-evolution rows — and the
+    old snapshot still reads with its original schema."""
+    t = SnapshotTable(str(tmp_path), "evo")
+    v1 = t.append(_df(spark, 0, 5))
+    evolved = _df(spark, 5, 8).withColumn("lang", F.lit("en"))
+    t.append(evolved)
+
+    head = t.read(spark)
+    assert set(head.columns) == {"id", "v", "lang"}
+    rows = {r["id"]: r["lang"] for r in head.collect()}
+    assert rows[0] is None and rows[6] == "en"
+    assert head.count() == 8
+    # time travel to the pre-evolution snapshot: original schema
+    assert set(t.read(spark, v1).columns) == {"id", "v"}
+    # incremental scan across the evolution sees only the new rows+schema
+    inc = t.read_changes(spark, since=v1)
+    assert inc.count() == 3 and "lang" in inc.columns
