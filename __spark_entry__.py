@@ -1719,6 +1719,81 @@ def _q_histogram(spark, sf_dir):
     )
 
 
+def _q_bloom_antijoin(spark, sf_dir):
+    """Bloom-prefiltered anti-join (operators/bloom.py): events of users
+    with no big purchase (value > 90). The 100 TB resume story — the seen
+    set is too big to broadcast, so a fixed-size bitmap built with a
+    distributed bit_or prefilters the probe MAP-SIDE and only candidates
+    shuffle for exact verification. Results are exact (no false
+    negatives), hence a plain NOT EXISTS oracle."""
+    from png_from_pdf_extracter_spark.operators import bloom_anti_join
+
+    e = _read(spark, sf_dir, "events")
+    seen = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    unseen_events = bloom_anti_join(e, seen, "user_id", n_bits=1 << 16)
+    return unseen_events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity per document (functions/lm.py) — the
+    CCNet/Gopher perplexity-filter stage, scored against the corpus' own
+    unigram distribution so it stays oracle-exact."""
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    return lm.unigram_perplexity(d)
+
+
+def _q_forward_fill(spark, sf_dir):
+    """Gap-fill / forward-fill: carry each user's last purchase value
+    forward onto every subsequent event (``last(..., ignorenulls=True)``
+    over an ordered window) — the state-propagation primitive behind
+    slowly-updating attributes. Tie-broken on event_id so both engines
+    see one deterministic ordering."""
+    e = _read(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("filled", F.last(v, ignorenulls=True).over(w))
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round(F.col("filled"), 4).alias("last_purchase_value"),
+        )
+    )
+
+
+def _q_ntile_deciles(spark, sf_dir):
+    """Equal-frequency binning: ntile(10) over order value (orderkey
+    tie-break makes the assignment deterministic), rolled up to per-decile
+    count / bounds / volume — the quantile-bucket profile used for price
+    banding and stratified splits."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+    )
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -2495,6 +2570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_words": _q_top_words,
         "q_tfidf": _q_tfidf,
         "q_tpch_q5": _q_tpch_q5,
+        "q_bloom_antijoin": _q_bloom_antijoin,
+        "q_perplexity": _q_perplexity,
+        "q_forward_fill": _q_forward_fill,
+        "q_ntile_deciles": _q_ntile_deciles,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -3491,6 +3570,65 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_bloom_antijoin": """
+            WITH seen AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND value > 90
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS sum_value
+            FROM events e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM seen s WHERE s.user_id = e.user_id
+            )
+            GROUP BY event_type
+        """,
+        "q_perplexity": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            freq AS (
+              SELECT word, count(*) AS cnt FROM terms GROUP BY word
+            ),
+            tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(-avg(ln(cnt / total)), 3) AS avg_nll,
+                   round(exp(-avg(ln(cnt / total))), 1) AS ppl
+            FROM terms JOIN freq USING (word), tot
+            GROUP BY doc_id
+        """,
+        "q_forward_fill": """
+            SELECT user_id, event_id, event_type,
+                   round(last_value(
+                     CASE WHEN event_type = 'purchase' THEN value END
+                     IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     4) AS last_purchase_value
+            FROM events
+            WHERE user_id < 20
+        """,
+        "q_ntile_deciles": """
+            SELECT decile, count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi,
+                   round(sum(o_totalprice), 2) AS volume
+            FROM (
+              SELECT o_totalprice,
+                     ntile(10) OVER (
+                       ORDER BY o_totalprice ASC, o_orderkey ASC
+                     )::INTEGER AS decile
+              FROM orders
+            )
+            GROUP BY decile
         """,
         "q_sql_surface": """
             WITH top_docs AS (

@@ -259,6 +259,10 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_skew_join",
         "q_grouping_cube",
         "q_inverted_index",
+        "q_bloom_antijoin",
+        "q_perplexity",
+        "q_forward_fill",
+        "q_ntile_deciles",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -17,8 +17,13 @@
 ``udfs.py``        the sanctioned Python-boundary rungs (scalar pandas_udf,
                    grouped-map applyInPandas) proven against value-exact
                    oracles.
+``lm.py``          language-model scoring (unigram perplexity — the
+                   CCNet/Gopher perplexity-filter stage, oracle-exact).
 """
 
-from . import curate, dedup, incremental, multimodal, similarity, text, udfs
+from . import curate, dedup, incremental, lm, multimodal, similarity, text, udfs
 
-__all__ = ["text", "dedup", "incremental", "similarity", "multimodal", "curate", "udfs"]
+__all__ = [
+    "text", "dedup", "incremental", "lm", "similarity", "multimodal",
+    "curate", "udfs",
+]

@@ -20,9 +20,14 @@ from .temporal import (
     range_join_broadcast,
 )
 from .validate import split_valid, validate_rows
+from .bloom import bloom_anti_join, bloom_semi_join, build_bloom, might_contain
 from .merge import MergeCardinalityError, merge_upsert, scd2_apply
 
 __all__ = [
+    "bloom_anti_join",
+    "bloom_semi_join",
+    "build_bloom",
+    "might_contain",
     "MergeCardinalityError",
     "merge_upsert",
     "scd2_apply",
