@@ -1775,6 +1775,66 @@ def _q_forward_fill(spark, sf_dir):
     )
 
 
+def _q_incr_dedup(spark, sf_dir):
+    """Incremental corpus dedup: drop NEW documents whose content
+    fingerprint already exists in the ingested corpus — the cross-run
+    composition of ``text.fingerprint`` and the Bloom-prefiltered
+    anti-join (at 10^12 docs the seen-fingerprint set is way past
+    broadcast size; the bitmap prefilter keeps the new batch's shuffle
+    bounded to candidates). Exact despite the probabilistic prefilter."""
+    from png_from_pdf_extracter_spark.operators import bloom_anti_join
+
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 250)
+    # the new batch: novel docs + a whitespace-mangled re-ingest slice of
+    # the old corpus (fingerprint-equal after normalization) — so the
+    # oracle proves duplicates actually get DROPPED, not just grouped
+    reingest = old.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = d.filter(F.col("doc_id") >= 250).unionByName(reingest)
+    fresh = bloom_anti_join(
+        new.withColumn("fp", text.fingerprint("text")),
+        old.select(text.fingerprint("text").alias("fp")),
+        "fp",
+        n_bits=1 << 16,
+    )
+    return fresh.groupBy("lang").agg(
+        F.count("*").alias("n_new_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_winsorize(spark, sf_dir):
+    """Winsorization: clamp values to the exact interpolated [p05, p95]
+    of their group (``percentile`` = SQL-standard continuous quantile,
+    DuckDB ``quantile_cont``) — the outlier-taming stage of numeric
+    feature pipelines. Group stats are one combinable aggregate,
+    broadcast back; the clamp is map-side."""
+    e = _read(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = e.join(F.broadcast(stats), "event_type").withColumn(
+        "w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("p05")).cast("int")).alias("n_lo"),
+        F.sum((F.col("value") > F.col("p95")).cast("int")).alias("n_hi"),
+        F.round(F.avg("w"), 4).alias("mean_winsorized"),
+        F.round(F.min("p05"), 4).alias("p05"),
+        F.round(F.min("p95"), 4).alias("p95"),
+    )
+
+
 def _q_ntile_deciles(spark, sf_dir):
     """Equal-frequency binning: ntile(10) over order value (orderkey
     tie-break makes the assignment deterministic), rolled up to per-decile
@@ -2574,6 +2634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity": _q_perplexity,
         "q_forward_fill": _q_forward_fill,
         "q_ntile_deciles": _q_ntile_deciles,
+        "q_incr_dedup": _q_incr_dedup,
+        "q_winsorize": _q_winsorize,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -3570,6 +3632,43 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "q_incr_dedup": f"""
+            WITH old AS (SELECT * FROM documents WHERE doc_id < 250),
+            new AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+              WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     '  ' || replace(text, ' ', '  ') || ' ',
+                     lang, source, n_chars
+              FROM old WHERE doc_id % 3 = 0
+            ),
+            old_fp AS (SELECT {fp} AS fp FROM old)
+            SELECT lang,
+                   count(*) AS n_new_unique,
+                   sum(n_chars) AS sum_chars
+            FROM (SELECT lang, n_chars, {fp} AS fp FROM new) n
+            WHERE NOT EXISTS (SELECT 1 FROM old_fp o WHERE o.fp = n.fp)
+            GROUP BY lang
+        """,
+        "q_winsorize": """
+            WITH stats AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS p05,
+                     quantile_cont(value, 0.95) AS p95
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   count(*) AS n,
+                   sum((value < p05)::INTEGER) AS n_lo,
+                   sum((value > p95)::INTEGER) AS n_hi,
+                   round(avg(least(greatest(value, p05), p95)), 4)
+                     AS mean_winsorized,
+                   round(min(p05), 4) AS p05,
+                   round(min(p95), 4) AS p95
+            FROM events e JOIN stats s USING (event_type)
+            GROUP BY e.event_type
         """,
         "q_bloom_antijoin": """
             WITH seen AS (

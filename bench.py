@@ -263,18 +263,36 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_perplexity",
         "q_forward_fill",
         "q_ntile_deciles",
+        "q_incr_dedup",
+        "q_winsorize",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
-    times = {}
-    for k in keys:
+    # ambient-noise guard: this VM has hypervisor-neighbor windows where a
+    # single run can read 5-50x slow (BENCH.md §"Ambient-noise windows"; a
+    # past sweep recorded 124s for a query that reruns at 4s). A single
+    # sample per query is therefore untrustworthy: any query slower than
+    # RETRY_SEC gets one re-run and reports the MIN — a noisy first sample
+    # can only inflate, never deflate, so min-of-2 is safe and the retry
+    # cost is bounded to genuinely-slow or genuinely-unlucky queries.
+    retry_sec = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRY_SEC", "5"))
+
+    def _one(k: str) -> float:
         t0 = time.time()
         df = qs[k](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        times[k] = round(time.time() - t0, 3)
+        sec = time.time() - t0
         # outside the clock: reclaim any persisted intermediates so the
         # session doesn't accumulate cached shingle/band tables
         dedup.release(df)
+        return sec
+
+    times = {}
+    for k in keys:
+        sec = _one(k)
+        if sec > retry_sec:
+            sec = min(sec, _one(k))
+        times[k] = round(sec, 3)
     return times
 
 
