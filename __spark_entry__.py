@@ -1835,6 +1835,73 @@ def _q_winsorize(spark, sf_dir):
     )
 
 
+def _q_funnel_steps(spark, sf_dir):
+    """Conversion funnel: per user, first signup -> earliest purchase at
+    or after it, rolled up by signup month — equi-join on user with a
+    range predicate (no cross join), both aggregates map-side
+    combinable. The product-analytics twin of the curation funnel."""
+    e = _read(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    firstp = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    # whole-second epochs on BOTH engines (oracle: floor(epoch(..)));
+    # the tz offset a session may apply to NTZ timestamps cancels in the
+    # difference, so the lag is tz-invariant
+    lag_s = F.unix_timestamp("first_purchase_ts") - F.unix_timestamp(
+        "signup_ts"
+    )
+    return firstp.groupBy(
+        F.date_trunc("month", "signup_ts").alias("cohort_month")
+    ).agg(
+        F.count("*").alias("n_signups"),
+        F.count("first_purchase_ts").alias("n_converted"),
+        F.round(
+            F.count("first_purchase_ts") / F.count("*"), 4
+        ).alias("conv_rate"),
+        F.round(F.avg(lag_s), 2).alias("avg_secs_to_convert"),
+    )
+
+
+def _q_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics every dedup-on-nullable-key job
+    silently needs; a plain equi-join drops the NULL group."""
+    e = _read(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    l = e.filter(F.col("event_id") % 2 == 0).select(k, "value")
+    r = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .select(k)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_right"))
+        .withColumnRenamed("k", "rk")
+    )
+    return (
+        l.join(r, l["k"].eqNullSafe(r["rk"]))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_left"),
+            F.min("n_right").alias("n_right"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def _q_ntile_deciles(spark, sf_dir):
     """Equal-frequency binning: ntile(10) over order value (orderkey
     tie-break makes the assignment deterministic), rolled up to per-decile
@@ -2636,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_deciles": _q_ntile_deciles,
         "q_incr_dedup": _q_incr_dedup,
         "q_winsorize": _q_winsorize,
+        "q_funnel_steps": _q_funnel_steps,
+        "q_nullsafe_join": _q_nullsafe_join,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -3669,6 +3738,49 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p95), 4) AS p95
             FROM events e JOIN stats s USING (event_type)
             GROUP BY e.event_type
+        """,
+        "q_funnel_steps": """
+            WITH s AS (
+              SELECT user_id, min(ts) AS signup_ts
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            firstp AS (
+              SELECT s.user_id, s.signup_ts,
+                     min(p.ts) AS first_purchase_ts
+              FROM s LEFT JOIN events p
+                ON p.user_id = s.user_id
+               AND p.event_type = 'purchase'
+               AND p.ts >= s.signup_ts
+              GROUP BY s.user_id, s.signup_ts
+            )
+            SELECT date_trunc('month', signup_ts) AS cohort_month,
+                   count(*) AS n_signups,
+                   count(first_purchase_ts) AS n_converted,
+                   round(count(first_purchase_ts) / count(*)::DOUBLE, 4)
+                     AS conv_rate,
+                   round(avg(floor(epoch(first_purchase_ts))
+                             - floor(epoch(signup_ts))),
+                         2) AS avg_secs_to_convert
+            FROM firstp
+            GROUP BY cohort_month
+        """,
+        "q_nullsafe_join": """
+            WITH l AS (
+              SELECT nullif(event_type, 'error') AS k, value
+              FROM events WHERE event_id % 2 = 0
+            ),
+            r AS (
+              SELECT nullif(event_type, 'error') AS rk,
+                     count(*) AS n_right
+              FROM events WHERE event_id % 2 = 1
+              GROUP BY rk
+            )
+            SELECT k,
+                   count(*) AS n_left,
+                   min(n_right) AS n_right,
+                   round(sum(value), 2) AS sum_value
+            FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
+            GROUP BY k
         """,
         "q_bloom_antijoin": """
             WITH seen AS (

@@ -265,6 +265,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_ntile_deciles",
         "q_incr_dedup",
         "q_winsorize",
+        "q_funnel_steps",
+        "q_nullsafe_join",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

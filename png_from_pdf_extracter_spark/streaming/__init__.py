@@ -3,6 +3,7 @@ from .extract_stream import (
     stream_extract_to_catalog,
     stream_extract_to_snapshots,
     stream_interval_join,
+    stream_static_enrich,
     stream_turn_rates,
     stream_conv_progress,
     stream_dedup,
@@ -21,6 +22,7 @@ __all__ = [
     "stream_extract_to_catalog",
     "stream_extract_to_snapshots",
     "stream_interval_join",
+    "stream_static_enrich",
     "stream_turn_rates",
     "stream_conv_progress",
     "stream_dedup",

@@ -228,6 +228,30 @@ def stream_interval_join(
     return l.join(r, cond, "inner").drop(r[key_col])
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a live stream against a static dimension
+    table (conversation attributes, routing rules, blocklists). Unlike
+    stream-stream joins this is STATELESS — the static side is just read
+    (and with ``broadcast``, shipped to every task), so there is no
+    watermark requirement and no state store; the dimension is re-read per
+    micro-batch, which is also what picks up slowly-changing dim updates
+    between batches. Only inner / left-outer are valid with the stream on
+    the left (a right/full join would need to emit unmatched DIM rows,
+    which is undefined while the stream is unbounded) — guarded here
+    rather than failing at query start."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"stream-static join supports inner/left (got {how!r}): "
+            "unmatched static rows are undefined on an unbounded stream"
+        )
+    return stream.join(F.broadcast(dim), on=key_col, how=how)
+
+
 def stream_conv_progress(
     extracted: DataFrame,
     watermark: str = "30 minutes",

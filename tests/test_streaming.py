@@ -213,3 +213,45 @@ def test_stream_profile_incremental_and_idempotent(spark, tmp_path):
 
     drain()  # no new files: nothing changes
     assert live() == after_two
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: every streamed row picks up its dim attributes;
+    unmatched keys survive a left join with nulls; the plan is stateless
+    (no watermark needed); right/full joins are rejected up front."""
+    from png_from_pdf_extracter_spark.streaming import stream_static_enrich
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    gcfg = GenConfig(seed=11, n_convs=20)
+    base = generate_transcripts(spark, gcfg)
+    base.write.mode("append").parquet(in_dir)
+
+    # dim covers only half the conversations -> left join must null-fill
+    dim = (
+        base.select("conv_id")
+        .distinct()
+        .filter(F.abs(F.hash("conv_id")) % 2 == 0)
+        .withColumn("cohort", F.lit("A"))
+    )
+
+    stream = spark.readStream.schema(base.schema).parquet(in_dir)
+    q = (
+        stream_static_enrich(stream, dim, "conv_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == base.count()  # left join: nothing dropped
+    matched = got.filter(F.col("cohort").isNotNull()).select("conv_id").distinct()
+    assert matched.count() == dim.count()
+
+    with pytest.raises(ValueError, match="inner/left"):
+        stream_static_enrich(stream, dim, "conv_id", how="full")
