@@ -1835,6 +1835,33 @@ def _q_winsorize(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): key = u^(1/w) with u a seeded md5-derived uniform and
+    w = n_chars; top-k keys per source win. One window per stratum — the
+    quality-weighted subsampling stage of corpus curation, reproducible
+    across runs/engines because u comes from a hash, not an RNG."""
+    d = _read(spark, sf_dir, "documents")
+    # u in (0,1]: 12 hex chars = 48 bits of md5, +1 to avoid u=0
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "doc_id", "source")), 1, 12),
+               16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(2 ** 48))
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("skey").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("skey", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "source", "doc_id", "n_chars",
+            F.round("skey", 6).alias("skey"), "rank",
+        )
+    )
+
+
 def _q_funnel_steps(spark, sf_dir):
     """Conversion funnel: per user, first signup -> earliest purchase at
     or after it, rolled up by signup month — equi-join on user with a
@@ -1865,8 +1892,10 @@ def _q_funnel_steps(spark, sf_dir):
     lag_s = F.unix_timestamp("first_purchase_ts") - F.unix_timestamp(
         "signup_ts"
     )
+    # DATE on both engines: DuckDB's date_trunc('month') narrows to DATE
+    # while Spark's stays TIMESTAMP — cast so the canonical forms agree
     return firstp.groupBy(
-        F.date_trunc("month", "signup_ts").alias("cohort_month")
+        F.to_date(F.date_trunc("month", "signup_ts")).alias("cohort_month")
     ).agg(
         F.count("*").alias("n_signups"),
         F.count("first_purchase_ts").alias("n_converted"),
@@ -2705,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": _q_winsorize,
         "q_funnel_steps": _q_funnel_steps,
         "q_nullsafe_join": _q_nullsafe_join,
+        "q_weighted_sample": _q_weighted_sample,
         # rows-only (no oracle): kernel/stub/approximate ops
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
@@ -3739,6 +3769,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN stats s USING (event_type)
             GROUP BY e.event_type
         """,
+        "q_weighted_sample": """
+            WITH keyed AS (
+              SELECT source, doc_id, n_chars,
+                     pow(
+                       (('0x' || substring(
+                           md5(doc_id::VARCHAR || '|' || source), 1, 12)
+                        )::BIGINT + 1.0) / 281474976710656.0,
+                       1.0 / n_chars) AS skey
+              FROM documents
+            )
+            SELECT source, doc_id, n_chars,
+                   round(skey, 6) AS skey,
+                   rank
+            FROM (
+              SELECT source, doc_id, n_chars, skey,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY skey DESC, doc_id ASC
+                     )::INTEGER AS rank
+              FROM keyed
+            ) WHERE rank <= 10
+        """,
         "q_funnel_steps": """
             WITH s AS (
               SELECT user_id, min(ts) AS signup_ts
@@ -3753,7 +3805,7 @@ def oracle_sql() -> dict[str, str]:
                AND p.ts >= s.signup_ts
               GROUP BY s.user_id, s.signup_ts
             )
-            SELECT date_trunc('month', signup_ts) AS cohort_month,
+            SELECT date_trunc('month', signup_ts)::DATE AS cohort_month,
                    count(*) AS n_signups,
                    count(first_purchase_ts) AS n_converted,
                    round(count(first_purchase_ts) / count(*)::DOUBLE, 4)

@@ -267,6 +267,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_winsorize",
         "q_funnel_steps",
         "q_nullsafe_join",
+        "q_weighted_sample",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -522,7 +522,15 @@ def connected_components(
     )
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
     labels = labels.persist()
-    labels.count()
+    if labels.count() == 0:
+        # no pairs -> no components; skip the propagate round entirely
+        # (a full join+agg+count iteration is pure overhead on empty input,
+        # the common case for clean corpora at high thresholds)
+        edges.unpersist()
+        out = labels.select(
+            F.col("a").alias("node"), F.col("label").alias("component")
+        )
+        return _with_cached_deps(out, [labels])
     try:
         for it in range(max_iter):
             nbr = (

@@ -198,11 +198,21 @@ def stream_interval_join(
     right_ts_col: str,
     window_seconds: int = 600,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: left events matched to right events of
+    """Stream-stream join: left events matched to right events of
     the same key where ``right_ts <= left_ts <= right_ts + window`` — the
     streaming twin of ``operators.temporal.range_join`` (event
     attribution across two live streams).
+
+    ``how='left_outer'`` additionally emits UNMATCHED left rows
+    (null-padded) once the watermark passes their join horizon — the
+    attribution-miss record a funnel needs. Outer rows are emitted with a
+    delay by construction: the engine can only declare "no match will
+    ever come" after event time advances past ``ts + window + watermark``,
+    so a drained-and-idle stream holds tail rows until a later batch
+    moves the watermark (the classic outer-join flush gotcha, exercised
+    in tests).
 
     The time-interval predicate is not just semantics: it is what lets
     Structured Streaming BOUND the join state — each side keeps only rows
@@ -215,6 +225,11 @@ def stream_interval_join(
     before calling); payload columns must not collide."""
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"stream-stream interval join supports inner/left_outer "
+            f"(got {how!r})"
+        )
     l = left.withWatermark(left_ts_col, watermark)
     r = right.withWatermark(right_ts_col, watermark)
     cond = (
@@ -225,7 +240,7 @@ def stream_interval_join(
             <= r[right_ts_col] + F.expr(f"INTERVAL {window_seconds} SECONDS")
         )
     )
-    return l.join(r, cond, "inner").drop(r[key_col])
+    return l.join(r, cond, how).drop(r[key_col])
 
 
 def stream_static_enrich(

@@ -41,3 +41,15 @@ def test_gibberish_scores_higher_than_common(spark):
     docs = spark.createDataFrame(rows)
     out = {r["doc_id"]: r["ppl"] for r in lm.unigram_perplexity(docs).collect()}
     assert out[99] > out[0] * 5
+
+
+def test_perplexity_plan_broadcasts_vocab(spark):
+    # the frequency table must reach the terms join as a broadcast —
+    # a shuffled vocab join would put the hot-word skew on the exchange
+    rows = [Row(doc_id=i, text="alpha beta gamma") for i in range(50)]
+    docs = spark.createDataFrame(rows)
+    plan = (
+        lm.unigram_perplexity(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

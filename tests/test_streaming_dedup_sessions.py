@@ -155,3 +155,66 @@ def test_stream_interval_join_rejects_bad_window(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError):
         stream_interval_join(df, df, "value", "timestamp", "timestamp", 0)
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: matched pairs emit like inner; an unmatched left row
+    emits null-padded only after the watermark passes its join horizon
+    (flushed here by late events on both streams); bad modes rejected."""
+    from png_from_pdf_extracter_spark.streaming import stream_interval_join
+
+    cs = "user_id int, c_ts timestamp, click_id int"
+    es = "user_id int, e_ts timestamp, error_id int"
+    cdir, edir = str(tmp_path / "c"), str(tmp_path / "e")
+    # key 1: matched; key 5: no error ever -> must surface as outer row
+    spark.createDataFrame(
+        [(1, _mins(5), 101), (5, _mins(0), 500)], cs
+    ).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(
+        [(1, _mins(1), 900)], es
+    ).coalesce(1).write.parquet(edir)
+
+    def drain():
+        joined = stream_interval_join(
+            spark.readStream.schema(cs).parquet(cdir),
+            spark.readStream.schema(es).parquet(edir),
+            "user_id", "c_ts", "e_ts", window_seconds=600,
+            how="left_outer",
+        )
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and the outer-row flush NEEDS the second (recovered) run
+        q = (
+            joined.select("user_id", "click_id", "error_id")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    # push the watermark far past key 5's horizon on BOTH streams
+    # (the query watermark is the min across inputs)
+    spark.createDataFrame(
+        [(9, _mins(600), 999)], cs
+    ).coalesce(1).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(9, _mins(600), 998)], es
+    ).coalesce(1).write.mode("append").parquet(edir)
+    drain()
+
+    got = {
+        (r["user_id"], r["click_id"], r["error_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert (1, 101, 900) in got            # the inner match
+    assert (5, 500, None) in got           # the flushed unmatched left row
+
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        stream_interval_join(
+            spark.readStream.schema(cs).parquet(cdir),
+            spark.readStream.schema(es).parquet(edir),
+            "user_id", "c_ts", "e_ts", how="full_outer",
+        )
