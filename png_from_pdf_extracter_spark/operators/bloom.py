@@ -125,6 +125,15 @@ def bloom_anti_join(
     reach the exact anti-join exchange. NULL-keyed probe rows are kept —
     LEFT ANTI retains rows whose key matches nothing, and NULL equals
     nothing.
+
+    Plan-shape trade-off, stated explicitly: the probe is SCANNED twice
+    (miss branch + candidate branch), both scans map-only with the bloom
+    predicate evaluated in codegen. That is the standard semi-join
+    reduction bargain — an extra columnar scan (cheap, pruned, no
+    network) buys removing the big side from the exchange (expensive:
+    serialize + ship + spill every row). If the probe is itself an
+    expensive subquery rather than a table scan, persist it first or fall
+    back to the plain anti-join.
     """
     bloom = build_bloom(keys, key_col, n_bits, n_hashes)
     mc = might_contain(F.col(key_col), bloom, n_bits, n_hashes)
