@@ -95,3 +95,36 @@ def test_prefilter_avoids_shuffling_definite_misses(spark, probe, seen):
     branch = probe.filter(~F.coalesce(mc, F.lit(False)))
     plan = branch._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bloom_resume_equals_broadcast_resume(spark):
+    """The scale story made concrete: resuming via bloom_anti_join over the
+    completed-partition keys yields EXACTLY the pending set the broadcast
+    anti-join resume computes — so when the seen-set outgrows a broadcast
+    at corpus scale, swapping the operator changes the plan, not the
+    rows."""
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.datagen import GenConfig
+    from png_from_pdf_extracter_spark.operators import (
+        bloom_anti_join,
+        pending_only,
+    )
+    from png_from_pdf_extracter_spark.sources import generate_transcripts
+    from png_from_pdf_extracter_spark.sources.transcripts import (
+        with_partition_id,
+    )
+
+    t = with_partition_id(
+        generate_transcripts(spark, GenConfig(seed=3, n_convs=40)),
+        n_buckets=16,
+    )
+    completed = (
+        t.select("partition_id").distinct().filter(F.col("partition_id") % 3 == 0)
+    )
+    via_broadcast = pending_only(t, completed)
+    via_bloom = bloom_anti_join(t, completed, "partition_id", n_bits=1 << 12)
+    key = ["conv_id", "turn_idx"]
+    a = {tuple(r) for r in via_broadcast.select(*key).collect()}
+    b = {tuple(r) for r in via_bloom.select(*key).collect()}
+    assert a == b and len(a) > 0
