@@ -95,8 +95,11 @@ def might_contain(
     The bitmap ships as a SINGLE ``from_json`` string literal (one py4j
     call, constant-folded once — the ``_nested_lit`` lesson from
     ``similarity.py:554``: per-element ``F.lit`` would be n_words py4j
-    round-trips). NULL keys probe to NULL, matching SQL join semantics
-    (a NULL key is never "seen").
+    round-trips). NULL keys: ``xxhash64`` hashes NULL to the seed value
+    (it does NOT propagate NULL), so a NULL key probes like a constant —
+    harmless for the join wrappers (the exact verify step never matches
+    NULL, and ``build_bloom`` filters NULL keys out), but do not use this
+    predicate alone where NULL must mean "unknown".
     """
     arr = F.from_json(F.lit(json.dumps(bloom)), "array<bigint>")
     checks = []
