@@ -2659,6 +2659,51 @@ def _q_inverted_index(spark, sf_dir):
     )
 
 
+def _q_bigram_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity with add-one smoothing (functions/lm.py) —
+    one order up the KenLM ladder from q_perplexity; all counts are
+    integers so the DuckDB oracle reproduces the model exactly."""
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    return lm.bigram_perplexity(d)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher/MassiveText repeated-n-gram repetition gate: per-doc
+    duplicate- and top-{2,3}-gram fractions + combined pass flag
+    (curate.repetition_signals). n-grams formed map-side from array
+    slices — no join, no window."""
+    return curate.repetition_signals(
+        _read(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    terciles of the unigram-LM perplexity (ntile over a deterministic
+    order), rolled up to bucket stats — the standard split used to
+    stage quality-weighted sampling of web data."""
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    ppl = lm.unigram_perplexity(d).join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    lab = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return (
+        ppl.withColumn("bucket", lab)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("ppl"), 1).alias("min_ppl"),
+            F.round(F.max("ppl"), 1).alias("max_ppl"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -2786,6 +2831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_join": _q_skew_join,
         "q_grouping_cube": _q_grouping_cube,
         "q_inverted_index": _q_inverted_index,
+        "q_bigram_perplexity": _q_bigram_perplexity,
+        "q_repetition": _q_repetition,
+        "q_ppl_buckets": _q_ppl_buckets,
     }
 
 
@@ -4597,5 +4645,111 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             GROUP BY term
             HAVING count(*) >= 20
+        """,
+        "q_bigram_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2
+            ),
+            bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+            bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            voc AS (
+              SELECT count(DISTINCT word)::DOUBLE AS v
+              FROM (SELECT unnest(t) AS word FROM toks)
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(-avg(ln((c12 + 1) / (c1 + v))), 3) AS avg_nll,
+                   round(exp(-avg(ln((c12 + 1) / (c1 + v)))), 1) AS ppl
+            FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1), voc
+            GROUP BY doc_id
+        """,
+        "q_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 3)
+            ),
+            a2 AS (
+              SELECT doc_id,
+                     round(1 - count(*)::DOUBLE / sum(cnt), 4)
+                       AS dup_2gram_frac,
+                     round(max(cnt)::DOUBLE / sum(cnt), 4)
+                       AS top_2gram_frac
+              FROM (SELECT doc_id, gram, count(*) AS cnt
+                    FROM g2 GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            ),
+            a3 AS (
+              SELECT doc_id,
+                     round(1 - count(*)::DOUBLE / sum(cnt), 4)
+                       AS dup_3gram_frac,
+                     round(max(cnt)::DOUBLE / sum(cnt), 4)
+                       AS top_3gram_frac
+              FROM (SELECT doc_id, gram, count(*) AS cnt
+                    FROM g3 GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, dup_2gram_frac, top_2gram_frac,
+                   dup_3gram_frac, top_3gram_frac,
+                   (dup_2gram_frac <= 0.6 AND top_2gram_frac <= 0.08
+                    AND dup_3gram_frac <= 0.6 AND top_3gram_frac <= 0.08)
+                     AS passes
+            FROM a2 JOIN a3 USING (doc_id)
+        """,
+        "q_ppl_buckets": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            freq AS (
+              SELECT word, count(*) AS cnt FROM terms GROUP BY word
+            ),
+            tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq),
+            ppl AS (
+              SELECT doc_id,
+                     round(exp(-avg(ln(cnt / total))), 1) AS ppl
+              FROM terms JOIN freq USING (word), tot
+              GROUP BY doc_id
+            ),
+            lab AS (
+              SELECT d.lang, p.ppl,
+                     (ARRAY['head', 'middle', 'tail'])[
+                       ntile(3) OVER (PARTITION BY d.lang
+                                      ORDER BY p.ppl, p.doc_id)] AS bucket
+              FROM ppl p JOIN documents d USING (doc_id)
+            )
+            SELECT lang, bucket, count(*) AS n_docs,
+                   round(min(ppl), 1) AS min_ppl,
+                   round(max(ppl), 1) AS max_ppl
+            FROM lab
+            GROUP BY lang, bucket
         """,
     }

@@ -268,6 +268,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_funnel_steps",
         "q_nullsafe_join",
         "q_weighted_sample",
+        "q_bigram_perplexity",
+        "q_repetition",
+        "q_ppl_buckets",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -206,6 +206,86 @@ def gopher_signals(
     return out.withColumn("passes", passes)
 
 
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngrams: tuple = (2, 3),
+    max_dup_frac: float = 0.6,
+    max_top_frac: float = 0.08,
+) -> DataFrame:
+    """Repeated-n-gram repetition signals per document — the
+    Gopher/MassiveText family one level above ``gopher_signals``'s
+    single-word ratio (Rae et al. 2021 §A1.1 drop documents whose
+    duplicate- and top-n-gram fractions exceed thresholds; 2- and
+    3-grams are the strongest of their reported bands).
+
+    For each n in ``ngrams`` emits, per document:
+      dup_{n}gram_frac  — fraction of n-gram occurrences that are
+                          repeats (1 - distinct/total): boilerplate and
+                          stutter loops push this toward 1,
+      top_{n}gram_frac  — the most frequent n-gram's share of all
+                          n-gram occurrences (templated spam detector),
+    plus the combined ``passes`` gate over the ROUNDED fractions (so an
+    oracle on another engine agrees at threshold boundaries).
+
+    Plan (per n): n-grams are formed map-side by zipping array slices —
+    no window, no join; count per (doc, gram); per-doc aggregate. Both
+    shuffles are keyed by doc id, map-side combinable; the per-n outputs
+    join back on the doc key (same partitioning, AQE coalesces). Docs
+    with fewer than max(ngrams) tokens still appear (fractions of the
+    n-gram orders they do reach; missing orders are 0-row -> inner join
+    keeps docs that have every order, matching the oracle).
+    """
+    wds = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select(F.col(id_col).alias("id"), wds.alias("toks"))
+    out = None
+    for n in ngrams:
+        sz = F.size("toks")
+        grams = F.col("toks")
+        for off in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice("toks", off + 1, sz - off),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        # zip_with pads the shorter side with null (concat -> null tail
+        # entries past position sz-n+1); slice to the exact n-gram count.
+        grams = F.slice(grams, 1, sz - (n - 1))
+        gc = (
+            base.filter(sz >= n)
+            .select("id", F.explode(grams).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        agg = gc.groupBy("id").agg(
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        per_n = agg.select(
+            "id",
+            F.round(1 - F.col("n_distinct") / F.col("total"), 4).alias(
+                f"dup_{n}gram_frac"
+            ),
+            F.round(F.col("top_cnt") / F.col("total"), 4).alias(
+                f"top_{n}gram_frac"
+            ),
+        )
+        out = per_n if out is None else out.join(per_n, "id")
+    passes = F.lit(True)
+    for n in ngrams:
+        passes = (
+            passes
+            & (F.col(f"dup_{n}gram_frac") <= max_dup_frac)
+            & (F.col(f"top_{n}gram_frac") <= max_top_frac)
+        )
+    return out.withColumn("passes", passes)
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

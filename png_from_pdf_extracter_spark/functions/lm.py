@@ -1,4 +1,4 @@
-"""Language-model scoring for corpus curation: unigram perplexity.
+"""Language-model scoring for corpus curation: unigram + bigram perplexity.
 
 Perplexity filtering is a standard LLM-training-data gate (CCNet / Gopher /
 RefinedWeb style): score each document against a language model and drop
@@ -39,10 +39,7 @@ def unigram_perplexity(
     Returns (id_col, n_tokens, avg_nll, ppl), one row per document that
     has at least one token.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: F.length(x) > 0,
-    )
+    toks = _tokens(text_col)
     terms = docs.select(F.col(id_col), F.explode(toks).alias("word"))
     freq = terms.groupBy("word").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
@@ -53,6 +50,75 @@ def unigram_perplexity(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
+            F.round(nll, 3).alias("avg_nll"),
+            F.round(F.exp(nll), 1).alias("ppl"),
+        )
+    )
+
+
+def _tokens(text_col: str):
+    """Lowercase whitespace tokens with empties dropped — the shared
+    tokenization contract (same as ``unigram_perplexity`` and the DuckDB
+    oracles)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram negative log-likelihood and perplexity with
+    add-one smoothing — one rung up the KenLM ladder from
+    ``unigram_perplexity`` (CCNet's production filter is a 5-gram KenLM;
+    the plan shape is identical at every order: n-gram explode ->
+    count join -> per-doc combinable aggregate).
+
+    Model: p(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V), where ctx(w1) is
+    the number of bigrams starting with w1 and V is the corpus unigram
+    vocabulary size. Add-one keeps the estimator total (no zero
+    probabilities) and, because every quantity is an integer count, the
+    DuckDB oracle reproduces it exactly; final metrics are rounded so
+    float summation order cannot flip a value hash.
+
+    Scale notes (100 TB): bigrams are built map-side with ``zip_with``
+    over two array slices — no window, no self-join, no shuffle to form
+    them. The bigram/context count tables are corpus-level aggregates
+    (map-side combinable) and broadcast back; at web scale the bigram
+    table's hot head/cold tail splits exactly like the unigram case
+    (module docstring). Per-doc aggregate is avg-of-logs = sum+count,
+    map-side combinable.
+
+    Returns (id_col, n_bigrams, avg_nll, ppl), one row per document with
+    at least two tokens.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg_cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx_cnt = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("v"))
+    )
+    nll = -F.avg(F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))))
+    return (
+        bg.join(F.broadcast(bg_cnt), ["w1", "w2"])
+        .join(F.broadcast(ctx_cnt), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
             F.round(nll, 3).alias("avg_nll"),
             F.round(F.exp(nll), 1).alias("ppl"),
         )

@@ -202,3 +202,41 @@ def test_hashed_linear_score_deterministic_and_bounded(spark):
     # engine determinism: a second evaluation bit-matches
     again = {r["doc_id"]: r["s"] for r in out.collect()}
     assert got == again
+
+
+def test_repetition_signals_hand_computed(spark):
+    # doc 1 "a b a b a": 2-grams [ab,ba,ab,ba] -> total 4, distinct 2,
+    # top 2 => dup=0.5 top=0.5; 3-grams [aba,bab,aba] -> total 3,
+    # distinct 2, top 2 => dup=0.3333 top=0.6667.
+    # doc 2 "a b c" (exactly 3 tokens): ONE 3-gram — guards the zip_with
+    # null-tail slice; all-distinct 2-grams.
+    d = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["id"]: r
+        for r in curate.repetition_signals(
+            d, max_dup_frac=0.4, max_top_frac=0.6
+        ).collect()
+    }
+    r1, r2 = out[1], out[2]
+    assert r1["dup_2gram_frac"] == 0.5
+    assert r1["top_2gram_frac"] == 0.5
+    assert r1["dup_3gram_frac"] == 0.3333
+    assert r1["top_3gram_frac"] == 0.6667
+    assert r1["passes"] is False  # dup_2gram 0.5 > 0.4
+    assert r2["dup_2gram_frac"] == 0.0
+    assert r2["top_2gram_frac"] == 0.5
+    assert r2["dup_3gram_frac"] == 0.0
+    assert r2["top_3gram_frac"] == 1.0  # the single 3-gram, no null tail
+    assert r2["passes"] is False  # top_3gram 1.0 > 0.6
+
+
+def test_repetition_signals_clean_doc_passes(spark):
+    # 30 distinct words -> every 2-/3-gram unique: dup=0, top=1/29, 1/28
+    words = " ".join(f"w{i}" for i in range(30))
+    d = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    row = curate.repetition_signals(d).collect()[0]
+    assert row["dup_2gram_frac"] == 0.0
+    assert row["dup_3gram_frac"] == 0.0
+    assert row["passes"] is True

@@ -43,6 +43,40 @@ def test_gibberish_scores_higher_than_common(spark):
     assert out[99] > out[0] * 5
 
 
+def test_bigram_perplexity_hand_computed(spark):
+    # corpus: doc1 "a b a", doc2 "b a", doc3 "c" (too short -> no row)
+    # bigrams: doc1 (a,b),(b,a); doc2 (b,a)
+    # counts: c(a,b)=1, c(b,a)=2; ctx: a->1, b->2; vocab V=3 (a,b,c)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a"),
+            Row(doc_id=2, text="B a"),  # lowercased
+            Row(doc_id=3, text="c"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in lm.bigram_perplexity(docs).collect()}
+    assert set(out) == {1, 2}
+    p_ab = (1 + 1) / (1 + 3)  # (c12+1)/(ctx_a+V)
+    p_ba = (2 + 1) / (2 + 3)
+    nll1 = -(math.log(p_ab) + math.log(p_ba)) / 2
+    nll2 = -math.log(p_ba)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_nll"] == pytest.approx(round(nll1, 3))
+    assert out[1]["ppl"] == pytest.approx(round(math.exp(nll1), 1))
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll"] == pytest.approx(round(nll2, 3))
+
+
+def test_bigram_repetition_ranks_looping_doc_higher(spark):
+    # a doc that loops one bigram scores LOWER ppl than one with all-novel
+    # bigrams — the LM-filter direction CCNet relies on
+    rows = [Row(doc_id=i, text="x y x y x y x y") for i in range(10)]
+    rows.append(Row(doc_id=99, text="q w e r t u i o"))
+    docs = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["ppl"] for r in lm.bigram_perplexity(docs).collect()}
+    assert out[99] > out[0]
+
+
 def test_perplexity_plan_broadcasts_vocab(spark):
     # the frequency table must reach the terms join as a broadcast —
     # a shuffled vocab join would put the hot-word skew on the exchange
