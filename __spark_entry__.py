@@ -2659,6 +2659,29 @@ def _q_inverted_index(spark, sf_dir):
     )
 
 
+def _q_minhash_dedup_apply(spark, sf_dir):
+    """END-TO-END MinHash dedup: pairs -> connected components -> keep
+    min-id survivor per cluster -> anti-join the corpus
+    (dedup.apply_dedup). The oracle rebuilds the identical pipeline:
+    recursive-CTE closure over the same pair table, then NOT IN."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    return dedup.apply_dedup(d, pairs).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """One BPE tokenizer-training iteration: top-20 adjacent-symbol merge
+    candidates over the word-frequency table (lm.bpe_merge_stats) —
+    integer counts, deterministic tie-break, oracle-exact."""
+    from png_from_pdf_extracter_spark.functions import lm
+
+    return lm.bpe_merge_stats(_read(spark, sf_dir, "documents"))
+
+
 def _q_bigram_perplexity(spark, sf_dir):
     """Bigram-LM perplexity with add-one smoothing (functions/lm.py) —
     one order up the KenLM ladder from q_perplexity; all counts are
@@ -2834,6 +2857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_perplexity": _q_bigram_perplexity,
         "q_repetition": _q_repetition,
         "q_ppl_buckets": _q_ppl_buckets,
+        "q_minhash_dedup_apply": _q_minhash_dedup_apply,
+        "q_bpe_pairs": _q_bpe_pairs,
     }
 
 
@@ -4751,5 +4776,43 @@ def oracle_sql() -> dict[str, str]:
                    round(max(ppl), 1) AS max_ppl
             FROM lab
             GROUP BY lang, bucket
+        """,
+        "q_minhash_dedup_apply": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES},
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM mh_pairs
+              UNION
+              SELECT id2, id1 FROM mh_pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            losers AS (
+              SELECT a AS doc_id FROM reach
+              GROUP BY a HAVING least(a, min(b)) <> a
+            )
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "q_bpe_pairs": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            wf AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+            idx AS (
+              SELECT word, cnt,
+                     unnest(generate_series(1, length(word) - 1)) AS i
+              FROM wf WHERE length(word) >= 2
+            ),
+            pairs AS (SELECT substring(word, i, 2) AS pair, cnt FROM idx)
+            SELECT pair, sum(cnt)::BIGINT AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 20
         """,
     }

@@ -271,6 +271,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_bigram_perplexity",
         "q_repetition",
         "q_ppl_buckets",
+        "q_minhash_dedup_apply",
+        "q_bpe_pairs",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -573,6 +573,39 @@ def connected_components(
         edges.unpersist()
 
 
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """END-TO-END dedup: given any candidate-pair table, return the
+    SURVIVOR corpus — one document per near-dup cluster (the smallest id,
+    the keep-min-id convention shared across this module) plus every
+    document that appears in no pair. This is the step that turns the
+    pair generators + ``connected_components`` into an actual corpus
+    transformation (what a MinHash dedup job writes back out).
+
+    Plan: components over the pairs (iterative, bounded by cluster
+    diameter), then one broadcast-able anti-join of the corpus against
+    the LOSER set (cluster members that are not the component label).
+    The loser table is |dup docs| rows — orders of magnitude smaller
+    than the corpus at realistic dup rates, so the corpus side never
+    shuffles when it fits a broadcast; at pathological dup rates Spark
+    falls back to a shuffled anti-join, still one exchange.
+
+    The pairs table decides survivorship only; all corpus columns pass
+    through untouched.
+    """
+    comp = connected_components(pairs, id1=id1, id2=id2)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    out = docs.join(losers, id_col, "left_anti")
+    return _with_cached_deps(out, getattr(comp, "_spark_graft_cached", []))
+
+
 # ---------------------------------------------------------------- latest
 
 def dedup_latest(

@@ -66,6 +66,46 @@ def _tokens(text_col: str):
     )
 
 
+def bpe_merge_stats(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — ONE iteration of
+    BPE tokenizer training (Sennrich et al. 2016: repeatedly merge the
+    most frequent adjacent pair). Returns the ``top_k`` merge candidates
+    as (pair, n), ordered by count desc with the pair string as the
+    deterministic tie-break.
+
+    The classic scale trick is built in: pair counts are computed over
+    the WORD-FREQUENCY table (distinct words weighted by their corpus
+    count), not the raw token stream — the vocabulary is orders of
+    magnitude smaller than a 100 TB corpus, so after the one word-count
+    shuffle every later BPE iteration works on vocab-sized data. Pairs
+    are formed map-side (substring over an index sequence, JVM
+    builtins); the final aggregate is map-side combinable and top-k is
+    a TakeOrdered, not a global sort.
+    """
+    wf = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = wf.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring("word", i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )
+
+
 def bigram_perplexity(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -220,3 +220,29 @@ class TestDuplicatedChunks:
             ).count()
             == 0
         )
+
+
+def test_apply_dedup_survivors(spark):
+    # clusters {1,2,3} (chain) and {7,9}; 5 and 8 untouched.
+    # survivors = min of each cluster + unpaired docs = {1, 5, 7, 8}
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 5, 7, 8, 9)],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7)], ["id1", "id2"]
+    )
+    out = dedup.apply_dedup(docs, pairs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5, 7, 8]
+    assert out.columns == docs.columns  # pass-through, nothing added
+    dedup.release(out)
+
+
+def test_apply_dedup_no_pairs_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(5)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    out = dedup.apply_dedup(docs, pairs)
+    assert out.count() == 5
+    dedup.release(out)

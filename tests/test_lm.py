@@ -87,3 +87,19 @@ def test_perplexity_plan_broadcasts_vocab(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_merge_stats_hand_computed(spark):
+    # corpus: "aab aab ab" -> word freq: aab=2, ab=1
+    # pairs weighted by word count: from 'aab': aa(2), ab(2); from 'ab': ab(1)
+    # totals: ab=3, aa=2
+    docs = spark.createDataFrame([Row(doc_id=1, text="aab aab ab")])
+    out = lm.bpe_merge_stats(docs).collect()
+    assert [(r["pair"], r["n"]) for r in out] == [("ab", 3), ("aa", 2)]
+
+
+def test_bpe_merge_stats_top_k_and_tiebreak(spark):
+    # equal counts -> lexicographic pair order decides the cut
+    docs = spark.createDataFrame([Row(doc_id=1, text="xy wz")])
+    out = lm.bpe_merge_stats(docs, top_k=1).collect()
+    assert [(r["pair"], r["n"]) for r in out] == [("wz", 1)]
