@@ -2682,6 +2682,17 @@ def _q_bpe_pairs(spark, sf_dir):
     return lm.bpe_merge_stats(_read(spark, sf_dir, "documents"))
 
 
+def _q_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer training (8 merges) — rows-only: the loop
+    is iterative-by-nature (each round's winner feeds the next), not
+    SQL-expressible; rank-1 equals the oracle-checked q_bpe_pairs top
+    pair, and the full merge sequence is hand-verified in
+    tests/test_lm.py."""
+    from png_from_pdf_extracter_spark.functions import lm
+
+    return lm.bpe_train(_read(spark, sf_dir, "documents"), n_merges=8)
+
+
 def _q_bigram_perplexity(spark, sf_dir):
     """Bigram-LM perplexity with add-one smoothing (functions/lm.py) —
     one order up the KenLM ladder from q_perplexity; all counts are
@@ -2859,6 +2870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_buckets": _q_ppl_buckets,
         "q_minhash_dedup_apply": _q_minhash_dedup_apply,
         "q_bpe_pairs": _q_bpe_pairs,
+        # rows-only: iterative tokenizer training (see _q_bpe_train)
+        "q_bpe_train": _q_bpe_train,
     }
 
 

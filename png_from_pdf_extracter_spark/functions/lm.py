@@ -106,6 +106,95 @@ def bpe_merge_stats(
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016): iteratively
+    merge the most frequent adjacent symbol pair, ``n_merges`` times.
+    Returns the learned merge table (rank, pair, n) — the artifact a
+    tokenizer ships. ``bpe_merge_stats`` is one iteration of this loop,
+    oracle-checked; the loop itself is iterative-by-nature (each round's
+    winner feeds the next), so it is pytest-verified against
+    hand-computed merges instead.
+
+    Scale design: after ONE corpus-wide shuffle (the word-frequency
+    count), every iteration runs on the vocab table — (distinct word,
+    count, symbol array) — which is millions of rows even for a 100 TB
+    corpus. Per round: a pair-count aggregate (map-side combinable,
+    TakeOrdered top-1 to the driver — the only driver state is the
+    winning pair) and a map-only leftmost-greedy re-segmentation fold
+    (``F.aggregate``, JVM builtins, no Python). The vocab table is
+    re-persisted per round and localCheckpoint-ed every
+    ``checkpoint_every`` rounds so iteration k does not replan a k-deep
+    lineage — the same pattern as ``graph.pagerank_fixed_point``.
+    """
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    vocab = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select("cnt", chars.alias("syms"))
+        .persist()
+    )
+    vocab.count()
+    merges = []
+    try:
+        for rank in range(1, n_merges + 1):
+            sz = F.size("syms")
+            pairs = vocab.filter(sz >= 2).select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, sz - 1),
+                        F.slice("syms", 2, sz - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word fully merged to one symbol
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+            merges.append((rank, a + b, n))
+            # leftmost-greedy non-overlapping merge of (a, b) in each word:
+            # fold symbols left to right; when the running tail is `a` and
+            # the next symbol is `b`, replace the tail with the merged
+            # symbol (so 'aaa' under (a,a) becomes [aa, a], like BPE).
+            merged = F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            new_vocab = vocab.select("cnt", merged.alias("syms"))
+            if rank % checkpoint_every == 0:
+                new_vocab = new_vocab.localCheckpoint(eager=False)
+            new_vocab = new_vocab.persist()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(merges, "rank int, pair string, n long")
+
+
 def bigram_perplexity(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -103,3 +103,32 @@ def test_bpe_merge_stats_top_k_and_tiebreak(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="xy wz")])
     out = lm.bpe_merge_stats(docs, top_k=1).collect()
     assert [(r["pair"], r["n"]) for r in out] == [("wz", 1)]
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    # corpus: "aaab aaab ab" -> vocab aaab(2), ab(1)
+    # iter1 pairs: aa=4 (two per 'aaab' x2), ab=2+1=3 -> merge 'aa'
+    #   aaab -> [aa, a, b] (leftmost-greedy), ab -> [a, b]
+    # iter2 pairs: (aa,a)=2, (a,b)=2+1=3 -> merge 'ab'
+    #   aaab -> [aa, ab], ab -> [ab]
+    # iter3 pairs: (aa,ab)=2 -> merge 'aaab'
+    # iter4: no pairs left -> early exit
+    docs = spark.createDataFrame([Row(doc_id=1, text="aaab aaab ab")])
+    out = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(docs, n_merges=10).collect()
+    ]
+    assert out == [(1, "aa", 4), (2, "ab", 3), (3, "aaab", 2)]
+
+
+def test_bpe_train_first_merge_matches_merge_stats(spark):
+    # rank-1 merge must equal the oracle-checked single-iteration top pair
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta{i}") for i in range(30)]
+    )
+    top = lm.bpe_merge_stats(docs, top_k=1).collect()[0]
+    first = lm.bpe_train(docs, n_merges=1).collect()[0]
+    assert (first["pair"], first["n"]) == (
+        top["pair"][0] + top["pair"][1],
+        top["n"],
+    )
