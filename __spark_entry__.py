@@ -3832,7 +3832,7 @@ def oracle_sql() -> dict[str, str]:
             old_fp AS (SELECT {fp} AS fp FROM old)
             SELECT lang,
                    count(*) AS n_new_unique,
-                   sum(n_chars) AS sum_chars
+                   sum(n_chars)::BIGINT AS sum_chars
             FROM (SELECT lang, n_chars, {fp} AS fp FROM new) n
             WHERE NOT EXISTS (SELECT 1 FROM old_fp o WHERE o.fp = n.fp)
             GROUP BY lang
@@ -3846,8 +3846,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_type,
                    count(*) AS n,
-                   sum((value < p05)::INTEGER) AS n_lo,
-                   sum((value > p95)::INTEGER) AS n_hi,
+                   sum((value < p05)::INTEGER)::BIGINT AS n_lo,
+                   sum((value > p95)::INTEGER)::BIGINT AS n_hi,
                    round(avg(least(greatest(value, p05), p95)), 4)
                      AS mean_winsorized,
                    round(min(p05), 4) AS p05,

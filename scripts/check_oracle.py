@@ -45,7 +45,11 @@ def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     for c in cols:
         s = df[c]
         if s.dtype.kind == "f":
-            s = s.round(6)
+            # the driver formats floats with %.6g — which also collapses
+            # integral floats (DuckDB HUGEINT sums arrive as float64) to
+            # the same string an int64 column produces ("8809", not
+            # "8809.0"); round() + str() would flag a pure dtype skew
+            s = s.map(lambda v: f"{v:.6g}")
         parts.append(s.astype(str).str.cat(sep="\x1f"))
     digest = hashlib.md5("\x1e".join(parts).encode()).hexdigest()
     return len(df), cols, digest
