@@ -1835,6 +1835,41 @@ def _q_winsorize(spark, sf_dir):
     )
 
 
+def _q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier detection (modified z-score, Iglewicz &
+    Hoaglin |0.6745*(x-med)/MAD| > 3.5) — the robust twin of the
+    mean/stddev z-score (q_grouped_zscore) and winsorize stages: immune
+    to the very outliers it hunts. Two combinable group aggregates
+    (median, then median absolute deviation), each broadcast back;
+    the flag is map-side. Exact interpolated ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (the equivalence q_winsorize already pins)."""
+    e = _read(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"), F.min("med").alias("med")
+    )
+    z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .withColumn("mz", F.round(z, 4))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("mz") > 3.5).cast("int")).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.round(F.max("mz"), 4).alias("max_mz"),
+        )
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-Res): key = u^(1/w) with u a seeded md5-derived uniform and
@@ -2870,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_buckets": _q_ppl_buckets,
         "q_minhash_dedup_apply": _q_minhash_dedup_apply,
         "q_bpe_pairs": _q_bpe_pairs,
+        "q_robust_outliers": _q_robust_outliers,
         # rows-only: iterative tokenizer training (see _q_bpe_train)
         "q_bpe_train": _q_bpe_train,
     }
@@ -4827,5 +4863,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair
             LIMIT 20
+        """,
+        "q_robust_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(value - med), 0.5) AS mad,
+                     min(med) AS med
+              FROM events e JOIN med USING (event_type)
+              GROUP BY e.event_type
+            )
+            SELECT e.event_type,
+                   count(*) AS n,
+                   sum((round(abs(0.6745 * (value - med) / mad), 4)
+                        > 3.5)::INTEGER)::BIGINT AS n_outliers,
+                   round(min(med), 4) AS med,
+                   round(min(mad), 4) AS mad,
+                   round(max(round(abs(0.6745 * (value - med) / mad), 4)),
+                         4) AS max_mz
+            FROM events e JOIN mad USING (event_type)
+            GROUP BY e.event_type
         """,
     }
