@@ -274,6 +274,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_minhash_dedup_apply",
         "q_bpe_pairs",
         "q_robust_outliers",
+        "q_expectations",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
