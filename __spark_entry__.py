@@ -1835,6 +1835,20 @@ def _q_winsorize(spark, sf_dir):
     )
 
 
+def _q_psi_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the events timeline, per event_type (functions/drift.py) — the
+    distribution-drift gate a weekly ingest runs before promoting a
+    snapshot. Buckets by the BASE half's rounded decile edges."""
+    from png_from_pdf_extracter_spark.functions.drift import psi_drift
+
+    e = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    base = e.filter(F.col("ts") < cut).select("event_type", "value")
+    cur = e.filter(F.col("ts") >= cut).select("event_type", "value")
+    return psi_drift(base, cur, "value", "event_type")
+
+
 def _q_expectations(spark, sf_dir):
     """Deequ-style dataset contract verification: seven declared checks
     over the documents table verified in ONE aggregation pass
@@ -2933,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": _q_bpe_pairs,
         "q_robust_outliers": _q_robust_outliers,
         "q_expectations": _q_expectations,
+        "q_psi_drift": _q_psi_drift,
         # rows-only: iterative tokenizer training (see _q_bpe_train)
         "q_bpe_train": _q_bpe_train,
     }
@@ -4945,5 +4960,58 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'mean_between', 'n_chars',
                    round(mean_chars, 6),
                    mean_chars >= 10 AND mean_chars <= 100000 FROM m
+        """,
+        "q_psi_drift": """
+            WITH base AS (
+              SELECT event_type, value FROM events
+              WHERE ts < TIMESTAMP '2024-01-16'
+            ),
+            cur AS (
+              SELECT event_type, value FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16'
+            ),
+            edges AS (
+              SELECT event_type,
+                     list_transform(
+                       quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                       x -> round(x, 4)) AS edges
+              FROM base GROUP BY event_type
+            ),
+            bb AS (
+              SELECT b.event_type,
+                     1 + len(list_filter(e.edges, x -> b.value > x))
+                       AS bucket,
+                     count(*) AS n_b
+              FROM base b JOIN edges e USING (event_type)
+              GROUP BY 1, 2
+            ),
+            cb AS (
+              SELECT c.event_type,
+                     1 + len(list_filter(e.edges, x -> c.value > x))
+                       AS bucket,
+                     count(*) AS n_c
+              FROM cur c JOIN edges e USING (event_type)
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT coalesce(bb.event_type, cb.event_type) AS event_type,
+                     coalesce(n_b, 0) AS n_b, coalesce(n_c, 0) AS n_c
+              FROM bb FULL OUTER JOIN cb
+                ON bb.event_type = cb.event_type AND bb.bucket = cb.bucket
+            ),
+            t AS (
+              SELECT event_type, sum(n_b) AS tb, sum(n_c) AS tc
+              FROM j GROUP BY event_type
+            )
+            SELECT j.event_type,
+                   min(tb)::BIGINT AS n_base,
+                   min(tc)::BIGINT AS n_cur,
+                   round(sum(
+                     ((n_c + 0.5) / (tc + 5.0) - (n_b + 0.5) / (tb + 5.0))
+                     * ln(((n_c + 0.5) / (tc + 5.0))
+                          / ((n_b + 0.5) / (tb + 5.0)))), 5) AS psi
+            FROM j JOIN t USING (event_type)
+            GROUP BY j.event_type
         """,
     }

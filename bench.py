@@ -275,6 +275,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_bpe_pairs",
         "q_robust_outliers",
         "q_expectations",
+        "q_psi_drift",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
