@@ -235,7 +235,10 @@ def bigram_perplexity(
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
     bg_cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx_cnt = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # ctx(w1) = sum of c12 over w2 — derived from the (vocab²-sized)
+    # bigram-count table, NOT a second corpus-scale explode: one fewer
+    # full pass over the corpus, identical counts by construction
+    ctx_cnt = bg_cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(toks).alias("word"))
         .agg(F.countDistinct("word").cast("double").alias("v"))
