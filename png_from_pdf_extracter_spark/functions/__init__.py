@@ -17,13 +17,29 @@
 ``udfs.py``        the sanctioned Python-boundary rungs (scalar pandas_udf,
                    grouped-map applyInPandas) proven against value-exact
                    oracles.
-``lm.py``          language-model scoring (unigram perplexity — the
-                   CCNet/Gopher perplexity-filter stage, oracle-exact).
+``lm.py``          language-model scoring (unigram + bigram perplexity —
+                   the CCNet/Gopher perplexity-filter stages, oracle-exact)
+                   and BPE tokenizer training (one-iteration merge stats +
+                   the full iterative merge loop).
+``expectations.py``Deequ-style dataset contracts: declarative checks
+                   verified in ONE combinable aggregation pass.
+``drift.py``       PSI distribution-drift gate between corpus snapshots.
 """
 
-from . import curate, dedup, incremental, lm, multimodal, similarity, text, udfs
+from . import (
+    curate,
+    dedup,
+    drift,
+    expectations,
+    incremental,
+    lm,
+    multimodal,
+    similarity,
+    text,
+    udfs,
+)
 
 __all__ = [
     "text", "dedup", "incremental", "lm", "similarity", "multimodal",
-    "curate", "udfs",
+    "curate", "udfs", "expectations", "drift",
 ]
