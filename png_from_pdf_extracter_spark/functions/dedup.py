@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import words
 
@@ -492,6 +493,7 @@ def connected_components(
     id2: str = "id2",
     max_iter: int = 25,
     checkpoint_every: int = 5,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs — the step that turns
     any pair generator (MinHash/SimHash/Jaccard/embedding) into dedup
@@ -501,18 +503,38 @@ def connected_components(
     (node, component) for every node that appears in ``pairs``.
 
     Plan per iteration: each node takes min(own label, neighbors'
-    labels) — one join + one aggregation, both keyed shuffles; converges
-    in O(component diameter) iterations (near-dup clusters are shallow —
-    single digits in practice; GraphFrames' large-star/small-star trades
-    more per-round work for O(log n) rounds, unneeded here). Convergence
-    is detected by a changed-labels count, so the loop exits early; the
-    ``max_iter`` cap bounds a pathological chain. Every
-    ``checkpoint_every`` rounds the label table is localCheckpoint-ed to
-    truncate the growing lineage — without it iteration k replans the
-    whole k-deep DAG.
+    labels), computed as ONE aggregation over the union of the label
+    table with the neighbor contributions (edges ⋈ labels) — two keyed
+    shuffles per round, and the round's only action doubles as the
+    convergence check: labels are monotonically non-increasing under
+    min-propagation, so the label SUM (exact DECIMAL(38,0) — no long
+    overflow at web-scale id ranges) is strictly decreasing until the
+    fixed point; an unchanged sum IS convergence, with no extra
+    old-vs-new join. Converges in O(component diameter) iterations
+    (near-dup clusters are shallow — single digits in practice;
+    GraphFrames' large-star/small-star trades more per-round work for
+    O(log n) rounds, unneeded here); ``max_iter`` bounds a pathological
+    chain. Every ``checkpoint_every`` rounds the label table is
+    localCheckpoint-ed to truncate the growing lineage — without it
+    iteration k replans the whole k-deep DAG.
 
-    Iterative-by-nature: each round's labels are materialized (count
-    action) — this is a driver-orchestrated algorithm, not one lazy plan.
+    Iterative-by-nature: each round's labels are materialized — this is
+    a driver-orchestrated algorithm, not one lazy plan. The candidate
+    graph is orders of magnitude smaller than the corpus (it holds only
+    docs that collided in some band/bucket), so the per-round shuffles
+    are small; the dominant cost at modest scale is round-trip latency,
+    which the fused action keeps to one job per round.
+
+    SIZE-GATED HYBRID: when the (already-materialized) edge table has at
+    most ``driver_max_edges`` rows (default 2M ≈ tens of MB — trivially
+    driver-safe), components are computed by union-find ON THE DRIVER in
+    one collect: at that size every distributed round costs more in
+    scheduling latency than the whole problem costs in Python, the same
+    threshold call every graph system makes (GraphX/GraphFrames users
+    collect small graphs too). The distributed loop remains the path for
+    web-scale candidate graphs; both paths share the keep-min-id
+    convention and are pinned equal in ``tests/test_dedup.py``. Set
+    ``driver_max_edges=0`` to force the distributed path.
     """
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = (
@@ -524,45 +546,74 @@ def connected_components(
     labels = labels.persist()
     if labels.count() == 0:
         # no pairs -> no components; skip the propagate round entirely
-        # (a full join+agg+count iteration is pure overhead on empty input,
+        # (a full join+agg iteration is pure overhead on empty input,
         # the common case for clean corpora at high thresholds)
         edges.unpersist()
         out = labels.select(
             F.col("a").alias("node"), F.col("label").alias("component")
         )
         return _with_cached_deps(out, [labels])
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        # small-graph fast path: one collect + union-find, no rounds
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min root wins -> component label = smallest member id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        node_type = edges.schema["a"].dataType
+        spark = pairs.sparkSession
+        out = spark.createDataFrame(
+            [(n, find(n)) for n in parent],
+            T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("component", node_type),
+                ]
+            ),
+        )
+        labels.unpersist()
+        edges.unpersist()
+        return _with_cached_deps(out, [])
+    prev_sum = None
     try:
         for it in range(max_iter):
-            nbr = (
-                edges.join(
-                    labels.select(
-                        F.col("a").alias("b"), F.col("label").alias("nl")
-                    ),
-                    "b",
-                )
+            contrib = edges.join(
+                labels.select(
+                    F.col("a").alias("b"), F.col("label").alias("cand")
+                ),
+                "b",
+            ).select("a", "cand")
+            own = labels.select("a", F.col("label").alias("cand"))
+            new_labels = (
+                own.unionByName(contrib)
                 .groupBy("a")
-                .agg(F.min("nl").alias("nbr_min"))
-            )
-            new_labels = labels.join(nbr, "a", "left").select(
-                "a",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
+                .agg(F.min("cand").alias("label"))
             )
             if (it + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            changed = (
-                new_labels.join(
-                    labels.select("a", F.col("label").alias("old")), "a"
-                )
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         out = labels.select(
             F.col("a").alias("node"), F.col("label").alias("component")
         )

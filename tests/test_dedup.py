@@ -246,3 +246,23 @@ def test_apply_dedup_no_pairs_is_identity(spark):
     out = dedup.apply_dedup(docs, pairs)
     assert out.count() == 5
     dedup.release(out)
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    # same graph through the union-find fast path (default) and the
+    # distributed min-propagation loop (driver_max_edges=0)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7), (7, 4), (10, 11), (11, 10)],
+        ["id1", "id2"],
+    )
+    fast = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    )
+    dist_df = dedup.connected_components(pairs, driver_max_edges=0)
+    dist = sorted((r["node"], r["component"]) for r in dist_df.collect())
+    dedup.release(dist_df)
+    assert fast == dist
+    assert fast == [
+        (1, 1), (2, 1), (3, 1), (4, 4), (7, 4), (9, 4), (10, 10), (11, 10)
+    ]
