@@ -1811,6 +1811,32 @@ def _q_incr_dedup(spark, sf_dir):
     )
 
 
+def _q_minhash_incr_dedup(spark, sf_dir):
+    """Cross-run NEAR-dup dedup (dedup.minhash_incremental_dedup): the
+    new batch — novel docs + a whitespace-mangled re-ingest slice
+    (shingle-identical after tokenization, so every band collides) — is
+    probed against the ingested corpus' occupied LSH buckets; planted
+    re-ingests are provably dropped. Asymmetric: no old x old or
+    new x new pairs are ever formed."""
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 250)
+    reingest = old.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = d.filter(F.col("doc_id") >= 250).unionByName(reingest)
+    kept = dedup.minhash_incremental_dedup(old, new, "doc_id", "text")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def _q_winsorize(spark, sf_dir):
     """Winsorization: clamp values to the exact interpolated [p05, p95]
     of their group (``percentile`` = SQL-standard continuous quantile,
@@ -2885,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forward_fill": _q_forward_fill,
         "q_ntile_deciles": _q_ntile_deciles,
         "q_incr_dedup": _q_incr_dedup,
+        "q_minhash_incr_dedup": _q_minhash_incr_dedup,
         "q_winsorize": _q_winsorize,
         "q_funnel_steps": _q_funnel_steps,
         "q_nullsafe_join": _q_nullsafe_join,
@@ -3026,6 +3053,46 @@ mh_pairs AS (
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
 )
 """
+
+
+def _band_ctes(src: str, p: str) -> str:
+    """MinHash LSH band-table CTE chain over table/CTE ``src``, names
+    prefixed with ``p`` — the two-snapshot twin of ``_MINHASH_PAIRS_CTES``
+    (same shingles, base hash, universal-hash seeds, and band hashing, so
+    it reproduces ``dedup._band_table`` exactly)."""
+    return f"""
+            {p}sh AS (
+              SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                         range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         AS shingle
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') AS w
+                      FROM {src})
+                WHERE len(w) >= 3
+              )
+            ),
+            {p}base AS (
+              SELECT id,
+                     CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                       % 1000000007 AS hs
+              FROM {p}sh
+            ),
+            {p}sig AS (
+              SELECT id, seed,
+                     min(((seed * 2 + 1) * hs + seed * 12345 + 6789)
+                         % 1000000007) AS minhash
+              FROM {p}base, (SELECT unnest(range(0, 8)) AS seed)
+              GROUP BY id, seed
+            ),
+            {p}bands AS (
+              SELECT id, (seed // 2) AS band,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed))
+                       AS band_hash
+              FROM {p}sig GROUP BY id, (seed // 2)
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5013,5 +5080,31 @@ def oracle_sql() -> dict[str, str]:
                           / ((n_b + 0.5) / (tb + 5.0)))), 5) AS psi
             FROM j JOIN t USING (event_type)
             GROUP BY j.event_type
+        """,
+        "q_minhash_incr_dedup": f"""
+            WITH old_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ),
+            new_docs AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+              WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     '  ' || replace(text, ' ', '  ') || ' ',
+                     lang, source, n_chars
+              FROM documents WHERE doc_id < 250 AND doc_id % 3 = 0
+            ),
+            {_band_ctes("old_docs", "o")},
+            {_band_ctes("new_docs", "n")},
+            occ AS (SELECT DISTINCT band, band_hash FROM obands),
+            hits AS (
+              SELECT DISTINCT nb.id
+              FROM nbands nb JOIN occ USING (band, band_hash)
+            )
+            SELECT lang, count(*) AS n_kept,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM new_docs
+            WHERE doc_id NOT IN (SELECT id FROM hits)
+            GROUP BY lang
         """,
     }

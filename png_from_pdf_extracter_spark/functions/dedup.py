@@ -342,11 +342,34 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be divisible by "
             f"rows_per_band ({rows_per_band})"
         )
+    bands = _band_table(
+        df, id_col, text_col, n, num_hashes, rows_per_band
+    )
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return _pairs_from_sorted_ids(buckets).distinct()
+
+
+def _band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band, band_hash) LSH band rows — the shared front half of
+    ``minhash_lsh_pairs`` and ``minhash_incremental_dedup``. The whole
+    signature is ONE id-keyed aggregation (num_hashes map-combinable min
+    columns over the shared base hash — same universal-hash family as
+    ``minhash_signatures``: a=2s+1, b=12345s+6789 mod p, so the oracle's
+    per-seed formulation produces identical minima); band hashes are pure
+    projection."""
     sh = word_shingles(df, id_col, text_col, n, distinct=False)
     base = sh.select("id", (_h(F.col("shingle")) % MINHASH_P).alias("hs"))
-    # same universal-hash family as minhash_signatures (a=2s+1, b=12345s+
-    # 6789 mod p) — the oracle's per-seed formulation produces identical
-    # minima, so the DuckDB twin is unchanged
     sig = base.groupBy("id").agg(
         *[
             F.min(
@@ -372,15 +395,54 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
-    buckets = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    ).select(
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
     )
-    return _pairs_from_sorted_ids(buckets).distinct()
+
+
+def minhash_incremental_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Cross-RUN near-dup dedup: drop documents from the NEW batch whose
+    MinHash signature collides (any LSH band) with the already-ingested
+    corpus — the fuzzy twin of the exact-fingerprint incremental gate.
+    Returns the surviving new rows, columns untouched.
+
+    Asymmetric by design: no old x old and no new x new pairs are ever
+    formed — the old side collapses to its DISTINCT occupied (band,
+    band_hash) buckets (O(|old| x n_bands) rows that aggregate
+    map-side), and the new batch probes them with one left-semi +
+    left-anti. At 10^12 ingested docs the bucket table is far past
+    broadcast size, but it shuffles once by its own key and the probe is
+    an equi-join — never a cross join; the daily batch (the small side)
+    is what moves."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by "
+            f"rows_per_band ({rows_per_band})"
+        )
+    occupied = (
+        _band_table(old, id_col, text_col, n, num_hashes, rows_per_band)
+        .select("band", "band_hash")
+        .distinct()
+    )
+    hits = (
+        _band_table(new, id_col, text_col, n, num_hashes, rows_per_band)
+        .join(occupied, ["band", "band_hash"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new.join(hits, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- simhash

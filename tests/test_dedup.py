@@ -266,3 +266,31 @@ def test_components_driver_and_distributed_paths_agree(spark):
     assert fast == [
         (1, 1), (2, 1), (3, 1), (4, 4), (7, 4), (9, 4), (10, 10), (11, 10)
     ]
+
+
+def test_minhash_incremental_dedup_drops_reingests_keeps_novel(spark):
+    base = [
+        (i, f"alpha bravo charlie delta echo foxtrot golf hotel india w{i}")
+        for i in range(20)
+    ]
+    old = spark.createDataFrame(base, ["doc_id", "text"])
+    novel = [
+        (100 + i, f"zulu yankee xray whiskey victor uniform tango s{i} q{i} p{i}")
+        for i in range(5)
+    ]
+    # re-ingest of old docs with mangled whitespace: shingle-identical
+    reingest = [(1000 + i, t.replace(" ", "  ")) for i, t in base[:6]]
+    new = spark.createDataFrame(novel + reingest, ["doc_id", "text"])
+    kept = dedup.minhash_incremental_dedup(old, new, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert all(i < 1000 for i in ids)  # every re-ingest dropped
+    assert set(range(100, 105)) <= set(ids)  # every novel doc kept
+    assert kept.columns == new.columns
+
+
+def test_minhash_incremental_dedup_validates_bands(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.minhash_incremental_dedup(
+            df, df, "doc_id", "text", num_hashes=8, rows_per_band=3
+        )
