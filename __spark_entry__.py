@@ -1811,6 +1811,19 @@ def _q_incr_dedup(spark, sf_dir):
     )
 
 
+def _q_materialize_mix(spark, sf_dir):
+    """Materialize a uniform training-data mix (curate.materialize_mix):
+    per-source keep rates derived from the largest feasible budget
+    (bottleneck source keeps all), deterministic md5 ppm-threshold
+    selection; reported per source as kept counts + achieved chars."""
+    d = _read(spark, sf_dir, "documents")
+    kept = curate.materialize_mix(d, "source", "n_chars")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
 def _q_minhash_incr_dedup(spark, sf_dir):
     """Cross-run NEAR-dup dedup (dedup.minhash_incremental_dedup): the
     new batch — novel docs + a whitespace-mangled re-ingest slice
@@ -2912,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_deciles": _q_ntile_deciles,
         "q_incr_dedup": _q_incr_dedup,
         "q_minhash_incr_dedup": _q_minhash_incr_dedup,
+        "q_materialize_mix": _q_materialize_mix,
         "q_winsorize": _q_winsorize,
         "q_funnel_steps": _q_funnel_steps,
         "q_nullsafe_join": _q_nullsafe_join,
@@ -5106,5 +5120,28 @@ def oracle_sql() -> dict[str, str]:
             FROM new_docs
             WHERE doc_id NOT IN (SELECT id FROM hits)
             GROUP BY lang
+        """,
+        "q_materialize_mix": """
+            WITH totals AS (
+              SELECT source, sum(n_chars)::DOUBLE AS t_s
+              FROM documents GROUP BY source
+            ),
+            shared AS (
+              SELECT source, t_s,
+                     1.0 / (SELECT count(*) FROM totals) AS w_s
+              FROM totals
+            ),
+            budget AS (SELECT min(t_s / w_s) AS b FROM shared),
+            rates AS (
+              SELECT source,
+                     round(w_s * b / t_s * 1000000)::BIGINT AS keep_ppm
+              FROM shared, budget
+            )
+            SELECT source, count(*) AS n_kept,
+                   sum(n_chars)::BIGINT AS kept_chars
+            FROM documents d JOIN rates USING (source)
+            WHERE CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))
+                       AS BIGINT) % 1000000 < keep_ppm
+            GROUP BY source
         """,
     }

@@ -286,6 +286,67 @@ def repetition_signals(
     return out.withColumn("passes", passes)
 
 
+def materialize_mix(
+    docs: DataFrame,
+    source_col: str,
+    size_col: str,
+    id_col: str = "doc_id",
+    shares: dict | None = None,
+) -> DataFrame:
+    """MATERIALIZE a training-data mix: downsample each source so the
+    kept corpus approaches the target ``shares`` (source -> fraction;
+    default uniform) — the step after ``source_mix_weights`` computes
+    what the weights should be.
+
+    Per-source keep rate: with T_s = total ``size_col`` of source s and
+    w_s its target share, the largest feasible mix budget is
+    B = min_s T_s / w_s (no source can be up-sampled without
+    replacement); rate_s = w_s * B / T_s, so the bottleneck source keeps
+    everything and the rest downsample proportionally. Selection is the
+    deterministic md5 predicate of ``hash_sample`` against an integer
+    threshold — reproducible across runs, engines, and corpus growth.
+
+    Plan: one small per-source aggregate (map-combinable), B folded in
+    with a cross of the one-row minimum, rates broadcast back to the
+    corpus, keep-predicate map-side. The 100 TB corpus never shuffles.
+    Returns the kept rows unchanged. Sources missing from ``shares``
+    are dropped (share 0); doc-level sampling approximates the
+    token-level target with per-doc-size variance.
+    """
+    w = (
+        F.create_map(
+            *[F.lit(x) for kv in shares.items() for x in kv]
+        )[F.col(source_col)]
+        if shares
+        else None
+    )
+    totals = docs.groupBy(source_col).agg(
+        F.sum(size_col).cast("double").alias("t_s")
+    )
+    if shares is None:
+        n_src = totals.count()  # tiny table; fixes uniform share = 1/K
+        totals = totals.withColumn("w_s", F.lit(1.0 / n_src))
+    else:
+        totals = totals.withColumn("w_s", w).filter(F.col("w_s").isNotNull())
+    budget = totals.agg(F.min(F.col("t_s") / F.col("w_s")).alias("b"))
+    rates = totals.crossJoin(F.broadcast(budget)).select(
+        source_col,
+        # integer threshold out of 1e6 so both engines compare exactly
+        F.round(F.col("w_s") * F.col("b") / F.col("t_s") * 1_000_000)
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .filter((h % 1_000_000) < F.col("keep_ppm"))
+        .drop("keep_ppm")
+        .select(*docs.columns)
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -240,3 +240,41 @@ def test_repetition_signals_clean_doc_passes(spark):
     assert row["dup_2gram_frac"] == 0.0
     assert row["dup_3gram_frac"] == 0.0
     assert row["passes"] is True
+
+
+def test_materialize_mix_uniform_shares(spark):
+    # source a: 9000 chars over 90 docs; b: 3000 over 30; c: 1000 over 10
+    # uniform target (1/3 each): budget B = min(T_s * 3) = 3000
+    # rates: a = 1000/9000 = 0.111, b = 1000/3000 = 0.333, c = 1.0
+    rows = (
+        [(i, "a", 100) for i in range(90)]
+        + [(1000 + i, "b", 100) for i in range(30)]
+        + [(2000 + i, "c", 100) for i in range(10)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = curate.materialize_mix(d, "source", "n_chars")
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["c"] == 10  # bottleneck source keeps everything
+    # hash sampling is approximate at tiny n; bounds are generous
+    assert 3 <= by_src["a"] <= 20
+    assert 4 <= by_src["b"] <= 18
+    assert kept.columns == d.columns
+
+
+def test_materialize_mix_deterministic_and_explicit_shares(spark):
+    rows = [(i, "a" if i % 2 else "b", 50) for i in range(200)]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    shares = {"a": 0.8, "b": 0.2}
+    k1 = sorted(r["doc_id"] for r in
+                curate.materialize_mix(d, "source", "n_chars",
+                                       shares=shares).collect())
+    k2 = sorted(r["doc_id"] for r in
+                curate.materialize_mix(d, "source", "n_chars",
+                                       shares=shares).collect())
+    assert k1 == k2  # md5 predicate: no RNG state
+    # source missing from shares is dropped entirely
+    k3 = curate.materialize_mix(d, "source", "n_chars", shares={"a": 1.0})
+    assert {r["source"] for r in k3.collect()} == {"a"}
