@@ -10,6 +10,7 @@ from .extract_stream import (
     stream_sessionize,
     stream_profile_to_catalog,
     read_profile,
+    stream_drift_monitor,
 )
 from .stateful import (
     conversation_progress_stateful,
@@ -29,6 +30,7 @@ __all__ = [
     "stream_sessionize",
     "stream_profile_to_catalog",
     "read_profile",
+    "stream_drift_monitor",
     "conversation_progress_stateful",
     "conversation_progress_tws",
     "tws_available",

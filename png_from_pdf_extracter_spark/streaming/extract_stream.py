@@ -388,6 +388,55 @@ def stream_profile_to_catalog(
     return writer.start()
 
 
+def stream_drift_monitor(
+    spark: SparkSession,
+    input_path: str,
+    reference: DataFrame,
+    catalog: Catalog,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    table: str = "drift_reports",
+    processing_time: str | None = None,
+):
+    """Streaming distribution-drift monitor: every micro-batch is scored
+    with PSI (functions/drift.py) against a STATIC reference snapshot
+    and the per-group report lands under the batch's ``batch_id``
+    partition with dynamic overwrite — replayed batches overwrite their
+    own report, so the monitor table is exactly-once without
+    transactions (the ``stream_profile_to_catalog`` commit pattern).
+    This is the production shape of "alert if this hour's ingest
+    drifted": each batch costs one pass over THAT batch plus the
+    reference's (groups x edges) quantile table — persist the reference
+    DataFrame if the trigger interval is short."""
+    from ..functions.drift import psi_drift
+
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        report = psi_drift(
+            reference, batch_df, value_col, group_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            report.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_profile(
     spark: SparkSession,
     catalog: Catalog,

@@ -255,3 +255,53 @@ def test_stream_static_enrich(spark, tmp_path):
 
     with pytest.raises(ValueError, match="inner/left"):
         stream_static_enrich(stream, dim, "conv_id", how="full")
+
+
+def test_stream_drift_monitor_scores_batches_and_is_idempotent(
+    spark, tmp_path
+):
+    """Each micro-batch gets a PSI report vs the static reference
+    (batch drawn FROM the reference scores ~0; a shifted batch scores
+    high), and a checkpointed re-drain with no new input rewrites
+    nothing new."""
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming import stream_drift_monitor
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    reference = ev.select("event_type", "value")
+
+    def drain():
+        q = stream_drift_monitor(
+            spark, in_dir, reference, catalog, ckpt, "event_type", "value"
+        )
+        q.awaitTermination()
+
+    # batch 0: an unbiased half of the reference itself -> stable PSI
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "value"
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    rep = spark.read.parquet(catalog.path("drift_reports"))
+    r0 = {r["event_type"]: r["psi"] for r in
+          rep.filter(F.col("batch_id") == 0).collect()}
+    assert r0 and all(v < 0.1 for v in r0.values())
+
+    # batch 1: values shifted far right -> flagged
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_type", (F.col("value") + 500).alias("value")
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    rep = spark.read.parquet(catalog.path("drift_reports"))
+    r1 = {r["event_type"]: r["psi"] for r in
+          rep.filter(F.col("batch_id") == 1).collect()}
+    assert r1 and all(v > 0.25 for v in r1.values())
+
+    # re-drain with no new input: report table unchanged
+    n_before = rep.count()
+    drain()
+    assert spark.read.parquet(
+        catalog.path("drift_reports")
+    ).count() == n_before
