@@ -103,7 +103,11 @@ def expectation_report(
     """Verify every ``Check`` in one aggregation pass over ``df``.
 
     Returns (check, col_name, observed double, passed boolean), one row
-    per declared check, rounded to 6 so engines hash-agree.
+    per declared check. ``observed`` is rounded to 6 for cross-engine
+    hash agreement; ``passed`` is decided on the UNROUNDED aggregate
+    (counts are integers anyway; for mean/min/max gates a threshold set
+    within 1e-6 of the true value is a mis-specified contract, not a
+    rounding concern).
     """
     if not checks:
         raise ValueError("no checks declared")
