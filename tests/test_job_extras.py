@@ -6,6 +6,7 @@ lineage commit.
 """
 
 import pytest
+from pathlib import Path
 from pyspark.sql import functions as F
 
 from png_from_pdf_extracter_spark.datagen import GenConfig
@@ -168,3 +169,50 @@ def test_partition_bucket_py_null_lockstep(spark):
     }
     assert got[None] == -1
     assert got["c1"] == partition_bucket_py("c1", 16)
+
+
+def test_run_curate_job_inprocess(spark, tmp_path):
+    """jobs/run_curate.py end to end (in-process main — the --py-files
+    submission contract itself is proven by test_submit_job): writes the
+    funnel + survivor tables, the summary invariants hold, and bad
+    params exit 1 without a session."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    try:
+        import run_curate
+    finally:
+        _sys.path.pop(0)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+    wh = str(tmp_path / "wh")
+
+    assert run_curate.main(
+        ["--input", in_dir, "--warehouse", wh, "--langs", "en,de"]
+    ) == 0
+    cat = Catalog(wh)
+    kept = cat.read(spark, "curated_docs")
+    funnel = {r["stage"]: r["n_docs"]
+              for r in cat.read(spark, "curation_funnel").collect()}
+    assert sum(funnel.values()) == docs.count()
+    assert funnel.get("kept", 0) == kept.count()
+    assert set(
+        r["lang"] for r in kept.select("lang").distinct().collect()
+    ) <= {"en", "de"}
+
+    # near-dup pass is a subset of the plain run
+    n_plain = kept.count()
+    assert run_curate.main(
+        ["--input", in_dir, "--warehouse", wh, "--langs", "en,de",
+         "--near-dup"]
+    ) == 0
+    # same path overwritten in the same session: drop the cached listing
+    spark.catalog.refreshByPath(cat.path("curated_docs"))
+    assert cat.read(spark, "curated_docs").count() <= n_plain
+
+    # invalid params -> exit 1
+    assert run_curate.main(
+        ["--input", in_dir, "--warehouse", wh, "--langs", ""]
+    ) == 1
