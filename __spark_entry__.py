@@ -1824,6 +1824,18 @@ def _q_materialize_mix(spark, sf_dir):
     )
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-resampled mix (curate.materialize_mix alpha=0.5):
+    target shares ∝ T_s^0.5 — the mBERT/XLM-R exponent sampler that
+    damps big sources and boosts small ones; reported per source."""
+    d = _read(spark, sf_dir, "documents")
+    kept = curate.materialize_mix(d, "source", "n_chars", alpha=0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
 def _q_minhash_incr_dedup(spark, sf_dir):
     """Cross-run NEAR-dup dedup (dedup.minhash_incremental_dedup): the
     new batch — novel docs + a whitespace-mangled re-ingest slice
@@ -2926,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incr_dedup": _q_incr_dedup,
         "q_minhash_incr_dedup": _q_minhash_incr_dedup,
         "q_materialize_mix": _q_materialize_mix,
+        "q_temperature_mix": _q_temperature_mix,
         "q_winsorize": _q_winsorize,
         "q_funnel_steps": _q_funnel_steps,
         "q_nullsafe_join": _q_nullsafe_join,
@@ -5130,6 +5143,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, t_s,
                      1.0 / (SELECT count(*) FROM totals) AS w_s
               FROM totals
+            ),
+            budget AS (SELECT min(t_s / w_s) AS b FROM shared),
+            rates AS (
+              SELECT source,
+                     round(w_s * b / t_s * 1000000)::BIGINT AS keep_ppm
+              FROM shared, budget
+            )
+            SELECT source, count(*) AS n_kept,
+                   sum(n_chars)::BIGINT AS kept_chars
+            FROM documents d JOIN rates USING (source)
+            WHERE CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))
+                       AS BIGINT) % 1000000 < keep_ppm
+            GROUP BY source
+        """,
+        "q_temperature_mix": """
+            WITH totals AS (
+              SELECT source, sum(n_chars)::DOUBLE AS t_s
+              FROM documents GROUP BY source
+            ),
+            z AS (SELECT sum(pow(t_s, 0.5)) AS z FROM totals),
+            shared AS (
+              SELECT source, t_s, pow(t_s, 0.5) / z AS w_s
+              FROM totals, z
             ),
             budget AS (SELECT min(t_s / w_s) AS b FROM shared),
             rates AS (

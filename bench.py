@@ -278,6 +278,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_psi_drift",
         "q_minhash_incr_dedup",
         "q_materialize_mix",
+        "q_temperature_mix",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

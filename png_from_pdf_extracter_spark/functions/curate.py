@@ -292,11 +292,19 @@ def materialize_mix(
     size_col: str,
     id_col: str = "doc_id",
     shares: dict | None = None,
+    alpha: float | None = None,
 ) -> DataFrame:
     """MATERIALIZE a training-data mix: downsample each source so the
     kept corpus approaches the target ``shares`` (source -> fraction;
     default uniform) — the step after ``source_mix_weights`` computes
     what the weights should be.
+
+    ``alpha`` (mutually exclusive with ``shares``) derives the targets
+    from the corpus itself: w_s ∝ T_s^alpha — the mBERT/XLM-R
+    "exponentiated smoothing" sampler (alpha=1 keeps natural
+    proportions, alpha=0 is uniform, 0.3-0.7 the usual multilingual
+    range: big sources damped, small sources boosted). Computed
+    in-plan from the same per-source totals, no driver state.
 
     Per-source keep rate: with T_s = total ``size_col`` of source s and
     w_s its target share, the largest feasible mix budget is
@@ -313,20 +321,25 @@ def materialize_mix(
     are dropped (share 0); doc-level sampling approximates the
     token-level target with per-doc-size variance.
     """
-    w = (
-        F.create_map(
-            *[F.lit(x) for kv in shares.items() for x in kv]
-        )[F.col(source_col)]
-        if shares
-        else None
-    )
+    if shares is not None and alpha is not None:
+        raise ValueError("shares and alpha are mutually exclusive")
     totals = docs.groupBy(source_col).agg(
         F.sum(size_col).cast("double").alias("t_s")
     )
-    if shares is None:
+    if alpha is not None:
+        z = totals.agg(
+            F.sum(F.pow("t_s", F.lit(float(alpha)))).alias("z")
+        )
+        totals = totals.crossJoin(F.broadcast(z)).withColumn(
+            "w_s", F.pow("t_s", F.lit(float(alpha))) / F.col("z")
+        )
+    elif shares is None:
         n_src = totals.count()  # tiny table; fixes uniform share = 1/K
         totals = totals.withColumn("w_s", F.lit(1.0 / n_src))
     else:
+        w = F.create_map(
+            *[F.lit(x) for kv in shares.items() for x in kv]
+        )[F.col(source_col)]
         totals = totals.withColumn("w_s", w).filter(F.col("w_s").isNotNull())
     budget = totals.agg(F.min(F.col("t_s") / F.col("w_s")).alias("b"))
     rates = totals.crossJoin(F.broadcast(budget)).select(

@@ -1,6 +1,7 @@
 """Curation pipeline invariants: the funnel stages partition the corpus,
 and the 'kept' bucket is exactly the curate_corpus survivor set."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from png_from_pdf_extracter_spark.functions import curate
@@ -278,3 +279,24 @@ def test_materialize_mix_deterministic_and_explicit_shares(spark):
     # source missing from shares is dropped entirely
     k3 = curate.materialize_mix(d, "source", "n_chars", shares={"a": 1.0})
     assert {r["source"] for r in k3.collect()} == {"a"}
+
+
+def test_materialize_mix_temperature_boosts_small_sources(spark):
+    # a: 10000 chars, b: 100 chars. alpha=0.5: w_a ∝ 100, w_b ∝ 10 —
+    # the small source's SHARE rises from ~1% natural to ~9% target,
+    # so 'b' keeps everything (bottleneck) while 'a' downsamples
+    rows = [(i, "a", 100) for i in range(100)] + [
+        (1000 + i, "b", 10) for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = curate.materialize_mix(d, "source", "n_chars", alpha=0.5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["b"] == 10  # boosted small source keeps all
+    assert by_src["a"] < 100  # damped big source downsamples
+    with pytest.raises(ValueError):
+        curate.materialize_mix(
+            d, "source", "n_chars", shares={"a": 1.0}, alpha=0.5
+        )
