@@ -169,18 +169,24 @@ class SnapshotTable:
         )
         df.write.mode("overwrite").parquet(staged)
         staged_stats = self._collect_stats(df, staged)
+        # per-dir row count: parquet footers answer this without a data
+        # scan, and the manifest then answers count(*) with NO scan at all
+        # (Iceberg's snapshot-summary `total-records`)
+        staged_rows = df.sparkSession.read.parquet(staged).count()
         last: Exception | None = None
         for _ in range(retries + 1):
             self._roll_forward()
             head = self.current_version()
             version = (head or 0) + 1
             stats = dict(staged_stats)
+            rows = {staged: staged_rows}
             if op == "append" and head is not None:
                 parent = self.manifest(head)
                 dirs = list(parent["dirs"]) + [staged]
-                # carry forward the parent's per-dir stats — dirs are
-                # immutable, so their ranges never change
+                # carry forward the parent's per-dir stats/rows — dirs are
+                # immutable, so their ranges and counts never change
                 stats = {**parent.get("stats", {}), **stats}
+                rows = {**parent.get("rows", {}), **rows}
             else:
                 dirs = [staged]
             manifest = {
@@ -189,6 +195,7 @@ class SnapshotTable:
                 "op": op,
                 "dirs": dirs,
                 "stats": stats,
+                "rows": rows,
             }
             if extra:
                 manifest.update(extra)
@@ -200,6 +207,22 @@ class SnapshotTable:
             self._flip(version)
             return version
         raise last  # type: ignore[misc]
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """``SELECT count(*)`` answered from the manifest alone — zero data
+        files touched (Iceberg's snapshot-summary ``total-records``; the
+        metadata-table read path). Works for any pinned ``version``
+        (time-travel counts). Returns None when the manifest predates
+        row accounting or any referenced dir lacks a recorded count —
+        callers fall back to a real scan, never to a wrong number."""
+        m = self.manifest(version)
+        rows = m.get("rows")
+        if rows is None:
+            return None
+        counts = [rows.get(d) for d in m["dirs"]]
+        if any(c is None for c in counts):
+            return None
+        return sum(counts)
 
     def append(self, df: DataFrame, extra: dict | None = None) -> int:
         return self._commit(df, "append", extra=extra)

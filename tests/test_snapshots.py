@@ -324,3 +324,28 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # incremental scan across the evolution sees only the new rows+schema
     inc = t.read_changes(spark, since=v1)
     assert inc.count() == 3 and "lang" in inc.columns
+
+
+def test_row_count_from_manifest_only(spark, tmp_path):
+    """count(*) answered from metadata alone (Iceberg snapshot-summary
+    total-records): correct across append/overwrite/compact, correct for
+    pinned versions, and None — never wrong — when accounting is absent."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    v1 = t.append(_df(spark, 0, 100))
+    v2 = t.append(_df(spark, 100, 150))
+    assert t.row_count() == 150 == t.read(spark).count()
+    assert t.row_count(v1) == 100  # time-travel count
+    v3 = t.overwrite(_df(spark, 0, 30))
+    assert t.row_count() == 30
+    t.append(_df(spark, 30, 40))
+    t.compact(spark)
+    assert t.row_count() == 40 == t.read(spark).count()
+    assert t.row_count(v2) == 150  # pinned history still answers
+
+    # a manifest that predates row accounting -> None (fallback to scan)
+    m = t.manifest()
+    mpath = os.path.join(t.meta, f"v{m['version']}.json")
+    del m["rows"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    assert t.row_count() is None
