@@ -3130,14 +3130,16 @@ def oracle_sql() -> dict[str, str]:
     nstop = (
         f"length(regexp_extract_all(lower(text), '\\b(?:{_STOP_EN}|as|with|was|at|by|an|be|this|are|or)\\b'))"
     )
+    # floor-quantized 4dp, like text.quality_score: round() flips on exact
+    # .00005 boundaries across engines; floor of the identical double never
     qual = (
-        f"round((0.4::DOUBLE * least({ntok}::DOUBLE / 100.0, 1.0::DOUBLE)"
+        f"floor((0.4::DOUBLE * least({ntok}::DOUBLE / 100.0, 1.0::DOUBLE)"
         f" + 0.3::DOUBLE * (CASE WHEN length(text) > 0 THEN"
         f" length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
         f" / length(text) ELSE 0.0::DOUBLE END)"
         f" + 0.3::DOUBLE * least((CASE WHEN {ntok} > 0 THEN"
         f" {nstop}::DOUBLE / {ntok} ELSE 0.0::DOUBLE END) * 5.0::DOUBLE,"
-        f" 1.0::DOUBLE))::DOUBLE, 4)"
+        f" 1.0::DOUBLE))::DOUBLE * 10000.0) / 10000.0"
     )
     curate_cte = f"""
         a AS (
@@ -3348,14 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_tokens": f"""
             SELECT doc_id,
                    {ntok} AS n_tokens,
-                   round((0.4::DOUBLE * least({ntok}::DOUBLE / 100.0, 1.0::DOUBLE)
-                       + 0.3::DOUBLE * (CASE WHEN length(text) > 0 THEN
-                           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-                           / length(text) ELSE 0.0::DOUBLE END)
-                       + 0.3::DOUBLE * least((CASE WHEN {ntok} > 0 THEN
-                           {nstop}::DOUBLE / {ntok} ELSE 0.0::DOUBLE END) * 5.0::DOUBLE,
-                           1.0::DOUBLE))::DOUBLE, 4)
-                     AS quality,
+                   {qual} AS quality,
                    {nstop} AS n_stopwords
             FROM documents WHERE doc_id < 200
         """,

@@ -49,7 +49,7 @@ def curate_corpus(
     return (
         deduped.withColumn("lang", text.lang_id(c))
         .withColumn("n_tokens", text.token_count(c))
-        .withColumn("quality", F.round(text.quality_score(c), 4))
+        .withColumn("quality", text.quality_score(c))
         .filter(F.col("lang").isin(*langs))
         .filter(F.col("quality") >= F.lit(min_quality))
         .filter(
@@ -78,7 +78,7 @@ def curation_funnel(
         .withColumn("_keep", F.min(id_col).over(Window.partitionBy("fingerprint")))
         .withColumn("lang", text.lang_id(c))
         .withColumn("n_tokens", text.token_count(c))
-        .withColumn("quality", F.round(text.quality_score(c), 4))
+        .withColumn("quality", text.quality_score(c))
     )
     stage = (
         F.when(F.col(id_col) != F.col("_keep"), F.lit("dup"))

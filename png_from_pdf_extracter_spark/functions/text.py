@@ -84,11 +84,18 @@ def quality_score(col) -> Column:
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
     vol = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.4) * vol + F.lit(0.3) * alpha_ratio
-        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0)),
-        4,
+    # floor-quantized to 4dp, NOT round(): the weighted sum is the same
+    # IEEE double on every engine, but round() implementations disagree
+    # exactly when it lands on a .00005 boundary (Spark rounds the binary
+    # value, DuckDB the shortest decimal repr — observed at sf0.1: 0.4337
+    # vs 0.4338 on 3 of 3832 docs). floor of a bit-identical double is
+    # deterministic everywhere.
+    raw = (
+        F.lit(0.4) * vol
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     )
+    return F.floor(raw * F.lit(10000.0)) / F.lit(10000.0)
 
 
 # ---------------------------------------------------------------- lang id
