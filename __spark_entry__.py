@@ -1406,7 +1406,9 @@ def _q_tpch_q2(spark, sf_dir):
         "p_name",
         "s_name",
         "n_name",
-        F.round("offer", 2).alias("best_price"),
+        # floor-quantized: round(x, 2) flips on exact .005 boundaries
+        # across engines (sf0.1: one part at 1335.035)
+        (F.floor(F.col("offer") * 100) / 100).alias("best_price"),
     )
 
 
@@ -1643,7 +1645,9 @@ def _q_hash_classifier(spark, sf_dir):
                 lambda t: F.length(t) > 0,
             )
         ).alias("n_toks"),
-        F.round(score, 4).alias("score"),
+        # floor-quantized (not round): round() flips on .00005 boundaries
+        # across engines even on bit-identical doubles
+        (F.floor(score * 10000) / 10000).alias("score"),
         (score > 0).alias("keep"),
     )
 
@@ -4310,18 +4314,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(tok)::INTEGER AS n_toks,
-                   round(CASE WHEN len(tok) > 0 THEN
+                   floor((CASE WHEN len(tok) > 0 THEN
                      list_sum(list_transform(tok, t ->
-                       (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
-                          % 2001 - 1000) / 1000.0
-                     )) / len(tok)
-                   ELSE 0.0 END, 4) AS score,
+                       CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                          % 2001 - 1000
+                     ))::DOUBLE / (len(tok) * 1000.0)
+                   ELSE 0.0 END) * 10000) / 10000 AS score,
                    (CASE WHEN len(tok) > 0 THEN
                      list_sum(list_transform(tok, t ->
-                       (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
-                          % 2001 - 1000) / 1000.0
-                     )) / len(tok)
-                   ELSE 0.0 END) > 0 AS keep
+                       CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                          % 2001 - 1000
+                     ))
+                   ELSE 0 END) > 0 AS keep
             FROM toks
         """,
         "q_tpch_q2": """
@@ -4335,7 +4339,7 @@ def oracle_sql() -> dict[str, str]:
               FROM offers GROUP BY l_partkey
             )
             SELECT p_partkey, p_name, s_name, n_name,
-                   round(offer, 2) AS best_price
+                   floor(offer * 100) / 100 AS best_price
             FROM offers
             JOIN best ON l_partkey = bk AND offer = best_offer
             JOIN part ON l_partkey = p_partkey

@@ -497,9 +497,19 @@ def hashed_linear_score(
         F.split(F.lower(F.trim(c)), r"\s+"), lambda t: F.length(t) > 0
     )
 
-    def w(t):
+    # sum the INTEGER weight numerators and divide exactly once: a
+    # per-token float divide + float fold accumulates summation-order
+    # ulps that another engine cannot reproduce (observed at sf0.1:
+    # 4/5000 scores off by 1e-4 after rounding). The integer sum is
+    # exact on every engine; one final division is bit-identical.
+    def wnum(t):
         h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        return (h % n_buckets - half) / F.lit(float(half))
+        return h % n_buckets - half
 
-    wsum = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
-    return F.when(F.size(toks) > 0, wsum / F.size(toks)).otherwise(F.lit(0.0))
+    num = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + wnum(t)
+    )
+    return F.when(
+        F.size(toks) > 0,
+        num.cast("double") / (F.size(toks) * F.lit(half)).cast("double"),
+    ).otherwise(F.lit(0.0))
