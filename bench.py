@@ -165,16 +165,28 @@ def count_parquet_rows(path: str) -> int:
 
 
 def level_runs(cores: int, in_path: str, out_base: str, runs: int) -> dict:
-    """One parallelism level: fresh session, 1 warm-up + ``runs`` timed.
-    Output dirs are deleted (tmpfs budget) except the warm-up's, kept for
-    the row count."""
+    """One parallelism level: fresh session, 1 warm-up + ``runs`` timed,
+    plus up to 2 BOUNDED extra runs while the observed jitter (max/min)
+    exceeds the 1.3 trust bar — the level-granularity twin of the
+    per-query ``>5s ⇒ re-run, take min`` guard. An ambient-noise window
+    can only inflate a sample, never deflate it, so extra minima are
+    safe and materially improve the odds the recorded scaling ratio
+    comes from two sane windows. Output dirs are deleted (tmpfs budget)
+    except the warm-up's, kept for the row count."""
     spark = build_session(cores)
     warm = round(run_flagship(spark, in_path, f"{out_base}_warm"), 3)
     times = []
-    for i in range(runs):
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+    i = 0
+    while True:
         out = f"{out_base}_{i}"
         times.append(round(run_flagship(spark, in_path, out), 3))
         shutil.rmtree(out, ignore_errors=True)
+        i += 1
+        allt = [warm] + times
+        jitter = max(allt) / min(allt)
+        if i >= runs and (jitter <= 1.3 or i >= runs + max_extra):
+            break
     spark.stop()
     # best over ALL observed runs (warm-up included): at low widths the
     # fork/import warm-up cost is negligible and ambient drift can make the
