@@ -44,6 +44,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -180,13 +181,19 @@ class SnapshotTable:
             version = (head or 0) + 1
             stats = dict(staged_stats)
             rows = {staged: staged_rows}
+            delete_dirs: list = []
+            delete_key = None
             if op == "append" and head is not None:
                 parent = self.manifest(head)
                 dirs = list(parent["dirs"]) + [staged]
                 # carry forward the parent's per-dir stats/rows — dirs are
-                # immutable, so their ranges and counts never change
+                # immutable, so their ranges and counts never change — and
+                # any pending merge-on-read delete files (an append does
+                # not materialize deletes; overwrite/compact do)
                 stats = {**parent.get("stats", {}), **stats}
                 rows = {**parent.get("rows", {}), **rows}
+                delete_dirs = list(parent.get("delete_dirs", []))
+                delete_key = parent.get("delete_key")
             else:
                 dirs = [staged]
             manifest = {
@@ -197,6 +204,9 @@ class SnapshotTable:
                 "stats": stats,
                 "rows": rows,
             }
+            if delete_dirs:
+                manifest["delete_dirs"] = delete_dirs
+                manifest["delete_key"] = delete_key
             if extra:
                 manifest.update(extra)
             try:
@@ -208,6 +218,73 @@ class SnapshotTable:
             return version
         raise last  # type: ignore[misc]
 
+    def delete_keys(self, keys_df: DataFrame, key_col: str) -> int:
+        """Merge-on-read row-level DELETE (the Iceberg v2 equality-delete
+        shape): commit ONLY the key set — the table's data files are
+        untouched, so deleting 100 rows from a 100 TB table costs one
+        tiny parquet write plus a manifest flip. ``read()`` suppresses
+        matching rows with a broadcast-able anti-join; ``compact()`` or
+        any ``overwrite`` MATERIALIZES pending deletes (reads apply them,
+        the rewrite commits without delete files).
+
+        Simplification vs Iceberg v2, stated plainly: deletes here are
+        GLOBAL equality deletes — they also suppress rows appended LATER
+        with the same key (Iceberg scopes a delete to files with older
+        sequence numbers). Re-inserting a previously deleted key
+        therefore requires materializing first (``compact()``), and
+        ``row_count()`` honestly returns None while deletes are pending
+        (the manifest cannot know the overlap). One ``key_col`` per
+        table: a second delete with a different key raises."""
+        self._roll_forward()
+        if self.current_version() is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        staged = os.path.join(
+            self.data, f"del-{os.getpid()}-{next(self._seq)}"
+        )
+        keys_df.select(key_col).distinct().write.mode("overwrite").parquet(
+            staged
+        )
+        last: Exception | None = None
+        for _ in range(4):
+            self._roll_forward()
+            head = self.current_version()
+            parent = self.manifest(head)
+            prev_key = parent.get("delete_key")
+            if prev_key is not None and prev_key != key_col:
+                raise ValueError(
+                    f"table already has pending deletes on {prev_key!r}; "
+                    f"compact() to materialize before deleting on "
+                    f"{key_col!r}"
+                )
+            version = head + 1
+            manifest = {
+                "version": version,
+                "parent": head,
+                "op": "delete",
+                "dirs": list(parent["dirs"]),
+                "stats": parent.get("stats", {}),
+                "rows": parent.get("rows", {}),
+                "delete_dirs": parent.get("delete_dirs", []) + [staged],
+                "delete_key": key_col,
+            }
+            try:
+                self._claim(version, manifest)
+            except CommitConflict as exc:
+                last = exc
+                continue
+            self._flip(version)
+            return version
+        raise last  # type: ignore[misc]
+
+    def _apply_deletes(
+        self, spark: SparkSession, df: DataFrame, m: dict
+    ) -> DataFrame:
+        dd = m.get("delete_dirs")
+        if not dd:
+            return df
+        keys = spark.read.parquet(*dd)
+        return df.join(F.broadcast(keys), m["delete_key"], "left_anti")
+
     def row_count(self, version: int | None = None) -> int | None:
         """``SELECT count(*)`` answered from the manifest alone — zero data
         files touched (Iceberg's snapshot-summary ``total-records``; the
@@ -217,7 +294,9 @@ class SnapshotTable:
         callers fall back to a real scan, never to a wrong number."""
         m = self.manifest(version)
         rows = m.get("rows")
-        if rows is None:
+        if rows is None or m.get("delete_dirs"):
+            # pending merge-on-read deletes: the manifest cannot know how
+            # many data rows the key set suppresses
             return None
         counts = [rows.get(d) for d in m["dirs"]]
         if any(c is None for c in counts):
@@ -270,9 +349,8 @@ class SnapshotTable:
         renames/drops still need a rewrite (overwrite), same as
         parquet-backed Iceberg v1."""
         m = self.manifest(version)
-        return (
-            spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
-        )
+        df = spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
+        return self._apply_deletes(spark, df, m)
 
     def read_pruned(
         self,
@@ -307,7 +385,11 @@ class SnapshotTable:
             # empty result with the right schema: scan one dir, keep 0 rows
             df = self.read(spark, version).limit(0)
         else:
-            df = spark.read.option("mergeSchema", "true").parquet(*kept)
+            df = self._apply_deletes(
+                spark,
+                spark.read.option("mergeSchema", "true").parquet(*kept),
+                m,
+            )
         return df, len(kept), len(m["dirs"])
 
     def read_changes(
@@ -419,7 +501,9 @@ class SnapshotTable:
                 removed_manifests += 1
         live = set()
         for v in survivors:
-            live.update(self.manifest(v)["dirs"])
+            m = self.manifest(v)
+            live.update(m["dirs"])
+            live.update(m.get("delete_dirs", []))
         removed_dirs = 0
         for d in os.listdir(self.data):
             full = os.path.join(self.data, d)

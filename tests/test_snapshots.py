@@ -349,3 +349,56 @@ def test_row_count_from_manifest_only(spark, tmp_path):
     with open(mpath, "w") as fh:
         json.dump(m, fh)
     assert t.row_count() is None
+
+
+def test_merge_on_read_deletes(spark, tmp_path):
+    """Equality-delete lifecycle: delete commits only a key set (data
+    dirs untouched), reads suppress matches, time travel still sees
+    them, appends carry pending deletes forward (and are suppressed on
+    key match — the documented global-delete simplification), compact
+    materializes, expiry never sweeps live delete files."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    v1 = t.append(_df(spark, 0, 100))
+    before_dirs = t.manifest()["dirs"]
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 10)], ["id"])
+    v2 = t.delete_keys(keys, "id")
+    m = t.manifest()
+    assert m["dirs"] == before_dirs  # data untouched
+    assert len(m["delete_dirs"]) == 1
+    assert t.read(spark).count() == 90
+    assert t.read(spark).filter(F.col("id") < 10).count() == 0
+    assert t.read(spark, v1).count() == 100  # time travel pre-delete
+    assert t.row_count() is None  # honest: manifest can't know overlap
+    assert t.row_count(v1) == 100
+
+    # append AFTER the delete: new rows visible, re-inserted key is
+    # suppressed until materialization (global equality delete)
+    t.append(_df(spark, 5, 7).union(_df(spark, 200, 210)))
+    assert t.read(spark).count() == 100  # 90 + 10 new, re-inserts hidden
+    assert t.read(spark).filter(F.col("id") == 5).count() == 0
+
+    # second delete accumulates; a different key column raises
+    t.delete_keys(spark.createDataFrame([(205,)], ["id"]), "id")
+    assert t.read(spark).count() == 99
+    with pytest.raises(ValueError):
+        t.delete_keys(spark.createDataFrame([(1,)], ["v"]), "v")
+
+    # pruned reads also apply deletes
+    df, _, _ = t.read_pruned(spark, "id", lo=0, hi=300)
+    assert df.count() == 99
+
+    # compact materializes: delete files gone, counts are metadata again
+    t.compact(spark)
+    m = t.manifest()
+    assert not m.get("delete_dirs")
+    assert t.row_count() == 99 == t.read(spark).count()
+    # re-insert works after materialization
+    t.append(_df(spark, 5, 6))
+    assert t.read(spark).filter(F.col("id") == 5).count() == 1
+
+    # expiry with a pending delete never sweeps the live delete dir
+    t.delete_keys(spark.createDataFrame([(200,)], ["id"]), "id")
+    n = t.read(spark).count()
+    t.expire_snapshots(keep=1)
+    assert t.read(spark).count() == n
