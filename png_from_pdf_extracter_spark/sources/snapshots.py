@@ -181,18 +181,21 @@ class SnapshotTable:
             version = (head or 0) + 1
             stats = dict(staged_stats)
             rows = {staged: staged_rows}
-            delete_dirs: list = []
+            deletes: list = []
             delete_key = None
             if op == "append" and head is not None:
                 parent = self.manifest(head)
                 dirs = list(parent["dirs"]) + [staged]
                 # carry forward the parent's per-dir stats/rows — dirs are
                 # immutable, so their ranges and counts never change — and
-                # any pending merge-on-read delete files (an append does
-                # not materialize deletes; overwrite/compact do)
+                # any pending merge-on-read deletes (an append does not
+                # materialize them; their applies_to scoping excludes the
+                # new dir, so appended rows are never suppressed).
+                # overwrite/compact land in the else branch: the rewrite
+                # was read WITH deletes applied, so none carry over.
                 stats = {**parent.get("stats", {}), **stats}
                 rows = {**parent.get("rows", {}), **rows}
-                delete_dirs = list(parent.get("delete_dirs", []))
+                deletes = list(parent.get("deletes", []))
                 delete_key = parent.get("delete_key")
             else:
                 dirs = [staged]
@@ -204,8 +207,8 @@ class SnapshotTable:
                 "stats": stats,
                 "rows": rows,
             }
-            if delete_dirs:
-                manifest["delete_dirs"] = delete_dirs
+            if deletes:
+                manifest["deletes"] = deletes
                 manifest["delete_key"] = delete_key
             if extra:
                 manifest.update(extra)
@@ -227,14 +230,14 @@ class SnapshotTable:
         any ``overwrite`` MATERIALIZES pending deletes (reads apply them,
         the rewrite commits without delete files).
 
-        Simplification vs Iceberg v2, stated plainly: deletes here are
-        GLOBAL equality deletes — they also suppress rows appended LATER
-        with the same key (Iceberg scopes a delete to files with older
-        sequence numbers). Re-inserting a previously deleted key
-        therefore requires materializing first (``compact()``), and
-        ``row_count()`` honestly returns None while deletes are pending
-        (the manifest cannot know the overlap). One ``key_col`` per
-        table: a second delete with a different key raises."""
+        Each delete records the data dirs it ``applies_to`` — the dirs
+        present when it committed. That is Iceberg's sequence-number
+        scoping at directory granularity: rows APPENDED AFTER the delete
+        are untouched even when they carry a deleted key, so
+        delete-then-re-insert behaves like a real table. ``row_count()``
+        honestly returns None while deletes are pending (the manifest
+        cannot know the overlap). One ``key_col`` per table: a delete on
+        a different key raises until pending deletes are materialized."""
         self._roll_forward()
         if self.current_version() is None:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
@@ -264,7 +267,8 @@ class SnapshotTable:
                 "dirs": list(parent["dirs"]),
                 "stats": parent.get("stats", {}),
                 "rows": parent.get("rows", {}),
-                "delete_dirs": parent.get("delete_dirs", []) + [staged],
+                "deletes": parent.get("deletes", [])
+                + [{"dir": staged, "applies_to": list(parent["dirs"])}],
                 "delete_key": key_col,
             }
             try:
@@ -276,14 +280,91 @@ class SnapshotTable:
             return version
         raise last  # type: ignore[misc]
 
-    def _apply_deletes(
-        self, spark: SparkSession, df: DataFrame, m: dict
+    def merge_mor(self, source: DataFrame, key_col: str) -> int:
+        """Merge-on-read UPSERT in ONE atomic commit (Iceberg v2 MoR
+        MERGE): the source rows land as a new data dir AND the source
+        keys land as an equality delete scoped to the PRE-merge dirs —
+        old versions of matched keys are suppressed, new rows (scoped
+        outside the delete) are visible, unmatched target rows pass
+        through. No data rewrite: upserting a daily batch into a 100 TB
+        table costs the batch write + a manifest flip, vs ``merge()``'s
+        copy-on-write full rewrite. A crash before the flip leaves both
+        staged dirs orphaned and invisible (expired later); readers see
+        pre- or post-merge, never a torn mix."""
+        self._roll_forward()
+        if self.current_version() is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        tag = f"{os.getpid()}-{next(self._seq)}"
+        staged_data = os.path.join(self.data, f"m{tag}")
+        staged_del = os.path.join(self.data, f"del-{tag}")
+        source.write.mode("overwrite").parquet(staged_data)
+        source.select(key_col).distinct().write.mode("overwrite").parquet(
+            staged_del
+        )
+        staged_stats = self._collect_stats(source, staged_data)
+        staged_rows = source.sparkSession.read.parquet(staged_data).count()
+        last: Exception | None = None
+        for _ in range(4):
+            self._roll_forward()
+            head = self.current_version()
+            parent = self.manifest(head)
+            prev_key = parent.get("delete_key")
+            if prev_key is not None and prev_key != key_col:
+                raise ValueError(
+                    f"table already has pending deletes on {prev_key!r}; "
+                    f"compact() before merging on {key_col!r}"
+                )
+            version = head + 1
+            manifest = {
+                "version": version,
+                "parent": head,
+                "op": "merge_mor",
+                "dirs": list(parent["dirs"]) + [staged_data],
+                "stats": {**parent.get("stats", {}), **staged_stats},
+                "rows": {**parent.get("rows", {}), staged_data: staged_rows},
+                "deletes": parent.get("deletes", [])
+                + [{"dir": staged_del, "applies_to": list(parent["dirs"])}],
+                "delete_key": key_col,
+            }
+            try:
+                self._claim(version, manifest)
+            except CommitConflict as exc:
+                last = exc
+                continue
+            self._flip(version)
+            return version
+        raise last  # type: ignore[misc]
+
+    def _plan_with_deletes(
+        self, spark: SparkSession, m: dict, dirs: list
     ) -> DataFrame:
-        dd = m.get("delete_dirs")
-        if not dd:
-            return df
-        keys = spark.read.parquet(*dd)
-        return df.join(F.broadcast(keys), m["delete_key"], "left_anti")
+        """Plan ``dirs`` with the manifest's scoped deletes applied: data
+        dirs are grouped by WHICH deletes apply to them (usually one or
+        two groups — appends after the last delete form the no-delete
+        group) and each group anti-joins only its own key set. The union
+        is a plan-level concat; every anti-join side is a tiny
+        broadcast."""
+        deletes = m.get("deletes", [])
+        key = m.get("delete_key")
+        groups: dict = {}
+        for d in dirs:
+            applicable = tuple(
+                i for i, ent in enumerate(deletes)
+                if d in ent["applies_to"]
+            )
+            groups.setdefault(applicable, []).append(d)
+        out = None
+        for applicable, ds in groups.items():
+            df = spark.read.option("mergeSchema", "true").parquet(*ds)
+            if applicable:
+                keys = spark.read.parquet(
+                    *[deletes[i]["dir"] for i in applicable]
+                )
+                df = df.join(F.broadcast(keys), key, "left_anti")
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
 
     def row_count(self, version: int | None = None) -> int | None:
         """``SELECT count(*)`` answered from the manifest alone — zero data
@@ -294,7 +375,7 @@ class SnapshotTable:
         callers fall back to a real scan, never to a wrong number."""
         m = self.manifest(version)
         rows = m.get("rows")
-        if rows is None or m.get("delete_dirs"):
+        if rows is None or m.get("deletes"):
             # pending merge-on-read deletes: the manifest cannot know how
             # many data rows the key set suppresses
             return None
@@ -349,8 +430,7 @@ class SnapshotTable:
         renames/drops still need a rewrite (overwrite), same as
         parquet-backed Iceberg v1."""
         m = self.manifest(version)
-        df = spark.read.option("mergeSchema", "true").parquet(*m["dirs"])
-        return self._apply_deletes(spark, df, m)
+        return self._plan_with_deletes(spark, m, m["dirs"])
 
     def read_pruned(
         self,
@@ -385,11 +465,7 @@ class SnapshotTable:
             # empty result with the right schema: scan one dir, keep 0 rows
             df = self.read(spark, version).limit(0)
         else:
-            df = self._apply_deletes(
-                spark,
-                spark.read.option("mergeSchema", "true").parquet(*kept),
-                m,
-            )
+            df = self._plan_with_deletes(spark, m, kept)
         return df, len(kept), len(m["dirs"])
 
     def read_changes(
@@ -503,7 +579,7 @@ class SnapshotTable:
         for v in survivors:
             m = self.manifest(v)
             live.update(m["dirs"])
-            live.update(m.get("delete_dirs", []))
+            live.update(ent["dir"] for ent in m.get("deletes", []))
         removed_dirs = 0
         for d in os.listdir(self.data):
             full = os.path.join(self.data, d)

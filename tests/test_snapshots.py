@@ -354,51 +354,84 @@ def test_row_count_from_manifest_only(spark, tmp_path):
 def test_merge_on_read_deletes(spark, tmp_path):
     """Equality-delete lifecycle: delete commits only a key set (data
     dirs untouched), reads suppress matches, time travel still sees
-    them, appends carry pending deletes forward (and are suppressed on
-    key match — the documented global-delete simplification), compact
+    them, deletes are SCOPED to the dirs present when they committed
+    (sequence-number semantics: later appends re-insert freely), compact
     materializes, expiry never sweeps live delete files."""
     t = SnapshotTable(str(tmp_path), "tbl")
     v1 = t.append(_df(spark, 0, 100))
     before_dirs = t.manifest()["dirs"]
 
     keys = spark.createDataFrame([(i,) for i in range(0, 10)], ["id"])
-    v2 = t.delete_keys(keys, "id")
+    t.delete_keys(keys, "id")
     m = t.manifest()
     assert m["dirs"] == before_dirs  # data untouched
-    assert len(m["delete_dirs"]) == 1
+    assert len(m["deletes"]) == 1
     assert t.read(spark).count() == 90
     assert t.read(spark).filter(F.col("id") < 10).count() == 0
     assert t.read(spark, v1).count() == 100  # time travel pre-delete
     assert t.row_count() is None  # honest: manifest can't know overlap
     assert t.row_count(v1) == 100
 
-    # append AFTER the delete: new rows visible, re-inserted key is
-    # suppressed until materialization (global equality delete)
+    # append AFTER the delete: scoped applies_to means re-inserted keys
+    # are VISIBLE (the delete only suppresses pre-delete dirs)
     t.append(_df(spark, 5, 7).union(_df(spark, 200, 210)))
-    assert t.read(spark).count() == 100  # 90 + 10 new, re-inserts hidden
-    assert t.read(spark).filter(F.col("id") == 5).count() == 0
+    assert t.read(spark).count() == 102  # 90 kept + 12 appended
+    assert t.read(spark).filter(F.col("id") == 5).count() == 1
 
-    # second delete accumulates; a different key column raises
-    t.delete_keys(spark.createDataFrame([(205,)], ["id"]), "id")
-    assert t.read(spark).count() == 99
+    # second delete accumulates (and now covers the re-insert too);
+    # a different key column raises
+    t.delete_keys(spark.createDataFrame([(205,), (5,)], ["id"]), "id")
+    assert t.read(spark).count() == 100
+    assert t.read(spark).filter(F.col("id") == 5).count() == 0
     with pytest.raises(ValueError):
         t.delete_keys(spark.createDataFrame([(1,)], ["v"]), "v")
 
     # pruned reads also apply deletes
     df, _, _ = t.read_pruned(spark, "id", lo=0, hi=300)
-    assert df.count() == 99
+    assert df.count() == 100
 
     # compact materializes: delete files gone, counts are metadata again
     t.compact(spark)
     m = t.manifest()
-    assert not m.get("delete_dirs")
-    assert t.row_count() == 99 == t.read(spark).count()
-    # re-insert works after materialization
-    t.append(_df(spark, 5, 6))
-    assert t.read(spark).filter(F.col("id") == 5).count() == 1
+    assert not m.get("deletes")
+    assert t.row_count() == 100 == t.read(spark).count()
 
-    # expiry with a pending delete never sweeps the live delete dir
+    # expiry with a pending delete never sweeps the live delete file
     t.delete_keys(spark.createDataFrame([(200,)], ["id"]), "id")
     n = t.read(spark).count()
     t.expire_snapshots(keep=1)
     assert t.read(spark).count() == n
+
+
+def test_merge_mor_single_commit_upsert(spark, tmp_path):
+    """merge_mor: one atomic commit = new data dir + equality delete
+    scoped to pre-merge dirs. Matched keys take the source version,
+    unmatched target rows pass through, source-only keys insert; the
+    result equals the copy-on-write merge() on a twin table."""
+    t = SnapshotTable(str(tmp_path), "mor")
+    cow = SnapshotTable(str(tmp_path), "cow")
+    base = _df(spark, 0, 50)
+    t.append(base)
+    cow.append(base)
+    head_before = t.current_version()
+
+    # source: update ids 10-19 (v = id*1000), insert 100-104
+    src = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 1000).alias("v")
+    ).union(spark.range(100, 105).select(
+        F.col("id"), (F.col("id") * 1000).alias("v")
+    ))
+    t.merge_mor(src, "id")
+    cow.merge(spark, src, ["id"])
+    assert t.current_version() == head_before + 1  # ONE commit
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    want = {r["id"]: r["v"] for r in cow.read(spark).collect()}
+    assert got == want
+    assert got[15] == 15000 and got[3] == 6 and got[102] == 102000
+    assert len(got) == 55
+    # the merge did NOT rewrite the base data dir
+    assert t.manifest()["dirs"][0] == t.manifest(head_before)["dirs"][0]
+    # chained: a second merge_mor updates rows the first one inserted
+    t.merge_mor(spark.createDataFrame([(102, 7)], ["id", "v"]), "id")
+    assert {r["v"] for r in
+            t.read(spark).filter(F.col("id") == 102).collect()} == {7}
