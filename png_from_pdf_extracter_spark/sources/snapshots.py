@@ -183,8 +183,8 @@ class SnapshotTable:
             rows = {staged: staged_rows}
             deletes: list = []
             delete_key = None
+            parent = self.manifest(head) if head is not None else {}
             if op == "append" and head is not None:
-                parent = self.manifest(head)
                 dirs = list(parent["dirs"]) + [staged]
                 # carry forward the parent's per-dir stats/rows — dirs are
                 # immutable, so their ranges and counts never change — and
@@ -210,7 +210,19 @@ class SnapshotTable:
             if deletes:
                 manifest["deletes"] = deletes
                 manifest["delete_key"] = delete_key
+            # the streaming sinks' exactly-once guard reads max_batch_id
+            # off the HEAD manifest — carry it through EVERY commit
+            # (compact/overwrite/merge between micro-batches must not
+            # reset the replay guard), monotone when extra also sets it
+            if parent.get("max_batch_id") is not None:
+                manifest["max_batch_id"] = parent["max_batch_id"]
             if extra:
+                mbi = extra.get("max_batch_id")
+                if mbi is not None and parent.get("max_batch_id") is not None:
+                    extra = {
+                        **extra,
+                        "max_batch_id": max(mbi, parent["max_batch_id"]),
+                    }
                 manifest.update(extra)
             try:
                 self._claim(version, manifest)
@@ -271,6 +283,8 @@ class SnapshotTable:
                 + [{"dir": staged, "applies_to": list(parent["dirs"])}],
                 "delete_key": key_col,
             }
+            if parent.get("max_batch_id") is not None:
+                manifest["max_batch_id"] = parent["max_batch_id"]
             try:
                 self._claim(version, manifest)
             except CommitConflict as exc:
@@ -280,7 +294,9 @@ class SnapshotTable:
             return version
         raise last  # type: ignore[misc]
 
-    def merge_mor(self, source: DataFrame, key_col: str) -> int:
+    def merge_mor(
+        self, source: DataFrame, key_col: str, extra: dict | None = None
+    ) -> int:
         """Merge-on-read UPSERT in ONE atomic commit (Iceberg v2 MoR
         MERGE): the source rows land as a new data dir AND the source
         keys land as an equality delete scoped to the PRE-merge dirs —
@@ -326,6 +342,10 @@ class SnapshotTable:
                 + [{"dir": staged_del, "applies_to": list(parent["dirs"])}],
                 "delete_key": key_col,
             }
+            if parent.get("max_batch_id") is not None:
+                manifest["max_batch_id"] = parent["max_batch_id"]
+            if extra:
+                manifest.update(extra)
             try:
                 self._claim(version, manifest)
             except CommitConflict as exc:

@@ -11,6 +11,7 @@ from .extract_stream import (
     stream_profile_to_catalog,
     read_profile,
     stream_drift_monitor,
+    stream_upsert_to_snapshots,
 )
 from .stateful import (
     conversation_progress_stateful,
@@ -31,6 +32,7 @@ __all__ = [
     "stream_profile_to_catalog",
     "read_profile",
     "stream_drift_monitor",
+    "stream_upsert_to_snapshots",
     "conversation_progress_stateful",
     "conversation_progress_tws",
     "tws_available",

@@ -341,6 +341,59 @@ def stream_extract_to_snapshots(
     return writer.start()
 
 
+def stream_upsert_to_snapshots(
+    spark: SparkSession,
+    input_path: str,
+    table,
+    key_col: str,
+    checkpoint: str,
+    processing_time: str | None = None,
+):
+    """Streaming CDC apply: each micro-batch UPSERTS into a
+    ``SnapshotTable`` via one atomic merge-on-read commit
+    (``merge_mor``: new data dir + equality delete scoped to pre-merge
+    dirs — zero rewrite of the 100 TB target per batch), guarded by the
+    same ``max_batch_id`` replay no-op as ``stream_extract_to_snapshots``
+    — the Iceberg "CDC stream into a table" shape, exactly-once end to
+    end. The guard survives interleaved maintenance (compact between
+    batches) because every commit carries max_batch_id forward.
+    Batches may carry several versions of one key; the latest by
+    position is NOT defined on an unordered batch, so the batch is
+    pre-collapsed with max_by on ``ts`` when present (CDC convention),
+    else keys must be unique per batch."""
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            prev_max = int(table.manifest().get("max_batch_id", -1))
+        except FileNotFoundError:
+            prev_max = -1
+        if batch_id <= prev_max:
+            return  # replay of a committed batch: exactly-once no-op
+        if "ts" in batch_df.columns:
+            from ..functions.dedup import dedup_latest
+
+            batch_df = dedup_latest(batch_df, [key_col], "ts")
+        extra = {
+            "batch_id": batch_id,
+            "max_batch_id": max(batch_id, prev_max),
+        }
+        if table.current_version() is None:
+            table.append(batch_df, extra=extra)
+        else:
+            table.merge_mor(batch_df, key_col, extra=extra)
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_profile_to_catalog(
     spark: SparkSession,
     input_path: str,

@@ -435,3 +435,47 @@ def test_merge_mor_single_commit_upsert(spark, tmp_path):
     t.merge_mor(spark.createDataFrame([(102, 7)], ["id", "v"]), "id")
     assert {r["v"] for r in
             t.read(spark).filter(F.col("id") == 102).collect()} == {7}
+
+
+def test_stream_upsert_to_snapshots_cdc(spark, tmp_path):
+    """Streaming CDC apply: micro-batches upsert via single-commit
+    merge-on-read; a checkpointed re-drain is a no-op; max_batch_id
+    survives an interleaved compact (the guard-reset bug this pins)."""
+    from png_from_pdf_extracter_spark.streaming import (
+        stream_upsert_to_snapshots,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(str(tmp_path / "wh"), "cdc")
+
+    def drain():
+        q = stream_upsert_to_snapshots(spark, in_dir, t, "id", ckpt)
+        q.awaitTermination()
+
+    _df(spark, 0, 50).write.mode("append").parquet(in_dir)
+    drain()
+    assert t.read(spark).count() == 50
+
+    # maintenance BETWEEN batches must not reset the replay guard
+    mbi = t.manifest()["max_batch_id"]
+    t.compact(spark)
+    assert t.manifest()["max_batch_id"] == mbi
+
+    # batch 2: update 10 keys (v = id * 7), insert 5 new
+    upd = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 7).alias("v")
+    ).union(spark.range(500, 505).select(
+        F.col("id"), (F.col("id") * 7).alias("v")
+    ))
+    upd.write.mode("append").parquet(in_dir)
+    drain()
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 55
+    assert got[3] == 21 and got[20] == 40 and got[502] == 3514
+
+    # re-drain with the same checkpoint and no new input: nothing changes
+    head = t.current_version()
+    drain()
+    assert t.current_version() == head
+    assert t.read(spark).count() == 55
