@@ -233,6 +233,42 @@ class SnapshotTable:
             return version
         raise last  # type: ignore[misc]
 
+    # ------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a NAME (Iceberg tags/refs): the
+        training-data lineage handle — ``tag("run-42-corpus")`` before a
+        training run makes "which exact corpus trained run X" a
+        first-class, expiry-proof question. Tags are written atomically
+        (temp + ``os.replace``) and re-tagging a name moves it."""
+        v = self.current_version() if version is None else version
+        if v is None or not os.path.exists(
+            os.path.join(self.meta, f"v{v}.json")
+        ):
+            raise FileNotFoundError(f"no snapshot v{v} in {self.root}")
+        path = os.path.join(self.meta, f"tag-{name}")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return v
+
+    def tag_version(self, name: str) -> int:
+        with open(os.path.join(self.meta, f"tag-{name}")) as fh:
+            return int(fh.read().strip())
+
+    def tags(self) -> dict:
+        out = {}
+        for f in os.listdir(self.meta):
+            if f.startswith("tag-") and not f.endswith(".tmp"):
+                with open(os.path.join(self.meta, f)) as fh:
+                    out[f[4:]] = int(fh.read().strip())
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        os.remove(os.path.join(self.meta, f"tag-{name}"))
+
     def delete_keys(self, keys_df: DataFrame, key_col: str) -> int:
         """Merge-on-read row-level DELETE (the Iceberg v2 equality-delete
         shape): commit ONLY the key set — the table's data files are
@@ -590,6 +626,9 @@ class SnapshotTable:
         survivors = set(vs[-keep:])
         if cur is not None:
             survivors.add(cur)
+        # tagged snapshots are pinned: retention never expires a ref'd
+        # manifest or the data dirs it needs (Iceberg's ref retention)
+        survivors.update(v for v in self.tags().values() if v in set(vs))
         removed_manifests = 0
         for v in vs:
             if v not in survivors:

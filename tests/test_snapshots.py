@@ -479,3 +479,26 @@ def test_stream_upsert_to_snapshots_cdc(spark, tmp_path):
     drain()
     assert t.current_version() == head
     assert t.read(spark).count() == 55
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Iceberg refs: a tagged snapshot (and its data dirs) survives
+    expire_snapshots; reads by tag version reproduce the exact pinned
+    corpus; dropping the tag releases it on the next expiry."""
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 10))
+    v_run = t.tag("run-42-corpus")
+    t.overwrite(_df(spark, 100, 105))
+    t.overwrite(_df(spark, 200, 220))
+    assert t.tags() == {"run-42-corpus": v_run}
+
+    t.expire_snapshots(keep=1)
+    # the tagged snapshot's manifest AND data survived
+    assert t.read(spark, t.tag_version("run-42-corpus")).count() == 10
+    assert t.read(spark).count() == 20
+
+    t.drop_tag("run-42-corpus")
+    t.expire_snapshots(keep=1)
+    assert v_run not in t.versions()
+    with pytest.raises(FileNotFoundError):
+        t.tag("bogus", version=999)
