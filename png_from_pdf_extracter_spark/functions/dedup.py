@@ -650,6 +650,17 @@ def connected_components(
         labels.unpersist()
         edges.unpersist()
         return _with_cached_deps(out, [])
+    # Convergence signal: for NUMERIC ids the exact DECIMAL(38,0) label
+    # sum is strictly decreasing until the fixed point (labels are
+    # monotone non-increasing under min-propagation), so the one agg
+    # action doubles as materialization + convergence check. For
+    # non-numeric ids (string doc ids) that cast yields NULL — and a
+    # NULL sum must NOT read as converged (None == None after round one
+    # would silently truncate propagation for any cluster of diameter
+    # > 2) — so string-labeled graphs fall back to an explicit
+    # changed-label count against the previous round's table (one extra
+    # small join per round, on the label table only).
+    numeric_labels = isinstance(edges.schema["a"].dataType, T.NumericType)
     prev_sum = None
     try:
         for it in range(max_iter):
@@ -668,14 +679,30 @@ def connected_components(
             if (it + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            cur_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            if numeric_labels:
+                cur_sum = new_labels.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)"))
+                ).collect()[0][0]
+                # a None sum (empty table / unexpected NULLs) is never
+                # evidence of convergence
+                converged = cur_sum is not None and cur_sum == prev_sum
+                prev_sum = cur_sum
+            else:
+                changed = (
+                    new_labels.join(
+                        labels.select(
+                            "a", F.col("label").alias("_prev_label")
+                        ),
+                        "a",
+                    )
+                    .filter(F.col("label") != F.col("_prev_label"))
+                    .count()
+                )
+                converged = changed == 0
             labels.unpersist()
             labels = new_labels
-            if cur_sum == prev_sum:
+            if converged:
                 break
-            prev_sum = cur_sum
         out = labels.select(
             F.col("a").alias("node"), F.col("label").alias("component")
         )

@@ -1,15 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` transforms.
 
-The image decode kernel is CAPABILITY-GATED: when PIL is installed
-(``HAVE_PIL``) ``decode_image`` really decodes (grayscale 4x4 thumbnail ->
-16 intensities); in this container (no image libs baked in) it raises
-``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
-deterministic fake (seeded by the payload's md5) produces stable
-pseudo-features. Both paths share the schema and error-channel contract
-(pinned by tests; real-path tests skip when PIL is absent). The Spark-side
-plumbing — schema, batch shape, partitioning, UDF signature — is real and
-tested either way. Audio/video decode remains stubbed.
+The image decode kernel is CAPABILITY-GATED with a guaranteed floor: when
+PIL is installed (``HAVE_PIL``) ``decode_image`` uses it; for PNG payloads
+a pure-stdlib decoder (``pngcodec`` — zlib inflate + scanline unfilter) is
+ALWAYS available, so the decode stage is REAL in this container too
+(grayscale 4x4 luma grid -> 16 intensities); only non-PNG formats without
+PIL raise ``NotImplementedError``. ``fake=True`` forces the clearly-marked
+deterministic fake (seeded by the payload's md5) for plumbing tests. All
+paths share the schema and error-channel contract. ``synth_media`` emits
+genuine decodable PNGs for its image rows, so the in-container pipeline
+exercises real decode end-to-end (``q_media_decode`` value-checks it
+against a frozen golden). Audio/video decode remains stubbed.
 """
 
 from __future__ import annotations
@@ -29,6 +31,13 @@ except ImportError:  # this container: deterministic fake only
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .pngcodec import (
+    PngFormatError,
+    luma_grid_feature,
+    png_decode,
+    png_encode,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -74,19 +83,34 @@ def _pil_feature(payload: bytes) -> list:
     return [p / 255.0 for p in img.getdata()]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _stdlib_png_feature(payload: bytes) -> list:
+    """Real decode via the pure-stdlib PNG codec: inflate + unfilter, then
+    the 4x4 mean-luma grid (the stdlib twin of the PIL thumbnail path;
+    integer-exact, so values are frozen-golden checkable)."""
+    return luma_grid_feature(*png_decode(payload))
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list:
     """Image -> FEATURE_DIM floats. ``fake=True`` forces the deterministic
-    stand-in; otherwise uses PIL when installed and raises
-    ``NotImplementedError`` when no decoder is available (this container).
-    Decode failures on real payloads raise PIL's errors — callers
-    classify them into the error channel, never fail the task."""
+    stand-in. Real path preference: PIL when installed (any format), else
+    the pure-stdlib PNG decoder (always available — PNG payloads decode
+    for real in this container); non-PNG without PIL raises
+    ``NotImplementedError``. Decode failures on real payloads raise
+    (``PngFormatError``/PIL errors) — callers classify them into the
+    error channel, never fail the task."""
     if fake:
         return _fake_feature(payload)
     if HAVE_PIL:
         return _pil_feature(payload)
+    if bytes(payload[:8]) == _PNG_SIG:
+        return _stdlib_png_feature(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/libvips — not available in this "
-        "container; pass fake=True for the deterministic stand-in"
+        "non-PNG image decoding requires PIL/libvips — not available in "
+        "this container; PNG decodes via the stdlib codec, or pass "
+        "fake=True for the deterministic stand-in"
     )
 
 
@@ -265,22 +289,115 @@ def sample_frames(
     return df.mapInPandas(fn, FRAMES_SCHEMA)
 
 
+def _synth_png(i: int) -> tuple:
+    """Deterministic genuine PNG for media row ``i``: small RGB/gray
+    gradient whose pixels are a pure function of (i, x, y) — decodable by
+    the stdlib codec AND by any real decoder, so the decode stage is
+    exercised for real in-container. Returns (payload, width, height)."""
+    w = 8 + (i % 5) * 4
+    h = 8 + (i % 3) * 4
+    channels = 1 if i % 4 == 0 else 3
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if channels == 1:
+                px.append((x * 13 + y * 7 + i * 29) % 256)
+            else:
+                px.append((x * 11 + i * 17) % 256)
+                px.append((y * 19 + i * 5) % 256)
+                px.append((x + y + i) % 256)
+    return png_encode(w, h, channels, bytes(px)), w, h
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (binary payload = seeded bytes)."""
+    """Deterministic synthetic media table. Image rows carry GENUINE PNG
+    payloads (stdlib-encoded gradients; meta geometry = true geometry);
+    audio/video payloads remain seeded opaque bytes (their decode is the
+    documented stub)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        payload = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 7)
         kind = kinds[i % 3]
+        if kind == "image":
+            payload, w, h = _synth_png(i)
+            rows.append(
+                (i, kind, "image/png", bytearray(payload), w, h, None)
+            )
+            continue
+        payload = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 7)
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                {"audio": "audio/wav", "video": "video/mp4"}[kind],
                 bytearray(payload),
                 64 + i % 512 if kind != "audio" else None,
                 64 + (i * 3) % 512 if kind != "audio" else None,
-                (i * 977) % 60000 if kind != "image" else None,
+                (i * 977) % 60000,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode, value-checkable: stdlib-PNG decode (PIL never
+    needed) -> geometry + integer-exact pixel stats per image row
+    (px_mean floor-quantized to 4dp so the value is engine-pinnable).
+    Non-image rows are skipped rows; undecodable payloads classify as
+    decode_failed — the same error-channel contract as the text kernel.
+    This is the in-container twin of the reference's real media
+    transformation (pdf_converter.py:50-160 producing real PNGs)."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "channels", "px_mean",
+                "px_min", "px_max", "status", "error_class",
+            )}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                rec = dict(
+                    media_id=mid, width=None, height=None, channels=None,
+                    px_mean=None, px_min=None, px_max=None,
+                    status="ok", error_class="",
+                )
+                b = bytes(payload) if payload is not None else b""
+                if kind != "image":
+                    rec.update(status="skipped", error_class="not_an_image")
+                elif not b:
+                    rec.update(status="no_payload")
+                else:
+                    try:
+                        w, h, c, px = png_decode(b)
+                        s = sum(px)
+                        # floor-quantize: identical on every engine
+                        mean4 = (s * 10000 // len(px)) / 10000
+                        rec.update(
+                            width=w, height=h, channels=c, px_mean=mean4,
+                            px_min=min(px), px_max=max(px),
+                        )
+                    except PngFormatError:
+                        rec.update(status="error", error_class="decode_failed")
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, IMAGE_STATS_SCHEMA)

@@ -804,26 +804,35 @@ def ivfpq_topk(
 # and the join is a plain equi-join on cell id — never a cross join.
 # ---------------------------------------------------------------------------
 
-def _cell_pairs_numpy(assigned: DataFrame, threshold: float) -> DataFrame:
+def _cell_pairs_numpy(
+    assigned: DataFrame,
+    threshold: float,
+    group_cols: tuple = ("cell",),
+) -> DataFrame:
     """Within-cell cosine pairs >= threshold as ONE vectorized gram matrix
     per cell (``applyInPandas``): normalize the cell's vectors, ``Xn @
     Xn.T``, emit the upper triangle above threshold. This is the actual
     SemDeDup formulation — the all-pairs term is bounded per cell by
-    construction (choose ``n_cells`` so cells fit an executor; at corpus
-    scale, split oversized cells before this stage). The previous
-    self-join form scored each candidate pair with interpreted
+    construction (``semdedup`` splits oversized cells into sub-buckets
+    before this stage, so ``group_cols`` may be (cell, subcell)). The
+    previous self-join form scored each candidate pair with interpreted
     ``zip_with``/``aggregate`` lambdas at ~30k pairs/sec; the BLAS gram
     matrix does the same quarter-million pairs in milliseconds.
 
-    Zero vectors can never reach ``threshold`` > 0 (their cosine is
-    defined as 0 here, mirroring the null-propagating join form which
-    dropped them on the NULL comparison)."""
+    The pair schema mirrors the caller's id type (long ids stay long,
+    string doc ids stay string — the old hardcoded ``long`` schema broke
+    or coerced non-long ids). Zero vectors can never reach ``threshold``
+    > 0 (their cosine is defined as 0 here, mirroring the
+    null-propagating join form which dropped them on the NULL
+    comparison)."""
     import numpy as np
     import pandas as pd
 
+    id_sql_type = assigned.schema["id"].dataType.simpleString()
+
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:
-            return pd.DataFrame({"id1": [], "id2": []}).astype("int64")
+            return pd.DataFrame({"id1": [], "id2": []})
         X = np.asarray(list(pdf["vec"]), dtype=np.float64)
         nrm = np.linalg.norm(X, axis=1)
         nrm[nrm == 0.0] = 1.0
@@ -834,20 +843,27 @@ def _cell_pairs_numpy(assigned: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["id"].to_numpy()
         a = ids[iu[0][mask]]
         b = ids[iu[1][mask]]
-        return pd.DataFrame(
-            {"id1": np.minimum(a, b), "id2": np.maximum(a, b)}
-        )
+        # elementwise min/max works for numeric AND string ids (the
+        # keep-min-id convention is "smallest id" under the type's
+        # natural order, same as connected_components)
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        return pd.DataFrame({"id1": lo, "id2": hi})
 
-    return assigned.groupBy("cell").applyInPandas(fn, "id1 long, id2 long")
+    return assigned.groupBy(*group_cols).applyInPandas(
+        fn, f"id1 {id_sql_type}, id2 {id_sql_type}"
+    )
 
 
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     threshold: float = 0.97,
     iterations: int = 2,
+    max_cell_rows: int = 50_000,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """Semantic dedup: deterministic Lloyd k-means (reuses the IVF
     trainer), within-cell cosine pairs >= ``threshold``, connected
@@ -859,23 +875,59 @@ def semdedup(
     (no shuffle); pair generation is ONE shuffle on cell id into a
     per-cell Arrow gram matrix (``_cell_pairs_numpy`` — BLAS, no
     interpreted lambdas); component labeling runs on the (tiny) pair
-    set. Returns every
-    corpus row as (id, cell, component, keep) — ``keep=false`` rows are
-    the semantic duplicates to drop; singleton rows keep themselves.
+    set. Returns EVERY corpus row as (id, cell, component, keep) —
+    ``keep=false`` rows are the semantic duplicates to drop; singleton
+    rows keep themselves; null-vector rows (nothing to compare) come
+    back with ``cell=NULL, keep=true``, preserving the partition-of-
+    the-corpus contract.
+
+    100-TB guards (both active by default):
+    - ``n_cells=None`` auto-scales the cell count to ``max(16,
+      n/target_cell_rows)`` from one cheap count, so the plan shape
+      does not depend on a caller-tuned constant as the corpus grows.
+    - Any cell whose row count exceeds ``max_cell_rows`` is SPLIT into
+      ``ceil(count/max_cell_rows)`` sub-buckets by a secondary hash of
+      the id before the gram matrix, bounding the O(cell^2) term per
+      task no matter how skewed the embedding space is (one hot cell
+      can no longer OOM an executor). Cross-sub-bucket pairs inside a
+      split cell are foregone — the same recall trade production
+      SemDeDup makes when it caps cluster size; the planted-hot-cell
+      test pins the surviving recall.
     """
     from .dedup import connected_components
 
-    cents = ivf_kmeans_centroids(corpus, id_col, vec_col, n_cells, iterations)
-    assigned = corpus.filter(F.col(vec_col).isNotNull()).select(
+    vec_rows = corpus.filter(F.col(vec_col).isNotNull())
+    if n_cells is None:
+        n = vec_rows.count()
+        n_cells = max(16, -(-n // target_cell_rows))
+    cents = ivf_kmeans_centroids(
+        vec_rows, id_col, vec_col, n_cells, iterations
+    )
+    assigned = vec_rows.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.array_min(_cell_candidates(F.col(vec_col), cents))["cell"].alias(
             "cell"
         ),
     )
-    pairs = _cell_pairs_numpy(assigned, threshold)
+    # oversized-cell split: per-cell counts are n_cells rows (driver-
+    # trivial, broadcast); ceil(count/max_cell_rows) sub-buckets, hash
+    # of the id picks the bucket so the split is deterministic
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("_cell_n"))
+    assigned = assigned.join(F.broadcast(counts), "cell").withColumn(
+        "subcell",
+        F.when(F.col("_cell_n") <= max_cell_rows, F.lit(0)).otherwise(
+            F.pmod(
+                F.xxhash64(F.col("id").cast("string")),
+                F.ceil(F.col("_cell_n") / F.lit(max_cell_rows)),
+            )
+        ).cast("int"),
+    ).drop("_cell_n")
+    pairs = _cell_pairs_numpy(
+        assigned, threshold, group_cols=("cell", "subcell")
+    )
     comp = connected_components(pairs).withColumnRenamed("node", "cid")
-    return (
+    labeled = (
         assigned.select("id", "cell")
         .join(comp, F.col("id") == F.col("cid"), "left")
         .select(
@@ -887,3 +939,11 @@ def semdedup(
             ),
         )
     )
+    # null-vector rows: no cell, no comparisons, always kept
+    null_rows = corpus.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col).alias("id"),
+        F.lit(None).cast("int").alias("cell"),
+        F.col(id_col).alias("component"),
+        F.lit(True).alias("keep"),
+    )
+    return labeled.unionByName(null_rows)

@@ -381,6 +381,17 @@ class SnapshotTable:
             if parent.get("max_batch_id") is not None:
                 manifest["max_batch_id"] = parent["max_batch_id"]
             if extra:
+                # same monotone guard as _commit: extra's replay cursor
+                # must never regress a max_batch_id some OTHER commit
+                # raised between the caller's read and this retry —
+                # parent is re-read per attempt, so max() here is the
+                # up-to-date bound
+                mbi = extra.get("max_batch_id")
+                if mbi is not None and parent.get("max_batch_id") is not None:
+                    extra = {
+                        **extra,
+                        "max_batch_id": max(mbi, parent["max_batch_id"]),
+                    }
                 manifest.update(extra)
             try:
                 self._claim(version, manifest)
@@ -449,8 +460,11 @@ class SnapshotTable:
     def _collect_stats(self, df: DataFrame, staged: str) -> dict:
         """Per-dir min/max for ``stats_cols``, read back from the staged
         parquet (a column-pruned footer-driven scan, not a recompute of
-        the writer's plan). Values are stored JSON-native (numbers/strings;
-        anything else stringified) — the same ordering the pruner uses."""
+        the writer's plan). Only JSON-native values (numbers/strings) are
+        recorded: a stringified timestamp/decimal would invite the pruner
+        into lexicographic-vs-numeric traps ("9.5" > "10.2"), so
+        non-native types record NO range and their dirs are always kept —
+        pruning stays an optimization, never a correctness filter."""
         if not self.stats_cols:
             return {}
         from pyspark.sql import functions as F
@@ -465,7 +479,11 @@ class SnapshotTable:
             aggs.append(F.max(c).alias(f"max_{c}"))
         row = back.agg(*aggs).first()
         def _json(v):
-            return v if isinstance(v, (int, float, str)) or v is None else str(v)
+            # non-JSON-native (timestamp/decimal/date) -> None: the
+            # pruner treats a missing bound as "always keep this dir"
+            if isinstance(v, bool):
+                return None
+            return v if isinstance(v, (int, float, str)) or v is None else None
         return {
             staged: {
                 c: [_json(row[f"min_{c}"]), _json(row[f"max_{c}"])]
@@ -507,6 +525,19 @@ class SnapshotTable:
         """
         m = self.manifest(version)
         stats = m.get("stats", {})
+
+        def _comparable(a, b):
+            # prune only on same-kind comparisons: number vs number or
+            # string vs string. A stat stored by an older writer as a
+            # stringified timestamp/decimal vs a typed caller bound must
+            # KEEP the dir, not TypeError or lexicographically mis-prune.
+            num = (int, float)
+            if isinstance(a, bool) or isinstance(b, bool):
+                return False
+            if isinstance(a, num) and isinstance(b, num):
+                return True
+            return isinstance(a, str) and isinstance(b, str)
+
         kept = []
         for d in m["dirs"]:
             rng = stats.get(d, {}).get(col)
@@ -514,7 +545,13 @@ class SnapshotTable:
                 kept.append(d)
                 continue
             mn, mx = rng
-            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            below = (
+                lo is not None and _comparable(mx, lo) and mx < lo
+            )
+            above = (
+                hi is not None and _comparable(mn, hi) and mn > hi
+            )
+            if below or above:
                 continue
             kept.append(d)
         if not kept:

@@ -325,3 +325,28 @@ def test_rolling_fingerprint_hand_computed_and_incremental(spark):
     s, nxt = "xyz", "w"
     slid = ((fp(s) - ord(s[0]) * pow(31, w - 1, p)) * 31 + ord(nxt)) % p
     assert slid == fp(s[1:] + nxt)
+
+
+def test_components_string_ids_diameter_gt2_both_paths(spark):
+    """String doc ids through BOTH components paths. The distributed
+    loop's decimal label-sum convergence is undefined for strings (cast
+    -> NULL); the fallback changed-count check must keep propagating a
+    diameter-4 chain to its far end instead of exiting after round one
+    (the None == None bug)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        ["id1", "id2"],
+    )
+    fast = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    )
+    dist_df = dedup.connected_components(pairs, driver_max_edges=0)
+    dist = sorted((r["node"], r["component"]) for r in dist_df.collect())
+    dedup.release(dist_df)
+    expected = [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("e", "a"),
+        ("x", "x"), ("y", "x"),
+    ]
+    assert fast == expected
+    assert dist == expected

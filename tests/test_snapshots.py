@@ -502,3 +502,54 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
     assert v_run not in t.versions()
     with pytest.raises(FileNotFoundError):
         t.tag("bogus", version=999)
+
+
+def test_merge_mor_extra_batch_id_is_monotone(spark, tmp_path):
+    """The replay guard must never regress: a merge_mor whose caller
+    read max_batch_id BEFORE some other commit raised it must keep the
+    higher value (the same max() guard _commit applies)."""
+    t = SnapshotTable(str(tmp_path), "guard")
+    t.append(_df(spark, 0, 10), extra={"max_batch_id": 7})
+    assert t.manifest()["max_batch_id"] == 7
+    # caller computed its batch id (3) from a stale read; meanwhile the
+    # table already carries 7 — the commit must keep 7, not regress to 3
+    t.merge_mor(
+        spark.createDataFrame([(1, 99)], ["id", "v"]), "id",
+        extra={"max_batch_id": 3},
+    )
+    assert t.manifest()["max_batch_id"] == 7
+    # a genuinely newer batch id advances it
+    t.merge_mor(
+        spark.createDataFrame([(2, 98)], ["id", "v"]), "id",
+        extra={"max_batch_id": 11},
+    )
+    assert t.manifest()["max_batch_id"] == 11
+
+
+def test_stats_pruning_incomparable_types_keep_dir(spark, tmp_path):
+    """Timestamp/decimal stats columns record no range (non-JSON-native)
+    and string-vs-number bound mismatches never prune: pruning is an
+    optimization, never a correctness filter."""
+    ts = SnapshotTable(str(tmp_path), "tstats", stats_cols=["ts", "id"])
+    df = spark.range(0, 10).select(
+        "id", F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts")
+    )
+    ts.append(df)
+    m = ts.manifest()
+    (st,) = m["stats"].values()
+    assert st["ts"] == [None, None]        # non-native type: no range
+    assert st["id"] == [0, 9]
+    # pruning on the timestamp column with typed bounds: dir kept, no
+    # TypeError
+    import datetime as dt
+    _, kept, total = ts.read_pruned(
+        spark, "ts",
+        lo=dt.datetime(2027, 1, 1), hi=dt.datetime(2028, 1, 1),
+    )
+    assert (kept, total) == (1, 1)
+    # string bound against numeric stats: incomparable -> kept
+    _, kept2, _ = ts.read_pruned(spark, "id", lo="500")
+    assert kept2 == 1
+    # numeric bound still prunes
+    _, kept3, _ = ts.read_pruned(spark, "id", lo=500)
+    assert kept3 == 0
