@@ -2170,6 +2170,21 @@ def _q_media_frames(spark, sf_dir):
     )
 
 
+def _q_image_stats(spark, sf_dir):
+    """REAL in-container image decode, value-checked: pure-stdlib PNG
+    decode (zlib inflate + scanline unfilter, no PIL) of the synthetic
+    gradient fixtures -> geometry + integer-exact pixel stats. The oracle
+    recomputes the same stats in closed-form SQL because the fixture
+    pixels are a pure function of (media_id, x, y) (``_synth_png``) — so
+    what the value-hash pins is the DECODER itself. Reference analog: the
+    real PNG production of pdf_converter.py:50-160."""
+    out = multimodal.image_stats(multimodal.synth_media(spark, 60))
+    return out.select(
+        "media_id", "width", "height", "channels",
+        "px_mean", "px_min", "px_max", "status", "error_class",
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
     so no exact SQL oracle (recall depends on bucketing)."""
@@ -2970,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_units_roundtrip": _q_extract_units_roundtrip,
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
+        "q_image_stats": _q_image_stats,
         "q_ann_lsh": _q_ann_lsh,
         "q_sql_surface": _q_sql_surface,
         "q_ann_pq": _q_ann_pq,
@@ -3280,6 +3296,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM ingested GROUP BY {fp} HAVING count(*) > 1
+        """,
+        "q_image_stats": """
+            WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),
+            img AS (
+              SELECT i,
+                     8 + (i % 5) * 4 AS w,
+                     8 + (i % 3) * 4 AS h,
+                     CASE WHEN i % 4 = 0 THEN 1 ELSE 3 END AS ch
+              FROM ids WHERE i % 3 = 0
+            ),
+            px AS (
+              SELECT img.i, img.w, img.h, img.ch,
+                     CASE
+                       WHEN img.ch = 1 THEN (x * 13 + y * 7 + img.i * 29) % 256
+                       WHEN c = 0 THEN (x * 11 + img.i * 17) % 256
+                       WHEN c = 1 THEN (y * 19 + img.i * 5) % 256
+                       ELSE (x + y + img.i) % 256
+                     END AS v
+              FROM img,
+                   generate_series(0, 15) gy(y),
+                   generate_series(0, 23) gx(x),
+                   generate_series(0, 2) gc(c)
+              WHERE y < img.h AND x < img.w AND c < img.ch
+            ),
+            stats AS (
+              SELECT i::BIGINT AS media_id,
+                     w::INTEGER AS width, h::INTEGER AS height,
+                     ch::INTEGER AS channels,
+                     (((SUM(v) * 10000) // COUNT(*)) / 10000.0)::DOUBLE
+                       AS px_mean,
+                     MIN(v)::INTEGER AS px_min, MAX(v)::INTEGER AS px_max,
+                     'ok' AS status, '' AS error_class
+              FROM px GROUP BY i, w, h, ch
+            )
+            SELECT * FROM stats
+            UNION ALL
+            SELECT i::BIGINT AS media_id,
+                   NULL::INTEGER AS width, NULL::INTEGER AS height,
+                   NULL::INTEGER AS channels, NULL::DOUBLE AS px_mean,
+                   NULL::INTEGER AS px_min, NULL::INTEGER AS px_max,
+                   'skipped' AS status, 'not_an_image' AS error_class
+            FROM ids WHERE i % 3 <> 0
         """,
         "q_rolling_fp": """
             WITH ingested AS (

@@ -85,6 +85,19 @@ def _pil_feature(payload: bytes) -> list:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Non-PNG formats we can *recognize* but not decode without PIL. A payload
+# bearing one of these magics is a capability gap (decoder_unavailable);
+# bytes matching none of the known image magics are corrupt (decode_failed).
+_KNOWN_IMAGE_MAGICS = (
+    b"\xff\xd8\xff",  # JPEG
+    b"GIF87a",
+    b"GIF89a",
+    b"BM",  # BMP
+    b"RIFF",  # WEBP container
+    b"II*\x00",  # TIFF little-endian
+    b"MM\x00*",  # TIFF big-endian
+)
+
 
 def _stdlib_png_feature(payload: bytes) -> list:
     """Real decode via the pure-stdlib PNG codec: inflate + unfilter, then
@@ -105,13 +118,17 @@ def decode_image(payload: bytes, fake: bool = False) -> list:
         return _fake_feature(payload)
     if HAVE_PIL:
         return _pil_feature(payload)
-    if bytes(payload[:8]) == _PNG_SIG:
+    head = bytes(payload[:16])
+    if head[:8] == _PNG_SIG:
         return _stdlib_png_feature(payload)
-    raise NotImplementedError(
-        "non-PNG image decoding requires PIL/libvips — not available in "
-        "this container; PNG decodes via the stdlib codec, or pass "
-        "fake=True for the deterministic stand-in"
-    )
+    if any(head.startswith(m) for m in _KNOWN_IMAGE_MAGICS):
+        raise NotImplementedError(
+            "non-PNG image decoding requires PIL/libvips — not available "
+            "in this container; PNG decodes via the stdlib codec, or pass "
+            "fake=True for the deterministic stand-in"
+        )
+    # No recognizable image magic at all: corrupt, not a capability gap.
+    raise PngFormatError("payload matches no known image signature")
 
 
 def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -173,12 +190,32 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG payloads (the in-container analog of the
+    reference's ``-resize 1920x1080!`` forced-geometry ImageMagick step,
+    ``pdf_converter.py:74-89``): stdlib decode -> nearest-neighbor
+    resample to exactly (width, height) -> stdlib re-encode. Nearest is
+    the minimal deterministic resampler — geometry is forced, like the
+    reference's ``!`` flag."""
+    w, h, c, px = png_decode(payload)
+    out = bytearray(width * height * c)
+    for y in range(height):
+        sy = y * h // height
+        src_row = sy * w * c
+        dst_row = y * width * c
+        for x in range(width):
+            sx = x * w // width
+            so = src_row + sx * c
+            do = dst_row + x * c
+            out[do:do + c] = px[so:so + c]
+    return png_encode(width, height, c, bytes(out))
+
+
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for a real resampler: output bytes are a
-    digest-stream of (payload, target geometry), length proportional to
-    the target pixel count. Swap for PIL's ``Image.resize`` on a cluster
-    that has it — the Spark-side contract (bytes in, bytes out, fixed
-    geometry metadata) is what this pins."""
+    """Deterministic stand-in for non-PNG payloads without PIL: output
+    bytes are a digest-stream of (payload, target geometry), length
+    proportional to the target pixel count. The Spark-side contract
+    (bytes in, bytes out, fixed geometry metadata) is what this pins."""
     n_out = max(16, (width * height) // 64)
     seed = hashlib.md5(payload + f":{width}x{height}".encode()).digest()
     out = bytearray()
@@ -192,8 +229,10 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """mapInPandas image resize (the analog of the reference's
     ``-resize 1920x1080!`` ImageMagick step, ``pdf_converter.py:74-89``,
-    with the subprocess swapped for an in-process kernel). Non-image rows
-    pass through the error channel (``status='skipped'``), never fail the
+    with the subprocess swapped for an in-process kernel). PNG payloads
+    resize FOR REAL (stdlib decode -> resample -> re-encode); non-PNG
+    images fall back to the deterministic stand-in. Non-image rows pass
+    through the error channel (``status='skipped'``), never fail the
     task."""
 
     def fn(batches: Iterator) -> Iterator:
@@ -212,9 +251,23 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     statuses.append("no_payload")
                     errors.append("")
                 else:
-                    outs.append(bytearray(_fake_resize(b, width, height)))
-                    statuses.append("ok")
-                    errors.append("")
+                    if b[:8] == _PNG_SIG:
+                        try:
+                            outs.append(
+                                bytearray(_png_resize(b, width, height))
+                            )
+                            statuses.append("ok")
+                            errors.append("")
+                        except PngFormatError:
+                            outs.append(None)
+                            statuses.append("error")
+                            errors.append("decode_failed")
+                    else:
+                        outs.append(
+                            bytearray(_fake_resize(b, width, height))
+                        )
+                        statuses.append("ok")
+                        errors.append("")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -21,6 +21,8 @@ def test_features_deterministic(spark, media):
 
 
 def test_resize_contract(spark, media):
+    from png_from_pdf_extracter_spark.functions.pngcodec import png_decode
+
     out = multimodal.resize_images(media, 64, 48)
     rows = out.collect()
     assert len(rows) == 60  # pass-through: every input row accounted for
@@ -28,14 +30,32 @@ def test_resize_contract(spark, media):
     skipped = [r for r in rows if r["status"] == "skipped"]
     n_images = media.filter(F.col("kind") == "image").count()
     assert len(ok) == n_images and len(skipped) == 60 - n_images
+    srcs = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("kind") == "image").collect()
+    }
     for r in ok:
         assert (r["out_width"], r["out_height"]) == (64, 48)
-        assert len(r["payload"]) == max(16, 64 * 48 // 64)
+        # synth_media image payloads are genuine PNGs -> the REAL resize
+        # path ran: output decodes to the forced geometry with the
+        # source's channel count
+        w, h, c, _ = png_decode(bytes(r["payload"]))
+        assert (w, h) == (64, 48)
+        assert c == png_decode(srcs[r["media_id"]])[2]
     # deterministic across runs
     again = {r["media_id"]: bytes(r["payload"])
              for r in multimodal.resize_images(media, 64, 48).collect()
              if r["status"] == "ok"}
     assert {r["media_id"]: bytes(r["payload"]) for r in ok} == again
+    # non-PNG image payloads fall back to the deterministic stand-in
+    fake_img = spark.createDataFrame(
+        [(99, "image", "image/jpeg", bytearray(b"\xff\xd8 not png"),
+          8, 8, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    (fr,) = multimodal.resize_images(fake_img, 64, 48).collect()
+    assert fr["status"] == "ok"
+    assert len(fr["payload"]) == max(16, 64 * 48 // 64)
 
 
 def test_frame_sampling_fanout(spark, media):
@@ -64,32 +84,43 @@ def test_frame_sampling_rejects_bad_interval(spark, media):
 
 
 def test_decode_capability_gate():
-    """Without PIL the real path must raise NotImplementedError (honest
-    stub); the fake path must always work. Contract is identical either
-    way: FEATURE_DIM floats in [0, 1]."""
+    """Non-PNG without PIL must raise NotImplementedError (honest gate);
+    the fake path must always work; PNG payloads must ALWAYS decode for
+    real via the stdlib codec. Contract is identical on every path:
+    FEATURE_DIM floats in [0, 1]."""
+    from png_from_pdf_extracter_spark.functions.pngcodec import png_encode
+
     payload = b"not really an image" * 4
     fake = multimodal.decode_image(payload, fake=True)
     assert len(fake) == multimodal.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in fake)
     if not multimodal.HAVE_PIL:
+        from png_from_pdf_extracter_spark.functions.pngcodec import (
+            PngFormatError,
+        )
+
+        # known non-PNG magic = capability gap; garbage = corrupt
         with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\xff\xd8\xff\xe0" + payload)
+        with pytest.raises(PngFormatError):
             multimodal.decode_image(payload)
+    png = png_encode(8, 8, 1, bytes([128] * 64))
+    real = multimodal.decode_image(png)
+    assert len(real) == multimodal.FEATURE_DIM
+    assert all(abs(v - 128 / 255.0) < 1e-9 for v in real)
 
 
 def test_real_decode_error_channel(spark):
-    """When PIL IS available: a valid image decodes to FEATURE_DIM floats;
-    a corrupt payload is classified decode_failed — never a task failure.
-    Skips in containers without PIL (the fake-path twin of this contract
-    is exercised by test_features_deterministic)."""
-    if not multimodal.HAVE_PIL:
-        pytest.skip("PIL not installed in this container")
-    from PIL import Image
-    import io
+    """REAL decode through the distributed pipeline — runs in every
+    container via the stdlib PNG codec (no PIL needed): a valid PNG
+    decodes to the exact mean-luma grid; a corrupt payload is classified
+    decode_failed — never a task failure."""
+    from png_from_pdf_extracter_spark.functions.pngcodec import png_encode
 
-    buf = io.BytesIO()
-    Image.new("RGB", (8, 8), (200, 10, 10)).save(buf, format="PNG")
+    # constant-color RGB 8x8: luma of (200, 10, 10) = ITU-R 601 fixed point
+    png = png_encode(8, 8, 3, bytes([200, 10, 10] * 64))
     rows = [
-        (0, "image", "image/png", bytearray(buf.getvalue()), 8, 8, None),
+        (0, "image", "image/png", bytearray(png), 8, 8, None),
         (1, "image", "image/png", bytearray(b"corrupt bytes"), 8, 8, None),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
@@ -99,5 +130,36 @@ def test_real_decode_error_channel(spark):
     }
     assert got[0]["status"] == "ok"
     assert len(got[0]["feature"]) == multimodal.FEATURE_DIM
+    luma = (299 * 200 + 587 * 10 + 114 * 10) // 1000
+    # FEATURES_SCHEMA carries array<float>: float32 round-trip tolerance
+    assert all(abs(v - luma / 255.0) < 1e-6 for v in got[0]["feature"])
     assert got[1]["status"] == "error"
     assert got[1]["error_class"] == "decode_failed"
+
+
+def test_image_stats_real_decode(spark, media):
+    """image_stats: geometry from the decoded PNG equals synth_media's
+    claimed metadata; pixel stats are integer-exact; non-images skip."""
+    out = {r["media_id"]: r for r in multimodal.image_stats(media).collect()}
+    assert len(out) == 60
+    metas = {
+        r["media_id"]: (r["meta_width"], r["meta_height"])
+        for r in media.collect()
+    }
+    n_ok = 0
+    for mid, r in out.items():
+        if r["status"] == "skipped":
+            assert r["error_class"] == "not_an_image"
+            continue
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"]) == metas[mid]
+        assert 0 <= r["px_min"] <= r["px_mean"] <= r["px_max"] <= 255
+        n_ok += 1
+    assert n_ok == 20  # every third of 60 rows is an image
+    # corrupt image payload -> error channel, not task failure
+    bad = spark.createDataFrame(
+        [(7, "image", "image/png", bytearray(b"nope"), 4, 4, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    (r,) = multimodal.image_stats(bad).collect()
+    assert (r["status"], r["error_class"]) == ("error", "decode_failed")
