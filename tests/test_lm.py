@@ -132,3 +132,91 @@ def test_bpe_train_first_merge_matches_merge_stats(spark):
         top["pair"][0] + top["pair"][1],
         top["n"],
     )
+
+
+def _nat_corpus(spark, n=40):
+    """Natural-ish text with repeated morphology — the batched path's
+    realistic case (many footprint-disjoint frequent pairs per round)."""
+    words = [
+        "the", "quick", "brown", "foxes", "jumped", "over", "lazy",
+        "dogs", "running", "walking", "talking", "thinking", "lower",
+        "newest", "widest", "lowest", "tested", "testing",
+    ]
+    rows = [
+        Row(doc_id=i, text=" ".join(words[(i + j) % len(words)]
+                                    for j in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bpe_train_batched_equals_sequential(spark):
+    """The round-2 verdict's batched-BPE criterion: identical merge table
+    to the one-merge-per-job sequential path, in strictly fewer rounds.
+    The admission rule (footprint-disjoint prefix, no symbol aliasing,
+    self-pairs alone, strict count cut) is designed to be EXACT — this
+    pins it on a natural-morphology fixture where batching actually
+    fires."""
+    docs = _nat_corpus(spark)
+    seq = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(docs, n_merges=30, batch_k=1).collect()
+    ]
+    st: dict = {}
+    bat = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(
+            docs, n_merges=30, batch_k=16, stats=st
+        ).collect()
+    ]
+    assert bat == seq
+    assert len(seq) == 30
+    # fewer driver rounds than merges even in BPE's worst regime (early
+    # English merges interact heavily: 'th'/'he' share letters, and small
+    # corpora tie counts — both force conservative batches)
+    assert st["merges"] == 30 and st["rounds"] < 30
+
+
+def test_bpe_train_batched_disjoint_pairs_one_round(spark):
+    """Where footprints don't collide and counts are distinct, the batch
+    admits everything — the regime of a production 32k-merge vocab run
+    (long, rare symbols) where hundreds of rounds replace 32k jobs."""
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st"]
+    toks = []
+    for i, w in enumerate(words):
+        toks += [w] * (101 - 7 * i)  # distinct counts, no ties
+    docs = spark.createDataFrame([Row(doc_id=0, text=" ".join(toks))])
+    st: dict = {}
+    bat = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(
+            docs, n_merges=10, batch_k=16, stats=st
+        ).collect()
+    ]
+    seq = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(docs, n_merges=10, batch_k=1).collect()
+    ]
+    assert bat == seq and len(bat) == 10
+    assert st["rounds"] == 1
+
+
+def test_bpe_train_batched_self_pair_guard(spark):
+    """Self-pairs ('aa') generate successor pairs bounded by their OWN
+    count, so they must run as sole merges — the counterexample corpus
+    where naive batching diverges: merging (a,a) then (b,c) in one round
+    would miss that sequential picks (aa,a) at rank 2."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaa aaa aaa bc bc")]
+    )
+    seq = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(docs, n_merges=4, batch_k=1).collect()
+    ]
+    bat = [
+        (r["rank"], r["pair"], r["n"])
+        for r in lm.bpe_train(docs, n_merges=4, batch_k=8).collect()
+    ]
+    assert bat == seq
+    # sanity: sequential rank-2 really is the self-pair successor
+    assert seq[0][1] == "aa" and seq[1][1] == "aaa"
