@@ -2097,13 +2097,37 @@ def _q_ntile_deciles(spark, sf_dir):
 # ---- rows-only (non-SQL-expressible) ----
 
 
+def _attach_recall(spark, sf_dir, ann, k):
+    """Attach ``recall_at_k`` (per query, vs the exact brute-force cosine
+    baseline) to an ANN result — the round-2 verdict's #6: the driver's
+    rows-only CORRECTNESS row now carries ANN QUALITY in its values, not
+    just plan shape. Exact side is tiny (5 queries x k) and broadcast;
+    floors pinned in tests/test_sessions.py::test_ann_queries_embed_recall."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ann.join(
+        F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+    )
+    rec = hits.groupBy("query_id").agg(
+        (F.count("*") / F.lit(float(k))).alias("recall_at_k")
+    )
+    return ann.join(F.broadcast(rec), "query_id", "left").na.fill(
+        0.0, ["recall_at_k"]
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF approximate top-k (coarse-quantizer cells + nprobe rerank) —
     approximate by design (cell recall), so rows-only; the exact baseline
-    is q_knn_cosine."""
+    is q_knn_cosine. Each row embeds its query's recall@5 vs that
+    baseline."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(e, q, k=5, n_cells=16, nprobe=2)
+    out = similarity.ivf_topk(e, q, k=5, n_cells=16, nprobe=2)
+    return _attach_recall(spark, sf_dir, out, k=5)
 
 
 def _q_embed_neardup_lsh(spark, sf_dir):
@@ -2187,10 +2211,12 @@ def _q_image_stats(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
-    so no exact SQL oracle (recall depends on bucketing)."""
+    so no exact SQL oracle (recall depends on bucketing). Each row embeds
+    its query's recall@5 vs the exact baseline."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return similarity.lsh_bucket_topk(e, q, k=5)
+    out = similarity.lsh_bucket_topk(e, q, k=5, n_planes=4, n_tables=8)
+    return _attach_recall(spark, sf_dir, out, k=5)
 
 
 def _q_sql_surface(spark, sf_dir):
@@ -2226,25 +2252,29 @@ def _q_ann_pq(spark, sf_dir):
     codes + per-query ADC lookup tables + exact rerank of the shortlist —
     the memory-bounded 100 TB ANN path next to LSH buckets and IVF cells.
     Approximate by design (quantization error), so rows-only; recall is
-    pinned in tests/test_sessions.py."""
+    pinned in tests/test_sessions.py and embedded per row in the
+    artifact."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return similarity.pq_topk(
+    out = similarity.pq_topk(
         e, q, k=5, m=16, ksub=64, iterations=3, rerank=4
     )
+    return _attach_recall(spark, sf_dir, out, k=5)
 
 
 def _q_ann_ivfpq(spark, sf_dir):
     """IVF+PQ composition (similarity.ivfpq_topk — the FAISS IVFADC
     shape): coarse cells prune candidates via a cell equi-join, PQ codes
     compress the scoring to ADC lookups, exact rerank restores recall.
-    Rows-only (approximate by design); recall pinned in tests."""
+    Rows-only (approximate by design); recall pinned in tests and
+    embedded per row in the artifact."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return similarity.ivfpq_topk(
+    out = similarity.ivfpq_topk(
         e, q, k=5, n_cells=16, nprobe=4, m=16, ksub=64, iterations=3,
         rerank=4,
     )
+    return _attach_recall(spark, sf_dir, out, k=5)
 
 
 def _q_pii_scrub(spark, sf_dir):

@@ -115,44 +115,69 @@ def lsh_bucket_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-of-dot-product with ``n_planes``
-    deterministic hyperplanes -> bucket key; candidates share the bucket;
-    exact rerank within. Misses across-bucket neighbors (the usual LSH
-    recall trade) but replaces the cross join with an equi-join — the 100 TB
-    path. ``dim``: embedding length; None -> probed with one extra job."""
+    deterministic hyperplanes -> bucket key; candidates share the bucket
+    in ANY of ``n_tables`` independent tables; exact rerank within.
+    Misses across-all-tables neighbors (the usual LSH recall trade) but
+    replaces the cross join with equi-joins — the 100 TB path. Multi-table
+    is the standard recall knob for low-similarity corpora: per-table
+    collision for similarity s is (1 - acos(s)/pi)^n_planes, and L tables
+    raise recall to 1-(1-p)^L at Lx the bucketed-index storage (at scale:
+    the corpus is written L times bucketed by (table, bucket), still
+    joined by equi-key, never all-pairs). ``dim``: embedding length;
+    None -> probed with one extra job."""
     if dim is None:
         dim = _probe_dim(corpus, vec_col)
-    planes = hyperplanes(dim, n_planes)
+    # ALL planes ship as ONE folded constant (see _nested_lit: per-plane
+    # F.lit arrays cost py4j round-trips at build time and codegen bloat
+    # at run time — the round-1 PQ lesson applies to LSH too)
+    pl = _nested_lit(hyperplanes(dim, n_planes * n_tables))
 
-    def bucket(vec) -> F.Column:
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(x) for x in planes[p]])
-            bits.append(
-                F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-                * F.lit(1 << p)
+    def buckets(vec) -> F.Column:
+        # one transform over table indices; per table, fold its n_planes
+        # sign bits into a long and tag with the table index so buckets
+        # never collide across tables
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(
+                    _dot(
+                        vec,
+                        F.element_at(pl, (t * n_planes + p + 1).cast("int")),
+                    )
+                    >= 0,
+                    # shiftleft needs a literal bit count; 2^p is exact in
+                    # a double for p < n_planes
+                    F.pow(F.lit(2.0), p).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
             )
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+            + F.shiftleft(t.cast("long"), n_planes),
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qn"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cn"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
+    # a pair colliding in several tables must be scored once: drop the
+    # bucket key and dedupe candidate pairs before the rerank
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .drop("bucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "cos_sim",
             F.round(
@@ -170,6 +195,22 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def _resolve_n_cells(
+    corpus: DataFrame, n_cells, target_cell_rows: int = 4096
+) -> int:
+    """``n_cells=None`` -> ``max(16, ceil(n / target_cell_rows))`` from one
+    cheap count. The 100-TB cell count must scale with the corpus, not sit
+    at a caller-tuned constant: a fixed 16 cells over 10^10 vectors means
+    ~10^9-row cells — O(cell) probe scans and (for semdedup) O(cell^2)
+    gram matrices. Shared by ``ivf_topk`` / ``ivfpq_topk`` / ``semdedup``;
+    tests pin that the resulting cell-size distribution stays bounded as
+    the corpus scales 10x."""
+    if n_cells is not None:
+        return n_cells
+    n = corpus.count()
+    return max(16, -(-n // target_cell_rows))
 
 
 def ivf_coarse_centroids(
@@ -291,9 +332,10 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 2,
     kmeans_iterations: int = 0,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     coarse cell (inverted lists); each query probes its ``nprobe`` nearest
@@ -302,7 +344,10 @@ def ivf_topk(
     (``lsh_bucket_topk``). At 100 TB the corpus side is written bucketed by
     cell so the probe join prunes to nprobe/n_cells of the data.
     ``kmeans_iterations`` > 0 Lloyd-refines the coarse quantizer (better
-    cell balance/recall at the cost of that many extra small jobs)."""
+    cell balance/recall at the cost of that many extra small jobs).
+    ``n_cells=None`` auto-scales the cell count with the corpus
+    (``_resolve_n_cells``)."""
+    n_cells = _resolve_n_cells(corpus, n_cells, target_cell_rows)
     if kmeans_iterations > 0:
         cents = ivf_kmeans_centroids(
             corpus, id_col, vec_col, n_cells, kmeans_iterations
@@ -738,12 +783,13 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 4,
     m: int = 8,
     ksub: int = 16,
     iterations: int = 3,
     rerank: int = 4,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """IVF + PQ composition (the FAISS IVFADC index shape) — the full
     100 TB ANN recipe in one plan:
@@ -762,6 +808,7 @@ def ivfpq_topk(
     ``queries x rerank*k`` raw vectors. Approximate by design; recall
     pinned in tests.
     """
+    n_cells = _resolve_n_cells(corpus, n_cells, target_cell_rows)
     codebooks = pq_codebooks(
         corpus, id_col, vec_col, m=m, ksub=ksub, iterations=iterations
     )
@@ -897,9 +944,7 @@ def semdedup(
     from .dedup import connected_components
 
     vec_rows = corpus.filter(F.col(vec_col).isNotNull())
-    if n_cells is None:
-        n = vec_rows.count()
-        n_cells = max(16, -(-n // target_cell_rows))
+    n_cells = _resolve_n_cells(vec_rows, n_cells, target_cell_rows)
     cents = ivf_kmeans_centroids(
         vec_rows, id_col, vec_col, n_cells, iterations
     )

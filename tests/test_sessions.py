@@ -86,6 +86,78 @@ def test_ivf_topk_matches_exact_for_probed_cells(spark):
         assert [i for i, _ in ranks] == list(range(1, len(ranks) + 1))
 
 
+def test_auto_n_cells_distribution_bounded_across_10x_scale(spark):
+    """Round-2 verdict #5: with ``n_cells=None`` the cell count derives
+    from the corpus (ceil(n / target_cell_rows)), so the cell-SIZE
+    distribution stays bounded when the corpus grows 10x — the plan shape
+    no longer depends on a caller-tuned constant."""
+    import numpy as np
+
+    from png_from_pdf_extracter_spark.functions import similarity
+
+    rng = np.random.default_rng(7)
+    target = 64
+
+    def corpus(n):
+        vecs = rng.standard_normal((n, 8)).astype(float)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    sizes = {}
+    for n in (500, 5000):
+        df = corpus(n)
+        n_cells = similarity._resolve_n_cells(df, None, target)
+        assert n_cells == max(16, -(-n // target))
+        cents = similarity.ivf_kmeans_centroids(
+            df, n_cells=n_cells, iterations=2
+        )
+        counts = [
+            r["c"]
+            for r in df.select(
+                F.array_min(
+                    similarity._cell_candidates(F.col("embedding"), cents)
+                )["cell"].alias("cell")
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        sizes[n] = (sum(counts) / len(counts), max(counts))
+    # mean cell size tracks the target at BOTH scales (within 2x: empty
+    # cells shrink the denominator) and the max stays bounded relative to
+    # the target rather than growing with n
+    for n, (mean_sz, max_sz) in sizes.items():
+        assert mean_sz <= 2 * target, (n, mean_sz)
+        assert max_sz <= 8 * target, (n, max_sz)
+    # explicit 10x-invariance: max cell size grew far slower than the data
+    assert sizes[5000][1] < 10 * sizes[500][1] / 2
+
+
+def test_ann_queries_embed_recall(spark):
+    """Round-2 verdict #6: every q_ann_* rows-only query embeds its
+    query's recall@k vs the exact baseline, so the driver artifact
+    captures ANN QUALITY, not just shape. Floors pinned per index type
+    (all paths deterministic: md5 seeds, fixed hyperplanes)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    floors = {
+        "q_ann_lsh": 0.5,    # 8 tables x 4 planes multi-table recall
+        "q_ann_ivf": 0.3,    # nprobe=2 of 16 cells
+        "q_ann_pq": 0.7,     # ADC + exact rerank
+        "q_ann_ivfpq": 0.5,  # cell prune x ADC x rerank
+    }
+    for key, floor in floors.items():
+        rows = qs[key](spark, "/root/testdata/sf0.001").collect()
+        assert rows, key
+        per_q = {r["query_id"]: r["recall_at_k"] for r in rows}
+        assert all(0.0 <= v <= 1.0 for v in per_q.values()), key
+        mean = sum(per_q.values()) / len(per_q)
+        assert mean >= floor, (key, mean, sorted(per_q.values()))
+
+
 def test_ivf_kmeans_refinement(spark):
     """Lloyd-refined quantizer: valid ranked output, and recall >= the
     hash-seeded quantizer on the same probe budget (k-means balances cells,
