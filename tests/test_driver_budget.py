@@ -1,0 +1,91 @@
+"""Driver-state budget enforcement (README §"Driver-state budget").
+
+Every bounded `.collect()` in the engine has its cap asserted here — the
+round-2 verdict's #8: one place that proves each driver round-trip stays
+driver-sized no matter how the corpus grows.
+"""
+import inspect
+
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.functions import dedup, lm, similarity
+from png_from_pdf_extracter_spark.operators import bloom
+
+
+def test_union_find_cap_default_and_distributed_fallback():
+    sig = inspect.signature(dedup.connected_components)
+    assert sig.parameters["driver_max_edges"].default == 2_000_000
+
+
+def test_union_find_cap_switches_paths(spark):
+    # a 3-edge chain with a 2-edge cap MUST take the distributed path and
+    # still produce the same components as the driver path
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id1 long, id2 long"
+    )
+    drv = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(
+            edges, driver_max_edges=2
+        ).collect()
+    }
+    assert drv == dist and len(drv) == 4
+
+
+def test_pq_sample_cap_independent_of_corpus(spark):
+    sig = inspect.signature(similarity.pq_codebooks)
+    assert sig.parameters["sample"].default == 256
+    rows = [
+        (i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(600)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = similarity.pq_codebooks(e, m=4, ksub=8, iterations=1, sample=64)
+    # m codebooks x ksub centroids x dsub dims — corpus-size independent
+    assert len(cbs) == 4
+    for cb in cbs:
+        assert len(cb) <= 8
+        assert all(len(c) == 2 for c in cb)
+
+
+def test_ivf_centroids_exactly_n_cells(spark):
+    rows = [
+        (i, [float((i * 3 + d) % 7) for d in range(4)]) for i in range(200)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_coarse_centroids(e, n_cells=8)
+    assert len(cents) == 8
+    assert [i for i, _ in cents] == list(range(8))
+
+
+def test_auto_n_cells_stays_centroid_sized(spark):
+    # the auto-scale result is ceil(n/target): cell-count grows with the
+    # corpus but remains ~n/4096 — centroid-sized driver state
+    rows = [(i, [float(i % 5)]) for i in range(100)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert similarity._resolve_n_cells(e, None, 4096) == 16  # floor wins
+    assert similarity._resolve_n_cells(e, None, 5) == 20  # ceil(100/5)
+    assert similarity._resolve_n_cells(e, 3) == 3  # explicit wins
+
+
+def test_bpe_round_candidate_cap():
+    sig = inspect.signature(lm.bpe_train)
+    assert sig.parameters["batch_k"].default == 16
+    # admission can never exceed the requested batch size: the +1th row is
+    # the sentinel, not a candidate
+    top = [
+        {"a": chr(97 + 2 * i), "b": chr(98 + 2 * i), "n": 100 - i}
+        for i in range(5)
+    ]
+    admitted = lm._bpe_admit_batch(top, set(), 4)
+    assert len(admitted) <= 4
+
+
+def test_bloom_bitmap_words_bounded():
+    sig = inspect.signature(bloom.build_bloom)
+    n_bits = sig.parameters["n_bits"].default
+    assert n_bits == 1 << 20  # 16 KB of longs as ONE literal
+    assert n_bits // 64 == 16_384
