@@ -25,6 +25,7 @@ from png_from_pdf_extracter_spark.functions import (
     dedup,
     multimodal,
     incremental,
+    search,
     similarity,
     text,
     udfs,
@@ -2882,6 +2883,65 @@ def _q_bpe_train(spark, sf_dir):
     return lm.bpe_train(_read(spark, sf_dir, "documents"), n_merges=8)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """APPLY the trained tokenizer: per-doc BPE token counts under an
+    8-merge vocab learned from the same corpus (lm.bpe_encode — the vocab
+    trick keeps the Python boundary vocab-sized). Rows-only: the per-word
+    merge loop is iterative, not SQL-expressible; hand-computed encodings
+    pinned in tests/test_lm.py."""
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = [
+        (r["a"], r["b"])
+        for r in lm.bpe_train(d, n_merges=8).orderBy("rank").collect()
+    ]
+    return lm.bpe_encode(d, merges)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Exact substring-dedup SPANS (Lee et al. 2021 ExactSubstr, the
+    rolling-window-hash distributed form — dedup.duplicate_spans):
+    8-token runs occurring 2+ times corpus-wide, first occurrence kept,
+    every other occurrence reported as a maximal (doc, token-span) cut.
+    Text is capped at 4000 chars in BOTH engines so the oracle's
+    fixed-range window enumeration stays bounded."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.substring("text", 1, 4000).alias("text"))
+    )
+    return dedup.duplicate_spans(d, window=8, min_count=2)
+
+
+def _q_dup_spans_apply(spark, sf_dir):
+    """APPLY side of ExactSubstr dedup (dedup.remove_duplicate_spans):
+    cut the q_dup_spans token spans and rebuild every doc's text from the
+    surviving tokens (lowercase token contract). One per-doc span
+    aggregate + one equi-join + a map-side array filter; the oracle
+    rebuilds the identical pipeline and string_aggs kept tokens in
+    position order."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.substring("text", 1, 4000).alias("text"))
+    )
+    spans = dedup.duplicate_spans(d, window=8, min_count=2)
+    return dedup.remove_duplicate_spans(d, spans)
+
+
+def _q_bm25(spark, sf_dir):
+    """BM25 top-20 docs for a 3-term query (search.bm25_topk, Lucene
+    idf, k1=1.2 b=0.75): query-term filter BEFORE the tf shuffle, scalar
+    (N, avgdl) broadcast, TakeOrderedAndProject top-k — no global window
+    over the match set. Rounded-score ranking, doc-id tie-break."""
+    return search.bm25_topk(
+        _read(spark, sf_dir, "documents"),
+        ["vector", "stream", "merge"],
+        top_k=20,
+    )
+
+
 def _q_bigram_perplexity(spark, sf_dir):
     """Bigram-LM perplexity with add-one smoothing (functions/lm.py) —
     one order up the KenLM ladder from q_perplexity; all counts are
@@ -3069,6 +3129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": _q_psi_drift,
         # rows-only: iterative tokenizer training (see _q_bpe_train)
         "q_bpe_train": _q_bpe_train,
+        # rows-only: iterative per-word merge application (see _q_bpe_encode)
+        "q_bpe_encode": _q_bpe_encode,
+        "q_dup_spans": _q_dup_spans,
+        "q_dup_spans_apply": _q_dup_spans_apply,
+        "q_bm25": _q_bm25,
     }
 
 
@@ -3326,6 +3391,166 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM ingested GROUP BY {fp} HAVING count(*) > 1
+        """,
+        "q_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(substring(text, 1, 4000))), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents WHERE doc_id < 400
+            ),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS h,
+                     doc_id * 1000000000 + i AS k
+              FROM toks, generate_series(1, 2100) g(i)
+              WHERE i <= len(t) - 7
+            ),
+            grp AS (
+              SELECT h, count(*) AS n, min(k) AS keeper FROM wins GROUP BY h
+            ),
+            dups AS (
+              SELECT w.doc_id, w.pos
+              FROM wins w JOIN grp USING (h)
+              WHERE grp.n >= 2 AND w.k <> grp.keeper
+            ),
+            m AS (
+              SELECT doc_id, pos,
+                     max(pos + 7) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM dups
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS island
+              FROM m
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   min(pos)::INTEGER AS span_start,
+                   (max(pos) + 7)::INTEGER AS span_end,
+                   (max(pos) + 7 - min(pos) + 1)::INTEGER AS span_tokens
+            FROM isl GROUP BY doc_id, island
+        """,
+        "q_dup_spans_apply": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(substring(text, 1, 4000))), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents WHERE doc_id < 400
+            ),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS h,
+                     doc_id * 1000000000 + i AS k
+              FROM toks, generate_series(1, 2100) g(i)
+              WHERE i <= len(t) - 7
+            ),
+            grp AS (
+              SELECT h, count(*) AS n, min(k) AS keeper FROM wins GROUP BY h
+            ),
+            dups AS (
+              SELECT w.doc_id, w.pos
+              FROM wins w JOIN grp USING (h)
+              WHERE grp.n >= 2 AND w.k <> grp.keeper
+            ),
+            m AS (
+              SELECT doc_id, pos,
+                     max(pos + 7) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM dups
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS island
+              FROM m
+            ),
+            spans AS MATERIALIZED (
+              -- MATERIALIZED: DuckDB otherwise inlines the windowed isl
+              -- CTE into the correlated NOT EXISTS and rejects the plan
+              -- ("LATERAL join cannot contain window functions")
+              SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+            ),
+            tok_rows AS (
+              SELECT doc_id, i AS p, t[i] AS tok
+              FROM toks, generate_series(1, 2100) g(i)
+              WHERE i <= len(t)
+            ),
+            kept AS (
+              SELECT tr.doc_id, tr.p, tr.tok
+              FROM tok_rows tr
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tr.doc_id AND tr.p BETWEEN s.s AND s.e
+              )
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS nk,
+                     string_agg(tok, ' ' ORDER BY p) AS txt
+              FROM kept GROUP BY doc_id
+            )
+            SELECT toks.doc_id::BIGINT AS doc_id,
+                   len(t)::INTEGER AS n_tokens,
+                   (len(t) - coalesce(agg.nk, 0))::INTEGER AS n_removed,
+                   coalesce(agg.txt, '') AS text_clean
+            FROM toks LEFT JOIN agg USING (doc_id)
+        """,
+        "q_bm25": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ),
+            base AS (SELECT doc_id, len(t) AS dl, t FROM d),
+            scalars AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+            ),
+            pairs AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(t) AS term FROM base
+              ) WHERE term IN ('vector', 'stream', 'merge')
+              GROUP BY doc_id, dl, term
+            ),
+            dft AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM pairs GROUP BY term
+            ),
+            scored AS (
+              SELECT doc_id,
+                     count(*)::INTEGER AS n_terms_hit,
+                     round(sum(
+                       ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                     ), 4) AS score
+              FROM pairs JOIN dft USING (term), scalars s
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms_hit, score, rank::INTEGER AS rank FROM (
+              SELECT doc_id, n_terms_hit, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+              FROM scored
+            ) WHERE rank <= 20
         """,
         "q_image_stats": """
             WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),

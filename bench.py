@@ -361,6 +361,10 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_materialize_mix",
         "q_temperature_mix",
         "q_rolling_fp",
+        "q_dup_spans",
+        "q_dup_spans_apply",
+        "q_bpe_encode",
+        "q_bm25",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -769,3 +769,173 @@ def dedup_latest(
     return picked.select(
         *key_cols, *[F.col(f"_r.{c}").alias(c) for c in payload_cols]
     ).select(*df.columns)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING dedup spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every ``window``-
+    token run of text that occurs ``min_count``+ times across the corpus,
+    keep its first occurrence (min (doc_id, pos)), and emit the token
+    spans every OTHER occurrence should cut. Chunk/line dedup
+    (``duplicated_chunks``) removes duplicated fixed blocks; this finds
+    duplicated runs at ANY alignment — the suffix-array use case — via
+    rolling window hashes, the standard distributed approximation.
+
+    One corpus scan builds (doc, pos, window-hash) rows map-side
+    (transform over a token-index sequence, JVM builtins, no Python);
+    ONE shuffle groups hashes to count occurrences and pick the keeper;
+    overlapping-or-adjacent duplicated windows merge into maximal spans
+    with a per-doc window function (gaps-and-islands). At 100 TB the
+    hash-group state is bounded by distinct windows, and the per-doc
+    window sort is per-document-sized — no all-pairs anything.
+
+    Returns (doc_id, span_start, span_end, span_tokens): 1-based
+    inclusive token indices under the shared lowercase-whitespace
+    tokenization contract. Occurrence identity packs as
+    doc_id * 10^9 + pos (requires integer doc ids and < 10^9 tokens per
+    doc — both asserted cheaply by the oracle twin).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("toks"),
+    )
+    sz = F.size("toks")
+    idxs = F.when(sz >= window, F.sequence(F.lit(1), sz - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("toks", i, window))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        "doc_id",
+        F.col("x.pos").alias("pos"),
+        F.col("x.h").alias("h"),
+        (
+            F.col("doc_id").cast("long") * F.lit(1_000_000_000)
+            + F.col("x.pos")
+        ).alias("k"),
+    )
+    g = wins.groupBy("h").agg(
+        F.count("*").alias("n"), F.min("k").alias("keeper")
+    )
+    dup = (
+        wins.join(g.filter(F.col("n") >= min_count), "h")
+        .filter(F.col("k") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY side of ExactSubstr dedup (Lee et al. 2021): cut the token
+    spans ``duplicate_spans`` reported and rebuild each document's text
+    from the surviving tokens. The pair is the full dedup story — find
+    the duplicated runs corpus-wide, then materialize the cleaned corpus.
+
+    ``spans``: (doc_id, span_start, span_end, ...) — 1-based inclusive
+    token indices under the shared lowercase-whitespace contract (the
+    rebuilt text is therefore the lowercase tokenized form; span removal
+    is a token-level operation by definition).
+
+    Scale shape: spans aggregate to ONE array per doc (per-doc span
+    count-sized, bounded by doc length), then a single equi-join on
+    doc_id back to the corpus; the cut itself is a map-side array
+    ``filter`` with an ``exists`` probe over the doc's own spans — no
+    explode of the corpus, no Python. Docs with no spans pass through
+    unchanged (left join, empty-array coalesce).
+
+    Returns (doc_id, n_tokens, n_removed, text_clean).
+    """
+    per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("toks"),
+    )
+    joined = toks.join(
+        per_doc, toks.doc_id == per_doc._sid, "left"
+    ).select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "_spans", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("spans"),
+    )
+    kept = F.filter(
+        F.transform(
+            "toks", lambda x, i: F.struct(x.alias("t"), (i + 1).alias("p"))
+        ),
+        lambda s: ~F.exists(
+            "spans",
+            lambda sp: (s["p"] >= sp["s"]) & (s["p"] <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("text_clean"),
+    )

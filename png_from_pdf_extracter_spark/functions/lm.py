@@ -235,7 +235,10 @@ def bpe_train(
             batch_lits = []
             for row in batch:
                 a, b = row["a"], row["b"]
-                merges.append((len(merges) + 1, a + b, row["n"]))
+                # keep (a, b) split alongside the joined pair: applying
+                # merges (bpe_encode) needs the split, and the concatenated
+                # string alone is ambiguous
+                merges.append((len(merges) + 1, a + b, a, b, row["n"]))
                 symbols.add(a + b)
                 batch_lits.append((a, b, a + b))
             # leftmost-greedy non-overlapping merge of every admitted
@@ -283,7 +286,82 @@ def bpe_train(
         stats["rounds"] = rounds
         stats["merges"] = len(merges)
     spark = docs.sparkSession
-    return spark.createDataFrame(merges, "rank int, pair string, n long")
+    return spark.createDataFrame(
+        merges, "rank int, pair string, a string, b string, n long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned merge table — the other half of the tokenizer
+    story (``bpe_train`` learns, this encodes): per-document BPE token
+    counts under the trained vocab, the number every packing / pricing /
+    mixture computation downstream actually consumes.
+
+    ``merges``: [(a, b), ...] in rank order (``bpe_train``'s ``a``/``b``
+    columns). Encoding applies each merge leftmost-greedy in rank order —
+    textbook Sennrich inference.
+
+    Scale design — the same vocab trick as training: words are encoded
+    once per DISTINCT word (one shuffle to build the vocab), through an
+    Arrow-batched pandas_udf (the per-word merge loop is iterative and
+    genuinely not expressible in relational builtins — the documented
+    slow-path exception), then per-doc counts come from a word-level join
+    + one aggregation. The Python boundary touches vocab-sized data, not
+    the corpus."""
+    import pandas as pd  # noqa: F401 (pandas_udf import contract)
+
+    ranked = [(a, b, a + b) for a, b in merges]
+
+    @F.pandas_udf("int")
+    def _n_bpe(words_s):
+        import pandas as pd
+
+        def enc(word: str) -> int:
+            syms = list(word)
+            for a, b, ab in ranked:
+                i, out = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return pd.Series([enc(w) for w in words_s], dtype="int32")
+
+    wf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(text_col)).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_word = wf.select("word").distinct().withColumn(
+        "n_bpe", _n_bpe("word")
+    )
+    return (
+        wf.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
 
 
 def bigram_perplexity(

@@ -1,0 +1,116 @@
+"""Relevance ranking over the extracted corpus — the retrieval side of a
+training-data pipeline (corpus search, dedup-candidate triage, targeted
+decontamination probes all reduce to "score documents against a term set").
+
+BM25 (Robertson/Sparck-Jones, the Lucene ``k1``/``b`` parameterization with
+the non-negative ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf) expressed as
+pure relational builtins so Catalyst owns the physical plan:
+
+- the query-term filter lands BEFORE the tf aggregate, so the shuffle
+  carries only (doc, query-term) rows — corpus-sized map work, query-sized
+  shuffle state;
+- document length is a map-side ``size(tokens)`` (no shuffle);
+- N and avgdl ship as ONE single-row aggregate broadcast-crossJoined back
+  (the repo-standard scalar pattern, see ``curate.source_mix_weights``);
+- ranking is on the ROUNDED score with a doc-id tie-break so both engines
+  agree at float boundaries (same contract as ``q_tfidf``).
+
+Reference analog: the reference repo has no search surface; this implements
+the standard public BM25 formula (Robertson et al., TREC-3) over the same
+lowercase-whitespace token contract as ``dedup``/``lm``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25 against ``query_terms``.
+
+    Returns (doc_id, n_terms_hit, score, rank) — ``score`` rounded to 4dp,
+    rank = row_number over (score desc, doc_id asc), rows with rank <=
+    ``top_k``. Documents matching zero query terms never appear (their
+    score is 0 by construction).
+
+    At 100 TB: one corpus scan tokenizes map-side; only rows whose term is
+    in the (tiny, literal) query set survive to the (doc, term) aggregate,
+    so shuffle volume is bounded by matches, not corpus size; df comes from
+    the same filtered pairs; the scalar (N, avgdl) aggregate is a single
+    row. No UDFs anywhere.
+    """
+    terms = [t.lower() for t in query_terms]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+
+    # ONE single-row scalar: corpus size + average doc length.
+    scalars = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    pairs = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = pairs.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        pairs.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms_hit"),
+            F.round(F.sum("w"), 4).alias("score"),
+        )
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition partial
+    # top-k, driver merge of k-row heads) — no single-partition window over
+    # the full match set; the row_number ranking then runs on <= top_k rows.
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w)
+    ).select("doc_id", "n_terms_hit", "score", "rank")

@@ -350,3 +350,53 @@ def test_components_string_ids_diameter_gt2_both_paths(spark):
     ]
     assert fast == expected
     assert dist == expected
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """ExactSubstr spans (Lee et al. 2021 form): cross-doc copied run is
+    cut from the later doc only (keep-first), internal repetition is cut
+    after its first period, overlapping windows merge into maximal
+    spans. 1-based inclusive token indices."""
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x1 x2 a b c d e f g h i j y"),
+        (2, "p q r s p q r s p q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(df, window=4).collect()
+    }
+    # doc 1: the copied 10-token run sits at tokens 3..12; doc 0 (smaller
+    # (doc, pos)) keeps every window, so only doc 1 reports the span.
+    # doc 2: period-4 repetition — windows at pos 5..9 duplicate pos 1..4,
+    # merging to tokens 5..12.
+    assert got == {(1, 3, 12, 10), (2, 5, 12, 8)}
+
+
+def test_duplicate_spans_short_docs_and_no_dups(spark):
+    rows = [(0, "only three tokens"), (1, "all unique words here today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.duplicate_spans(df, window=4).count() == 0
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    """Apply side: cut the spans test_duplicate_spans_hand_computed pins
+    and rebuild text from surviving tokens; span-free docs pass through
+    unchanged (lowercase token contract)."""
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x1 x2 a b c d e f g h i j y"),
+        (2, "p q r s p q r s p q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, window=4)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in dedup.remove_duplicate_spans(df, spans).collect()
+    }
+    assert got == {
+        0: (10, 0, "a b c d e f g h i j"),
+        1: (13, 10, "x1 x2 y"),
+        2: (12, 8, "p q r s"),
+    }

@@ -220,3 +220,22 @@ def test_bpe_train_batched_self_pair_guard(spark):
     assert bat == seq
     # sanity: sequential rank-2 really is the self-pair successor
     assert seq[0][1] == "aa" and seq[1][1] == "aaa"
+
+
+def test_bpe_encode_hand_computed(spark):
+    # corpus "aaab aaab ab"; merges from bpe_train: aa, ab, aaab
+    docs = spark.createDataFrame([Row(doc_id=1, text="aaab aaab ab")])
+    m3 = [
+        (r["a"], r["b"])
+        for r in lm.bpe_train(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    assert [a + b for a, b in m3] == ["aa", "ab", "aaab"]
+    (r3,) = lm.bpe_encode(docs, m3).collect()
+    # aaab -> [aaab] (1), ab -> [ab] (1): 2*1 + 1 = 3 bpe tokens, 3 words
+    assert (r3["doc_id"], r3["n_words"], r3["n_bpe_tokens"]) == (1, 3, 3)
+    # two merges only: aaab -> [aa, ab] (2), ab -> [ab] (1) -> 5
+    (r2,) = lm.bpe_encode(docs, m3[:2]).collect()
+    assert (r2["n_words"], r2["n_bpe_tokens"]) == (3, 5)
+    # zero merges: pure chars — 4 + 4 + 2 = 10
+    (r0,) = lm.bpe_encode(docs, []).collect()
+    assert (r0["n_words"], r0["n_bpe_tokens"]) == (3, 10)
