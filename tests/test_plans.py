@@ -162,3 +162,35 @@ def test_warehouse_partition_pruning(spark, tmp_path):
     # partition filter must NOT degrade to a post-scan data filter
     assert "PushedFilters: [IsNotNull(partition_id)" not in plan, plan
     assert got.count() == len([i for i in range(1000) if i % 16 == 3])
+
+
+def test_duplicate_spans_window_shape(spark):
+    """ExactSubstr spans: window enumeration is map-side (no join to a
+    position table), the occurrence count is ONE hash aggregate, and the
+    only join is the hash-group equi-join back — no nested-loop or
+    cartesian anywhere."""
+    from png_from_pdf_extracter_spark.functions.dedup import duplicate_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_spans(d, window=8))
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "partial_count" in plan  # map-side combine on the hash group
+
+
+def test_bm25_takeordered_no_global_window(spark):
+    """BM25 top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k), never a single-partition global sort/window over the
+    full match set; the df and scalar sides must broadcast."""
+    from png_from_pdf_extracter_spark.functions.search import bm25_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(d, ["vector", "stream"], top_k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    # a global sort would show as a rangepartitioning exchange
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the only single-partition exchange allowed is the one-ROW (N, avgdl)
+    # scalar aggregate; the match set itself must never funnel to one task
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
