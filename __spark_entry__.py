@@ -879,6 +879,32 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_train_split(spark, sf_dir):
+    """Deterministic train/val/test split (curate.split_assign, 80/10/10):
+    a row's split is a pure function of md5(id), so it survives corpus
+    growth, repartitioning, and engine changes; stratum accounting per
+    language proves the assignment, not just the rates."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", curate.split_assign("doc_id"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def _q_word_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy in bits (curate.word_entropy) —
+    lexical-diversity gate: one explode, two doc-keyed map-combinable
+    aggregates, floor-quantized emitter."""
+    return curate.word_entropy(
+        _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
 def _q_contamination(spark, sf_dir):
     """Benchmark-contamination scan (dedup.contamination_check): bigram
     overlap of every corpus doc against the deterministic benchmark slice
@@ -3041,6 +3067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_units_roundtrip_sql": _q_units_roundtrip_sql,
         "q_seq_pack": _q_seq_pack,
         "q_stratified_sample": _q_stratified_sample,
+        "q_train_split": _q_train_split,
+        "q_word_entropy": _q_word_entropy,
         "q_contamination": _q_contamination,
         "q_gopher_quality": _q_gopher_quality,
         "q_rank_family": _q_rank_family,
@@ -4143,6 +4171,44 @@ def oracle_sql() -> dict[str, str]:
                          md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10 < 3
                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS rate
             FROM documents GROUP BY lang
+        """,
+        "q_train_split": """
+            WITH s AS (
+              SELECT lang, doc_id,
+                     CAST(('0x' || substring(
+                       md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS h
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN h < 10 THEN 'test'
+                        WHEN h < 20 THEN 'val'
+                        ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   min(doc_id) AS min_id,
+                   sum(doc_id)::BIGINT AS id_sum
+            FROM s GROUP BY 1, 2
+        """,
+        "q_word_entropy": """
+            WITH wc AS (
+              SELECT doc_id, word, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0)) AS word
+                FROM documents WHERE doc_id < 300
+              ) GROUP BY doc_id, word
+            ),
+            agg AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_distinct,
+                     sum(c * ln(c)) AS clogc
+              FROM wc GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   floor((ln(n_tokens) - clogc / n_tokens)
+                         / 0.6931471805599453 * 10000) / 10000
+                     AS entropy_bits
+            FROM agg
         """,
         "q_contamination": """
             WITH shc AS (

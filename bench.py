@@ -365,6 +365,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_dup_spans_apply",
         "q_bpe_encode",
         "q_bm25",
+        "q_train_split",
+        "q_word_entropy",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -513,3 +513,86 @@ def hashed_linear_score(
         F.size(toks) > 0,
         num.cast("double") / (F.size(toks) * F.lit(half)).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def split_assign(
+    id_col="doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "",
+) -> F.Column:
+    """Deterministic train/val/test split assignment — the dataset-
+    versioning primitive every training pipeline needs: a row's split is
+    a pure function of its id (+ optional salt), so it never changes when
+    the corpus grows, survives repartitioning, and reproduces on any
+    engine (same ``bigint(md5[:15])`` contract as ``hash_sample``).
+
+    Percentages are integer percent points; buckets [0, test) -> 'test',
+    [test, test+val) -> 'val', rest -> 'train'. ``salt`` derives an
+    independent split family (e.g. per experiment) from the same ids.
+
+    Map-only Column — no shuffle; stratification comes free by grouping
+    the result with any stratum column.
+    """
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct > 100:
+        raise ValueError("need val_pct, test_pct >= 0 and sum <= 100")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(h < test_pct, F.lit("test"))
+        .when(h < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def word_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in bits — the
+    lexical-diversity quality gate (low entropy = repetitive boilerplate
+    / keyword stuffing; complements ``repetition_signals``' n-gram view
+    and ``unigram_perplexity``'s corpus-model view with a model-free
+    per-doc statistic).
+
+    H = log2(n) - (sum over words of c*log2(c)) / n, computed from TWO
+    map-combinable aggregates over the (doc, word) counts — one explode,
+    two partial-agg shuffles keyed by doc, no joins, no Python. Entropy
+    floor-quantizes to 4dp (the repo's cross-engine float emitter rule).
+
+    Returns (doc_id, n_tokens, n_distinct, entropy_bits).
+    """
+    ln2 = 0.6931471805599453
+    wc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+    )
+    ent = (F.log(F.col("n").cast("double")) - F.col("clogc") / F.col("n")) / F.lit(ln2)
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.floor(ent * 10000) / 10000).alias("entropy_bits"),
+    )

@@ -300,3 +300,57 @@ def test_materialize_mix_temperature_boosts_small_sources(spark):
         curate.materialize_mix(
             d, "source", "n_chars", shares={"a": 1.0}, alpha=0.5
         )
+
+
+def test_split_assign_deterministic_partition_and_rates(spark):
+    """Every row gets exactly one of train/val/test, the assignment is a
+    pure function of the id (stable under union/repartition), salt
+    derives an independent family, and rates land near the targets."""
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = d.withColumn("split", curate.split_assign("doc_id"))
+    by = {r["split"]: r["n"] for r in
+          out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == 2000
+    # hash-uniformity at n=2000: each 10% slice within a loose band
+    assert 130 <= by["val"] <= 270 and 130 <= by["test"] <= 270
+    # determinism: same ids, different partitioning -> identical map
+    again = {
+        r["doc_id"]: r["split"]
+        for r in d.repartition(7).withColumn(
+            "split", curate.split_assign("doc_id")
+        ).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert again == first
+    # salt changes assignments but not the partition property
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in d.withColumn(
+            "split", curate.split_assign("doc_id", salt="exp2")
+        ).collect()
+    }
+    assert salted != first
+    with pytest.raises(ValueError):
+        curate.split_assign("doc_id", val_pct=60, test_pct=60)
+
+
+def test_word_entropy_hand_computed(spark):
+    """Closed-form pins: uniform distribution -> log2(n) bits; constant
+    doc -> 0 bits; 3:1 mix -> 2 - 0.75*log2(3) bits."""
+    import math
+
+    rows = [
+        (0, "a b c d"),          # uniform over 4 -> exactly 2.0
+        (1, "x x x x"),          # single symbol -> 0.0
+        (2, "y y y z"),          # H = 2 - 0.75*log2(3)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_bits"])
+        for r in curate.word_entropy(d).collect()
+    }
+    assert got[0] == (4, 4, 2.0)
+    assert got[1] == (4, 1, 0.0)
+    exp2 = math.floor((2 - 0.75 * math.log2(3)) * 10000) / 10000
+    assert got[2] == (4, 2, exp2)
