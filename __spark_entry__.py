@@ -271,6 +271,28 @@ def _q_knn_cosine(spark, sf_dir):
     return similarity.cosine_topk(e, q, k=5)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Embedding k-means clustering (similarity.kmeans_assign — maxmin-
+    seeded Lloyd, 2 rounds, 8 clusters) rolled up to per-cluster size + mean
+    cosine-to-centroid. Rows-only: iterative float means make borderline
+    assignments engine-specific; planted-cluster separation is pinned in
+    tests/test_sessions.py."""
+    e = _read(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_assign(
+        e, "vec_id", "embedding", n_clusters=8, iterations=2
+    )
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.floor(F.avg("cos_to_centroid") * 1000) / 1000).alias(
+                "mean_cos"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return (
@@ -3031,6 +3053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_components": _q_dedup_components,
         "q_simhash": _q_simhash,
         "q_knn_cosine": _q_knn_cosine,
+        # rows-only: iterative Lloyd rounds, float centroid means
+        "q_kmeans": _q_kmeans,
         "q_lang_id": _q_lang_id,
         "q_quality_tokens": _q_quality_tokens,
         "q_tpch_q1": _q_tpch_q1,

@@ -227,7 +227,11 @@ def _trust_stats(samples: list) -> tuple:
     s = sorted(samples)
     jitter_all = s[-1] / s[0]
     jitter_best3 = (s[2] / s[0]) if len(s) >= 3 else jitter_all
-    trusted = jitter_all <= 1.3 or (len(s) >= 3 and jitter_best3 <= 1.2)
+    # one sample can't corroborate itself — smoke runs with RUNS=1 report
+    # honestly-untrusted rather than vacuously-trusted
+    trusted = len(s) >= 2 and (
+        jitter_all <= 1.3 or (len(s) >= 3 and jitter_best3 <= 1.2)
+    )
     return round(jitter_all, 3), round(jitter_best3, 3), trusted
 
 
@@ -243,15 +247,39 @@ def level_runs(cores: int, in_path: str, out_base: str, runs: int) -> dict:
     spark = build_session(cores)
     warm = round(run_flagship(spark, in_path, f"{out_base}_warm"), 3)
     times = []
-    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "5"))
+    cooldown_runs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_RUNS", "2")
+    )
+    if runs < 2:
+        # explicit smoke config: one timed run, no rerun budget — the
+        # artifact reports honestly-untrusted (trust needs >=2 samples)
+        max_extra = 0
+        cooldown_runs = 0
     i = 0
+    cooled = 0
     while True:
         out = f"{out_base}_{i}"
         times.append(round(run_flagship(spark, in_path, out), 3))
         shutil.rmtree(out, ignore_errors=True)
         i += 1
-        _, _, trusted = _trust_stats([warm] + times)
-        if i >= runs and (trusted or i >= runs + max_extra):
+        # Trust is judged on the TIMED runs only. The warm-up legitimately
+        # includes one-off JIT / page-cache / shuffle-dir costs (the r3
+        # driver artifact recorded a 113s warm-up against a 21.6s best —
+        # a 5.2 jitter_all no number of extra runs could wash out), so a
+        # slow warm-up is expected behavior, not ambient-noise evidence.
+        _, _, trusted = _trust_stats(times)
+        if i >= runs and trusted:
+            break
+        if i >= runs + max_extra:
+            # Consecutive samples are correlated — this VM's ambient-noise
+            # windows last minutes, so N back-to-back noisy runs carry
+            # little extra information. Decorrelate: sleep, then take up
+            # to ``cooldown_runs`` more samples before giving up.
+            if cooled < cooldown_runs:
+                time.sleep(30)
+                cooled += 1
+                continue
             break
     spark.stop()
     # best over ALL observed runs (warm-up included): at low widths the
@@ -260,11 +288,13 @@ def level_runs(cores: int, in_path: str, out_base: str, runs: int) -> dict:
     # This VM shows windows of 1.5-2x ambient drift (hypervisor
     # neighbors), so the scaling ratio is only meaningful when both
     # levels' bests come from sane windows; report jitter + trusted so a
-    # noisy measurement is visibly noisy IN THE ARTIFACT.
-    allt = [warm] + times
-    jitter_all, jitter_best3, trusted = _trust_stats(allt)
+    # noisy measurement is visibly noisy IN THE ARTIFACT. (Minima are
+    # noise-robust — a noise window can only inflate a sample — so the
+    # warm-up is safe in the best pool even though it is excluded from
+    # the trust stats.)
+    jitter_all, jitter_best3, trusted = _trust_stats(times)
     return {"cores": cores, "warmup_sec": warm, "runs_sec": times,
-            "best_sec": min(allt),
+            "best_sec": min([warm] + times),
             "jitter": jitter_all,
             "jitter_best3": jitter_best3,
             "trusted": trusted}
@@ -331,6 +361,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_line_dedup",
         "q_hash_classifier",
         "q_semdedup",
+        "q_kmeans",
         "q_merge_upsert",
         "q_scd2",
         "q_pagerank",

@@ -241,15 +241,22 @@ def ivf_kmeans_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iterations: int = 2,
+    seeds=None,
 ):
     """Lloyd-refined coarse centroids: seed with the deterministic md5
-    sample, then ``iterations`` x (assign-to-nearest-cell, recompute cell
-    means). Each iteration is one small Spark job (explode dims -> avg per
-    (cell, dim) -> collect n_cells x dim rows to the driver). Empty cells
-    keep their previous centroid. Float-sum order across partitions makes
-    the means reproducible only to ~1e-12 — irrelevant for recall, which is
-    why ivf_topk is rows-only checked rather than value-hashed."""
-    cents = ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
+    sample (or caller-provided ``seeds``, e.g. ``_maxmin_seed_centroids``
+    for true clustering), then ``iterations`` x (assign-to-nearest-cell,
+    recompute cell means). Each iteration is one small Spark job (explode
+    dims -> avg per (cell, dim) -> collect n_cells x dim rows to the
+    driver). Empty cells keep their previous centroid. Float-sum order
+    across partitions makes the means reproducible only to ~1e-12 —
+    irrelevant for recall, which is why ivf_topk is rows-only checked
+    rather than value-hashed."""
+    cents = (
+        seeds
+        if seeds is not None
+        else ivf_coarse_centroids(corpus, id_col, vec_col, n_cells)
+    )
     if not cents:
         return cents
     dim = len(cents[0][1])
@@ -992,3 +999,106 @@ def semdedup(
         F.lit(True).alias("keep"),
     )
     return labeled.unionByName(null_rows)
+
+
+def _maxmin_seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+):
+    """Deterministic farthest-point (maxmin / k-means++-style) seeds on a
+    BOUNDED driver sample — the standard quantizer-training shape (FAISS
+    trains IVF on a sample, not the corpus). The md5 sample
+    (``ivf_coarse_centroids``'s init) can drop two seeds into one true
+    cluster and none into another; Lloyd cannot recover from that local
+    minimum. Maxmin picks each next seed as the sample vector with the
+    LARGEST cosine distance to its nearest already-chosen seed, so
+    well-separated clusters each get a seed.
+
+    Driver state: ``max(sample_rows, n_cells)`` x dim floats (documented
+    in README's driver-state budget next to the 256-vector PQ sample).
+    Fully deterministic: sample by smallest (md5(id), id), numpy argmax
+    breaks ties by first index. Returns [(cell_idx, vector)] with ids
+    0..n-1 as ``_cell_candidates`` requires."""
+    import numpy as np
+
+    take = max(sample_rows, n_cells)
+    rows = (
+        corpus.select(
+            F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).cast("string").alias("_i"),
+        )
+        .orderBy("_h", "_i")
+        .limit(take)
+        .collect()
+    )
+    if not rows:
+        return []
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = x / norms[:, None]
+    k = min(n_cells, len(rows))
+    chosen = [0]
+    # min over chosen seeds of cosine distance (1 - cos) per sample row
+    d = 1.0 - unit @ unit[0]
+    for _ in range(1, k):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - unit @ unit[nxt])
+    return [(i, [float(v) for v in x[c]]) for i, c in enumerate(chosen)]
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters=None,
+    iterations: int = 4,
+    init: str = "maxmin",
+) -> DataFrame:
+    """Embedding-space document clustering — Lloyd k-means surfaced as a
+    first-class operator (topic bucketing, mixture construction, and the
+    cell structure semdedup/IVF consume are all this assignment).
+
+    Reuses the IVF quantizer machinery end-to-end: deterministic seeding
+    with no RNG state (``init="maxmin"``: farthest-point on a bounded
+    driver sample, recovers well-separated planted clusters;
+    ``init="md5"``: the cheaper hash sample IVF uses, where quantizer
+    quality only moves recall), ``iterations`` Lloyd rounds where each
+    round is ONE map-side nearest-centroid assignment plus one
+    (cell, dim)-keyed aggregate (``ivf_kmeans_centroids``), centroids
+    held as a folded constant (``_nested_lit``) — bounded driver state,
+    n_clusters x dim. ``n_clusters=None`` auto-scales with corpus size
+    via ``_resolve_n_cells`` (the 100-TB rule: cell count grows with N).
+
+    Returns (id, cluster, cos_to_centroid) — the per-vector assignment
+    plus its cosine to the owning centroid (the quantization-quality
+    number an inertia/elbow report aggregates). Iterative + float means:
+    rows-only checked; planted-cluster separation is pinned in tests.
+    """
+    n_clusters = _resolve_n_cells(corpus, n_clusters)
+    if init == "maxmin":
+        seeds = _maxmin_seed_centroids(
+            corpus, id_col, vec_col, n_clusters
+        )
+        cents = ivf_kmeans_centroids(
+            corpus, id_col, vec_col, n_clusters, iterations, seeds=seeds
+        )
+    elif init == "md5":
+        cents = ivf_kmeans_centroids(
+            corpus, id_col, vec_col, n_clusters, iterations
+        )
+    else:
+        raise ValueError(f"init must be 'maxmin' or 'md5', got {init!r}")
+    best = F.array_min(_cell_candidates(F.col(vec_col), cents))
+    return corpus.select(
+        F.col(id_col),
+        best["cell"].alias("cluster"),
+        (
+            -best["neg_cos"] / _norm(F.col(vec_col))
+        ).alias("cos_to_centroid"),
+    )

@@ -89,3 +89,19 @@ def test_bloom_bitmap_words_bounded():
     n_bits = sig.parameters["n_bits"].default
     assert n_bits == 1 << 20  # 16 KB of longs as ONE literal
     assert n_bits // 64 == 16_384
+
+
+def test_maxmin_seed_sample_cap(spark):
+    sig = inspect.signature(similarity._maxmin_seed_centroids)
+    assert sig.parameters["sample_rows"].default == 2048
+    # the collect is bounded at max(sample_rows, n_cells) regardless of
+    # corpus size, and emits exactly min(n_cells, sample) positional seeds
+    rows = [
+        (i, [float((i * 5 + d) % 11) for d in range(4)]) for i in range(300)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = similarity._maxmin_seed_centroids(
+        e, n_cells=6, sample_rows=50
+    )
+    assert len(seeds) == 6
+    assert [i for i, _ in seeds] == list(range(6))

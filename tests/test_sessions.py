@@ -435,3 +435,49 @@ def test_semdedup_auto_n_cells_bounds_cell_sizes(spark):
         assert len(sizes) <= expected_cells
         # no cell grows unboundedly past the target as n scales 10x
         assert max(sizes) <= 20 * 100
+
+
+def test_kmeans_assign_planted_cluster_separation(spark):
+    """kmeans_assign (the first-class clustering exposure of the IVF
+    quantizer) on three well-separated planted clusters: every planted
+    cluster must land in exactly one predicted cluster (purity 1.0 on
+    this separation), distinct planted clusters must not merge, the
+    cosine to the owning centroid must be near 1, and the md5-seeded
+    init makes the whole assignment reproducible run-to-run."""
+    import numpy as np
+
+    from png_from_pdf_extracter_spark.functions import similarity
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3) * 10.0  # orthogonal, far apart
+    rows = []
+    for c in range(3):
+        for i in range(40):
+            v = centers[c] + rng.normal(scale=0.05, size=3)
+            rows.append((c * 40 + i, c, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, planted int, embedding array<double>"
+    )
+
+    out = similarity.kmeans_assign(
+        df, "vec_id", "embedding", n_clusters=3, iterations=3
+    )
+    joined = out.join(df.select("vec_id", "planted"), "vec_id").collect()
+    by_planted = {}
+    for r in joined:
+        by_planted.setdefault(r["planted"], set()).add(r["cluster"])
+        assert r["cos_to_centroid"] > 0.95, r
+    # purity: each planted cluster maps to ONE predicted label…
+    assert all(len(s) == 1 for s in by_planted.values()), by_planted
+    # …and no two planted clusters share a label (no merge)
+    labels = [next(iter(s)) for s in by_planted.values()]
+    assert len(set(labels)) == 3, by_planted
+
+    # deterministic: identical assignment on a second run
+    again = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.kmeans_assign(
+            df, "vec_id", "embedding", n_clusters=3, iterations=3
+        ).collect()
+    }
+    assert again == {(r["vec_id"], r["cluster"]) for r in joined}
