@@ -3035,6 +3035,76 @@ def _q_ppl_buckets(spark, sf_dir):
     )
 
 
+def _q_embed_covariance(spark, sf_dir):
+    """Distributed one-pass covariance matrix of the embedding column
+    (similarity.embedding_covariance — mapInPandas BLAS partials, O(dim^2)
+    shuffle keys). Upper triangle, floor-quantized 1e-6 (cross-engine
+    float-sum order)."""
+    e = _read(spark, sf_dir, "embeddings")
+    c = similarity.embedding_covariance(e, "vec_id", "embedding")
+    return c.select(
+        "d1",
+        "d2",
+        (F.floor(F.col("cov") * 1000000) / 1000000).alias("cov_q"),
+    ).orderBy("d1", "d2")
+
+
+def _q_pca_whiten(spark, sf_dir):
+    """PCA-whitening of the embedding column (similarity.pca_whiten —
+    covariance partials -> driver eigh (dim^2 bounded) -> folded-constant
+    projection in JVM builtins), rolled up to per-dim variance of the
+    whitened output (== 1 by construction; identity-covariance pinned in
+    tests/test_similarity_stats.py). Rows-only: eigendecomposition is not
+    SQL-expressible."""
+    e = _read(spark, sf_dir, "embeddings")
+    w = similarity.pca_whiten(e, "vec_id", "embedding")
+    return (
+        w.select(F.posexplode("whitened").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.floor(F.var_samp("x") * 1000) / 1000).alias("var_q"),
+        )
+        .orderBy("d")
+    )
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    return lm.pmi_bigrams(d, min_count=5, top_k=50)
+
+
+def _q_zipf_fit(spark, sf_dir):
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    return lm.zipf_fit(d, top_k=100)
+
+
+def _q_jsd_split(spark, sf_dir):
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    return lm.js_divergence(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _q_ks_drift(spark, sf_dir):
+    from png_from_pdf_extracter_spark.functions import drift
+
+    ev = _read(spark, sf_dir, "events")
+    return drift.ks_statistic(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        quantize=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3055,6 +3125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_cosine": _q_knn_cosine,
         # rows-only: iterative Lloyd rounds, float centroid means
         "q_kmeans": _q_kmeans,
+        "q_embed_covariance": _q_embed_covariance,
+        # rows-only: driver eigh is not SQL-expressible
+        "q_pca_whiten": _q_pca_whiten,
+        "q_pmi_bigrams": _q_pmi_bigrams,
+        "q_zipf_fit": _q_zipf_fit,
+        "q_jsd_split": _q_jsd_split,
+        "q_ks_drift": _q_ks_drift,
         "q_lang_id": _q_lang_id,
         "q_quality_tokens": _q_quality_tokens,
         "q_tpch_q1": _q_tpch_q1,
@@ -4546,6 +4623,150 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM seen s WHERE s.user_id = e.user_id
             )
             GROUP BY event_type
+        """,
+        "q_embed_covariance": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding)::DOUBLE AS x
+              FROM embeddings
+            ),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
+            SELECT a.d AS d1, b.d AS d2,
+                   floor(((sum(a.x * b.x)
+                           - sum(a.x) * sum(b.x) / any_value(n))
+                          / (any_value(n) - 1)) * 1000000) / 1000000
+                     AS cov_q
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d, tot
+            GROUP BY a.d, b.d
+            ORDER BY d1, d2
+        """,
+        "q_pmi_bigrams": """
+            WITH t AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS w
+              FROM documents
+            ),
+            big AS (
+              SELECT unnest(w[1:len(w)-1]) AS a,
+                     unnest(w[2:len(w)]) AS b
+              FROM t WHERE len(w) >= 2
+            ),
+            n_ab AS (
+              SELECT a, b, count(*)::BIGINT AS n_ab
+              FROM big GROUP BY a, b
+            ),
+            uni AS (
+              SELECT unnest(w) AS word FROM t
+            ),
+            n_w AS (
+              SELECT word, count(*)::BIGINT AS n_w FROM uni GROUP BY word
+            ),
+            tot AS (
+              SELECT (SELECT sum(n_ab)::BIGINT FROM n_ab) AS n_big,
+                     (SELECT count(*)::BIGINT FROM uni) AS n_uni
+            )
+            SELECT p.a, p.b, p.n_ab,
+                   floor((log2(p.n_ab) - log2(n_big)
+                          - log2(ua.n_w) - log2(ub.n_w)
+                          + 2.0 * log2(n_uni)) * 10000) / 10000 AS pmi_q
+            FROM n_ab p
+            JOIN n_w ua ON ua.word = p.a
+            JOIN n_w ub ON ub.word = p.b, tot
+            WHERE p.n_ab >= 5
+            ORDER BY pmi_q DESC, p.a, p.b
+            LIMIT 50
+        """,
+        "q_zipf_fit": """
+            WITH terms AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            uni AS (
+              SELECT word, count(*)::BIGINT AS cnt
+              FROM terms GROUP BY word
+              ORDER BY cnt DESC, word LIMIT 100
+            ),
+            ranked AS (
+              SELECT log2(cnt) AS y,
+                     log2(row_number() OVER (ORDER BY cnt DESC, word)) AS x
+              FROM uni
+            )
+            SELECT count(*)::BIGINT AS n_tokens_ranked,
+                   round(regr_slope(y, x), 4) AS slope,
+                   round(regr_r2(y, x), 4) AS r2
+            FROM ranked
+        """,
+        "q_jsd_split": """
+            WITH terms AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS s,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            cnt AS (
+              SELECT word, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM terms GROUP BY word
+            ),
+            tot AS (
+              SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM cnt
+            )
+            SELECT count(*)::BIGINT AS n_words,
+                   max(ta)::BIGINT AS n_tokens_a,
+                   max(tb)::BIGINT AS n_tokens_b,
+                   floor(sum(
+                     CASE WHEN ca > 0 THEN
+                       0.5 * (ca / CAST(ta AS DOUBLE))
+                       * log2((ca / CAST(ta AS DOUBLE))
+                              / ((ca / CAST(ta AS DOUBLE)
+                                  + cb / CAST(tb AS DOUBLE)) / 2))
+                     ELSE 0.0 END
+                     +
+                     CASE WHEN cb > 0 THEN
+                       0.5 * (cb / CAST(tb AS DOUBLE))
+                       * log2((cb / CAST(tb AS DOUBLE))
+                              / ((ca / CAST(ta AS DOUBLE)
+                                  + cb / CAST(tb AS DOUBLE)) / 2))
+                     ELSE 0.0 END
+                   ) * 1000000) / 1000000 AS jsd_q
+            FROM cnt, tot
+        """,
+        "q_ks_drift": """
+            WITH u AS (
+              SELECT round(value, 2) AS v, 1 AS s FROM events
+              WHERE event_type = 'view' AND value IS NOT NULL
+              UNION ALL
+              SELECT round(value, 2) AS v, 0 AS s FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS cb, sum(1 - s)::BIGINT AS cc
+              FROM u GROUP BY v
+            ),
+            cum AS (
+              SELECT sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS kb,
+                     sum(cc) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS kc
+              FROM cnt
+            ),
+            tot AS (
+              SELECT sum(cb)::BIGINT AS nb, sum(cc)::BIGINT AS nc FROM cnt
+            )
+            SELECT any_value(nb)::BIGINT AS n_base,
+                   any_value(nc)::BIGINT AS n_cur,
+                   max(abs(kb * nc - kc * nb))::BIGINT AS ks_num,
+                   round(max(abs(kb * nc - kc * nb))
+                         / CAST(any_value(nb) * any_value(nc) AS DOUBLE),
+                         6) AS ks
+            FROM cum, tot
         """,
         "q_perplexity": """
             WITH terms AS (

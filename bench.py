@@ -362,6 +362,12 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_hash_classifier",
         "q_semdedup",
         "q_kmeans",
+        "q_embed_covariance",
+        "q_pca_whiten",
+        "q_pmi_bigrams",
+        "q_zipf_fit",
+        "q_jsd_split",
+        "q_ks_drift",
         "q_merge_upsert",
         "q_scd2",
         "q_pagerank",

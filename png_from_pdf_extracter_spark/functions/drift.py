@@ -21,7 +21,7 @@ rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,5 +84,65 @@ def psi_drift(
             F.min("tb").alias("n_base"),
             F.min("tc").alias("n_cur"),
             F.round(F.sum(term), 5).alias("psi"),
+        )
+    )
+
+
+def ks_statistic(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — max |F_base(x) - F_cur(x)|
+    over the pooled support — the distribution-free companion to PSI
+    (PSI needs buckets and a stability threshold; KS is the sharp
+    "are these the same distribution" number).
+
+    EXACT cross-engine by construction: the max runs over INTEGER
+    numerators |cum_base * n_cur - cum_cur * n_base| and the division
+    happens once at the end, so the value hash cannot drift in float
+    summation order. Plan shape: one map-combinable count per distinct
+    value, then a running sum ordered by value. That window is a single
+    partition over the DISTINCT-value table — bounded by cardinality,
+    not corpus size; for continuous columns pass ``quantize`` (decimal
+    places) to pre-bin values map-side, which is the binned-KS the
+    monitoring literature uses at scale (statistic error <= bin width's
+    CDF mass; exactness of the chosen estimator is preserved).
+
+    Returns one row (n_base, n_cur, ks_num, ks) — ks = ks_num /
+    (n_base * n_cur) exactly, rounded 6dp for the emitted double."""
+    v = F.col(value_col)
+    if quantize is not None:
+        v = F.round(v.cast("double"), quantize)
+    u = base.select(v.alias("v"), F.lit(1).alias("s")).unionByName(
+        cur.select(v.alias("v"), F.lit(0).alias("s"))
+    ).filter(F.col("v").isNotNull())
+    cnt = u.groupBy("v").agg(
+        F.sum("s").alias("cb"), F.sum(1 - F.col("s")).alias("cc")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        F.sum("cb").over(w).alias("kb"), F.sum("cc").over(w).alias("kc")
+    )
+    totals = F.broadcast(
+        cnt.agg(F.sum("cb").alias("nb"), F.sum("cc").alias("nc"))
+    )
+    return (
+        cum.crossJoin(totals)
+        .agg(
+            F.max(
+                F.abs(F.col("kb") * F.col("nc") - F.col("kc") * F.col("nb"))
+            ).alias("ks_num"),
+            F.max("nb").alias("n_base"),
+            F.max("nc").alias("n_cur"),
+        )
+        .select(
+            "n_base",
+            "n_cur",
+            "ks_num",
+            F.round(
+                F.col("ks_num") / (F.col("n_base") * F.col("n_cur")), 6
+            ).alias("ks"),
         )
     )

@@ -22,7 +22,7 @@ the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -422,5 +422,167 @@ def bigram_perplexity(
             F.count("*").alias("n_bigrams"),
             F.round(nll, 3).alias("avg_nll"),
             F.round(F.exp(nll), 1).alias("ppl"),
+        )
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations — the classic corpus
+    statistic for multi-word expressions ("new york", "machine learning")
+    and a tokenizer-vocab candidate generator.
+
+    pmi(a,b) = log2( p(ab) / (p(a) p(b)) ) over ADJACENT token pairs,
+    expanded to pure integer-count logs so both engines evaluate the same
+    expression tree: log2(n_ab) - log2(N_big) - log2(n_a) - log2(n_b)
+    + 2 log2(N_uni). Bigrams form map-side (slice + zip_with over the
+    shared ``_tokens`` contract — arrays sliced to size-1 BEFORE zipping,
+    zip_with pads unequal lengths with null); the only shuffles are the
+    two count aggregates (map-combinable) and the broadcast of two scalar
+    totals. Top-k is TakeOrdered on the QUANTIZED pmi (floor 1e-4) with
+    (a, b) tie-break — quantize-then-sort makes the cut deterministic
+    cross-engine where raw float ordering could flip ulp-near-ties.
+
+    Returns (a, b, n_ab, pmi_q), pmi desc. ``min_count`` drops rare pairs
+    (PMI's classic low-count noise)."""
+    toks = _tokens(text_col)
+    t = docs.select(toks.alias("w")).filter(F.size("w") >= 2)
+    big = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    n_ab = big.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_w"))
+    )
+    totals = F.broadcast(
+        n_ab.agg(F.sum("n_ab").alias("n_big")).crossJoin(
+            uni.agg(F.sum("n_w").alias("n_uni"))
+        )
+    )
+    pmi = (
+        F.log2("n_ab")
+        - F.log2("n_big")
+        - F.log2("n_a")
+        - F.log2("n_b")
+        + F.lit(2.0) * F.log2("n_uni")
+    )
+    return (
+        n_ab.filter(F.col("n_ab") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("a"),
+                                   F.col("n_w").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("b"),
+                                   F.col("n_w").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(totals)
+        .select(
+            "a", "b", "n_ab",
+            (F.floor(pmi * 10000) / 10000).alias("pmi_q"),
+        )
+        .orderBy(F.desc("pmi_q"), "a", "b")
+        .limit(top_k)
+    )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: the OLS slope
+    of log2(count) ~ log2(rank) over the ``top_k`` most frequent tokens
+    (natural text ~ -1; a far-off slope is a corpus-quality smell —
+    boilerplate floods flatten it, template spam steepens it).
+
+    rank is integer row_number over (count desc, word) — deterministic
+    cross-engine; the regression inputs are logs of integers, so both
+    engines see identical points and ``regr_slope``/``regr_r2`` differ
+    only in summation-order ulps (rounded 4dp). One count shuffle, one
+    top-k, one single-row aggregate. Returns one row
+    (n_tokens_ranked, slope, r2)."""
+    uni = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(top_k)
+    )
+    ranked = uni.select(
+        F.log2("cnt").alias("y"),
+        F.log2(
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), "word")
+            )
+        ).alias("x"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_tokens_ranked"),
+        F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+        F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+    )
+
+
+def js_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence (base-2 bits, in [0, 1]) between two
+    corpora's unigram distributions — the symmetric, always-finite
+    corpus-shift measure (domain mix drift, dedup before/after, split
+    leakage checks). JSD = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2.
+
+    One union + one map-combinable count aggregate per side collapsed
+    into a single groupBy over the flagged union; two scalar totals
+    broadcast; per-word terms guard n=0 sides (their KL contribution is
+    0). Returns one row (n_words, n_tokens_a, n_tokens_b, jsd_q) with
+    jsd floor-quantized 1e-6 (float-sum order differs cross-engine in
+    ulps only)."""
+    u = docs_a.select(
+        F.explode(_tokens(text_col)).alias("word"), F.lit(1).alias("s")
+    ).unionByName(
+        docs_b.select(
+            F.explode(_tokens(text_col)).alias("word"),
+            F.lit(0).alias("s"),
+        )
+    )
+    cnt = u.groupBy("word").agg(
+        F.sum("s").alias("ca"),
+        F.sum(1 - F.col("s")).alias("cb"),
+    )
+    totals = F.broadcast(
+        cnt.agg(
+            F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+        )
+    )
+    p = F.col("ca") / F.col("ta")
+    q = F.col("cb") / F.col("tb")
+    m = (p + q) / 2
+    term = F.when(F.col("ca") > 0, 0.5 * p * F.log2(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, 0.5 * q * F.log2(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cnt.crossJoin(totals)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.max("ta").alias("n_tokens_a"),
+            F.max("tb").alias("n_tokens_b"),
+            (F.floor(F.sum(term) * 1000000) / 1000000).alias("jsd_q"),
         )
     )

@@ -1102,3 +1102,163 @@ def kmeans_assign(
             -best["neg_cos"] / _norm(F.col(vec_col))
         ).alias("cos_to_centroid"),
     )
+
+
+def embedding_covariance(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column, upper triangle —
+    the summary statistic behind whitening/PCA/OPQ and embedding-drift
+    monitoring.
+
+    Scale shape: ``mapInPandas`` emits per-Arrow-batch PARTIAL sufficient
+    statistics (BLAS gram ``X^T X`` upper triangle, per-dim sums, row
+    count) — dim*(dim+1)/2 + dim + 1 rows per batch regardless of batch
+    size — and one map-combinable groupBy folds them. The shuffle carries
+    O(dim^2) keys, never O(n); no row leaves its partition. This is the
+    one-pass distributed-covariance pattern (Welford-style partials,
+    merged exactly since the partials are plain sums).
+
+    Returns (d1, d2, cov) for 0 <= d1 <= d2 < dim with
+    cov = (sum_xy - sum_x*sum_y/n) / (n-1) in float64. Cross-engine
+    float-sum order differs in ulps — callers that hash values should
+    floor-quantize (q_embed_covariance uses 1e-6).
+    """
+    vc = vec_col
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = [v for v in pdf[vc] if v is not None]
+            if not vecs:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            dim = x.shape[1]
+            g = x.T @ x
+            iu = np.triu_indices(dim)
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {"d1": iu[0], "d2": iu[1], "s": g[iu]}
+                    ),
+                    pd.DataFrame(
+                        {
+                            "d1": np.arange(dim),
+                            "d2": -1,
+                            "s": x.sum(axis=0),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {"d1": [-1], "d2": [-1], "s": [float(len(x))]}
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+    parts = corpus.select(vc).mapInPandas(gram, "d1 int, d2 int, s double")
+    # three consumers (count / means / gram) branch off this dim^2-row
+    # aggregate — persist it so the corpus scan + BLAS pass runs ONCE,
+    # not once per branch. Registered for dedup.release() like the other
+    # pair-table caches (the bench releases per query).
+    tot = parts.groupBy("d1", "d2").agg(F.sum("s").alias("s")).persist()
+    n = tot.filter(F.col("d1") == -1).select(F.col("s").alias("n"))
+    means = tot.filter((F.col("d2") == -1) & (F.col("d1") >= 0))
+    gram_sums = tot.filter(F.col("d2") >= 0)
+    out = (
+        gram_sums.join(
+            F.broadcast(
+                means.select(
+                    F.col("d1").alias("_m1"), F.col("s").alias("sx1")
+                )
+            ),
+            F.col("d1") == F.col("_m1"),
+        )
+        .join(
+            F.broadcast(
+                means.select(
+                    F.col("d1").alias("_m2"), F.col("s").alias("sx2")
+                )
+            ),
+            F.col("d2") == F.col("_m2"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d1",
+            "d2",
+            (
+                (F.col("s") - F.col("sx1") * F.col("sx2") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+    )
+    out._spark_graft_cached = [tot]  # dedup.release() contract
+    return out
+
+
+def pca_whiten(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whitening of an embedding column: y = Lambda^(-1/2) V^T (x - mu)
+    — the standard preprocessing before PQ/OPQ codebook training and
+    cosine-drift analysis (decorrelates dims, unit variance each).
+
+    The covariance and mean come from ``embedding_covariance``'s
+    distributed one-pass partials; only the dim x dim matrix and the
+    dim-vector reach the driver (bounded state, README budget table),
+    where numpy ``eigh`` factorizes it. The projection ships back as ONE
+    folded nested constant (``_nested_lit``) and applies as pure JVM
+    builtins — an O(dim^2) expression per row inside whole-stage codegen,
+    no Python in the row path.
+
+    Returns (id_col, whitened array<double>). Eigenvalues below ``eps``
+    are clamped (degenerate dims project to ~0 instead of exploding).
+    Pinned in tests: whitened sample covariance == identity."""
+    import math
+
+    import numpy as np
+
+    cov_df = embedding_covariance(corpus, id_col, vec_col)
+    cov_rows = cov_df.collect()
+    for dep in getattr(cov_df, "_spark_graft_cached", []):
+        dep.unpersist()
+    dim = max(r["d2"] for r in cov_rows) + 1
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["d1"], r["d2"]] = r["cov"]
+        c[r["d2"], r["d1"]] = r["cov"]
+    mu_rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["d"]] = r["m"]
+    evals, vecs = np.linalg.eigh(c)
+    scale = 1.0 / np.sqrt(np.maximum(evals, eps))
+    w = vecs * scale  # column i = v_i / sqrt(lambda_i)
+    # row r of the shipped constant = component r's projection vector
+    w_rows = _nested_lit([[float(v) for v in w[:, i]] for i in range(dim)])
+    mu_lit = F.from_json(
+        F.lit(__import__("json").dumps([float(m) for m in mu])),
+        "array<double>",
+    )
+    centered = F.zip_with(
+        F.col(vec_col), mu_lit, lambda a, b: a.cast("double") - b
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.transform(w_rows, lambda wr: _dot(centered, wr)).alias(
+            "whitened"
+        ),
+    )
