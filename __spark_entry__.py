@@ -3093,6 +3093,61 @@ def _q_jsd_split(spark, sf_dir):
     )
 
 
+def _q_edit_distance(spark, sf_dir):
+    """Levenshtein near-dup pairs on part names (dedup.edit_distance_pairs
+    — prefix-block equi-join + length bound, JVM levenshtein verify),
+    rolled up per distance: pair rows explode ~quadratically inside dup
+    blocks (3.1M at sf0.1) so the value check rides on the (dist,
+    n_pairs, id_sum) rollup instead of the raw pair table."""
+    p = _read(spark, sf_dir, "part")
+    pairs = dedup.edit_distance_pairs(
+        p, "p_partkey", "p_name", max_dist=2, block_len=10
+    )
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("id1") + F.col("id2")).alias("id_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _q_event_transitions(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    from png_from_pdf_extracter_spark.operators import event_transitions
+
+    return event_transitions(ev, order_cols=("event_id",))
+
+
+def _q_chi2_terms(spark, sf_dir):
+    from png_from_pdf_extracter_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    return lm.chi2_terms(d, class_col="lang", min_count=5, top_k=50)
+
+
+def _q_trend_per_group(spark, sf_dir):
+    """Per-event-type value trend: OLS slope of value ~ time-in-days.
+    Epoch must keep MICROSECONDS on both engines: Spark's unix_timestamp
+    truncates to whole seconds while DuckDB's epoch() is fractional —
+    NTZ -> timestamp (session tz is UTC, the driver's config) ->
+    cast-to-double is the micros-exact twin of epoch()."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("double") / F.lit(86400.0)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("value"), day), 6).alias(
+                "slope_per_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_ks_drift(spark, sf_dir):
     from png_from_pdf_extracter_spark.functions import drift
 
@@ -3132,6 +3187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zipf_fit": _q_zipf_fit,
         "q_jsd_split": _q_jsd_split,
         "q_ks_drift": _q_ks_drift,
+        "q_edit_distance": _q_edit_distance,
+        "q_event_transitions": _q_event_transitions,
+        "q_chi2_terms": _q_chi2_terms,
+        "q_trend_per_group": _q_trend_per_group,
         "q_lang_id": _q_lang_id,
         "q_quality_tokens": _q_quality_tokens,
         "q_tpch_q1": _q_tpch_q1,
@@ -4735,6 +4794,91 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END
                    ) * 1000000) / 1000000 AS jsd_q
             FROM cnt, tot
+        """,
+        "q_edit_distance": """
+            WITH x AS (
+              SELECT p_partkey AS id, lower(p_name) AS t,
+                     substring(lower(p_name), 1, 10) AS blk
+              FROM part
+            ),
+            pairs AS (
+              SELECT a.id AS id1, b.id AS id2,
+                     levenshtein(a.t, b.t) AS dist
+              FROM x a JOIN x b ON a.blk = b.blk AND a.id < b.id
+                AND abs(length(a.t) - length(b.t)) <= 2
+            )
+            SELECT dist, count(*)::BIGINT AS n_pairs,
+                   sum(id1 + id2)::BIGINT AS id_sum
+            FROM pairs WHERE dist <= 2
+            GROUP BY dist ORDER BY dist
+        """,
+        "q_event_transitions": """
+            WITH seq AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS from_type,
+                     event_type AS to_type
+              FROM events
+            ),
+            pairs AS (
+              SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM seq WHERE from_type IS NOT NULL
+              GROUP BY from_type, to_type
+            ),
+            tot AS (
+              SELECT from_type, sum(n)::BIGINT AS n_from
+              FROM pairs GROUP BY from_type
+            )
+            SELECT p.from_type, p.to_type, p.n,
+                   round(p.n / CAST(n_from AS DOUBLE), 6) AS p
+            FROM pairs p JOIN tot USING (from_type)
+            ORDER BY from_type, to_type
+        """,
+        "q_chi2_terms": """
+            WITH terms AS (
+              SELECT lang AS cls,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            wc AS (
+              SELECT cls, word, count(*)::BIGINT AS n11
+              FROM terms GROUP BY cls, word
+            ),
+            cls_tot AS (
+              SELECT cls, count(*)::BIGINT AS n_cls
+              FROM terms GROUP BY cls
+            ),
+            word_tot AS (
+              SELECT word, sum(n11)::BIGINT AS n_word FROM wc GROUP BY word
+            ),
+            grand AS (SELECT sum(n_cls)::BIGINT AS n_all FROM cls_tot)
+            SELECT cls AS class, word, n11,
+                   floor(
+                     (CAST(n_all AS DOUBLE)
+                      * (CAST(n11 AS DOUBLE) * CAST(n_all - n_cls - n_word + n11 AS DOUBLE)
+                         - CAST(n_word - n11 AS DOUBLE) * CAST(n_cls - n11 AS DOUBLE))
+                      * (CAST(n11 AS DOUBLE) * CAST(n_all - n_cls - n_word + n11 AS DOUBLE)
+                         - CAST(n_word - n11 AS DOUBLE) * CAST(n_cls - n11 AS DOUBLE)))
+                     / ((CAST(n11 AS DOUBLE) + CAST(n_word - n11 AS DOUBLE))
+                        * (CAST(n_cls - n11 AS DOUBLE) + CAST(n_all - n_cls - n_word + n11 AS DOUBLE))
+                        * (CAST(n11 AS DOUBLE) + CAST(n_cls - n11 AS DOUBLE))
+                        * (CAST(n_word - n11 AS DOUBLE) + CAST(n_all - n_cls - n_word + n11 AS DOUBLE)))
+                     * 10000) / 10000 AS chi2_q
+            FROM wc JOIN cls_tot USING (cls) JOIN word_tot USING (word), grand
+            WHERE n11 >= 5
+            ORDER BY chi2_q DESC, class, word
+            LIMIT 50
+        """,
+        "q_trend_per_group": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(regr_slope(value, epoch(ts) / 86400.0), 6)
+                     AS slope_per_day
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "q_ks_drift": """
             WITH u AS (

@@ -368,6 +368,10 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_zipf_fit",
         "q_jsd_split",
         "q_ks_drift",
+        "q_edit_distance",
+        "q_event_transitions",
+        "q_chi2_terms",
+        "q_trend_per_group",
         "q_merge_upsert",
         "q_scd2",
         "q_pagerank",

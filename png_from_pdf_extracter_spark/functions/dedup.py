@@ -939,3 +939,55 @@ def remove_duplicate_spans(
             F.transform(kept, lambda s: s["t"]), " "
         ).alias("text_clean"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    block_len: int = 10,
+) -> DataFrame:
+    """Fuzzy near-duplicate pairs by Levenshtein distance with prefix
+    blocking — the record-linkage workhorse for SHORT strings (names,
+    titles, product labels; for document bodies use MinHash/SimHash —
+    edit distance is O(len^2) per comparison).
+
+    Blocking: candidates must share the lowercased ``block_len``-char
+    prefix AND have lengths within ``max_dist`` (a true edit-distance
+    bound) — an equi-join, never all-pairs; pairs differing inside the
+    prefix are missed, the standard blocking recall trade (same contract
+    as the LSH band join; pick block_len <= the stable prefix of your
+    domain). Within a block the candidate set is quadratic — the same
+    hot-block caveat as n-gram shingles; ``lower(substring)`` is
+    deterministic so both engines see identical blocks. The JVM
+    ``levenshtein`` builtin verifies candidates (computed once, filter
+    on the aliased column).
+
+    Returns (id1, id2, dist), id1 < id2, dist <= max_dist.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+    ).withColumn("blk", F.substring("t", 1, block_len))
+    a = t.select(
+        F.col("id").alias("id1"), F.col("t").alias("t1"), "blk"
+    )
+    b = t.select(
+        F.col("id").alias("id2"), F.col("t").alias("t2"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (
+                F.abs(F.length("t1") - F.length("t2")) <= max_dist
+            )
+        )
+        .select(
+            "id1",
+            "id2",
+            F.levenshtein("t1", "t2").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -586,3 +586,61 @@ def js_divergence(
             (F.floor(F.sum(term) * 1000000) / 1000000).alias("jsd_q"),
         )
     )
+
+
+def chi2_terms(
+    docs: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Chi-squared term–class association — the classic feature-selection
+    / "which words characterize this domain" statistic (Manning & Schütze
+    ch. 5): for each (word, class), the 2x2 contingency test between
+    "token is this word" and "token is in this class".
+
+    chi2 = N (n11 n00 - n10 n01)^2 / ((n11+n10)(n01+n00)(n11+n01)(n10+n00))
+    over TOKEN counts. Every margin is integer-derived from two
+    map-combinable aggregates (word x class counts, class totals) and the
+    float expression tree is written identically in the DuckDB oracle, so
+    6-sig rendering matches. Shuffles: two counts + one broadcast of the
+    class-totals row set. Top-k on the 4dp-quantized score with
+    (class, word) tie-break — deterministic under ulp-near-ties.
+
+    Returns (class, word, n11, chi2_q) ordered by chi2 desc.
+    """
+    terms = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(_tokens(text_col)).alias("word"),
+    )
+    wc = terms.groupBy("cls", "word").agg(F.count("*").alias("n11"))
+    cls_tot = terms.groupBy("cls").agg(F.count("*").alias("n_cls"))
+    word_tot = wc.groupBy("word").agg(F.sum("n11").alias("n_word"))
+    grand = F.broadcast(cls_tot.agg(F.sum("n_cls").alias("n_all")))
+    n11 = F.col("n11").cast("double")
+    n10 = (F.col("n_word") - F.col("n11")).cast("double")
+    n01 = (F.col("n_cls") - F.col("n11")).cast("double")
+    n00 = (
+        F.col("n_all") - F.col("n_cls") - F.col("n_word") + F.col("n11")
+    ).cast("double")
+    num = (
+        F.col("n_all").cast("double")
+        * (n11 * n00 - n10 * n01)
+        * (n11 * n00 - n10 * n01)
+    )
+    den = (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+    return (
+        wc.filter(F.col("n11") >= min_count)
+        .join(F.broadcast(cls_tot), "cls")
+        .join(F.broadcast(word_tot), "word")
+        .crossJoin(grand)
+        .select(
+            F.col("cls").alias("class"),
+            "word",
+            "n11",
+            (F.floor(num / den * 10000) / 10000).alias("chi2_q"),
+        )
+        .orderBy(F.desc("chi2_q"), "class", "word")
+        .limit(top_k)
+    )

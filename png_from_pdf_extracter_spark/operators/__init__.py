@@ -11,7 +11,7 @@ from .salting import (
 from .ordering import explode_units, reassemble_turns, conversation_rollup
 from .quarantine import split_quarantine
 from .resume import completed_partitions, pending_only
-from .sessions import sessionize, session_stats
+from .sessions import event_transitions, sessionize, session_stats
 from .temporal import (
     asof_join,
     asof_join_broadcast,
@@ -48,6 +48,7 @@ __all__ = [
     "split_quarantine",
     "completed_partitions",
     "pending_only",
+    "event_transitions",
     "sessionize",
     "session_stats",
 ]

@@ -59,3 +59,49 @@ def session_stats(sessions: DataFrame, key_col: str, ts_col: str) -> DataFrame:
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).cast("long").alias("duration_s"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """First-order Markov transition table over per-key event sequences —
+    the behavioral-analytics staple (what follows "view"? where do
+    sessions leak?) and the input to sequence-anomaly scoring.
+
+    One window pass per key (state bounded by a key's event count, the
+    same skew domain sessionize already handles) producing lag pairs,
+    then a map-combinable count. The probability is the exact rational
+    n / n_from emitted at 6dp — integers until the one terminal division,
+    so cross-engine hashes cannot drift. ``order_cols`` appends
+    tie-breakers after ``ts_col`` for deterministic ordering on equal
+    timestamps.
+
+    Returns (from_type, to_type, n, p) ordered by (from_type, to_type).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -87,3 +87,61 @@ def test_ks_statistic_quantize_bins_map_side(spark):
     cur = spark.createDataFrame([(0.74,), (2.4,)], "v double")
     r = drift.ks_statistic(base, cur, "v", quantize=0).collect()[0]
     assert r["ks"] == 0.0
+
+
+def test_chi2_terms_closed_form(spark):
+    # 'cat' appears only in en, 'dog' only in de, 2 tokens each, N=4:
+    # chi2 = N(n11*n00 - n10*n01)^2 / (2*2*2*2) = 4*16/16 = 4.0 for all
+    d = spark.createDataFrame(
+        [(0, "cat cat", "en"), (1, "dog dog", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        (r["class"], r["word"]): (r["n11"], r["chi2_q"])
+        for r in lm.chi2_terms(d, min_count=1, top_k=10).collect()
+    }
+    assert rows == {("en", "cat"): (2, 4.0), ("de", "dog"): (2, 4.0)}
+
+
+def test_event_transitions_exact_probabilities(spark):
+    import datetime as dt
+
+    from png_from_pdf_extracter_spark.operators import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b a b ; user 2: a b
+    for u, seq in ((1, "abab"), (2, "ab")):
+        for i, s in enumerate(seq):
+            rows.append((u, i, t0 + dt.timedelta(minutes=i), s))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(ev, order_cols=("event_id",)).collect()
+    }
+    # from 'a': 3x -> b (p=1.0); from 'b': 1x -> a (p=1.0)
+    assert got == {("a", "b"): (3, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_edit_distance_pairs_blocked(spark):
+    from png_from_pdf_extracter_spark.functions import dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "Apple pie"),
+            (2, "apple pix"),
+            (3, "apple pie"),
+            (4, "banana"),
+            (5, "apple pie with extras"),  # same block, length off by >2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in dedup.edit_distance_pairs(
+            d, "doc_id", "text", max_dist=2, block_len=5
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
