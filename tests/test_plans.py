@@ -194,3 +194,66 @@ def test_bm25_takeordered_no_global_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_embed_covariance_single_pass_no_smj(spark):
+    """One corpus pass (a single MapInPandas node feeding the persisted
+    dim^2 aggregate) and every post-aggregate join broadcast — the
+    O(dim^2)-shuffle-keys contract of embedding_covariance."""
+    from png_from_pdf_extracter_spark.functions import dedup, similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.embedding_covariance(e)
+    plan = _plan(df)
+    # the four consumers (count / means as sx1 / means as sx2 / gram) all
+    # read the PERSISTED dim^2 aggregate — the corpus scan + BLAS pass
+    # materializes once at runtime even though each InMemoryTableScan
+    # prints its lineage
+    assert plan.count("InMemoryTableScan") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    dedup.release(df)
+
+
+def test_kmeans_assignment_map_only(spark):
+    """After centroid training, the per-row cluster assignment is a pure
+    map-side projection — no Exchange in the returned plan (the folded
+    centroid constant travels with the task, not through a shuffle)."""
+    from png_from_pdf_extracter_spark.functions import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(
+        similarity.kmeans_assign(e, n_clusters=4, iterations=1)
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_pmi_and_chi2_takeordered_broadcast_only(spark):
+    """Quantized top-k compiles to TakeOrderedAndProject (per-partition
+    partial top-k, no global sort) and all dictionary joins broadcast."""
+    import __spark_entry__ as em
+
+    for q in ("q_pmi_bigrams", "q_chi2_terms"):
+        plan = _plan(em.queries()[q](spark, SF))
+        assert "TakeOrderedAndProject" in plan, (q, plan)
+        assert "SortMergeJoin" not in plan, (q, plan)
+
+
+def test_edit_distance_block_join_is_equi(spark):
+    """The blocked candidate join must be an EQUI join on the prefix key
+    — never a cartesian/nested-loop all-pairs plan."""
+    from png_from_pdf_extracter_spark.functions import dedup
+
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    plan = _plan(
+        dedup.edit_distance_pairs(p, "p_partkey", "p_name")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_event_transitions_totals_broadcast(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["q_event_transitions"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
