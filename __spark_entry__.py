@@ -3148,6 +3148,81 @@ def _q_trend_per_group(spark, sf_dir):
     )
 
 
+def _q_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of order totals: min/max scalar
+    broadcast, map-side bucket assignment, map-combinable counts. Only
+    order-independent aggregates (count/min/max) are emitted — identical
+    expression tree both engines, no float-sum order exposure."""
+    o = _read(spark, sf_dir, "orders")
+    s = F.broadcast(
+        o.agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 20)
+        ),
+        F.lit(19),
+    ).cast("int")
+    return (
+        o.crossJoin(s)
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_ab_test(spark, sf_dir):
+    """Two-proportion z-test between deterministic user arms (user_id
+    parity): did arm A convert (>=1 purchase over 150) more than arm B?
+    (Every user has SOME purchase in the synthetic data — the value
+    threshold keeps the pooled proportion off the degenerate 0/1 edge
+    where the z denominator vanishes.) All margins integer-derived
+    per-user flags; z is one identical float expression both engines
+    (rounded 6dp)."""
+    ev = _read(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p1 = F.col("conv_a") / F.col("n_a")
+    p2 = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return m.select(
+        "n_a", "conv_a", "n_b", "conv_b", F.round(z, 6).alias("z")
+    )
+
+
 def _q_ks_drift(spark, sf_dir):
     from png_from_pdf_extracter_spark.functions import drift
 
@@ -3189,6 +3264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift": _q_ks_drift,
         "q_edit_distance": _q_edit_distance,
         "q_event_transitions": _q_event_transitions,
+        "q_histogram": _q_histogram,
+        "q_ab_test": _q_ab_test,
         "q_chi2_terms": _q_chi2_terms,
         "q_trend_per_group": _q_trend_per_group,
         "q_lang_id": _q_lang_id,
@@ -4870,6 +4947,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE n11 >= 5
             ORDER BY chi2_q DESC, class, word
             LIMIT 50
+        """,
+        "q_histogram": """
+            WITH s AS (
+              SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+              FROM orders
+            )
+            SELECT least(floor((o_totalprice - mn) / ((mx - mn) / 20)),
+                         19)::INT AS bucket,
+                   count(*)::BIGINT AS n,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM orders, s
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "q_ab_test": """
+            WITH per_user AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              AND value > 150 THEN 1
+                         ELSE 0 END) AS conv,
+                     (user_id % 2)::INT AS arm
+              FROM events GROUP BY user_id
+            ),
+            m AS (
+              SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                     sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT
+                       AS conv_a,
+                     sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_b,
+                     sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT
+                       AS conv_b
+              FROM per_user
+            )
+            SELECT n_a, conv_a, n_b, conv_b,
+                   round(
+                     (conv_a / CAST(n_a AS DOUBLE)
+                      - conv_b / CAST(n_b AS DOUBLE))
+                     / sqrt(
+                         ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                         * (1 - (conv_a + conv_b)
+                                / CAST(n_a + n_b AS DOUBLE))
+                         * (1 / CAST(n_a AS DOUBLE)
+                            + 1 / CAST(n_b AS DOUBLE))),
+                     6) AS z
+            FROM m
         """,
         "q_trend_per_group": """
             SELECT event_type, count(*)::BIGINT AS n,

@@ -372,6 +372,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_event_transitions",
         "q_chi2_terms",
         "q_trend_per_group",
+        "q_histogram",
+        "q_ab_test",
         "q_merge_upsert",
         "q_scd2",
         "q_pagerank",
