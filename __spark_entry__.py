@@ -2664,6 +2664,26 @@ def _q_pagerank(spark, sf_dir):
     return pagerank_fixed_point(edges, iters=3)
 
 
+def _q_hits(spark, sf_dir):
+    """HITS hubs & authorities, 2 unrolled iterations (functions/graph.py
+    hits) over the same deterministic orders-derived graph as q_pagerank.
+    Unnormalized integer scores — the per-round L2 normalizer is a global
+    positive scalar that cannot change rankings, so dropping it makes the
+    iterative algorithm exactly oracle-checkable (BIGINT end to end)."""
+    from png_from_pdf_extracter_spark.functions.graph import hits
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % 1500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return hits(edges, iterations=2)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR-style importance weights for data selection (hashed unigram
     importance of a target domain vs the raw corpus — Xie et al.'s Data
@@ -3378,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": _q_merge_upsert,
         "q_scd2": _q_scd2,
         "q_pagerank": _q_pagerank,
+        "q_hits": _q_hits,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5612,6 +5633,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT uk, useg, ts, CAST(NULL AS INTEGER), true
             FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cseg <> useg)
+        """,
+        "q_hits": """
+            WITH e AS (
+              SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            -- iteration 1: hub_0 = 1
+            a1 AS (SELECT dst AS node, count(*)::BIGINT AS auth
+                   FROM e GROUP BY dst),
+            h1 AS (SELECT src AS node, sum(COALESCE(a1.auth, 0))::BIGINT
+                     AS hub
+                   FROM e LEFT JOIN a1 ON e.dst = a1.node GROUP BY src),
+            -- iteration 2
+            a2 AS (SELECT dst AS node, sum(COALESCE(h1.hub, 0))::BIGINT
+                     AS auth
+                   FROM e LEFT JOIN h1 ON e.src = h1.node GROUP BY dst),
+            h2 AS (SELECT src AS node, sum(COALESCE(a2.auth, 0))::BIGINT
+                     AS hub
+                   FROM e LEFT JOIN a2 ON e.dst = a2.node GROUP BY src)
+            SELECT n.node,
+                   COALESCE(h2.hub, 0)::BIGINT AS hub,
+                   COALESCE(a2.auth, 0)::BIGINT AS auth
+            FROM nodes n
+            LEFT JOIN h2 ON n.node = h2.node
+            LEFT JOIN a2 ON n.node = a2.node
         """,
         "q_pagerank": """
             WITH e AS (

@@ -76,3 +76,75 @@ def pagerank_fixed_point(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over ``edges(src, dst)`` —
+    PageRank's companion for link analysis: an AUTHORITY is pointed to by
+    good hubs, a HUB points to good authorities.
+
+        auth_k(v) = sum_{u->v} hub_{k-1}(u)
+        hub_k(u)  = sum_{u->v} auth_k(v)
+
+    Deliberately UNNORMALIZED integer arithmetic: classic HITS divides by
+    the L2 norm each round purely to prevent value blow-up — the
+    normalizer is one positive global scalar per round, so it cannot
+    change any ranking. Dropping it keeps every score an exact BIGINT
+    (bit-exact across engines/partitionings, SQL-oracle-checkable, the
+    ``pagerank_fixed_point`` trick); magnitudes grow ~(avg degree)^(2k)
+    per iteration, so the int64 headroom supports the usual handful of
+    rounds on web-scale degree distributions (overflow = raise
+    ``iterations`` consciously, not silently).
+
+    Each half-step is ONE equi-join + ONE map-combinable aggregate over
+    the edge list, shuffled on the node id — the Pregel plan shape; no
+    driver-side state. ``checkpoint_every`` truncates lineage for long
+    runs. Returns (node, hub, auth); nodes without out-/in-edges score 0
+    on that axis.
+    """
+    src = F.col("src")
+    dst = F.col("dst")
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for i in range(iterations):
+        a = (
+            edges.join(hub, edges["src"] == hub["node"])
+            .select(dst.alias("node"), "hub")
+            .groupBy("node")
+            .agg(F.sum("hub").alias("in_sum"))
+        )
+        auth = nodes.join(a, "node", "left").select(
+            "node",
+            F.coalesce("in_sum", F.lit(0)).cast("long").alias("auth"),
+        )
+        h = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .select(src.alias("node"), "auth")
+            .groupBy("node")
+            .agg(F.sum("auth").alias("out_sum"))
+        )
+        hub = nodes.join(h, "node", "left").select(
+            "node",
+            F.coalesce("out_sum", F.lit(0)).cast("long").alias("hub"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+            F.coalesce("auth", F.lit(0)).alias("auth"),
+        )
+    )

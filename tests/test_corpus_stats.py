@@ -145,3 +145,17 @@ def test_edit_distance_pairs_blocked(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_hits_star_graph_closed_form(spark):
+    """Star graph center->leaf_i (3 leaves), 2 iterations, unnormalized:
+    a1(leaf)=1, h1(center)=3, a2(leaf)=3, h2(center)=9."""
+    from png_from_pdf_extracter_spark.functions.graph import hits
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["hub"], r["auth"]) for r in hits(e, 2).collect()
+    }
+    assert got == {0: (9, 0), 1: (0, 3), 2: (0, 3), 3: (0, 3)}
