@@ -3243,6 +3243,50 @@ def _q_ab_test(spark, sf_dir):
     )
 
 
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: token count vs distinct-word count
+    over 10 nested corpus subsets (doc_id % 10 < k — deterministic,
+    order-free nesting), plus the log-log Heaps exponent via regr_slope
+    over the 10 integer-derived points. One explode feeds all subsets
+    (conditional aggregates, no per-k scans)."""
+    from png_from_pdf_extracter_spark.functions.lm import _tokens
+
+    d = _read(spark, sf_dir, "documents")
+    terms = d.select(
+        (F.col("doc_id") % 10).alias("m"),
+        F.explode(_tokens("text")).alias("word"),
+    )
+    # per (word, m): then per word the MINIMAL m bucket it appears in —
+    # vocab at subset k = words with min_m < k; tokens at k = cumulative
+    per_word = terms.groupBy("word").agg(
+        F.min("m").alias("first_m"), F.count("*").alias("n_all")
+    )
+    tok_per_m = terms.groupBy("m").agg(F.count("*").alias("n_tok"))
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    vocab = (
+        ks.join(per_word, F.col("first_m") < F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("vocab"))
+    )
+    tokens = (
+        ks.join(tok_per_m, F.col("m") < F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    pts = vocab.join(tokens, "k").select(
+        "k", "n_tokens", "vocab",
+        F.log2("n_tokens").alias("x"), F.log2("vocab").alias("y"),
+    )
+    slope = pts.agg(
+        F.round(F.regr_slope("y", "x"), 4).alias("heaps_beta")
+    )
+    return (
+        pts.select("k", "n_tokens", "vocab")
+        .crossJoin(F.broadcast(slope))
+        .orderBy("k")
+    )
+
+
 def _q_ks_drift(spark, sf_dir):
     from png_from_pdf_extracter_spark.functions import drift
 
@@ -3286,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": _q_event_transitions,
         "q_histogram": _q_histogram,
         "q_ab_test": _q_ab_test,
+        "q_vocab_growth": _q_vocab_growth,
         "q_chi2_terms": _q_chi2_terms,
         "q_trend_per_group": _q_trend_per_group,
         "q_lang_id": _q_lang_id,
@@ -5023,6 +5068,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q_vocab_growth": """
+            WITH terms AS (
+              SELECT doc_id % 10 AS m,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            per_word AS (
+              SELECT word, min(m) AS first_m FROM terms GROUP BY word
+            ),
+            tok_per_m AS (
+              SELECT m, count(*)::BIGINT AS n_tok FROM terms GROUP BY m
+            ),
+            ks AS (SELECT unnest(generate_series(1, 10))::INT AS k),
+            vocab AS (
+              SELECT k, count(*)::BIGINT AS vocab
+              FROM ks JOIN per_word ON first_m < k GROUP BY k
+            ),
+            tokens AS (
+              SELECT k, sum(n_tok)::BIGINT AS n_tokens
+              FROM ks JOIN tok_per_m ON m < k GROUP BY k
+            ),
+            pts AS (
+              SELECT k, n_tokens, vocab,
+                     log2(n_tokens) AS x, log2(vocab) AS y
+              FROM vocab JOIN tokens USING (k)
+            ),
+            slope AS (
+              SELECT round(regr_slope(y, x), 4) AS heaps_beta FROM pts
+            )
+            SELECT k, n_tokens, vocab, heaps_beta
+            FROM pts, slope
+            ORDER BY k
         """,
         "q_ks_drift": """
             WITH u AS (

@@ -375,6 +375,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_histogram",
         "q_ab_test",
         "q_hits",
+        "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",
         "q_pagerank",
