@@ -3244,17 +3244,30 @@ def _q_ab_test(spark, sf_dir):
 
 
 def _q_vocab_growth(spark, sf_dir):
-    """Heaps'-law vocabulary growth: token count vs distinct-word count
-    over 10 nested corpus subsets (doc_id % 10 < k — deterministic,
-    order-free nesting), plus the log-log Heaps exponent via regr_slope
-    over the 10 integer-derived points. One explode feeds all subsets
-    (conditional aggregates, no per-k scans)."""
+    """Heaps'-law vocabulary growth: token count vs distinct-TRIGRAM
+    count over 10 nested corpus subsets (doc_id % 10 < k —
+    deterministic, order-free nesting), plus the log-log Heaps exponent
+    via regr_slope over the 10 integer-derived points. Trigrams, not
+    unigrams: the synthetic generator draws from a fixed 31-word list,
+    so the unigram curve saturates immediately (and a constant y makes
+    regr_slope float-noise around +/-0.0 — sign-normalized with + 0.0
+    anyway). One explode feeds all subsets (conditional aggregates, no
+    per-k scans)."""
     from png_from_pdf_extracter_spark.functions.lm import _tokens
 
+    w = _tokens("text")
+    s1 = F.slice(w, 1, F.size(w) - 2)
+    s2 = F.slice(w, 2, F.size(w) - 2)
+    s3 = F.slice(w, 3, F.size(w) - 2)
+    tri = F.zip_with(
+        F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        s3,
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
     d = _read(spark, sf_dir, "documents")
-    terms = d.select(
+    terms = d.filter(F.size(w) >= 3).select(
         (F.col("doc_id") % 10).alias("m"),
-        F.explode(_tokens("text")).alias("word"),
+        F.explode(tri).alias("word"),
     )
     # per (word, m): then per word the MINIMAL m bucket it appears in —
     # vocab at subset k = words with min_m < k; tokens at k = cumulative
@@ -3278,7 +3291,12 @@ def _q_vocab_growth(spark, sf_dir):
         F.log2("n_tokens").alias("x"), F.log2("vocab").alias("y"),
     )
     slope = pts.agg(
-        F.round(F.regr_slope("y", "x"), 4).alias("heaps_beta")
+        # + 0.0 collapses IEEE -0.0 to 0.0 (a constant-y corpus rounds
+        # regr_slope's float noise to a signed zero that renders
+        # differently across engines)
+        (F.round(F.regr_slope("y", "x"), 4) + F.lit(0.0)).alias(
+            "heaps_beta"
+        )
     )
     return (
         pts.select("k", "n_tokens", "vocab")
@@ -5070,12 +5088,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "q_vocab_growth": """
-            WITH terms AS (
+            WITH toks AS (
               SELECT doc_id % 10 AS m,
-                     unnest(list_filter(
+                     list_filter(
                        regexp_split_to_array(lower(trim(text)), '\\s+'),
-                       x -> length(x) > 0)) AS word
+                       x -> length(x) > 0) AS w
               FROM documents
+            ),
+            terms AS (
+              SELECT m,
+                     unnest(w[1:len(w)-2]) || ' ' || unnest(w[2:len(w)-1])
+                       || ' ' || unnest(w[3:len(w)]) AS word
+              FROM toks WHERE len(w) >= 3
             ),
             per_word AS (
               SELECT word, min(m) AS first_m FROM terms GROUP BY word
@@ -5098,7 +5122,8 @@ def oracle_sql() -> dict[str, str]:
               FROM vocab JOIN tokens USING (k)
             ),
             slope AS (
-              SELECT round(regr_slope(y, x), 4) AS heaps_beta FROM pts
+              SELECT round(regr_slope(y, x), 4) + 0.0 AS heaps_beta
+              FROM pts
             )
             SELECT k, n_tokens, vocab, heaps_beta
             FROM pts, slope
