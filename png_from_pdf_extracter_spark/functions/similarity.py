@@ -1230,6 +1230,11 @@ def pca_whiten(
     cov_rows = cov_df.collect()
     for dep in getattr(cov_df, "_spark_graft_cached", []):
         dep.unpersist()
+    if not cov_rows:
+        raise ValueError(
+            "pca_whiten: empty corpus or all-null vector column "
+            f"{vec_col!r} — covariance is undefined"
+        )
     dim = max(r["d2"] for r in cov_rows) + 1
     c = np.zeros((dim, dim))
     for r in cov_rows:

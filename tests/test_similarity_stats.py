@@ -85,3 +85,11 @@ def test_pca_whiten_clamps_degenerate_dims(spark):
     variances = mat.var(axis=0, ddof=1)
     # two live dims whiten to variance 1; the degenerate one stays ~0
     assert sorted(v > 0.5 for v in variances) == [False, True, True]
+
+
+def test_pca_whiten_empty_corpus_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.pca_whiten(df)
