@@ -3168,7 +3168,7 @@ def _q_trend_per_group(spark, sf_dir):
     )
 
 
-def _q_histogram(spark, sf_dir):
+def _q_price_histogram(spark, sf_dir):
     """Equi-width 20-bin histogram of order totals: min/max scalar
     broadcast, map-side bucket assignment, map-combinable counts. Only
     order-independent aggregates (count/min/max) are emitted — identical
@@ -3346,7 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift": _q_ks_drift,
         "q_edit_distance": _q_edit_distance,
         "q_event_transitions": _q_event_transitions,
-        "q_histogram": _q_histogram,
+        "q_price_histogram": _q_price_histogram,
         "q_ab_test": _q_ab_test,
         "q_vocab_growth": _q_vocab_growth,
         "q_chi2_terms": _q_chi2_terms,
@@ -5032,7 +5032,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY chi2_q DESC, class, word
             LIMIT 50
         """,
-        "q_histogram": """
+        "q_price_histogram": """
             WITH s AS (
               SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
               FROM orders

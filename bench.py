@@ -372,7 +372,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_event_transitions",
         "q_chi2_terms",
         "q_trend_per_group",
-        "q_histogram",
+        "q_price_histogram",
         "q_ab_test",
         "q_hits",
         "q_vocab_growth",
