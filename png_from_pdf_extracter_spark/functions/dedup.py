@@ -960,9 +960,11 @@ def edit_distance_pairs(
     as the LSH band join; pick block_len <= the stable prefix of your
     domain). Within a block the candidate set is quadratic — the same
     hot-block caveat as n-gram shingles; ``lower(substring)`` is
-    deterministic so both engines see identical blocks. The JVM
-    ``levenshtein`` builtin verifies candidates (computed once, filter
-    on the aliased column).
+    deterministic so both engines see identical blocks. Verification is
+    the JVM ``levenshtein`` builtin in its BOUNDED form (threshold arg:
+    O(len*max_dist) banded DP with early exit instead of O(len^2); -1
+    above the bound) behind an equality shortcut — duplicate-heavy
+    domains skip the DP entirely for exact matches.
 
     Returns (id1, id2, dist), id1 < id2, dist <= max_dist.
     """
@@ -987,7 +989,11 @@ def edit_distance_pairs(
         .select(
             "id1",
             "id2",
-            F.levenshtein("t1", "t2").alias("dist"),
+            F.when(F.col("t1") == F.col("t2"), F.lit(0))
+            .otherwise(
+                F.levenshtein(F.col("t1"), F.col("t2"), max_dist)
+            )
+            .alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
