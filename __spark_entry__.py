@@ -3317,6 +3317,74 @@ def _q_ks_drift(spark, sf_dir):
     )
 
 
+def _q_classifier_auc(spark, sf_dir):
+    """Quality-classifier evaluation: ROC-AUC (Mann-Whitney rank-sum,
+    exact BIGINT numerator — functions/evalmetrics.py) + confusion
+    counts at threshold 0 of the hashed linear classifier
+    (curate.hashed_linear_score) against a planted label (lang='en'),
+    stratified by source. One window exchange + two combinable
+    aggregates joined on the tiny group key."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    auc = evalmetrics.roc_auc(scored, "score", "y", group_cols=("source",))
+    conf = evalmetrics.confusion_counts(
+        scored, F.col("score") > 0, "y", group_cols=("source",)
+    )
+    return auc.join(F.broadcast(conf), "source")
+
+
+def _q_triangles(spark, sf_dir):
+    """Per-node triangle counts on the orders-derived graph (same edge
+    derivation as q_pagerank) via degree-ordered orientation
+    (functions/graph.py triangle_count) — the hub-safe algorithm whose
+    wedge fan-out is bounded O(sqrt(|E|)) per node; the oracle
+    enumerates the identical triangle set with the naive canonical
+    a<b<c three-way join."""
+    from png_from_pdf_extracter_spark.functions.graph import triangle_count
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % 1500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease readability gate (functions/text.py
+    flesch_reading_ease — vowel-group syllable estimator, floor-4dp
+    score) with a banded difficulty class; map-only, whole-stage
+    codegen, the shape of every corpus-wide readability filter."""
+    d = _read(spark, sf_dir, "documents")
+    fre = text.flesch_reading_ease("text")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(text.words("text"), lambda t: F.length(t) > 0))
+        .cast("long")
+        .alias("n_words"),
+        text.sentence_count("text").alias("n_sentences"),
+        text.syllable_count("text").alias("n_syllables"),
+        fre.alias("flesch"),
+        F.when(fre >= 60, F.lit("easy"))
+        .when(fre >= 30, F.lit("medium"))
+        .when(fre.isNotNull(), F.lit("hard"))
+        .alias("band"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3462,6 +3530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": _q_scd2,
         "q_pagerank": _q_pagerank,
         "q_hits": _q_hits,
+        "q_triangles": _q_triangles,
+        "q_classifier_auc": _q_classifier_auc,
+        "q_readability": _q_readability,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5357,6 +5428,96 @@ def oracle_sql() -> dict[str, str]:
                      AS cleaned_text
             FROM pos p
             GROUP BY p.doc_id
+        """,
+        "q_triangles": """
+            WITH e AS (
+              SELECT DISTINCT least(o_custkey, o_orderkey % 1500) AS a,
+                              greatest(o_custkey, o_orderkey % 1500) AS b
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, count(*)::BIGINT AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY node
+        """,
+        "q_classifier_auc": """
+            WITH sc AS (
+              SELECT source,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                            % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000) / 10000 AS score
+              FROM (
+                SELECT source, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            r AS (
+              SELECT source, y, score,
+                     2 * rank() OVER (PARTITION BY source ORDER BY score)
+                       + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+              FROM sc
+            ),
+            a AS (
+              SELECT source,
+                     sum(y)::BIGINT AS n_pos,
+                     (count(*) - sum(y))::BIGINT AS n_neg,
+                     sum(CASE WHEN y = 1 THEN r2 ELSE 0 END)::BIGINT AS r2pos,
+                     sum(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN score > 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN score <= 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN score <= 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+              FROM r GROUP BY source
+            )
+            SELECT source, n_pos, n_neg,
+                   (r2pos - n_pos * (n_pos + 1))::BIGINT AS auc_num2,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     (r2pos - n_pos * (n_pos + 1))::DOUBLE
+                       / (2 * n_pos * n_neg)::DOUBLE
+                   END AS auc,
+                   tp, fp, fn, tn
+            FROM a
+        """,
+        "q_readability": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0))::BIGINT AS n_words,
+                     greatest(length(regexp_extract_all(text, '[.!?]+')),
+                              1)::BIGINT AS n_sentences,
+                     length(regexp_extract_all(lower(text),
+                              '[aeiouy]+'))::BIGINT AS n_syllables
+              FROM documents
+            ),
+            f AS (
+              SELECT *,
+                     CASE WHEN n_words > 0 THEN
+                       floor((206.835
+                              - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                              - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+                             * 10000) / 10000
+                     END AS flesch
+              FROM m
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+                   CASE WHEN flesch >= 60 THEN 'easy'
+                        WHEN flesch >= 30 THEN 'medium'
+                        WHEN flesch IS NOT NULL THEN 'hard'
+                   END AS band
+            FROM f
         """,
         "q_hash_classifier": """
             WITH toks AS (

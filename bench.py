@@ -375,6 +375,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_price_histogram",
         "q_ab_test",
         "q_hits",
+        "q_triangles",
+        "q_classifier_auc",
+        "q_readability",
         "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",

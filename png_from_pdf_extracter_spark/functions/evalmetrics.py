@@ -1,0 +1,117 @@
+"""Classifier / ranking evaluation metrics as pure DataFrame plans.
+
+A curation stack trains quality classifiers (fastText-shape hashed
+linear models, `curate.hashed_linear_score`) and has to EVALUATE them
+on held-out labels before gating 100 TB of corpus on their output. The
+canonical threshold-free metric is ROC-AUC; the canonical thresholded
+report is the confusion matrix. Both are implemented here as one-pass
+window + aggregate plans — no collect, no Python, no per-row UDF.
+
+Determinism / oracle story (the repo convention): ROC-AUC is computed
+via the Mann-Whitney rank-sum identity
+
+    AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg)
+
+where R_pos is the sum of the positives' AVERAGE ranks (ties share the
+mean of their rank range). Average ranks are multiples of 1/2, so we
+keep ``2*R_pos`` in BIGINT space: ``2*avg_rank = 2*rank() + n_ties - 1``
+(rank() = the minimum rank of the tie group). The whole statistic is
+integer until one terminal division — bit-exact across engines and
+partitionings, per the repo's exact-rational emitter rule.
+
+Scale notes: one exchange on the group key for the rank window (the
+sort is per-group, skew bounded by the largest group), then one
+combinable aggregate. The tie count is a window over (group, score) —
+same exchange, no extra shuffle. For a global (ungrouped) AUC over
+10^12 rows a single-partition sort would be the bottleneck; group by a
+stratum (source, language, shard) as this API encourages, then combine
+per-group counts driver-side if a pooled number is needed.
+
+Reference analog: the reference has no evaluation surface; this is the
+training-data-pipeline extension the brief asks for (quality-classifier
+gate, `/root/reference/src/services/whitelist_service.py:26-38` being
+its only "classifier").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group ROC-AUC of ``score_col`` against binary ``label_col``.
+
+    ``label_col`` must be 0/1 (int or boolean — cast yourself). Returns
+    one row per group: ``(group..., n_pos, n_neg, auc_num2, auc)`` where
+    ``auc_num2 = 2*R_pos - 2*n_pos*(n_pos+1)/2`` is the exact BIGINT
+    numerator (AUC = auc_num2 / (2*n_pos*n_neg)) and ``auc`` is the one
+    terminal division (NULL when a group has no positives or no
+    negatives — AUC is undefined there, not 0).
+
+    Ties get average ranks (the standard Mann-Whitney treatment), so a
+    constant classifier scores exactly 0.5.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    gcols = [F.col(g) for g in group_cols]
+
+    w_rank = Window.partitionBy(*gcols).orderBy(s)
+    w_tie = Window.partitionBy(*gcols, s)
+    # 2 * average rank of this row's tie group, as BIGINT
+    two_avg_rank = (
+        2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+    ).cast("long")
+
+    ranked = df.select(
+        *gcols,
+        y.cast("long").alias("__y"),
+        two_avg_rank.alias("__r2"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("__y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).alias("n_neg"),
+        F.sum(F.when(F.col("__y") == 1, F.col("__r2")).otherwise(F.lit(0)))
+        .alias("__r2pos"),
+    )
+    num2 = (
+        F.col("__r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        num2.alias("auc_num2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            num2.cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )
+
+
+def confusion_counts(
+    df: DataFrame,
+    pred_col: str | Column,
+    label_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group confusion matrix of a boolean prediction vs a 0/1 label:
+    ``(group..., tp, fp, fn, tn)`` — one combinable aggregate, all
+    BIGINT. Derived rates (precision/recall/F1) are one exact terminal
+    division away; emit them at the call site so the integer counts stay
+    the hashable record."""
+    p = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    p = p.cast("boolean")
+    yl = y.cast("long")
+    return df.groupBy(*group_cols).agg(
+        F.sum(F.when(p & (yl == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(p & (yl == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~p & (yl == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~p & (yl == 0), 1).otherwise(0)).alias("tn"),
+    )

@@ -186,3 +186,43 @@ def error_classify(col) -> Column:
         .when(c.rlike("(?i)timeout|timed out"), F.lit("timeout"))
         .otherwise(F.lit("ok"))
     )
+
+
+# ---------------------------------------------------------- readability
+
+def sentence_count(col) -> Column:
+    """Sentence count as runs of terminal punctuation ([.!?]+ counts as
+    one boundary), floored at 1 so ratio formulas never divide by zero.
+    A heuristic, like every large-scale readability pass — the contract
+    is determinism, not linguistic truth."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+
+
+def syllable_count(col) -> Column:
+    """Approximate syllables = vowel-group runs ([aeiouy]+) over the
+    lowercased text — the standard cheap estimator used by readability
+    gates at corpus scale (exact syllabification needs a dictionary)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")).cast("long")
+
+
+def flesch_reading_ease(col) -> Column:
+    """Flesch reading-ease score
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``,
+    floor-quantized to 4dp (same rationale as quality_score: the raw
+    arithmetic is the same IEEE double on every engine; round() flips on
+    ties, floor never does). NULL for word-free documents — undefined,
+    not 0. Map-only, whole-stage codegen: the 100-TB-safe quality gate."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.size(F.filter(words(c), lambda t: F.length(t) > 0)).cast("double")
+    s = sentence_count(c).cast("double")
+    y = syllable_count(c).cast("double")
+    raw = (
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    )
+    return F.when(
+        w > 0, F.floor(raw * F.lit(10000.0)) / F.lit(10000.0)
+    )

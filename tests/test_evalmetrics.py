@@ -1,0 +1,132 @@
+"""Classifier-evaluation metrics (functions/evalmetrics.py): ROC-AUC by
+the Mann-Whitney rank identity against closed-form cases — perfect,
+inverted, constant (all-ties -> exactly 0.5 via average ranks), and a
+hand-computed mixed ranking — plus confusion-count arithmetic."""
+
+from pyspark.sql import Row
+
+from png_from_pdf_extracter_spark.functions.evalmetrics import (
+    confusion_counts,
+    roc_auc,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(score=float(s), y=int(y)) for s, y in rows]
+    )
+
+
+def _auc(spark, rows):
+    out = roc_auc(_df(spark, rows), "score", "y").collect()
+    assert len(out) == 1
+    return out[0]
+
+
+def test_auc_perfect_separation(spark):
+    r = _auc(spark, [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)])
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_auc_inverted_classifier_is_zero(spark):
+    r = _auc(spark, [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)])
+    assert r["auc"] == 0.0
+
+
+def test_auc_constant_score_is_half(spark):
+    # all ties: average ranks make AUC exactly 0.5, not 0 or 1
+    r = _auc(spark, [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1), (0.5, 1)])
+    assert r["auc"] == 0.5
+
+
+def test_auc_hand_computed_with_tie(spark):
+    # scores: 0.1(y0) 0.4(y1) 0.4(y0) 0.7(y1) -> ranks 1, 2.5, 2.5, 4
+    # R_pos = 2.5 + 4 = 6.5 ; AUC = (6.5 - 3) / (2*2) = 0.875
+    r = _auc(spark, [(0.1, 0), (0.4, 1), (0.4, 0), (0.7, 1)])
+    assert r["auc_num2"] == 2 * 13 // 2 - 2 * 3  # 2*R_pos - n_pos(n_pos+1)
+    assert r["auc"] == 0.875
+
+
+def test_auc_degenerate_group_is_null(spark):
+    r = _auc(spark, [(0.3, 1), (0.9, 1)])  # no negatives
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_auc_grouped_independent(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="a", score=0.1, y=0),
+            Row(g="a", score=0.9, y=1),
+            Row(g="b", score=0.9, y=0),
+            Row(g="b", score=0.1, y=1),
+        ]
+    )
+    out = {
+        r["g"]: r["auc"]
+        for r in roc_auc(df, "score", "y", group_cols=("g",)).collect()
+    }
+    assert out == {"a": 1.0, "b": 0.0}
+
+
+def test_confusion_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(p=True, y=1),   # tp
+            Row(p=True, y=0),   # fp
+            Row(p=False, y=1),  # fn
+            Row(p=False, y=0),  # tn
+            Row(p=True, y=1),   # tp
+        ]
+    )
+    r = confusion_counts(df, "p", "y").collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+
+
+# --------------------------------------------------- readability (text.py)
+# colocated with the classifier metrics: both are corpus quality gates.
+
+def _readability_row(spark, s):
+    from png_from_pdf_extracter_spark.functions import text
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame([Row(text=s)])
+        .select(
+            F.size(
+                F.filter(text.words("text"), lambda t: F.length(t) > 0)
+            ).alias("w"),
+            text.sentence_count("text").alias("s"),
+            text.syllable_count("text").alias("y"),
+            text.flesch_reading_ease("text").alias("fre"),
+        )
+        .collect()[0]
+    )
+
+
+def test_flesch_hand_computed(spark):
+    r = _readability_row(spark, "The cat sat. It ran!")
+    assert (r["w"], r["s"], r["y"]) == (5, 2, 5)
+    import math
+
+    expect = math.floor(
+        (206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)) * 10000
+    ) / 10000
+    assert r["fre"] == expect
+
+
+def test_flesch_no_punctuation_floors_sentences_at_one(spark):
+    r = _readability_row(spark, "hello world")
+    assert r["s"] == 1 and r["w"] == 2
+
+
+def test_flesch_empty_is_null_not_zero(spark):
+    r = _readability_row(spark, "")
+    assert r["w"] == 0 and r["fre"] is None
+
+
+def test_flesch_monosyllabic_easier_than_polysyllabic(spark):
+    easy = _readability_row(spark, "The dog ran. The cat sat.")
+    hard = _readability_row(
+        spark, "Institutional bureaucratization necessitates reorganization."
+    )
+    assert easy["fre"] > hard["fre"]

@@ -50,3 +50,53 @@ def test_pagerank_partitioning_invariant(spark):
         _edges(spark, pairs).repartition(16), iters=4, checkpoint_every=2
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangle_count_k4(spark):
+    """K4 has 4 triangles; every node sits in exactly 3."""
+    from png_from_pdf_extracter_spark.functions.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = {
+        row["node"]: row["n_triangles"]
+        for row in triangle_count(_edges(spark, k4)).collect()
+    }
+    assert r == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_square_and_star_have_none(spark):
+    from png_from_pdf_extracter_spark.functions.graph import triangle_count
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    star = [(9, i) for i in range(5)]
+    assert triangle_count(_edges(spark, square)).count() == 0
+    assert triangle_count(_edges(spark, star)).count() == 0
+
+
+def test_triangle_count_direction_and_dupes_normalized(spark):
+    """Reversed duplicates and self-loops must not create or double-count
+    triangles — the input contract is 'any directed multi-edge dump'."""
+    from png_from_pdf_extracter_spark.functions.graph import triangle_count
+
+    messy = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 2), (0, 0)]
+    r = {
+        row["node"]: row["n_triangles"]
+        for row in triangle_count(_edges(spark, messy)).collect()
+    }
+    assert r == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_hub_orientation(spark):
+    """A hub fanning to many leaves plus one closing edge: exactly one
+    triangle, and the degree orientation keeps the hub's out-degree at
+    zero wedge work (all hub edges point INTO the hub)."""
+    from png_from_pdf_extracter_spark.functions.graph import triangle_count
+
+    hub = [(100, i) for i in range(20)] + [(0, 1)]
+    r = {
+        row["node"]: row["n_triangles"]
+        for row in triangle_count(_edges(spark, hub)).collect()
+    }
+    assert r == {0: 1, 1: 1, 100: 1}
