@@ -3385,6 +3385,44 @@ def _q_readability(spark, sf_dir):
     )
 
 
+def _q_chunk_sliding(spark, sf_dir):
+    """Sliding-window RAG chunking (curate.chunk_sliding, size=50
+    stride=40 -> 10-token overlap): map-side tokenize -> sequence ->
+    explode -> slice, zero shuffles; chunk md5 fingerprints feed
+    chunk-level dedup downstream."""
+    d = _read(spark, sf_dir, "documents")
+    return curate.chunk_sliding(d, size=50, stride=40)
+
+
+def _q_embed_quantize(spark, sf_dir):
+    """int8 scalar quantization + reconstruction-error report over the
+    embeddings table (similarity.scalar_quantize): max-abs symmetric
+    scaling, floor(x+0.5) rounding (engine-agnostic on .5 boundaries),
+    order-independent emitters (BIGINT code checksum, max-abs error)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize(e)
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (search.rrf_fuse, k=60)
+    of the BM25 top-20 lexical ranking (same 3-term query as q_bm25)
+    with the exact cosine top-20 dense ranking for query vector 0
+    (vec_id joins doc_id — the synthetic tables share the id space).
+    The fused window is bounded by the two candidate lists."""
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = search.bm25_topk(
+        docs, ["vector", "stream", "merge"], top_k=20
+    ).select("doc_id", "rank")
+    dense = (
+        similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=20
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return search.rrf_fuse(lex, dense, k=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3533,6 +3571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": _q_triangles,
         "q_classifier_auc": _q_classifier_auc,
         "q_readability": _q_readability,
+        "q_chunk_sliding": _q_chunk_sliding,
+        "q_embed_quantize": _q_embed_quantize,
+        "q_rrf_fusion": _q_rrf_fusion,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5428,6 +5469,140 @@ def oracle_sql() -> dict[str, str]:
                      AS cleaned_text
             FROM pos p
             GROUP BY p.doc_id
+        """,
+        "q_chunk_sliding": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS toks
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, toks, len(toks) AS n
+              FROM t WHERE len(toks) > 0
+            ),
+            s AS (
+              SELECT doc_id, toks, n, unnest(range(0, n, 40)) AS start
+              FROM b
+            )
+            SELECT doc_id,
+                   (start // 40)::INTEGER AS chunk_idx,
+                   start::INTEGER AS start,
+                   len(toks[start + 1 : start + 50])::INTEGER
+                     AS n_chunk_tokens,
+                   md5(array_to_string(toks[start + 1 : start + 50], ' '))
+                     AS chunk_fp
+            FROM s
+        """,
+        "q_embed_quantize": """
+            WITH m AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v,
+                     list_max(list_transform(embedding,
+                                             x -> abs(x::DOUBLE))) AS amax
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, v, amax, amax / 127.0 AS scale FROM m
+            )
+            SELECT vec_id,
+                   len(v)::INTEGER AS dims,
+                   CASE WHEN amax > 0
+                        THEN floor(scale * 1e9) / 1e9 ELSE 0.0 END
+                     AS scale_q,
+                   CASE WHEN amax > 0 THEN
+                     list_sum(list_transform(v,
+                       x -> floor(x / scale + 0.5)::BIGINT))::BIGINT
+                   ELSE 0 END AS sum_codes,
+                   CASE WHEN amax > 0 THEN
+                     floor(list_max(list_transform(v,
+                       x -> abs(x - floor(x / scale + 0.5) * scale)))
+                       * 1e9) / 1e9
+                   ELSE 0.0 END AS max_abs_err
+            FROM s
+        """,
+        "q_rrf_fusion": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ),
+            base AS (SELECT doc_id, len(t) AS dl, t FROM d),
+            scalars AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+            ),
+            pairs AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(t) AS term FROM base
+              ) WHERE term IN ('vector', 'stream', 'merge')
+              GROUP BY doc_id, dl, term
+            ),
+            dft AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM pairs GROUP BY term
+            ),
+            scored AS (
+              SELECT doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                     ), 4) AS score
+              FROM pairs JOIN dft USING (term), scalars s
+              GROUP BY doc_id
+            ),
+            lex AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                         AS rank
+                FROM scored
+              ) WHERE rank <= 20
+            ),
+            q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+            cos AS (
+              SELECT neighbor_id,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM (SELECT vec_id AS neighbor_id, embedding AS cvec
+                    FROM embeddings WHERE vec_id <> 0), q
+            ),
+            dense AS (
+              SELECT neighbor_id AS doc_id, rank FROM (
+                SELECT neighbor_id,
+                       row_number() OVER (ORDER BY cos_sim DESC,
+                                          neighbor_id ASC) AS rank
+                FROM cos
+              ) WHERE rank <= 20
+            ),
+            fused AS (
+              SELECT coalesce(lex.doc_id, dense.doc_id) AS id,
+                     lex.rank AS rank_a,
+                     dense.rank AS rank_b,
+                     floor((
+                       (CASE WHEN lex.rank IS NOT NULL
+                             THEN 1.0 / (60.0 + lex.rank) ELSE 0.0 END)
+                       + (CASE WHEN dense.rank IS NOT NULL
+                               THEN 1.0 / (60.0 + dense.rank) ELSE 0.0 END)
+                     ) * 1e9) / 1e9 AS rrf_q
+              FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+            )
+            SELECT id, rank_a::INTEGER AS rank_a, rank_b::INTEGER AS rank_b,
+                   rrf_q,
+                   row_number() OVER (ORDER BY rrf_q DESC, id ASC)::INTEGER
+                     AS fused_rank
+            FROM fused
         """,
         "q_triangles": """
             WITH e AS (

@@ -378,6 +378,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_triangles",
         "q_classifier_auc",
         "q_readability",
+        "q_chunk_sliding",
+        "q_embed_quantize",
+        "q_rrf_fusion",
         "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",

@@ -596,3 +596,50 @@ def word_entropy(
         F.col("n_distinct").cast("long").alias("n_distinct"),
         (F.floor(ent * 10000) / 10000).alias("entropy_bits"),
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG/embedding
+    chunker (overlap = ``size - stride`` tokens carries context across
+    chunk boundaries). Emits ``(doc_id, chunk_idx, start, n_chunk_tokens,
+    chunk_fp)``: 0-based token offsets, a chunk for every start in
+    ``0, stride, 2*stride, ...`` below the token count (the tail chunk may
+    be short — every token lands in >=1 chunk), md5 fingerprint of the
+    space-joined chunk for downstream chunk-level dedup
+    (cf. ``dedup.chunk_*``). Token-free docs emit nothing.
+
+    Map-side only: tokenize -> sequence -> explode -> slice, no shuffle —
+    the chunk table inherits the corpus partitioning, which is exactly
+    what the embedding stage downstream wants.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.filter(
+        text.words(F.col(text_col)), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    ).filter(F.col("n") > 0)
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, size)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

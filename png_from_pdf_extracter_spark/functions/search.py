@@ -114,3 +114,40 @@ def bm25_topk(
     return topk.withColumn(
         "rank", F.row_number().over(w)
     ).select("doc_id", "n_terms_hit", "score", "rank")
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al.:
+    ``score = sum 1/(k+rank)``) — the standard hybrid-retrieval merge of
+    a lexical (BM25) and a dense (embedding kNN) ranking. Inputs carry
+    ``(id_col, rank)``; ids present in only one list contribute a single
+    term (full-outer merge). Emits ``(id, rank_a, rank_b, rrf_q,
+    fused_rank)`` with the score floor-quantized to 9dp and fused_rank
+    tie-broken by id.
+
+    The fused window runs over at most ``top_k_a + top_k_b`` rows —
+    candidate lists, never the corpus — so the single-partition
+    row_number is bounded by construction.
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("id"), F.col("rank").alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("id"), F.col("rank").alias("rank_b")
+    )
+    j = a.join(b, "id", "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.lit(1.0) / (F.lit(float(k)) + c)
+    ).otherwise(F.lit(0.0))
+    score = term(F.col("rank_a")) + term(F.col("rank_b"))
+    rrf_q = F.floor(score * F.lit(1e9)) / F.lit(1e9)
+    w = Window.orderBy(F.col("rrf_q").desc(), F.col("id").asc())
+    return (
+        j.select("id", "rank_a", "rank_b", rrf_q.alias("rrf_q"))
+        .withColumn("fused_rank", F.row_number().over(w))
+    )

@@ -354,3 +354,54 @@ def test_word_entropy_hand_computed(spark):
     assert got[1] == (4, 1, 0.0)
     exp2 = math.floor((2 - 0.75 * math.log2(3)) * 10000) / 10000
     assert got[2] == (4, 2, exp2)
+
+
+# --------------------------------------------------------- chunk_sliding
+
+def test_chunk_sliding_hand_computed(spark):
+    """100 tokens, size 50 stride 40 -> starts 0/40/80, lengths 50/50/20;
+    consecutive chunks share exactly 10 tokens of overlap."""
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        curate.chunk_sliding(df, size=50, stride=40).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_idx"], r["start"], r["n_chunk_tokens"]) for r in rows] == [
+        (0, 0, 50), (1, 40, 50), (2, 80, 20),
+    ]
+    import hashlib
+
+    assert rows[1]["chunk_fp"] == hashlib.md5(
+        " ".join(toks[40:90]).encode()
+    ).hexdigest()
+
+
+def test_chunk_sliding_covers_every_token(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n)))
+         for i, n in enumerate([1, 39, 40, 41, 130])],
+        "doc_id long, text string",
+    )
+    rows = curate.chunk_sliding(df, size=50, stride=40).collect()
+    covered = {}
+    for r in rows:
+        covered.setdefault(r["doc_id"], set()).update(
+            range(r["start"], r["start"] + r["n_chunk_tokens"])
+        )
+    assert covered == {0: {0}, 1: set(range(39)), 2: set(range(40)),
+                       3: set(range(41)), 4: set(range(130))}
+
+
+def test_chunk_sliding_empty_doc_emits_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one")], "doc_id long, text string"
+    )
+    rows = curate.chunk_sliding(df).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_chunk_sliding_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curate.chunk_sliding(df, stride=0)

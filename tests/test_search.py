@@ -69,3 +69,35 @@ def test_bm25_rank_and_topk_cutoff(spark, df):
 
 def test_bm25_no_matches_empty(spark, df):
     assert search.bm25_topk(df, ["zzz"]).count() == 0
+
+
+# ------------------------------------------------------------- RRF fusion
+
+def test_rrf_fuse_hand_computed(spark):
+    """doc 1 ranked 1st+2nd, doc 2 only lexical, doc 3 only dense —
+    scores must equal the literal 1/(60+r) sums and order accordingly."""
+    from png_from_pdf_extracter_spark.functions.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 2), (3, 1)], "doc_id long, rank int")
+    out = {r["id"]: r for r in rrf_fuse(a, b, k=60).collect()}
+    import math
+
+    def q(x):
+        return math.floor(x * 1e9) / 1e9
+
+    assert out[1]["rrf_q"] == q(1 / 61 + 1 / 62)
+    assert out[2]["rrf_q"] == q(1 / 62)
+    assert out[3]["rrf_q"] == q(1 / 61)
+    assert out[1]["fused_rank"] == 1
+    assert out[3]["fused_rank"] == 2  # 1/61 > 1/62
+    assert out[2]["rank_b"] is None and out[3]["rank_a"] is None
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    from png_from_pdf_extracter_spark.functions.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (5, 2)], "doc_id long, rank int")
+    out = {r["id"]: r["fused_rank"] for r in rrf_fuse(a, b).collect()}
+    assert out == {2: 1, 5: 2}  # equal scores -> lower id first

@@ -93,3 +93,63 @@ def test_pca_whiten_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.pca_whiten(df)
+
+
+# ------------------------------------------------------ scalar_quantize
+
+def test_scalar_quantize_hand_computed(spark):
+    """v = [1.0, -0.5, 0.25]: scale = 1/127; codes 127, -63 (floor(-63.5
+    + 0.5)), 32 (floor(31.75 + 0.5)); checksum matches."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        scalar_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25])], "vec_id long, embedding array<float>"
+    )
+    r = scalar_quantize(df).collect()[0]
+    import math
+
+    scale = 1.0 / 127.0
+    codes = [math.floor(x / scale + 0.5) for x in (1.0, -0.5, 0.25)]
+    assert codes == [127, -63, 32]
+    assert r["dims"] == 3 and r["sum_codes"] == sum(codes)
+    expect_err = max(abs(x - c * scale) for x, c in zip((1.0, -0.5, 0.25), codes))
+    assert r["max_abs_err"] == math.floor(expect_err * 1e9) / 1e9
+    assert r["max_abs_err"] <= scale / 2 + 1e-12  # round-to-nearest bound
+
+
+def test_scalar_quantize_zero_vector_is_all_zero_not_nan(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        scalar_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(7, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = scalar_quantize(df).collect()[0]
+    assert (r["scale_q"], r["sum_codes"], r["max_abs_err"]) == (0.0, 0, 0.0)
+
+
+def test_scalar_quantize_codes_never_exceed_int8(spark):
+    """Max-abs scaling: |code| <= 127 exactly, so int8 storage never
+    clamps — checked across a spread of magnitudes including negatives
+    at the max position."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        scalar_quantize,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [(-1.0) ** i * (0.001 * (i + 1)), 0.5, -3.7]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    # recompute codes the same way and bound them
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    worst = df.select(
+        F.array_max(
+            F.transform(v, lambda x: F.abs(F.floor(x / (amax / 127.0) + F.lit(0.5))))
+        ).alias("m")
+    ).agg(F.max("m").alias("m")).collect()[0]["m"]
+    assert worst <= 127
