@@ -3423,6 +3423,49 @@ def _q_rrf_fusion(spark, sf_dir):
     return search.rrf_fuse(lex, dense, k=60)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination APPLY (dedup.decontaminate): drop every
+    doc sharing a bigram shingle with the q_contamination benchmark
+    slice (every 97th doc), roll survivors up per source. min_shared=25
+    keeps the gate non-vacuous at BOTH check scales (sf0.01 drops
+    33/500, sf0.1 drops 4012/5000 — common bigrams make >=1 shared
+    shingle true for every doc). The drop set is hit-sized; the corpus
+    anti-joins once."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    kept = dedup.decontaminate(
+        d, bench, "doc_id", "text", n=2, min_shared=25
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _q_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard>=0.8 similarity join via prefix filtering
+    (dedup.jaccard_prefix_join — SSJoin/PPJoin): only each doc's rarest
+    ~20% of shingles generate candidates, no DF ceiling needed; the
+    oracle computes the naive all-shared-shingle join, so the hash
+    match PROVES the prefix filter loses no pairs."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_join(
+        d, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+def _q_skew_report(spark, sf_dir):
+    """Per-event-type key-skew diagnostics over events.user_id
+    (operators/salting.py skew_report): row/key counts, hottest-key
+    share, Gini of the per-key distribution (BIGINT rank identity),
+    and the integer hot_factor that sizes `salted_repartition`."""
+    from png_from_pdf_extracter_spark.operators.salting import skew_report
+
+    ev = _read(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", group_cols=("event_type",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3574,6 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_sliding": _q_chunk_sliding,
         "q_embed_quantize": _q_embed_quantize,
         "q_rrf_fusion": _q_rrf_fusion,
+        "q_decontaminate": _q_decontaminate,
+        "q_jaccard_prefix": _q_jaccard_prefix,
+        "q_skew_report": _q_skew_report,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5469,6 +5515,79 @@ def oracle_sql() -> dict[str, str]:
                      AS cleaned_text
             FROM pos p
             GROUP BY p.doc_id
+        """,
+        "q_decontaminate": """
+            WITH shc AS (
+              SELECT DISTINCT id, shingle FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                         range(1, greatest(len(w) - 1, 0) + 1),
+                         i -> w[i] || ' ' || w[i+1])) AS shingle
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') AS w
+                      FROM documents)
+                WHERE len(w) >= 2
+              )
+            ),
+            hits AS (
+              SELECT c.id
+              FROM shc c
+              JOIN (SELECT id AS bench_id, shingle FROM shc
+                    WHERE id % 97 = 0) b USING (shingle)
+              WHERE c.id <> b.bench_id
+              GROUP BY c.id
+              HAVING count(DISTINCT c.shingle) >= 25
+            )
+            SELECT source, count(*) AS n_kept,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   min(doc_id) AS min_doc_id
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM hits)
+            GROUP BY source
+        """,
+        "q_jaccard_prefix": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id1, b.id AS id2, count(*) AS c
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT id1, id2,
+                   round(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+            FROM common
+            JOIN sizes s1 ON common.id1 = s1.id
+            JOIN sizes s2 ON common.id2 = s2.id
+            WHERE c * 18000 >= 8000 * (s1.n + s2.n)
+        """,
+        "q_skew_report": """
+            WITH counts AS (
+              SELECT event_type, user_id, count(*) AS c
+              FROM events GROUP BY event_type, user_id
+            ),
+            ranked AS (
+              SELECT event_type, user_id, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c ASC, user_id ASC) AS r
+              FROM counts
+            ),
+            a AS (
+              SELECT event_type,
+                     sum(c)::BIGINT AS n_rows,
+                     count(*)::BIGINT AS n_keys,
+                     max(c)::BIGINT AS max_key_rows,
+                     sum(r * c)::BIGINT AS s2
+              FROM ranked GROUP BY event_type
+            )
+            SELECT event_type, n_rows, n_keys, max_key_rows,
+                   floor((max_key_rows::DOUBLE / n_rows::DOUBLE) * 1e6)
+                     / 1e6 AS top1_share,
+                   floor(((2 * s2)::DOUBLE / (n_keys * n_rows)::DOUBLE
+                          - (n_keys + 1)::DOUBLE / n_keys::DOUBLE) * 1e6)
+                     / 1e6 AS gini,
+                   ((max_key_rows * n_keys + n_rows - 1) // n_rows)::BIGINT
+                     AS hot_factor
+            FROM a
         """,
         "q_chunk_sliding": """
             WITH t AS (

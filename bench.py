@@ -381,6 +381,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_chunk_sliding",
         "q_embed_quantize",
         "q_rrf_fusion",
+        "q_decontaminate",
+        "q_jaccard_prefix",
+        "q_skew_report",
         "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -997,3 +997,128 @@ def edit_distance_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_shared: int = 1,
+    max_shingle_df: int = 0,
+) -> DataFrame:
+    """APPLY twin of ``contamination_check``: drop every corpus doc whose
+    n-gram overlap with the benchmark reaches ``min_shared`` shared
+    shingles, return the surviving corpus rows unchanged — the
+    decontamination gate a training pipeline runs between ingest and
+    release. Same plan as the scan (benchmark shingles broadcast, corpus
+    never shuffles to find hits) plus one anti-join; the drop set is
+    hit-sized, not corpus-sized, so the anti-join's build side stays
+    small at any corpus scale."""
+    hits = contamination_check(
+        corpus, benchmark, id_col, text_col, n=n,
+        max_shingle_df=max_shingle_df,
+    )
+    drop = hits.filter(
+        F.col("n_shared_shingles") >= min_shared
+    ).select(id_col)
+    return corpus.join(drop, id_col, "left_anti")
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING (SSJoin /
+    PPJoin, Chaudhuri'06 / Xiao'08): returns every pair with word-n-gram
+    Jaccard >= threshold — the same result set as the naive
+    any-shared-shingle join, WITHOUT the hot-shingle pair blow-up and
+    without a metric-changing DF ceiling (`ngram_jaccard_pairs`' guard
+    redefines the denominator; this operator needs no guard at all).
+
+    How: order every doc's shingles by global rarity (document frequency
+    asc, shingle asc — any total order works); two sets with Jaccard >=
+    t MUST share a shingle within their first ``|x| - ceil(t*|x|) + 1``
+    rarest shingles, so only those prefixes join. A boilerplate shingle
+    in k docs sits at the END of every ordering and almost never lands
+    in a prefix — candidate generation is driven by RARE shingles, whose
+    fan-out is small by definition. At threshold 0.8 the prefix is ~20%
+    of each doc's shingles, and the candidate join is quadratic only in
+    per-rare-shingle frequency.
+
+    Exactness discipline: the threshold is taken at 4-decimal precision
+    and ALL comparisons are integer (prefix length via integer ceil;
+    the final gate as ``common*(10000+t) >= t*(n1+n2)`` — no float
+    compare anywhere); the emitted ``jaccard`` is the one terminal
+    division, rounded to 4dp for display. Shuffles: shingle dedup,
+    doc-frequency agg, per-doc rank window, prefix self-join, candidate
+    verify join — all on shingle/id keys, no driver state.
+    """
+    t_scaled = int(round(threshold * 10000))
+    sh = word_shingles(df, id_col, text_col, n)  # distinct (id, shingle)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("sdf", "shingle")
+            ),
+        )
+    )
+    # p = n_sh - ceil(t*n_sh) + 1; ceil(a*t) = (a*t_scaled + 9999) div 1e4
+    # exactly (products < 2^53, so the double floor-cast is exact)
+    ceil_tn = (
+        (F.col("n_sh") * t_scaled + (10000 - 1)) / 10000
+    ).cast("long")
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - ceil_tn + 1
+    ).select("id", "shingle")
+    cand = (
+        prefix.select(F.col("id").alias("id1"), "shingle")
+        .join(
+            prefix.select(F.col("id").alias("id2"), "shingle"), "shingle"
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("id").alias("id1"), "shingle"), "id1")
+        .join(
+            sh.select(F.col("id").alias("id2"), "shingle"),
+            ["id2", "shingle"],
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")),
+            "id1",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")),
+            "id2",
+        )
+        .filter(
+            F.col("common") * (10000 + t_scaled)
+            >= t_scaled * (F.col("n1") + F.col("n2"))
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out

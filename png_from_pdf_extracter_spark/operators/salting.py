@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -146,3 +146,62 @@ def salted_equi_join(
     )
     out = l_salted.join(r_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group key-skew diagnostics — the planning report you run
+    BEFORE choosing a salting factor (`salted_repartition`) or a skew
+    join (`salted_equi_join`). Per group: ``n_rows``, ``n_keys``,
+    ``max_key_rows`` (hottest key), ``top1_share`` (its row fraction),
+    the Gini coefficient of the per-key row distribution, and
+    ``hot_factor`` = how many times hotter than average the hottest key
+    is (= the minimum salt factor that levels it, integer ceil).
+
+    Gini via the rank identity ``G = 2*sum(i*c_i)/(k*sum(c)) - (k+1)/k``
+    over counts sorted ascending — the rank-weighted sum stays BIGINT
+    and only two terminal divisions touch floats (floor-6dp emitters),
+    per the exact-rational rule. Plan: one combinable count aggregate on
+    (group, key), one per-group rank window over KEYS (not rows — the
+    window input is already aggregated, so a trillion-row table windows
+    over its distinct-key table), one final aggregate.
+    """
+    counts = df.groupBy(*group_cols, key_col).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy(
+        *[F.col(g) for g in group_cols]
+    ).orderBy(F.col("c").asc(), F.col(key_col).asc())
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.sum(F.col("r").cast("long") * F.col("c")).cast("long").alias("__s2"),
+    )
+    top1 = F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double")
+    gini = (
+        (2 * F.col("__s2")).cast("double")
+        / (F.col("n_keys") * F.col("n_rows")).cast("double")
+        - (F.col("n_keys") + 1).cast("double") / F.col("n_keys").cast("double")
+    )
+    hot = (
+        (
+            F.col("max_key_rows") * F.col("n_keys")
+            + F.col("n_rows")
+            - 1
+        )
+        / F.col("n_rows")
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        (F.floor(top1 * F.lit(1e6)) / F.lit(1e6)).alias("top1_share"),
+        (F.floor(gini * F.lit(1e6)) / F.lit(1e6)).alias("gini"),
+        hot.alias("hot_factor"),
+    )

@@ -400,3 +400,104 @@ def test_remove_duplicate_spans_hand_computed(spark):
         1: (13, 10, "x1 x2 y"),
         2: (12, 8, "p q r s"),
     }
+
+
+# ---------------------------------------------------------- decontaminate
+
+def test_decontaminate_drops_planted_copy_keeps_rest(spark):
+    bench = spark.createDataFrame(
+        [(1000, "the secret benchmark answer key alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the secret benchmark answer key alpha beta gamma delta"),
+            (2, "a completely unrelated document about parquet files"),
+            (3, "another unrelated text with zero overlap tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup.decontaminate(corpus, bench, "doc_id", "text", n=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_decontaminate_min_shared_threshold(spark):
+    bench = spark.createDataFrame(
+        [(9, "aa bb cc dd ee")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "aa bb zz yy xx"),        # 1 shared bigram (aa bb)
+            (2, "aa bb cc dd qq"),        # 3 shared bigrams
+        ],
+        "doc_id long, text string",
+    )
+    kept2 = dedup.decontaminate(
+        corpus, bench, "doc_id", "text", n=2, min_shared=2
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1]
+    kept1 = dedup.decontaminate(
+        corpus, bench, "doc_id", "text", n=2, min_shared=1
+    )
+    assert kept1.count() == 0
+
+
+# ------------------------------------------------------ jaccard prefix join
+
+def _brute_jaccard_pairs(docs, n, t):
+    """Independent python reimplementation: exact word-n-gram Jaccard."""
+    sets = {}
+    for i, txt in docs:
+        w = txt.split()
+        sets[i] = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+    out = {}
+    ids = sorted(sets)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i, j = ids[a], ids[b]
+            if not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            # same integer gate as the operator: inter/union >= t exactly
+            if inter * (10000 + int(round(t * 10000))) >= int(
+                round(t * 10000)
+            ) * (len(sets[i]) + len(sets[j])):
+                out[(i, j)] = round(inter / union, 4)
+    return out
+
+
+def test_jaccard_prefix_join_equals_bruteforce_random(spark):
+    """Randomized (fixed-seed) equality vs an independent brute force —
+    the prefix filter must lose NO qualifying pair."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))))
+        for i in range(40)
+    ]
+    # plant near-duplicates so the >=0.7 band is populated
+    docs += [(100, docs[0][1]), (101, docs[1][1] + " extraword")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_join(
+            df, "doc_id", "text", n=3, threshold=0.7
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(docs, 3, 0.7)
+    assert got[(0, 100)] == 1.0  # the planted exact copy
+
+
+def test_jaccard_prefix_join_boilerplate_shingle_no_pairs(spark):
+    """Every doc shares one boilerplate shingle but nothing else — no
+    pair reaches the threshold, and no DF ceiling was needed to say so."""
+    docs = [
+        (i, f"common header line unique{i} token{i} body{i} tail{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.jaccard_prefix_join(df, "doc_id", "text", n=3, threshold=0.5)
+    assert out.count() == 0

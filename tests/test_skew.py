@@ -176,3 +176,44 @@ def test_salted_equi_join_left_outer_and_guard(spark):
     ]
     with _pytest.raises(ValueError):
         salted_equi_join(left, right, "key", ["HOT"], how="right")
+
+
+# ------------------------------------------------------------ skew_report
+
+def test_skew_report_uniform_gini_zero(spark):
+    from png_from_pdf_extracter_spark.operators.salting import skew_report
+
+    rows = [(k, i) for k in range(5) for i in range(4)]  # 5 keys x 4 rows
+    df = spark.createDataFrame(rows, "key long, x long")
+    r = skew_report(df, "key").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (20, 5, 4)
+    assert r["gini"] == 0.0
+    assert r["top1_share"] == 0.2
+    assert r["hot_factor"] == 1
+
+
+def test_skew_report_hot_key_hand_computed(spark):
+    from png_from_pdf_extracter_spark.operators.salting import skew_report
+
+    rows = [(1, i) for i in range(9)] + [(2, 0)]  # counts asc [1, 9]
+    df = spark.createDataFrame(rows, "key long, x long")
+    r = skew_report(df, "key").collect()[0]
+    # s2 = 1*1 + 2*9 = 19 ; gini = 38/20 - 3/2 = 0.4 — but in IEEE
+    # doubles 1.9 - 1.5 = 0.39999999999999991, so the floor-6dp emitter
+    # (deterministic across engines, which is the point) reads 0.399999;
+    # pin via the same expression, not the decimal ideal
+    import math
+
+    assert r["gini"] == math.floor((38 / 20 - 3 / 2) * 1e6) / 1e6
+    assert r["top1_share"] == 0.9
+    assert r["hot_factor"] == 2  # ceil(9 * 2 / 10)
+
+
+def test_skew_report_grouped(spark):
+    from png_from_pdf_extracter_spark.operators.salting import skew_report
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 7)]
+    df = spark.createDataFrame(rows, "g string, key long")
+    out = {r["g"]: r for r in skew_report(df, "key", ("g",)).collect()}
+    assert out["a"]["n_keys"] == 2 and out["a"]["max_key_rows"] == 2
+    assert out["b"]["n_rows"] == 1 and out["b"]["gini"] == 0.0
