@@ -3466,6 +3466,78 @@ def _q_skew_report(spark, sf_dir):
     return skew_report(ev, "user_id", group_cols=("event_type",))
 
 
+def _q_ndcg(spark, sf_dir):
+    """Retrieval-quality NDCG@10 (evalmetrics.ndcg_at_k): exact cosine
+    top-10 for query vectors 0-4, binary relevance = neighbor shares
+    the query's class label; DCG/IDCG as order-pinned array folds
+    (never a float SUM aggregate), floor-6dp."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    e = _read(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10
+    )
+    lab = e.select("vec_id", "label")
+    judged = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlab"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("qlab") == F.col("nlab")).cast("int").alias("rel"),
+        )
+    )
+    return evalmetrics.ndcg_at_k(judged, k=10)
+
+
+def _q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS 3-hop reachability (graph.bfs_hops) from seed
+    nodes <10 over the orders-derived graph — frontier join + min
+    combine per hop, exact integers; oracle is a recursive CTE."""
+    from png_from_pdf_extracter_spark.functions.graph import bfs_hops
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % 1500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") < 10
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def _q_calibration(spark, sf_dir):
+    """Classifier reliability diagram (evalmetrics.calibration_bins):
+    the hashed linear score vs the lang='en' label in 10 equal-width
+    bins over [-1,1]; pos_rate exact rational, mean_score rebuilt from
+    the BIGINT sum of the 4dp-quantized scores (order-independent)."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        curate.hashed_linear_score("text").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return evalmetrics.calibration_bins(scored, "score", "y", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3620,6 +3692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_jaccard_prefix": _q_jaccard_prefix,
         "q_skew_report": _q_skew_report,
+        "q_ndcg": _q_ndcg,
+        "q_bfs_hops": _q_bfs_hops,
+        "q_calibration": _q_calibration,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5515,6 +5590,103 @@ def oracle_sql() -> dict[str, str]:
                      AS cleaned_text
             FROM pos p
             GROUP BY p.doc_id
+        """,
+        "q_ndcg": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                              label AS qlab
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                         label AS nlab
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id, qlab, nlab,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM c, q WHERE neighbor_id <> query_id
+            ),
+            judged AS (
+              SELECT query_id, rank,
+                     CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel
+              FROM (
+                SELECT query_id, qlab, nlab,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            g AS (
+              SELECT query_id,
+                     count(*) AS n_ranked,
+                     list((pow(2.0, rel) - 1.0) / log2(rank + 1.0)
+                          ORDER BY rank) AS dterms,
+                     list(rel ORDER BY rel DESC) AS ideal
+              FROM judged GROUP BY query_id
+            ),
+            f AS (
+              SELECT query_id, n_ranked,
+                     list_aggregate(dterms, 'sum') AS dcg_raw,
+                     list_aggregate(list_transform(
+                       range(1, len(ideal) + 1),
+                       i -> (pow(2.0, ideal[i]) - 1.0) / log2(i + 1.0)
+                     ), 'sum') AS idcg_raw
+              FROM g
+            )
+            SELECT query_id,
+                   n_ranked::INTEGER AS n_ranked,
+                   floor(dcg_raw * 1e6) / 1e6 AS dcg,
+                   floor(idcg_raw * 1e6) / 1e6 AS idcg,
+                   CASE WHEN idcg_raw > 0 THEN
+                     floor(dcg_raw / idcg_raw * 1e6) / 1e6
+                   END AS ndcg
+            FROM f
+        """,
+        "q_bfs_hops": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            walk(node, d) AS (
+              SELECT DISTINCT src AS node, 0 AS d FROM e WHERE src < 10
+              UNION
+              SELECT e.dst, w.d + 1 FROM walk w
+              JOIN e ON e.src = w.node WHERE w.d < 3
+            )
+            SELECT node, min(d)::INTEGER AS hops
+            FROM walk GROUP BY node
+        """,
+        "q_calibration": """
+            WITH sc AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                            % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000.0)::BIGINT AS s4
+              FROM (
+                SELECT lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            )
+            SELECT least(greatest(
+                     floor(((s4::DOUBLE / 10000.0) - (-1.0)) / 0.2)::INTEGER,
+                     0), 9) AS bin,
+                   count(*)::BIGINT AS n,
+                   sum(y)::BIGINT AS n_pos,
+                   sum(y)::DOUBLE / count(*)::DOUBLE AS pos_rate,
+                   sum(s4)::DOUBLE / (count(*) * 10000)::DOUBLE AS mean_score
+            FROM sc GROUP BY 1
         """,
         "q_decontaminate": """
             WITH shc AS (

@@ -384,6 +384,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_decontaminate",
         "q_jaccard_prefix",
         "q_skew_report",
+        "q_ndcg",
+        "q_bfs_hops",
+        "q_calibration",
         "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",

@@ -115,3 +115,124 @@ def confusion_counts(
         F.sum(F.when(~p & (yl == 1), 1).otherwise(0)).alias("fn"),
         F.sum(F.when(~p & (yl == 0), 1).otherwise(0)).alias("tn"),
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    group_cols: tuple[str, ...] = ("query_id",),
+    k: int = 10,
+    max_rel: int = 16,
+) -> DataFrame:
+    """NDCG@k per query over a ranked result table ``(group..., rank,
+    rel)`` with integer graded relevance: ``DCG = sum (2^rel - 1) /
+    log2(rank + 1)``, ``IDCG`` the same sum over the query's relevances
+    sorted descending, ``ndcg = DCG/IDCG`` (NULL when the query has no
+    relevant result — undefined, not 0).
+
+    Determinism: both sums are ARRAY FOLDS over explicitly sorted lists
+    (`sort_array(collect_list(...))`), so the float summation order is
+    pinned — a plain SUM() aggregate would be partition-order dependent
+    and unverifiable cross-engine. Emitted floor-6dp. One shuffle on the
+    group key; list length is <= k by construction (result lists, never
+    the corpus). ``max_rel`` bounds the 2^rel term (raises above it —
+    a mis-typed relevance column would silently overflow the double).
+    """
+    r = F.col(rank_col)
+    rel = F.col(rel_col).cast("long")
+    base = ranked.filter(r <= k).select(
+        *group_cols,
+        r.cast("int").alias("__rank"),
+        F.when(
+            rel <= max_rel, rel
+        ).otherwise(
+            F.raise_error(f"rel > max_rel ({max_rel}) — wrong column?")
+        ).alias("__rel"),
+    )
+    gain = lambda c: F.pow(F.lit(2.0), c.cast("double")) - F.lit(1.0)  # noqa: E731
+    agg = base.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("__rank", "__rel"))
+        ).alias("__by_rank"),
+        F.sort_array(F.collect_list("__rel"), asc=False).alias("__ideal"),
+    )
+    dcg = F.aggregate(
+        F.col("__by_rank"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + gain(s["__rel"]) / F.log2(s["__rank"].cast("double") + 1.0),
+    )
+    idcg = F.aggregate(
+        F.transform(
+            F.col("__ideal"),
+            lambda x, i: gain(x) / F.log2(i.cast("double") + 2.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return agg.select(
+        *group_cols,
+        F.size("__by_rank").alias("n_ranked"),
+        (F.floor(dcg * F.lit(1e6)) / F.lit(1e6)).alias("dcg"),
+        (F.floor(idcg * F.lit(1e6)) / F.lit(1e6)).alias("idcg"),
+        F.when(idcg > 0, F.floor(dcg / idcg * F.lit(1e6)) / F.lit(1e6))
+        .alias("ndcg"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins for a classifier score against a 0/1
+    label: equal-width bins over [lo, hi], per bin ``n``, ``n_pos``,
+    ``pos_rate`` (exact rational), and the mean score reconstructed from
+    an INTEGER numerator (scores are floor-4dp-quantized, so
+    ``score*10000`` is integral and its BIGINT sum is order-independent
+    — a float AVG would be partition-order noise). The gap between
+    ``pos_rate`` and ``mean_score`` per bin is the calibration error.
+    One combinable aggregate; map-side bin assignment."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    # quantize ONCE to an integer (floor(s*1e4) is already a long) —
+    # re-deriving the integer as sq*10000 after the division would
+    # truncate one off when the double lands just below the integer
+    s4 = F.floor(s * F.lit(10000.0)).cast("long")
+    sq = s4.cast("double") / F.lit(10000.0)
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((sq - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    agg = (
+        df.select(
+            b.alias("bin"),
+            y.cast("long").alias("__y"),
+            s4.alias("__s4"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__s4").alias("__sum_s4"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        (
+            F.col("__sum_s4").cast("double")
+            / (F.col("n") * 10000).cast("double")
+        ).alias("mean_score"),
+    )

@@ -217,3 +217,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS over directed ``edges(src, dst)`` from
+    ``seeds(node)``: returns ``(node, hops)`` — the minimum hop distance
+    (<= max_hops) from any seed, seeds at 0. The k-hop neighborhood /
+    crawl-frontier primitive.
+
+    Frontier-style unrolled iteration: each round joins ONLY the nodes
+    discovered last round against the edge list (the frontier), then
+    min-combines — one node-keyed join + one aggregate per hop, the
+    Pregel shape, no driver collect. Exact integers end to end, so the
+    DuckDB recursive-CTE oracle matches bit-for-bit.
+    """
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("int").alias("hops")
+    ).distinct()
+    for i in range(max_hops):
+        frontier = dist.filter(F.col("hops") == i)
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(
+                edges["dst"].alias("node"),
+                F.lit(i + 1).cast("int").alias("hops"),
+            )
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist

@@ -130,3 +130,79 @@ def test_flesch_monosyllabic_easier_than_polysyllabic(spark):
         spark, "Institutional bureaucratization necessitates reorganization."
     )
     assert easy["fre"] > hard["fre"]
+
+
+# ------------------------------------------------------------- NDCG@k
+
+def _ndcg_rows(spark, rows, k=10):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import ndcg_at_k
+
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel int")
+    return {r["query_id"]: r for r in ndcg_at_k(df, k=k).collect()}
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    out = _ndcg_rows(spark, [(1, 1, 1), (1, 2, 1), (1, 3, 0)])
+    assert out[1]["ndcg"] == 1.0
+
+
+def test_ndcg_hand_computed_swap(spark):
+    # rel at ranks 2,3 of 3: DCG = 1/log2(3) + 1/log2(4);  IDCG = 1 + 1/log2(3)
+    import math
+
+    out = _ndcg_rows(spark, [(1, 1, 0), (1, 2, 1), (1, 3, 1)])
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1.0 + 1 / math.log2(3)
+    assert out[1]["dcg"] == math.floor(dcg * 1e6) / 1e6
+    assert out[1]["ndcg"] == math.floor(dcg / idcg * 1e6) / 1e6
+
+
+def test_ndcg_no_relevant_is_null(spark):
+    out = _ndcg_rows(spark, [(1, 1, 0), (1, 2, 0)])
+    assert out[1]["ndcg"] is None and out[1]["idcg"] == 0.0
+
+
+def test_ndcg_k_cutoff_and_graded(spark):
+    # graded rel beyond k must not count; rel=2 gain is 3
+    import math
+
+    out = _ndcg_rows(spark, [(1, 1, 2), (1, 2, 0), (1, 3, 1)], k=2)
+    assert out[1]["n_ranked"] == 2
+    assert out[1]["dcg"] == math.floor(3.0 * 1e6) / 1e6
+
+
+def test_ndcg_max_rel_guard(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        _ndcg_rows(spark, [(1, 1, 40)])  # 2^40 — wrong column
+
+
+# ----------------------------------------------------- calibration bins
+
+def test_calibration_bins_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        calibration_bins,
+    )
+
+    rows = [(-0.95, 0), (-0.95, 0), (0.05, 1), (0.05, 0), (0.95, 1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "y").collect()}
+    assert out[0]["n"] == 2 and out[0]["pos_rate"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["pos_rate"] == 0.5
+    assert out[9]["n_pos"] == 1
+    # mean_score is rebuilt from the BIGINT 4dp sum, exactly
+    assert out[5]["mean_score"] == (500 + 500) / (2 * 10000)
+
+
+def test_calibration_bins_clamp_out_of_range(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0, 0), (5.0, 1)], "score double, y int"
+    )
+    out = {r["bin"] for r in calibration_bins(df, "score", "y").collect()}
+    assert out == {0, 9}

@@ -100,3 +100,44 @@ def test_triangle_count_hub_orientation(spark):
         for row in triangle_count(_edges(spark, hub)).collect()
     }
     assert r == {0: 1, 1: 1, 100: 1}
+
+
+# ------------------------------------------------------------- BFS hops
+
+def _seeds(spark, nodes):
+    from pyspark.sql import Row
+    return spark.createDataFrame([Row(node=n) for n in nodes])
+
+
+def test_bfs_hops_path_graph(spark):
+    from png_from_pdf_extracter_spark.functions.graph import bfs_hops
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    r = {
+        row["node"]: row["hops"]
+        for row in bfs_hops(e, _seeds(spark, [0]), max_hops=3).collect()
+    }
+    assert r == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 beyond max_hops
+
+
+def test_bfs_hops_takes_minimum_over_paths(spark):
+    from png_from_pdf_extracter_spark.functions.graph import bfs_hops
+
+    # long way 0->1->2->3 and shortcut 0->3
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    r = {
+        row["node"]: row["hops"]
+        for row in bfs_hops(e, _seeds(spark, [0]), max_hops=3).collect()
+    }
+    assert r[3] == 1
+
+
+def test_bfs_hops_multi_source_and_cycle(spark):
+    from png_from_pdf_extracter_spark.functions.graph import bfs_hops
+
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2), (7, 2)])
+    r = {
+        row["node"]: row["hops"]
+        for row in bfs_hops(e, _seeds(spark, [0, 7]), max_hops=3).collect()
+    }
+    assert r == {0: 0, 7: 0, 1: 1, 2: 1}  # cycle does not inflate
