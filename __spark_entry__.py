@@ -3538,6 +3538,45 @@ def _q_calibration(spark, sf_dir):
     return evalmetrics.calibration_bins(scored, "score", "y", n_bins=10)
 
 
+def _q_boilerplate_strip(spark, sf_dir):
+    """C4-style corpus-frequent line removal (curate.boilerplate_strip)
+    on a constructed input: every 3rd doc gets a planted newsletter
+    header line, every 5th a copyright footer (the synthetic docs are
+    single-line, so boilerplate is planted the same way the dedup
+    queries plant re-ingests). max_line_df=2 strips exactly the planted
+    lines; originals (line DF 1) survive byte-identically. clean_text
+    is emitted as md5 to keep the value hash cheap."""
+    d = _read(spark, sf_dir, "documents")
+    header = "JOIN OUR NEWSLETTER TODAY"
+    footer = "COPYRIGHT 2026 ALL RIGHTS RESERVED"
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(header + "\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + footer))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = curate.boilerplate_strip(planted, max_line_df=2)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
+def _q_source_similarity(spark, sf_dir):
+    """Pairwise cosine similarity between per-source term-frequency
+    vectors (curate.source_similarity): BIGINT dot products and squared
+    norms, sqrt(n1)*sqrt(n2) denominator (sqrt of the product would
+    overflow BIGINT at scale), floor-6dp."""
+    d = _read(spark, sf_dir, "documents")
+    return curate.source_similarity(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3695,6 +3734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ndcg": _q_ndcg,
         "q_bfs_hops": _q_bfs_hops,
         "q_calibration": _q_calibration,
+        "q_boilerplate_strip": _q_boilerplate_strip,
+        "q_source_similarity": _q_source_similarity,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5590,6 +5631,75 @@ def oracle_sql() -> dict[str, str]:
                      AS cleaned_text
             FROM pos p
             GROUP BY p.doc_id
+        """,
+        "q_boilerplate_strip": """
+            WITH planted AS (
+              SELECT doc_id,
+                     concat(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'JOIN OUR NEWSLETTER TODAY' || chr(10)
+                            ELSE '' END,
+                       text,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN chr(10) || 'COPYRIGHT 2026 ALL RIGHTS RESERVED'
+                            ELSE '' END
+                     ) AS text
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ln) + 1),
+                              i -> {'pos': i, 'line': ln[i]})) AS u
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+                      FROM planted)
+              )
+            ),
+            ldf AS (
+              SELECT line, count(DISTINCT doc_id) AS ldf
+              FROM l GROUP BY line
+            ),
+            kept AS (
+              SELECT doc_id, pos, line
+              FROM l JOIN ldf USING (line) WHERE ldf <= 2
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+            ),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(reb.clean_text, '')) AS clean_md5,
+                   coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+                   (t.n_lines - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
+            FROM tot t LEFT JOIN reb USING (doc_id)
+        """,
+        "q_source_similarity": """
+            WITH toks AS (
+              SELECT source AS g,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0)) AS tok
+              FROM documents
+            ),
+            tf AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY g, tok),
+            norms AS (SELECT g, sum(c * c)::BIGINT AS n2 FROM tf GROUP BY g),
+            dots AS (
+              SELECT a.g AS src1, b.g AS src2, sum(a.c * b.c)::BIGINT AS dot
+              FROM tf a JOIN tf b USING (tok) WHERE a.g < b.g
+              GROUP BY a.g, b.g
+            )
+            SELECT src1, src2, dot,
+                   floor(dot::DOUBLE
+                         / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+                         * 1e6) / 1e6 AS cos_q
+            FROM dots
+            JOIN norms na ON na.g = src1
+            JOIN norms nb ON nb.g = src2
         """,
         "q_ndcg": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,

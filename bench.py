@@ -387,6 +387,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_ndcg",
         "q_bfs_hops",
         "q_calibration",
+        "q_boilerplate_strip",
+        "q_source_similarity",
         "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",

@@ -27,7 +27,7 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="transcripts table path")
     p.add_argument(
-        "--format", choices=["parquet", "json", "csv"], default="parquet",
+        "--format", choices=["parquet", "orc", "json", "csv"], default="parquet",
         help="input format (schema enforced, never inferred)",
     )
     p.add_argument("--warehouse", required=True, help="output warehouse dir")

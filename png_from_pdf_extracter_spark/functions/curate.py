@@ -643,3 +643,127 @@ def chunk_sliding(
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 2,
+) -> DataFrame:
+    """C4-style corpus-frequent line removal: drop every LINE (split on
+    \\n, byte-exact) that occurs in more than ``max_line_df`` distinct
+    documents — navigation chrome, cookie banners, copyright footers —
+    and rebuild each doc from its surviving lines in original order.
+    Returns ``(doc_id, clean_text, n_kept, n_dropped)``; a doc whose
+    every line is boilerplate survives with ``clean_text = ''`` (the
+    downstream length gate decides its fate, not this operator).
+
+    Plan: one posexplode (map-side), one line-keyed count-distinct
+    aggregate (partial aggregation absorbs hot boilerplate lines — the
+    very lines this op exists for), one join back on the line, one
+    doc-keyed reassembly via sort_array(collect_list). The line DF
+    table is vocabulary-sized, not corpus-sized.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    ldf = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("ldf")
+    )
+    kept = lines.join(ldf, "line").filter(F.col("ldf") <= max_line_df)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("__n_lines")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("__n_lines") - F.coalesce("n_kept", F.lit(0))).cast(
+            "long"
+        ).alias("n_dropped"),
+    )
+
+
+def source_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group term-frequency
+    vectors — the "how alike are my corpus sources / snapshots" drift
+    report (sources that converge are candidates for dedup across them;
+    a source that diverges from all others needs its own quality
+    review). Returns ``(src1, src2, dot, cos_q)`` for src1 < src2.
+
+    Exactness: term counts are integers, so the dot product and both
+    squared norms are EXACT BIGINTs; cosine is ``dot / (sqrt(n1) *
+    sqrt(n2))`` — two sqrts then one multiply+divide on bit-identical
+    doubles (``sqrt(n1*n2)`` would overflow BIGINT at corpus scale),
+    floor-6dp. Shuffles: one combinable (group, term) count, one
+    term-keyed join whose per-term fan-out is at most #groups² — groups
+    are sources (dozens), never documents.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("g", "tok").agg(F.count("*").alias("c"))
+    norms = tf.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    dots = (
+        tf.select(F.col("g").alias("src1"), "tok", F.col("c").alias("c1"))
+        .join(
+            tf.select(
+                F.col("g").alias("src2"), "tok", F.col("c").alias("c2")
+            ),
+            "tok",
+        )
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).cast("long").alias("dot"))
+    )
+    out = (
+        dots.join(
+            norms.select(F.col("g").alias("src1"), F.col("n2").alias("n2a")),
+            "src1",
+        )
+        .join(
+            norms.select(F.col("g").alias("src2"), F.col("n2").alias("n2b")),
+            "src2",
+        )
+        .select(
+            "src1",
+            "src2",
+            "dot",
+            (
+                F.floor(
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("n2a").cast("double"))
+                        * F.sqrt(F.col("n2b").cast("double"))
+                    )
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("cos_q"),
+        )
+    )
+    return out

@@ -59,13 +59,18 @@ def read_transcripts(
 ) -> DataFrame:
     """Schema-enforced transcript reader (no inference in the hot path —
     the model is fixed-schema end to end, SURVEY.md §1.2). ``fmt``:
-    parquet | json (JSON-lines) | csv (header, quoted multi-line text).
+    parquet | orc | json (JSON-lines) | csv (header, quoted multi-line
+    text).
     The decode step is the RFC5322-parse analog (ref
     ``imap_service.py:173-202``): external bytes -> typed rows, with
     malformed rows surfaced as nulls for the validation predicates rather
     than killing the scan (mode=PERMISSIVE is Spark's error-channel)."""
     if fmt == "parquet":
         return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+    if fmt == "orc":
+        # columnar like parquet (predicate pushdown + column pruning both
+        # apply); the schema pin guards against ORC's own inference
+        return spark.read.schema(TRANSCRIPTS_SCHEMA).orc(path)
     if fmt == "json":
         return (
             spark.read.schema(TRANSCRIPTS_SCHEMA)

@@ -405,3 +405,76 @@ def test_chunk_sliding_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         curate.chunk_sliding(df, stride=0)
+
+
+# ------------------------------------------------------ boilerplate_strip
+
+def test_boilerplate_strip_hand_computed(spark):
+    """The shared header/footer lines (df=3) vanish everywhere; unique
+    body lines survive byte-identically and in order."""
+    hdr, ftr = "SUBSCRIBE NOW", "ALL RIGHTS RESERVED"
+    docs = [
+        (1, f"{hdr}\nunique one\n{ftr}"),
+        (2, f"{hdr}\nunique two a\nunique two b\n{ftr}"),
+        (3, f"{hdr}\nunique three\n{ftr}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curate.boilerplate_strip(df, max_line_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "unique two a\nunique two b"
+    assert out[2]["n_kept"] == 2 and out[2]["n_dropped"] == 2
+    assert out[3]["n_dropped"] == 2
+
+
+def test_boilerplate_strip_all_boilerplate_doc_survives_empty(spark):
+    docs = [(i, "SAME LINE") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curate.boilerplate_strip(df, max_line_df=2).collect()
+    assert len(out) == 5
+    assert all(r["clean_text"] == "" and r["n_kept"] == 0 for r in out)
+
+
+def test_boilerplate_strip_threshold_is_distinct_docs_not_rows(spark):
+    # the same line twice in ONE doc counts df=1 -> kept both times
+    df = spark.createDataFrame(
+        [(1, "repeat\nrepeat\nother")], "doc_id long, text string"
+    )
+    r = curate.boilerplate_strip(df, max_line_df=1).collect()[0]
+    assert r["clean_text"] == "repeat\nrepeat\nother"
+
+
+# ------------------------------------------------------ source_similarity
+
+def test_source_similarity_hand_computed(spark):
+    import math
+
+    docs = [
+        ("a", "x x y"),   # tf a: x2 y1 -> n2 = 5
+        ("b", "x y y"),   # tf b: x1 y2 -> n2 = 5
+        ("c", "z"),       # orthogonal
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {
+        (r["src1"], r["src2"]): r
+        for r in curate.source_similarity(df).collect()
+    }
+    # dot(a,b) = 2*1 + 1*2 = 4 ; cos = 4/5 — pinned via the emitter's own
+    # expression (sqrt(5)*sqrt(5) = 5.000000000000001 in IEEE, so the
+    # floor-6dp value is 0.799999, identically on every engine)
+    assert out[("a", "b")]["dot"] == 4
+    assert out[("a", "b")]["cos_q"] == math.floor(
+        4 / (math.sqrt(5) * math.sqrt(5)) * 1e6
+    ) / 1e6
+    # c shares no terms: pair absent (dot would be 0)
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_source_similarity_identical_sources_cosine_one(spark):
+    df = spark.createDataFrame(
+        [("a", "p q r"), ("b", "p q r")], "source string, text string"
+    )
+    r = curate.source_similarity(df).collect()[0]
+    assert r["cos_q"] == 1.0

@@ -12,7 +12,7 @@ from png_from_pdf_extracter_spark.sources import (
 )
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
 def test_format_roundtrip_matches_parquet(spark, tmp_path, fmt):
     df = generate_transcripts(spark, GenConfig(seed=13, n_convs=12))
     pq = str(tmp_path / "pq")
@@ -21,7 +21,10 @@ def test_format_roundtrip_matches_parquet(spark, tmp_path, fmt):
     out = df.withColumn(
         "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX")
     )
-    if fmt == "json":
+    if fmt == "orc":
+        # columnar path keeps native types — no string ts roundtrip
+        df.write.orc(other)
+    elif fmt == "json":
         out.write.json(other)
     else:
         (
