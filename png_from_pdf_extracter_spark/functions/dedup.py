@@ -1059,7 +1059,11 @@ def jaccard_prefix_join(
     verify join — all on shingle/id keys, no driver state.
     """
     t_scaled = int(round(threshold * 10000))
-    sh = word_shingles(df, id_col, text_col, n)  # distinct (id, shingle)
+    # the shingle table feeds four consumers (doc sizes, global DF, the
+    # rarity ranking, the candidate-verify join) — persist it once
+    # instead of re-tokenizing the corpus four times; release() after
+    # the consuming action, like every pair-generating dedup op here
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     ranked = (
@@ -1121,4 +1125,4 @@ def jaccard_prefix_join(
             ).alias("jaccard"),
         )
     )
-    return out
+    return _with_cached_deps(out, [sh])

@@ -196,10 +196,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # three consumers (both wedge sides + the closing-edge probe):
+    # persist so the dedup/degree/orientation pipeline runs once, not
+    # three times; released via dedup.release(result) after the action
+    # (the attribute below is the repo-wide cached-deps contract)
     oriented = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).persist()
     o1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
     # each unordered out-neighbor pair appears in both (x,y) orders; the
@@ -214,9 +218,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     corners = tris.select(
         F.explode(F.array("p", "x", "y")).alias("node")
     )
-    return corners.groupBy("node").agg(
+    out = corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+    out._spark_graft_cached = [oriented]  # dedup.release(out) unpersists
+    return out
 
 
 def bfs_hops(

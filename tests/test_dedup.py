@@ -71,6 +71,9 @@ def test_release_unpersists_cached_intermediates(spark):
         lambda: dedup.simhash_near_dup_pairs(
             df, "doc_id", "text", bits=32, max_hamming=1, n_bands=2
         ),
+        lambda: dedup.jaccard_prefix_join(
+            df, "doc_id", "text", n=2, threshold=0.9
+        ),
     ]
     for make in makers:
         out = make()

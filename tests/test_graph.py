@@ -141,3 +141,20 @@ def test_bfs_hops_multi_source_and_cycle(spark):
         for row in bfs_hops(e, _seeds(spark, [0, 7]), max_hops=3).collect()
     }
     assert r == {0: 0, 7: 0, 1: 1, 2: 1}  # cycle does not inflate
+
+
+def test_triangle_count_releases_cached_oriented(spark):
+    """triangle_count persists the oriented edge list (three consumers);
+    dedup.release must reclaim it after the action."""
+    from png_from_pdf_extracter_spark.functions import dedup
+    from png_from_pdf_extracter_spark.functions.graph import triangle_count
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = triangle_count(
+        _edges(spark, [(a, b) for a in range(4) for b in range(4) if a < b])
+    )
+    out.count()
+    dedup.release(out)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked cached RDDs: {after - before}"

@@ -257,3 +257,81 @@ def test_event_transitions_totals_broadcast(spark):
     plan = _plan(em.queries()["q_event_transitions"](spark, SF))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangle_and_jaccard_prefix_no_allpairs(spark):
+    """The hub-safe graph/set-similarity operators must plan as EQUI
+    joins only — a cartesian or nested-loop node means the orientation /
+    prefix filter silently stopped driving candidate generation."""
+    import __spark_entry__ as em
+    from png_from_pdf_extracter_spark.functions import dedup
+
+    for k in ("q_triangles", "q_jaccard_prefix"):
+        df = em.queries()[k](spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, (k, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (k, plan)
+        dedup.release(df)
+
+
+def test_jaccard_prefix_shingles_cached_once(spark):
+    """The shingle table feeds four consumers; the plan must read the
+    persisted copy (InMemoryTableScan), not re-tokenize the corpus."""
+    from png_from_pdf_extracter_spark.functions import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.jaccard_prefix_join(d, "doc_id", "text")
+    plan = _plan(out)
+    assert "InMemoryTableScan" in plan, plan
+    dedup.release(out)
+
+
+def test_skew_report_single_width_window(spark):
+    """skew_report's rank window must run over the aggregated key table
+    (input to Window is a HashAggregate), never the raw rows."""
+    from png_from_pdf_extracter_spark.operators.salting import skew_report
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(skew_report(ev, "user_id", ("event_type",)))
+    assert "Window" in plan, plan
+    # children print below parents: a (group,key) HashAggregate must sit
+    # BELOW the window node (= the window's input is the aggregated key
+    # table, evaluated first)
+    below_window = plan[plan.index("Window"):]
+    assert "HashAggregate" in below_window, plan
+
+
+def test_calibration_bins_single_aggregate(spark):
+    """One combinable aggregation pass — no window, no join."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        calibration_bins,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        calibration_bins(
+            d, F.length("text") / 10000.0, F.col("doc_id") % 2
+        )
+    )
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_chunk_sliding_zero_shuffles(spark):
+    """Map-side chunker: tokenize -> sequence -> explode -> slice with
+    NO exchange — the chunk table inherits the corpus partitioning."""
+    from png_from_pdf_extracter_spark.functions import curate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(curate.chunk_sliding(d))
+    assert "Exchange" not in plan, plan
+
+
+def test_scalar_quantize_map_only(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        scalar_quantize,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(scalar_quantize(e))
+    assert "Exchange" not in plan and "Join" not in plan, plan
