@@ -3577,6 +3577,63 @@ def _q_source_similarity(spark, sf_dir):
     return curate.source_similarity(d)
 
 
+def _q_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of the event value signal
+    (operators/temporal.py time_weighted_avg): unix_micros BIGINT
+    timestamps (no seconds truncation), 2dp value quantization sized so
+    every product stays under 2^63, one window + one aggregate on the
+    same exchange."""
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return time_weighted_avg(ev, ("user_id",), "ts", "value")
+
+
+def _q_weighted_median(spark, sf_dir):
+    """Exact token-weighted median of document length per language
+    (functions/stats.py weighted_quantile): the n_chars value below
+    which half the corpus TOKENS sit — integer cumulative weights, the
+    quantile given as a rational, zero float comparisons."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        weighted_quantile,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.col("n_chars").alias("len_chars"),
+        text.token_count("text").alias("w"),
+    )
+    return weighted_quantile(
+        base, "len_chars", "w", group_cols=("lang",)
+    )
+
+
+def _q_rendezvous_shard(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment of documents to 8 shards
+    (operators/salting.py rendezvous_shard) rolled up per shard —
+    map-only array_max over (score, shard) structs, no explode/join;
+    the minimal-movement invariant is pinned in tests/test_skew.py."""
+    from png_from_pdf_extracter_spark.operators.salting import (
+        rendezvous_shard,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    shards = [f"s0{i}" for i in range(8)]
+    return (
+        rendezvous_shard(d, "doc_id", shards)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3736,6 +3793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration": _q_calibration,
         "q_boilerplate_strip": _q_boilerplate_strip,
         "q_source_similarity": _q_source_similarity,
+        "q_time_weighted_avg": _q_time_weighted_avg,
+        "q_weighted_median": _q_weighted_median,
+        "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
         "q_cms_freq": _q_cms_freq,
@@ -5631,6 +5691,67 @@ def oracle_sql() -> dict[str, str]:
                      AS cleaned_text
             FROM pos p
             GROUP BY p.doc_id
+        """,
+        "q_time_weighted_avg": """
+            WITH s AS (
+              SELECT user_id,
+                     floor(value * 100.0)::BIGINT AS vq,
+                     lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, floor(value * 100.0)::BIGINT ASC
+                     ) - epoch_us(ts) AS dur
+              FROM events
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_intervals,
+                   sum(dur)::BIGINT AS total_dur_us,
+                   CASE WHEN sum(dur) > 0 THEN
+                     floor(sum(vq * dur)::BIGINT::DOUBLE
+                           / (sum(dur)::BIGINT * 100)::DOUBLE * 1e6) / 1e6
+                   END AS twa_q
+            FROM s WHERE dur IS NOT NULL
+            GROUP BY user_id
+        """,
+        "q_weighted_median": f"""
+            WITH base AS (
+              SELECT lang, n_chars AS len_chars,
+                     {ntok} AS w
+              FROM documents
+            ),
+            m AS (
+              SELECT lang, len_chars,
+                     sum(w) OVER (PARTITION BY lang
+                                  ORDER BY len_chars ASC, w ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cumw,
+                     sum(w) OVER (PARTITION BY lang) AS total
+              FROM base
+            )
+            SELECT lang, max(total)::BIGINT AS total_w,
+                   min(len_chars) AS wq_value
+            FROM m WHERE cumw * 2 >= total * 1
+            GROUP BY lang
+        """,
+        "q_rendezvous_shard": """
+            WITH sh AS (
+              SELECT u.s AS s, u.i AS i FROM (
+                SELECT unnest(list_transform(range(0, 8),
+                       i -> {'s': 's0' || i::VARCHAR, 'i': i})) AS u
+              )
+            ),
+            a AS (
+              SELECT doc_id,
+                     arg_max(s,
+                       CAST(concat('0x',
+                         substr(md5(doc_id::VARCHAR || ':' || s), 1, 8))
+                         AS BIGINT) * 64 + i) AS shard
+              FROM documents, sh
+              GROUP BY doc_id
+            )
+            SELECT shard, count(*) AS n_docs,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                   sum(doc_id)::BIGINT AS sum_doc
+            FROM a GROUP BY shard
         """,
         "q_boilerplate_strip": """
             WITH planted AS (

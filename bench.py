@@ -389,6 +389,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_calibration",
         "q_boilerplate_strip",
         "q_source_similarity",
+        "q_time_weighted_avg",
+        "q_weighted_median",
+        "q_rendezvous_shard",
         "q_vocab_growth",
         "q_merge_upsert",
         "q_scd2",

@@ -205,3 +205,43 @@ def skew_report(
         (F.floor(gini * F.lit(1e6)) / F.lit(1e6)).alias("gini"),
         hot.alias("hot_factor"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    key_col: str,
+    shards: list[str],
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to ``argmax over shards of md5(key ':' shard)`` — the
+    consistent-placement scheme whose defining invariant is MINIMAL
+    MOVEMENT: adding a shard relocates only the keys the NEW shard now
+    wins (~1/(n+1) of them), and nothing moves between existing shards.
+    That is the property an incremental 100-TB pipeline needs when its
+    output fan-out grows.
+
+    Map-only Column work: the per-shard scores live in ONE array
+    expression folded by ``array_max`` over (score, shard) structs —
+    no explode, no join, no shuffle, whole plan stays in codegen.
+    Ties are pre-broken by construction: the comparand is
+    ``score * 64 + shard_index`` (unique per shard, <= 64 shards), so
+    the argmax is total without relying on struct tie-break rules.
+    """
+    if not shards or len(shards) > 64:
+        raise ValueError("rendezvous_shard needs 1..64 shard names")
+    key = F.col(key_col).cast("string")
+
+    def scored(shard: str, idx: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(":" + shard))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.struct(
+            (h * 64 + idx).alias("cmp"), F.lit(shard).alias("shard")
+        )
+
+    best = F.array_max(
+        F.array(*[scored(s, i) for i, s in enumerate(shards)])
+    )
+    return df.withColumn("shard", best["shard"])

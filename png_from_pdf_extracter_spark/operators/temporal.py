@@ -372,3 +372,62 @@ def range_join_broadcast(
         (F.col(left_ts) >= F.col(right_start))
         & (F.col(left_ts) <= F.col(right_end))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Per-key time-weighted average of a step signal: each observation
+    holds its value until the NEXT observation (last one carries no
+    weight — its holding interval is unknown). The metric every
+    monitoring/billing rollup actually wants when samples are uneven.
+
+    Exactness: timestamps go through ``unix_micros`` (BIGINT — no
+    seconds truncation; DuckDB twin is ``epoch_us``), values quantize to
+    ``value_decimals`` dp BIGINTs, so the weighted sum is exact integer
+    arithmetic with ONE terminal division. Headroom: |sum(v_q * dur_us)|
+    <= max|v_q| * key_timespan_us — size ``value_decimals`` so that
+    stays under 2^63 (2dp x 30-day spans x values <1e5 is ~1.5e17).
+
+    Plan: one key-partitioned window (lead) + one combinable aggregate —
+    the same single exchange both stages reuse.
+    """
+    # parquet NTZ timestamps: unix_micros only takes TIMESTAMP — cast
+    # through it (session tz is UTC repo-wide, so this equals DuckDB's
+    # epoch_us on the same values)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    vq = F.floor(F.col(value_col) * F.lit(float(10 ** value_decimals))).cast(
+        "long"
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), vq.asc()
+    )
+    stepped = df.select(
+        *key_cols,
+        vq.alias("__vq"),
+        (F.lead(us).over(w) - us).alias("__dur_us"),
+    ).filter(F.col("__dur_us").isNotNull())
+    agg = stepped.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("__dur_us").cast("long").alias("total_dur_us"),
+        F.sum(F.col("__vq") * F.col("__dur_us")).cast("long").alias("__num"),
+    )
+    scale = 10 ** value_decimals
+    return agg.select(
+        *key_cols,
+        "n_intervals",
+        "total_dur_us",
+        F.when(
+            F.col("total_dur_us") > 0,
+            F.floor(
+                F.col("__num").cast("double")
+                / (F.col("total_dur_us") * scale).cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("twa_q"),
+    )

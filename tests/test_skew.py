@@ -217,3 +217,61 @@ def test_skew_report_grouped(spark):
     out = {r["g"]: r for r in skew_report(df, "key", ("g",)).collect()}
     assert out["a"]["n_keys"] == 2 and out["a"]["max_key_rows"] == 2
     assert out["b"]["n_rows"] == 1 and out["b"]["gini"] == 0.0
+
+
+# -------------------------------------------------------- rendezvous HRW
+
+def test_rendezvous_minimal_movement_invariant(spark):
+    """THE defining property: adding a shard moves keys ONLY onto the
+    new shard — no key moves between surviving shards — and the moved
+    fraction is ~1/(n+1)."""
+    from png_from_pdf_extracter_spark.operators.salting import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    before = {
+        r["k"]: r["shard"]
+        for r in rendezvous_shard(df, "k", [f"s{i}" for i in range(8)]).collect()
+    }
+    after = {
+        r["k"]: r["shard"]
+        for r in rendezvous_shard(df, "k", [f"s{i}" for i in range(9)]).collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert all(after[k] == "s8" for k in moved)
+    # expected fraction 1/9 ~ 222 of 2000; allow generous slack
+    assert 120 <= len(moved) <= 340, len(moved)
+
+
+def test_rendezvous_deterministic_and_total(spark):
+    from png_from_pdf_extracter_spark.operators.salting import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    shards = ["a", "b", "c"]
+    one = rendezvous_shard(df, "k", shards)
+    two = rendezvous_shard(df.repartition(7), "k", shards)
+    assert (
+        one.alias("x")
+        .join(two.alias("y"), "k")
+        .filter("x.shard <> y.shard")
+        .count()
+        == 0
+    )
+    assert one.filter("shard IS NULL").count() == 0
+
+
+def test_rendezvous_rejects_bad_shard_lists(spark):
+    import pytest
+
+    from png_from_pdf_extracter_spark.operators.salting import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        rendezvous_shard(df, "k", [])
+    with pytest.raises(ValueError):
+        rendezvous_shard(df, "k", [f"s{i}" for i in range(65)])

@@ -293,3 +293,64 @@ def test_range_join_rejects_bad_bucket(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         range_join(df, df, ["id"], "id", "id", "id", bucket_seconds=0)
+
+
+# ------------------------------------------------------ time-weighted avg
+
+def test_time_weighted_avg_hand_computed(spark):
+    """value 10 held 3s, value 20 held 1s -> twa = 12.5; the final
+    observation carries no weight."""
+    import datetime as dt
+    import math
+
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=3), 20.0),
+        (1, t0 + dt.timedelta(seconds=4), 99.0),  # no weight
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    r = time_weighted_avg(df, ("k",), "ts", "v").collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["total_dur_us"] == 4_000_000
+    expect = (1000 * 3_000_000 + 2000 * 1_000_000) / (4_000_000 * 100)
+    assert r["twa_q"] == math.floor(expect * 1e6) / 1e6
+
+
+def test_time_weighted_avg_single_event_emits_nothing(spark):
+    import datetime as dt
+
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), 5.0)],
+        "k long, ts timestamp_ntz, v double",
+    )
+    assert time_weighted_avg(df, ("k",), "ts", "v").count() == 0
+
+
+def test_time_weighted_avg_sub_second_intervals(spark):
+    """Micros matter: 250ms at 100 then 750ms at 0 -> twa 25.0 — a
+    seconds-truncating implementation would return 0/0."""
+    import datetime as dt
+
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 100.0),
+        (1, t0 + dt.timedelta(milliseconds=250), 0.0),
+        (1, t0 + dt.timedelta(milliseconds=1000), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    r = time_weighted_avg(df, ("k",), "ts", "v").collect()[0]
+    assert r["total_dur_us"] == 1_000_000
+    assert r["twa_q"] == 25.0
