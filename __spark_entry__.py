@@ -3634,6 +3634,74 @@ def _q_rendezvous_shard(spark, sf_dir):
     )
 
 
+def _q_mann_whitney(spark, sf_dir):
+    """Two-sample Mann-Whitney U between the BUILDING and MACHINERY
+    customer segments on account balance (functions/stats.py
+    mann_whitney_u): integer 2U statistics from per-distinct-value
+    counts (window bounded by value cardinality, not rows), AUC
+    effect size floor-6dp. u2_a + u2_b == 2*n_a*n_b pinned in tests."""
+    from png_from_pdf_extracter_spark.functions.stats import mann_whitney_u
+
+    c = _read(spark, sf_dir, "customer")
+    return mann_whitney_u(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _q_spearman(spark, sf_dir):
+    """Spearman rank correlation (tie-corrected, exact doubled-rank
+    integers accumulated in DECIMAL(38,0)) between order totalprice and
+    the ordering customer's account balance (functions/stats.py
+    spearman_corr) — rank maps per distinct quantized value, one float
+    expression at the end."""
+    from png_from_pdf_extracter_spark.functions.stats import spearman_corr
+
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_totalprice", "c_acctbal"
+    )
+    return spearman_corr(j, "o_totalprice", "c_acctbal")
+
+
+def _q_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of the event value signal
+    (functions/stats.py autocorr_lag1): one lead() window + Pearson
+    sums on the SAME user_id exchange, exact BIGINT sums, r1 floor-6dp.
+    Stable order = (ts, event_id)."""
+    from png_from_pdf_extracter_spark.functions.stats import autocorr_lag1
+
+    ev = _read(spark, sf_dir, "events")
+    return autocorr_lag1(ev, ("user_id",), ("ts", "event_id"), "value")
+
+
+def _q_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average (α=1/4 dyadic) of
+    event values under (ts, event_id) order (operators/temporal.py
+    ewma): JVM-side sort_array(collect_list) + aggregate fold, bounded
+    by per-key sequence length; bit-reproducible vs the DuckDB
+    recursive-CTE oracle because both fold identical doubles through
+    the identical expression in the identical order."""
+    from png_from_pdf_extracter_spark.operators.temporal import ewma
+
+    ev = _read(spark, sf_dir, "events")
+    return ewma(ev, ("user_id",), ("ts", "event_id"), "value")
+
+
+def _q_kn_perplexity(spark, sf_dir):
+    """Per-document interpolated Kneser-Ney bigram perplexity
+    (functions/lm.py kn_bigram_perplexity, d=3/4): continuation-count
+    smoothing — the estimator KenLM-style production filters ship —
+    from the same one-pass bigram count tables as q_bigram_perplexity;
+    integer model quantities, rounded emits."""
+    from png_from_pdf_extracter_spark.functions.lm import (
+        kn_bigram_perplexity,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return kn_bigram_perplexity(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3795,6 +3863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_similarity": _q_source_similarity,
         "q_time_weighted_avg": _q_time_weighted_avg,
         "q_weighted_median": _q_weighted_median,
+        "q_mann_whitney": _q_mann_whitney,
+        "q_spearman": _q_spearman,
+        "q_autocorr": _q_autocorr,
+        "q_ewma": _q_ewma,
+        "q_kn_perplexity": _q_kn_perplexity,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7119,5 +7192,170 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))
                        AS BIGINT) % 1000000 < keep_ppm
             GROUP BY source
+        """,
+        "q_mann_whitney": """
+            WITH pooled AS (
+              SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                     END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT ca, cb,
+                     coalesce(sum(cb) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb_below,
+                     coalesce(sum(ca) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS ca_below
+              FROM cnt
+            )
+            SELECT sum(ca)::BIGINT AS n_a,
+                   sum(cb)::BIGINT AS n_b,
+                   sum(ca * (2 * cb_below + cb))::BIGINT AS u2_a,
+                   sum(cb * (2 * ca_below + ca))::BIGINT AS u2_b,
+                   CASE WHEN sum(ca) > 0 AND sum(cb) > 0 THEN
+                     floor(sum(ca * (2 * cb_below + cb))::DOUBLE
+                           / (2.0 * sum(ca) * sum(cb)) * 1e6) / 1e6
+                   END AS auc_a
+            FROM cum
+        """,
+        "q_spearman": """
+            WITH base AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS qx,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS qy
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+            ),
+            rx AS (
+              SELECT qx,
+                     2 * coalesce(sum(c) OVER (
+                       ORDER BY qx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + c + 1 AS r2x
+              FROM (SELECT qx, count(*) AS c FROM base GROUP BY qx)
+            ),
+            ry AS (
+              SELECT qy,
+                     2 * coalesce(sum(c) OVER (
+                       ORDER BY qy
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + c + 1 AS r2y
+              FROM (SELECT qy, count(*) AS c FROM base GROUP BY qy)
+            ),
+            s AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum(r2x::HUGEINT) AS sx,
+                     sum(r2y::HUGEINT) AS sy,
+                     sum(r2x::HUGEINT * r2x) AS sxx,
+                     sum(r2y::HUGEINT * r2y) AS syy,
+                     sum(r2x::HUGEINT * r2y) AS sxy
+              FROM base JOIN rx USING (qx) JOIN ry USING (qy)
+            )
+            SELECT n::BIGINT AS n_pairs,
+                   sx::BIGINT AS sx2,
+                   sy::BIGINT AS sy2,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0 THEN
+                     floor((n * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n * syy - sy * sy)::DOUBLE))
+                           * 1e6) / 1e6
+                   END AS rho
+            FROM s
+        """,
+        "q_autocorr": """
+            WITH seq AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     lead(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS y
+              FROM events
+            ),
+            s AS (
+              SELECT user_id,
+                     count(*)::BIGINT AS n_pairs,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy,
+                     sum(x * y)::BIGINT AS sxy
+              FROM seq WHERE y IS NOT NULL
+              GROUP BY user_id
+            )
+            SELECT user_id, n_pairs, sx, sy, sxy,
+                   CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                         AND (n_pairs * syy - sy * sy) > 0 THEN
+                     floor((n_pairs * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n_pairs * syy - sy * sy)::DOUBLE))
+                           * 1e6) / 1e6
+                   END AS r1
+            FROM s
+        """,
+        "q_ewma": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            rec AS (
+              SELECT user_id, rn, n, value::DOUBLE AS s
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT seq.user_id, seq.rn, seq.n,
+                     rec.s * 0.75 + seq.value * 0.25
+              FROM rec JOIN seq
+                ON seq.user_id = rec.user_id AND seq.rn = rec.rn + 1
+            )
+            SELECT user_id, n::BIGINT AS n_events,
+                   floor(s * 1e6) / 1e6 AS ewma
+            FROM rec WHERE rn = n
+        """,
+        "q_kn_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2
+            ),
+            bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+            bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            ctx AS (
+              SELECT w1, sum(c12) AS c1, count(*) AS n1fwd
+              FROM bgc GROUP BY w1
+            ),
+            hist AS (SELECT w2, count(*) AS n1back FROM bgc GROUP BY w2),
+            typ AS (SELECT count(*)::DOUBLE AS ntypes FROM bgc)
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(-avg(ln(
+                     greatest(c12 - 0.75, 0.0) / c1
+                     + (0.75 * n1fwd / c1) * (n1back / ntypes)
+                   )), 3) AS avg_nll,
+                   round(exp(-avg(ln(
+                     greatest(c12 - 0.75, 0.0) / c1
+                     + (0.75 * n1fwd / c1) * (n1back / ntypes)
+                   ))), 1) AS ppl
+            FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+                 JOIN hist USING (w2), typ
+            GROUP BY doc_id
         """,
     }

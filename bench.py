@@ -429,6 +429,11 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_bm25",
         "q_train_split",
         "q_word_entropy",
+        "q_mann_whitney",
+        "q_spearman",
+        "q_autocorr",
+        "q_ewma",
+        "q_kn_perplexity",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -644,3 +644,87 @@ def chi2_terms(
         .orderBy(F.desc("chi2_q"), "class", "word")
         .limit(top_k)
     )
+
+def kn_bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+) -> DataFrame:
+    """Per-document bigram perplexity under interpolated Kneser-Ney
+    smoothing — the estimator production n-gram filters (KenLM, CCNet)
+    actually ship, one rung up from ``bigram_perplexity``'s add-one:
+
+        p(w2|w1) = max(c(w1,w2) - d, 0)/c(w1)
+                 + (d * N1+(w1·)/c(w1)) * (N1+(·w2) / N_types)
+
+    where d = discount_num/discount_den (default 3/4, a dyadic rational
+    so the double is exact), N1+(w1·) = distinct continuations of w1,
+    N1+(·w2) = distinct histories of w2 (the CONTINUATION probability —
+    KN's insight: "Francisco" is frequent but follows only "San"), and
+    N_types = total distinct bigram types.
+
+    Cross-engine exactness, same contract as ``bigram_perplexity``:
+    every model quantity is an INTEGER count derived from one bigram
+    explode; the per-bigram probability is one deterministic float
+    expression over those integers, and per-doc avg-of-logs is rounded
+    (3dp nll / 1dp ppl) so float summation order cannot flip the hash.
+    Scoring corpus == training corpus, so every scored bigram has
+    c12 ≥ 1 > d and the max() never truncates (kept for safety).
+
+    Scale notes (100 TB): identical plan family to
+    ``bigram_perplexity`` — map-side zip_with bigrams (no window, no
+    self-join), count tables are corpus-level aggregates broadcast back
+    (hot-head/cold-tail split applies at web scale), N1+ tables are
+    groupBy-countDistinct over the bigram TYPE table (vocab²-bounded,
+    not corpus-bounded), per-doc aggregate is map-combinable.
+
+    Returns (id_col, n_bigrams, avg_nll, ppl) for docs with ≥2 tokens.
+    """
+    if discount_den & (discount_den - 1) or not (
+        0 < discount_num < discount_den
+    ):
+        raise ValueError(
+            "discount must be a dyadic rational in (0,1), got "
+            f"{discount_num}/{discount_den}"
+        )
+    d = discount_num / discount_den
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg_cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # every per-w1 model quantity from the TYPE table, one corpus pass:
+    # c1 = bigram tokens starting w1, n1fwd = distinct continuations
+    ctx = bg_cnt.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1fwd")
+    )
+    hist = bg_cnt.groupBy("w2").agg(F.count("*").alias("n1back"))
+    types = bg_cnt.agg(F.count("*").cast("double").alias("ntypes"))
+    p = (
+        F.greatest(F.col("c12") - F.lit(d), F.lit(0.0)) / F.col("c1")
+        + (F.lit(d) * F.col("n1fwd") / F.col("c1"))
+        * (F.col("n1back") / F.col("ntypes"))
+    )
+    nll = -F.avg(F.log(p))
+    return (
+        bg.join(F.broadcast(bg_cnt), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(hist), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(nll, 3).alias("avg_nll"),
+            F.round(F.exp(nll), 1).alias("ppl"),
+        )
+    )

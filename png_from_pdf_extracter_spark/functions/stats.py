@@ -1,7 +1,9 @@
-"""Exact order statistics that percentile()/approx_percentile don't
-cover: weighted quantiles. Pure integer plans (value ordering + BIGINT
-cumulative weights), no floats anywhere — the strongest possible
-cross-engine determinism class.
+"""Exact order/rank statistics that percentile()/approx_percentile
+don't cover: weighted quantiles, the Mann-Whitney U rank test, Spearman
+rank correlation, lag-k autocorrelation. Every estimator here is built
+from INTEGER plans (value ordering + BIGINT/DECIMAL cumulative counts
+and rank sums); floats appear only in one final deterministic emit
+expression — the strongest possible cross-engine determinism class.
 """
 
 from __future__ import annotations
@@ -47,4 +49,238 @@ def weighted_quantile(
     return reached.groupBy(*group_cols).agg(
         F.max("__total").cast("long").alias("total_w"),
         F.min("__v").alias("wq_value"),
+    )
+
+def _quant(col, quantize: int):
+    """Deterministic integer quantization: round(v * 10^q) as BIGINT.
+
+    Both engines see the IDENTICAL parquet double and both define
+    round() as half-away-from-zero, so the mapping is bit-reproducible
+    cross-engine (the property every rank statistic below leans on)."""
+    return F.round(col.cast("double") * F.lit(10 ** quantize), 0).cast(
+        "long"
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U test (Wilcoxon rank-sum) between
+    ``group_a`` and ``group_b`` — the non-parametric "did the
+    distribution shift" companion to [[ks_statistic]]: KS answers "are
+    they the same shape", U answers "is one stochastically larger", and
+    U/(n_a*n_b) IS the ROC-AUC of the grouping as a classifier.
+
+    EXACT cross-engine: values are integer-quantized, and the U
+    statistic is assembled from per-distinct-value counts with the
+    standard tie convention (each A-row beats every B-row strictly
+    below it and half-credits ties). To stay in integers we emit
+    2*U: ``u2_a = Σ_v ca_v * (2 * cb_below(v) + cb_v)``. The identity
+    ``u2_a + u2_b = 2 * n_a * n_b`` is pinned in tests.
+
+    Plan shape (the 100-TB argument, same as ``ks_statistic``): one
+    map-combinable count per distinct quantized value, then ONE ordered
+    running sum over the distinct-value table — a single-partition
+    window bounded by VALUE CARDINALITY (10^q-grained), not corpus
+    size — then one scalar aggregate. No sort of the raw data, no
+    per-row ranks, no join back.
+
+    Returns one row: (n_a, n_b, u2_a, u2_b, auc_a) where auc_a =
+    U_a / (n_a * n_b) floor-quantized to 6dp.
+
+    Reference analog: the reference classifies items into pass/fail
+    channels (src/services/job_processor.py:155-179); this is the
+    analyst's test that the two channels differ on a metric.
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").alias("ca"), F.sum(1 - F.col("s")).alias("cb")
+    )
+    below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnt.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(below), F.lit(0)).alias("cb_below"),
+        F.coalesce(F.sum("ca").over(below), F.lit(0)).alias("ca_below"),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cb_below") + F.col("cb"))
+        ).cast("long").alias("u2_a"),
+        F.sum(
+            F.col("cb") * (2 * F.col("ca_below") + F.col("ca"))
+        ).cast("long").alias("u2_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        "u2_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(
+                F.col("u2_a")
+                / (2.0 * F.col("n_a") * F.col("n_b"))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("auc_a"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, exact
+    under ties (Pearson over AVERAGE ranks, the textbook tie-corrected
+    estimator) — the monotone-association gate a curation pipeline runs
+    between, say, a quality score and a downstream metric before
+    trusting either.
+
+    Integer construction: average rank of value v is (cum_below(v) +
+    (cnt_v + 1)/2), so DOUBLED ranks ``r2 = 2*cum_below + cnt + 1`` are
+    integers. Rank maps are built per DISTINCT quantized value (one
+    running sum over the distinct-value table each for x and y — window
+    bounded by value cardinality, not rows) and joined back on the
+    quantized value (a shuffle join; the rank map is same-order-of-
+    magnitude as the distinct-value count, broadcastable only when the
+    domain is small — document, don't assume). Rank sums/products are
+    accumulated as DECIMAL(38,0): Σ r2x*r2y ≤ 4n³ overflows BIGINT past
+    ~1e9 rows, and the final Pearson numerator n*Sxy - Sx*Sy reaches
+    ~4n⁴. The only floats are ONE final expression over exact decimal
+    aggregates (deterministic: identical inputs, identical expression
+    tree, no float summation anywhere).
+
+    Returns one row: (n_pairs, sx2, sy2, rho) — sx2/sy2 are the exact
+    doubled-rank sums (each must equal n*(n+1), pinned in tests), rho
+    floor-quantized 6dp, NULL when either margin is constant.
+    """
+    qx = _quant(F.col(x_col), quantize)
+    qy = _quant(F.col(y_col), quantize)
+    base = df.select(qx.alias("qx"), qy.alias("qy")).filter(
+        F.col("qx").isNotNull() & F.col("qy").isNotNull()
+    )
+
+    def rank_map(col_name: str) -> DataFrame:
+        cnt = base.groupBy(col_name).agg(F.count("*").alias("c"))
+        below = Window.orderBy(col_name).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return cnt.select(
+            col_name,
+            (
+                2 * F.coalesce(F.sum("c").over(below), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r2{col_name[1:]}"),
+        )
+
+    ranked = base.join(rank_map("qx"), "qx").join(rank_map("qy"), "qy")
+    dec = "decimal(38,0)"
+    s = ranked.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("r2x").cast(dec)).alias("sx"),
+        F.sum(F.col("r2y").cast(dec)).alias("sy"),
+        F.sum((F.col("r2x") * F.col("r2x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("r2y") * F.col("r2y")).cast(dec)).alias("syy"),
+        F.sum((F.col("r2x") * F.col("r2y")).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("sx").cast("long").alias("sx2"),
+        F.col("sy").cast("long").alias("sy2"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.floor(
+                num / (F.sqrt(denx) * F.sqrt(deny)) * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("rho"),
+    )
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Per-group lag-1 autocorrelation of a value sequence — Pearson r
+    between consecutive observations under the group's stable ordering
+    (``order_cols`` must be a deterministic total order within the
+    group, e.g. (ts, event_id)). The streaming analyst's "is this
+    signal trending or white noise" number.
+
+    Integer construction: values quantized to BIGINT, consecutive pairs
+    formed by ONE lead() window per group, then all five Pearson sums
+    accumulated as exact BIGINTs in a groupBy on the SAME key — AQE
+    reuses the window's exchange, so the whole operator is a single
+    shuffle on the group key. Per-group magnitudes bound the integers:
+    n_g * Σx² ≤ n_g² * max(q)², safe in BIGINT for per-key sequence
+    lengths up to ~10^5 at 2dp quantization of O(10^3) values; larger
+    per-key sequences should cast the sums to DECIMAL(38,0) (same
+    shape, [[spearman_corr]] shows the pattern).
+
+    Returns (group..., n_pairs, sx, sy, sxy, r1) with r1 floor-6dp,
+    NULL when either margin of the pair sequence is constant.
+    """
+    q = _quant(F.col(value_col), quantize)
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    pairs = (
+        df.select(*group_cols, *order_cols, q.alias("x"))
+        .withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    s = pairs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        *group_cols,
+        "n_pairs",
+        "sx",
+        "sy",
+        "sxy",
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.floor(num / (F.sqrt(denx) * F.sqrt(deny)) * F.lit(1e6))
+            / F.lit(1e6),
+        ).alias("r1"),
     )

@@ -431,3 +431,67 @@ def time_weighted_avg(
             / F.lit(1e6),
         ).alias("twa_q"),
     )
+
+def ewma(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of a value
+    sequence: s_1 = x_1, s_t = s_{t-1} * (1-α) + x_t * α, returning the
+    FINAL smoothed value per key — the classic trend/level estimator
+    for uneven telemetry where the last reading alone is too noisy.
+
+    Cross-engine determinism without integers: the recurrence is
+    inherently sequential, so instead of quantizing we make the FLOAT
+    computation bit-reproducible — α is a dyadic rational (default 1/4;
+    ``alpha_den`` must be a power of two so α and 1-α are exact
+    doubles), both engines fold the IDENTICAL parquet doubles through
+    the IDENTICAL expression ``s*(1-α) + x*α`` in the IDENTICAL
+    (order_cols) order, and IEEE-754 ops are deterministic. Only the
+    6dp floor at the end is belt-and-braces.
+
+    Plan/scale: one groupBy on the key — ``sort_array(collect_list)``
+    + ``F.aggregate`` fold, all JVM-side (no Python). The collected
+    array is bounded by the PER-KEY sequence length (events per user),
+    not corpus size; EWMA is sequential per key by definition, so
+    parallelism comes from key cardinality — exactly how a 1000-executor
+    cluster wants it. Keys with pathological sequence lengths should be
+    windowed by time first (the [[time_weighted_avg]] pattern).
+
+    ``order_cols`` must totally order rows within a key (ties would
+    make the fold order — and thus the float result — nondeterministic).
+
+    Returns (key..., n_events, ewma).
+    """
+    if alpha_den & (alpha_den - 1) or not 0 < alpha_num < alpha_den:
+        raise ValueError(
+            "alpha must be a dyadic rational in (0,1): alpha_den a "
+            f"power of two, got {alpha_num}/{alpha_den}"
+        )
+    a = alpha_num / alpha_den
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    folded = F.aggregate(
+        F.slice(F.col("__seq"), 2, F.size(F.col("__seq")) - 1),
+        F.element_at(F.col("__seq"), 1)["v"],
+        lambda acc, x: acc * F.lit(1.0 - a) + x["v"] * F.lit(a),
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(arr.alias("__seq"))
+        .select(
+            *key_cols,
+            F.size("__seq").cast("long").alias("n_events"),
+            (F.floor(folded * F.lit(1e6)) / F.lit(1e6)).alias("ewma"),
+        )
+    )

@@ -239,3 +239,59 @@ def test_bpe_encode_hand_computed(spark):
     # zero merges: pure chars — 4 + 4 + 2 = 10
     (r0,) = lm.bpe_encode(docs, []).collect()
     assert (r0["n_words"], r0["n_bpe_tokens"]) == (3, 10)
+
+
+# ---- Kneser-Ney bigram perplexity ----
+
+import math
+
+import pytest as _pytest
+
+from png_from_pdf_extracter_spark.functions.lm import kn_bigram_perplexity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_kn_hand_computed_tiny_corpus(spark):
+    # corpus bigrams: (a,b) x2, (a,c) x1 -> c1(a)=3, n1fwd(a)=2,
+    # n1back(b)=n1back(c)=1, ntypes=2
+    # p(b|a) = (2-.75)/3 + (.75*2/3)*(1/2) = 2/3
+    # p(c|a) = (1-.75)/3 + (.75*2/3)*(1/2) = 1/3   (sums to 1: KN is total)
+    rows = {
+        r["doc_id"]: r
+        for r in kn_bigram_perplexity(
+            _docs(spark, ["a b", "a b", "a c"])
+        ).collect()
+    }
+    assert rows[0]["avg_nll"] == round(-math.log(2 / 3), 3)
+    assert rows[0]["ppl"] == 1.5
+    assert rows[2]["avg_nll"] == round(-math.log(1 / 3), 3)
+    assert rows[2]["ppl"] == 3.0
+
+
+def test_kn_probabilities_normalize_over_continuations(spark):
+    # direct check of the KN totality identity on a wider corpus: for
+    # each history w1, sum over OBSERVED continuations of p(w2|w1) plus
+    # the backoff mass assigned to unobserved types equals 1; with the
+    # full vocab observed after 'x', the observed sum alone is 1
+    out = kn_bigram_perplexity(
+        _docs(spark, ["x a", "x b", "x c", "x a"])
+    ).collect()
+    # p(a|x) = (2-.75)/4 + (.75*3/4)*(1/3); p(b|x)=p(c|x)=(.25)/4+.1875
+    pa = (2 - 0.75) / 4 + (0.75 * 3 / 4) * (1 / 3)
+    pb = (1 - 0.75) / 4 + (0.75 * 3 / 4) * (1 / 3)
+    assert abs(pa + 2 * pb - 1.0) < 1e-12
+    by_doc = {r["doc_id"]: r["avg_nll"] for r in out}
+    assert by_doc[0] == round(-math.log(pa), 3)
+    assert by_doc[1] == round(-math.log(pb), 3)
+
+
+def test_kn_short_docs_dropped_and_discount_validated(spark):
+    out = kn_bigram_perplexity(_docs(spark, ["solo", "a b"])).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    with _pytest.raises(ValueError):
+        kn_bigram_perplexity(_docs(spark, ["a b"]), discount_den=5)

@@ -335,3 +335,45 @@ def test_scalar_quantize_map_only(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(scalar_quantize(e))
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_autocorr_window_and_agg_share_one_exchange(spark):
+    """autocorr_lag1's lead() window and its Pearson-sums groupBy both
+    key on the group column — one hashpartitioning Exchange total, so
+    the operator costs a single shuffle at any scale."""
+    from png_from_pdf_extracter_spark.functions.stats import autocorr_lag1
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        autocorr_lag1(ev, ("user_id",), ("ts", "event_id"), "value")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mann_whitney_no_raw_row_sort(spark):
+    """mann_whitney_u must rank DISTINCT quantized values, never sort
+    the raw rows: the only single-partition stage is the running sum
+    over the distinct-value table (bounded by value cardinality)."""
+    from png_from_pdf_extracter_spark.functions.stats import mann_whitney_u
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(
+        mann_whitney_u(c, "c_acctbal", "c_mktsegment", "BUILDING",
+                       "MACHINERY")
+    )
+    # one pre-aggregation before any SinglePartition exchange: the
+    # distinct-value count table is what gets globally ordered
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    first_single = plan.index("Exchange SinglePartition")
+    assert "HashAggregate" in plan[:first_single], plan
+
+
+def test_ewma_single_shuffle_no_python(spark):
+    """ewma is one groupBy exchange and stays JVM-side (no Python/Arrow
+    eval nodes): the fold is F.aggregate over a collected array."""
+    from png_from_pdf_extracter_spark.operators.temporal import ewma
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(ewma(ev, ("user_id",), ("ts", "event_id"), "value"))
+    assert plan.count("Exchange") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -42,3 +42,97 @@ def test_weighted_median_exact_boundary(spark):
         _df(spark, rows), "v", "w", group_cols=("g",)
     ).collect()[0]
     assert r["wq_value"] == 1
+
+
+# ---- rank statistics (mann_whitney_u / spearman_corr / autocorr_lag1) ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    autocorr_lag1,
+    mann_whitney_u,
+    spearman_corr,
+)
+
+
+def _mw_df(spark, a_vals, b_vals):
+    rows = [("A", float(v)) for v in a_vals] + [
+        ("B", float(v)) for v in b_vals
+    ]
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+def test_mann_whitney_complete_separation(spark):
+    r = mann_whitney_u(
+        _mw_df(spark, [3, 4], [1, 2]), "v", "grp", "A", "B"
+    ).collect()[0]
+    # every A beats every B: U_a = n_a*n_b = 4, AUC = 1.0
+    assert (r["u2_a"], r["u2_b"], r["auc_a"]) == (8, 0, 1.0)
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+
+
+def test_mann_whitney_all_ties_is_half(spark):
+    r = mann_whitney_u(
+        _mw_df(spark, [5, 5], [5, 5]), "v", "grp", "A", "B"
+    ).collect()[0]
+    # full tie block: U_a = U_b = n_a*n_b/2, AUC = 0.5
+    assert r["u2_a"] == r["u2_b"] == 4 and r["auc_a"] == 0.5
+
+
+def test_mann_whitney_identity_holds_with_mixed_ties(spark):
+    r = mann_whitney_u(
+        _mw_df(spark, [1, 2, 2, 7], [2, 3, 3]), "v", "grp", "A", "B"
+    ).collect()[0]
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"] == 24
+
+
+def _xy_df(spark, pairs):
+    return spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pairs], "x double, y double"
+    )
+
+
+def test_spearman_perfect_monotone_nonlinear(spark):
+    pairs = [(x, x * x) for x in range(1, 11)]
+    r = spearman_corr(_xy_df(spark, pairs), "x", "y").collect()[0]
+    assert r["rho"] == 1.0  # rank-equal despite nonlinearity
+    # doubled-rank sums are each exactly n*(n+1)
+    assert r["sx2"] == r["sy2"] == 10 * 11
+
+
+def test_spearman_perfect_inverse(spark):
+    pairs = [(x, -x) for x in range(1, 8)]
+    r = spearman_corr(_xy_df(spark, pairs), "x", "y").collect()[0]
+    assert r["rho"] == -1.0
+
+
+def test_spearman_constant_margin_is_null(spark):
+    pairs = [(x, 5) for x in range(1, 6)]
+    r = spearman_corr(_xy_df(spark, pairs), "x", "y").collect()[0]
+    assert r["rho"] is None and r["n_pairs"] == 5
+
+
+def _seq_df(spark, vals):
+    return spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, i long, v double",
+    )
+
+
+def test_autocorr_alternating_is_minus_one(spark):
+    r = autocorr_lag1(
+        _seq_df(spark, [1, 0, 1, 0, 1, 0]), ("k",), ("i",), "v"
+    ).collect()[0]
+    assert r["r1"] == -1.0 and r["n_pairs"] == 5
+
+
+def test_autocorr_linear_is_plus_one(spark):
+    r = autocorr_lag1(
+        _seq_df(spark, [1, 2, 3, 4, 5]), ("k",), ("i",), "v"
+    ).collect()[0]
+    assert r["r1"] == 1.0 and r["n_pairs"] == 4
+
+
+def test_autocorr_constant_is_null(spark):
+    r = autocorr_lag1(
+        _seq_df(spark, [7, 7, 7, 7]), ("k",), ("i",), "v"
+    ).collect()[0]
+    assert r["r1"] is None

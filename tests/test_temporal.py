@@ -354,3 +354,44 @@ def test_time_weighted_avg_sub_second_intervals(spark):
     r = time_weighted_avg(df, ("k",), "ts", "v").collect()[0]
     assert r["total_dur_us"] == 1_000_000
     assert r["twa_q"] == 25.0
+
+
+# ---- ewma ----
+
+import pytest as _pytest
+
+from png_from_pdf_extracter_spark.operators.temporal import ewma
+
+
+def _ev_df(spark, vals, order=None):
+    order = order if order is not None else list(range(len(vals)))
+    return spark.createDataFrame(
+        [("k", int(i), float(v)) for i, v in zip(order, vals)],
+        "k string, i long, v double",
+    )
+
+
+def test_ewma_single_observation_is_value(spark):
+    r = ewma(_ev_df(spark, [42.5]), ("k",), ("i",), "v").collect()[0]
+    assert r["ewma"] == 42.5 and r["n_events"] == 1
+
+
+def test_ewma_closed_form(spark):
+    # s1=0, s2=0*.75+1*.25=0.25, s3=0.25*.75+0*.25=0.1875 (exact dyadic)
+    r = ewma(_ev_df(spark, [0, 1, 0]), ("k",), ("i",), "v").collect()[0]
+    assert r["ewma"] == 0.1875
+
+
+def test_ewma_respects_order_cols_not_insertion(spark):
+    # same multiset, reversed order column: fold runs 2 then 1 then 0
+    fwd = ewma(_ev_df(spark, [0, 1, 2]), ("k",), ("i",), "v").collect()[0]
+    rev = ewma(
+        _ev_df(spark, [0, 1, 2], order=[2, 1, 0]), ("k",), ("i",), "v"
+    ).collect()[0]
+    # fwd: ((0*.75)+.25)*.75 + 2*.25 = 0.6875; rev: ((2*.75)+.25)*.75+0
+    assert (fwd["ewma"], rev["ewma"]) == (0.6875, 1.3125)
+
+
+def test_ewma_rejects_non_dyadic_alpha(spark):
+    with _pytest.raises(ValueError):
+        ewma(_ev_df(spark, [1]), ("k",), ("i",), "v", 1, 3)
