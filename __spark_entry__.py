@@ -3702,6 +3702,63 @@ def _q_kn_perplexity(spark, sf_dir):
     return kn_bigram_perplexity(d)
 
 
+def _q_logreg_train(spark, sf_dir):
+    """Distill the rule-based language detector into a trained gate:
+    logistic regression (evalmetrics.logreg_train, Newton/IRLS, 6
+    passes) fit to predict lang_id(text)=='en' from per-language
+    function-word hit rates — the classic "replace an expensive rule
+    cascade with a cheap learned scorer" curation pattern. (The
+    documents table's `lang` column is an independent synthetic label
+    the text does not encode, so the detector output is the honest
+    learnable target.) Driver state = a 4x4 Hessian per pass. Rows-only
+    by design: cross-partition float-sum order moves the weights' low
+    bits; the numpy IRLS parity pin (1e-6) lives in
+    tests/test_evalmetrics.py. Output embeds per-row prediction vs
+    label plus the train loss so the driver row captures model
+    quality, not just shape."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        logreg_score,
+        logreg_train,
+    )
+
+    from png_from_pdf_extracter_spark.functions.text import _lang_hits
+
+    d = _read(spark, sf_dir, "documents")
+    ntok = text.token_count("text")
+    feats = d.select(
+        "doc_id",
+        (text.lang_id("text") == "en").cast("int").alias("y"),
+        (_lang_hits(F.col("text"), "en") * 100.0 / ntok).alias("f_en"),
+        (_lang_hits(F.col("text"), "de") * 100.0 / ntok).alias("f_de"),
+        (_lang_hits(F.col("text"), "es") * 100.0 / ntok).alias("f_es"),
+    ).na.drop()
+    w, stats = logreg_train(feats, ("f_en", "f_de", "f_es"), "y", iters=6)
+    score = logreg_score(feats, ("f_en", "f_de", "f_es"), w)
+    return feats.select(
+        "doc_id",
+        "y",
+        F.round(score, 3).alias("p_en"),
+        (score > 0.5).cast("int").alias("pred"),
+        F.lit(round(stats["log_loss"], 3)).alias("train_loss"),
+    )
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    """Distinct users per event type via a K-minimum-values sketch
+    (functions/sketch.py kmv_build/kmv_estimate, k=64): the transparent
+    mergeable cardinality sketch — BIGINT md5-hash state the DuckDB
+    oracle reproduces bit-for-bit (HLL registers can't be value-checked
+    cross-engine; this can). Groups under k distinct are exact."""
+    from png_from_pdf_extracter_spark.functions.sketch import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    sk = kmv_build(ev, "user_id", ("event_type",), k=64)
+    return kmv_estimate(sk, ("event_type",), k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -3868,6 +3925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr": _q_autocorr,
         "q_ewma": _q_ewma,
         "q_kn_perplexity": _q_kn_perplexity,
+        "q_kmv_distinct": _q_kmv_distinct,
+        "q_logreg_train": _q_logreg_train,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7357,5 +7416,30 @@ def oracle_sql() -> dict[str, str]:
             FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
                  JOIN hist USING (w2), typ
             GROUP BY doc_id
+        """,
+        "q_kmv_distinct": """
+            WITH hashed AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+                          AS BIGINT) AS h
+              FROM events
+            ),
+            ranked AS (
+              SELECT event_type, h,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY h
+                     ) AS rank
+              FROM hashed
+            )
+            SELECT event_type,
+                   count(*)::BIGINT AS n_seen,
+                   CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+                        ELSE floor(
+                          63 * 1152921504606846976.0
+                          / max(CASE WHEN rank = 64 THEN h END)
+                        )::BIGINT
+                   END AS est_distinct
+            FROM ranked WHERE rank <= 64
+            GROUP BY event_type
         """,
     }

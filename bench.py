@@ -434,6 +434,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_autocorr",
         "q_ewma",
         "q_kn_perplexity",
+        "q_kmv_distinct",
+        "q_logreg_train",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -236,3 +236,100 @@ def calibration_bins(
             / (F.col("n") * 10000).cast("double")
         ).alias("mean_score"),
     )
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: tuple[str, ...],
+    label_col: str,
+    iters: int = 8,
+    ridge: float = 1e-6,
+) -> tuple[list, dict]:
+    """Distributed logistic-regression training via Newton/IRLS — the
+    missing third of the classifier story (inference =
+    ``curate.hashed_linear_score``, evaluation = ``roc_auc`` /
+    ``calibration_bins``; this TRAINS the quality gate in-pipeline, the
+    way production corpus filters train their fastText-shape models on
+    a labeled sample).
+
+    Per iteration, ONE map-combinable aggregate pass computes the exact
+    gradient g = Σ x·(y − p) and Hessian H = Σ p(1−p)·x·xᵀ with the
+    current weights folded in as literals (p = sigmoid(w·x), pure
+    column expressions — no Python in the pass); the driver solves the
+    (d+1)×(d+1) Newton system with numpy and updates w. Driver state is
+    d² floats per iteration — BOUNDED by feature count, never by rows
+    (the repo's driver-state budget rule; d is small by design, this is
+    a quality-gate trainer, not a deep model). Total cost: ``iters``
+    passes over the sample.
+
+    A ridge term (``ridge`` × identity, intercept included) keeps H
+    invertible under separable data. Feature scaling is the caller's
+    job (z-score or bounded signals — the usual quality-score inputs).
+
+    Returns (weights, stats): ``weights`` = [intercept, w_1..w_d] as
+    Python floats; ``stats`` = {"n": rows, "log_loss": mean final NLL,
+    "iters": iterations run}. Float-sum order across partitions makes
+    the low bits run-dependent — this op is rows-only at the oracle
+    gate; tests pin it against a numpy IRLS twin on the collected
+    sample to 1e-6.
+
+    Reference analog: the reference's only "classifier" is a fixed
+    regex whitelist (src/services/whitelist_service.py:26-38); this is
+    the learned replacement a 100-TB curation pass needs.
+    """
+    import numpy as np
+
+    d = len(feature_cols)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[
+            F.col(c).cast("double").alias(f"__x{i}")
+            for i, c in enumerate(feature_cols)
+        ],
+    ).na.drop()
+    w = np.zeros(d + 1)
+    xs = [F.lit(1.0)] + [F.col(f"__x{i}") for i in range(d)]
+    n_rows = 0
+    for _ in range(iters):
+        z = sum(
+            (x * float(wi) for x, wi in zip(xs, w)), start=F.lit(0.0)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = F.col("__y") - p
+        wgt = p * (F.lit(1.0) - p)
+        aggs = [F.count("*").alias("n")]
+        for i in range(d + 1):
+            aggs.append(F.sum(xs[i] * resid).alias(f"g{i}"))
+            for j in range(i, d + 1):
+                aggs.append(F.sum(wgt * xs[i] * xs[j]).alias(f"h{i}_{j}"))
+        row = feats.agg(*aggs).collect()[0]
+        n_rows = row["n"]
+        g = np.array([row[f"g{i}"] for i in range(d + 1)])
+        H = np.zeros((d + 1, d + 1))
+        for i in range(d + 1):
+            for j in range(i, d + 1):
+                H[i, j] = H[j, i] = row[f"h{i}_{j}"]
+        H += ridge * np.eye(d + 1)
+        w = w + np.linalg.solve(H, g)
+    z = sum((x * float(wi) for x, wi in zip(xs, w)), start=F.lit(0.0))
+    # numerically-stable NLL: log(1+e^z) - y*z == softplus via log1p
+    nll = F.log1p(F.exp(-F.abs(z))) + F.greatest(z, F.lit(0.0)) - (
+        F.col("__y") * z
+    )
+    loss = feats.agg(F.avg(nll).alias("l")).collect()[0]["l"]
+    return list(map(float, w)), {
+        "n": int(n_rows),
+        "log_loss": float(loss),
+        "iters": iters,
+    }
+
+
+def logreg_score(
+    df: DataFrame, feature_cols: tuple[str, ...], weights: list
+) -> Column:
+    """Column expression scoring rows with [[logreg_train]] weights:
+    sigmoid(w·x) as pure built-ins — the trained twin of
+    ``curate.hashed_linear_score``, broadcastable into any gate."""
+    z = F.lit(float(weights[0]))
+    for c, wi in zip(feature_cols, weights[1:]):
+        z = z + F.col(c).cast("double") * float(wi)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

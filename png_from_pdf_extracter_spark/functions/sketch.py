@@ -98,3 +98,102 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+def kmv_build(
+    df: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch state per group: the k
+    smallest md5-derived 60-bit hashes of the item column. The third
+    member of the mergeable-sketch family here (CMS = frequencies,
+    HLL++ via ``approx_count_distinct`` = opaque JVM cardinality state);
+    KMV is the TRANSPARENT cardinality sketch — its state is plain
+    BIGINT rows, so it is persistable to a table, mergeable by
+    union + re-top-k, AND reproducible bit-for-bit by the DuckDB
+    oracle, which HLL's binary registers are not.
+
+    Hash contract: ``bigint(md5(item)[:15])`` — the same 60-bit uniform
+    integer every sampling/salting op in this repo uses, identical in
+    both engines by construction.
+
+    Plan/scale: distinct (item, group) pairs first (map-combinable),
+    then ONE group-keyed window keeps rank <= k — shuffle state per
+    group is bounded by k, never by cardinality. Merging shard sketches
+    is [[kmv_merge]] (re-top-k over the RAW hash union — never re-hash
+    a sketch; pinned equal to the whole-corpus sketch in tests).
+
+    Returns (group..., rank, h) — k rows per group (fewer when the
+    group has < k distinct items).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return _kmv_topk(
+        df.select(*group_cols, h.alias("h")), group_cols, k
+    )
+
+
+def _kmv_topk(hashed: DataFrame, group_cols: tuple[str, ...], k: int):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        hashed.select(*group_cols, "h")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "h")
+    )
+
+
+def kmv_merge(
+    sketches: list,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Merge per-shard [[kmv_build]] sketches: union the RAW hash sets
+    and keep the k smallest per group — NEVER re-hash sketch state (the
+    estimator needs hashes of the original items). The merged k-set is
+    identical to sketching the union corpus directly, which is the
+    whole point of carrying the sketch instead of the corpus."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return _kmv_topk(u, group_cols, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """Distinct-count estimate from a [[kmv_build]] sketch: if the k-th
+    smallest of n uniform hashes in [0, 2^60) sits at value h_k, the
+    unbiased estimator is (k-1) * 2^60 / h_k (Bar-Yossef et al.; the
+    Beyer et al. unbiased form). Groups with fewer than k distinct
+    items are EXACT — the sketch saw every hash, so the count of rows
+    is the answer (the standard small-range escape).
+
+    All decision logic on integers; the estimate is one deterministic
+    float expression (BIGINT k-th hash, exact power-of-two scale),
+    floor-quantized to whole items.
+
+    Returns (group..., n_seen, est_distinct).
+    """
+    scale = float(2**hash_bits)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("hk"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_seen",
+        F.when(F.col("n_seen") < k, F.col("n_seen"))
+        .otherwise(
+            F.floor((k - 1) * F.lit(scale) / F.col("hk")).cast("long")
+        )
+        .alias("est_distinct"),
+    )

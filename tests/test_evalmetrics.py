@@ -206,3 +206,77 @@ def test_calibration_bins_clamp_out_of_range(spark):
     )
     out = {r["bin"] for r in calibration_bins(df, "score", "y").collect()}
     assert out == {0, 9}
+
+
+# ---- logistic-regression training (IRLS) ----
+
+import numpy as np
+
+from png_from_pdf_extracter_spark.functions.evalmetrics import (
+    logreg_score,
+    logreg_train,
+)
+
+
+def _synth(seed=7, n=400):
+    """Deterministic 2-feature synthetic with known generating weights."""
+    rng = np.random.RandomState(seed)
+    X = rng.uniform(-2, 2, size=(n, 2))
+    z = -0.5 + 1.5 * X[:, 0] - 2.0 * X[:, 1]
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-z))).astype(int)
+    return X, y
+
+
+def _numpy_irls(X, y, iters, ridge=1e-6):
+    """Reference IRLS on the same data — the exact algorithm
+    logreg_train distributes, run locally."""
+    n, d = X.shape
+    A = np.hstack([np.ones((n, 1)), X])
+    w = np.zeros(d + 1)
+    for _ in range(iters):
+        p = 1 / (1 + np.exp(-A @ w))
+        g = A.T @ (y - p)
+        H = (A * (p * (1 - p))[:, None]).T @ A + ridge * np.eye(d + 1)
+        w = w + np.linalg.solve(H, g)
+    return w
+
+
+def test_logreg_matches_numpy_irls_twin(spark):
+    X, y = _synth()
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, y int",
+    ).repartition(8)  # prove partitioning does not change the solution
+    w, stats = logreg_train(df, ("x1", "x2"), "y", iters=6)
+    ref = _numpy_irls(X, y, iters=6)
+    assert np.allclose(w, ref, atol=1e-6), (w, ref)
+    assert stats["n"] == 400
+
+
+def test_logreg_recovers_signal_direction_and_separates(spark):
+    X, y = _synth(seed=11, n=600)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, y int",
+    )
+    w, stats = logreg_train(df, ("x1", "x2"), "y", iters=8)
+    # signs of the generating weights (+1.5, -2.0) recovered
+    assert w[1] > 0 and w[2] < 0
+    # trained model beats the null model's loss (ln 2) decisively
+    assert stats["log_loss"] < 0.5
+    # scoring: accuracy well above chance on the training sample
+    scored = df.select(
+        "y", (logreg_score(df, ("x1", "x2"), w) > 0.5).cast("int").alias("p")
+    )
+    acc = scored.filter("y = p").count() / 600
+    assert acc > 0.8, acc
+
+
+def test_logreg_separable_data_stays_finite(spark):
+    # perfectly separable: without ridge the MLE diverges; ridge keeps
+    # the Newton system solvable and the weights finite
+    rows = [(float(i), int(i > 0)) for i in range(-50, 50) if i != 0]
+    df = spark.createDataFrame(rows, "x1 double, y int")
+    w, stats = logreg_train(df, ("x1",), "y", iters=10, ridge=1e-3)
+    assert all(np.isfinite(w)) and np.isfinite(stats["log_loss"])
+    assert w[1] > 0

@@ -377,3 +377,18 @@ def test_ewma_single_shuffle_no_python(spark):
     plan = _plan(ewma(ev, ("user_id",), ("ts", "event_id"), "value"))
     assert plan.count("Exchange") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kmv_distinct_before_window_bounds_state(spark):
+    """kmv_build must collapse to DISTINCT (group, hash) pairs BEFORE
+    the rank window: the partial aggregate bounds shuffle state by
+    cardinality, and the window then keeps only k rows per group. A
+    raw-row window here would sort the whole corpus."""
+    from png_from_pdf_extracter_spark.functions.sketch import kmv_build
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(kmv_build(ev, "user_id", ("event_type",), k=64))
+    # dedup aggregate appears before the window sort in the plan text
+    # (children print below parents: window first textually)
+    assert "HashAggregate" in plan and "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

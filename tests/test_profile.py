@@ -109,3 +109,57 @@ def test_cms_overestimates_and_merges(spark):
         assert est[k] >= t, (k, est[k], t)
     # width 64 >> 4 distinct items: collisions are unlikely; x at least exact
     assert est["x"] == 75 and est["never"] == 0
+
+
+# ---- KMV distinct-count sketch ----
+
+from png_from_pdf_extracter_spark.functions.sketch import (  # noqa: E402
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+)
+
+
+def _items(spark, n, grp="g"):
+    return spark.createDataFrame(
+        [(grp, f"item-{i}") for i in range(n)], "g string, item string"
+    )
+
+
+def test_kmv_small_groups_are_exact(spark):
+    # fewer distinct items than k: the sketch saw every hash -> exact
+    df = _items(spark, 40).union(_items(spark, 40))  # dupes collapse
+    sk = kmv_build(df, "item", ("g",), k=64)
+    r = kmv_estimate(sk, ("g",), k=64).collect()[0]
+    assert (r["n_seen"], r["est_distinct"]) == (40, 40)
+
+
+def test_kmv_estimate_within_sketch_error(spark):
+    # 2000 distinct items, k=64: relative error concentrates around
+    # 1/sqrt(k-2) ~ 12.7%; assert a generous 3-sigma band
+    sk = kmv_build(_items(spark, 2000), "item", ("g",), k=64)
+    r = kmv_estimate(sk, ("g",), k=64).collect()[0]
+    assert r["n_seen"] == 64
+    assert 2000 * 0.6 < r["est_distinct"] < 2000 * 1.4
+
+
+def test_kmv_shard_merge_equals_whole_corpus_sketch(spark):
+    # mergeability: sketch each shard, union states, re-top-k on the
+    # hash column -> identical k-set (and thus identical estimate) to
+    # sketching the whole corpus at once
+    whole = _items(spark, 500)
+    s1 = kmv_build(_items(spark, 300), "item", ("g",), k=32)
+    s2 = kmv_build(
+        spark.createDataFrame(
+            [("g", f"item-{i}") for i in range(250, 500)],
+            "g string, item string",
+        ),
+        "item",
+        ("g",),
+        k=32,
+    )
+    merged = kmv_merge([s1, s2], ("g",), k=32)
+    direct = kmv_build(whole, "item", ("g",), k=32)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
