@@ -3702,6 +3702,52 @@ def _q_kn_perplexity(spark, sf_dir):
     return kn_bigram_perplexity(d)
 
 
+def _q_running_distinct(spark, sf_dir):
+    """Cumulative distinct event types per user as of each event
+    (functions/stats.py running_distinct): exact first-occurrence-flag
+    decomposition of the COUNT(DISTINCT) running frame no engine
+    supports natively — two hash-keyed windows, no single-partition
+    stage."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        running_distinct,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return running_distinct(
+        ev, ("user_id",), ("ts", "event_id"), "event_type"
+    ).select("user_id", "event_id", "n_distinct")
+
+
+def _q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution over the events stream
+    (operators/sessions.py last_touch_attribution): purchases credited
+    to the latest preceding non-purchase touch via one ignorenulls
+    last() window, channel rollup after — no self-join."""
+    from png_from_pdf_extracter_spark.operators.sessions import (
+        last_touch_attribution,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", ("ts", "event_id"), "event_type", "purchase"
+    )
+
+
+def _q_changepoint(spark, sf_dir):
+    """Exact single-changepoint per user on the event value signal
+    (functions/stats.py changepoint_single): argmax of between-segment
+    contrast from BIGINT prefix sums, smallest-k tie-break — all
+    windows on one user_id exchange."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        changepoint_single,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return changepoint_single(
+        ev, ("user_id",), ("ts", "event_id"), "value"
+    )
+
+
 def _q_logreg_train(spark, sf_dir):
     """Distill the rule-based language detector into a trained gate:
     logistic regression (evalmetrics.logreg_train, Newton/IRLS, 6
@@ -3927,6 +3973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kn_perplexity": _q_kn_perplexity,
         "q_kmv_distinct": _q_kmv_distinct,
         "q_logreg_train": _q_logreg_train,
+        "q_running_distinct": _q_running_distinct,
+        "q_attribution": _q_attribution,
+        "q_changepoint": _q_changepoint,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7441,5 +7490,78 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM ranked WHERE rank <= 64
             GROUP BY event_type
+        """,
+        "q_running_distinct": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                     ) = 1 THEN 1 ELSE 0 END AS first_f
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   sum(first_f) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS n_distinct
+            FROM flagged
+        """,
+        "q_attribution": """
+            WITH touched AS (
+              SELECT user_id, event_type,
+                     last_value(
+                       CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS
+                     ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS touch
+              FROM events
+            )
+            SELECT coalesce(touch, 'direct') AS channel,
+                   count(*)::BIGINT AS n_conversions,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM touched WHERE event_type = 'purchase'
+            GROUP BY coalesce(touch, 'direct')
+        """,
+        "q_changepoint": """
+            WITH marked AS (
+              SELECT user_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS k,
+                     sum(CAST(round(value * 10) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sl,
+                     sum(CAST(round(value * 10) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                     ) AS st,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            scored AS (
+              SELECT user_id, k, n, sl, st,
+                     (sl * (n - k) - (st - sl) * k)::DOUBLE
+                     * (sl * (n - k) - (st - sl) * k)::DOUBLE
+                     / (k * (n - k))::DOUBLE AS bss
+              FROM marked
+              WHERE k >= 2 AND k <= n - 2
+            ),
+            best AS (
+              SELECT user_id, k, n, sl, st, bss,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY bss DESC, k ASC
+                     ) AS r
+              FROM scored
+            )
+            SELECT user_id, n::BIGINT AS n, k::BIGINT AS k_star,
+                   floor(sl::DOUBLE / (k * 10.0) * 1e6) / 1e6
+                     AS mean_left,
+                   floor((st - sl)::DOUBLE / ((n - k) * 10.0) * 1e6)
+                     / 1e6 AS mean_right,
+                   floor(bss * 100) / 100 AS bss_q2
+            FROM best WHERE r = 1
         """,
     }

@@ -436,6 +436,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_kn_perplexity",
         "q_kmv_distinct",
         "q_logreg_train",
+        "q_running_distinct",
+        "q_attribution",
+        "q_changepoint",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -284,3 +284,138 @@ def autocorr_lag1(
             / F.lit(1e6),
         ).alias("r1"),
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """Cumulative DISTINCT count per group under a stable order — "how
+    many distinct event types had this user produced as of each event"
+    — the classic window SQL cannot express directly (COUNT(DISTINCT)
+    over a running frame is unsupported in every engine).
+
+    Standard exact decomposition: a value's FIRST occurrence within
+    (group, value) gets flag 1 (row_number over that key), and the
+    running sum of flags under the group's order is the running
+    distinct count. Two windows on DIFFERENT keys = two shuffles — the
+    honest minimum for this semantic; both are hash exchanges on keys
+    that scale with the data (no single-partition stage anywhere).
+
+    ``order_cols`` must totally order rows within a group. Returns the
+    input columns' group/order projection plus ``n_distinct``.
+    """
+    first_w = Window.partitionBy(*group_cols, value_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    run_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.select(
+        *group_cols,
+        *order_cols,
+        F.when(F.row_number().over(first_w) == 1, 1)
+        .otherwise(0)
+        .alias("__first"),
+    )
+    return flagged.select(
+        *group_cols,
+        *order_cols,
+        F.sum("__first").over(run_w).cast("long").alias("n_distinct"),
+    )
+
+
+def changepoint_single(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    quantize: int = 1,
+    min_seg: int = 2,
+) -> DataFrame:
+    """Exact single-changepoint detection per group: the split index k
+    that MINIMIZES two-segment squared error (equivalently maximizes
+    the between-segment contrast) over the value sequence in its stable
+    order — the one-breakpoint special case of binary segmentation,
+    the standard "did this metric shift and when" question.
+
+    Objective, in exact integers: minimizing SSE_l + SSE_r is
+    equivalent to maximizing h(k) = (Sx_l·n_r − Sx_r·n_l)² / (n_l·n_r)
+    (the between-group sum of squares, up to the constant total). Every
+    prefix sum is a BIGINT of 10^-quantize-gridded values; h is ONE
+    deterministic double per k (identical integers → identical double
+    in both engines), and the argmax tie-breaks on the SMALLEST k via
+    a rank window. Default 1dp quantization keeps the cross term
+    Sx²·n < 2^63 for per-key sequences up to ~10^4 points of O(10^3)
+    values; longer keys need coarser grids or DECIMAL sums (the
+    [[spearman_corr]] pattern).
+
+    Plan: prefix sums + totals + score + rank are ALL windows/filters
+    on the same group-key exchange — one shuffle, then a projection.
+    Returns (group..., n, k_star, mean_left, mean_right, bss) with k =
+    size of the left segment (min_seg ≤ k ≤ n − min_seg), means
+    floor-6dp; groups shorter than 2·min_seg are dropped.
+    """
+    q = _quant(F.col(value_col), quantize)
+    ow = [F.col(c).asc() for c in order_cols]
+    pre = Window.partitionBy(*group_cols).orderBy(*ow).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy(*group_cols)
+    marked = df.select(
+        *group_cols,
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy(*ow))
+        .alias("__k"),
+        F.sum(q).over(pre).alias("__sl"),
+        F.sum(q).over(full).alias("__st"),
+        F.count("*").over(full).alias("__n"),
+    )
+    cand = marked.filter(
+        (F.col("__k") >= min_seg)
+        & (F.col("__k") <= F.col("__n") - min_seg)
+    )
+    n_l = F.col("__k")
+    n_r = F.col("__n") - F.col("__k")
+    contrast = F.col("__sl") * n_r - (F.col("__st") - F.col("__sl")) * n_l
+    score = (
+        (contrast.cast("double") * contrast.cast("double"))
+        / (n_l * n_r).cast("double")
+    )
+    scored = cand.select(
+        *group_cols, "__k", "__n", "__sl", "__st", score.alias("__bss")
+    )
+    best = Window.partitionBy(*group_cols).orderBy(
+        F.col("__bss").desc(), F.col("__k").asc()
+    )
+    scale = float(10**quantize)
+    return (
+        scored.withColumn("__r", F.row_number().over(best))
+        .filter(F.col("__r") == 1)
+        .select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n"),
+            F.col("__k").cast("long").alias("k_star"),
+            (
+                F.floor(
+                    F.col("__sl") / (F.col("__k") * scale) * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mean_left"),
+            (
+                F.floor(
+                    (F.col("__st") - F.col("__sl"))
+                    / ((F.col("__n") - F.col("__k")) * scale)
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mean_right"),
+            (F.floor(F.col("__bss") * F.lit(100)) / F.lit(100)).alias(
+                "bss_q2"
+            ),
+        )
+    )

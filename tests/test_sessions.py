@@ -481,3 +481,26 @@ def test_kmeans_assign_planted_cluster_separation(spark):
         ).collect()
     }
     assert again == {(r["vec_id"], r["cluster"]) for r in joined}
+
+
+def test_last_touch_attribution_hand_case(spark):
+    from png_from_pdf_extracter_spark.operators.sessions import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        ("u1", 1, "click"),
+        ("u1", 2, "purchase"),   # credit click
+        ("u1", 3, "view"),
+        ("u1", 4, "purchase"),   # credit view
+        ("u1", 5, "purchase"),   # still view (purchases never credit)
+        ("u2", 1, "purchase"),   # no prior touch -> direct
+    ]
+    df = spark.createDataFrame(rows, "user_id string, i long, t string")
+    out = {
+        r["channel"]: (r["n_conversions"], r["n_users"])
+        for r in last_touch_attribution(
+            df, "user_id", ("i",), "t", "purchase"
+        ).collect()
+    }
+    assert out == {"click": (1, 1), "view": (2, 1), "direct": (1, 1)}

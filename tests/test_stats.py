@@ -136,3 +136,63 @@ def test_autocorr_constant_is_null(spark):
         _seq_df(spark, [7, 7, 7, 7]), ("k",), ("i",), "v"
     ).collect()[0]
     assert r["r1"] is None
+
+
+# ---- running_distinct / changepoint_single ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    changepoint_single,
+    running_distinct,
+)
+
+
+def test_running_distinct_hand_sequence(spark):
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(["a", "b", "a", "c", "b", "d"])],
+        "k string, i long, v string",
+    )
+    out = running_distinct(df, ("k",), ("i",), "v").orderBy("i").collect()
+    assert [r["n_distinct"] for r in out] == [1, 2, 2, 3, 3, 4]
+
+
+def test_running_distinct_final_equals_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("u", i, f"v{i % 7}") for i in range(50)],
+        "k string, i long, v string",
+    )
+    last = (
+        running_distinct(df, ("k",), ("i",), "v")
+        .orderBy(F.desc("i"))
+        .first()
+    )
+    assert last["n_distinct"] == 7
+
+
+def test_changepoint_clean_step(spark):
+    vals = [0, 0, 0, 10, 10, 10]
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate(vals)],
+        "k string, i long, v double",
+    )
+    r = changepoint_single(df, ("k",), ("i",), "v").collect()[0]
+    assert r["k_star"] == 3
+    assert (r["mean_left"], r["mean_right"]) == (0.0, 10.0)
+
+
+def test_changepoint_constant_ties_break_to_smallest_k(spark):
+    df = spark.createDataFrame(
+        [("u", i, 5.0) for i in range(6)], "k string, i long, v double"
+    )
+    r = changepoint_single(df, ("k",), ("i",), "v").collect()[0]
+    assert r["k_star"] == 2 and r["bss_q2"] == 0.0
+
+
+def test_changepoint_short_groups_dropped(spark):
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(3)], "k string, i long, v double"
+    )
+    assert changepoint_single(df, ("k",), ("i",), "v").count() == 0
+
+
+# needed by the appended tests above
+from pyspark.sql import functions as F  # noqa: E402
