@@ -3748,6 +3748,41 @@ def _q_changepoint(spark, sf_dir):
     )
 
 
+def _q_interval_union(spark, sf_dir):
+    """Per-user union of overlapping activity intervals [ts, ts +
+    value seconds] (operators/temporal.py interval_union): classic
+    gaps-and-islands on BIGINT unix_micros endpoints, every window and
+    aggregate on one user_id exchange; covered_us counts overlaps
+    once."""
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        interval_union,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + (F.round(F.col("value"), 0).cast("long") * 1000000)
+            )
+        ).alias("end_ts"),
+    )
+    return interval_union(iv, ("user_id",), "start_ts", "end_ts")
+
+
+def _q_benford(spark, sf_dir):
+    """First-significant-digit distribution of order totalprice vs
+    Benford's law (functions/stats.py benford_digits): leading digit
+    taken from the quantized BIGINT's decimal string (libm-proof),
+    expected shares as exact embedded constants, chi2 per digit row."""
+    from png_from_pdf_extracter_spark.functions.stats import benford_digits
+
+    o = _read(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice", ())
+
+
 def _q_logreg_train(spark, sf_dir):
     """Distill the rule-based language detector into a trained gate:
     logistic regression (evalmetrics.logreg_train, Newton/IRLS, 6
@@ -3976,6 +4011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_distinct": _q_running_distinct,
         "q_attribution": _q_attribution,
         "q_changepoint": _q_changepoint,
+        "q_interval_union": _q_interval_union,
+        "q_benford": _q_benford,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -4114,6 +4151,18 @@ def _band_ctes(src: str, p: str) -> str:
                        AS band_hash
               FROM {p}sig GROUP BY id, (seed // 2)
             )"""
+
+
+import math as _math
+
+# exact doubles embedded in BOTH engines' expressions so no libm
+# log10 call can diverge (repr round-trips the IEEE double exactly)
+_BENFORD_CASE = "CASE digit " + " ".join(
+    # ::DOUBLE: bare decimal literals are DECIMAL in DuckDB and the
+    # chi2 products overflow DECIMAL(38); the engine must do IEEE math
+    f"WHEN {d} THEN {_math.log10(1 + 1 / d)!r}::DOUBLE"
+    for d in range(1, 10)
+) + " ELSE 0.0::DOUBLE END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7563,5 +7612,72 @@ def oracle_sql() -> dict[str, str]:
                      / 1e6 AS mean_right,
                    floor(bss * 100) / 100 AS bss_q2
             FROM best WHERE r = 1
+        """,
+        "q_interval_union": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     greatest(
+                       epoch_us(ts)
+                       + CAST(round(value) AS BIGINT) * 1000000,
+                       epoch_us(ts)
+                     ) AS e
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                          ) IS NULL
+                          OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                          )
+                     THEN 1 ELSE 0 END AS f
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(f) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS island
+              FROM flagged
+            ),
+            pi AS (
+              SELECT user_id, island, count(*) AS n,
+                     min(s) AS i_s, max(e) AS i_e
+              FROM isl GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   sum(n)::BIGINT AS n_intervals,
+                   count(*)::BIGINT AS n_islands,
+                   sum(i_e - i_s)::BIGINT AS covered_us,
+                   (max(i_e) - min(i_s))::BIGINT AS span_us
+            FROM pi GROUP BY user_id
+        """,
+        "q_benford": f"""
+            WITH base AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS q
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+            ),
+            cnt AS (
+              SELECT CAST(substring(q::VARCHAR, 1, 1) AS INT) AS digit,
+                     count(*)::BIGINT AS n
+              FROM base GROUP BY 1
+            ),
+            tot AS (SELECT sum(n) AS t FROM cnt)
+            SELECT digit, n,
+                   floor(n / t * 1e6) / 1e6 AS share_q,
+                   floor(({_BENFORD_CASE}) * 1e6) / 1e6 AS expected_q,
+                   floor(
+                     (n - t * ({_BENFORD_CASE}))
+                     * (n - t * ({_BENFORD_CASE}))
+                     / (t * ({_BENFORD_CASE})) * 1e6
+                   ) / 1e6 AS chi2_term_q
+            FROM cnt, tot
         """,
     }

@@ -439,6 +439,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_running_distinct",
         "q_attribution",
         "q_changepoint",
+        "q_interval_union",
+        "q_benford",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

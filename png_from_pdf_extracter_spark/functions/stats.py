@@ -419,3 +419,66 @@ def changepoint_single(
             ),
         )
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fraud/synthetic-data diagnostic (organically-grown magnitudes lead
+    with 1 ~30% of the time; fabricated or uniformly-generated numbers
+    don't). Emitted per digit so the caller can gate on any distance.
+
+    Cross-engine exactness trap avoided by construction: extracting the
+    leading digit via floor(v / 10^floor(log10 v)) is libm-dependent
+    (log10(1000) = 2.999... on common libms, flooring to the WRONG
+    digit differently per engine). Instead values quantize to BIGINT
+    and the digit is the first character of the INTEGER's decimal
+    string — integer-to-string is exact and identical everywhere.
+    Zero/negative-quantized rows are excluded (no leading digit).
+
+    Plan: map-side digit projection, one combinable count per
+    (group, digit), one broadcast of per-group totals. Expected shares
+    log10(1+1/d) and the chi-squared contribution are one deterministic
+    float expression per DIGIT ROW (never a cross-row float sum).
+
+    Returns (group..., digit, n, share_q, expected_q, chi2_term_q),
+    floor-6dp.
+    """
+    import math
+
+    q = _quant(F.col(value_col), quantize)
+    base = df.select(*group_cols, q.alias("__q")).filter(
+        F.col("__q") > 0
+    )
+    digit = F.substring(F.col("__q").cast("string"), 1, 1).cast("int")
+    cnt = base.select(
+        *group_cols, digit.alias("digit")
+    ).groupBy(*group_cols, "digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnt.groupBy(*group_cols).agg(F.sum("n").alias("__tot"))
+    joined = (
+        cnt.join(F.broadcast(tot), list(group_cols))
+        if group_cols
+        else cnt.crossJoin(F.broadcast(tot))
+    )
+    expected = F.lit(0.0)
+    for d in range(1, 10):
+        expected = F.when(
+            F.col("digit") == d, F.lit(math.log10(1 + 1 / d))
+        ).otherwise(expected)
+    exp_n = F.col("__tot") * expected
+    chi2 = (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n
+    f6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return joined.select(
+        *group_cols,
+        "digit",
+        "n",
+        f6(F.col("n") / F.col("__tot")).alias("share_q"),
+        f6(expected).alias("expected_q"),
+        f6(chi2).alias("chi2_term_q"),
+    )

@@ -495,3 +495,65 @@ def ewma(
             (F.floor(folded * F.lit(1e6)) / F.lit(1e6)).alias("ewma"),
         )
     )
+
+def interval_union(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union of possibly-overlapping intervals — the classic
+    gaps-and-islands reduction ("how much wall-clock was this user
+    actually active, counting overlaps once"). Inputs are timestamp
+    columns; rows with end < start are treated as points (clamped).
+
+    Exact integer construction: ``unix_micros`` BIGINT endpoints; an
+    island STARTS where the interval's start exceeds the running max of
+    all previous ends (strictly — touching intervals merge); island id
+    = running sum of start flags; ONE aggregate per island then one per
+    key. Every window and both aggregates are keyed by ``key_cols`` —
+    a single exchange end to end (AQE reuses it), no self-join, no
+    sort of anything but the per-key sequence.
+
+    Returns (key..., n_intervals, n_islands, covered_us, span_us):
+    covered_us = Σ island lengths (overlaps counted once), span_us =
+    max end − min start (so covered_us/span_us is the duty cycle).
+    """
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.greatest(
+        F.unix_micros(F.col(end_col).cast("timestamp")), s_us
+    )
+    ow = [s_us.asc(), e_us.asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*ow)
+    prev_max_end = F.max(e_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        *key_cols,
+        s_us.alias("__s"),
+        e_us.alias("__e"),
+        F.when(
+            prev_max_end.isNull() | (s_us > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("__new_island"),
+    )
+    run = Window.partitionBy(*key_cols).orderBy(
+        F.col("__s").asc(), F.col("__e").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = flagged.withColumn(
+        "__island", F.sum("__new_island").over(run)
+    )
+    per_island = islands.groupBy(*key_cols, "__island").agg(
+        F.count("*").alias("__n"),
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+    )
+    return per_island.groupBy(*key_cols).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).cast("long").alias(
+            "covered_us"
+        ),
+        (F.max("__ie") - F.min("__is")).cast("long").alias("span_us"),
+    )

@@ -504,3 +504,70 @@ def read_profile(
     return incremental.finalize_profile(
         incremental.merge_profiles(group_col, state), group_col
     )
+
+def stream_kmv_monitor(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    checkpoint: str,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    table: str = "kmv_state",
+    processing_time: str | None = None,
+):
+    """Streaming distinct-cardinality monitor backed by the KMV sketch
+    (functions/sketch.py): every micro-batch writes ITS OWN k-minimum
+    hash set under the batch's ``batch_id`` partition (dynamic
+    overwrite -> replayed batches overwrite their own state, the
+    ``stream_drift_monitor`` exactly-once pattern), and
+    [[read_kmv_distinct]] folds all batch partials with ``kmv_merge``.
+    This is the sketch doing the job HLL does in production pipelines —
+    "how many distinct users/URLs have we EVER seen" maintained
+    incrementally, state per batch bounded by k x groups rows of plain
+    BIGINTs (queryable, mergeable, engine-portable) instead of opaque
+    registers."""
+    from ..functions.sketch import kmv_build
+
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        sketch = kmv_build(batch_df, item_col, group_cols, k).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            sketch.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_distinct(
+    spark: SparkSession,
+    catalog: Catalog,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    table: str = "kmv_state",
+) -> DataFrame:
+    """Merged distinct-count estimate from the per-batch KMV state:
+    union the raw hash partials, re-top-k (NEVER re-hash), estimate.
+    Identical k-set — and therefore identical estimate — to sketching
+    the whole drained input at once (pinned in tests)."""
+    from ..functions.sketch import kmv_estimate, kmv_merge
+
+    state = catalog.read(spark, table).drop("batch_id", "rank")
+    merged = kmv_merge([state], group_cols, k)
+    return kmv_estimate(merged, group_cols, k)

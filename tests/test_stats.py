@@ -196,3 +196,37 @@ def test_changepoint_short_groups_dropped(spark):
 
 # needed by the appended tests above
 from pyspark.sql import functions as F  # noqa: E402
+
+
+# ---- benford_digits ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    benford_digits,
+)
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    # values whose 2dp quantization leads with known digits, incl. the
+    # libm trap case 10.00 -> q=1000 -> digit 1 (log10 would misfire)
+    vals = [1.23, 10.00, 0.19, 2.5, 29.9, 0.0, -3.0]  # 0/neg excluded
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["digit"]: r["n"] for r in benford_digits(df, "v").collect()}
+    assert out == {1: 3, 2: 2}  # 123,1000,19 -> 1; 250,2990 -> 2
+    rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert rows[1]["share_q"] == 0.6  # 3 of 5 positive-quantized rows
+    import math
+
+    assert rows[1]["expected_q"] == math.floor(
+        math.log10(2) * 1e6
+    ) / 1e6
+
+
+def test_benford_grouped_totals_are_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.5), ("b", 9.0)], "g string, v double"
+    )
+    out = {
+        (r["g"], r["digit"]): r["share_q"]
+        for r in benford_digits(df, "v", ("g",)).collect()
+    }
+    assert out == {("a", 1): 1.0, ("b", 9): 1.0}

@@ -305,3 +305,64 @@ def test_stream_drift_monitor_scores_batches_and_is_idempotent(
     assert spark.read.parquet(
         catalog.path("drift_reports")
     ).count() == n_before
+
+
+def test_stream_kmv_monitor_merges_to_whole_corpus_sketch(spark, tmp_path):
+    """Per-batch KMV partials merge to the IDENTICAL estimate the batch
+    sketch gives on the whole drained input, and a checkpointed
+    re-drain with no new input changes nothing (replay-idempotent
+    batch_id partitions)."""
+    from png_from_pdf_extracter_spark.functions.sketch import (
+        kmv_build,
+        kmv_estimate,
+    )
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming.extract_stream import (
+        read_kmv_distinct,
+        stream_kmv_monitor,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def drain():
+        q = stream_kmv_monitor(
+            spark, in_dir, catalog, ckpt, "user_id", ("event_type",), k=32
+        )
+        q.awaitTermination()
+
+    # two arrivals -> two micro-batches with overlapping user sets
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(
+        in_dir
+    )
+    drain()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+        in_dir
+    )
+    drain()
+
+    streamed = {
+        r["event_type"]: (r["n_seen"], r["est_distinct"])
+        for r in read_kmv_distinct(
+            spark, catalog, ("event_type",), k=32
+        ).collect()
+    }
+    whole = {
+        r["event_type"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_estimate(
+            kmv_build(
+                spark.read.parquet(in_dir), "user_id", ("event_type",), 32
+            ),
+            ("event_type",),
+            32,
+        ).collect()
+    }
+    assert streamed == whole and streamed
+
+    # replay-idempotence: re-drain with no new input, state unchanged
+    state = catalog.path("kmv_state")
+    before = spark.read.parquet(state).count()
+    drain()
+    assert spark.read.parquet(state).count() == before

@@ -395,3 +395,53 @@ def test_ewma_respects_order_cols_not_insertion(spark):
 def test_ewma_rejects_non_dyadic_alpha(spark):
     with _pytest.raises(ValueError):
         ewma(_ev_df(spark, [1]), ("k",), ("i",), "v", 1, 3)
+
+
+# ---- interval_union ----
+
+from png_from_pdf_extracter_spark.operators.temporal import interval_union
+
+
+def _iv_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                "k",
+                f"2026-01-01 00:00:{s:02d}",
+                f"2026-01-01 00:00:{e:02d}",
+            )
+            for s, e in rows
+        ],
+        "k string, start_ts string, end_ts string",
+    ).select(
+        "k",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+
+
+def test_interval_union_merges_overlaps_once(spark):
+    # [0,10] [5,15] overlap -> one 15s island; [20,25] separate
+    r = interval_union(
+        _iv_df(spark, [(0, 10), (5, 15), (20, 25)]),
+        ("k",), "start_ts", "end_ts",
+    ).collect()[0]
+    assert (r["n_intervals"], r["n_islands"]) == (3, 2)
+    assert r["covered_us"] == 20_000_000  # 15s + 5s
+    assert r["span_us"] == 25_000_000
+
+
+def test_interval_union_touching_intervals_merge(spark):
+    # end == next start: strictly-greater island test merges them
+    r = interval_union(
+        _iv_df(spark, [(0, 5), (5, 10)]), ("k",), "start_ts", "end_ts"
+    ).collect()[0]
+    assert r["n_islands"] == 1 and r["covered_us"] == 10_000_000
+
+
+def test_interval_union_clamps_inverted_to_points(spark):
+    # end < start -> zero-length point; contributes nothing to coverage
+    r = interval_union(
+        _iv_df(spark, [(10, 3), (20, 22)]), ("k",), "start_ts", "end_ts"
+    ).collect()[0]
+    assert (r["n_islands"], r["covered_us"]) == (2, 2_000_000)
