@@ -3783,6 +3783,73 @@ def _q_benford(spark, sf_dir):
     return benford_digits(o, "o_totalprice", ())
 
 
+def _q_kcore(spark, sf_dir):
+    """3-core of the orders-derived graph (functions/graph.py k_core,
+    same edge derivation as q_pagerank/q_triangles): iterative peel of
+    degree<3 nodes — peeled-count convergence check before any join,
+    then two broadcast anti-joins on the vanishing peeled set. Rows-only by design (peeling is iterative —
+    no SQL oracle); the defining invariant (every survivor has degree
+    ≥ k within the survivor set) and planted-graph pins live in
+    tests/test_graph.py."""
+    from png_from_pdf_extracter_spark.functions.graph import k_core
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.col("o_custkey").alias("id1"),
+            (F.col("o_orderkey") % 1500).alias("id2"),
+        )
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+    return k_core(edges, k=3)
+
+
+def _q_rolling_median(spark, sf_dir):
+    """Exact rolling lower median of the event value over the trailing
+    5 events per user (functions/stats.py rolling_median): per-frame
+    sorted-array pick on quantized BIGINTs — no averaging, hash-exact;
+    frame bounded by the constant window width."""
+    from png_from_pdf_extracter_spark.functions.stats import rolling_median
+
+    ev = _read(spark, sf_dir, "events")
+    return rolling_median(
+        ev, ("user_id",), ("ts", "event_id"), "value", window_rows=5
+    ).select("user_id", "event_id", "med_q")
+
+
+def _q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per order priority: BIGINT cent
+    revenue sums per (priority, month), lag window per priority,
+    growth rate floor-6dp — the period-over-period report every
+    warehouse runs."""
+    o = _read(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        F.col("o_orderpriority").alias("priority"),
+        "month",
+        "rev_cents",
+        F.when(
+            prev > 0,
+            F.floor(
+                (F.col("rev_cents") - prev) / prev.cast("double") * 1e6
+            )
+            / 1e6,
+        ).alias("mom_growth"),
+    )
+
+
 def _q_logreg_train(spark, sf_dir):
     """Distill the rule-based language detector into a trained gate:
     logistic regression (evalmetrics.logreg_train, Newton/IRLS, 6
@@ -4013,6 +4080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint": _q_changepoint,
         "q_interval_union": _q_interval_union,
         "q_benford": _q_benford,
+        "q_kcore": _q_kcore,
+        "q_rolling_median": _q_rolling_median,
+        "q_mom_growth": _q_mom_growth,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7679,5 +7749,44 @@ def oracle_sql() -> dict[str, str]:
                      / (t * ({_BENFORD_CASE})) * 1e6
                    ) / 1e6 AS chi2_term_q
             FROM cnt, tot
+        """,
+        "q_rolling_median": """
+            WITH q AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            framed AS (
+              SELECT user_id, event_id,
+                     list_sort(list(v) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                     )) AS fr
+              FROM q
+            )
+            SELECT user_id, event_id,
+                   fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
+            FROM framed
+        """,
+        "q_mom_growth": """
+            WITH monthly AS (
+              SELECT o_orderpriority AS priority,
+                     date_trunc('month', o_orderdate) AS month,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       ::BIGINT AS rev_cents
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT priority, month, rev_cents,
+                   CASE WHEN lag(rev_cents) OVER (
+                          PARTITION BY priority ORDER BY month
+                        ) > 0 THEN
+                     floor(
+                       (rev_cents - lag(rev_cents) OVER (
+                          PARTITION BY priority ORDER BY month))
+                       / lag(rev_cents) OVER (
+                          PARTITION BY priority ORDER BY month
+                        )::DOUBLE * 1e6) / 1e6
+                   END AS mom_growth
+            FROM monthly
         """,
     }

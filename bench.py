@@ -441,6 +441,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_changepoint",
         "q_interval_union",
         "q_benford",
+        "q_kcore",
+        "q_rolling_median",
+        "q_mom_growth",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

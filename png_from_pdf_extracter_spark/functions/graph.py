@@ -257,3 +257,81 @@ def bfs_hops(
             .agg(F.min("hops").alias("hops"))
         )
     return dist
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """K-core decomposition for a fixed k: iteratively peel nodes of
+    degree < k until the subgraph stabilizes — the standard "dense
+    collaborative core vs drive-by periphery" filter (spam rings and
+    one-shot accounts fall out of the 3-core; long-lived communities
+    survive).
+
+    Plan per round: symmetrize once up front, then degree aggregate →
+    the PEELED node set (degree < k) → if empty, converged (the count
+    action doubles as the convergence signal and fires BEFORE any join
+    work) → else two BROADCAST anti-joins remove edges touching peeled
+    nodes. The peeled set shrinks toward zero as peeling proceeds —
+    anti-joining on it broadcasts a vanishing table, where semi-joining
+    on the survivor set would shuffle the (large) keep list every
+    round. Edge table persisted per round and released after — the
+    iterative-operator hygiene shared with ``pagerank_fixed_point``;
+    rounds bounded by ``max_iter`` (peeling strictly shrinks the edge
+    set; real graphs stabilize in a handful of rounds). For graphs
+    where a single round peels a large fraction of all nodes the
+    broadcast would be big — Spark falls back to a shuffled anti-join
+    past the broadcast threshold, same semantics.
+
+    Returns surviving (node, degree) — the degree WITHIN the k-core.
+    Empty result when no k-core exists. Self-loops are dropped (they
+    inflate degree without adding a neighbor).
+    """
+    sym = (
+        edges.filter(F.col(id1) != F.col(id2))
+        .select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .unionByName(
+            edges.filter(F.col(id1) != F.col(id2)).select(
+                F.col(id2).alias("a"), F.col(id1).alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    cur = sym
+    try:
+        for _ in range(max_iter):
+            deg = cur.groupBy("a").agg(F.count("*").alias("deg"))
+            peeled = deg.filter(F.col("deg") < k).select("a").persist()
+            if peeled.count() == 0:
+                peeled.unpersist()
+                break
+            nxt = (
+                cur.join(F.broadcast(peeled), "a", "left_anti")
+                .join(
+                    F.broadcast(peeled.select(F.col("a").alias("b"))),
+                    "b",
+                    "left_anti",
+                )
+                .persist()
+            )
+            nxt.count()  # materialize before releasing the parent
+            peeled.unpersist()
+            if cur is not sym:
+                cur.unpersist()
+            cur = nxt
+    except Exception:
+        sym.unpersist()
+        raise
+    out = cur.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    if cur is not sym:
+        sym.unpersist()
+    # the result reads `cur` (or sym when zero rounds peeled anything);
+    # dedup.release(out) reclaims it after the consuming action
+    out._spark_graft_cached = [cur]
+    return out

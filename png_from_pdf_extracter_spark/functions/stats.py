@@ -482,3 +482,45 @@ def benford_digits(
         f6(expected).alias("expected_q"),
         f6(chi2).alias("chi2_term_q"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    window_rows: int = 5,
+    quantize: int = 2,
+) -> DataFrame:
+    """Exact rolling LOWER median over the trailing ``window_rows``
+    observations per group — the robust twin of the trailing mean
+    (one outlier can't drag it). No engine exposes median as a native
+    running window aggregate; the exact construction is a per-frame
+    sorted array pick: element ceil(n/2) (1-based) of the ascending
+    frame — a total, deterministic definition with NO averaging of
+    middle pairs, so quantized BIGINTs pass through untouched and the
+    cross-engine hash is exact.
+
+    Plan/scale: one group-keyed window; the collected frame is bounded
+    by ``window_rows`` (a constant), so per-row state is O(w log w)
+    sort work and the operator is one exchange. For large w prefer a
+    two-heap/streaming-percentile design — out of scope; trailing
+    windows in practice are small (5–100 rows).
+
+    Returns (group..., order..., med_q) with med_q = the quantized
+    BIGINT median (divide by 10^quantize downstream if the raw scale
+    is wanted).
+    """
+    q = _quant(F.col(value_col), quantize)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list(q).over(w))
+    med = F.element_at(
+        frame, F.ceil(F.size(frame) / 2).cast("int")
+    )
+    return df.select(
+        *group_cols, *order_cols, med.alias("med_q")
+    )

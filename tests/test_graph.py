@@ -158,3 +158,55 @@ def test_triangle_count_releases_cached_oriented(spark):
     dedup.release(out)
     after = set(jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before, f"leaked cached RDDs: {after - before}"
+
+
+# ---- k-core ----
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from png_from_pdf_extracter_spark.functions.graph import k_core
+
+
+def _kc_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id1 long, id2 long")
+
+
+def test_kcore_triangle_survives_tail_peeled(spark):
+    # triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the
+    # triangle (4 and 5 peel off in cascade — degree-1 removal of 5
+    # drops 4 to degree 1)
+    e = _kc_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    out = {r["node"]: r["degree"] for r in k_core(e, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_no_core_exists(spark):
+    # a path has no 2-core
+    e = _kc_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert k_core(e, 2).count() == 0
+
+
+def test_kcore_clique_is_its_own_core_and_selfloops_ignored(spark):
+    # K4 plus a self-loop and a pendant: 3-core = the K4, degrees 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _kc_edges(spark, k4 + [(2, 2), (4, 9)])
+    out = {r["node"]: r["degree"] for r in k_core(e, 3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_invariant_on_derived_graph(spark):
+    # the defining property on a real-shaped graph: every surviving
+    # node's degree within the survivor set is >= k
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    e = (
+        o.select(
+            F.col("o_custkey").alias("id1"),
+            (F.col("o_orderkey") % 150).alias("id2"),
+        )
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+    core = k_core(e, 3)
+    assert core.filter(F.col("degree") < 3).count() == 0
+    # and it is non-vacuous on this graph
+    assert core.count() > 0

@@ -230,3 +230,38 @@ def test_benford_grouped_totals_are_per_group(spark):
         for r in benford_digits(df, "v", ("g",)).collect()
     }
     assert out == {("a", 1): 1.0, ("b", 9): 1.0}
+
+
+# ---- rolling_median ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    rolling_median,
+)
+
+
+def test_rolling_median_hand_sequence(spark):
+    # values 10,90,20,80,30 window 3: frames [10],[10,90],[10,20,90],
+    # [20,80,90],[20,30,80] -> lower medians 10,10,20,80,30
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate([10, 90, 20, 80, 30])],
+        "k string, i long, v double",
+    )
+    out = (
+        rolling_median(df, ("k",), ("i",), "v", window_rows=3)
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["med_q"] for r in out] == [1000, 1000, 2000, 8000, 3000]
+
+
+def test_rolling_median_even_frame_takes_lower(spark):
+    # frame [10,20] -> ceil(2/2)=1 -> lower middle, no averaging
+    df = spark.createDataFrame(
+        [("u", 0, 20.0), ("u", 1, 10.0)], "k string, i long, v double"
+    )
+    out = (
+        rolling_median(df, ("k",), ("i",), "v", window_rows=5)
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["med_q"] for r in out] == [2000, 1000]
