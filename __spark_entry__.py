@@ -3850,6 +3850,48 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_image_phash(spark, sf_dir):
+    """Perceptual-hash image dedup on REAL decoded pixels
+    (multimodal.image_dhash + image_near_dup_pairs over the stdlib PNG
+    codec): synthetic media corpus with PLANTED duplicates (each image
+    re-encoded byte-identically under a shifted id), dHash per image,
+    pigeonhole band join for pairs, per-image near-dup degree. Rows-
+    only by design (no image decode in a SQL oracle); the collide /
+    diverge / error-channel behaviors are pinned in
+    tests/test_multimodal.py."""
+    media = multimodal.synth_media(spark, 48).filter(
+        F.col("kind") == "image"
+    )
+    dupes = media.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        "mime",
+        "payload",
+        "meta_width",
+        "meta_height",
+        "meta_duration_ms",
+    )
+    corpus = media.unionByName(dupes)
+    hashes = multimodal.image_dhash(corpus)
+    pairs = multimodal.image_near_dup_pairs(hashes, max_hamming=4)
+    degree = (
+        pairs.select(F.col("id1").alias("media_id"))
+        .unionByName(pairs.select(F.col("id2").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").cast("long").alias("n_neardups"))
+    )
+    return (
+        hashes.join(degree, "media_id", "left")
+        .select(
+            "media_id",
+            "status",
+            "dhash",
+            F.coalesce("n_neardups", F.lit(0)).alias("n_neardups"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _q_logreg_train(spark, sf_dir):
     """Distill the rule-based language detector into a trained gate:
     logistic regression (evalmetrics.logreg_train, Newton/IRLS, 6
@@ -4083,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": _q_kcore,
         "q_rolling_median": _q_rolling_median,
         "q_mom_growth": _q_mom_growth,
+        "q_image_phash": _q_image_phash,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,

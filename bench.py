@@ -444,6 +444,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_kcore",
         "q_rolling_median",
         "q_mom_growth",
+        "q_image_phash",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -454,3 +454,145 @@ def image_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, IMAGE_STATS_SCHEMA)
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_bits(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
+    """Difference-hash of one decoded image: mean-luma on a grid_w x
+    grid_h box grid (integer box means — platform-exact like
+    pngcodec.luma_grid_feature), one bit per horizontal neighbor pair
+    (left > right), packed row-major into (grid_w-1)*grid_h bits.
+    Robust to uniform brightness/contrast shifts by construction — the
+    gradient SIGN survives any monotone per-pixel map."""
+    from .pngcodec import png_decode
+
+    width, height, channels, pixels = png_decode(payload)
+    if channels == 1:
+        lum = pixels
+    elif channels == 2:
+        lum = pixels[::2]
+    else:
+        lum = bytearray(width * height)
+        step = channels
+        for j in range(width * height):
+            o = j * step
+            lum[j] = (
+                299 * pixels[o] + 587 * pixels[o + 1] + 114 * pixels[o + 2]
+            ) // 1000
+    means = []
+    for gy in range(grid_h):
+        y0, y1 = gy * height // grid_h, (gy + 1) * height // grid_h
+        row_means = []
+        for gx in range(grid_w):
+            x0, x1 = gx * width // grid_w, (gx + 1) * width // grid_w
+            npx = max(1, (y1 - y0) * (x1 - x0))
+            s = 0
+            for y in range(y0, max(y0 + 1, y1)):
+                base = y * width
+                for x in range(x0, max(x0 + 1, x1)):
+                    s += lum[base + x]
+            row_means.append(s // npx)
+        means.append(row_means)
+    h = 0
+    for gy in range(grid_h):
+        for gx in range(grid_w - 1):
+            h <<= 1
+            if means[gy][gx] > means[gy][gx + 1]:
+                h |= 1
+    return h - (1 << 64) if h >= (1 << 63) else h  # two's-complement long
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Per-image perceptual difference-hash over the binary payload
+    column — the dedup fingerprint for the multimodal lane: visually
+    identical / brightness-shifted images collide, distinct images
+    diverge, and near-misses sit a few hamming bits apart (pair them
+    with [[image_near_dup_pairs]]). Built ON the real in-container PNG
+    decoder (pngcodec.png_decode); undecodable payloads land on the
+    ``decode_failed`` error channel, never abort the task — the
+    reference's error-classification contract
+    (/root/reference/src/services/pdf_converter.py:100-122).
+
+    Plan: mapInPandas (Arrow batches, zero per-row Python at the plan
+    level), map-only — no shuffle; 64-bit BIGINT output joins with
+    plain equi-joins downstream.
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            out = {"media_id": [], "status": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    out["dhash"].append(_dhash_bits(bytes(payload)))
+                    out["status"].append("ok")
+                except Exception:
+                    out["dhash"].append(None)
+                    out["status"].append("decode_failed")
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(fn, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs from [[image_dhash]] signatures via
+    the pigeonhole band join (the simhash_near_dup_pairs shape on a
+    64-bit signature): split into ``n_bands`` 8-bit bands — any pair
+    within ``max_hamming`` < n_bands differs in at most max_hamming
+    bands and therefore SHARES at least one, so candidates come from a
+    band equi-join, never a cross join; verify with bit_count(xor).
+
+    Returns (id1, id2, hamming), id1 < id2.
+    """
+    if not max_hamming < n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    ok = hashes.filter(F.col("status") == "ok").select(
+        F.col("media_id").alias("id"), "dhash"
+    )
+    width = 64 // n_bands
+    bands = ok.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(
+                            F.col("dhash"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "dhash", "band.b", "band.v")
+    l = bands.select(
+        F.col("b"), F.col("v"),
+        F.col("id").alias("id1"), F.col("dhash").alias("h1"),
+    )
+    r = bands.select(
+        F.col("b"), F.col("v"),
+        F.col("id").alias("id2"), F.col("dhash").alias("h2"),
+    )
+    cand = (
+        l.join(r, ["b", "v"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select(
+        "id1", "id2", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -163,3 +163,78 @@ def test_image_stats_real_decode(spark, media):
     )
     (r,) = multimodal.image_stats(bad).collect()
     assert (r["status"], r["error_class"]) == ("error", "decode_failed")
+
+
+# ---- perceptual dHash + hamming near-dup ----
+
+from png_from_pdf_extracter_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    image_dhash,
+    image_near_dup_pairs,
+)
+from png_from_pdf_extracter_spark.functions.pngcodec import png_encode
+
+
+def _grad_png(w=18, h=16, bias=0, seed=0):
+    """Gray gradient PNG whose luma rises left->right; ``bias`` shifts
+    every pixel uniformly (kept clamp-free so gradient signs survive)."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.append(min(255, 40 + bias + x * 10 + (seed * 3) % 7))
+    return png_encode(w, h, 1, bytes(px))
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, "image", "image/png", bytearray(p), None, None, None)
+            for i, p in rows
+        ],
+        MEDIA_SCHEMA,
+    )
+
+
+def test_dhash_identical_and_brightness_shift_collide(spark):
+    base = _grad_png()
+    shifted = _grad_png(bias=25)
+    df = _media_df(spark, [(1, base), (2, base), (3, shifted)])
+    out = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert all(r["status"] == "ok" for r in out.values())
+    assert out[1]["dhash"] == out[2]["dhash"]  # byte-identical
+    # uniform brightness shift preserves every gradient sign
+    assert out[1]["dhash"] == out[3]["dhash"]
+
+
+def test_dhash_distinct_images_diverge_and_pairs_found(spark):
+    base = _grad_png()
+    # reversed gradient: every comparison flips -> far in hamming
+    rev = png_encode(
+        18, 16, 1,
+        bytes(
+            bytearray(
+                min(255, 40 + (17 - x) * 10)
+                for y in range(16)
+                for x in range(18)
+            )
+        ),
+    )
+    df = _media_df(spark, [(1, base), (2, base), (3, rev)])
+    pairs = image_near_dup_pairs(image_dhash(df), max_hamming=6).collect()
+    assert {(r["id1"], r["id2"], r["hamming"]) for r in pairs} == {
+        (1, 2, 0)
+    }
+
+
+def test_dhash_bad_payload_routes_to_error_channel(spark):
+    df = _media_df(spark, [(1, b"not a png"), (2, _grad_png())])
+    out = {r["media_id"]: r["status"] for r in image_dhash(df).collect()}
+    assert out == {1: "decode_failed", 2: "ok"}
+
+
+def test_near_dup_pigeonhole_guard(spark):
+    import pytest
+
+    df = _media_df(spark, [(1, _grad_png())])
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(image_dhash(df), max_hamming=8, n_bands=8)
