@@ -3850,6 +3850,19 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_correlogram(spark, sf_dir):
+    """Per-user ACF for lags 1..4 of the event value signal
+    (functions/stats.py correlogram): one window computing every lag's
+    lead as sibling columns, map-side unpivot, one (user, lag)
+    aggregate — a single shuffle regardless of max_lag."""
+    from png_from_pdf_extracter_spark.functions.stats import correlogram
+
+    ev = _read(spark, sf_dir, "events")
+    return correlogram(
+        ev, ("user_id",), ("ts", "event_id"), "value", max_lag=4
+    )
+
+
 def _q_image_phash(spark, sf_dir):
     """Perceptual-hash image dedup on REAL decoded pixels
     (multimodal.image_dhash + image_near_dup_pairs over the stdlib PNG
@@ -4126,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_median": _q_rolling_median,
         "q_mom_growth": _q_mom_growth,
         "q_image_phash": _q_image_phash,
+        "q_correlogram": _q_correlogram,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7810,6 +7824,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_correlogram": """
+            WITH q AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS x
+              FROM events
+            ),
+            leads AS (
+              SELECT user_id, x,
+                     lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+                     lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4
+              FROM q
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            pairs AS (
+              SELECT user_id, u.lag AS lag, u.x AS x, u.y AS y
+              FROM leads, unnest([
+                {'lag': 1, 'x': x, 'y': y1},
+                {'lag': 2, 'x': x, 'y': y2},
+                {'lag': 3, 'x': x, 'y': y3},
+                {'lag': 4, 'x': x, 'y': y4}
+              ]) AS t(u)
+              WHERE u.y IS NOT NULL
+            ),
+            s AS (
+              SELECT user_id, lag,
+                     count(*)::BIGINT AS n_pairs,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy,
+                     sum(x * y)::BIGINT AS sxy
+              FROM pairs GROUP BY user_id, lag
+            )
+            SELECT user_id, lag, n_pairs,
+                   CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                         AND (n_pairs * syy - sy * sy) > 0 THEN
+                     floor((n_pairs * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n_pairs * syy - sy * sy)::DOUBLE))
+                           * 1e6) / 1e6
+                   END AS r
+            FROM s
         """,
         "q_mom_growth": """
             WITH monthly AS (

@@ -445,6 +445,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_rolling_median",
         "q_mom_growth",
         "q_image_phash",
+        "q_correlogram",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

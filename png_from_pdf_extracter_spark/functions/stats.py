@@ -524,3 +524,79 @@ def rolling_median(
     return df.select(
         *group_cols, *order_cols, med.alias("med_q")
     )
+
+
+def correlogram(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    max_lag: int = 5,
+    quantize: int = 2,
+) -> DataFrame:
+    """Autocorrelation function per group for lags 1..max_lag — the
+    full correlogram [[autocorr_lag1]] is the first bar of. Each lag's
+    Pearson r uses exact BIGINT sums over that lag's pair set (the
+    proper ACF-of-pairs estimator: means recomputed per lag, so short
+    series don't smear).
+
+    Plan: ONE group-keyed window computes lead(x, l) for every lag as
+    sibling columns (same exchange, no per-lag pass), the lag axis
+    unpivots via an inline explode (map-side), and one groupBy on
+    (group, lag) — which AQE co-partitions with the window — finishes
+    it. Total: one shuffle whatever max_lag is.
+
+    Returns (group..., lag, n_pairs, r) with r floor-6dp, NULL when a
+    margin is constant or the lag exceeds the sequence.
+    """
+    q = _quant(F.col(value_col), quantize)
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    leads = df.select(
+        *group_cols,
+        q.alias("__x"),
+        *[
+            F.lead(q, lag).over(w).alias(f"__y{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    pairs = leads.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).alias("lag"),
+                        F.col("__x").alias("x"),
+                        F.col(f"__y{lag}").alias("y"),
+                    )
+                    for lag in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        *group_cols, "p.lag", "p.x", "p.y"
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy(*group_cols, "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        *group_cols,
+        "lag",
+        "n_pairs",
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(num / (F.sqrt(dx) * F.sqrt(dy)) * F.lit(1e6))
+            / F.lit(1e6),
+        ).alias("r"),
+    )

@@ -407,3 +407,15 @@ def test_changepoint_single_group_exchange(spark):
         changepoint_single(ev, ("user_id",), ("ts", "event_id"), "value")
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_correlogram_single_shuffle_any_max_lag(spark):
+    """All lags come from sibling lead() columns on ONE window exchange;
+    the (group, lag) aggregate reuses it — one hashpartitioning total."""
+    from png_from_pdf_extracter_spark.functions.stats import correlogram
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        correlogram(ev, ("user_id",), ("ts", "event_id"), "value", 8)
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -265,3 +265,34 @@ def test_rolling_median_even_frame_takes_lower(spark):
         .collect()
     )
     assert [r["med_q"] for r in out] == [2000, 1000]
+
+
+# ---- correlogram ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    correlogram,
+)
+
+
+def test_correlogram_lag1_matches_autocorr_and_period2_signal(spark):
+    # perfect period-2 alternation: r(1) = -1, r(2) = +1
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate([1, 0] * 6)],
+        "k string, i long, v double",
+    )
+    out = {
+        r["lag"]: r["r"]
+        for r in correlogram(df, ("k",), ("i",), "v", max_lag=3).collect()
+    }
+    assert out[1] == -1.0 and out[2] == 1.0 and out[3] == -1.0
+    lag1 = autocorr_lag1(df, ("k",), ("i",), "v").collect()[0]["r1"]
+    assert out[1] == lag1
+
+
+def test_correlogram_lag_beyond_sequence_absent_or_null(spark):
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(3)], "k string, i long, v double"
+    )
+    rows = correlogram(df, ("k",), ("i",), "v", max_lag=5).collect()
+    lags = {r["lag"] for r in rows}
+    assert 5 not in lags and 4 not in lags  # no pairs exist
