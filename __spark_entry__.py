@@ -3850,6 +3850,40 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-convert (functions/stats.py kaplan_meier):
+    per user, minutes from first signup to first subsequent purchase
+    (right-censored at the user's last event when no purchase follows);
+    survival via integer-quantized log steps — the order-independent
+    running-sum construction, cross-engine exact."""
+    from png_from_pdf_extracter_spark.functions.stats import kaplan_meier
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    anchors = base.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).alias("s0"),
+        F.max("us").alias("last_us"),
+    ).filter(F.col("s0").isNotNull())
+    conv = (
+        base.join(anchors, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("us") >= F.col("s0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p0"))
+    )
+    obs = anchors.join(conv, "user_id", "left").select(
+        F.floor(
+            (F.coalesce("p0", "last_us") - F.col("s0")) / F.lit(60000000)
+        ).alias("dur_min"),
+        F.col("p0").isNotNull().cast("int").alias("event"),
+    )
+    return kaplan_meier(obs, "dur_min", "event")
+
+
 def _q_correlogram(spark, sf_dir):
     """Per-user ACF for lags 1..4 of the event value signal
     (functions/stats.py correlogram): one window computing every lag's
@@ -4140,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mom_growth": _q_mom_growth,
         "q_image_phash": _q_image_phash,
         "q_correlogram": _q_correlogram,
+        "q_kaplan_meier": _q_kaplan_meier,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7824,6 +7859,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_kaplan_meier": """
+            WITH base AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+            ),
+            anchors AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN us END)
+                       AS s0,
+                     max(us) AS last_us
+              FROM base GROUP BY user_id
+              HAVING min(CASE WHEN event_type = 'signup' THEN us END)
+                     IS NOT NULL
+            ),
+            conv AS (
+              SELECT b.user_id, min(b.us) AS p0
+              FROM base b JOIN anchors a ON b.user_id = a.user_id
+              WHERE b.event_type = 'purchase' AND b.us >= a.s0
+              GROUP BY b.user_id
+            ),
+            obs AS (
+              SELECT CAST(floor(
+                       (coalesce(c.p0, a.last_us) - a.s0) / 60000000.0
+                     ) AS BIGINT) AS t,
+                     CASE WHEN c.p0 IS NOT NULL THEN 1 ELSE 0 END AS e
+              FROM anchors a LEFT JOIN conv c ON a.user_id = c.user_id
+            ),
+            cnt AS (
+              SELECT t, sum(e)::BIGINT AS d,
+                     sum(1 - e)::BIGINT AS c
+              FROM obs GROUP BY t
+            ),
+            tot AS (SELECT sum(d + c) AS n_total FROM cnt),
+            risk AS (
+              SELECT t, d, c,
+                     (n_total - coalesce(sum(d + c) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)) AS n
+              FROM cnt, tot
+            ),
+            stepped AS (
+              SELECT t, n, d, c,
+                     sum(CASE WHEN d = 0 THEN 0
+                              WHEN d < n THEN CAST(floor(
+                                ln(1.0 - d / n) * 1e9) AS BIGINT)
+                         END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     max(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS dead
+              FROM risk
+            )
+            SELECT t AS duration, n::BIGINT AS n_at_risk,
+                   d AS d_events, c AS c_censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE floor(exp(cum / 1e9) * 1e6) / 1e6
+                   END AS survival_q
+            FROM stepped
         """,
         "q_correlogram": """
             WITH q AS (

@@ -446,6 +446,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_mom_growth",
         "q_image_phash",
         "q_correlogram",
+        "q_kaplan_meier",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -600,3 +600,99 @@ def correlogram(
             / F.lit(1e6),
         ).alias("r"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over (duration, event) observations
+    — the censoring-aware "how long until users convert / sessions die"
+    estimator (event=1 observed, event=0 right-censored). Classic
+    product-limit: S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over event
+    times, with censored rows leaving the risk set but contributing no
+    factor.
+
+    Cross-engine exactness construction (the repo's signature move):
+    the per-step factor becomes an INTEGER — each step's
+    ``floor(ln(1 − d/n) · 1e9)`` is a BIGINT computed from exact
+    integer d and n (one deterministic libm call per distinct time,
+    identical in both engines on identical integers), and the running
+    product becomes a running SUM of those integers, which is
+    order-independent. The emitted survival is ``exp(cum / 1e9)``
+    floor-6dp — a "1e-9-quantized-log Kaplan-Meier", bit-stable by
+    construction where a float running product could drift with the
+    engine's window-aggregation tree. When d == n (everyone left dies
+    at the last time) survival is exactly 0 from that time on.
+
+    Plan: one count per distinct (duration, outcome) — map-combinable —
+    then ONE ordered running window over the distinct-duration table
+    (bounded by duration cardinality, not rows; quantize durations
+    upstream for continuous clocks — the binned-KM monitoring systems
+    use). Returns (duration, n_at_risk, d_events, c_censored,
+    survival_q) for event rows AND censor-only rows (survival carries
+    through unchanged there).
+    """
+    dur = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    cnt = (
+        df.select(dur.alias("t"), ev.alias("e"))
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.sum(1 - F.col("e")).cast("long").alias("c"),
+        )
+    )
+    total = F.broadcast(
+        cnt.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    )
+    before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = cnt.crossJoin(total).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    # integer-quantized log step; NULL marks the S=0 absorbing state
+    step = F.when(
+        F.col("d") == 0, F.lit(0).cast("long")
+    ).when(
+        F.col("d") < F.col("n"),
+        F.floor(
+            F.log(F.lit(1.0) - F.col("d") / F.col("n")) * F.lit(1e9)
+        ).cast("long"),
+    )
+    upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = risk.select(
+        "t",
+        "n",
+        "d",
+        "c",
+        F.sum(step).over(upto).alias("__cum"),
+        F.max((F.col("d") >= F.col("n")).cast("int"))
+        .over(upto)
+        .alias("__dead"),
+    )
+    return stepped.select(
+        F.col("t").alias("duration"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(F.exp(F.col("__cum") / F.lit(1e9)) * F.lit(1e6))
+            / F.lit(1e6)
+        )
+        .alias("survival_q"),
+    )

@@ -296,3 +296,44 @@ def test_correlogram_lag_beyond_sequence_absent_or_null(spark):
     rows = correlogram(df, ("k",), ("i",), "v", max_lag=5).collect()
     lags = {r["lag"] for r in rows}
     assert 5 not in lags and 4 not in lags  # no pairs exist
+
+
+# ---- kaplan_meier ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    kaplan_meier,
+)
+
+
+def _km(spark, obs):
+    df = spark.createDataFrame(obs, "t long, e int")
+    return {
+        r["duration"]: r
+        for r in kaplan_meier(df, "t", "e").collect()
+    }
+
+
+def test_km_textbook_no_censoring(spark):
+    # deaths at t=1,2,3 out of 3: S = 2/3, 1/3, 0
+    out = _km(spark, [(1, 1), (2, 1), (3, 1)])
+    assert out[1]["n_at_risk"] == 3
+    assert abs(out[1]["survival_q"] - 2 / 3) < 1e-5
+    assert abs(out[2]["survival_q"] - 1 / 3) < 1e-5
+    assert out[3]["survival_q"] == 0.0
+
+
+def test_km_censoring_removes_from_risk_without_step(spark):
+    # death at 1 (n=4 -> S=3/4), censor at 2 (no step), death at 3
+    # with n=2 -> S = 3/4 * 1/2 = 3/8
+    out = _km(spark, [(1, 1), (2, 0), (3, 1), (4, 0)])
+    assert abs(out[1]["survival_q"] - 0.75) < 1e-5
+    assert out[2]["survival_q"] == out[1]["survival_q"]  # censor: flat
+    assert abs(out[3]["survival_q"] - 0.375) < 1e-5
+    assert out[4]["c_censored"] == 1
+
+
+def test_km_survival_monotone_nonincreasing(spark):
+    obs = [(t, t % 2) for t in range(1, 30)]
+    rows = sorted(_km(spark, obs).items())
+    survs = [r["survival_q"] for _, r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
