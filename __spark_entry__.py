@@ -3850,6 +3850,56 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_gini_sources(spark, sf_dir):
+    """Corpus-concentration diagnostic (functions/stats.py
+    gini_concentration): Gini / HHI / top-share of the per-source
+    character mass of the documents table — the "is one domain
+    dominating the training mix" gate, exact-integer construction."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        gini_concentration,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return gini_concentration(d, "source", "n_chars")
+
+
+def _q_cooccur_lift(spark, sf_dir):
+    """Market-basket association (functions/itemsets.py cooccur_lift):
+    brands co-ordered within one order, with support / confidence /
+    lift over distinct (order, brand) baskets. Self-equi-join on the
+    basket key only — per-basket O(k^2), never corpus-global."""
+    from png_from_pdf_extracter_spark.functions.itemsets import (
+        cooccur_lift,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return cooccur_lift(
+        baskets, "l_orderkey", "p_brand", min_pair_count=3
+    )
+
+
+def _q_bootstrap_ci(spark, sf_dir):
+    """Distributed Poisson-bootstrap CI (functions/stats.py
+    poisson_bootstrap_ci): per event_type, a 40-replica bootstrap
+    confidence interval for the mean event value — every replica's
+    resampled universe a pure md5 function of (event_id, r), so DuckDB
+    materializes the identical draw."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return poisson_bootstrap_ci(
+        ev, "event_id", "value", group_cols=("event_type",), replicas=40
+    )
+
+
 def _q_kaplan_meier(spark, sf_dir):
     """Kaplan-Meier time-to-convert (functions/stats.py kaplan_meier):
     per user, minutes from first signup to first subsequent purchase
@@ -4175,6 +4225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_phash": _q_image_phash,
         "q_correlogram": _q_correlogram,
         "q_kaplan_meier": _q_kaplan_meier,
+        "q_gini_sources": _q_gini_sources,
+        "q_cooccur_lift": _q_cooccur_lift,
+        "q_bootstrap_ci": _q_bootstrap_ci,
         "q_rendezvous_shard": _q_rendezvous_shard,
         "q_dsir_weights": _q_dsir_weights,
         "q_url_canonical": _q_url_canonical,
@@ -7859,6 +7912,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_gini_sources": """
+            WITH w AS (
+              SELECT source AS g, sum(n_chars)::BIGINT AS w
+              FROM documents GROUP BY source
+            ),
+            r AS (
+              SELECT w, row_number() OVER (ORDER BY w ASC, g ASC) AS i
+              FROM w
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n, sum(w)::BIGINT AS tw,
+                     sum(i::HUGEINT * w::HUGEINT) AS iw,
+                     sum(w::HUGEINT * w::HUGEINT) AS w2,
+                     max(w)::BIGINT AS wmax
+              FROM r
+            )
+            SELECT n AS n_groups, tw AS total_w,
+                   CAST(floor(
+                     (2::HUGEINT * iw - (n + 1)::HUGEINT * tw::HUGEINT)
+                       ::DOUBLE
+                     / (n::HUGEINT * tw::HUGEINT)::DOUBLE * 1e6
+                   ) AS BIGINT) AS gini_ppm,
+                   CAST(floor(
+                     w2::DOUBLE
+                     / (tw::HUGEINT * tw::HUGEINT)::DOUBLE * 1e6
+                   ) AS BIGINT) AS hhi_ppm,
+                   CAST(floor(wmax::DOUBLE / tw::DOUBLE * 1e6)
+                        AS BIGINT) AS top_share_ppm
+            FROM a
+        """,
+        "q_cooccur_lift": """
+            WITH b AS (
+              SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ),
+            n AS (SELECT count(DISTINCT bk)::BIGINT AS nb FROM b),
+            s AS (SELECT it, count(*)::BIGINT AS n1 FROM b GROUP BY it),
+            p2 AS (
+              SELECT x.it AS ia, y.it AS ib, count(*)::BIGINT AS nab
+              FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY x.it, y.it
+              HAVING count(*) >= 3
+            )
+            SELECT ia AS item_a, ib AS item_b, nab AS n_ab,
+                   sa.n1 AS n_a, sb.n1 AS n_b, nb AS n_baskets,
+                   CAST(floor(nab::DOUBLE / nb::DOUBLE * 1e6)
+                        AS BIGINT) AS support_ppm,
+                   CAST(floor(nab::DOUBLE / sa.n1::DOUBLE * 1e6)
+                        AS BIGINT) AS confidence_ppm,
+                   CAST(floor(
+                     (nb::HUGEINT * nab::HUGEINT)::DOUBLE
+                     / (sa.n1::HUGEINT * sb.n1::HUGEINT)::DOUBLE * 1e6
+                   ) AS BIGINT) AS lift_ppm
+            FROM p2
+            JOIN s sa ON p2.ia = sa.it
+            JOIN s sb ON p2.ib = sb.it
+            CROSS JOIN n
+        """,
+        "q_bootstrap_ci": """
+            WITH f AS (
+              SELECT e.event_type AS g, e.event_id AS id,
+                     CAST(round(e.value * 1000000, 0) AS BIGINT) AS vq,
+                     r.r
+              FROM events e
+              CROSS JOIN (SELECT unnest(range(40)) AS r) r
+            ),
+            h AS (
+              SELECT g, r, vq,
+                     CAST(('0x' || substring(
+                       md5(id::VARCHAR || ':' || r::VARCHAR), 1, 15
+                     )) AS BIGINT) AS hv
+              FROM f
+            ),
+            c AS (
+              SELECT g, r, vq,
+                     ((hv >= 424136118829305344)::INT
+                    + (hv >= 848272237658610688)::INT
+                    + (hv >= 1060340297073263360)::INT
+                    + (hv >= 1131029650211480960)::INT
+                    + (hv >= 1148701988496035328)::INT
+                    + (hv >= 1152236456152946176)::INT
+                    + (hv >= 1152825534095764608)::INT
+                    + (hv >= 1152909688087595776)::INT
+                    + (hv >= 1152920207336574720)::INT)::BIGINT AS cnt
+              FROM h
+            ),
+            rep AS (
+              SELECT g, r, sum(cnt)::BIGINT AS n,
+                     sum(cnt * vq)::BIGINT AS s
+              FROM c GROUP BY g, r
+              HAVING sum(cnt) > 0
+            ),
+            m AS (
+              SELECT g,
+                     CAST(floor(
+                       s::DOUBLE / n::DOUBLE / 1000000.0 * 1e6
+                     ) AS BIGINT) AS m_ppm
+              FROM rep
+            ),
+            o AS (
+              SELECT g, count(*)::BIGINT AS nr,
+                     list_sort(list(m_ppm)) AS ms,
+                     sum(m_ppm)::HUGEINT AS tot
+              FROM m GROUP BY g
+            )
+            SELECT g AS event_type, nr AS n_replicas,
+                   CAST(floor(tot::DOUBLE / nr::DOUBLE)
+                        AS BIGINT) AS mean_ppm,
+                   ms[CAST(floor((nr - 1) / 20.0) AS INT) + 1]
+                     AS ci_lo_ppm,
+                   ms[CAST(nr AS INT)
+                      - CAST(floor((nr - 1) / 20.0) AS INT)]
+                     AS ci_hi_ppm
+            FROM o
         """,
         "q_kaplan_meier": """
             WITH base AS (

@@ -447,6 +447,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_image_phash",
         "q_correlogram",
         "q_kaplan_meier",
+        "q_gini_sources",
+        "q_cooccur_lift",
+        "q_bootstrap_ci",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

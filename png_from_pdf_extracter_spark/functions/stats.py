@@ -696,3 +696,204 @@ def kaplan_meier(
         )
         .alias("survival_q"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Corpus-concentration diagnostic over one categorical axis
+    (source / domain / language): Gini coefficient, Herfindahl index
+    (HHI) and top-group share of the weight distribution — "is 1% of
+    domains contributing 90% of the tokens?", the balance question every
+    training-data mix review asks before weighting (the reference's
+    single-mailbox world has no analog; this is pipeline-grade).
+
+    Exactness: group weights are BIGINT sums; with groups ranked
+    ascending by weight (ties broken by group name — the rank-weighted
+    sum is permutation-invariant within a tie block, the tie-break only
+    pins determinism), ``G = (2*sum(i*w_i) - (n+1)*W) / (n*W)`` has an
+    exact DECIMAL(38,0) numerator and denominator; the emitted values
+    are single floor-6dp float expressions at the very end. HHI =
+    sum(w_i^2)/W^2 with an exact DECIMAL numerator.
+
+    Plan: one map-combinable groupBy collapses the corpus to one row
+    per group; the ordered window then runs over the DISTINCT-GROUP
+    table only — bounded by group cardinality (domains, not documents),
+    the standard shape for a global rank over a small key space. Returns
+    ONE row: (n_groups, total_w, gini_q, hhi_q, top_share_q).
+    """
+    wsum = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    )
+    rank_w = Window.orderBy(F.col("__w").asc(), F.col("__g").asc())
+    ranked = wsum.select(
+        "__w",
+        F.row_number().over(rank_w).alias("__i"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("__w").cast("long").alias("total_w"),
+        F.sum(
+            (F.col("__i").cast(dec) * F.col("__w").cast(dec))
+        ).alias("__iw"),
+        F.sum(F.col("__w").cast(dec) * F.col("__w").cast(dec)).alias(
+            "__w2"
+        ),
+        F.max("__w").cast("long").alias("__wmax"),
+    )
+    n = F.col("n_groups").cast(dec)
+    w_tot = F.col("total_w").cast(dec)
+    gini_num = (
+        F.lit(2).cast(dec) * F.col("__iw") - (n + F.lit(1)) * w_tot
+    )
+    return agg.select(
+        "n_groups",
+        "total_w",
+        F.floor(
+            gini_num.cast("double")
+            / (n * w_tot).cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("gini_ppm"),
+        F.floor(
+            F.col("__w2").cast("double")
+            / (w_tot * w_tot).cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("hhi_ppm"),
+        F.floor(
+            F.col("__wmax").cast("double")
+            / F.col("total_w").cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("top_share_ppm"),
+    )
+
+
+# Poisson(1) CDF quantized to the md5[:15] hash space [0, 16^15):
+# count(h) = #{k : T_k <= h}. Exact integer literals shared verbatim
+# with the DuckDB oracle — the draw is engine-independent by
+# construction. Tail capped at 9 (P ~ 1.1e-6, and identically so in
+# both engines: determinism, not approximation, is the contract).
+POISSON1_THRESHOLDS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    replicas: int = 24,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+    quantize: int = 6,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the per-group mean
+    — the map-only Poisson bootstrap (each row joins replica r with
+    multiplicity ~ Poisson(1)) that replaces the unshardable classic
+    resample-n-rows bootstrap at scale: no global sampling step, no
+    coordination, every row's multiplicity is a pure function of
+    ``(id, r)``.
+
+    Determinism (the repo's signature move): the Poisson draw is the
+    count of ``POISSON1_THRESHOLDS`` at or below
+    ``bigint(md5(id || ':' || r)[:15])`` — integer thresholds shared
+    with the SQL oracle, so Spark and DuckDB materialize the IDENTICAL
+    resampled universe. Values are round-quantized to integers
+    (``10^quantize``); each replica mean is an exact integer ratio
+    emitted floor-6dp; the CI picks order statistics from the R sorted
+    replica means at ``floor(alpha*(R-1))`` / ``(R-1) - floor(
+    alpha*(R-1))`` (alpha given as a rational).
+
+    Plan: map-side explode x R (no shuffle), then ONE map-combinable
+    groupBy on (group, replica) — integer sums — then a tiny groupBy
+    over R-bounded rows per group. Replicas where no row drew a
+    positive count (P = e^-n per replica, deterministic in both
+    engines) are dropped before the order statistics. Returns
+    (group..., n_replicas, mean_q, ci_lo_q, ci_hi_q).
+    """
+    if replicas < 2:
+        raise ValueError("replicas must be >= 2")
+    if not (0 < alpha_num / alpha_den < 0.5):
+        raise ValueError("alpha must be in (0, 0.5)")
+    vq = _quant(F.col(value_col), quantize)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__id").cast("string"),
+                    F.lit(":"),
+                    F.col("__r").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cnt = sum(
+        (h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS
+    ).cast("long")
+    fanned = df.select(
+        *group_cols,
+        F.col(id_col).alias("__id"),
+        vq.alias("__vq"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(replicas - 1))
+        ).alias("__r"),
+    ).select(
+        *group_cols, "__r", cnt.alias("__c"), F.col("__vq")
+    )
+    rep = (
+        fanned.groupBy(*group_cols, "__r")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.col("__vq")).alias("__s"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            *group_cols,
+            F.floor(
+                F.col("__s").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(float(10 ** quantize))
+                * F.lit(1e6)
+            ).cast("long").alias("__m_ppm"),
+        )
+    )
+    means = F.sort_array(F.collect_list("__m_ppm"))
+    out = rep.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_replicas"),
+        means.alias("__ms"),
+    )
+    lo_idx = (
+        F.floor(
+            (F.col("n_replicas") - 1) * F.lit(alpha_num) / F.lit(alpha_den)
+        ).cast("int")
+    )
+    hi_idx = (F.col("n_replicas").cast("int") - 1) - lo_idx
+    return out.select(
+        *group_cols,
+        "n_replicas",
+        F.floor(
+            F.aggregate(
+                "__ms", F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x.cast("decimal(38,0)"),
+            ).cast("double")
+            / F.col("n_replicas").cast("double")
+        ).cast("long").alias("mean_ppm"),
+        F.element_at(F.col("__ms"), lo_idx + 1).alias("ci_lo_ppm"),
+        F.element_at(F.col("__ms"), hi_idx + 1).alias("ci_hi_ppm"),
+    )

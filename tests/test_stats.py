@@ -337,3 +337,113 @@ def test_km_survival_monotone_nonincreasing(spark):
     rows = sorted(_km(spark, obs).items())
     survs = [r["survival_q"] for _, r in rows]
     assert all(a >= b for a, b in zip(survs, survs[1:]))
+
+
+# ---- gini_concentration ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    gini_concentration,
+    poisson_bootstrap_ci,
+)
+
+
+def test_gini_uniform_is_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10), ("d", 10)], "g string, w long"
+    )
+    r = gini_concentration(df, "g", "w").collect()[0]
+    assert r["gini_ppm"] == 0
+    assert r["hhi_ppm"] == 250000  # 4 * (1/4)^2
+    assert r["top_share_ppm"] == 250000
+
+
+def test_gini_total_concentration(spark):
+    # one group holds everything except epsilon: G -> (n-1)/n
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 100)], "g string, w long"
+    )
+    r = gini_concentration(df, "g", "w").collect()[0]
+    assert r["gini_ppm"] == 750000  # 3/4 exactly
+    assert r["hhi_ppm"] == 1000000
+    assert r["top_share_ppm"] == 1000000
+
+
+def test_gini_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"g{i}", rng.randrange(0, 500)) for i in range(40)]
+    ws = sorted(w for _, w in rows)
+    n, W = len(ws), sum(ws)
+    iw = sum((i + 1) * w for i, w in enumerate(ws))
+    expect = (2 * iw - (n + 1) * W) / (n * W)
+    df = spark.createDataFrame(rows, "g string, w long")
+    r = gini_concentration(df, "g", "w").collect()[0]
+    import math
+
+    assert r["gini_ppm"] == math.floor(expect * 1e6)
+    assert r["n_groups"] == n and r["total_w"] == W
+
+
+def test_gini_sums_duplicate_group_rows(spark):
+    # rows of the same group must be summed before ranking
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 10)], "g string, w long"
+    )
+    r = gini_concentration(df, "g", "w").collect()[0]
+    assert r["n_groups"] == 2 and r["gini_ppm"] == 0
+
+
+# ---- poisson_bootstrap_ci ----
+
+
+def test_bootstrap_constant_data_collapses(spark):
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(200)], "id long, v double"
+    )
+    r = poisson_bootstrap_ci(df, "id", "v", replicas=16).collect()[0]
+    assert r["mean_ppm"] == r["ci_lo_ppm"] == r["ci_hi_ppm"] == 5_000_000
+    assert r["n_replicas"] == 16
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = poisson_bootstrap_ci(df, "id", "v", replicas=24).collect()[0]
+    b = (
+        poisson_bootstrap_ci(
+            df.repartition(7), "id", "v", replicas=24
+        ).collect()[0]
+    )
+    assert a == b  # repartition-invariant (pure hash draw)
+    true_mean = sum(v for _, v in rows) / len(rows) * 1e6
+    assert a["ci_lo_ppm"] <= true_mean <= a["ci_hi_ppm"]
+    assert a["ci_lo_ppm"] < a["ci_hi_ppm"]
+    # CI half-width should be in the vicinity of 1.96*sigma/sqrt(n)
+    import statistics
+
+    se = statistics.pstdev([v for _, v in rows]) / (len(rows) ** 0.5)
+    width = (a["ci_hi_ppm"] - a["ci_lo_ppm"]) / 1e6
+    assert 0.5 * se < width < 8 * se
+
+
+def test_bootstrap_grouped_and_validated(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i % 7)) for i in range(100)],
+        "id long, g string, v double",
+    )
+    out = poisson_bootstrap_ci(
+        df, "id", "v", group_cols=("g",), replicas=8
+    ).collect()
+    assert {r["g"] for r in out} == {"g0", "g1"}
+    for r in out:
+        assert r["ci_lo_ppm"] <= r["mean_ppm"] <= r["ci_hi_ppm"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "id", "v", replicas=1)
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "id", "v", alpha_num=1, alpha_den=2)
