@@ -3850,6 +3850,57 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_isotonic(spark, sf_dir):
+    """Isotonic calibration of the hashed linear quality score vs the
+    lang='en' label (evalmetrics.isotonic_calibrate): binned PAVA with
+    integer merge decisions driver-side over <=20 bins; the oracle
+    recomputes the fit by the O(B^3) minimax duality. Score pre-floored
+    to 4dp (the q_calibration convention) so binning is cross-engine
+    exact."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    d = _read(spark, sf_dir, "documents")
+    s4 = F.floor(
+        curate.hashed_linear_score("text") * F.lit(10000.0)
+    ) / F.lit(10000.0)
+    scored = d.select(
+        s4.alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return evalmetrics.isotonic_calibrate(
+        scored, "score", "y", n_bins=20
+    )
+
+
+def _q_quantile_norm(spark, sf_dir):
+    """Quantile normalization of per-source document lengths onto the
+    pooled length distribution (drift.quantile_normalize): each doc's
+    within-source length rank maps to the pooled quantile anchor —
+    the cross-source batch-effect remover. 64 anchors, integer anchor
+    inversion (O(C) explode, not O(C*B) join)."""
+    from png_from_pdf_extracter_spark.functions.drift import (
+        quantile_normalize,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return quantile_normalize(
+        d, "source", "doc_id", "n_chars", anchors=64
+    )
+
+
+def _q_chi2_indep(spark, sf_dir):
+    """Chi-square independence of lang x source on the documents table
+    (functions/stats.py chi2_independence): per-cell observed /
+    expected / contribution rows, margins re-aggregated from the cell
+    table (never a second corpus pass)."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        chi2_independence,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return chi2_independence(d, "lang", "source")
+
+
 def _q_gini_sources(spark, sf_dir):
     """Corpus-concentration diagnostic (functions/stats.py
     gini_concentration): Gini / HHI / top-share of the per-source
@@ -4226,6 +4277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_correlogram": _q_correlogram,
         "q_kaplan_meier": _q_kaplan_meier,
         "q_gini_sources": _q_gini_sources,
+        "q_isotonic": _q_isotonic,
+        "q_quantile_norm": _q_quantile_norm,
+        "q_chi2_indep": _q_chi2_indep,
         "q_cooccur_lift": _q_cooccur_lift,
         "q_bootstrap_ci": _q_bootstrap_ci,
         "q_rendezvous_shard": _q_rendezvous_shard,
@@ -7912,6 +7966,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_isotonic": """
+            WITH sc AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                            % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000.0)::BIGINT AS s4
+              FROM (
+                SELECT lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            bt AS (
+              SELECT least(greatest(CAST(floor(
+                       ((s4::DOUBLE / 10000.0) - (-1.0)) / 2.0 * 20
+                     ) AS INT), 0), 19) AS bin,
+                     count(*)::BIGINT AS w, sum(y)::BIGINT AS s
+              FROM sc GROUP BY 1
+            ),
+            idx AS (
+              SELECT bin, w, s,
+                     row_number() OVER (ORDER BY bin)::BIGINT AS k
+              FROM bt
+            ),
+            pre AS (
+              SELECT k, bin, w, s,
+                     sum(w) OVER (ORDER BY k)::BIGINT AS cw,
+                     sum(s) OVER (ORDER BY k)::BIGINT AS cs
+              FROM idx
+            ),
+            trip AS (
+              SELECT kk.k AS k, i.k AS ki,
+                     (j.cs - (i.cs - i.s))::DOUBLE
+                       / (j.cw - (i.cw - i.w))::DOUBLE AS a
+              FROM pre i, pre kk, pre j
+              WHERE i.k <= kk.k AND j.k >= kk.k
+            ),
+            innr AS (
+              SELECT k, ki, min(a) AS mn FROM trip GROUP BY k, ki
+            ),
+            fit AS (SELECT k, max(mn) AS f FROM innr GROUP BY k)
+            SELECT b.bin::INT AS bin, b.w AS n, b.s AS pos,
+                   CAST(floor(f * 1e6) AS BIGINT) AS fit_ppm
+            FROM idx b JOIN fit USING (k)
+        """,
+        "q_quantile_norm": """
+            WITH vals AS (
+              SELECT source AS g, doc_id AS id,
+                     CAST(round(n_chars * 1.0, 0) AS BIGINT) AS vq
+              FROM documents
+            ),
+            pooled AS (
+              SELECT vq, count(*)::BIGINT AS c FROM vals GROUP BY vq
+            ),
+            cumt AS (
+              SELECT vq, sum(c) OVER (ORDER BY vq)::BIGINT AS cum
+              FROM pooled
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS N FROM pooled),
+            pos AS (
+              SELECT b, CAST(floor(
+                       (b * (N - 1))::DOUBLE / 64.0
+                     ) AS BIGINT) + 1 AS p
+              FROM (SELECT unnest(range(65)) AS b) bb, tot
+            ),
+            anch AS (
+              SELECT b, min(vq) AS av
+              FROM pos JOIN cumt ON cumt.cum >= pos.p
+              GROUP BY b
+            ),
+            ranked AS (
+              SELECT g, id, vq,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY vq, id
+                     )::BIGINT AS i,
+                     count(*) OVER (PARTITION BY g)::BIGINT AS ng
+              FROM vals
+            ),
+            rb AS (
+              SELECT g, id, vq,
+                     CASE WHEN ng = 1 THEN 32
+                          ELSE CAST(floor(
+                            ((i - 1) * 64)::DOUBLE / (ng - 1)::DOUBLE
+                          ) AS BIGINT)
+                     END AS b
+              FROM ranked
+            )
+            SELECT g, id, vq::DOUBLE AS value_q, av::DOUBLE AS norm_q
+            FROM rb JOIN anch USING (b)
+        """,
+        "q_chi2_indep": """
+            WITH cells AS (
+              SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+              FROM documents GROUP BY 1, 2
+            ),
+            rt AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY a),
+            ct AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY b),
+            n AS (SELECT sum(o)::BIGINT AS N FROM cells),
+            j AS (
+              SELECT c.a, c.b, c.o,
+                     (rt.ra::HUGEINT * ct.cb::HUGEINT)::DOUBLE
+                       / n.N::DOUBLE AS e
+              FROM cells c
+              JOIN rt ON c.a = rt.a
+              JOIN ct ON c.b = ct.b
+              CROSS JOIN n
+            )
+            SELECT a, b, o AS observed,
+                   CAST(floor(e * 1e6) AS BIGINT) AS expected_ppm,
+                   CAST(floor(
+                     (o::DOUBLE - e) * (o::DOUBLE - e) / e * 1e6
+                   ) AS BIGINT) AS chi2_ppm
+            FROM j
         """,
         "q_gini_sources": """
             WITH w AS (

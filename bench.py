@@ -450,6 +450,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_gini_sources",
         "q_cooccur_lift",
         "q_bootstrap_ci",
+        "q_isotonic",
+        "q_quantile_norm",
+        "q_chi2_indep",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

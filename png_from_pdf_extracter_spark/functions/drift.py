@@ -146,3 +146,121 @@ def ks_statistic(
             ).alias("ks"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    anchors: int = 256,
+    quantize: int = 0,
+) -> DataFrame:
+    """Quantile normalization across groups: every group's value
+    distribution is mapped onto the POOLED distribution, so a value at
+    the p-th percentile of its source lands on the pooled p-th
+    percentile — the batch-effect remover (microarray heritage) that
+    puts per-source quality/length scores on one comparable scale
+    before cross-source thresholding.
+
+    Construction (all integer until the final emit): values are
+    quantized to BIGINT (``round(v * 10^quantize)``); the pooled
+    empirical CDF is one distinct-value aggregation plus ONE ordered
+    window over the distinct-value table (bounded by quantized-value
+    cardinality — quantize coarser for continuous metrics, the same
+    cardinality contract as the rank statistics); ``anchors+1`` pooled
+    quantile anchors sit at integer positions ``floor(b*(N-1)/B)+1``.
+    Instead of joining every anchor against the CDF (O(C*B)), each
+    distinct value computes the exact integer range of anchor indices
+    it answers — ``cum_prev < pos_b <= cum`` inverted to a [b_min,
+    b_max] sequence — and explodes it: O(C) work emitting exactly B+1
+    anchor rows. Per-row, the within-group rank maps to anchor
+    ``floor((i-1)*B/(n_g-1))`` (mid anchor for singleton groups) and a
+    broadcast join against the B+1-row anchor table yields the
+    normalized value. Ties inside a group are ordered by ``id_col`` —
+    deterministic, engine-independent.
+
+    All index products stay below 2^53 for corpora under ~2^53/B rows
+    (exact in the double floor both engines share). Returns (group, id,
+    value_q, norm_q).
+    """
+    if anchors < 1:
+        raise ValueError("anchors must be >= 1")
+    B = anchors
+    vq = F.round(
+        F.col(value_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        vq.alias("vq"),
+    ).filter(F.col("vq").isNotNull())
+    pooled = vals.groupBy("vq").agg(F.count("*").cast("long").alias("c"))
+    cumw = Window.orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumt = pooled.select(
+        "vq", "c", F.sum("c").over(cumw).alias("cum")
+    )
+    total = F.broadcast(pooled.agg(F.sum("c").cast("long").alias("N")))
+    with_n = cumt.crossJoin(total)
+    # anchor index range this distinct value answers (N > 1 branch):
+    #   b_min = ceil(B*cum_prev/(N-1)),  b_max = (B*cum - 1) div (N-1)
+    cum_prev = F.col("cum") - F.col("c")
+    nm1 = F.col("N") - F.lit(1)
+    b_min = F.when(F.col("N") == 1, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.lit(B) * cum_prev + nm1 - F.lit(1)) / nm1
+            ).cast("long"),
+        )
+    )
+    b_max = F.when(F.col("N") == 1, F.lit(B)).otherwise(
+        F.least(
+            F.lit(B).cast("long"),
+            F.floor((F.lit(B) * F.col("cum") - F.lit(1)) / nm1).cast(
+                "long"
+            ),
+        )
+    )
+    anchor = (
+        with_n.select(
+            "vq",
+            F.explode(
+                F.when(
+                    b_min <= b_max, F.sequence(b_min, b_max)
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(F.min("vq").alias("anchor_vq"))
+    )
+    grp = Window.partitionBy("g")
+    rk = Window.partitionBy("g").orderBy(F.col("vq").asc(), F.col("id").asc())
+    ranked = vals.select(
+        "g",
+        "id",
+        "vq",
+        F.row_number().over(rk).alias("i"),
+        F.count("*").over(grp).alias("ng"),
+    )
+    rowb = ranked.select(
+        "g",
+        "id",
+        "vq",
+        F.when(F.col("ng") == 1, F.lit(B // 2).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("i") - 1) * F.lit(B) / (F.col("ng") - 1)
+            ).cast("long")
+        )
+        .alias("b"),
+    )
+    scale = float(10 ** quantize)
+    return rowb.join(F.broadcast(anchor), "b").select(
+        "g",
+        "id",
+        (F.col("vq") / F.lit(scale)).alias("value_q"),
+        (F.col("anchor_vq") / F.lit(scale)).alias("norm_q"),
+    )

@@ -333,3 +333,87 @@ def logreg_score(
     for c, wi in zip(feature_cols, weights[1:]):
         z = z + F.col(c).cast("double") * float(wi)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def isotonic_calibrate(
+    df,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 64,
+    lo: float = -1.0,
+    hi: float = 1.0,
+):
+    """Isotonic (monotone) calibration of a classifier score against a
+    binary label — the standard post-hoc calibrator when Platt's
+    sigmoid shape assumption fails, and the one production quality
+    gates fit before thresholding a corpus. Binned PAVA: scores are
+    bucketed into ``n_bins`` equal-width bins, per-bin (count,
+    positives) are exact BIGINTs from ONE map-combinable aggregation,
+    and pool-adjacent-violators runs driver-side over the <= n_bins
+    pool list — the documented bounded-collect pattern (same budget
+    class as the IVF centroids): the driver state is n_bins rows no
+    matter the corpus size, which is exactly how large-scale isotonic
+    calibration is deployed (sklearn-style exact PAVA over raw rows
+    needs a global sort; binned PAVA is the 100-TB formulation).
+
+    Exactness: PAVA merge decisions compare pool means as exact
+    integer cross-products (``s1*w2 > s2*w1`` — Python bigints, no
+    float ever decides a merge); the fitted value per pool is ONE
+    Python float division of exact ints, bit-identical to the SQL
+    oracle's minimax formulation ``fit(k) = max_{i<=k} min_{j>=k}
+    avg(i..j)`` (the classic PAVA duality), whose attaining segment is
+    the pool itself — same integer pair, same IEEE quotient. Returns
+    (bin, n, pos, fit_ppm) for every NON-EMPTY bin; fit_ppm is
+    floor-6dp and nondecreasing in bin.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("need hi > lo")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((s - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    binned = (
+        df.select(b.alias("bin"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    rows = sorted(binned.collect(), key=lambda r: r["bin"])
+    # PAVA over (w, s) pools; merge while the fit would decrease.
+    pools: list[list[int]] = []  # [w, s, first_idx]
+    for idx, r in enumerate(rows):
+        pools.append([r["n"], r["pos"], idx])
+        while len(pools) >= 2:
+            w2, s2, _ = pools[-1]
+            w1, s1, _ = pools[-2]
+            if s1 * w2 > s2 * w1:  # mean(prev) > mean(cur): violation
+                pools[-2][0] = w1 + w2
+                pools[-2][1] = s1 + s2
+                pools.pop()
+            else:
+                break
+    fits = [0.0] * len(rows)
+    bounds = [p[2] for p in pools] + [len(rows)]
+    for pi, p in enumerate(pools):
+        f = p[1] / p[0]
+        for idx in range(bounds[pi], bounds[pi + 1]):
+            fits[idx] = f
+    import math
+
+    spark = df.sparkSession
+    out = [
+        (int(r["bin"]), int(r["n"]), int(r["pos"]),
+         int(math.floor(fits[i] * 1e6)))
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out, "bin int, n long, pos long, fit_ppm long"
+    )

@@ -897,3 +897,62 @@ def poisson_bootstrap_ci(
         F.element_at(F.col("__ms"), lo_idx + 1).alias("ci_lo_ppm"),
         F.element_at(F.col("__ms"), hi_idx + 1).alias("ci_hi_ppm"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (language x source, label x shard — "is the attribute mix uniform
+    across partitions", the stratification sanity check run before any
+    per-stratum mix decision). Emits one row PER CONTINGENCY CELL with
+    its observed count, expected count and chi2 contribution — per-cell
+    float emission, never a cross-row float sum (the Benford rule: the
+    oracle hash stays order-independent because each float is a pure
+    function of that cell's exact integers).
+
+    Plan: ONE corpus shuffle builds the contingency-cell table
+    (groupBy a,b — map-combinable); row totals, column totals and the
+    grand total are re-aggregations OVER THE CELL TABLE (bounded by
+    |A|x|B| cells, not rows) joined back broadcast. Expected =
+    ra*cb/N with an exact DECIMAL(38,0) numerator; contribution =
+    (o-e)^2/e evaluated in one fixed op order both engines share.
+    Returns (a, b, observed, expected_ppm, chi2_ppm).
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(
+            F.col(col_a).alias("a"), F.col(col_b).alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    row_tot = cells.groupBy("a").agg(
+        F.sum("observed").cast("long").alias("ra")
+    )
+    col_tot = cells.groupBy("b").agg(
+        F.sum("observed").cast("long").alias("cb")
+    )
+    grand = F.broadcast(
+        cells.agg(F.sum("observed").cast("long").alias("N"))
+    )
+    j = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(grand)
+    )
+    e = (
+        (F.col("ra").cast(dec) * F.col("cb").cast(dec)).cast("double")
+        / F.col("N").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    contrib = (o - e) * (o - e) / e
+    return j.select(
+        "a",
+        "b",
+        "observed",
+        F.floor(e * F.lit(1e6)).cast("long").alias("expected_ppm"),
+        F.floor(contrib * F.lit(1e6)).cast("long").alias("chi2_ppm"),
+    )
