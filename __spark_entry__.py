@@ -3850,6 +3850,40 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """K-anonymity audit (curate.k_anonymity_report): quasi-identifier
+    = (event_type, minute-of-day) over events — combinations shared by
+    fewer than k=5 rows are linkage risks; one combinable groupBy."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        k_anonymity_report,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.hour("ts") * 60 + F.minute("ts")).alias("minute_of_day"),
+    )
+    return k_anonymity_report(ev, ("event_type", "minute_of_day"), k=5)
+
+
+def _q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust per-user value trend (functions/stats.py
+    theil_sen_slope): median pairwise slope of event value over a
+    minute clock — pair join on the user key only, lower median by the
+    exact integer reach test."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        theil_sen_slope,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(6e7)
+        ).cast("long").alias("xmin"),
+        "value",
+    )
+    return theil_sen_slope(ev, ("user_id",), "xmin", "value")
+
+
 def _q_isotonic(spark, sf_dir):
     """Isotonic calibration of the hashed linear quality score vs the
     lang='en' label (evalmetrics.isotonic_calibrate): binned PAVA with
@@ -4278,6 +4312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kaplan_meier": _q_kaplan_meier,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
+        "q_k_anonymity": _q_k_anonymity,
+        "q_theil_sen": _q_theil_sen,
         "q_quantile_norm": _q_quantile_norm,
         "q_chi2_indep": _q_chi2_indep,
         "q_cooccur_lift": _q_cooccur_lift,
@@ -7966,6 +8002,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_k_anonymity": """
+            SELECT event_type,
+                   (hour(ts) * 60 + minute(ts))::INT AS minute_of_day,
+                   count(*)::BIGINT AS n,
+                   count(*) < 5 AS at_risk
+            FROM events
+            GROUP BY event_type, minute_of_day
+        """,
+        "q_theil_sen": """
+            WITH v AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 60000000.0) AS BIGINT)
+                       AS x,
+                     CAST(round(value * 1000000, 0) AS BIGINT) AS yq
+              FROM events
+            ),
+            p AS (
+              SELECT a.user_id,
+                     CAST(floor(
+                       (b.yq - a.yq)::DOUBLE / (b.x - a.x)::DOUBLE
+                     ) AS BIGINT) AS s
+              FROM v a JOIN v b
+                ON a.user_id = b.user_id AND a.x < b.x
+            ),
+            c AS (
+              SELECT user_id, s, count(*)::BIGINT AS w
+              FROM p GROUP BY user_id, s
+            ),
+            r AS (
+              SELECT user_id, s,
+                     sum(w) OVER (
+                       PARTITION BY user_id ORDER BY s
+                     )::BIGINT AS cum,
+                     sum(w) OVER (PARTITION BY user_id)::BIGINT AS tot
+              FROM c
+            )
+            SELECT user_id, tot AS n_pairs, min(s) AS slope_ppm
+            FROM r
+            WHERE cum * 2 >= tot
+            GROUP BY user_id, tot
         """,
         "q_isotonic": """
             WITH sc AS (

@@ -453,6 +453,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_isotonic",
         "q_quantile_norm",
         "q_chi2_indep",
+        "q_k_anonymity",
+        "q_theil_sen",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -767,3 +767,50 @@ def source_similarity(
         )
     )
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier combination — the
+    re-identification risk gate a corpus with user-derived metadata
+    runs next to [[pii_scrub]]: any combination of quasi-identifier
+    values shared by fewer than ``k`` rows is a linkage risk (its
+    members are identifiable by joining public attributes). Emits one
+    row per OBSERVED combination: (quasi..., n, at_risk) — integer
+    counts from ONE map-combinable groupBy, no second corpus pass.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("at_risk", F.col("n") < F.lit(k))
+    )
+
+
+def suppress_rare_combos(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    k: int = 5,
+) -> DataFrame:
+    """Enforcement twin of [[k_anonymity_report]]: drop every row whose
+    quasi-identifier combination has fewer than ``k`` members
+    (suppression — the baseline k-anonymity mechanism; generalization
+    ladders are a policy layer above this primitive). ONE shuffle: a
+    count window over the quasi key on the same exchange a groupBy
+    would use, then a filter — no join, no second pass; skew bounded by
+    the largest combination (which by construction is the SAFE one).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("__qn", F.count("*").over(w))
+        .filter(F.col("__qn") >= k)
+        .drop("__qn")
+    )

@@ -956,3 +956,61 @@ def chi2_independence(
         F.floor(e * F.lit(1e6)).cast("long").alias("expected_ppm"),
         F.floor(contrib * F.lit(1e6)).cast("long").alias("chi2_ppm"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    x_col: str,
+    y_col: str,
+    quantize: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i)/(x_j - x_i)`` over pairs with ``x_i < x_j`` —
+    the estimator that shrugs off ~29% outlier contamination where OLS
+    (``q_trend_per_group``) follows every spike; the robust "is this
+    user's metric drifting" reading.
+
+    Exactness: y is round-quantized to BIGINT (``10^quantize``), x must
+    already be integer-valued (quantize timestamps to a coarse clock
+    upstream); each pair's slope is ONE double division of exact ints
+    floored to a BIGINT (already in ppm units when y is 1e6-quantized),
+    and the LOWER MEDIAN is picked by the exact integer reach test of
+    [[weighted_quantile]] — no float ordering anywhere. Equal-x pairs
+    are excluded (the standard Theil-Sen convention; a vertical pair
+    has no slope).
+
+    Plan: the pair generation is a self-equi-join on the GROUP key
+    (per-group O(k^2), the bounded-group contract shared with
+    ``cooccur_lift`` — cap or sample oversized groups upstream), then
+    the median via one group-keyed window. Returns (group..., n_pairs,
+    slope_ppm).
+    """
+    yq = _quant(F.col(y_col), quantize)
+    xi = F.col(x_col).cast("long")
+    base = df.select(
+        *group_cols, xi.alias("__x"), yq.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    a = base
+    b = base
+    for c in ("__x", "__y"):
+        b = b.withColumnRenamed(c, c + "2")
+    pairs = a.join(b, list(group_cols)).filter(
+        F.col("__x") < F.col("__x2")
+    )
+    slopes = pairs.select(
+        *group_cols,
+        F.floor(
+            (F.col("__y2") - F.col("__y")).cast("double")
+            / (F.col("__x2") - F.col("__x")).cast("double")
+        ).cast("long").alias("__s"),
+        F.lit(1).alias("__w"),
+    )
+    med = weighted_quantile(
+        slopes, "__s", "__w", tuple(group_cols), q_num=1, q_den=2
+    )
+    return med.select(
+        *group_cols,
+        F.col("total_w").alias("n_pairs"),
+        F.col("wq_value").alias("slope_ppm"),
+    )

@@ -478,3 +478,46 @@ def test_source_similarity_identical_sources_cosine_one(spark):
     )
     r = curate.source_similarity(df).collect()[0]
     assert r["cos_q"] == 1.0
+
+
+# ---- k-anonymity ----
+
+from png_from_pdf_extracter_spark.functions.curate import (  # noqa: E402
+    k_anonymity_report,
+    suppress_rare_combos,
+)
+
+
+def test_k_anonymity_report_counts(spark):
+    df = spark.createDataFrame(
+        [("en", "web")] * 5 + [("en", "book")] * 2 + [("de", "web")],
+        "lang string, source string",
+    )
+    rows = {
+        (r["lang"], r["source"]): r
+        for r in k_anonymity_report(df, ("lang", "source"), k=3).collect()
+    }
+    assert rows[("en", "web")]["n"] == 5
+    assert rows[("en", "web")]["at_risk"] is False
+    assert rows[("en", "book")]["at_risk"] is True
+    assert rows[("de", "web")]["at_risk"] is True
+
+
+def test_suppress_rare_combos_drops_exactly_risky_rows(spark):
+    df = spark.createDataFrame(
+        [("en", "web", i) for i in range(5)]
+        + [("en", "book", 10), ("en", "book", 11), ("de", "web", 20)],
+        "lang string, source string, id long",
+    )
+    kept = suppress_rare_combos(df, ("lang", "source"), k=3).collect()
+    assert {r["id"] for r in kept} == set(range(5))
+    # k=1 keeps everything; schema unchanged
+    all_kept = suppress_rare_combos(df, ("lang", "source"), k=1)
+    assert all_kept.count() == 8
+    assert all_kept.columns == df.columns
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, (), k=3)
+    with pytest.raises(ValueError):
+        suppress_rare_combos(df, ("lang",), k=0)

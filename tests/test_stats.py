@@ -447,3 +447,57 @@ def test_bootstrap_grouped_and_validated(spark):
         poisson_bootstrap_ci(df, "id", "v", replicas=1)
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "id", "v", alpha_num=1, alpha_den=2)
+
+
+# ---- theil_sen_slope ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    theil_sen_slope,
+)
+
+
+def test_theil_sen_exact_line(spark):
+    # y = 3x + 1: every pairwise slope is exactly 3
+    df = spark.createDataFrame(
+        [("g", x, 3.0 * x + 1.0) for x in range(10)],
+        "g string, x long, y double",
+    )
+    r = theil_sen_slope(df, ("g",), "x", "y").collect()[0]
+    assert r["slope_ppm"] == 3_000_000
+    assert r["n_pairs"] == 45
+
+
+def test_theil_sen_bruteforce_and_outlier_robust(spark):
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = [("g", x, 2.0 * x + rng.uniform(-0.1, 0.1)) for x in range(20)]
+    rows[5] = ("g", 5, 1000.0)  # gross outlier
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    r = theil_sen_slope(df, ("g",), "x", "y").collect()[0]
+    slopes = sorted(
+        math.floor(
+            (round(y2 * 1e6) - round(y1 * 1e6)) / (x2 - x1)
+        )
+        for i, (_, x1, y1) in enumerate(rows)
+        for (_, x2, y2) in rows[i + 1 :]
+        if x2 > x1
+    )
+    n = len(slopes)
+    # lower median: smallest s with cum*2 >= n
+    expect = next(
+        s for k, s in enumerate(slopes) if (k + 1) * 2 >= n
+    )
+    assert r["slope_ppm"] == expect
+    # robust: the outlier barely moves the slope off 2
+    assert abs(r["slope_ppm"] / 1e6 - 2.0) < 0.2
+
+
+def test_theil_sen_equal_x_pairs_excluded(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 1, 100.0), ("g", 2, 1.0)],
+        "g string, x long, y double",
+    )
+    r = theil_sen_slope(df, ("g",), "x", "y").collect()[0]
+    assert r["n_pairs"] == 2  # (1,0)-(2,1) and (1,100)-(2,1)
