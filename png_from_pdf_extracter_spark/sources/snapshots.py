@@ -42,6 +42,7 @@ import json
 import math
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,6 +110,9 @@ class SnapshotTable:
         after claiming has already made its commit durable, and any later
         writer may finish the pointer flip on its behalf."""
         path = os.path.join(self.meta, f"v{version}.json")
+        # commit wall-clock, stamped once at claim time: the basis for
+        # TIMESTAMP AS OF time travel (version_as_of/read_as_of)
+        manifest.setdefault("committed_at", time.time())
         tmp = os.path.join(
             self.meta, f".claim-{os.getpid()}-{next(self._seq)}.tmp"
         )
@@ -505,6 +509,67 @@ class SnapshotTable:
         parquet-backed Iceberg v1."""
         m = self.manifest(version)
         return self._plan_with_deletes(spark, m, m["dirs"])
+
+    def version_as_of(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution: the highest committed version
+        whose ``committed_at`` is at or before ``ts`` (Iceberg's
+        snapshot-id-as-of-time lookup). Versions claimed before the
+        timestamp feature existed (no ``committed_at``) are treated as
+        epoch-0, i.e. always eligible. Raises if no snapshot is old
+        enough — reading "before the table existed" is an error, not an
+        empty table."""
+        best = None
+        for v in self.versions():
+            if v > (self.current_version() or 0):
+                continue  # claimed but never pointer-flipped
+            at = self.manifest(v).get("committed_at", 0.0)
+            if at <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot at or before ts={ts} in {self.root}"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time-travel read: the table exactly as committed at wall
+        time ``ts`` — same MoR delete/upsert semantics as ``read`` at
+        the resolved version."""
+        return self.read(spark, version=self.version_as_of(ts))
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The ``history``/``snapshots`` metadata table (Iceberg's
+        inspection surface): one row per committed version with its
+        commit time, operation, data-dir count, row count (when the
+        manifest carries per-dir rows) and replay cursor. Driver-side
+        by construction — the manifest list is the table's version
+        count, never data-sized."""
+        cur = self.current_version() or 0
+        rows = []
+        for v in self.versions():
+            if v > cur:
+                continue
+            m = self.manifest(v)
+            rc = (
+                sum(m["rows"].values()) if m.get("rows") else None
+            )
+            rows.append(
+                (
+                    v,
+                    float(m.get("committed_at", 0.0)),
+                    m.get("op", "unknown"),
+                    len(m.get("dirs", [])),
+                    len(m.get("deletes", [])),
+                    rc,
+                    m.get("max_batch_id"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, committed_at double, operation string, "
+            "n_dirs int, n_delete_files int, rows long, "
+            "max_batch_id long",
+        )
 
     def read_pruned(
         self,

@@ -553,3 +553,45 @@ def test_stats_pruning_incomparable_types_keep_dir(spark, tmp_path):
     # numeric bound still prunes
     _, kept3, _ = ts.read_pruned(spark, "id", lo=500)
     assert kept3 == 0
+
+
+def test_timestamp_as_of_and_history(spark, tmp_path):
+    import time as _time
+
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 10))
+    _time.sleep(0.02)
+    mid = _time.time()
+    _time.sleep(0.02)
+    t.append(_df(spark, 10, 15))
+
+    # TIMESTAMP AS OF between the two commits resolves to v1
+    assert t.version_as_of(mid) == 1
+    assert t.read_as_of(spark, mid).count() == 10
+    assert t.read_as_of(spark, _time.time()).count() == 15
+    # before the table existed: error, not an empty table
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(mid - 10.0)
+
+    h = {r["version"]: r for r in t.history(spark).collect()}
+    assert set(h) == {1, 2}
+    assert h[1]["operation"] == "append"
+    assert h[2]["rows"] == 15  # append carries forward per-dir rows
+    assert h[1]["committed_at"] < mid < h[2]["committed_at"]
+    assert h[2]["n_dirs"] == 2
+
+
+def test_history_covers_mor_and_compaction(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "tbl")
+    t.append(_df(spark, 0, 10))
+    t.delete_keys(spark.range(0, 3).select(F.col("id")), "id")
+    t.compact(spark)
+    h = sorted(t.history(spark).collect(), key=lambda r: r["version"])
+    assert [r["version"] for r in h] == [1, 2, 3]
+    ops = [r["operation"] for r in h]
+    assert ops[0] == "append"
+    assert h[1]["n_delete_files"] == 1
+    assert h[2]["n_delete_files"] == 0  # compaction materialized deletes
+    # history timestamps are monotone
+    ts = [r["committed_at"] for r in h]
+    assert ts == sorted(ts)
