@@ -3827,7 +3827,7 @@ def _q_mom_growth(spark, sf_dir):
     monthly = (
         o.groupBy(
             "o_orderpriority",
-            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         )
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
@@ -3847,6 +3847,53 @@ def _q_mom_growth(spark, sf_dir):
             )
             / 1e6,
         ).alias("mom_growth"),
+    )
+
+
+def _q_mutual_nn(spark, sf_dir):
+    """Mutual nearest-neighbor matching (similarity.mutual_nn_pairs):
+    even-id vs odd-id embedding halves as the two 'corpora'; a pair
+    survives only when each side is the other's cosine top-1 — the
+    bitext-mining candidate filter. Exact baseline (both directed
+    passes broadcast); production path runs the same join shape over
+    IVF candidates."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        mutual_nn_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return mutual_nn_pairs(left, right)
+
+
+def _q_binseg(spark, sf_dir):
+    """Greedy binary-segmentation changepoints (functions/stats.py
+    changepoint_binary_seg) on the monthly revenue series per order
+    priority: up to 3 splits, exact-integer contrast scoring, all
+    groups advancing in parallel per round. Rows-only by design
+    (iterative; no SQL oracle) — correctness pinned against the
+    brute-force reference in tests/test_stats.py."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        changepoint_binary_seg,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    return changepoint_binary_seg(
+        monthly,
+        ("o_orderpriority",),
+        ("month",),
+        "rev_cents",
+        max_changepoints=3,
+        quantize=0,
     )
 
 
@@ -4313,6 +4360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
+        "q_mutual_nn": _q_mutual_nn,
+        "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
         "q_quantile_norm": _q_quantile_norm,
         "q_chi2_indep": _q_chi2_indep,
@@ -8003,6 +8052,46 @@ def oracle_sql() -> dict[str, str]:
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
         """,
+        "q_mutual_nn": """
+            WITH l AS (
+              SELECT vec_id AS id, embedding AS v FROM embeddings
+              WHERE vec_id % 2 = 0
+            ),
+            r AS (
+              SELECT vec_id AS id, embedding AS v FROM embeddings
+              WHERE vec_id % 2 = 1
+            ),
+            sc AS (
+              SELECT l.id AS lid, r.id AS rid,
+                round(
+                  list_aggregate(list_transform(range(1, len(l.v) + 1),
+                      i -> l.v[i]::DOUBLE * r.v[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(
+                        range(1, len(l.v) + 1),
+                        i -> l.v[i]::DOUBLE * l.v[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(
+                        range(1, len(r.v) + 1),
+                        i -> r.v[i]::DOUBLE * r.v[i]::DOUBLE), 'sum'))),
+                  6) AS cos_sim
+              FROM l, r
+            ),
+            l2r AS (
+              SELECT lid, rid, cos_sim FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY lid ORDER BY cos_sim DESC, rid ASC
+                ) AS rk FROM sc
+              ) WHERE rk = 1
+            ),
+            r2l AS (
+              SELECT lid, rid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY rid ORDER BY cos_sim DESC, lid ASC
+                ) AS rk FROM sc
+              ) WHERE rk = 1
+            )
+            SELECT l2r.lid AS left_id, l2r.rid AS right_id, l2r.cos_sim
+            FROM l2r JOIN r2l USING (lid, rid)
+        """,
         "q_k_anonymity": """
             SELECT event_type,
                    (hour(ts) * 60 + minute(ts))::INT AS minute_of_day,
@@ -8386,7 +8475,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mom_growth": """
             WITH monthly AS (
               SELECT o_orderpriority AS priority,
-                     date_trunc('month', o_orderdate) AS month,
+                     date_trunc('month', o_orderdate)::DATE AS month,
                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
                        ::BIGINT AS rev_cents
               FROM orders GROUP BY 1, 2

@@ -455,6 +455,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_chi2_indep",
         "q_k_anonymity",
         "q_theil_sen",
+        "q_mutual_nn",
+        "q_binseg",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

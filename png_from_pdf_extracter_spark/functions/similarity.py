@@ -1320,3 +1320,36 @@ def scalar_quantize(
         .otherwise(F.lit(0.0))
         .alias("max_abs_err"),
     )
+
+
+def mutual_nn_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual nearest-neighbor matching between two embedding sets —
+    the bitext-mining / cross-corpus alignment primitive (LASER-style
+    parallel-pair candidates, modality alignment): a pair survives only
+    if each side is the OTHER side's cosine top-1, the standard filter
+    that kills hub vectors matching everything.
+
+    Built entirely from [[cosine_topk]] (two directed top-1 passes +
+    one equi-join on the agreeing pair), so the score convention —
+    round-6dp cosine, ties by neighbor id — is inherited and already
+    oracle-proven. Exact-baseline contract: each directed pass
+    broadcasts its query side, so BOTH sets must individually fit the
+    broadcast budget; at corpus scale run the same mutual filter over
+    the IVF/LSH candidate pairs instead (`ivf_topk` feeding the same
+    join shape). Returns (left_id, right_id, cos_sim).
+    """
+    l2r = cosine_topk(right, left, id_col, vec_col, k=1).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
+        "cos_sim",
+    )
+    r2l = cosine_topk(left, right, id_col, vec_col, k=1).select(
+        F.col("neighbor_id").alias("left_id"),
+        F.col("query_id").alias("right_id"),
+    )
+    return l2r.join(r2l, ["left_id", "right_id"])

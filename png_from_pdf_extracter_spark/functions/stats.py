@@ -1014,3 +1014,165 @@ def theil_sen_slope(
         F.col("total_w").alias("n_pairs"),
         F.col("wq_value").alias("slope_ppm"),
     )
+
+
+def changepoint_binary_seg(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    max_changepoints: int = 3,
+    quantize: int = 1,
+    min_seg: int = 2,
+    min_bss: float = 0.0,
+) -> DataFrame:
+    """Multiple-changepoint detection per group by BINARY SEGMENTATION
+    — the standard greedy extension of [[changepoint_single]]: find the
+    best split, recurse into the better-scoring side, stop after
+    ``max_changepoints`` splits or when no candidate's between-segment
+    contrast reaches ``min_bss``. The "this metric shifted twice —
+    when?" answer a drift postmortem wants.
+
+    Fully distributed rounds: each iteration scores EVERY group's
+    every current segment in one pass (the same exact-integer prefix
+    construction as ``changepoint_single``, windowed on the composite
+    (group, segment) key), picks each group's single best split with a
+    rank window, and re-derives segment membership by counting
+    accepted splits below each row's index (a per-group array join —
+    the split set is <= max_changepoints per group, never data-sized).
+    Driver state per round: ONE emptiness check; split storage stays
+    in DataFrames. All groups advance in parallel — a round costs the
+    same whether one group or a billion groups still split.
+
+    Returns one row per FINAL segment: (group..., segment, start_idx,
+    end_idx, n, mean_q) with 1-based inclusive row indices in the
+    stable order and floor-6dp segment means.
+    """
+    if max_changepoints < 0:
+        raise ValueError("max_changepoints must be >= 0")
+    if min_seg < 1:
+        raise ValueError("min_seg must be >= 1")
+    q = _quant(F.col(value_col), quantize)
+    ow = [F.col(c).asc() for c in order_cols]
+    base = df.select(
+        *group_cols,
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy(*ow))
+        .alias("__idx"),
+        q.alias("__v"),
+    ).persist()
+    gcols = list(group_cols)
+    splits = None  # (group..., __split) — accepted split indices
+    try:
+        for _ in range(max_changepoints):
+            if splits is None:
+                segged = base.withColumn("__seg", F.lit(0))
+            else:
+                arr = splits.groupBy(*gcols).agg(
+                    F.collect_list("__split").alias("__sp")
+                )
+                segged = (
+                    base.join(F.broadcast(arr), gcols, "left")
+                    .withColumn(
+                        "__seg",
+                        F.size(
+                            F.filter(
+                                F.coalesce(
+                                    F.col("__sp"),
+                                    F.array().cast("array<long>"),
+                                ),
+                                lambda s: s < F.col("__idx"),
+                            )
+                        ),
+                    )
+                    .drop("__sp")
+                )
+            seg_key = gcols + ["__seg"]
+            pre = Window.partitionBy(*seg_key).orderBy("__idx").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            full = Window.partitionBy(*seg_key)
+            marked = segged.select(
+                *gcols,
+                "__idx",
+                "__seg",
+                F.row_number()
+                .over(Window.partitionBy(*seg_key).orderBy("__idx"))
+                .alias("__k"),
+                F.sum("__v").over(pre).alias("__sl"),
+                F.sum("__v").over(full).alias("__st"),
+                F.count("*").over(full).alias("__n"),
+            )
+            cand = marked.filter(
+                (F.col("__k") >= min_seg)
+                & (F.col("__k") <= F.col("__n") - min_seg)
+            )
+            n_l = F.col("__k")
+            n_r = F.col("__n") - F.col("__k")
+            contrast = (
+                F.col("__sl") * n_r
+                - (F.col("__st") - F.col("__sl")) * n_l
+            )
+            scored = cand.withColumn(
+                "__bss",
+                (contrast.cast("double") * contrast.cast("double"))
+                / (n_l * n_r).cast("double"),
+            ).filter(F.col("__bss") >= F.lit(float(min_bss)))
+            best = Window.partitionBy(*gcols).orderBy(
+                F.col("__bss").desc(), F.col("__idx").asc()
+            )
+            new_splits = (
+                scored.withColumn("__r", F.row_number().over(best))
+                .filter(F.col("__r") == 1)
+                .select(*gcols, F.col("__idx").cast("long").alias("__split"))
+                .persist()
+            )
+            if not new_splits.take(1):
+                new_splits.unpersist()
+                break
+            splits = (
+                new_splits
+                if splits is None
+                else splits.unionByName(new_splits)
+            ).localCheckpoint(eager=True)
+            new_splits.unpersist()
+        if splits is None:
+            final = base.withColumn("__seg", F.lit(0))
+        else:
+            arr = splits.groupBy(*gcols).agg(
+                F.collect_list("__split").alias("__sp")
+            )
+            final = (
+                base.join(F.broadcast(arr), gcols, "left")
+                .withColumn(
+                    "__seg",
+                    F.size(
+                        F.filter(
+                            F.coalesce(
+                                F.col("__sp"),
+                                F.array().cast("array<long>"),
+                            ),
+                            lambda s: s < F.col("__idx"),
+                        )
+                    ),
+                )
+                .drop("__sp")
+            )
+        scale = float(10 ** quantize)
+        out = final.groupBy(*gcols, "__seg").agg(
+            F.min("__idx").cast("long").alias("start_idx"),
+            F.max("__idx").cast("long").alias("end_idx"),
+            F.count("*").cast("long").alias("n"),
+            (
+                F.floor(
+                    F.sum("__v") / (F.count("*") * F.lit(scale)) * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mean_q"),
+        )
+        out = out.withColumnRenamed("__seg", "segment")
+        # force before releasing the persisted base
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        base.unpersist()

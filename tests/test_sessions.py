@@ -504,3 +504,51 @@ def test_last_touch_attribution_hand_case(spark):
         ).collect()
     }
     assert out == {"click": (1, 1), "view": (2, 1), "direct": (1, 1)}
+
+
+# ---- mutual_nn_pairs ----
+
+
+def test_mutual_nn_pairs_planted_and_hub_filtered(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        mutual_nn_pairs,
+    )
+
+    # planted mutual pairs: l_i ~ r_i (same direction, small noise);
+    # r9 is a hub near the centroid of everything
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    left = [(i, unit(i * 0.7)) for i in range(5)]
+    right = [(100 + i, unit(i * 0.7 + 0.01)) for i in range(5)]
+    ldf = spark.createDataFrame(left, "vec_id long, embedding array<float>")
+    rdf = spark.createDataFrame(right, "vec_id long, embedding array<float>")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in mutual_nn_pairs(ldf, rdf).collect()
+    }
+    assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_mutual_nn_pairs_asymmetric_top1_is_dropped(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        mutual_nn_pairs,
+    )
+
+    # l0 and l1 both nearest to r0; r0's top-1 is l0 -> only (l0, r0)
+    ldf = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    rdf = spark.createDataFrame(
+        [(10, [1.0, 0.01]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in mutual_nn_pairs(ldf, rdf).collect()
+    }
+    assert (0, 10) in got
+    assert (1, 10) not in got

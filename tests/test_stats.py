@@ -501,3 +501,107 @@ def test_theil_sen_equal_x_pairs_excluded(spark):
     )
     r = theil_sen_slope(df, ("g",), "x", "y").collect()[0]
     assert r["n_pairs"] == 2  # (1,0)-(2,1) and (1,100)-(2,1)
+
+
+# ---- changepoint_binary_seg ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    changepoint_binary_seg,
+)
+
+
+def _binseg_reference(vals, K, min_seg=2, quantize=1):
+    """Greedy binary segmentation in plain python (exact integers)."""
+    q = [round(v * 10 ** quantize) for v in vals]
+    segs = [(0, len(q))]  # [start, end) 0-based
+    splits = []
+    for _ in range(K):
+        best = None  # (bss, abs_idx, seg_i)
+        for si, (a, b) in enumerate(segs):
+            seg = q[a:b]
+            n = len(seg)
+            st = sum(seg)
+            sl = 0
+            for k in range(1, n + 1):
+                sl += seg[k - 1]
+                if k < min_seg or k > n - min_seg:
+                    continue
+                nl, nr = k, n - k
+                c = sl * nr - (st - sl) * nl
+                bss = (float(c) * float(c)) / float(nl * nr)
+                abs_idx = a + k  # 1-based absolute split row
+                cand = (bss, -abs_idx, si, abs_idx)
+                if best is None or (cand[0], cand[1]) > (
+                    best[0], best[1]
+                ):
+                    best = cand
+        if best is None:
+            break
+        _, _, si, abs_idx = best
+        a, b = segs[si]
+        segs[si : si + 1] = [(a, abs_idx), (abs_idx, b)]
+        splits.append(abs_idx)
+    segs.sort()
+    return segs
+
+
+def test_binseg_recovers_two_planted_shifts(spark):
+    vals = [0.0] * 10 + [50.0] * 10 + [100.0] * 10
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "g string, i long, v double",
+    )
+    rows = sorted(
+        changepoint_binary_seg(
+            df, ("g",), ("i",), "v", max_changepoints=2
+        ).collect(),
+        key=lambda r: r["start_idx"],
+    )
+    assert [(r["start_idx"], r["end_idx"]) for r in rows] == [
+        (1, 10), (11, 20), (21, 30)
+    ]
+    assert [r["mean_q"] for r in rows] == [0.0, 50.0, 100.0]
+    assert [r["segment"] for r in rows] == [0, 1, 2]
+
+
+def test_binseg_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(21)
+    vals = [rng.uniform(0, 10) for _ in range(15)] + [
+        rng.uniform(40, 50) for _ in range(12)
+    ] + [rng.uniform(20, 25) for _ in range(9)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "g string, i long, v double",
+    )
+    rows = sorted(
+        changepoint_binary_seg(
+            df, ("g",), ("i",), "v", max_changepoints=3
+        ).collect(),
+        key=lambda r: r["start_idx"],
+    )
+    expect = _binseg_reference(vals, 3)
+    assert [(r["start_idx"] - 1, r["end_idx"]) for r in rows] == expect
+
+
+def test_binseg_zero_changepoints_and_multigroup(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i > 4) * 10) for i in range(10)]
+        + [("b", i, 1.0) for i in range(6)],
+        "g string, i long, v double",
+    )
+    none_rows = changepoint_binary_seg(
+        df, ("g",), ("i",), "v", max_changepoints=0
+    ).collect()
+    assert len(none_rows) == 2  # one segment per group
+    rows = changepoint_binary_seg(
+        df, ("g",), ("i",), "v", max_changepoints=2, min_bss=1.0
+    ).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r)
+    # 'a' splits at the planted step; constant 'b' has bss 0 < min_bss
+    assert len(by_g["a"]) >= 2 and len(by_g["b"]) == 1
+    a_rows = sorted(by_g["a"], key=lambda r: r["start_idx"])
+    assert a_rows[0]["end_idx"] == 5
