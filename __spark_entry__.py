@@ -3850,6 +3850,38 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_negative_sample(spark, sf_dir):
+    """Deterministic uniform negative sampling for contrastive pairs
+    (curate.negative_sample): synthetic (anchor, positive) pairs over
+    the dense doc-id universe, 4 negatives per anchor from md5 slot
+    draws — reproducible across runs/engines/partitionings."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        negative_sample,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    pairs = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("anchor_id"),
+        ((F.col("doc_id") * 7 + 1) % F.lit(n)).alias("pos_id"),
+    )
+    return negative_sample(pairs, n_items=n, k=4)
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per query
+    vector, the top-5 most-similar embeddings with a DIFFERENT label —
+    the margin-teaching negatives; label filter below the rank window
+    so positives never crowd the top-k."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return hard_negatives(emb, q, k=5)
+
+
 def _q_mutual_nn(spark, sf_dir):
     """Mutual nearest-neighbor matching (similarity.mutual_nn_pairs):
     even-id vs odd-id embedding halves as the two 'corpora'; a pair
@@ -4361,6 +4393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
         "q_mutual_nn": _q_mutual_nn,
+        "q_negative_sample": _q_negative_sample,
+        "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
         "q_quantile_norm": _q_quantile_norm,
@@ -8051,6 +8085,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_negative_sample": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            pairs AS (
+              SELECT doc_id AS a,
+                     (doc_id * 7 + 1) % (SELECT n FROM nn) AS p
+              FROM documents WHERE doc_id < 100
+            ),
+            anchors AS (SELECT DISTINCT a FROM pairs),
+            slots AS (
+              SELECT a, unnest(range(12)) AS slot FROM anchors
+            ),
+            cand AS (
+              SELECT a, slot,
+                     CAST(('0x' || substring(
+                       md5('neg|' || a::VARCHAR || ':' || slot::VARCHAR),
+                       1, 15
+                     )) AS BIGINT) % (SELECT n FROM nn) AS c
+              FROM slots
+            ),
+            ok AS (
+              SELECT a, c, min(slot) AS slot
+              FROM cand WHERE c <> a GROUP BY a, c
+            ),
+            clean AS (
+              SELECT ok.a, ok.c, ok.slot
+              FROM ok LEFT JOIN pairs
+                ON ok.a = pairs.a AND ok.c = pairs.p
+              WHERE pairs.a IS NULL
+            ),
+            r AS (
+              SELECT a, c, slot,
+                     row_number() OVER (
+                       PARTITION BY a ORDER BY slot, c
+                     ) AS rk
+              FROM clean
+            )
+            SELECT a AS anchor_id, c AS neg_id, slot::INT AS slot
+            FROM r WHERE rk <= 4
+        """,
+        "q_hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec, label AS ql
+              FROM embeddings WHERE vec_id < 20
+            ),
+            c AS (
+              SELECT vec_id AS neg_id, embedding AS cvec, label AS cl
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT query_id, neg_id,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(
+                        range(1, len(qvec) + 1),
+                        i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(
+                        range(1, len(cvec) + 1),
+                        i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))),
+                  6) AS cos_sim
+              FROM c, q
+              WHERE neg_id <> query_id AND cl <> ql
+            )
+            SELECT query_id, neg_id, rank::INTEGER AS rank, cos_sim
+            FROM (
+              SELECT query_id, neg_id, cos_sim,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neg_id ASC
+                     ) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "q_mutual_nn": """
             WITH l AS (

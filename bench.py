@@ -457,6 +457,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_theil_sen",
         "q_mutual_nn",
         "q_binseg",
+        "q_negative_sample",
+        "q_hard_negatives",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -814,3 +814,85 @@ def suppress_rare_combos(
         .filter(F.col("__qn") >= k)
         .drop("__qn")
     )
+
+
+def negative_sample(
+    pairs: DataFrame,
+    n_items: int,
+    k: int = 4,
+    anchor_col: str = "anchor_id",
+    pos_col: str = "pos_id",
+    oversample: int = 3,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training
+    pairs: for each distinct anchor in ``pairs``, draw up to ``k``
+    negative item ids from the dense id universe ``[0, n_items)`` that
+    are neither the anchor itself nor any of its positives. The
+    ``(anchor, slot)`` md5 draw makes every negative a pure function of
+    the pair table — reproducible across runs, engines and
+    repartitioning, the property a resumable 100 TB pipeline needs
+    (re-running a failed shard regenerates byte-identical training
+    pairs). Dense-id contract: items must be keyed 0..n_items-1 (the
+    corpus tables here are); for sparse keys map through a dense index
+    first.
+
+    Collision handling without rejection loops: ``oversample*k`` slots
+    are drawn map-side (one explode), anchor-hits and positive-hits are
+    removed by filter + one anti-join on (anchor, candidate), duplicate
+    candidates keep their SMALLEST slot, and the survivors rank by slot
+    — fewer than ``k`` only when the universe is nearly exhausted by
+    positives (document, don't loop). Plan: explode (map-only) ->
+    groupBy (anchor, cand) -> anti-join -> rank window on the anchor
+    key. Returns (anchor, neg_id, slot).
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    if n_items < 2:
+        raise ValueError("n_items must be >= 2")
+    anchors = pairs.select(F.col(anchor_col).alias("__a")).distinct()
+    slots = anchors.select(
+        "__a",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(oversample * k - 1))
+        ).alias("__slot"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.lit("|"),
+                    F.col("__a").cast("string"),
+                    F.lit(":"),
+                    F.col("__slot").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = slots.select(
+        "__a", "__slot", (h % F.lit(n_items)).alias("__c")
+    ).filter(F.col("__c") != F.col("__a"))
+    first = cand.groupBy("__a", "__c").agg(
+        F.min("__slot").alias("__slot")
+    )
+    pos = pairs.select(
+        F.col(anchor_col).alias("__a"), F.col(pos_col).alias("__c")
+    ).distinct()
+    clean = first.join(pos, ["__a", "__c"], "left_anti")
+    w = Window.partitionBy("__a").orderBy(
+        F.col("__slot").asc(), F.col("__c").asc()
+    )
+    return (
+        clean.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            F.col("__a").alias(anchor_col),
+            F.col("__c").alias("neg_id"),
+            F.col("__slot").cast("int").alias("slot"),
+        )
+    )

@@ -1353,3 +1353,57 @@ def mutual_nn_pairs(
         F.col("query_id").alias("right_id"),
     )
     return l2r.join(r2l, ["left_id", "right_id"])
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-k most-similar corpus items with a DIFFERENT label — the
+    negatives that actually teach the margin, versus
+    [[curate.negative_sample]]'s uniform draws. Same exact-cosine
+    scoring and broadcast contract as [[cosine_topk]] (the label
+    filter sits below the rank window, so positives can never crowd
+    out the top-k); at corpus scale feed IVF/LSH candidates through
+    the same filter+rank shape. Returns (query_id, neg_id, rank,
+    cos_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlab"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clab"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("clab") != F.col("qlab"))
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "rank", "cos_sim")
+    )

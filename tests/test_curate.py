@@ -521,3 +521,57 @@ def test_suppress_rare_combos_drops_exactly_risky_rows(spark):
         k_anonymity_report(df, (), k=3)
     with pytest.raises(ValueError):
         suppress_rare_combos(df, ("lang",), k=0)
+
+
+# ---- negative_sample ----
+
+from png_from_pdf_extracter_spark.functions.curate import (  # noqa: E402
+    negative_sample,
+)
+
+
+def test_negative_sample_excludes_anchor_and_positives(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3)], "anchor_id long, pos_id long"
+    )
+    out = negative_sample(pairs, n_items=10, k=3).collect()
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r["anchor_id"], set()).add(r["neg_id"])
+    assert set(by_a) == {0, 1}
+    assert by_a[0].isdisjoint({0, 1, 2})
+    assert by_a[1].isdisjoint({1, 3})
+    assert all(len(v) <= 3 for v in by_a.values())
+    assert all(0 <= n < 10 for v in by_a.values() for n in v)
+
+
+def test_negative_sample_deterministic_across_partitioning(spark):
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)],
+        "anchor_id long, pos_id long",
+    )
+    a = sorted(map(tuple, negative_sample(pairs, 50, k=4).collect()))
+    b = sorted(
+        map(tuple, negative_sample(pairs.repartition(7), 50, k=4).collect())
+    )
+    assert a == b
+    # ~k negatives per anchor on a roomy universe
+    from collections import Counter
+
+    cnt = Counter(t[0] for t in a)
+    assert all(c == 4 for c in cnt.values())
+
+
+def test_negative_sample_exhausted_universe_yields_fewer(spark):
+    # universe {0,1,2}; anchor 0 has positives {1,2} -> zero legal negs
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "anchor_id long, pos_id long"
+    )
+    out = negative_sample(pairs, n_items=3, k=2, oversample=10).collect()
+    assert out == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        negative_sample(pairs, n_items=1)
+    with pytest.raises(ValueError):
+        negative_sample(pairs, n_items=10, k=0)

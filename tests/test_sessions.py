@@ -552,3 +552,26 @@ def test_mutual_nn_pairs_asymmetric_top1_is_dropped(spark):
     }
     assert (0, 10) in got
     assert (1, 10) not in got
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # same label as 0: never a negative
+        (2, [0.95, 0.31], 1),   # closest different-label
+        (3, [0.0, 1.0], 1),
+        (4, [0.7, 0.7], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = sorted(
+        hard_negatives(df, q, k=2).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["neg_id"] for r in out] == [2, 4]
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]
