@@ -419,3 +419,130 @@ def test_correlogram_single_shuffle_any_max_lag(spark):
         correlogram(ev, ("user_id",), ("ts", "event_id"), "value", 8)
     )
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_gini_window_runs_on_distinct_group_table(spark):
+    """gini_concentration's ordered rank window must run AFTER the
+    group collapse: the aggregate keyed on the group column sits below
+    the single-partition window in the plan, so the global sort is
+    bounded by GROUP cardinality, never corpus rows."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        gini_concentration,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gini_concentration(d, "source", "n_chars"))
+    # the corpus-collapsing aggregate keys on the group column and is
+    # map-side combinable (partial_... aggregate present)
+    assert "partial" in plan.lower(), plan
+    i_window = plan.index("Window")
+    i_agg = plan.rindex("HashAggregate")
+    assert i_window < i_agg, plan  # window above (consumes) the agg
+
+
+def test_cooccur_no_cartesian_and_broadcast_totals(spark):
+    """cooccur_lift's pair generation must be an equi-join on the
+    basket key (never a cartesian/theta join) and the scalar totals a
+    broadcast."""
+    from png_from_pdf_extracter_spark.functions.itemsets import (
+        cooccur_lift,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    )
+    plan = _plan(cooccur_lift(li, "bk", "it"))
+    assert "CartesianProduct" not in plan, plan
+    # the pair join is an equi-join keyed on the basket column (AQE may
+    # pick broadcast-hash at small scale; the key is what matters)
+    assert (
+        "Join [__bk" in plan
+        or "HashJoin [__bk" in plan
+        or "SortMergeJoin [__bk" in plan
+    ), plan
+
+
+def test_bootstrap_single_corpus_shuffle(spark):
+    """poisson_bootstrap_ci: the replica fan-out is map-side (Generate
+    below the first Exchange), the (group, replica) aggregation is
+    map-combinable, and the only other shuffle handles R-bounded rows."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        poisson_bootstrap_ci(
+            ev, "event_id", "value", group_cols=("event_type",), replicas=8
+        )
+    )
+    assert "Generate explode" in plan, plan
+    # explode sits BELOW (after in dump order) the first exchange: the
+    # fan-out never crosses the wire un-aggregated
+    assert plan.index("Exchange") < plan.index("Generate explode"), plan
+
+
+def test_chi2_margins_from_cell_table_one_corpus_pass(spark):
+    """chi2_independence reads the corpus ONCE: row/column totals are
+    re-aggregations of the cell table, visible as exactly one scan of
+    the parquet source feeding a shared aggregate."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        chi2_independence,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chi2_independence(d, "lang", "source"))
+    # margins joined back broadcast (cells are |A|x|B|-bounded)
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_quantile_normalize_anchor_join_is_broadcast(spark):
+    """quantile_normalize joins every corpus row to the B+1-row anchor
+    table: that join must be a broadcast, never a shuffle of the
+    corpus on the anchor index."""
+    from png_from_pdf_extracter_spark.functions.drift import (
+        quantile_normalize,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        quantile_normalize(d, "source", "doc_id", "n_chars", anchors=32)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_negative_sample_antijoin_and_rank_share_anchor_key(spark):
+    """negative_sample: candidate explode is map-side; the positive
+    exclusion is an anti-join; no cartesian anywhere."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        negative_sample,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = d.select(
+        F.col("doc_id").alias("anchor_id"),
+        ((F.col("doc_id") + 1) % 50).alias("pos_id"),
+    )
+    plan = _plan(negative_sample(pairs, n_items=50, k=4))
+    assert "Generate explode" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_theil_sen_pairs_join_on_group_key_only(spark):
+    """theil_sen_slope's pair join must be an equi-join on the group
+    key (per-group O(k^2)), never a cartesian."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        theil_sen_slope,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("event_id").alias("x"), "value"
+    )
+    plan = _plan(theil_sen_slope(ev, ("user_id",), "x", "value"))
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "Join [user_id" in plan
+        or "HashJoin [user_id" in plan
+        or "SortMergeJoin [user_id" in plan
+    ), plan
