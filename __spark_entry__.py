@@ -3850,6 +3850,21 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_wasserstein(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 drift (drift.wasserstein_1d) between
+    purchase and view event-value distributions: the integral of
+    |F_a - F_b| as an exact DECIMAL integer until one final division
+    — reports HOW FAR the mass moved, in value units."""
+    from png_from_pdf_extracter_spark.functions.drift import (
+        wasserstein_1d,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return wasserstein_1d(
+        ev, "value", "event_type", "purchase", "view", quantize=2
+    )
+
+
 def _q_negative_sample(spark, sf_dir):
     """Deterministic uniform negative sampling for contrastive pairs
     (curate.negative_sample): synthetic (anchor, positive) pairs over
@@ -4394,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_anonymity": _q_k_anonymity,
         "q_mutual_nn": _q_mutual_nn,
         "q_negative_sample": _q_negative_sample,
+        "q_wasserstein": _q_wasserstein,
         "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
@@ -8085,6 +8101,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_wasserstein": """
+            WITH pooled AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS s
+              FROM events
+              WHERE event_type IN ('purchase', 'view')
+                AND value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            tot AS (
+              SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+              FROM cnt
+            ),
+            cums AS (
+              SELECT v,
+                     sum(ca) OVER w AS cumA,
+                     sum(cb) OVER w AS cumB
+              FROM cnt
+              WINDOW w AS (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            ),
+            run AS (
+              SELECT v,
+                     lag(v) OVER (ORDER BY v) AS v_prev,
+                     lag(cumA) OVER (ORDER BY v) AS pA,
+                     lag(cumB) OVER (ORDER BY v) AS pB
+              FROM cums
+            ),
+            emd AS (
+              SELECT sum(
+                       abs(pA::HUGEINT * nb::HUGEINT
+                           - pB::HUGEINT * na::HUGEINT)
+                       * (v - v_prev)::HUGEINT
+                     ) AS emd_int
+              FROM run, tot WHERE v_prev IS NOT NULL
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   CASE WHEN na > 0 AND nb > 0 THEN
+                     floor(
+                       coalesce(emd_int, 0)::DOUBLE
+                       / (na::DOUBLE * nb::DOUBLE * 100.0) * 1e6
+                     ) / 1e6
+                   END AS emd_q
+            FROM tot, emd
         """,
         "q_negative_sample": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

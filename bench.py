@@ -459,6 +459,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_binseg",
         "q_negative_sample",
         "q_hard_negatives",
+        "q_wasserstein",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

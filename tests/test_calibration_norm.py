@@ -207,3 +207,66 @@ def test_chi2_bruteforce(spark):
         assert r["expected_ppm"] == math.floor(e * 1e6)
         assert r["chi2_ppm"] == math.floor((o[k] - e) ** 2 / e * 1e6)
     assert sum(r["observed"] for r in rows) == N
+
+
+# ---- wasserstein_1d ----
+
+from png_from_pdf_extracter_spark.functions.drift import (  # noqa: E402
+    wasserstein_1d,
+)
+
+
+def _emd(spark, a_vals, b_vals, quantize=2):
+    rows = [("a", float(v)) for v in a_vals] + [
+        ("b", float(v)) for v in b_vals
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    return wasserstein_1d(df, "v", "g", "a", "b", quantize=quantize).collect()[0]
+
+
+def test_emd_identical_distributions_zero(spark):
+    r = _emd(spark, [1, 2, 3, 3], [1, 2, 3, 3])
+    assert r["emd_q"] == 0.0
+    assert r["n_a"] == 4 and r["n_b"] == 4
+
+
+def test_emd_point_masses_distance(spark):
+    # all mass at 0 vs all at 7.5 -> W1 exactly 7.5
+    r = _emd(spark, [0, 0, 0], [7.5, 7.5])
+    assert r["emd_q"] == 7.5
+
+
+def test_emd_shift_equals_offset(spark):
+    # shifting a distribution by d moves W1 by exactly d
+    base = [0, 1, 2, 5, 9]
+    r = _emd(spark, base, [v + 2.25 for v in base])
+    assert r["emd_q"] == 2.25
+
+
+def test_emd_matches_bruteforce(spark):
+    import math
+    import random
+
+    rng = random.Random(17)
+    a = [rng.uniform(0, 10) for _ in range(40)]
+    b = [rng.uniform(3, 12) for _ in range(25)]
+    r = _emd(spark, a, b)
+    # reference: integral of |Fa - Fb| over the quantized grid
+    qa = sorted(round(v * 100) for v in a)
+    qb = sorted(round(v * 100) for v in b)
+    vs = sorted(set(qa) | set(qb))
+    na, nb = len(qa), len(qb)
+    emd_int = 0
+    import bisect
+
+    for lo, hi in zip(vs, vs[1:]):
+        ca = bisect.bisect_right(qa, lo)
+        cb = bisect.bisect_right(qb, lo)
+        emd_int += abs(ca * nb - cb * na) * (hi - lo)
+    expect = math.floor(emd_int / (na * nb * 100) * 1e6) / 1e6
+    assert r["emd_q"] == expect
+
+
+def test_emd_single_point_both_sides(spark):
+    r = _emd(spark, [4.0], [4.0])
+    assert r["emd_q"] == 0.0
