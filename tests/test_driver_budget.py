@@ -125,3 +125,39 @@ def test_logreg_driver_state_is_one_row_per_pass(spark):
     )
     w, stats = evalmetrics.logreg_train(df, ("x1", "x2"), "y", iters=2)
     assert len(w) == 3 and stats["n"] == 4
+
+
+def test_isotonic_driver_state_is_bin_bounded(spark):
+    """isotonic_calibrate collects exactly the non-empty bin rows —
+    never the corpus: a 5k-row input through 8 bins yields a <= 8-row
+    fitted table regardless of input size."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        isotonic_calibrate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        ((F.col("id") % 100) / 50.0 - 1.0).alias("score"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    out = isotonic_calibrate(df, "score", "y", n_bins=8)
+    assert out.count() <= 8
+
+
+def test_binseg_rounds_bounded_by_max_changepoints(spark):
+    """changepoint_binary_seg's only driver actions are the per-round
+    emptiness probes: segments out <= max_changepoints + 1 per group."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        changepoint_binary_seg,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("i"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    out = changepoint_binary_seg(
+        df, ("g",), ("i",), "v", max_changepoints=2
+    ).collect()
+    assert len(out) <= 3
