@@ -3850,6 +3850,37 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (graph.markov_attribution):
+    event types as channels, 'purchase' as the absorbing conversion —
+    credit = how much P(convert) drops when the channel is removed.
+    Rows-only by design (absorbing-chain solve on the channels²-bounded
+    transition matrix; no SQL oracle) — hand-computed chains pinned in
+    tests/test_graph.py."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        markov_attribution,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", ("ts", "event_id"), "event_type", "purchase"
+    )
+
+
+def _q_holt(spark, sf_dir):
+    """Holt linear (double-exponential) smoothing per user
+    (operators/temporal.py holt_linear): level + trend + one-step
+    forecast of the event value series — ewma's bit-reproducible
+    dyadic-coefficient fold extended with a trend state; the DuckDB
+    twin is a two-state recursive CTE."""
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        holt_linear,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return holt_linear(ev, ("user_id",), ("ts", "event_id"), "value")
+
+
 def _q_wasserstein(spark, sf_dir):
     """Exact 1-D Wasserstein-1 drift (drift.wasserstein_1d) between
     purchase and view event-value distributions: the integral of
@@ -4410,6 +4441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mutual_nn": _q_mutual_nn,
         "q_negative_sample": _q_negative_sample,
         "q_wasserstein": _q_wasserstein,
+        "q_holt": _q_holt,
+        "q_markov_attribution": _q_markov_attribution,
         "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
@@ -8101,6 +8134,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_holt": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            init AS (
+              SELECT a.user_id, a.n,
+                     a.value::DOUBLE AS x1,
+                     b.value::DOUBLE AS x2
+              FROM seq a LEFT JOIN seq b
+                ON a.user_id = b.user_id AND b.rn = 2
+              WHERE a.rn = 1
+            ),
+            rec AS (
+              SELECT user_id, n, 1 AS rn,
+                     x1 AS l, (x2 - x1) AS b
+              FROM init WHERE n >= 2
+              UNION ALL
+              SELECT rec.user_id, rec.n, seq.rn,
+                     seq.value * 0.25 + (rec.l + rec.b) * 0.75,
+                     ((seq.value * 0.25 + (rec.l + rec.b) * 0.75)
+                        - rec.l) * 0.125
+                       + rec.b * 0.875
+              FROM rec JOIN seq
+                ON seq.user_id = rec.user_id AND seq.rn = rec.rn + 1
+            ),
+            fin AS (
+              SELECT user_id, n, l, b FROM rec WHERE rn = n
+              UNION ALL
+              SELECT user_id, n, x1 AS l, 0.0 AS b
+              FROM init WHERE n = 1
+            )
+            SELECT user_id, n::BIGINT AS n_events,
+                   floor(l * 1e6) / 1e6 AS level,
+                   floor(b * 1e6) / 1e6 AS trend,
+                   floor((l + b) * 1e6) / 1e6 AS forecast
+            FROM fin
         """,
         "q_wasserstein": """
             WITH pooled AS (

@@ -460,6 +460,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_negative_sample",
         "q_hard_negatives",
         "q_wasserstein",
+        "q_holt",
+        "q_markov_attribution",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank_fixed_point(
@@ -335,3 +335,148 @@ def k_core(
     # dedup.release(out) reclaims it after the consuming action
     out._spark_graft_cached = [cur]
     return out
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    order_cols: tuple[str, ...],
+    channel_col: str,
+    conversion_value: str,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to last-touch: model journeys as a first-order chain
+    START -> channels -> {CONV, NULL}, and credit each channel by how
+    much the conversion probability DROPS when that channel is removed
+    (its in-edges redirected to NULL) — channels that merely appear in
+    journeys earn nothing unless paths actually die without them.
+
+    Plan: journeys truncate at the first conversion event (a min-over-
+    window on the SAME user-key exchange as the ordering window);
+    transition pairs come from one lead() — a single corpus shuffle.
+    The transition-count matrix is (channels+3)^2 rows — CHANNEL
+    cardinality, not corpus — and is the documented bounded collect
+    (README driver-state budget): the absorbing-chain solve
+    ``(I - Q) t = R`` runs in numpy on the driver, once per channel
+    for the removals. Exact transition counts in, one float solve out;
+    emitted floor-6dp. Returns (channel, removal_effect_ppm,
+    attribution_ppm) — attribution is the share-normalized removal
+    effect, the number marketing actually reports.
+    """
+    import numpy as np
+
+    u = F.col(user_col)
+    ch = F.col(channel_col).cast("string")
+    ow = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(user_col).orderBy(*ow)
+    full = Window.partitionBy(user_col)
+    seq = df.select(
+        u.alias("__u"),
+        ch.alias("__c"),
+        F.row_number().over(w).alias("__i"),
+        F.min(
+            F.when(ch == conversion_value, F.row_number().over(w))
+        ).over(full).alias("__conv_i"),
+    )
+    # keep rows up to (and incl.) the first conversion; later rows are a
+    # second journey in a longer model — out of scope for one-pass MC
+    kept = seq.filter(
+        F.col("__conv_i").isNull() | (F.col("__i") <= F.col("__conv_i"))
+    )
+    nxt = F.lead("__c").over(
+        Window.partitionBy("__u").orderBy("__i")
+    )
+    trans = kept.select(
+        "__u",
+        "__i",
+        F.col("__c").alias("src"),
+        F.coalesce(
+            nxt,
+            F.when(F.col("__c") == conversion_value, F.lit("__CONV__"))
+            .otherwise(F.lit("__NULL__")),
+        ).alias("dst"),
+    )
+    start = kept.filter(F.col("__i") == 1).select(
+        "__u", F.lit("__START__").alias("src"), F.col("__c").alias("dst")
+    )
+    # conversion rows self-classify: the conversion channel IS the CONV
+    # absorption, so map it out of the transient space entirely
+    conv = conversion_value
+    counts = (
+        trans.select("src", "dst")
+        .unionByName(start.select("src", "dst"))
+        .withColumn(
+            "src",
+            F.when(F.col("src") == conv, F.lit("__CONV__")).otherwise(
+                F.col("src")
+            ),
+        )
+        .withColumn(
+            "dst",
+            F.when(F.col("dst") == conv, F.lit("__CONV__")).otherwise(
+                F.col("dst")
+            ),
+        )
+        .filter(F.col("src") != "__CONV__")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    )
+    channels = sorted(
+        {r["src"] for r in counts if r["src"] != "__START__"}
+        | {
+            r["dst"]
+            for r in counts
+            if r["dst"] not in ("__CONV__", "__NULL__")
+        }
+    )
+    trans_states = ["__START__"] + channels
+    idx = {s: i for i, s in enumerate(trans_states)}
+    n = len(trans_states)
+    Q = np.zeros((n, n))
+    Rc = np.zeros(n)
+    row_tot = {}
+    for r in counts:
+        row_tot[r["src"]] = row_tot.get(r["src"], 0) + r["n"]
+    for r in counts:
+        p = r["n"] / row_tot[r["src"]]
+        i = idx[r["src"]]
+        if r["dst"] == "__CONV__":
+            Rc[i] += p
+        elif r["dst"] == "__NULL__":
+            pass
+        else:
+            Q[i, idx[r["dst"]]] += p
+
+    def conv_prob(removed=None):
+        q = Q.copy()
+        rc = Rc.copy()
+        if removed is not None:
+            j = idx[removed]
+            q[:, j] = 0.0  # in-edges -> NULL
+            q[j, :] = 0.0
+            rc[j] = 0.0
+        t = np.linalg.solve(np.eye(n) - q, rc)
+        return float(t[idx["__START__"]])
+
+    base = conv_prob()
+    effects = []
+    for c in channels:
+        pc = conv_prob(c)
+        eff = 0.0 if base <= 0 else max(0.0, 1.0 - pc / base)
+        effects.append((c, eff))
+    tot = sum(e for _, e in effects)
+    import math
+
+    out = [
+        (
+            c,
+            int(math.floor(e * 1e6)),
+            int(math.floor((e / tot if tot > 0 else 0.0) * 1e6)),
+        )
+        for c, e in effects
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "channel string, removal_effect_ppm long, attribution_ppm long"
+    )

@@ -557,3 +557,86 @@ def interval_union(
         ),
         (F.max("__ie") - F.min("__is")).cast("long").alias("span_us"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 8,
+) -> DataFrame:
+    """Per-key Holt linear (double-exponential) smoothing — [[ewma]]'s
+    level estimator extended with a TREND state, the standard "where is
+    this metric heading" forecaster for telemetry with drift:
+
+        l_1 = x_1,  b_1 = x_2 - x_1
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    Same bit-reproducibility contract as ``ewma``: α and β are DYADIC
+    rationals (exact doubles), both engines fold the identical parquet
+    doubles through the identical expressions in the identical order,
+    IEEE-754 does the rest; floor-6dp only at the emit. Same plan
+    shape too — ONE groupBy on the key, ``sort_array(collect_list)`` +
+    a struct-state ``F.aggregate`` fold, all JVM-side; the array is
+    bounded by per-key sequence length. Keys with a single observation
+    get trend 0. Returns (key..., n_events, level, trend, forecast)
+    where forecast is the one-step-ahead ``level + trend``.
+    """
+    for num, den, name in (
+        (alpha_num, alpha_den, "alpha"),
+        (beta_num, beta_den, "beta"),
+    ):
+        if den & (den - 1) or not 0 < num < den:
+            raise ValueError(
+                f"{name} must be a dyadic rational in (0,1), got "
+                f"{num}/{den}"
+            )
+    a = alpha_num / alpha_den
+    b = beta_num / beta_den
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    # F.get is null-safe out of range (ANSI-proof for singleton keys)
+    x1 = F.get(F.col("__seq"), 0)["v"]
+    x2 = F.get(F.col("__seq"), 1)["v"]
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+
+    def _step(acc, x):
+        new_l = x["v"] * F.lit(a) + (acc["l"] + acc["b"]) * F.lit(1.0 - a)
+        new_b = (new_l - acc["l"]) * F.lit(b) + acc["b"] * F.lit(1.0 - b)
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    # fold from t=2 (the Hyndman convention: l_1 = x_1, b_1 = x_2 - x_1,
+    # recursion starts at t=2) — exactly-linear input then reproduces
+    # l_t = x_t, b_t = slope bit-for-bit, pinned in tests
+    folded = F.aggregate(
+        F.slice(F.col("__seq"), 2, F.size(F.col("__seq")) - 1),
+        init,
+        _step,
+    )
+    single = F.size(F.col("__seq")) == 1
+    lvl = F.when(single, x1).otherwise(F.col("__f")["l"])
+    trd = F.when(single, F.lit(0.0)).otherwise(F.col("__f")["b"])
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        df.groupBy(*key_cols)
+        .agg(arr.alias("__seq"))
+        .withColumn("__f", folded)
+        .select(
+            *key_cols,
+            F.size("__seq").cast("long").alias("n_events"),
+            q6(lvl).alias("level"),
+            q6(trd).alias("trend"),
+            q6(lvl + trd).alias("forecast"),
+        )
+    )

@@ -210,3 +210,79 @@ def test_kcore_invariant_on_derived_graph(spark):
     assert core.filter(F.col("degree") < 3).count() == 0
     # and it is non-vacuous on this graph
     assert core.count() > 0
+
+
+# ---- markov_attribution ----
+
+from png_from_pdf_extracter_spark.functions.graph import (  # noqa: E402
+    markov_attribution,
+)
+
+
+def _journeys(spark, rows):
+    data = [
+        (u, i, c) for u, chans in rows for i, c in enumerate(chans)
+    ]
+    return spark.createDataFrame(data, "u string, i long, c string")
+
+
+def test_markov_single_channel_gets_full_credit(spark):
+    # every conversion goes through 'a'; 'b' never converts
+    df = _journeys(
+        spark,
+        [("u1", ["a", "buy"]), ("u2", ["a", "buy"]), ("u3", ["b"])],
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(df, "u", ("i",), "c", "buy").collect()
+    }
+    assert out["a"]["removal_effect_ppm"] == 1_000_000
+    assert out["a"]["attribution_ppm"] == 1_000_000
+    assert out["b"]["removal_effect_ppm"] == 0
+
+
+def test_markov_hand_computed_chain(spark):
+    # START -> a (2/3) | b (1/3); a -> buy always; b -> null always
+    df = _journeys(
+        spark,
+        [("u1", ["a", "buy"]), ("u2", ["a", "buy"]), ("u3", ["b"])],
+    )
+    # base P(conv) = 2/3; removing a: 0 -> effect 1; removing b: still
+    # 2/3 -> effect 0. Hand-check a second topology:
+    df2 = _journeys(
+        spark,
+        [
+            ("u1", ["a", "b", "buy"]),
+            ("u2", ["b", "buy"]),
+            ("u3", ["a"]),
+            ("u4", ["b"]),
+        ],
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(df2, "u", ("i",), "c", "buy").collect()
+    }
+    # transitions: START->a 1/2, START->b 1/2; a->b 1/2, a->NULL 1/2;
+    # b->buy 2/3, b->NULL 1/3.
+    # base = P(a)*P(a->b)*2/3 + P(b)*2/3 = (1/2*1/2 + 1/2) * 2/3 = 1/2
+    # remove a: P = 1/2 * 2/3 = 1/3 -> effect 1 - (1/3)/(1/2) = 1/3
+    # remove b: P = 0 -> effect 1
+    import math
+
+    assert out["a"]["removal_effect_ppm"] == math.floor(1 / 3 * 1e6)
+    assert out["b"]["removal_effect_ppm"] == 1_000_000
+    tot = 1 / 3 + 1.0
+    # solve()'s float path can land a hair either side of the closed
+    # form; 1 ppm tolerance on the SHARE (the raw effects are exact)
+    assert abs(out["b"]["attribution_ppm"] - 1.0 / tot * 1e6) <= 1
+
+
+def test_markov_journey_truncates_at_first_conversion(spark):
+    # events after the first 'buy' must not create transitions ('c'
+    # would otherwise earn credit from a post-conversion visit)
+    df = _journeys(spark, [("u1", ["a", "buy", "c", "buy"])])
+    out = {
+        r["channel"]
+        for r in markov_attribution(df, "u", ("i",), "c", "buy").collect()
+    }
+    assert out == {"a"}

@@ -445,3 +445,57 @@ def test_interval_union_clamps_inverted_to_points(spark):
         _iv_df(spark, [(10, 3), (20, 22)]), ("k",), "start_ts", "end_ts"
     ).collect()[0]
     assert (r["n_islands"], r["covered_us"]) == (2, 2_000_000)
+
+
+# ---- holt_linear ----
+
+from png_from_pdf_extracter_spark.operators.temporal import (  # noqa: E402
+    holt_linear,
+)
+
+
+def test_holt_linear_exact_on_linear_sequence(spark):
+    # x_t = 3 + 2t: level tracks x_t exactly, trend = 2, forecast = x_{t+1}
+    df = spark.createDataFrame(
+        [("k", t, 3.0 + 2.0 * t) for t in range(1, 12)],
+        "k string, t long, v double",
+    )
+    r = holt_linear(df, ("k",), ("t",), "v").collect()[0]
+    assert r["level"] == 3.0 + 2.0 * 11
+    assert r["trend"] == 2.0
+    assert r["forecast"] == 3.0 + 2.0 * 12
+    assert r["n_events"] == 11
+
+
+def test_holt_linear_matches_python_fold(spark):
+    import math
+    import random
+
+    rng = random.Random(31)
+    vals = [rng.uniform(0, 100) for _ in range(30)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "k string, i long, v double",
+    )
+    a, b = 0.25, 0.125
+    l, tr = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        nl = x * a + (l + tr) * (1.0 - a)
+        tr = (nl - l) * b + tr * (1.0 - b)
+        l = nl
+    r = holt_linear(df, ("k",), ("i",), "v").collect()[0]
+    assert r["level"] == math.floor(l * 1e6) / 1e6
+    assert r["trend"] == math.floor(tr * 1e6) / 1e6
+    assert r["forecast"] == math.floor((l + tr) * 1e6) / 1e6
+
+
+def test_holt_linear_singleton_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1, 7.5)], "k string, t long, v double")
+    r = holt_linear(df, ("k",), ("t",), "v").collect()[0]
+    assert r["level"] == 7.5 and r["trend"] == 0.0 and r["forecast"] == 7.5
+    with pytest.raises(ValueError):
+        holt_linear(df, ("k",), ("t",), "v", alpha_den=3)
+    with pytest.raises(ValueError):
+        holt_linear(df, ("k",), ("t",), "v", beta_num=8, beta_den=8)
