@@ -3850,6 +3850,19 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_tfidf_cosine(spark, sf_dir):
+    """All-pairs TF-IDF cosine similarity (dedup.tfidf_cosine_pairs):
+    inverted-index self-join on the term key with integer-quantized
+    weights — exact DECIMAL dot products, one float emit per pair;
+    df > 1000 terms dropped pre-join (the hot-key guard); 0.4 sim floor."""
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, min_sim_ppm=400_000)
+
+
 def _q_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution (graph.markov_attribution):
     event types as channels, 'purchase' as the absorbing conversion —
@@ -4443,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wasserstein": _q_wasserstein,
         "q_holt": _q_holt,
         "q_markov_attribution": _q_markov_attribution,
+        "q_tfidf_cosine": _q_tfidf_cosine,
         "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
@@ -8134,6 +8148,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_tfidf_cosine": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0
+                     )) AS w
+              FROM documents
+            ),
+            tf AS (
+              SELECT id, w, count(*)::BIGINT AS tf
+              FROM toks GROUP BY id, w
+            ),
+            dft AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+            nn AS (SELECT count(*)::BIGINT AS N FROM documents),
+            wq AS (
+              SELECT id, tf.w,
+                     CAST(floor(
+                       tf::DOUBLE
+                       * ln((N + 1)::DOUBLE / (df + 1)::DOUBLE)
+                       * 1e6
+                     ) AS BIGINT) AS wq
+              FROM tf JOIN dft ON tf.w = dft.w CROSS JOIN nn
+              WHERE df <= 1000
+            ),
+            norms AS (
+              SELECT id, sum(wq::HUGEINT * wq::HUGEINT) AS n2
+              FROM wq GROUP BY id
+            ),
+            dots AS (
+              SELECT a.id AS id1, b.id AS id2,
+                     sum(a.wq::HUGEINT * b.wq::HUGEINT) AS dot
+              FROM wq a JOIN wq b ON a.w = b.w AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT * FROM (
+              SELECT id1, id2, dot::DOUBLE AS dot_q,
+                     CAST(floor(
+                       dot::DOUBLE
+                       / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) * 1e6
+                     ) AS BIGINT) AS sim_ppm
+              FROM dots
+              JOIN norms na ON dots.id1 = na.id
+              JOIN norms nb ON dots.id2 = nb.id
+            ) WHERE sim_ppm >= 400000
         """,
         "q_holt": """
             WITH RECURSIVE seq AS (

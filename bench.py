@@ -462,6 +462,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_wasserstein",
         "q_holt",
         "q_markov_attribution",
+        "q_tfidf_cosine",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -1126,3 +1126,110 @@ def jaccard_prefix_join(
         )
     )
     return _with_cached_deps(out, [sh])
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim_ppm: int = 300_000,
+    max_df: int = 1000,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over TF-IDF weights (APSS —
+    the classic inverted-index formulation): candidate pairs and their
+    similarity come from ONE self-equi-join of the posting lists on
+    the TERM key — two documents ever meet only through a shared term,
+    so disjoint-vocabulary pairs cost nothing. The cosine-weighted
+    complement to the set-based [[ngram_jaccard]]/[[minhash_lsh]]
+    family: near-dup detection that weighs WHICH words overlap, not
+    just how many.
+
+    Exactness: weights are integer-quantized up front — ``wq =
+    floor(tf * ln((N+1)/(df+1)) * 1e6)`` (one libm call per TERM from
+    exact integers, the [[kaplan_meier]] pattern) — so every pair's
+    dot product and every document's squared norm are EXACT
+    DECIMAL(38,0) sums; the only float is the final
+    ``dot / sqrt(n1 * n2)`` emit per pair. No cross-row float
+    summation anywhere, which is what lets DuckDB value-hash an
+    all-pairs similarity table.
+
+    Scale guard (the [[ngram_jaccard]] DF ceiling): terms with
+    document frequency above ``max_df`` are dropped BEFORE the join —
+    a stop-word-frequency term would otherwise generate O(df²) pairs
+    on one key. The trade is standard APSS practice: ubiquitous terms
+    carry near-zero idf weight anyway. Returns (id1, id2, dot_q,
+    sim_ppm) for pairs at or above ``min_sim_ppm``.
+    """
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2")
+    wds = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    terms = docs.select(
+        F.col(id_col).alias("id"), F.explode(wds).alias("w")
+    )
+    tf = terms.groupBy("id", "w").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    n_docs = F.broadcast(
+        docs.agg(F.count("*").cast("long").alias("N"))
+    )
+    kept = (
+        tf.join(df_t.filter(F.col("df") <= max_df), "w")
+        .crossJoin(n_docs)
+    )
+    wq = F.floor(
+        F.col("tf").cast("double")
+        * F.log(
+            (F.col("N") + 1).cast("double")
+            / (F.col("df") + 1).cast("double")
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    weights = kept.select("id", "w", wq.alias("wq"))
+    norms = weights.groupBy("id").agg(
+        F.sum(F.col("wq").cast(dec) * F.col("wq").cast(dec)).alias("n2")
+    )
+    a = weights.select(
+        F.col("id").alias("id1"), "w", F.col("wq").alias("wq1")
+    )
+    b = weights.select(
+        F.col("id").alias("id2"), F.col("w").alias("w2"),
+        F.col("wq").alias("wq2"),
+    )
+    dots = (
+        a.join(b, (a.w == b.w2) & (a.id1 < b.id2))
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum(
+                F.col("wq1").cast(dec) * F.col("wq2").cast(dec)
+            ).alias("dot")
+        )
+    )
+    sim = (
+        dots.join(
+            norms.select(F.col("id").alias("id1"), F.col("n2").alias("n2a")),
+            "id1",
+        )
+        .join(
+            norms.select(F.col("id").alias("id2"), F.col("n2").alias("n2b")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("dot").cast("double").alias("dot_q"),
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("n2a").cast("double") * F.col("n2b").cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("long").alias("sim_ppm"),
+        )
+        .filter(F.col("sim_ppm") >= F.lit(min_sim_ppm))
+    )
+    return sim

@@ -504,3 +504,84 @@ def test_jaccard_prefix_join_boilerplate_shingle_no_pairs(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = dedup.jaccard_prefix_join(df, "doc_id", "text", n=3, threshold=0.5)
     assert out.count() == 0
+
+
+# ---- tfidf_cosine_pairs ----
+
+from png_from_pdf_extracter_spark.functions.dedup import (  # noqa: E402
+    tfidf_cosine_pairs,
+)
+
+
+def test_tfidf_cosine_identical_docs_sim_one(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id1"], r["id2"]): r["sim_ppm"]
+        for r in tfidf_cosine_pairs(df, min_sim_ppm=0).collect()
+    }
+    assert out[(1, 2)] == 1_000_000
+    assert (1, 3) not in out and (2, 3) not in out  # disjoint vocab
+
+
+def test_tfidf_cosine_partial_overlap_bruteforce(spark):
+    import math
+
+    docs = {
+        1: "a b c",
+        2: "a b d",
+        3: "x y z a",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    out = {
+        (r["id1"], r["id2"]): r["sim_ppm"]
+        for r in tfidf_cosine_pairs(df, min_sim_ppm=0).collect()
+    }
+    # python reference with the same quantized weights
+    from collections import Counter
+
+    N = len(docs)
+    tf = {d: Counter(t.split()) for d, t in docs.items()}
+    dfreq = Counter(w for c in tf.values() for w in c)
+    wq = {
+        d: {
+            w: math.floor(t * math.log((N + 1) / (dfreq[w] + 1)) * 1e6)
+            for w, t in c.items()
+        }
+        for d, c in tf.items()
+    }
+    for (i, j), got in out.items():
+        dot = sum(wq[i][w] * wq[j].get(w, 0) for w in wq[i])
+        n1 = sum(v * v for v in wq[i].values())
+        n2 = sum(v * v for v in wq[j].values())
+        expect = math.floor(dot / math.sqrt(n1 * n2) * 1e6)
+        assert got == expect, (i, j)
+    assert (1, 2) in out
+
+
+def test_tfidf_cosine_max_df_guard_drops_hot_terms(spark):
+    # 'the' in every doc would pair everything; with max_df=2 it is
+    # dropped and only the real overlap pairs survive
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox"),
+            (2, "the lazy dog"),
+            (3, "the quick dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(df, min_sim_ppm=0, max_df=2).collect()
+    pairs = {(r["id1"], r["id2"]) for r in out}
+    assert pairs == {(1, 3), (2, 3)}  # via quick / dog; never via 'the'
+    import pytest
+
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(df, max_df=1)
