@@ -3850,6 +3850,20 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_dedup_best_rep(spark, sf_dir):
+    """Quality-aware dedup apply (dedup.apply_dedup_best): same MinHash
+    pair table as q_minhash_dedup_apply, but each near-dup cluster
+    keeps its HIGHEST-n_chars member (ties to min id) — "keep the
+    cleanest copy", the production refinement of keep-min-id."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    return dedup.apply_dedup_best(d, pairs, "n_chars").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def _q_tfidf_cosine(spark, sf_dir):
     """All-pairs TF-IDF cosine similarity (dedup.tfidf_cosine_pairs):
     inverted-index self-join on the term key with integer-quantized
@@ -4457,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt": _q_holt,
         "q_markov_attribution": _q_markov_attribution,
         "q_tfidf_cosine": _q_tfidf_cosine,
+        "q_dedup_best_rep": _q_dedup_best_rep,
         "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
@@ -8148,6 +8163,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
+        """,
+        "q_dedup_best_rep": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES},
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM mh_pairs
+              UNION
+              SELECT id2, id1 FROM mh_pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+              SELECT a AS node, least(a, min(b)) AS component
+              FROM reach GROUP BY a
+            ),
+            members AS (
+              SELECT c.node, c.component, d.n_chars AS score
+              FROM comp c JOIN documents d ON c.node = d.doc_id
+            ),
+            best AS (
+              SELECT component, max(score) AS ms
+              FROM members GROUP BY component
+            ),
+            winners AS (
+              SELECT m.component, min(m.node) AS winner
+              FROM members m JOIN best b
+                ON m.component = b.component AND m.score = b.ms
+              GROUP BY m.component
+            ),
+            losers AS (
+              SELECT m.node AS doc_id
+              FROM members m JOIN winners w ON m.component = w.component
+              WHERE m.node <> w.winner
+            )
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "q_tfidf_cosine": """
             WITH toks AS (

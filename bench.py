@@ -463,6 +463,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_holt",
         "q_markov_attribution",
         "q_tfidf_cosine",
+        "q_dedup_best_rep",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

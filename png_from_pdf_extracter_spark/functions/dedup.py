@@ -1233,3 +1233,54 @@ def tfidf_cosine_pairs(
         .filter(F.col("sim_ppm") >= F.lit(min_sim_ppm))
     )
     return sim
+
+
+def apply_dedup_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Quality-aware variant of [[apply_dedup]]: per near-dup cluster,
+    keep the member with the HIGHEST ``score_col`` (ties to the
+    smallest id) instead of blindly the smallest id — the curation
+    refinement production dedup actually wants ("when five copies of an
+    article survive crawling, keep the cleanest one, not the first
+    one"). Singletons (documents in no pair) always survive.
+
+    Plan: components over the pairs (the shared iterative labeler),
+    scores joined onto the |dup docs|-sized member table only (the
+    corpus never shuffles for scoring), one ``max_by`` per component —
+    map-combinable, the [[dedup_latest]] aggregation shape — then the
+    same broadcast-able anti-join of the corpus against the losers.
+    Deterministic: the (score, -id) argmax has a total order.
+    """
+    comp = connected_components(pairs, id1=id1, id2=id2)
+    members = comp.join(
+        docs.select(
+            F.col(id_col).alias("node"),
+            F.col(score_col).alias("__score"),
+        ),
+        "node",
+    )
+    # max score then min id — two combinable aggregates on the same
+    # component key (one exchange, AQE reuses it), total order for ANY
+    # orderable id type (string doc ids included)
+    best = members.groupBy("component").agg(
+        F.max("__score").alias("__ms")
+    )
+    winners = (
+        members.join(best, "component")
+        .filter(F.col("__score") == F.col("__ms"))
+        .groupBy("component")
+        .agg(F.min("node").alias("__winner"))
+    )
+    losers = (
+        comp.join(winners, "component")
+        .filter(F.col("node") != F.col("__winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    out = docs.join(losers, id_col, "left_anti")
+    return _with_cached_deps(out, getattr(comp, "_spark_graft_cached", []))

@@ -585,3 +585,52 @@ def test_tfidf_cosine_max_df_guard_drops_hot_terms(spark):
 
     with pytest.raises(ValueError):
         tfidf_cosine_pairs(df, max_df=1)
+
+
+# ---- apply_dedup_best ----
+
+from png_from_pdf_extracter_spark.functions.dedup import (  # noqa: E402
+    apply_dedup_best,
+)
+
+
+def test_apply_dedup_best_keeps_highest_score(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, q double",
+    )
+    # cluster {1,2,3} and {4}; 9 untouched singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id1 long, id2 long"
+    )
+    kept = {
+        r["doc_id"] for r in apply_dedup_best(docs, pairs, "q").collect()
+    }
+    # winner of {1,2,3}: score tie 2 vs 3 -> smaller id 2; singletons stay
+    assert kept == {2, 4, 9}
+
+
+def test_apply_dedup_best_vs_min_id_convention(spark):
+    from png_from_pdf_extracter_spark.functions.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(0, 5), (1, 5)], "id1 long, id2 long")
+    best = {r["doc_id"] for r in apply_dedup_best(docs, pairs, "q").collect()}
+    minid = {r["doc_id"] for r in apply_dedup(docs, pairs).collect()}
+    assert best == {2, 3, 4, 5}   # highest score in {0,1,5} is 5
+    assert minid == {0, 2, 3, 4}  # min id keeps 0
+
+
+def test_apply_dedup_best_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 3.0)], "doc_id string, q double"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id1 string, id2 string"
+    )
+    kept = {
+        r["doc_id"] for r in apply_dedup_best(docs, pairs, "q").collect()
+    }
+    assert kept == {"b"}  # tie b/c at 3.0 -> min id b
