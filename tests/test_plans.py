@@ -546,3 +546,34 @@ def test_theil_sen_pairs_join_on_group_key_only(spark):
         or "HashJoin [user_id" in plan
         or "SortMergeJoin [user_id" in plan
     ), plan
+
+
+def test_tfidf_cosine_pairs_join_on_term_key(spark):
+    """tfidf_cosine_pairs: the pair generation must be an equi-join on
+    the TERM posting key — never a cartesian; norms/dots are
+    map-combinable aggregates."""
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_cosine_pairs(d))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_apply_dedup_best_antijoin_and_no_corpus_shuffle_for_scores(spark):
+    """apply_dedup_best: the corpus exits through a LEFT ANTI join
+    against the loser set; scores join the dup-member table, not the
+    other way around."""
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        apply_dedup_best,
+        release,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id1 long, id2 long")
+    out = apply_dedup_best(d, pairs, "n_chars")
+    plan = _plan(out)
+    release(out)
+    assert "LeftAnti" in plan, plan
