@@ -3850,6 +3850,39 @@ def _q_mom_growth(spark, sf_dir):
     )
 
 
+def _q_gini_scoped(spark, sf_dir):
+    """Per-language source concentration (stats.gini_concentration
+    with scope_cols): the mix-balance diagnostic per stratum — one row
+    per language, rank window partitioned by scope."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        gini_concentration,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return gini_concentration(
+        d, "source", "n_chars", scope_cols=("lang",)
+    )
+
+
+def _q_median_survival(spark, sf_dir):
+    """Median time-to-convert from the Kaplan-Meier curve
+    (functions/stats.py kaplan_meier downstream): the smallest
+    duration where survival drops to <= 0.5 — the single number a
+    conversion report quotes; NULL-free because the q_kaplan_meier
+    cohort always converts past half."""
+    km = _q_kaplan_meier(spark, sf_dir)
+    half = km.filter(F.col("survival_q") <= 0.5).agg(
+        F.min("duration").alias("median_duration")
+    )
+    tot = km.agg(
+        F.count("*").cast("long").alias("n_times"),
+        F.sum(F.col("d_events") + F.col("c_censored"))
+        .cast("long")
+        .alias("n_obs"),
+    )
+    return tot.crossJoin(F.broadcast(half))
+
+
 def _q_dedup_best_rep(spark, sf_dir):
     """Quality-aware dedup apply (dedup.apply_dedup_best): same MinHash
     pair table as q_minhash_dedup_apply, but each near-dup cluster
@@ -4472,6 +4505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_attribution": _q_markov_attribution,
         "q_tfidf_cosine": _q_tfidf_cosine,
         "q_dedup_best_rep": _q_dedup_best_rep,
+        "q_gini_scoped": _q_gini_scoped,
+        "q_median_survival": _q_median_survival,
         "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
@@ -4661,7 +4696,7 @@ def oracle_sql() -> dict[str, str]:
           FROM a
         )
     """
-    return {
+    out = {
         "q_sanitize": (
             "SELECT p_partkey, "
             + _SANITIZE_SQL.format(col="p_name")
@@ -8164,6 +8199,39 @@ def oracle_sql() -> dict[str, str]:
                    fr[CAST(ceil(len(fr) / 2.0) AS INT)] AS med_q
             FROM framed
         """,
+        "q_gini_scoped": """
+            WITH w AS (
+              SELECT lang, source AS g, sum(n_chars)::BIGINT AS w
+              FROM documents GROUP BY lang, source
+            ),
+            r AS (
+              SELECT lang, w,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY w ASC, g ASC
+                     ) AS i
+              FROM w
+            ),
+            a AS (
+              SELECT lang, count(*)::BIGINT AS n, sum(w)::BIGINT AS tw,
+                     sum(i::HUGEINT * w::HUGEINT) AS iw,
+                     sum(w::HUGEINT * w::HUGEINT) AS w2,
+                     max(w)::BIGINT AS wmax
+              FROM r GROUP BY lang
+            )
+            SELECT lang, n AS n_groups, tw AS total_w,
+                   CAST(floor(
+                     (2::HUGEINT * iw - (n + 1)::HUGEINT * tw::HUGEINT)
+                       ::DOUBLE
+                     / (n::HUGEINT * tw::HUGEINT)::DOUBLE * 1e6
+                   ) AS BIGINT) AS gini_ppm,
+                   CAST(floor(
+                     w2::DOUBLE
+                     / (tw::HUGEINT * tw::HUGEINT)::DOUBLE * 1e6
+                   ) AS BIGINT) AS hhi_ppm,
+                   CAST(floor(wmax::DOUBLE / tw::DOUBLE * 1e6)
+                        AS BIGINT) AS top_share_ppm
+            FROM a
+        """,
         "q_dedup_best_rep": f"""
             WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES},
             edges AS (
@@ -8856,3 +8924,12 @@ def oracle_sql() -> dict[str, str]:
             FROM monthly
         """,
     }
+    out["q_median_survival"] = (
+        "WITH km AS (" + out["q_kaplan_meier"] + "), "
+        "half AS (SELECT min(duration) AS median_duration FROM km "
+        "         WHERE survival_q <= 0.5), "
+        "tot AS (SELECT count(*)::BIGINT AS n_times, "
+        "        sum(d_events + c_censored)::BIGINT AS n_obs FROM km) "
+        "SELECT n_times, n_obs, median_duration FROM tot, half"
+    )
+    return out

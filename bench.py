@@ -464,6 +464,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_markov_attribution",
         "q_tfidf_cosine",
         "q_dedup_best_rep",
+        "q_gini_scoped",
+        "q_median_survival",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

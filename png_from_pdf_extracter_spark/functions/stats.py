@@ -702,6 +702,7 @@ def gini_concentration(
     df: DataFrame,
     group_col: str,
     weight_col: str,
+    scope_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-concentration diagnostic over one categorical axis
     (source / domain / language): Gini coefficient, Herfindahl index
@@ -721,20 +722,28 @@ def gini_concentration(
     Plan: one map-combinable groupBy collapses the corpus to one row
     per group; the ordered window then runs over the DISTINCT-GROUP
     table only — bounded by group cardinality (domains, not documents),
-    the standard shape for a global rank over a small key space. Returns
-    ONE row: (n_groups, total_w, gini_q, hhi_q, top_share_q).
+    the standard shape for a global rank over a small key space.
+    ``scope_cols`` partitions everything (rank window and final
+    aggregate alike) for per-scope diagnostics — e.g. source
+    concentration WITHIN each language. Returns one row per scope
+    (or ONE row when unscoped): (scope..., n_groups, total_w,
+    gini_ppm, hhi_ppm, top_share_ppm).
     """
+    sc = list(scope_cols)
     wsum = (
-        df.groupBy(F.col(group_col).alias("__g"))
+        df.groupBy(*sc, F.col(group_col).alias("__g"))
         .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
     )
-    rank_w = Window.orderBy(F.col("__w").asc(), F.col("__g").asc())
+    rank_w = Window.partitionBy(*sc).orderBy(
+        F.col("__w").asc(), F.col("__g").asc()
+    )
     ranked = wsum.select(
+        *sc,
         "__w",
         F.row_number().over(rank_w).alias("__i"),
     )
     dec = "decimal(38,0)"
-    agg = ranked.agg(
+    agg = ranked.groupBy(*sc).agg(
         F.count("*").cast("long").alias("n_groups"),
         F.sum("__w").cast("long").alias("total_w"),
         F.sum(
@@ -751,6 +760,7 @@ def gini_concentration(
         F.lit(2).cast(dec) * F.col("__iw") - (n + F.lit(1)) * w_tot
     )
     return agg.select(
+        *sc,
         "n_groups",
         "total_w",
         F.floor(

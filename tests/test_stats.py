@@ -605,3 +605,24 @@ def test_binseg_zero_changepoints_and_multigroup(spark):
     assert len(by_g["a"]) >= 2 and len(by_g["b"]) == 1
     a_rows = sorted(by_g["a"], key=lambda r: r["start_idx"])
     assert a_rows[0]["end_idx"] == 5
+
+
+def test_gini_scoped_matches_per_scope_unscoped(spark):
+    # each scope's scoped row equals running unscoped on that slice
+    df = spark.createDataFrame(
+        [("en", "a", 10), ("en", "b", 30), ("de", "a", 5), ("de", "c", 5)],
+        "lang string, g string, w long",
+    )
+    scoped = {
+        r["lang"]: r
+        for r in gini_concentration(
+            df, "g", "w", scope_cols=("lang",)
+        ).collect()
+    }
+    for lang in ("en", "de"):
+        solo = gini_concentration(
+            df.filter(F.col("lang") == lang), "g", "w"
+        ).collect()[0]
+        assert scoped[lang]["gini_ppm"] == solo["gini_ppm"]
+        assert scoped[lang]["hhi_ppm"] == solo["hhi_ppm"]
+    assert scoped["de"]["gini_ppm"] == 0
