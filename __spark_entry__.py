@@ -4666,6 +4666,70 @@ _BENFORD_CASE = "CASE digit " + " ".join(
 ) + " ELSE 0.0::DOUBLE END"
 
 
+_KM_SQL = """
+            WITH base AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+            ),
+            anchors AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN us END)
+                       AS s0,
+                     max(us) AS last_us
+              FROM base GROUP BY user_id
+              HAVING min(CASE WHEN event_type = 'signup' THEN us END)
+                     IS NOT NULL
+            ),
+            conv AS (
+              SELECT b.user_id, min(b.us) AS p0
+              FROM base b JOIN anchors a ON b.user_id = a.user_id
+              WHERE b.event_type = 'purchase' AND b.us >= a.s0
+              GROUP BY b.user_id
+            ),
+            obs AS (
+              SELECT CAST(floor(
+                       (coalesce(c.p0, a.last_us) - a.s0) / 60000000.0
+                     ) AS BIGINT) AS t,
+                     CASE WHEN c.p0 IS NOT NULL THEN 1 ELSE 0 END AS e
+              FROM anchors a LEFT JOIN conv c ON a.user_id = c.user_id
+            ),
+            cnt AS (
+              SELECT t, sum(e)::BIGINT AS d,
+                     sum(1 - e)::BIGINT AS c
+              FROM obs GROUP BY t
+            ),
+            tot AS (SELECT sum(d + c) AS n_total FROM cnt),
+            risk AS (
+              SELECT t, d, c,
+                     (n_total - coalesce(sum(d + c) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)) AS n
+              FROM cnt, tot
+            ),
+            stepped AS (
+              SELECT t, n, d, c,
+                     sum(CASE WHEN d = 0 THEN 0
+                              WHEN d < n THEN CAST(floor(
+                                ln(1.0 - d / n) * 1e9) AS BIGINT)
+                         END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     max(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS dead
+              FROM risk
+            )
+            SELECT t AS duration, n::BIGINT AS n_at_risk,
+                   d AS d_events, c AS c_censored,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE floor(exp(cum / 1e9) * 1e6) / 1e6
+                   END AS survival_q
+            FROM stepped
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     fp = (
         "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -8798,68 +8862,15 @@ def oracle_sql() -> dict[str, str]:
                      AS ci_hi_ppm
             FROM o
         """,
-        "q_kaplan_meier": """
-            WITH base AS (
-              SELECT user_id, event_type, epoch_us(ts) AS us FROM events
-            ),
-            anchors AS (
-              SELECT user_id,
-                     min(CASE WHEN event_type = 'signup' THEN us END)
-                       AS s0,
-                     max(us) AS last_us
-              FROM base GROUP BY user_id
-              HAVING min(CASE WHEN event_type = 'signup' THEN us END)
-                     IS NOT NULL
-            ),
-            conv AS (
-              SELECT b.user_id, min(b.us) AS p0
-              FROM base b JOIN anchors a ON b.user_id = a.user_id
-              WHERE b.event_type = 'purchase' AND b.us >= a.s0
-              GROUP BY b.user_id
-            ),
-            obs AS (
-              SELECT CAST(floor(
-                       (coalesce(c.p0, a.last_us) - a.s0) / 60000000.0
-                     ) AS BIGINT) AS t,
-                     CASE WHEN c.p0 IS NOT NULL THEN 1 ELSE 0 END AS e
-              FROM anchors a LEFT JOIN conv c ON a.user_id = c.user_id
-            ),
-            cnt AS (
-              SELECT t, sum(e)::BIGINT AS d,
-                     sum(1 - e)::BIGINT AS c
-              FROM obs GROUP BY t
-            ),
-            tot AS (SELECT sum(d + c) AS n_total FROM cnt),
-            risk AS (
-              SELECT t, d, c,
-                     (n_total - coalesce(sum(d + c) OVER (
-                        ORDER BY t
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0)) AS n
-              FROM cnt, tot
-            ),
-            stepped AS (
-              SELECT t, n, d, c,
-                     sum(CASE WHEN d = 0 THEN 0
-                              WHEN d < n THEN CAST(floor(
-                                ln(1.0 - d / n) * 1e9) AS BIGINT)
-                         END) OVER (
-                       ORDER BY t
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS cum,
-                     max(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
-                       ORDER BY t
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS dead
-              FROM risk
-            )
-            SELECT t AS duration, n::BIGINT AS n_at_risk,
-                   d AS d_events, c AS c_censored,
-                   CASE WHEN dead = 1 THEN 0.0
-                        ELSE floor(exp(cum / 1e9) * 1e6) / 1e6
-                   END AS survival_q
-            FROM stepped
-        """,
+        "q_kaplan_meier": _KM_SQL,
+        "q_median_survival": (
+            "WITH km AS (" + _KM_SQL + "), "
+            "half AS (SELECT min(duration) AS median_duration FROM km "
+            "         WHERE survival_q <= 0.5), "
+            "tot AS (SELECT count(*)::BIGINT AS n_times, "
+            "        sum(d_events + c_censored)::BIGINT AS n_obs FROM km) "
+            "SELECT n_times, n_obs, median_duration FROM tot, half"
+        ),
         "q_correlogram": """
             WITH q AS (
               SELECT user_id, ts, event_id,
@@ -8924,12 +8935,4 @@ def oracle_sql() -> dict[str, str]:
             FROM monthly
         """,
     }
-    out["q_median_survival"] = (
-        "WITH km AS (" + out["q_kaplan_meier"] + "), "
-        "half AS (SELECT min(duration) AS median_duration FROM km "
-        "         WHERE survival_q <= 0.5), "
-        "tot AS (SELECT count(*)::BIGINT AS n_times, "
-        "        sum(d_events + c_censored)::BIGINT AS n_obs FROM km) "
-        "SELECT n_times, n_obs, median_duration FROM tot, half"
-    )
     return out
