@@ -4005,6 +4005,66 @@ def _q_mutual_nn(spark, sf_dir):
     return mutual_nn_pairs(left, right)
 
 
+def _q_mutual_nn_ivf(spark, sf_dir):
+    """The 100-TB mutual-NN shape (r3 verdict #1): IVF generates directed
+    candidate pairs, the mutual filter runs over them via id-keyed
+    equi-joins — no side is broadcast whole. Rows-only by design
+    (candidate recall depends on cell assignment); every row embeds
+    ``recall_vs_exact`` — the candidate path's mutual-pair recall against
+    the exact broadcast baseline on the same halves — so the artifact
+    records QUALITY, not just shape. Floor pinned in
+    tests/test_sessions.py."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        ivf_topk,
+        mutual_nn_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    cand = ivf_topk(right, left, k=3, n_cells=8, nprobe=3).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
+    )
+    approx = mutual_nn_pairs(left, right, candidates=cand)
+    exact = mutual_nn_pairs(left, right).select("left_id", "right_id")
+    n_exact = exact.count()
+    n_hit = approx.join(
+        F.broadcast(exact), ["left_id", "right_id"], "left_semi"
+    ).count()
+    rec = round(n_hit / n_exact, 4) if n_exact else 1.0
+    return approx.withColumn("recall_vs_exact", F.lit(rec))
+
+
+def _q_hard_negatives_ivf(spark, sf_dir):
+    """The 100-TB hard-negative shape (r3 verdict #1): IVF candidates at
+    4x k headroom (same-label candidates are discarded below the rank
+    window), vectors+labels fetched by id-keyed joins — the full corpus
+    is never broadcast. Rows-only by design; every row embeds
+    ``recall_vs_exact`` vs the exact broadcast baseline. Floor pinned in
+    tests/test_sessions.py."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        hard_negatives,
+        ivf_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "label", (F.col("vec_id") % 4).cast("int")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    cand = ivf_topk(emb, q, k=25, n_cells=8, nprobe=4).select(
+        "query_id", F.col("neighbor_id").alias("neg_id")
+    )
+    approx = hard_negatives(emb, q, k=5, candidates=cand)
+    exact = hard_negatives(emb, q, k=5).select("query_id", "neg_id")
+    n_exact = exact.count()
+    n_hit = approx.join(
+        F.broadcast(exact), ["query_id", "neg_id"], "left_semi"
+    ).count()
+    rec = round(n_hit / n_exact, 4) if n_exact else 1.0
+    return approx.withColumn("recall_vs_exact", F.lit(rec))
+
+
 def _q_binseg(spark, sf_dir):
     """Greedy binary-segmentation changepoints (functions/stats.py
     changepoint_binary_seg) on the monthly revenue series per order
@@ -4499,6 +4559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
         "q_mutual_nn": _q_mutual_nn,
+        "q_mutual_nn_ivf": _q_mutual_nn_ivf,
+        "q_hard_negatives_ivf": _q_hard_negatives_ivf,
         "q_negative_sample": _q_negative_sample,
         "q_wasserstein": _q_wasserstein,
         "q_holt": _q_holt,

@@ -243,6 +243,8 @@ def logreg_train(
     label_col: str,
     iters: int = 8,
     ridge: float = 1e-6,
+    sample_frac: tuple[int, int] | None = None,
+    sample_id_col: str | None = None,
 ) -> tuple[list, dict]:
     """Distributed logistic-regression training via Newton/IRLS — the
     missing third of the classifier story (inference =
@@ -265,6 +267,17 @@ def logreg_train(
     invertible under separable data. Feature scaling is the caller's
     job (z-score or bounded signals — the usual quality-score inputs).
 
+    Iteration discipline: the projected feature frame is ``persist()``-ed
+    before the IRLS loop and unpersisted after — without it every Newton
+    pass (plus the final loss pass) re-executes the FULL upstream plan,
+    which at 100 TB means iters+1 complete corpus scans for a trainer
+    whose aggregate output is d² floats. ``sample_frac=(num, den)`` with
+    ``sample_id_col`` additionally caps the training set with the
+    deterministic [[curate.hash_sample]] predicate (applied BEFORE the
+    persist, so the cached working set shrinks too): a quality-gate
+    trainer never needs all 100 TB — a reproducible hash slice gives the
+    same weights on every rerun, unlike ``df.sample``.
+
     Returns (weights, stats): ``weights`` = [intercept, w_1..w_d] as
     Python floats; ``stats`` = {"n": rows, "log_loss": mean final NLL,
     "iters": iterations run}. Float-sum order across partitions makes
@@ -278,7 +291,15 @@ def logreg_train(
     """
     import numpy as np
 
+    from .curate import hash_sample
+
     d = len(feature_cols)
+    if sample_frac is not None:
+        if sample_id_col is None:
+            raise ValueError("sample_frac requires sample_id_col")
+        df = df.filter(
+            hash_sample(df, sample_id_col, sample_frac[0], sample_frac[1])
+        )
     feats = df.select(
         F.col(label_col).cast("double").alias("__y"),
         *[
@@ -286,6 +307,9 @@ def logreg_train(
             for i, c in enumerate(feature_cols)
         ],
     ).na.drop()
+    # materialize ONCE: iters Newton passes + the loss pass all re-read
+    # this frame; without the persist each is a full upstream recompute
+    feats = feats.persist()
     w = np.zeros(d + 1)
     xs = [F.lit(1.0)] + [F.col(f"__x{i}") for i in range(d)]
     n_rows = 0
@@ -316,6 +340,7 @@ def logreg_train(
         F.col("__y") * z
     )
     loss = feats.agg(F.avg(nll).alias("l")).collect()[0]["l"]
+    feats.unpersist()
     return list(map(float, w)), {
         "n": int(n_rows),
         "log_loss": float(loss),

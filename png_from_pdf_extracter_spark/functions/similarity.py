@@ -1327,6 +1327,7 @@ def mutual_nn_pairs(
     right: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual nearest-neighbor matching between two embedding sets —
     the bitext-mining / cross-corpus alignment primitive (LASER-style
@@ -1334,25 +1335,75 @@ def mutual_nn_pairs(
     if each side is the OTHER side's cosine top-1, the standard filter
     that kills hub vectors matching everything.
 
-    Built entirely from [[cosine_topk]] (two directed top-1 passes +
-    one equi-join on the agreeing pair), so the score convention —
-    round-6dp cosine, ties by neighbor id — is inherited and already
-    oracle-proven. Exact-baseline contract: each directed pass
-    broadcasts its query side, so BOTH sets must individually fit the
-    broadcast budget; at corpus scale run the same mutual filter over
-    the IVF/LSH candidate pairs instead (`ivf_topk` feeding the same
-    join shape). Returns (left_id, right_id, cos_sim).
+    ``candidates=None`` (exact baseline, see README "Exact baselines vs
+    production paths"): built entirely from [[cosine_topk]] (two
+    directed top-1 passes + one equi-join on the agreeing pair), so the
+    score convention — round-6dp cosine, ties by neighbor id — is
+    inherited and already oracle-proven. Each directed pass broadcasts
+    its query side, so BOTH sets must individually fit the broadcast
+    budget: fixture-scale only.
+
+    ``candidates`` (the 100-TB path): a DataFrame with ``left_id`` /
+    ``right_id`` columns — typically ``ivf_topk(right, left, k=K)`` or
+    ``lsh_bucket_topk`` output renamed (query_id→left_id,
+    neighbor_id→right_id), K a small multiple of 1 for headroom. Pairs
+    are re-scored EXACTLY by two id-keyed equi-joins that fetch each
+    side's vector (shuffle joins — nothing broadcasts a full corpus),
+    then each side's top-1 WITHIN the candidate graph is taken and the
+    mutual filter applied: two window ranks + one filter, all keyed by
+    id. Cost is O(|candidates|), never |left|x|right|; recall vs the
+    exact path is pinned in tests (planted-hub case included — a hub
+    can win many left-side top-1s but only ever forms ONE mutual pair,
+    in either path). Returns (left_id, right_id, cos_sim).
     """
-    l2r = cosine_topk(right, left, id_col, vec_col, k=1).select(
-        F.col("query_id").alias("left_id"),
-        F.col("neighbor_id").alias("right_id"),
-        "cos_sim",
+    if candidates is None:
+        l2r = cosine_topk(right, left, id_col, vec_col, k=1).select(
+            F.col("query_id").alias("left_id"),
+            F.col("neighbor_id").alias("right_id"),
+            "cos_sim",
+        )
+        r2l = cosine_topk(left, right, id_col, vec_col, k=1).select(
+            F.col("neighbor_id").alias("left_id"),
+            F.col("query_id").alias("right_id"),
+        )
+        return l2r.join(r2l, ["left_id", "right_id"])
+    l = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("lvec"),
+        _norm(F.col(vec_col)).alias("ln"),
     )
-    r2l = cosine_topk(left, right, id_col, vec_col, k=1).select(
-        F.col("neighbor_id").alias("left_id"),
-        F.col("query_id").alias("right_id"),
+    r = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("rvec"),
+        _norm(F.col(vec_col)).alias("rn"),
     )
-    return l2r.join(r2l, ["left_id", "right_id"])
+    scored = (
+        candidates.select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+        .join(l, "left_id")
+        .join(r, "right_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("lvec"), F.col("rvec"))
+                / (F.col("ln") * F.col("rn")),
+                6,
+            ),
+        )
+        .select("left_id", "right_id", "cos_sim")
+    )
+    wl = Window.partitionBy("left_id").orderBy(
+        F.col("cos_sim").desc(), F.col("right_id").asc()
+    )
+    wr = Window.partitionBy("right_id").orderBy(
+        F.col("cos_sim").desc(), F.col("left_id").asc()
+    )
+    return (
+        scored.withColumn("rl", F.row_number().over(wl))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter((F.col("rl") == 1) & (F.col("rr") == 1))
+        .select("left_id", "right_id", "cos_sim")
+    )
 
 
 def hard_negatives(
@@ -1362,16 +1413,29 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: each query's
     top-k most-similar corpus items with a DIFFERENT label — the
     negatives that actually teach the margin, versus
-    [[curate.negative_sample]]'s uniform draws. Same exact-cosine
-    scoring and broadcast contract as [[cosine_topk]] (the label
-    filter sits below the rank window, so positives can never crowd
-    out the top-k); at corpus scale feed IVF/LSH candidates through
-    the same filter+rank shape. Returns (query_id, neg_id, rank,
-    cos_sim)."""
+    [[curate.negative_sample]]'s uniform draws. The label filter sits
+    below the rank window, so positives can never crowd out the top-k.
+
+    ``candidates=None`` (exact baseline, see README "Exact baselines vs
+    production paths"): same exact-cosine scoring and broadcast
+    contract as [[cosine_topk]] — the query set must fit the broadcast
+    budget; fixture-scale only.
+
+    ``candidates`` (the 100-TB path): a DataFrame with ``query_id`` /
+    ``neg_id`` columns — typically ``ivf_topk(corpus, queries,
+    k=k_cand)`` or ``lsh_bucket_topk`` output with neighbor_id renamed
+    to neg_id. Because the label filter runs AFTER candidate
+    generation, ``k_cand`` needs headroom over ``k`` (3-5x is the usual
+    rule: same-label candidates are discarded). Vectors and labels are
+    fetched by id-keyed equi-joins (shuffle joins — no broadcast of
+    either full side), scored exactly, filtered, ranked: cost
+    O(|candidates|). Recall vs the exact path pinned in tests. Returns
+    (query_id, neg_id, rank, cos_sim)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -1384,20 +1448,25 @@ def hard_negatives(
         F.col(label_col).alias("clab"),
         _norm(F.col(vec_col)).alias("cn"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(
-            (F.col("neg_id") != F.col("query_id"))
-            & (F.col("clab") != F.col("qlab"))
+    if candidates is None:
+        paired = c.crossJoin(F.broadcast(q))
+    else:
+        paired = (
+            candidates.select("query_id", "neg_id")
+            .dropDuplicates(["query_id", "neg_id"])
+            .join(q, "query_id")
+            .join(c, "neg_id")
         )
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qn") * F.col("cn")),
-                6,
-            ),
-        )
+    scored = paired.filter(
+        (F.col("neg_id") != F.col("query_id"))
+        & (F.col("clab") != F.col("qlab"))
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qn") * F.col("cn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neg_id").asc()

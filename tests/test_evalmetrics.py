@@ -280,3 +280,69 @@ def test_logreg_separable_data_stays_finite(spark):
     w, stats = logreg_train(df, ("x1",), "y", iters=10, ridge=1e-3)
     assert all(np.isfinite(w)) and np.isfinite(stats["log_loss"])
     assert w[1] > 0
+
+
+def test_logreg_persists_loop_input_once(spark, monkeypatch):
+    # the IRLS loop re-reads its projected feature frame iters+1 times;
+    # the contract (r3 verdict #2) is that it is CACHED once, not
+    # recomputed per pass — assert persist is actually called and that
+    # the matching unpersist releases it before return
+    calls = {"persist": 0, "unpersist": 0}
+    X, y = _synth(seed=3, n=120)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, y int",
+    )
+    cls = type(df)  # the concrete (classic) DataFrame class
+    orig_p, orig_u = cls.persist, cls.unpersist
+
+    def counting_persist(self, *a, **k):
+        calls["persist"] += 1
+        return orig_p(self, *a, **k)
+
+    def counting_unpersist(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(cls, "persist", counting_persist)
+    monkeypatch.setattr(cls, "unpersist", counting_unpersist)
+    w, stats = logreg_train(df, ("x1", "x2"), "y", iters=3)
+    assert calls["persist"] == 1, calls
+    assert calls["unpersist"] == 1, calls
+    assert all(np.isfinite(w))
+
+
+def test_logreg_hash_sample_cap_is_deterministic(spark):
+    # sample_frac trains on the reproducible hash_sample slice: same
+    # weights on rerun, strictly fewer rows than the full set, and the
+    # slice solution equals training directly on the pre-filtered frame
+    X, y = _synth(seed=19, n=500)
+    rows = [
+        (i, float(a), float(b), int(t))
+        for i, ((a, b), t) in enumerate(zip(X, y))
+    ]
+    df = spark.createDataFrame(rows, "rid int, x1 double, x2 double, y int")
+    w1, s1 = logreg_train(
+        df, ("x1", "x2"), "y", iters=5,
+        sample_frac=(1, 2), sample_id_col="rid",
+    )
+    w2, s2 = logreg_train(
+        df, ("x1", "x2"), "y", iters=5,
+        sample_frac=(1, 2), sample_id_col="rid",
+    )
+    assert w1 == w2 and s1["n"] == s2["n"]
+    assert 0 < s1["n"] < 500
+    from png_from_pdf_extracter_spark.functions.curate import hash_sample
+
+    pre = df.filter(hash_sample(df, "rid", 1, 2))
+    w3, s3 = logreg_train(pre, ("x1", "x2"), "y", iters=5)
+    assert s3["n"] == s1["n"]
+    assert np.allclose(w1, w3, atol=1e-9)
+
+
+def test_logreg_sample_frac_requires_id_col(spark):
+    df = spark.createDataFrame([(1.0, 1)], "x1 double, y int")
+    import pytest
+
+    with pytest.raises(ValueError):
+        logreg_train(df, ("x1",), "y", sample_frac=(1, 2))
