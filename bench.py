@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints the full JSON result line, then a compact
+gate-summary JSON line (so a tail-truncated capture still holds the
+complete gate record; the summary is marked ``"gate_summary": true``).
 
 Headline metric: the flagship extraction pipeline (read parquet transcripts
 -> whitelist -> stable buckets -> salted repartition -> mapInPandas extract
@@ -113,7 +115,12 @@ def materialize_input(spark: SparkSession, path: str, replicas: int) -> None:
         .withColumn("conv_id", F.concat_ws("-", "conv_id", "rep"))
         .drop("rep")
     )
-    df.write.mode("overwrite").parquet(path)
+    # 64 files: the batch reader re-splits by maxPartitionBytes anyway,
+    # and the streaming sustained phase needs enough files that
+    # maxFilesPerTrigger yields a MULTI-batch run (r3 verdict #3: with
+    # <=8 input files the 8-file trigger degenerated to one batch —
+    # batch mode with extra steps)
+    df.repartition(64).write.mode("overwrite").parquet(path)
 
 
 def run_flagship(spark: SparkSession, in_path: str, out_dir: str) -> float:
@@ -160,20 +167,27 @@ def run_stream(spark: SparkSession, in_path: str, out_dir: str,
 
 def run_stream_sustained(spark: SparkSession, in_path: str, out_dir: str,
                          ckpt: str) -> dict:
-    """Steady-state micro-batch run (round-2 verdict #7): the SAME input
-    drained through a ``processingTime`` trigger — the literal daemon-loop
-    surface — recording per-batch rows and commit overhead from the
-    streaming progress events. ``maxFilesPerTrigger`` (8, set inside
-    ``stream_extract``) fixes the per-trigger work, so the run yields a
-    sustained rows/sec and the scheduling+checkpoint cost per batch next
-    to the availableNow drain's end-to-end number."""
+    """Steady-state micro-batch run (round-2 verdict #7, fixed per round-3
+    verdict #3): the SAME input drained through a ``processingTime``
+    trigger — the literal daemon-loop surface — recording per-batch rows
+    and commit overhead from the streaming progress events.
+    ``maxFilesPerTrigger`` is sized FROM the input's file count so the
+    drain is guaranteed multi-batch (target >= 8 triggers); a run that
+    still lands under 5 batches reports ``input_rows_per_sec_sustained:
+    None`` with a note instead of passing off a single batch as a
+    sustained rate. Per-batch p50/p95 wall times sit next to the mean so
+    trigger-to-trigger variance is in the artifact."""
     from png_from_pdf_extracter_spark.plans import JobParams
     from png_from_pdf_extracter_spark.streaming import stream_extract
 
+    import pyarrow.dataset as ds
+
+    n_files = len(ds.dataset(in_path).files)
+    mfpt = max(1, n_files // 8)  # >= 8 triggers over the backlog
     params = JobParams(n_buckets=256)
     t0 = time.time()
     q = (
-        stream_extract(spark, in_path, params)
+        stream_extract(spark, in_path, params, max_files_per_trigger=mfpt)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
@@ -194,15 +208,28 @@ def run_stream_sustained(spark: SparkSession, in_path: str, out_dir: str,
     busy_sec = sum(trigger_ms) / 1000.0
     overhead_ms = [t - a for t, a in zip(trigger_ms, add_batch_ms)]
     n = max(1, len(prog))
+    sec_sorted = sorted(t / 1000.0 for t in trigger_ms)
+    sustained = len(prog) >= 5 and busy_sec > 0
     return {
         "trigger": "processingTime=500ms",
+        "max_files_per_trigger": mfpt,
+        "input_files": n_files,
         "n_batches": len(prog),
         "input_rows": rows,
         "busy_sec": round(busy_sec, 3),
+        # only a multi-batch run earns the 'sustained' field: one trigger
+        # measures batch mode with extra steps (r3 verdict #3)
         "input_rows_per_sec_sustained": (
-            round(rows / busy_sec, 1) if busy_sec else None
+            round(rows / busy_sec, 1) if sustained else None
         ),
+        "note": None if sustained else "n_batches < 5: not sustained",
         "mean_batch_sec": round(busy_sec / n, 3),
+        "p50_batch_sec": round(sec_sorted[len(sec_sorted) // 2], 3)
+        if sec_sorted else None,
+        "p95_batch_sec": round(
+            sec_sorted[min(len(sec_sorted) - 1,
+                           int(0.95 * len(sec_sorted)))], 3
+        ) if sec_sorted else None,
         "mean_commit_overhead_ms": round(sum(overhead_ms) / n, 1),
     }
 
@@ -657,6 +684,31 @@ def main() -> None:
             "ambient": ambient,
         }
         print(json.dumps(result))
+        # r3 verdict #4: the driver keeps only the LAST 4096 chars of
+        # stdout, and the per-query dict above grows with the registry —
+        # so the complete GATE record is re-emitted as a second, compact
+        # JSON line (slowest queries only) that always fits the tail
+        # whole, independent of registry growth.
+        slowest = dict(
+            sorted(queries.items(), key=lambda kv: -kv[1])[:5]
+        )
+        summary = {
+            "gate_summary": True,
+            "metric": "extract_turns_per_sec",
+            "value": round(hi_tps, 1),
+            "unit": "turns/sec",
+            "sf": sf,
+            "bench_turns": n_turns,
+            "n_queries": len(queries),
+            "queries_total_sec": round(sum(queries.values()), 3),
+            "slowest_queries": slowest,
+            "scaling": scaling,
+            "streaming": streaming,
+            "streaming_sustained": streaming_sustained,
+            "width_full": width32,
+            "ambient": ambient,
+        }
+        print(json.dumps(summary))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -309,6 +309,13 @@ def k_core(
             if peeled.count() == 0:
                 peeled.unpersist()
                 break
+            # localCheckpoint, not persist: each round's plan references
+            # the previous round THREE times (the main edge stream plus
+            # the two anti-join broadcast sides via `deg`), so without a
+            # lineage CUT the logical plan grows ~3^rounds — a 5-round
+            # peel was enough to OOM the driver on plan-tree strings
+            # alone. Checkpointing makes every round's plan O(1); eager
+            # materialization doubles as the round barrier.
             nxt = (
                 cur.join(F.broadcast(peeled), "a", "left_anti")
                 .join(
@@ -316,9 +323,8 @@ def k_core(
                     "b",
                     "left_anti",
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            nxt.count()  # materialize before releasing the parent
             peeled.unpersist()
             if cur is not sym:
                 cur.unpersist()

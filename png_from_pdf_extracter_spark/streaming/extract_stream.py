@@ -35,11 +35,17 @@ def stream_extract(
     spark: SparkSession,
     input_path: str,
     params: JobParams,
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """Streaming extraction DataFrame: readStream(parquet dir) -> whitelist
     -> bucket -> mapInPandas(extract). No salted repartition here — in
-    streaming, micro-batch sizing (``maxFilesPerTrigger``) bounds task skew
-    instead; the kernel and output schema are identical to the batch plan.
+    streaming, micro-batch sizing (``max_files_per_trigger``) bounds task
+    skew instead; the kernel and output schema are identical to the batch
+    plan. The trigger size is the steady-state knob: per-batch work =
+    that many files' worth of turns, so a sustained daemon sizes it to
+    keep batch wall time under the trigger interval (the bench's
+    sustained phase drives it explicitly to guarantee a multi-batch
+    measurement).
 
     Start it with, e.g.::
 
@@ -50,7 +56,7 @@ def stream_extract(
     """
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
     df = stream.filter(F.col("role").rlike(params.role_whitelist))

@@ -212,6 +212,52 @@ def test_kcore_invariant_on_derived_graph(spark):
     assert core.count() > 0
 
 
+def test_kcore_oracle_unroll_margin(spark):
+    """The q_kcore DuckDB oracle unrolls 16 peel rounds as chained CTEs
+    and is only the fixpoint while actual convergence <= 16. Guard the
+    margin: simulate the peel on the EXACT q_kcore edge derivation
+    (modulus n/3, k=4) at sf0.001 and assert convergence within HALF the
+    unroll — if a testdata regen ever pushes the cascade past 8 rounds,
+    this fails before the driver's oracle comparison silently drifts."""
+    from collections import Counter
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    mod = o.count() // 3
+    rows = (
+        o.select(
+            (F.col("o_orderkey") % mod).alias("a"),
+            ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % mod).alias(
+                "b"
+            ),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .collect()
+    )
+    edges = set()
+    for r in rows:
+        edges.add((r["a"], r["b"]))
+        edges.add((r["b"], r["a"]))
+    rounds = 0
+    while True:
+        deg = Counter(a for a, _ in edges)
+        bad = {n for n, d in deg.items() if d < 4}
+        if not bad:
+            break
+        rounds += 1
+        assert rounds <= 8, "peel cascade exceeds half the oracle unroll"
+        edges = {
+            (a, b) for a, b in edges if a not in bad and b not in bad
+        }
+    assert edges, "4-core vanished — q_kcore would compare empty/empty"
+    # the Spark operator agrees with the simulated fixpoint
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a < b], "id1 long, id2 long"
+    )
+    got = {r["node"]: r["degree"] for r in k_core(e, 4).collect()}
+    assert got == dict(Counter(a for a, _ in edges))
+
+
 # ---- markov_attribution ----
 
 from png_from_pdf_extracter_spark.functions.graph import (  # noqa: E402
