@@ -4142,6 +4142,57 @@ def _q_theil_sen(spark, sf_dir):
     return theil_sen_slope(ev, ("user_id",), "xmin", "value")
 
 
+def _q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the five order priorities on totalprice
+    (functions/stats.py kruskal_wallis) — the k-group rank test. All
+    rank sums exact BIGINTs off the distinct-value table; the float H
+    is assembled with a FIXED per-class accumulation order (ordered
+    window over the class key) so both engines add identical doubles."""
+    from png_from_pdf_extracter_spark.functions.stats import kruskal_wallis
+
+    o = _read(spark, sf_dir, "orders")
+    return kruskal_wallis(o, "o_totalprice", "o_orderpriority", quantize=2)
+
+
+def _q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per user on the event value
+    over the minute clock (functions/stats.py mann_kendall) — the
+    is-there-a-trend companion to q_theil_sen, same bounded-group pair
+    join; S and the tie-corrected variance are exact BIGINTs, the only
+    float is the continuity-corrected Z emit."""
+    from png_from_pdf_extracter_spark.functions.stats import mann_kendall
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(6e7)
+        ).cast("long").alias("xmin"),
+        "value",
+    )
+    return mann_kendall(ev, ("user_id",), "xmin", "value", quantize=2)
+
+
+def _q_cusum(spark, sf_dir):
+    """One-sided upper CUSUM drift monitor per user on event value
+    (functions/stats.py cusum_drift): the classic max(0, S+x-k)
+    recursion re-expressed as prefix-sum minus running minimum — two
+    ordered windows over exact BIGINTs, one user_id exchange, alarm
+    when the statistic clears the threshold."""
+    from png_from_pdf_extracter_spark.functions.stats import cusum_drift
+
+    ev = _read(spark, sf_dir, "events")
+    return cusum_drift(
+        ev,
+        ("user_id",),
+        ("ts", "event_id"),
+        "value",
+        target_q=25_000,
+        slack_q=500,
+        threshold_q=200_000,
+        quantize=2,
+    )
+
+
 def _q_isotonic(spark, sf_dir):
     """Isotonic calibration of the hashed linear quality score vs the
     lang='en' label (evalmetrics.isotonic_calibrate): binned PAVA with
@@ -4585,6 +4636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": _q_hard_negatives,
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
+        "q_kruskal_wallis": _q_kruskal_wallis,
+        "q_mann_kendall": _q_mann_kendall,
+        "q_cusum": _q_cusum,
         "q_quantile_norm": _q_quantile_norm,
         "q_chi2_indep": _q_chi2_indep,
         "q_cooccur_lift": _q_cooccur_lift,
@@ -8799,6 +8853,135 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             WHERE cum * 2 >= tot
             GROUP BY user_id, tot
+        """,
+        "q_kruskal_wallis": """
+            WITH base AS (
+              SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+                     o_orderpriority AS g
+              FROM orders
+            ),
+            vg AS (
+              SELECT v, g, count(*)::BIGINT AS c FROM base GROUP BY v, g
+            ),
+            vt0 AS (SELECT v, sum(c)::BIGINT AS t FROM vg GROUP BY v),
+            vt AS (
+              SELECT v, t,
+                     coalesce(sum(t) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS cb
+              FROM vt0
+            ),
+            pc AS (
+              SELECT g, sum(c)::BIGINT AS n_g,
+                     sum(c * (2 * vt.cb + vt.t + 1))::BIGINT AS r2
+              FROM vg JOIN vt USING (v) GROUP BY g
+            ),
+            stepped AS (
+              SELECT sum(
+                       (r2::DOUBLE / 2.0) * (r2::DOUBLE / 2.0)
+                       / n_g::DOUBLE
+                     ) OVER (
+                       ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS s,
+                     row_number() OVER (ORDER BY g) AS rn,
+                     count(*) OVER () AS kk
+              FROM pc
+            ),
+            sf AS (SELECT s, kk::BIGINT AS k FROM stepped WHERE rn = kk),
+            tt AS (
+              SELECT sum(t)::BIGINT AS n,
+                     sum(t * t * t - t)::BIGINT AS tie3
+              FROM vt
+            )
+            SELECT n, k, tie3,
+                   floor((12.0 * s / (n::DOUBLE * (n::DOUBLE + 1.0))
+                          - 3.0 * (n::DOUBLE + 1.0)) * 1e6) / 1e6
+                     AS h_q6,
+                   CASE WHEN (1.0 - tie3::DOUBLE
+                              / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                                 - n::DOUBLE)) > 0
+                        THEN floor(
+                          (12.0 * s / (n::DOUBLE * (n::DOUBLE + 1.0))
+                           - 3.0 * (n::DOUBLE + 1.0))
+                          / (1.0 - tie3::DOUBLE
+                             / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                                - n::DOUBLE)) * 1e6) / 1e6
+                   END AS h_tie_q6
+            FROM tt, sf
+        """,
+        "q_mann_kendall": """
+            WITH v AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 60000000.0) AS BIGINT)
+                       AS x,
+                     CAST(round(value * 100, 0) AS BIGINT) AS vq
+              FROM events
+            ),
+            s AS (
+              SELECT a.user_id,
+                     sum(CASE WHEN b.vq > a.vq THEN 1
+                              WHEN b.vq < a.vq THEN -1
+                              ELSE 0 END)::BIGINT AS s_stat
+              FROM v a JOIN v b
+                ON a.user_id = b.user_id AND a.x < b.x
+              GROUP BY a.user_id
+            ),
+            n AS (
+              SELECT user_id, count(*)::BIGINT AS n
+              FROM v GROUP BY user_id
+            ),
+            t AS (
+              SELECT user_id,
+                     sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tt
+              FROM (
+                SELECT user_id, vq, count(*)::BIGINT AS t
+                FROM v GROUP BY user_id, vq
+              ) GROUP BY user_id
+            )
+            SELECT n.user_id, n.n, s.s_stat,
+                   (n.n * (n.n - 1) * (2 * n.n + 5) - t.tt)::BIGINT
+                     AS var18,
+                   CASE WHEN (n.n * (n.n - 1) * (2 * n.n + 5) - t.tt) > 0
+                        THEN floor(
+                          (s.s_stat::DOUBLE
+                           - (CASE WHEN s.s_stat > 0 THEN 1.0
+                                   WHEN s.s_stat < 0 THEN -1.0
+                                   ELSE 0.0 END))
+                          / sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                                  - t.tt)::DOUBLE / 18.0) * 1e6) / 1e6
+                   END AS z_q6
+            FROM n JOIN s USING (user_id) JOIN t USING (user_id)
+        """,
+        "q_cusum": """
+            WITH b AS (
+              SELECT user_id,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     )::INTEGER AS idx,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v_q
+              FROM events
+            ),
+            p AS (
+              SELECT user_id, idx, v_q,
+                     sum(v_q - 25500) OVER (
+                       PARTITION BY user_id ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS pp
+              FROM b
+            ),
+            c AS (
+              SELECT user_id, idx, v_q,
+                     (pp - min(least(pp, 0)) OVER (
+                        PARTITION BY user_id ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ))::BIGINT AS cusum_q
+              FROM p
+            )
+            SELECT user_id, idx, v_q, cusum_q,
+                   cusum_q > 200000 AS alarm
+            FROM c
         """,
         "q_isotonic": """
             WITH sc AS (

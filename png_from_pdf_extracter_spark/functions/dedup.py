@@ -947,6 +947,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     max_dist: int = 2,
     block_len: int = 10,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Fuzzy near-duplicate pairs by Levenshtein distance with prefix
     blocking — the record-linkage workhorse for SHORT strings (names,
@@ -966,12 +967,33 @@ def edit_distance_pairs(
     above the bound) behind an equality shortcut — duplicate-heavy
     domains skip the DP entirely for exact matches.
 
+    Hot-block guard (``max_block``): within a block candidates are
+    QUADRATIC in block size, and unlike shingle DF the block population
+    grows linearly with the corpus — the r4 scale probe measured pair
+    exponent ~2.0 per 10x on a low-cardinality name domain
+    (scripts/scale_probe.py, BENCH.md "Scale probe"). ``max_block``
+    drops blocks with more than that many members BEFORE the join (one
+    count aggregate + a broadcast semi-join on the small surviving-block
+    list). A dropped block is recall loss on exactly the strings too
+    common to be interesting near-dup candidates — same trade as the
+    [[tfidf_cosine_pairs]] ``max_df`` ceiling. ``None`` (default) keeps
+    the exact behavior for oracle-checkable fixtures; at corpus scale
+    set it to the largest block you are willing to pay O(b²) for.
+
     Returns (id1, id2, dist), id1 < id2, dist <= max_dist.
     """
     t = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.col(text_col)).alias("t"),
     ).withColumn("blk", F.substring("t", 1, block_len))
+    if max_block is not None:
+        keep_blk = (
+            t.groupBy("blk")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_block)
+            .select("blk")
+        )
+        t = t.join(F.broadcast(keep_blk), "blk", "left_semi")
     a = t.select(
         F.col("id").alias("id1"), F.col("t").alias("t1"), "blk"
     )
@@ -1134,6 +1156,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     min_sim_ppm: int = 300_000,
     max_df: int = 1000,
+    top_k: int | None = None,
 ) -> DataFrame:
     """All-pairs sparse cosine similarity over TF-IDF weights (APSS —
     the classic inverted-index formulation): candidate pairs and their
@@ -1159,6 +1182,19 @@ def tfidf_cosine_pairs(
     on one key. The trade is standard APSS practice: ubiquitous terms
     carry near-zero idf weight anyway. Returns (id1, id2, dot_q,
     sim_ppm) for pairs at or above ``min_sim_ppm``.
+
+    Output cap (``top_k``, r4 scale probe): the pair table above a
+    FIXED similarity floor is corpus-shape-dependent — on an IID
+    Zipf word-salad the probe measured pair exponent ~2.6 per 10x
+    (scripts/scale_probe.py, BENCH.md "Scale probe"), because
+    mid-frequency terms under the absolute ``max_df`` ceiling keep
+    growing quadratic posting pairs. ``top_k`` keeps only each id1's
+    k most-similar partners (rank window, ties to smaller id2 —
+    Spark plans it as WindowGroupLimit, a partial top-k), bounding
+    the OUTPUT to N*k by construction; candidate generation cost is
+    unchanged, so pair it with a higher ``min_sim_ppm`` when the
+    posting join itself is the bottleneck. ``None`` keeps the exact
+    all-pairs semantics the DuckDB oracle checks.
     """
     if max_df < 2:
         raise ValueError("max_df must be >= 2")
@@ -1232,6 +1268,15 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("sim_ppm") >= F.lit(min_sim_ppm))
     )
+    if top_k is not None:
+        w = Window.partitionBy("id1").orderBy(
+            F.col("sim_ppm").desc(), F.col("id2").asc()
+        )
+        sim = (
+            sim.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top_k)
+            .drop("__r")
+        )
     return sim
 
 

@@ -1186,3 +1186,266 @@ def changepoint_binary_seg(
         return out
     finally:
         base.unpersist()
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group extension of
+    [[mann_whitney_u]]: "did ANY of these cohorts' distributions shift"
+    across an arbitrary number of classes (source buckets, quality
+    tiers, order priorities), where Mann-Whitney only compares two.
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) on midranks, with the
+    standard tie correction H / (1 - sum(t^3-t)/(N^3-N)).
+
+    EXACT cross-engine, same construction discipline as
+    [[mann_whitney_u]]: values integer-quantized; per-(value, class)
+    counts are map-combinable; midranks come from the running count
+    over the DISTINCT-VALUE table (doubled to stay integral: ``r2 =
+    2*c_below + t + 1``); each class's doubled rank sum ``R2_g`` is an
+    exact BIGINT. The float H is then assembled from those exact
+    integers with a FIXED summation order — per-class terms
+    ``(R2_g/2)^2/n_g`` are accumulated by an ordered window over the
+    class key (the [[kaplan_meier]] "stepped" pattern), so both engines
+    add the same doubles left-to-right and agree bit-for-bit before the
+    floor-6dp quantization.
+
+    Plan: one count aggregate keyed by (value, class) — combinable —
+    then windows over the distinct-value table (bounded by value
+    cardinality, never corpus size) and the class table (bounded by
+    class cardinality). No raw-row sort, no join back. Returns one row:
+    (n, k, tie3, h_q6, h_tie_q6); h_tie_q6 is null when every value is
+    identical (the tie term consumes the whole denominator).
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(v.alias("__v"), F.col(class_col).alias("__g")).filter(
+        F.col("__v").isNotNull() & F.col("__g").isNotNull()
+    )
+    vg = base.groupBy("__v", "__g").agg(F.count("*").alias("__c"))
+    # distinct-value table: total count per value + running count below
+    vt = vg.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    below = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    vt = vt.select(
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(below), F.lit(0)).alias("__cb"),
+    )
+    # doubled midrank per value: 2*c_below + t + 1 (integral)
+    ranked = vg.join(vt, "__v").select(
+        "__g",
+        "__c",
+        (2 * F.col("__cb") + F.col("__t") + 1).alias("__r2"),
+        "__t",
+    )
+    per_class = ranked.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__n_g"),
+        F.sum(F.col("__c") * F.col("__r2")).cast("long").alias("__R2"),
+    )
+    # fixed-order float accumulation of (R2/2)^2 / n_g over the class key
+    ordw = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = per_class.select(
+        F.sum(
+            (F.col("__R2").cast("double") / F.lit(2.0))
+            * (F.col("__R2").cast("double") / F.lit(2.0))
+            / F.col("__n_g").cast("double")
+        )
+        .over(ordw)
+        .alias("__s"),
+        F.row_number().over(Window.orderBy("__g")).alias("__rn"),
+        F.count("*").over(full).alias("__k"),
+    )
+    s_final = stepped.filter(F.col("__rn") == F.col("__k")).select(
+        "__s", F.col("__k").cast("long").alias("__kk")
+    )
+    ties = vt.agg(
+        F.sum("__t").cast("long").alias("n"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).cast("long").alias("tie3"),
+    )
+    n = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("__s") / (n * (n + F.lit(1.0)))
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    denom = F.lit(1.0) - F.col("tie3").cast("double") / (
+        n * n * n - n
+    )
+    return (
+        ties.crossJoin(s_final)
+        .select(
+            F.col("n"),
+            F.col("__kk").alias("k"),
+            F.col("tie3"),
+            (F.floor(h * F.lit(1e6)) / F.lit(1e6)).alias("h_q6"),
+            F.when(
+                denom > 0, F.floor(h / denom * F.lit(1e6)) / F.lit(1e6)
+            ).alias("h_tie_q6"),
+        )
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    x_col: str,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Mann-Kendall trend test per group — the non-parametric "is this
+    metric monotonically drifting" companion to [[theil_sen_slope]]
+    (MK decides WHETHER there is a trend, Theil-Sen estimates its
+    size): S = sum over time-ordered pairs of sign(v_j - v_i), with
+    the tie-corrected variance Var(S) = (n(n-1)(2n+5)
+    - sum_t t(t-1)(2t+5)) / 18 and the standard continuity-corrected
+    Z = (S -/+ 1)/sqrt(Var).
+
+    Exactness: values integer-quantized, S and the variance numerator
+    are pure BIGINT sums over the pair/tie tables; the only float is
+    the final Z emit (one sqrt of an exact integer ratio), floor-6dp.
+
+    Plan: pair generation is a self-equi-join on the GROUP key — the
+    bounded-group contract shared with [[theil_sen_slope]] (per-group
+    O(k^2); cap or sample oversized groups upstream). x must order the
+    series uniquely within a group (equal-x pairs are excluded, the MK
+    convention for simultaneous observations). Returns (group...,
+    n, s_stat, var18, z_q6) where var18 = 18*Var(S) as an exact
+    BIGINT and z_q6 is null when the variance is zero.
+    """
+    vq = _quant(F.col(value_col), quantize)
+    xi = F.col(x_col).cast("long")
+    base = df.select(
+        *group_cols, xi.alias("__x"), vq.alias("__v")
+    ).filter(F.col("__x").isNotNull() & F.col("__v").isNotNull())
+    b = base
+    for c in ("__x", "__v"):
+        b = b.withColumnRenamed(c, c + "2")
+    pairs = base.join(b, list(group_cols)).filter(
+        F.col("__x") < F.col("__x2")
+    )
+    s_tab = pairs.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(F.col("__v2") > F.col("__v"), F.lit(1))
+            .when(F.col("__v2") < F.col("__v"), F.lit(-1))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("s_stat")
+    )
+    counts = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tie_tab = (
+        base.groupBy(*group_cols, "__v")
+        .agg(F.count("*").alias("__t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).cast("long").alias("__tt")
+        )
+    )
+    gl = list(group_cols)
+    n = F.col("n")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tt")
+    ).cast("long")
+    out = (
+        counts.join(s_tab, gl)
+        .join(tie_tab, gl)
+        .select(
+            *gl,
+            "n",
+            "s_stat",
+            var18.alias("var18"),
+        )
+    )
+    s = F.col("s_stat").cast("double")
+    v18 = F.col("var18").cast("double")
+    z = F.when(
+        F.col("var18") > 0,
+        (
+            s
+            - F.when(F.col("s_stat") > 0, F.lit(1.0))
+            .when(F.col("s_stat") < 0, F.lit(-1.0))
+            .otherwise(F.lit(0.0))
+        )
+        / F.sqrt(v18 / F.lit(18.0)),
+    )
+    return out.select(
+        *gl,
+        "n",
+        "s_stat",
+        "var18",
+        (F.floor(z * F.lit(1e6)) / F.lit(1e6)).alias("z_q6"),
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    target_q: int,
+    slack_q: int = 0,
+    threshold_q: int | None = None,
+    quantize: int = 2,
+) -> DataFrame:
+    """One-sided upper CUSUM drift monitor per group: the classic
+    recursion ``S_i = max(0, S_{i-1} + x_i - (target + slack))``
+    re-expressed as PURE prefix arithmetic — ``S_i = P_i - min_{j<=i}
+    P_j`` where P is the running sum of quantized deviations — so the
+    whole monitor is two ordered windows over exact BIGINTs, no
+    recursion, no UDF, no float until nothing (the statistic itself
+    stays integral in quantized units).
+
+    ``target_q``/``slack_q``/``threshold_q`` are given ALREADY
+    QUANTIZED (units of 10^-quantize), keeping the contract integral
+    end-to-end: alarm rows are those with ``cusum_q > threshold_q``
+    (no alarm column when threshold_q is None). The first-alarm index
+    per group is what a drift postmortem reads
+    ([[changepoint_single]] localizes it after the fact; CUSUM is the
+    ONLINE detector you'd run in the streaming twin).
+
+    Returns one row per input row: (group..., idx, v_q, cusum_q[,
+    alarm]) with 1-based idx in the stable order.
+    """
+    vq = _quant(F.col(value_col), quantize)
+    ow = [F.col(c).asc() for c in order_cols]
+    w_ord = Window.partitionBy(*group_cols).orderBy(*ow)
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = vq - F.lit(int(target_q) + int(slack_q))
+    base = df.select(
+        *group_cols,
+        F.row_number().over(w_ord).alias("idx"),
+        vq.alias("v_q"),
+        F.sum(dev).over(run).alias("__p"),
+    )
+    prior_min = F.min(
+        F.least(F.col("__p"), F.lit(0))
+    ).over(
+        Window.partitionBy(*group_cols)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.select(
+        *group_cols,
+        "idx",
+        "v_q",
+        (F.col("__p") - prior_min).cast("long").alias("cusum_q"),
+    )
+    if threshold_q is not None:
+        out = out.withColumn(
+            "alarm", (F.col("cusum_q") > F.lit(int(threshold_q)))
+        )
+    return out

@@ -147,6 +147,27 @@ def test_edit_distance_pairs_blocked(spark):
     assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
 
 
+def test_edit_distance_max_block_drops_hot_blocks_only(spark):
+    """The r4 scale-probe guard: within-block candidates are quadratic
+    and block population grows with the corpus, so ``max_block`` must
+    drop oversize blocks BEFORE the join while leaving small blocks'
+    pairs bit-identical to the ungated run."""
+    from png_from_pdf_extracter_spark.functions import dedup
+
+    hot = [(i, "widget red") for i in range(10)]  # one 10-member block
+    cold = [(100, "gizmo blue"), (101, "gizmo blux"), (102, "sprocket")]
+    d = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    ungated = dedup.edit_distance_pairs(
+        d, "doc_id", "text", max_dist=2, block_len=5
+    )
+    gated = dedup.edit_distance_pairs(
+        d, "doc_id", "text", max_dist=2, block_len=5, max_block=5
+    )
+    assert ungated.count() == 45 + 1  # C(10,2) hot + the gizmo pair
+    got = {(r["id1"], r["id2"]): r["dist"] for r in gated.collect()}
+    assert got == {(100, 101): 1}  # hot block gone, cold pair intact
+
+
 def test_hits_star_graph_closed_form(spark):
     """Star graph center->leaf_i (3 leaves), 2 iterations, unnormalized:
     a1(leaf)=1, h1(center)=3, a2(leaf)=3, h2(center)=9."""

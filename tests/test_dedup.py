@@ -587,6 +587,40 @@ def test_tfidf_cosine_max_df_guard_drops_hot_terms(spark):
         tfidf_cosine_pairs(df, max_df=1)
 
 
+def test_tfidf_cosine_top_k_caps_per_doc_and_keeps_best(spark):
+    # doc 1 pairs with 2, 3 and 4; top_k=1 keeps only its single most
+    # similar partner, and every kept row is identical (same sim_ppm)
+    # to the ungated run's row for that pair — the cap is a rank
+    # filter, never a re-score
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # sim 1.0 with doc 1
+            (3, "alpha beta gamma zeta"),
+            (4, "alpha beta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id1"], r["id2"]): r["sim_ppm"]
+        for r in tfidf_cosine_pairs(df, min_sim_ppm=0, max_df=10).collect()
+    }
+    capped = tfidf_cosine_pairs(
+        df, min_sim_ppm=0, max_df=10, top_k=1
+    ).collect()
+    per_id1 = {}
+    for r in capped:
+        per_id1.setdefault(r["id1"], []).append(r)
+    assert all(len(v) == 1 for v in per_id1.values())
+    # doc 1's best partner is its exact copy, doc 2
+    assert per_id1[1][0]["id2"] == 2
+    for r in capped:
+        assert full[(r["id1"], r["id2"])] == r["sim_ppm"]
+        # and it really is id1's max similarity
+        best = max(v for (a, _), v in full.items() if a == r["id1"])
+        assert r["sim_ppm"] == best
+
+
 # ---- apply_dedup_best ----
 
 from png_from_pdf_extracter_spark.functions.dedup import (  # noqa: E402

@@ -626,3 +626,178 @@ def test_gini_scoped_matches_per_scope_unscoped(spark):
         assert scoped[lang]["gini_ppm"] == solo["gini_ppm"]
         assert scoped[lang]["hhi_ppm"] == solo["hhi_ppm"]
     assert scoped["de"]["gini_ppm"] == 0
+
+
+# ---- kruskal_wallis ----
+
+
+def test_kruskal_wallis_two_group_closed_form(spark):
+    # a=[1,2], b=[3,4]: ranks 1..4, R_a=3, R_b=7
+    # H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4; no ties -> same corrected
+    from png_from_pdf_extracter_spark.functions.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(df, "v", "g", quantize=0).collect()[0]
+    assert (r["n"], r["k"], r["tie3"]) == (4, 2, 0)
+    # floor-6dp of the IEEE double (12*29/20-15 = 2.3999999999999986):
+    # the convention is deterministic quantization, not pretty decimals
+    import math
+
+    want = math.floor((12.0 * 29.0 / 20.0 - 15.0) * 1e6) / 1e6
+    assert r["h_q6"] == want == 2.399999
+    assert r["h_tie_q6"] == want
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    # a=[1,1], b=[2,2]: midranks 1.5,1.5,3.5,3.5 -> H=2.4;
+    # tie3 = 2*(8-2) = 12, C = 1 - 12/60 = 0.8 -> H/C = 3.0
+    from png_from_pdf_extracter_spark.functions.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(df, "v", "g", quantize=0).collect()[0]
+    assert r["tie3"] == 12
+    import math
+
+    h = 12.0 * 29.0 / 20.0 - 15.0
+    assert r["h_q6"] == math.floor(h * 1e6) / 1e6
+    assert r["h_tie_q6"] == math.floor(h / (1.0 - 12.0 / 60.0) * 1e6) / 1e6
+
+
+def test_kruskal_wallis_degenerate_all_equal(spark):
+    # every value identical: the tie term eats the whole denominator
+    from png_from_pdf_extracter_spark.functions.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "g string, v double"
+    )
+    r = kruskal_wallis(df, "v", "g", quantize=0).collect()[0]
+    assert r["h_tie_q6"] is None
+
+
+def test_kruskal_wallis_matches_two_group_mann_whitney_family(spark):
+    # k=2 KW is the square of the normalized MW statistic family —
+    # spot-check against a scipy-verified constant on a fixed sample
+    from png_from_pdf_extracter_spark.functions.stats import kruskal_wallis
+
+    rows = [("a", float(v)) for v in (1, 3, 5, 7, 9)] + [
+        ("b", float(v)) for v in (2, 4, 6, 8, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g", quantize=0).collect()[0]
+    # R_a=25, R_b=30 over ranks 1..10: H = 12/110*(125+180) - 33
+    # = 0.27272... (scipy.stats.kruskal agrees); mirror the float ops
+    import math
+
+    h = 12.0 * (125.0 + 180.0) / (10.0 * 11.0) - 33.0
+    assert r["h_q6"] == math.floor(h * 1e6) / 1e6
+    assert abs(r["h_q6"] - 0.272727) < 2e-6
+
+
+# ---- mann_kendall ----
+
+
+def test_mann_kendall_strictly_increasing(spark):
+    # v = 1..4 over x = 1..4: S = 6, var18 = 4*3*13 = 156,
+    # z = (6-1)/sqrt(156/18) = 1.698415...
+    from png_from_pdf_extracter_spark.functions.stats import mann_kendall
+
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(1, 5)],
+        "g string, x long, v double",
+    )
+    r = mann_kendall(df, ("g",), "x", "v", quantize=0).collect()[0]
+    assert (r["n"], r["s_stat"], r["var18"]) == (4, 6, 156)
+    import math
+
+    expect = math.floor((5.0 / math.sqrt(156.0 / 18.0)) * 1e6) / 1e6
+    assert r["z_q6"] == expect
+
+
+def test_mann_kendall_ties_and_sign(spark):
+    # v=[1,1,2,2]: S=4, tie term 36, var18=120; decreasing mirror
+    # flips the sign exactly
+    from png_from_pdf_extracter_spark.functions.stats import mann_kendall
+
+    up = spark.createDataFrame(
+        [("u", 1, 1.0), ("u", 2, 1.0), ("u", 3, 2.0), ("u", 4, 2.0)],
+        "g string, x long, v double",
+    )
+    r = mann_kendall(up, ("g",), "x", "v", quantize=0).collect()[0]
+    assert (r["s_stat"], r["var18"]) == (4, 120)
+    down = spark.createDataFrame(
+        [("u", 1, 2.0), ("u", 2, 2.0), ("u", 3, 1.0), ("u", 4, 1.0)],
+        "g string, x long, v double",
+    )
+    r2 = mann_kendall(down, ("g",), "x", "v", quantize=0).collect()[0]
+    assert r2["s_stat"] == -4 and r2["var18"] == 120
+    assert r2["z_q6"] is not None and r["z_q6"] is not None
+
+
+def test_mann_kendall_constant_series_zero_variance_of_sign(spark):
+    # all values equal: S=0 and the tie term removes ALL variance ->
+    # z is null, not a division blowup
+    from png_from_pdf_extracter_spark.functions.stats import mann_kendall
+
+    df = spark.createDataFrame(
+        [("u", i, 7.0) for i in range(1, 5)],
+        "g string, x long, v double",
+    )
+    r = mann_kendall(df, ("g",), "x", "v", quantize=0).collect()[0]
+    assert r["s_stat"] == 0 and r["var18"] == 0 and r["z_q6"] is None
+
+
+# ---- cusum_drift ----
+
+
+def test_cusum_prefix_form_equals_recursion(spark):
+    # hand recursion for [5,5,9,9,2] target 5: S = [0,0,4,8,5]
+    from png_from_pdf_extracter_spark.functions.stats import cusum_drift
+
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate([5, 5, 9, 9, 2], 1)],
+        "g string, t long, v double",
+    )
+    out = cusum_drift(
+        df, ("g",), ("t",), "v", target_q=5, quantize=0, threshold_q=6
+    ).orderBy("idx").collect()
+    assert [r["cusum_q"] for r in out] == [0, 0, 4, 8, 5]
+    assert [r["alarm"] for r in out] == [False, False, False, True, False]
+
+
+def test_cusum_negative_start_clamps_at_zero(spark):
+    # [2,9] target 5: recursion S1=max(0,-3)=0, S2=max(0,0+4)=4
+    from png_from_pdf_extracter_spark.functions.stats import cusum_drift
+
+    df = spark.createDataFrame(
+        [("u", 1, 2.0), ("u", 2, 9.0)], "g string, t long, v double"
+    )
+    out = cusum_drift(
+        df, ("g",), ("t",), "v", target_q=5, quantize=0
+    ).orderBy("idx").collect()
+    assert [r["cusum_q"] for r in out] == [0, 4]
+    assert "alarm" not in out[0].asDict()
+
+
+def test_cusum_matches_recursion_on_random_walk(spark):
+    # brute-force the recursion on a deterministic pseudo-random series
+    from png_from_pdf_extracter_spark.functions.stats import cusum_drift
+
+    vals = [((i * 37 + 11) % 13) - 6 for i in range(40)]  # in [-6, 6]
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate(vals, 1)],
+        "g string, t long, v double",
+    )
+    out = cusum_drift(
+        df, ("g",), ("t",), "v", target_q=0, slack_q=1, quantize=0
+    ).orderBy("idx").collect()
+    s, want = 0, []
+    for v in vals:
+        s = max(0, s + v - 1)
+        want.append(s)
+    assert [r["cusum_q"] for r in out] == want
