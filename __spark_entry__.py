@@ -4193,6 +4193,68 @@ def _q_cusum(spark, sf_dir):
     )
 
 
+def _q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control per event_type battery
+    (functions/stats.py bh_fdr): the multiple-testing step over a
+    battery of p-values. The synthetic corpus carries no real
+    hypothesis battery, so each event contributes a deterministic
+    uniform p derived from md5(event_id) — the q_pii_scrub framing:
+    derived inputs exercise the REAL plan (range-frame tied ranks,
+    integer BH condition, full-frame threshold) end to end."""
+    from png_from_pdf_extracter_spark.functions.stats import bh_fdr
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("event_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(1_000_000)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+    return bh_fdr(ev, "p", group_cols=("event_type",))
+
+
+def _q_winsorize_exact(spark, sf_dir):
+    """Group-wise winsorization of event value into the [5%, 95%]
+    band per event_type (functions/stats.py winsorize) — the
+    EXACT-quantile, per-row twin of q_winsorize (which uses
+    interpolated percentile() and emits a rollup): lower quantiles by
+    the integer reach test over the per-group distinct-value table,
+    group-keyed threshold join back, clamp + flag on every row."""
+    from png_from_pdf_extracter_spark.functions.stats import winsorize
+
+    ev = _read(spark, sf_dir, "events")
+    return winsorize(
+        ev,
+        "value",
+        ("event_type",),
+        lo_num=5,
+        lo_den=100,
+        hi_num=95,
+        hi_den=100,
+        quantize=2,
+    )
+
+
+def _q_keyness(spark, sf_dir):
+    """Dunning G2 keyness of English documents vs the rest
+    (functions/lm.py keyness_g2): which words characterize the focus
+    corpus — BIGINT token counts, one broadcast totals row, one float
+    G2 expression per term mirrored verbatim in the oracle."""
+    from png_from_pdf_extracter_spark.functions.lm import keyness_g2
+
+    d = _read(spark, sf_dir, "documents")
+    return keyness_g2(d, "lang", "en", min_count=5, top_k=100)
+
+
 def _q_isotonic(spark, sf_dir):
     """Isotonic calibration of the hashed linear quality score vs the
     lang='en' label (evalmetrics.isotonic_calibrate): binned PAVA with
@@ -4639,6 +4701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kruskal_wallis": _q_kruskal_wallis,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
+        "q_bh_fdr": _q_bh_fdr,
+        "q_winsorize_exact": _q_winsorize_exact,
+        "q_keyness": _q_keyness,
         "q_quantile_norm": _q_quantile_norm,
         "q_chi2_indep": _q_chi2_indep,
         "q_cooccur_lift": _q_cooccur_lift,
@@ -8982,6 +9047,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, idx, v_q, cusum_q,
                    cusum_q > 200000 AS alarm
             FROM c
+        """,
+        "q_bh_fdr": """
+            WITH p AS (
+              SELECT event_type AS g,
+                     CAST(concat('0x', substr(
+                       md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS pq
+              FROM events
+            ),
+            k AS (
+              SELECT g, pq,
+                     count(*) OVER (
+                       PARTITION BY g ORDER BY pq
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS k_le,
+                     count(*) OVER (PARTITION BY g) AS m
+              FROM p
+            ),
+            c AS (
+              SELECT g, pq, k_le, m,
+                     max(CASE WHEN pq * m * 100 <= k_le * 5 * 1000000
+                              THEN pq END) OVER (PARTITION BY g) AS thr
+              FROM k
+            )
+            SELECT g AS event_type, pq AS p_q,
+                   k_le::BIGINT AS k_le, m::BIGINT AS m,
+                   (thr IS NOT NULL AND pq <= thr) AS reject
+            FROM c
+        """,
+        "q_winsorize_exact": """
+            WITH b AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v_q
+              FROM events
+            ),
+            cnt AS (
+              SELECT g, v_q, count(*)::BIGINT AS c FROM b GROUP BY g, v_q
+            ),
+            cum AS (
+              SELECT g, v_q, c,
+                     sum(c) OVER (
+                       PARTITION BY g ORDER BY v_q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     sum(c) OVER (PARTITION BY g) AS n
+              FROM cnt
+            ),
+            lo AS (
+              SELECT g, min(v_q) AS lo FROM cum
+              WHERE cum * 100 >= n * 5 GROUP BY g
+            ),
+            hi AS (
+              SELECT g, min(v_q) AS hi FROM cum
+              WHERE cum * 100 >= n * 95 GROUP BY g
+            )
+            SELECT b.g AS event_type, b.v_q,
+                   greatest(least(b.v_q, hi.hi), lo.lo)::BIGINT AS v_wins,
+                   (b.v_q < lo.lo OR b.v_q > hi.hi) AS clamped
+            FROM b JOIN lo ON b.g = lo.g JOIN hi ON b.g = hi.g
+        """,
+        "q_keyness": """
+            WITH terms AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            wc AS (
+              SELECT word, sum(in_a)::BIGINT AS a,
+                     sum(1 - in_a)::BIGINT AS b
+              FROM terms GROUP BY word
+            ),
+            tot AS (
+              SELECT sum(in_a)::BIGINT AS na,
+                     sum(1 - in_a)::BIGINT AS nb
+              FROM terms
+            )
+            SELECT word, a, b,
+                   floor(2.0 * (
+                     (CASE WHEN a > 0 THEN a::DOUBLE * ln(
+                        a::DOUBLE / (na::DOUBLE
+                          * (a::DOUBLE + b::DOUBLE)
+                          / (na::DOUBLE + nb::DOUBLE)))
+                      ELSE 0.0 END)
+                     + (CASE WHEN b > 0 THEN b::DOUBLE * ln(
+                        b::DOUBLE / (nb::DOUBLE
+                          * (a::DOUBLE + b::DOUBLE)
+                          / (na::DOUBLE + nb::DOUBLE)))
+                      ELSE 0.0 END)
+                   ) * 10000) / 10000 AS g2_q,
+                   (CASE WHEN a::DOUBLE * nb::DOUBLE
+                              > b::DOUBLE * na::DOUBLE THEN 1
+                         WHEN a::DOUBLE * nb::DOUBLE
+                              < b::DOUBLE * na::DOUBLE THEN -1
+                         ELSE 0 END)::INTEGER AS direction
+            FROM wc, tot
+            WHERE a + b >= 5
+            ORDER BY g2_q DESC, word
+            LIMIT 100
         """,
         "q_isotonic": """
             WITH sc AS (

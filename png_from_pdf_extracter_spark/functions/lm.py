@@ -728,3 +728,75 @@ def kn_bigram_perplexity(
             F.round(F.exp(nll), 1).alias("ppl"),
         )
     )
+
+
+def keyness_g2(
+    docs: DataFrame,
+    class_col: str,
+    focus_class: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Dunning log-likelihood (G²) keyness — WHICH terms characterize
+    the focus corpus against the rest (Rayson & Garside's corpus-
+    comparison statistic, the standard "what makes this domain's
+    language different" reading for training-mix analysis). The
+    log-likelihood sibling of [[chi2_terms]]: chi2 over-rejects on
+    low-count terms, G² stays calibrated there — exactly the regime a
+    long-tail vocabulary lives in.
+
+    Two-cell form over token counts: ``G² = 2*(a*ln(a/Ea) + b*ln(b/Eb))``
+    with ``a``/``b`` the term's tokens in focus/reference, ``Ea =
+    Na*(a+b)/(Na+Nb)``; a zero cell contributes 0 (the x*ln(x) limit).
+    All margins are exact BIGINTs from two map-combinable counts plus
+    one broadcast totals row; the float G² is ONE expression per term
+    row written identically in the DuckDB oracle, floor-4dp. Sign:
+    ``direction`` +1 when the term is OVER-represented in the focus
+    corpus, -1 under.
+
+    Returns (word, a, b, g2_q, direction) ordered by g2_q desc,
+    (word) tie-break, limited to ``top_k``.
+    """
+    terms = docs.select(
+        F.when(F.col(class_col) == focus_class, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+        F.explode(_tokens(text_col)).alias("word"),
+    )
+    wc = terms.groupBy("word").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+    )
+    tot = F.broadcast(
+        terms.agg(
+            F.sum("in_a").cast("long").alias("na"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("nb"),
+        )
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ea = na * (a + b) / (na + nb)
+    eb = nb * (a + b) / (na + nb)
+    term_a = F.when(F.col("a") > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b") > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    g2 = F.lit(2.0) * (term_a + term_b)
+    return (
+        wc.filter(F.col("a") + F.col("b") >= min_count)
+        .crossJoin(tot)
+        .select(
+            "word",
+            "a",
+            "b",
+            (F.floor(g2 * F.lit(10000)) / F.lit(10000)).alias("g2_q"),
+            F.when(a * nb > b * na, F.lit(1))
+            .when(a * nb < b * na, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("direction"),
+        )
+        .orderBy(F.desc("g2_q"), "word")
+        .limit(top_k)
+    )

@@ -1449,3 +1449,121 @@ def cusum_drift(
             "alarm", (F.col("cusum_q") > F.lit(int(threshold_q)))
         )
     return out
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    group_cols: tuple[str, ...] = (),
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    quantize: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of p-values — the
+    multiple-testing step every fleet of per-group tests in this
+    registry (Mann-Whitney per cohort, chi² per term, MK per user)
+    needs before anyone acts on "significant": find the largest rank k
+    with ``p_(k) <= (k/m) * alpha`` and reject everything at or below
+    that p.
+
+    INTEGER-EXACT end-to-end: p is quantized to ``10^quantize`` units
+    and alpha given as the rational ``alpha_num/alpha_den``, so the BH
+    condition becomes ``pq * m * alpha_den <= k * alpha_num *
+    10^quantize`` — BIGINT on both sides, zero float comparisons (the
+    [[weighted_quantile]] reach-test discipline). Ties in p share a
+    fate automatically: k is each row's count of values <= its own
+    (a RANGE-frame window), which for tied rows is the LARGEST tied
+    rank — the standard BH convention.
+
+    Plan: one RANGE cumulative count + one full-frame max per group —
+    two windows on the group exchange, no join back, no sort of
+    anything but the in-group p order. Returns the group columns plus
+    (p_q, k_le, m, reject).
+    """
+    pq = _quant(F.col(p_col), quantize)
+    gw = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    )
+    rng = gw.orderBy("p_q").rangeBetween(Window.unboundedPreceding, 0)
+    full = gw.orderBy("p_q").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scale = 10**quantize
+    base = df.select(*group_cols, pq.alias("p_q")).withColumn(
+        "k_le", F.count("*").over(rng)
+    ).withColumn("m", F.count("*").over(full))
+    cand = F.when(
+        F.col("p_q") * F.col("m") * F.lit(int(alpha_den))
+        <= F.col("k_le") * F.lit(int(alpha_num)) * F.lit(scale),
+        F.col("p_q"),
+    )
+    thr = F.max(cand).over(full)
+    return base.select(
+        *group_cols,
+        "p_q",
+        F.col("k_le").cast("long").alias("k_le"),
+        F.col("m").cast("long").alias("m"),
+        (thr.isNotNull() & (F.col("p_q") <= thr)).alias("reject"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    lo_num: int = 5,
+    lo_den: int = 100,
+    hi_num: int = 95,
+    hi_den: int = 100,
+    quantize: int = 2,
+) -> DataFrame:
+    """Group-wise winsorization — clamp each value into the group's
+    [lo, hi] quantile band and flag what was clamped: the robust
+    outlier treatment a metrics pipeline applies before means/trends
+    (medians shrug outliers off; means need the tails tamed).
+
+    Quantile thresholds are the EXACT lower quantiles by the
+    [[weighted_quantile]] integer reach test over the per-group
+    distinct-value table (``cum * den >= n * num`` — no float
+    percentile, no interpolation): cross-engine reproducible and
+    scale-safe (windows bounded by per-group VALUE CARDINALITY, and
+    the threshold join back to rows is group-keyed). Returns the
+    group columns plus (v_q, v_wins, clamped) in quantized units.
+    """
+    vq = _quant(F.col(value_col), quantize)
+    gl = list(group_cols)
+    base = df.select(*gl, vq.alias("v_q"))
+    cnt = base.groupBy(*gl, "v_q").agg(F.count("*").alias("__c"))
+    cum_w = (
+        Window.partitionBy(*gl) if gl else Window.partitionBy()
+    ).orderBy("v_q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cnt.withColumn("__cum", F.sum("__c").over(cum_w)).withColumn(
+        "__n",
+        F.sum("__c").over(
+            (Window.partitionBy(*gl) if gl else Window.partitionBy())
+            .orderBy("v_q")
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    lo = cum.filter(
+        F.col("__cum") * F.lit(int(lo_den)) >= F.col("__n") * F.lit(int(lo_num))
+    ).groupBy(*gl).agg(F.min("v_q").alias("__lo"))
+    hi = cum.filter(
+        F.col("__cum") * F.lit(int(hi_den)) >= F.col("__n") * F.lit(int(hi_num))
+    ).groupBy(*gl).agg(F.min("v_q").alias("__hi"))
+    if gl:
+        joined = base.join(lo, gl).join(hi, gl)
+    else:
+        joined = base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    return joined.select(
+        *gl,
+        "v_q",
+        F.greatest(
+            F.least(F.col("v_q"), F.col("__hi")), F.col("__lo")
+        ).alias("v_wins"),
+        (
+            (F.col("v_q") < F.col("__lo")) | (F.col("v_q") > F.col("__hi"))
+        ).alias("clamped"),
+    )

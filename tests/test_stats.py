@@ -801,3 +801,152 @@ def test_cusum_matches_recursion_on_random_walk(spark):
         s = max(0, s + v - 1)
         want.append(s)
     assert [r["cusum_q"] for r in out] == want
+
+
+# ---- bh_fdr ----
+
+
+def test_bh_fdr_textbook_battery(spark):
+    # p=[.01,.02,.03,.5], m=4, alpha=.05: thresholds k/m*alpha are
+    # .0125/.025/.0375/.05 -> k*=3, reject the three smallest
+    from png_from_pdf_extracter_spark.functions.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.03,), (0.5,)], "p double"
+    )
+    out = bh_fdr(df, "p").orderBy("p_q").collect()
+    assert [r["reject"] for r in out] == [True, True, True, False]
+    assert [r["k_le"] for r in out] == [1, 2, 3, 4]
+    assert all(r["m"] == 4 for r in out)
+
+
+def test_bh_fdr_ties_share_the_largest_rank(spark):
+    # four identical p=.04: the BH convention uses the LARGEST tied
+    # rank, so .04 <= (4/4)*.05 and ALL are rejected (a row_number
+    # formulation would wrongly reject none at rank 1)
+    from png_from_pdf_extracter_spark.functions.stats import bh_fdr
+
+    df = spark.createDataFrame([(0.04,)] * 4, "p double")
+    out = bh_fdr(df, "p").collect()
+    assert all(r["reject"] for r in out)
+    assert all(r["k_le"] == 4 for r in out)
+
+
+def test_bh_fdr_nothing_clears_and_grouped_batteries(spark):
+    from png_from_pdf_extracter_spark.functions.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.9), ("a", 0.8), ("b", 0.001), ("b", 0.9)],
+        "g string, p double",
+    )
+    out = {
+        (r["g"], r["p_q"]): r["reject"]
+        for r in bh_fdr(df, "p", group_cols=("g",)).collect()
+    }
+    # group a: nothing rejected; group b: only the tiny p
+    assert out[("a", 900000)] is False and out[("a", 800000)] is False
+    assert out[("b", 1000)] is True and out[("b", 900000)] is False
+
+
+# ---- winsorize ----
+
+
+def test_winsorize_clamps_tails_exact_quantiles(spark):
+    # values 1..10, [20%, 80%] band: lo=2 (cum 2 reaches 10*0.2),
+    # hi=8 (cum 8 reaches 10*0.8); 1 clamps up, 9 and 10 clamp down
+    from png_from_pdf_extracter_spark.functions.stats import winsorize
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)], "v double"
+    )
+    out = winsorize(
+        df, "v", lo_num=20, lo_den=100, hi_num=80, hi_den=100, quantize=0
+    ).orderBy("v_q").collect()
+    assert [r["v_wins"] for r in out] == [2, 2, 3, 4, 5, 6, 7, 8, 8, 8]
+    assert [r["clamped"] for r in out] == (
+        [True] + [False] * 7 + [True, True]
+    )
+
+
+def test_winsorize_per_group_thresholds_independent(spark):
+    from png_from_pdf_extracter_spark.functions.stats import winsorize
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 100)] + [
+        ("b", float(v)) for v in (10, 20, 30, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["v_q"]): (r["v_wins"], r["clamped"])
+        for r in winsorize(
+            df, "v", ("g",), lo_num=25, lo_den=100,
+            hi_num=75, hi_den=100, quantize=0,
+        ).collect()
+    }
+    # group a: lo=1 (cum 1 >= 1), hi=3 (cum 3 >= 3); 100 clamps to 3
+    assert out[("a", 100)] == (3, True)
+    assert out[("a", 2)] == (2, False)
+    # group b: lo=10, hi=30; 40 clamps to 30
+    assert out[("b", 40)] == (30, True)
+    assert out[("b", 20)] == (20, False)
+
+
+# ---- keyness_g2 (functions/lm.py) ----
+
+
+def test_keyness_g2_closed_form_and_direction(spark):
+    # focus "x x y" vs reference "x y y y": for x, a=2 b=1 Na=3 Nb=4,
+    # G2 = 2*(2*ln(2/(3*3/7)) + 1*ln(1/(4*3/7)))
+    import math
+
+    from png_from_pdf_extracter_spark.functions.lm import keyness_g2
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "x y y y")], "cls string, text string"
+    )
+    out = {
+        r["word"]: r
+        for r in keyness_g2(
+            df, "cls", "A", min_count=1, top_k=10
+        ).collect()
+    }
+    rx = out["x"]
+    assert (rx["a"], rx["b"]) == (2, 1)
+    g2 = 2.0 * (
+        2.0 * math.log(2.0 / (3.0 * 3.0 / 7.0))
+        + 1.0 * math.log(1.0 / (4.0 * 3.0 / 7.0))
+    )
+    assert rx["g2_q"] == math.floor(g2 * 10000) / 10000
+    assert rx["direction"] == 1  # over-represented in focus
+    assert out["y"]["direction"] == -1
+
+
+def test_keyness_g2_zero_cell_contributes_zero(spark):
+    # 'z' appears only in the focus corpus: the b*ln(b/Eb) term is the
+    # x*ln(x) limit 0, never a NaN/-inf
+    import math
+
+    from png_from_pdf_extracter_spark.functions.lm import keyness_g2
+
+    df = spark.createDataFrame(
+        [("A", "z z z"), ("B", "w w w")], "cls string, text string"
+    )
+    out = {
+        r["word"]: r
+        for r in keyness_g2(df, "cls", "A", min_count=1).collect()
+    }
+    rz = out["z"]
+    assert rz["b"] == 0 and rz["direction"] == 1
+    g2 = 2.0 * (3.0 * math.log(3.0 / (3.0 * 3.0 / 6.0)))
+    assert rz["g2_q"] == math.floor(g2 * 10000) / 10000
+    assert math.isfinite(rz["g2_q"])
+
+
+def test_keyness_g2_equal_share_scores_zero(spark):
+    # identical distribution in both corpora: G2 = 0, direction 0
+    from png_from_pdf_extracter_spark.functions.lm import keyness_g2
+
+    df = spark.createDataFrame(
+        [("A", "x y"), ("B", "x y")], "cls string, text string"
+    )
+    for r in keyness_g2(df, "cls", "A", min_count=1).collect():
+        assert r["g2_q"] == 0.0 and r["direction"] == 0
