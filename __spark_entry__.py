@@ -4255,6 +4255,36 @@ def _q_keyness(spark, sf_dir):
     return keyness_g2(d, "lang", "en", min_count=5, top_k=100)
 
 
+def _q_ngram_commonness(spark, sf_dir):
+    """Per-doc trigram commonness / boilerplate score
+    (functions/curate.py ngram_commonness): share of each document's
+    distinct trigrams appearing in >= 5 docs — integer-exact, one
+    shingle-keyed join, one doc rollup; the same shingle CTE as the
+    Jaccard family oracles."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        ngram_commonness,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return ngram_commonness(d, n=3, common_df=5)
+
+
+def _q_kappa_langid(spark, sf_dir):
+    """Cohen's kappa between the lang-ID heuristic and the stored lang
+    label (functions/evalmetrics.py cohens_kappa) — chance-corrected
+    agreement, the honesty check behind the heuristic's raw accuracy:
+    exact BIGINT margins, one float division."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        cohens_kappa,
+    )
+    from png_from_pdf_extracter_spark.functions.text import lang_id
+
+    d = _read(spark, sf_dir, "documents").select(
+        "lang", lang_id("text").alias("pred")
+    )
+    return cohens_kappa(d, "lang", "pred")
+
+
 def _q_isotonic(spark, sf_dir):
     """Isotonic calibration of the hashed linear quality score vs the
     lang='en' label (evalmetrics.isotonic_calibrate): binned PAVA with
@@ -4704,6 +4734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bh_fdr": _q_bh_fdr,
         "q_winsorize_exact": _q_winsorize_exact,
         "q_keyness": _q_keyness,
+        "q_ngram_commonness": _q_ngram_commonness,
+        "q_kappa_langid": _q_kappa_langid,
         "q_quantile_norm": _q_quantile_norm,
         "q_chi2_indep": _q_chi2_indep,
         "q_cooccur_lift": _q_cooccur_lift,
@@ -9147,6 +9179,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE a + b >= 5
             ORDER BY g2_q DESC, word
             LIMIT 100
+        """,
+        "q_ngram_commonness": f"""
+            WITH {_SHINGLES_CTE},
+            dfreq AS (
+              SELECT shingle, count(*)::BIGINT AS df
+              FROM sh GROUP BY shingle
+            )
+            SELECT sh.id AS doc_id,
+                   count(*)::BIGINT AS n_shingles,
+                   sum((df >= 5)::INTEGER)::BIGINT AS n_common,
+                   floor(sum((df >= 5)::INTEGER) * 1000000.0
+                         / count(*))::BIGINT AS common_ppm
+            FROM sh JOIN dfreq USING (shingle)
+            GROUP BY sh.id
+        """,
+        "q_kappa_langid": f"""
+            WITH p AS (
+              SELECT lang AS a, {_LANG_CASE} AS b FROM documents
+            ),
+            na AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum((a = b)::INTEGER)::BIGINT AS agree
+              FROM p
+            ),
+            ma AS (SELECT a, count(*)::BIGINT AS ra FROM p GROUP BY a),
+            mb AS (
+              SELECT b AS a, count(*)::BIGINT AS rb FROM p GROUP BY b
+            ),
+            cx AS (
+              SELECT coalesce(sum(ra * rb), 0)::BIGINT AS chance_x
+              FROM ma JOIN mb USING (a)
+            )
+            SELECT n, agree, chance_x,
+                   CASE WHEN n * n <> chance_x THEN
+                     floor((n * agree - chance_x)::DOUBLE
+                           / (n * n - chance_x)::DOUBLE * 1e6) / 1e6
+                   END AS kappa_q6
+            FROM na, cx
         """,
         "q_isotonic": """
             WITH sc AS (

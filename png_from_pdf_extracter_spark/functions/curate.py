@@ -896,3 +896,58 @@ def negative_sample(
             F.col("__slot").cast("int").alias("slot"),
         )
     )
+
+
+def ngram_commonness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    common_df: int = 5,
+) -> DataFrame:
+    """Per-document n-gram commonness — the boilerplate / template-risk
+    score: the share of a document's DISTINCT word n-grams that appear
+    in at least ``common_df`` documents corpus-wide. High commonness
+    marks templated/boilerplate pages (navigation chrome, legal
+    footers, scraped mirrors) that [[exact_dedup]] misses because the
+    documents differ SOMEWHERE; its complement is a novelty score for
+    sampling toward fresh content.
+
+    Integer-exact end-to-end: shingles via [[dedup.word_shingles]]
+    (distinct per doc, so the shingle's row count IS its document
+    frequency — one combinable count), the per-doc rollup is two BIGINT
+    counts, and ``common_ppm = floor(n_common * 1e6 / n_shingles)``
+    (exact: the products stay far below 2^53). Docs with fewer than
+    ``n`` words carry no shingles and drop out — the caller's length
+    gate (Gopher min-words) runs first in any real pipeline.
+
+    Plan: one shuffle to distinct the (doc, shingle) pairs, one
+    combinable DF count keyed by shingle, one shingle-keyed join back
+    (both sides shingle-partitioned — co-located), one doc-keyed
+    rollup. No window, no collect. Returns (id, n_shingles, n_common,
+    common_ppm).
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, id_col, text_col, n=n, distinct=True)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("__df")
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("__df") >= F.lit(int(common_df))).cast("long")
+            ).alias("n_common"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_common",
+            F.floor(
+                F.col("n_common") * F.lit(1_000_000) / F.col("n_shingles")
+            ).cast("long").alias("common_ppm"),
+        )
+    )

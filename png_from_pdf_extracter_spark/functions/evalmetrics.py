@@ -442,3 +442,56 @@ def isotonic_calibrate(
     return spark.createDataFrame(
         out, "bin int, n long, pos long, fit_ppm long"
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelers (heuristic vs gold, two annotators, model vs
+    model): the honesty check behind every "our classifier agrees with
+    the labels 90% of the time" claim when the label marginals are
+    skewed enough that chance alone agrees 85%.
+
+    INTEGER-EXACT assembly: with N rows, ``agree`` the diagonal count
+    and ``chance_x = sum_k rowmargin_k * colmargin_k``, kappa is the
+    single rational ``(N*agree - chance_x) / (N*N - chance_x)`` — three
+    combinable BIGINT aggregates (pair counts, two margin tables joined
+    on the label — both bounded by label cardinality) and ONE float
+    division, floor-6dp. NULL when the denominator is zero (both raters
+    constant — agreement is vacuous, the standard kappa degenerate
+    case).
+
+    Returns one row: (n, agree, chance_x, kappa_q6).
+    """
+    pairs = df.select(
+        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    n_agree = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long")).alias("agree"),
+    )
+    ma = pairs.groupBy("__a").agg(F.count("*").alias("__ra"))
+    mb = pairs.groupBy(F.col("__b").alias("__a")).agg(
+        F.count("*").alias("__rb")
+    )
+    chance = ma.join(mb, "__a").agg(
+        F.coalesce(
+            F.sum(F.col("__ra") * F.col("__rb")), F.lit(0)
+        ).cast("long").alias("chance_x")
+    )
+    num = (
+        F.col("n") * F.col("agree") - F.col("chance_x")
+    ).cast("double")
+    den = (F.col("n") * F.col("n") - F.col("chance_x")).cast("double")
+    return n_agree.crossJoin(chance).select(
+        "n",
+        "agree",
+        "chance_x",
+        F.when(
+            F.col("n") * F.col("n") != F.col("chance_x"),
+            F.floor(num / den * F.lit(1e6)) / F.lit(1e6),
+        ).alias("kappa_q6"),
+    )

@@ -575,3 +575,48 @@ def test_negative_sample_exhausted_universe_yields_fewer(spark):
         negative_sample(pairs, n_items=1)
     with pytest.raises(ValueError):
         negative_sample(pairs, n_items=10, k=0)
+
+
+# ---- ngram_commonness ----
+
+
+def test_ngram_commonness_template_vs_fresh(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        ngram_commonness,
+    )
+
+    # five docs share the template trigrams; one is fresh text
+    template = "all rights reserved contact us today"
+    rows = [(i, template) for i in range(5)] + [
+        (9, "completely novel musings about ducks")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ngram_commonness(df, n=3, common_df=5).collect()
+    }
+    # template docs: every one of their 4 trigrams appears in 5 docs
+    assert out[0]["n_shingles"] == 4 and out[0]["n_common"] == 4
+    assert out[0]["common_ppm"] == 1_000_000
+    # the fresh doc shares nothing
+    assert out[9]["n_common"] == 0 and out[9]["common_ppm"] == 0
+
+
+def test_ngram_commonness_partial_and_short_docs_drop(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        ngram_commonness,
+    )
+
+    rows = [
+        (1, "a b c d"),   # trigrams: 'a b c', 'b c d'
+        (2, "a b c x"),   # shares 'a b c'
+        (3, "a b"),       # too short for n=3: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ngram_commonness(df, n=3, common_df=2).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_shingles"] == 2 and out[1]["n_common"] == 1
+    assert out[1]["common_ppm"] == 500_000  # floor(1e6 * 1/2)

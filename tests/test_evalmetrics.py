@@ -346,3 +346,54 @@ def test_logreg_sample_frac_requires_id_col(spark):
 
     with pytest.raises(ValueError):
         logreg_train(df, ("x1",), "y", sample_frac=(1, 2))
+
+
+# ---- cohens_kappa ----
+
+
+def test_cohens_kappa_textbook_2x2(spark):
+    # confusion [[20,5],[10,15]]: N=50 agree=35, margins a=(25,25)
+    # b=(30,20), chance_x=1250 -> kappa=(1750-1250)/1250 = 0.4 exactly
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["agree"], r["chance_x"]) == (50, 35, 1250)
+    assert r["kappa_q6"] == 0.4
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        cohens_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 2, "a string, b string"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["kappa_q6"] == 1.0
+    const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r2 = cohens_kappa(const, "a", "b").collect()[0]
+    assert r2["kappa_q6"] is None  # both raters constant: vacuous
+
+
+def test_cohens_kappa_chance_level_is_zero(spark):
+    # independent raters at matched 50/50 margins -> kappa ~ 0; build
+    # the exact chance table: agree = N/2 exactly
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("x", "x")] * 5 + [("x", "y")] * 5
+        + [("y", "x")] * 5 + [("y", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa_q6"] == 0.0

@@ -577,3 +577,61 @@ def test_apply_dedup_best_antijoin_and_no_corpus_shuffle_for_scores(spark):
     plan = _plan(out)
     release(out)
     assert "LeftAnti" in plan, plan
+
+
+def test_kruskal_wallis_no_raw_row_join_back(spark):
+    """kruskal_wallis: every join/window input is an AGGREGATED table
+    (distinct-value or per-class) — the raw rows are consumed by exactly
+    one combinable count; no sort of the input anywhere."""
+    from png_from_pdf_extracter_spark.functions.stats import kruskal_wallis
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(kruskal_wallis(o, "o_totalprice", "o_orderpriority"))
+    # partial aggregation before the first shuffle = map-side combine
+    # of the (value, class) count
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+    # no cartesian anywhere; the final assembly is a 1x1 cross of two
+    # single-row frames (BroadcastNestedLoop on single rows is fine)
+    assert "CartesianProduct" not in plan
+
+
+def test_bh_fdr_two_windows_no_join(spark):
+    """bh_fdr: the whole operator is windows over ONE group exchange —
+    no join back, no extra shuffle beyond the group partition."""
+    from png_from_pdf_extracter_spark.functions.stats import bh_fdr
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", (F.col("value") / 500).alias("p")
+    )
+    plan = _plan(bh_fdr(ev, "p", group_cols=("event_type",)))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly one exchange: hashpartitioning on the group key feeds
+    # every window
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winsorize_thresholds_join_on_group_key_only(spark):
+    """winsorize: the clamp thresholds come back to the rows via a
+    GROUP-keyed equi-join (tiny per-group threshold tables), never a
+    re-sort of the raw rows."""
+    from png_from_pdf_extracter_spark.functions.stats import winsorize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(winsorize(ev, "value", ("event_type",)))
+    assert "CartesianProduct" not in plan
+    # threshold tables are aggregates of the distinct-value table:
+    # map-side combine present for the (group, value) count
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_keyness_g2_broadcasts_totals_only(spark):
+    """keyness_g2: the single-row totals frame is broadcast; the term
+    table never broadcasts and never cartesian-joins anything bigger
+    than that one row."""
+    from png_from_pdf_extracter_spark.functions.lm import keyness_g2
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(keyness_g2(d, "lang", "en", min_count=1, top_k=10))
+    assert "CartesianProduct" not in plan
+    # top-k is a TakeOrdered, not a global sort + limit
+    assert "TakeOrderedAndProject" in plan, plan
