@@ -1567,3 +1567,97 @@ def winsorize(
             (F.col("v_q") < F.col("__lo")) | (F.col("v_q") > F.col("__hi"))
         ).alias("clamped"),
     )
+
+
+def cusum_batch_state(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    target_q: int,
+    slack_q: int = 0,
+    quantize: int = 2,
+) -> DataFrame:
+    """Per-group ASSOCIATIVE state of the [[cusum_drift]] recursion over
+    one data segment — the piece that makes CUSUM streamable. For a
+    segment with quantized deviations d_i, the recursion
+    ``S_i = max(0, S_{i-1} + d_i)`` composes as ``S_end =
+    max(S_start + T, G)`` where ``T = sum(d)`` and ``G = max(0, T -
+    min(0, P_0..P_{n-1}))`` (P = in-segment prefix sums) — so a
+    micro-batch can be summarized by the BIGINT pair (t_sum, g_max)
+    and batches fold left-to-right without replaying rows. The
+    identity (fold of per-segment states == last-row cusum_drift of
+    the concatenation, for EVERY split) is pinned in tests.
+
+    One window for the prefix sums + one group aggregate. Returns
+    (group..., n, t_sum, g_max).
+    """
+    vq = _quant(F.col(value_col), quantize)
+    ow = [F.col(c).asc() for c in order_cols]
+    w_ord = Window.partitionBy(*group_cols).orderBy(*ow)
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = vq - F.lit(int(target_q) + int(slack_q))
+    base = df.select(
+        *group_cols,
+        F.sum(dev).over(run).alias("__p"),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n"), F.col("__p"))
+        ).cast("long").alias("t_sum"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (
+                F.max(
+                    F.when(F.col("__rn") == F.col("__n"), F.col("__p"))
+                )
+                - F.min(
+                    F.when(
+                        F.col("__rn") < F.col("__n"),
+                        F.least(F.col("__p"), F.lit(0)),
+                    ).otherwise(F.lit(0))
+                )
+            ).cast("long"),
+        ).alias("g_max"),
+    )
+
+
+def cusum_fold_states(
+    states: DataFrame,
+    group_cols: tuple[str, ...],
+    seq_col: str = "batch_id",
+    threshold_q: int | None = None,
+) -> DataFrame:
+    """Fold per-segment [[cusum_batch_state]] rows in ``seq_col`` order
+    into the running CUSUM after each segment: ``S_k = CT_k +
+    max(0, max_{j<=k}(G_j - CT_j))`` — the prefix-minus-running-extremum
+    trick a second time, now over the (tiny) per-batch state table, so
+    the fold is two windows, no recursion, no driver loop. Returns one
+    row per (group..., seq) with ``cusum_q`` the statistic at the END
+    of that segment (+ ``alarm`` when ``threshold_q`` given) — the
+    batch-granular alarm feed a streaming monitor reads.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ct = states.withColumn("__ct", F.sum("t_sum").over(w))
+    out = with_ct.withColumn(
+        "cusum_q",
+        (
+            F.col("__ct")
+            + F.greatest(
+                F.lit(0).cast("long"),
+                F.max(F.col("g_max") - F.col("__ct")).over(w),
+            )
+        ).cast("long"),
+    ).drop("__ct")
+    if threshold_q is not None:
+        out = out.withColumn(
+            "alarm", F.col("cusum_q") > F.lit(int(threshold_q))
+        )
+    return out

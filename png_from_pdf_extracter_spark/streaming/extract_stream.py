@@ -577,3 +577,78 @@ def read_kmv_distinct(
     state = catalog.read(spark, table).drop("batch_id", "rank")
     merged = kmv_merge([state], group_cols, k)
     return kmv_estimate(merged, group_cols, k)
+
+
+def stream_cusum_monitor(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    checkpoint: str,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    value_col: str,
+    target_q: int,
+    slack_q: int = 0,
+    table: str = "cusum_state",
+    processing_time: str | None = None,
+):
+    """Streaming CUSUM drift monitor — the ONLINE twin of
+    ``functions/stats.py cusum_drift``, possible because the recursion
+    has an ASSOCIATIVE lift: each micro-batch is summarized by the
+    per-group BIGINT pair ``(t_sum, g_max)`` (``cusum_batch_state``)
+    written under its ``batch_id`` partition with dynamic overwrite —
+    replayed batches overwrite their own state, the
+    ``stream_drift_monitor``/``stream_kmv_monitor`` exactly-once
+    pattern — and [[read_cusum_alarms]] folds the partials in batch
+    order WITHOUT replaying any rows. State per batch is groups x 3
+    BIGINTs; the alarm feed is batch-granular (the statistic at each
+    batch boundary), which is the resolution a trigger-interval monitor
+    actually acts on."""
+    from ..functions.stats import cusum_batch_state
+
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        state = cusum_batch_state(
+            batch_df, group_cols, order_cols, value_col,
+            target_q, slack_q,
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            state.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cusum_alarms(
+    spark: SparkSession,
+    catalog: Catalog,
+    group_cols: tuple[str, ...],
+    threshold_q: int | None = None,
+    table: str = "cusum_state",
+) -> DataFrame:
+    """Running CUSUM after each batch from the per-batch state table:
+    fold the (t_sum, g_max) partials in batch_id order with
+    ``cusum_fold_states`` — two windows over the tiny state table.
+    The final batch's cusum_q equals running ``cusum_drift`` over the
+    whole drained input (the associativity identity pinned in
+    tests/test_stats.py and tests/test_streaming.py)."""
+    from ..functions.stats import cusum_fold_states
+
+    state = catalog.read(spark, table)
+    return cusum_fold_states(
+        state, group_cols, seq_col="batch_id", threshold_q=threshold_q
+    )

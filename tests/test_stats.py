@@ -950,3 +950,70 @@ def test_keyness_g2_equal_share_scores_zero(spark):
     )
     for r in keyness_g2(df, "cls", "A", min_count=1).collect():
         assert r["g2_q"] == 0.0 and r["direction"] == 0
+
+
+# ---- cusum associative lift (batch state + fold) ----
+
+
+def test_cusum_fold_states_equals_batch_for_every_split(spark):
+    """The streamability identity: for EVERY way of cutting the series
+    into ordered segments, folding per-segment (t_sum, g_max) states
+    must land exactly on the batch recursion's final value."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cusum_batch_state,
+        cusum_drift,
+        cusum_fold_states,
+    )
+
+    vals = [((i * 53 + 7) % 17) - 8 for i in range(24)]  # in [-8, 8]
+    rows = [("u", i, float(v)) for i, v in enumerate(vals, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    want = (
+        cusum_drift(df, ("g",), ("t",), "v", target_q=0, quantize=0)
+        .orderBy(F.desc("idx"))
+        .first()["cusum_q"]
+    )
+    for cuts in ([8], [1], [23], [5, 9], [3, 11, 17]):
+        bounds = [0] + cuts + [len(rows)]
+        states = []
+        for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            seg = spark.createDataFrame(
+                rows[lo:hi], "g string, t long, v double"
+            )
+            states.append(
+                cusum_batch_state(
+                    seg, ("g",), ("t",), "v", target_q=0, quantize=0
+                ).withColumn("batch_id", F.lit(b))
+            )
+        st = states[0]
+        for s in states[1:]:
+            st = st.unionByName(s)
+        folded = (
+            cusum_fold_states(st, ("g",))
+            .orderBy(F.desc("batch_id"))
+            .first()["cusum_q"]
+        )
+        assert folded == want, (cuts, folded, want)
+
+
+def test_cusum_batch_state_single_segment_is_whole_answer(spark):
+    # one segment: fold == the state's own max(T, G) == batch answer
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cusum_batch_state,
+        cusum_drift,
+        cusum_fold_states,
+    )
+
+    rows = [("u", i, float(v)) for i, v in enumerate([5, 1, 9, 2], 1)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    st = cusum_batch_state(
+        df, ("g",), ("t",), "v", target_q=3, quantize=0
+    ).withColumn("batch_id", F.lit(0))
+    folded = cusum_fold_states(st, ("g",), threshold_q=5).collect()[0]
+    want = (
+        cusum_drift(df, ("g",), ("t",), "v", target_q=3, quantize=0)
+        .orderBy(F.desc("idx"))
+        .first()["cusum_q"]
+    )
+    assert folded["cusum_q"] == want
+    assert folded["alarm"] == (want > 5)

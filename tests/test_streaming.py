@@ -366,3 +366,63 @@ def test_stream_kmv_monitor_merges_to_whole_corpus_sketch(spark, tmp_path):
     before = spark.read.parquet(state).count()
     drain()
     assert spark.read.parquet(state).count() == before
+
+
+def test_stream_cusum_monitor_folds_to_batch_answer(spark, tmp_path):
+    """CUSUM is order-sensitive, so arrivals are TIME-split (first half
+    of the timeline, then the rest): the folded per-batch states must
+    land exactly on the batch cusum_drift over the whole drained input,
+    alarms included; a checkpointed re-drain with no new input changes
+    nothing (replay-idempotent batch_id partitions)."""
+    from png_from_pdf_extracter_spark.functions.stats import cusum_drift
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming.extract_stream import (
+        read_cusum_alarms,
+        stream_cusum_monitor,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def drain():
+        q = stream_cusum_monitor(
+            spark, in_dir, catalog, ckpt,
+            ("event_type",), ("ts", "event_id"), "value",
+            target_q=25_000, slack_q=500,
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("ts") < cut).write.mode("append").parquet(in_dir)
+    drain()
+    ev.filter(F.col("ts") >= cut).write.mode("append").parquet(in_dir)
+    drain()
+
+    folded = {
+        r["event_type"]: (r["cusum_q"], r["alarm"])
+        for r in read_cusum_alarms(
+            spark, catalog, ("event_type",), threshold_q=100_000
+        ).collect()
+        if r["batch_id"] == 1
+    }
+    whole = {
+        r["event_type"]: r["cusum_q"]
+        for r in cusum_drift(
+            spark.read.parquet(in_dir),
+            ("event_type",), ("ts", "event_id"), "value",
+            target_q=25_000, slack_q=500,
+        ).orderBy("idx").collect()
+    }  # dict keeps the LAST row per group (ascending idx)
+    assert folded and set(folded) == set(whole)
+    for g, (cq, alarm) in folded.items():
+        assert cq == whole[g], (g, cq, whole[g])
+        assert alarm == (cq > 100_000)
+
+    # re-drain with no new input: state table unchanged
+    n_before = spark.read.parquet(catalog.path("cusum_state")).count()
+    drain()
+    assert spark.read.parquet(
+        catalog.path("cusum_state")
+    ).count() == n_before
