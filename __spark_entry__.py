@@ -2258,6 +2258,19 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_audio_stats(spark, sf_dir):
+    """REAL in-container audio decode, value-checked: pure-stdlib WAV
+    decode (functions/wavcodec.py — RIFF chunk walk + struct PCM
+    unpack, no audio libs) of the synthetic waveform fixtures ->
+    format + integer-exact amplitude stats. The oracle recomputes the
+    same stats in closed-form SQL because the samples are a pure
+    function of (media_id, t) (``_synth_wav``) — so the value-hash
+    pins the DECODER itself, the q_image_stats move applied to the
+    audio leg. Reference analog: the binary media transformation of
+    pdf_converter.py:50-160."""
+    return multimodal.audio_stats(multimodal.synth_media(spark, 60))
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
     so no exact SQL oracle (recall depends on bucketing). Each row embeds
@@ -4639,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_media_frames": _q_media_frames,
         "q_image_stats": _q_image_stats,
+        "q_audio_stats": _q_audio_stats,
         "q_ann_lsh": _q_ann_lsh,
         "q_sql_surface": _q_sql_surface,
         "q_ann_pq": _q_ann_pq,
@@ -5298,6 +5312,48 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored
             ) WHERE rank <= 20
+        """,
+        "q_audio_stats": """
+            WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),
+            au AS (
+              SELECT i,
+                     1 + (i % 2) AS ch,
+                     8000 * (1 + (i % 3)) AS rate,
+                     (120 + (i * 17) % 180) * (1 + (i % 2)) AS n_total
+              FROM ids WHERE i % 3 = 1
+            ),
+            sv AS (
+              SELECT au.i, au.ch, au.rate, au.n_total,
+                     ((au.i * 131 + t * 31 + (t * t) % 97) % 65536)
+                       - 32768 AS s
+              FROM au, generate_series(0, 599) g(t)
+              WHERE t < au.n_total
+            ),
+            agg AS (
+              SELECT i, ch, rate, n_total,
+                     sum(s + 32768)::BIGINT AS shifted,
+                     min(s)::INTEGER AS amp_min,
+                     max(s)::INTEGER AS amp_max,
+                     sum(s * s)::BIGINT AS energy
+              FROM sv GROUP BY i, ch, rate, n_total
+            )
+            SELECT i::BIGINT AS media_id,
+                   rate::INTEGER AS sample_rate,
+                   ch::INTEGER AS channels,
+                   (n_total // ch)::BIGINT AS n_frames,
+                   ((n_total // ch) * 1000 // rate)::BIGINT
+                     AS duration_ms,
+                   ((shifted * 10000 // n_total)::DOUBLE / 10000)
+                     - 32768 AS amp_mean,
+                   amp_min, amp_max, energy,
+                   'ok' AS status, '' AS error_class
+            FROM agg
+            UNION ALL
+            SELECT i::BIGINT, NULL::INTEGER, NULL::INTEGER,
+                   NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE,
+                   NULL::INTEGER, NULL::INTEGER, NULL::BIGINT,
+                   'skipped', 'not_audio'
+            FROM ids WHERE i % 3 <> 1
         """,
         "q_image_stats": """
             WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),

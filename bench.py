@@ -493,6 +493,18 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_dedup_best_rep",
         "q_gini_scoped",
         "q_median_survival",
+        # round 4
+        "q_mutual_nn_ivf",
+        "q_hard_negatives_ivf",
+        "q_kruskal_wallis",
+        "q_mann_kendall",
+        "q_cusum",
+        "q_bh_fdr",
+        "q_winsorize_exact",
+        "q_keyness",
+        "q_ngram_commonness",
+        "q_kappa_langid",
+        "q_audio_stats",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

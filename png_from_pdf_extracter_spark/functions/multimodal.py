@@ -11,7 +11,10 @@ deterministic fake (seeded by the payload's md5) for plumbing tests. All
 paths share the schema and error-channel contract. ``synth_media`` emits
 genuine decodable PNGs for its image rows, so the in-container pipeline
 exercises real decode end-to-end (``q_media_decode`` value-checks it
-against a frozen golden). Audio/video decode remains stubbed.
+against a frozen golden). Audio rows carry genuine 16-bit PCM WAVs
+decoded for real by the pure-stdlib [[wavcodec]] (``audio_stats`` —
+the r4 extension of the PNG move to the next modality); only video
+frame decode remains stubbed.
 """
 
 from __future__ import annotations
@@ -362,10 +365,30 @@ def _synth_png(i: int) -> tuple:
     return png_encode(w, h, channels, bytes(px)), w, h
 
 
+def _synth_wav(i: int) -> tuple:
+    """Deterministic genuine WAV for media row ``i``: 16-bit PCM whose
+    interleaved samples are a pure function of (i, t) — decodable by
+    the stdlib codec AND by any real WAV reader, and closed-form
+    recomputable in SQL (the ``_synth_png`` move for the audio leg).
+    Returns (payload, sample_rate, channels, n_total_samples)."""
+    from .wavcodec import wav_encode
+
+    channels = 1 + (i % 2)
+    rate = 8000 * (1 + (i % 3))
+    n_total = (120 + (i * 17) % 180) * channels
+    samples = [
+        ((i * 131 + t * 31 + (t * t) % 97) % 65536) - 32768
+        for t in range(n_total)
+    ]
+    return wav_encode(samples, rate, channels), rate, channels, n_total
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table. Image rows carry GENUINE PNG
-    payloads (stdlib-encoded gradients; meta geometry = true geometry);
-    audio/video payloads remain seeded opaque bytes (their decode is the
+    payloads (stdlib-encoded gradients; meta geometry = true geometry)
+    and audio rows GENUINE 16-bit PCM WAV payloads (stdlib-encoded
+    integer waveforms) — both decodes run for real in-container; video
+    payloads remain seeded opaque bytes (their frame decode is the
     documented stub)."""
     rows = []
     kinds = ["image", "audio", "video"]
@@ -377,15 +400,23 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                 (i, kind, "image/png", bytearray(payload), w, h, None)
             )
             continue
+        if kind == "audio":
+            payload, rate, ch, n_total = _synth_wav(i)
+            dur_ms = (n_total // ch) * 1000 // rate
+            rows.append(
+                (i, kind, "audio/wav", bytearray(payload), None, None,
+                 dur_ms)
+            )
+            continue
         payload = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 7)
         rows.append(
             (
                 i,
                 kind,
-                {"audio": "audio/wav", "video": "video/mp4"}[kind],
+                "video/mp4",
                 bytearray(payload),
-                64 + i % 512 if kind != "audio" else None,
-                64 + (i * 3) % 512 if kind != "audio" else None,
+                64 + i % 512,
+                64 + (i * 3) % 512,
                 (i * 977) % 60000,
             )
         )
@@ -596,3 +627,90 @@ def image_near_dup_pairs(
     return cand.select(
         "id1", "id2", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("amp_mean", T.DoubleType()),
+        T.StructField("amp_min", T.IntegerType()),
+        T.StructField("amp_max", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode, value-checkable: stdlib-WAV decode
+    ([[wavcodec]], no audio libs needed) -> format + integer-exact
+    amplitude stats per audio row. The ``image_stats`` contract applied
+    to the next modality: non-audio rows are skipped rows, undecodable
+    payloads classify by the codec's stable error class.
+
+    Exactness: ``energy`` is the exact BIGINT sum of squared samples;
+    ``amp_mean`` floor-quantizes the mean via +32768-SHIFTED samples —
+    Python ``//`` floors while SQL engines' integer division truncates,
+    so the quantization is done where both agree (non-negative
+    operands) and shifted back: ``(sum(s+32768)*10000 // n)/10000 -
+    32768``. ``duration_ms`` is the exact integer
+    ``n_frames * 1000 // sample_rate``.
+    """
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .wavcodec import wav_decode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "channels", "n_frames",
+                "duration_ms", "amp_mean", "amp_min", "amp_max",
+                "energy", "status", "error_class",
+            )}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                rec = dict(
+                    media_id=mid, sample_rate=None, channels=None,
+                    n_frames=None, duration_ms=None, amp_mean=None,
+                    amp_min=None, amp_max=None, energy=None,
+                    status="ok", error_class="",
+                )
+                b = bytes(payload) if payload is not None else b""
+                if kind != "audio":
+                    rec.update(status="skipped", error_class="not_audio")
+                elif not b:
+                    rec.update(status="no_payload")
+                else:
+                    try:
+                        rate, ch, samples = wav_decode(b)
+                        n = len(samples)
+                        frames = n // ch
+                        shifted = sum(s + 32768 for s in samples)
+                        mean4 = (shifted * 10000 // n) / 10000 - 32768
+                        rec.update(
+                            sample_rate=rate,
+                            channels=ch,
+                            n_frames=frames,
+                            duration_ms=frames * 1000 // rate,
+                            amp_mean=mean4,
+                            amp_min=min(samples),
+                            amp_max=max(samples),
+                            energy=sum(s * s for s in samples),
+                        )
+                    except ValueError as e:
+                        rec.update(
+                            status="error",
+                            error_class=f"decode_failed:{e}",
+                        )
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, AUDIO_STATS_SCHEMA)

@@ -238,3 +238,77 @@ def test_near_dup_pigeonhole_guard(spark):
     df = _media_df(spark, [(1, _grad_png())])
     with pytest.raises(ValueError):
         image_near_dup_pairs(image_dhash(df), max_hamming=8, n_bands=8)
+
+
+# ---- audio_stats (real in-container WAV decode) ----
+
+
+def test_audio_stats_decodes_real_wavs_and_skips_others(spark):
+    from png_from_pdf_extracter_spark.functions import multimodal
+
+    out = {
+        r["media_id"]: r
+        for r in multimodal.audio_stats(
+            multimodal.synth_media(spark, 12)
+        ).collect()
+    }
+    assert len(out) == 12
+    for i, r in out.items():
+        if i % 3 == 1:  # audio rows
+            assert r["status"] == "ok", r
+            assert r["sample_rate"] == 8000 * (1 + i % 3)
+            assert r["channels"] == 1 + i % 2
+            assert r["n_frames"] == 120 + (i * 17) % 180
+            assert r["duration_ms"] == (
+                r["n_frames"] * 1000 // r["sample_rate"]
+            )
+            assert -32768 <= r["amp_min"] <= r["amp_max"] <= 32767
+            assert r["energy"] > 0
+        else:
+            assert r["status"] == "skipped"
+            assert r["error_class"] == "not_audio"
+
+
+def test_audio_stats_matches_direct_decode(spark):
+    # the Spark path must agree sample-for-sample with decoding the
+    # fixture payload directly in the driver
+    from png_from_pdf_extracter_spark.functions import multimodal
+    from png_from_pdf_extracter_spark.functions.multimodal import _synth_wav
+    from png_from_pdf_extracter_spark.functions.wavcodec import wav_decode
+
+    payload, rate, ch, n_total = _synth_wav(1)
+    drate, dch, samples = wav_decode(payload)
+    assert (drate, dch, len(samples)) == (rate, ch, n_total)
+    r = [
+        x
+        for x in multimodal.audio_stats(
+            multimodal.synth_media(spark, 3)
+        ).collect()
+        if x["media_id"] == 1
+    ][0]
+    shifted = sum(s + 32768 for s in samples)
+    assert r["amp_mean"] == (shifted * 10000 // len(samples)) / 10000 - 32768
+    assert r["amp_min"] == min(samples)
+    assert r["amp_max"] == max(samples)
+    assert r["energy"] == sum(s * s for s in samples)
+
+
+def test_audio_stats_error_channel_on_corrupt_payload(spark):
+    from png_from_pdf_extracter_spark.functions import multimodal
+
+    rows = [
+        (0, "audio", "audio/wav", bytearray(b"RIFFxxxxJUNKdata"), None,
+         None, None),
+        (1, "audio", "audio/wav", bytearray(b""), None, None, None),
+        (2, "audio", "audio/wav", bytearray(b"garbage bytes here"), None,
+         None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r for r in multimodal.audio_stats(df).collect()
+    }
+    assert out[1]["status"] == "no_payload"
+    assert out[0]["status"] == "error"
+    assert out[0]["error_class"].startswith("decode_failed:")
+    assert out[2]["status"] == "error"
+    assert out[2]["error_class"] == "decode_failed:bad_magic"

@@ -71,3 +71,78 @@ def test_truncation_raises_typed_error(cut):
         # decoding a truncated container successfully is only legal if
         # the cut removed nothing the subset needs (trailing IEND bytes)
         assert cut <= 12
+
+
+# ---- wavcodec (the audio sibling) ----
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from png_from_pdf_extracter_spark.functions.wavcodec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    for ch in (1, 2):
+        samples = [((t * 37) % 65536) - 32768 for t in range(60 * ch)]
+        rate, got_ch, got = wav_decode(wav_encode(samples, 16000, ch))
+        assert (rate, got_ch) == (16000, ch)
+        assert got == samples
+
+
+def test_wav_decode_rejects_garbage_and_truncation():
+    import pytest
+
+    from png_from_pdf_extracter_spark.functions.wavcodec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    with pytest.raises(ValueError, match="bad_magic"):
+        wav_decode(b"not a wav at all............")
+    blob = wav_encode([1, -2, 3, -4], 8000, 1)
+    with pytest.raises(ValueError):
+        wav_decode(blob[:20])  # cut inside the fmt chunk
+    with pytest.raises(ValueError):
+        wav_decode(blob[:-3])  # cut inside the data chunk
+    # RIFF/WAVE but no chunks at all
+    with pytest.raises(ValueError, match="missing_chunk"):
+        wav_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_wav_decode_rejects_non_pcm_and_odd_frames():
+    import struct
+
+    import pytest
+
+    from png_from_pdf_extracter_spark.functions.wavcodec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    blob = bytearray(wav_encode([0, 0], 8000, 1))
+    # patch audio_format (offset: RIFF8 + WAVE4 + 'fmt '4 + len4 = 20)
+    struct.pack_into("<H", blob, 20, 3)  # IEEE float
+    with pytest.raises(ValueError, match="unsupported_format"):
+        wav_decode(bytes(blob))
+    with pytest.raises(ValueError, match="not a multiple"):
+        wav_encode([1, 2, 3], 8000, 2)
+
+
+def test_wav_decode_tolerates_extra_chunks():
+    import struct
+
+    from png_from_pdf_extracter_spark.functions.wavcodec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = [5, -5, 7, -7]
+    blob = wav_encode(samples, 8000, 1)
+    # splice a LIST chunk (odd length -> exercises the RIFF pad byte)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = blob[:12] + extra + blob[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    rate, ch, got = wav_decode(spliced)
+    assert (rate, ch, got) == (8000, 1, samples)
