@@ -2271,6 +2271,18 @@ def _q_audio_stats(spark, sf_dir):
     return multimodal.audio_stats(multimodal.synth_media(spark, 60))
 
 
+def _q_video_stats(spark, sf_dir):
+    """REAL in-container video decode, value-checked: pure-stdlib Y4M
+    decode (functions/y4mcodec.py — header parse + raw luma planes) of
+    the synthetic bitstream fixtures -> one row per frame with
+    integer-exact luma stats. Frames are a pure function of
+    (media_id, frame, x, y) (``_synth_y4m``), so the closed-form SQL
+    oracle pins the DECODER — image (r3), audio (r4) and now video all
+    run real decode in-container. Reference analog: the per-page PNG
+    enumeration of pdf_converter.py:141-158."""
+    return multimodal.video_stats(multimodal.synth_media(spark, 60))
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
     so no exact SQL oracle (recall depends on bucketing). Each row embeds
@@ -4653,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frames": _q_media_frames,
         "q_image_stats": _q_image_stats,
         "q_audio_stats": _q_audio_stats,
+        "q_video_stats": _q_video_stats,
         "q_ann_lsh": _q_ann_lsh,
         "q_sql_surface": _q_sql_surface,
         "q_ann_pq": _q_ann_pq,
@@ -5312,6 +5325,43 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored
             ) WHERE rank <= 20
+        """,
+        "q_video_stats": """
+            WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),
+            vid AS (
+              SELECT i,
+                     8 + (i % 4) * 4 AS w,
+                     8 + (i % 5) * 2 AS h,
+                     2 + (i % 4) AS n_frames
+              FROM ids WHERE i % 3 = 2
+            ),
+            px AS (
+              SELECT vid.i, vid.w, vid.h, f,
+                     (x * 7 + y * 13 + f * 29 + vid.i * 3) % 256 AS p
+              FROM vid,
+                   generate_series(0, 4) gf(f),
+                   generate_series(0, 19) gx(x),
+                   generate_series(0, 15) gy(y)
+              WHERE f < vid.n_frames AND x < vid.w AND y < vid.h
+            ),
+            agg AS (
+              SELECT i, w, h, f,
+                     sum(p)::BIGINT AS s, count(*)::BIGINT AS npx,
+                     min(p)::INTEGER AS px_min, max(p)::INTEGER AS px_max
+              FROM px GROUP BY i, w, h, f
+            )
+            SELECT i::BIGINT AS media_id,
+                   (f + 1)::INTEGER AS frame_idx,
+                   w::INTEGER AS width, h::INTEGER AS height,
+                   ((s * 10000 // npx)::DOUBLE / 10000) AS px_mean,
+                   px_min, px_max,
+                   'ok' AS status, '' AS error_class
+            FROM agg
+            UNION ALL
+            SELECT i::BIGINT, NULL::INTEGER, NULL::INTEGER,
+                   NULL::INTEGER, NULL::DOUBLE, NULL::INTEGER,
+                   NULL::INTEGER, 'skipped', 'not_video'
+            FROM ids WHERE i % 3 <> 2
         """,
         "q_audio_stats": """
             WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),

@@ -505,6 +505,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_ngram_commonness",
         "q_kappa_langid",
         "q_audio_stats",
+        "q_video_stats",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

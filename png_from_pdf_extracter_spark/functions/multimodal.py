@@ -12,9 +12,12 @@ paths share the schema and error-channel contract. ``synth_media`` emits
 genuine decodable PNGs for its image rows, so the in-container pipeline
 exercises real decode end-to-end (``q_media_decode`` value-checks it
 against a frozen golden). Audio rows carry genuine 16-bit PCM WAVs
-decoded for real by the pure-stdlib [[wavcodec]] (``audio_stats`` —
-the r4 extension of the PNG move to the next modality); only video
-frame decode remains stubbed.
+decoded for real by the pure-stdlib [[wavcodec]] (``audio_stats``) and
+video rows genuine Y4M bitstreams decoded by [[y4mcodec]]
+(``video_stats``; ``sample_frames`` emits REAL PNG-encoded frames for
+Y4M payloads and falls back to the deterministic stub for compressed
+formats this container cannot decode) — all three modalities run real
+decode in-container since r4.
 """
 
 from __future__ import annotations
@@ -305,14 +308,22 @@ def sample_frames(
 ) -> DataFrame:
     """mapInPandas frame sampling: one video row fans out to one row per
     sampled frame (1-indexed, like the reference's per-page PNG ordinals,
-    ``pdf_converter.py:141-158``). The frame decode is the deterministic
-    stub; the 1:N batch fan-out, bounded by ``max_frames`` (the timeout/
-    cap analog), is the real plumbing. Non-video rows produce no frames."""
+    ``pdf_converter.py:141-158``), bounded by ``max_frames`` (the
+    timeout/cap analog). Y4M payloads decode FOR REAL ([[y4mcodec]]):
+    the sampled timestamp maps to its 25-fps frame and the luma plane is
+    re-encoded as a genuine grayscale PNG — decode in, decode out, both
+    stdlib. Compressed formats this container cannot decode keep the
+    deterministic 16-byte md5 stub (the documented capability gate).
+    Non-video rows produce no frames; the per-video row count is
+    ``min(dur // every_ms + 1, max_frames)`` on both paths."""
     if every_ms <= 0:
         raise ValueError("every_ms must be positive")
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from .y4mcodec import MAGIC as _Y4M_MAGIC
+        from .y4mcodec import y4m_decode
 
         for pdf in batches:
             ids, idxs, tss, payloads = [], [], [], []
@@ -324,10 +335,26 @@ def sample_frames(
                     continue
                 b = bytes(payload)
                 n = min(int(dur) // every_ms + 1, max_frames)
+                frames = None
+                if b.startswith(_Y4M_MAGIC):
+                    try:
+                        w, h, fn_, fd_, frames = y4m_decode(b)
+                        ms_per_frame = 1000 * fd_ // fn_
+                    except ValueError:
+                        frames = None  # corrupt: fall back to the stub
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i + 1)
                     tss.append(i * every_ms)
+                    if frames:
+                        fidx = min(
+                            (i * every_ms) // max(ms_per_frame, 1),
+                            len(frames) - 1,
+                        )
+                        payloads.append(
+                            bytearray(png_encode(w, h, 1, frames[fidx]))
+                        )
+                        continue
                     payloads.append(
                         bytearray(
                             hashlib.md5(b + f":frame:{i}".encode()).digest()
@@ -408,19 +435,40 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                  dur_ms)
             )
             continue
-        payload = hashlib.md5(f"media:{i}".encode()).digest() * (4 + i % 7)
+        payload, w, h, n_frames = _synth_y4m(i)
         rows.append(
             (
                 i,
                 kind,
-                "video/mp4",
+                "video/x-yuv4mpeg",
                 bytearray(payload),
-                64 + i % 512,
-                64 + (i * 3) % 512,
-                (i * 977) % 60000,
+                w,
+                h,
+                (n_frames - 1) * 40,  # 25 fps -> 40 ms frame period
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _synth_y4m(i: int) -> tuple:
+    """Deterministic genuine Y4M video for media row ``i``: luma-only
+    frames whose pixels are a pure function of (i, f, x, y) — decodable
+    by the stdlib codec AND by ffmpeg, so the video leg is exercised
+    for real in-container too (the ``_synth_png``/``_synth_wav`` move).
+    Returns (payload, width, height, n_frames)."""
+    from .y4mcodec import y4m_encode
+
+    w = 8 + (i % 4) * 4
+    h = 8 + (i % 5) * 2
+    n_frames = 2 + (i % 4)
+    frames = []
+    for f in range(n_frames):
+        plane = bytearray()
+        for y in range(h):
+            for x in range(w):
+                plane.append((x * 7 + y * 13 + f * 29 + i * 3) % 256)
+        frames.append(bytes(plane))
+    return y4m_encode(w, h, frames), w, h, n_frames
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
@@ -714,3 +762,73 @@ def audio_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, AUDIO_STATS_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+
+def video_stats(df: DataFrame) -> DataFrame:
+    """REAL video decode, value-checkable: stdlib-Y4M decode
+    ([[y4mcodec]]) -> one row PER FRAME with geometry + integer-exact
+    luma stats (px_mean floor-4dp, the ``image_stats`` quantization) —
+    the 1:N fan-out of the per-page PNG enumeration, now over genuine
+    video bitstreams. Non-video rows emit one skipped row; undecodable
+    payloads one error row classified by the codec's stable class."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .y4mcodec import y4m_decode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height", "px_mean",
+                "px_min", "px_max", "status", "error_class",
+            )}
+
+            def emit(mid, idx=None, w=None, h=None, mean=None, mn=None,
+                     mx=None, status="ok", err=""):
+                for k, v in (
+                    ("media_id", mid), ("frame_idx", idx), ("width", w),
+                    ("height", h), ("px_mean", mean), ("px_min", mn),
+                    ("px_max", mx), ("status", status),
+                    ("error_class", err),
+                ):
+                    out[k].append(v)
+
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if kind != "video":
+                    emit(mid, status="skipped", err="not_video")
+                elif not b:
+                    emit(mid, status="no_payload")
+                else:
+                    try:
+                        w, h, _, _, frames = y4m_decode(b)
+                        for f, plane in enumerate(frames, 1):
+                            s = sum(plane)
+                            emit(
+                                mid, f, w, h,
+                                (s * 10000 // len(plane)) / 10000,
+                                min(plane), max(plane),
+                            )
+                    except ValueError as e:
+                        emit(mid, status="error",
+                             err=f"decode_failed:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, VIDEO_STATS_SCHEMA)

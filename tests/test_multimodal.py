@@ -72,10 +72,12 @@ def test_frame_sampling_fanout(spark, media):
     assert set(counts) == set(vids)
     for mid, dur in vids.items():
         assert counts[mid] == min(dur // 5000 + 1, 6), mid
-    # 1-indexed stable ordinals with correct timestamps
+    # 1-indexed stable ordinals with correct timestamps; synth videos
+    # are genuine Y4M since r4, so sampled frames come back as REAL
+    # grayscale PNGs (decode in, decode out), not the 16-byte stub
     for r in got:
         assert r["ts_ms"] == (r["frame_idx"] - 1) * 5000
-        assert len(r["frame_payload"]) == 16
+        assert bytes(r["frame_payload"][:8]) == b"\x89PNG\r\n\x1a\n"
 
 
 def test_frame_sampling_rejects_bad_interval(spark, media):
@@ -312,3 +314,91 @@ def test_audio_stats_error_channel_on_corrupt_payload(spark):
     assert out[0]["error_class"].startswith("decode_failed:")
     assert out[2]["status"] == "error"
     assert out[2]["error_class"] == "decode_failed:bad_magic"
+
+
+# ---- video_stats / real Y4M frame sampling ----
+
+
+def test_video_stats_decodes_real_y4m_per_frame(spark):
+    from png_from_pdf_extracter_spark.functions import multimodal
+    from png_from_pdf_extracter_spark.functions.multimodal import _synth_y4m
+
+    out = multimodal.video_stats(multimodal.synth_media(spark, 12)).collect()
+    vids = [r for r in out if r["status"] == "ok"]
+    assert vids, out
+    by_id = {}
+    for r in vids:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for i, rows in by_id.items():
+        _, w, h, n_frames = _synth_y4m(i)
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(1, n_frames + 1)
+        )
+        for r in rows:
+            assert (r["width"], r["height"]) == (w, h)
+            f = r["frame_idx"] - 1
+            px = [
+                (x * 7 + y * 13 + f * 29 + i * 3) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            assert r["px_min"] == min(px) and r["px_max"] == max(px)
+            assert r["px_mean"] == (sum(px) * 10000 // len(px)) / 10000
+    skipped = [r for r in out if r["status"] == "skipped"]
+    assert all(r["error_class"] == "not_video" for r in skipped)
+
+
+def test_video_stats_error_channel(spark):
+    from png_from_pdf_extracter_spark.functions import multimodal
+
+    rows = [
+        (0, "video", "video/x-yuv4mpeg",
+         bytearray(b"YUV4MPEG2 W0 H8 Cmono\n"), None, None, 40),
+        (1, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypisom"),
+         None, None, 40),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.video_stats(df).collect()}
+    assert out[0]["status"] == "error"
+    assert out[0]["error_class"] == "decode_failed:bad_header"
+    assert out[1]["error_class"] == "decode_failed:bad_magic"
+
+
+def test_sample_frames_real_path_picks_correct_frame(spark):
+    # 25 fps -> 40ms period; every_ms=80 samples frames 0, 2, 4...
+    from png_from_pdf_extracter_spark.functions import multimodal
+    from png_from_pdf_extracter_spark.functions.multimodal import _synth_y4m
+    from png_from_pdf_extracter_spark.functions.pngcodec import png_decode
+    from png_from_pdf_extracter_spark.functions.y4mcodec import y4m_decode
+
+    i = 3  # n_frames = 2 + 3 % 4 = 5, dur = 160ms
+    payload, w, h, n_frames = _synth_y4m(i)
+    df = spark.createDataFrame(
+        [(i, "video", "video/x-yuv4mpeg", bytearray(payload), w, h,
+          (n_frames - 1) * 40)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = sorted(
+        multimodal.sample_frames(df, every_ms=80).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(got) == (n_frames - 1) * 40 // 80 + 1  # 3 samples
+    _, _, _, _, frames = y4m_decode(payload)
+    for r in got:
+        want_frame = frames[min((r["ts_ms"]) // 40, n_frames - 1)]
+        dw, dh, dc, px = png_decode(bytes(r["frame_payload"]))
+        assert (dw, dh, dc) == (w, h, 1)
+        assert bytes(px) == want_frame
+
+
+def test_sample_frames_stub_fallback_for_compressed(spark):
+    from png_from_pdf_extracter_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [(7, "video", "video/mp4", bytearray(b"opaque-mp4-bytes"),
+          64, 64, 2500)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.sample_frames(df, every_ms=1000).collect()
+    assert len(got) == 3
+    assert all(len(r["frame_payload"]) == 16 for r in got)  # md5 stub
