@@ -4557,6 +4557,87 @@ def _q_kmv_distinct(spark, sf_dir):
     return kmv_estimate(sk, ("event_type",), k=64)
 
 
+_KEYWORDS = (
+    "spark",
+    "table",
+    "hash join",
+    "merge",
+    "row scan",
+    "sort",
+    "window",
+    "batch",
+    "zzzz missing",
+)
+
+
+# SQL VALUES list derived from _KEYWORDS so the oracle dictionary stays in
+# lockstep with the Spark-side automaton (single-quote-free keywords only)
+_KW_VALUES_SQL = ", ".join(f"('{k}')" for k in _KEYWORDS)
+
+
+def _q_jaro_linkage(spark, sf_dir):
+    """Blocked Jaro-Winkler record linkage over the distinct part-name
+    vocabulary (functions/linkage.py jw_blocked_linkage): block on the
+    2-char prefix + length band, score survivors with the Arrow-batched
+    JW scorer (pinned value-exact against DuckDB's
+    jaro_winkler_similarity), keep pairs >= 0.85. The fuzzy
+    generalization of the reference's exact whitelist matching
+    (/root/reference/src/services/attachment_service.py)."""
+    from png_from_pdf_extracter_spark.functions.linkage import (
+        jw_blocked_linkage,
+    )
+
+    p = _read(spark, sf_dir, "part")
+    return jw_blocked_linkage(
+        p, "p_name", threshold=0.85, block_chars=2, max_len_diff=2
+    )
+
+
+def _q_keyword_profile(spark, sf_dir):
+    """One-pass multi-keyword dictionary profile via a broadcast
+    Aho-Corasick automaton (functions/keywords.py keyword_profile):
+    per keyword, documents hit and total leftmost-non-overlapping
+    occurrences — one scan for the whole dictionary where the naive
+    plan is K regex passes. The SQL oracle is the replace-trick count,
+    which the non-overlap semantics match exactly."""
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        keyword_profile,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return keyword_profile(d, "doc_id", "text", _KEYWORDS)
+
+
+def _q_event_loops(spark, sf_dir):
+    """Run-length loop detection (operators/sessions.py label_runs):
+    maximal runs of >= 3 consecutive identical event types per user —
+    gaps-and-islands with one Exchange + one shared Sort. The
+    transcript-native twin (same operator on (conv_id, turn_idx, tool))
+    flags agent tool-loops; tests/test_sessions.py covers both."""
+    from png_from_pdf_extracter_spark.operators.sessions import label_runs
+
+    ev = _read(spark, sf_dir, "events")
+    return label_runs(
+        ev, "user_id", "event_type", ["ts", "event_id"], min_run=3
+    )
+
+
+def _q_ngram_containment(spark, sf_dir):
+    """Trigram CONTAINMENT near-dup pairs (functions/dedup.py
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) >= 0.6 — the
+    Broder resemblance twin of q_ngram_jaccard that catches subset
+    duplication (snippet/quote inclusion) Jaccard under-scores. Same
+    joinless candidate plan and hot-shingle guard."""
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -4789,6 +4870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_dup_spans_apply": _q_dup_spans_apply,
         "q_bm25": _q_bm25,
+        "q_jaro_linkage": _q_jaro_linkage,
+        "q_keyword_profile": _q_keyword_profile,
+        "q_event_loops": _q_event_loops,
+        "q_ngram_containment": _q_ngram_containment,
     }
 
 
@@ -9630,6 +9715,75 @@ def oracle_sql() -> dict[str, str]:
                         )::DOUBLE * 1e6) / 1e6
                    END AS mom_growth
             FROM monthly
+        """,
+        "q_jaro_linkage": """
+            WITH names AS (
+              SELECT DISTINCT lower(trim(p_name)) AS nm FROM part
+              WHERE length(lower(trim(p_name))) > 0
+            ),
+            blocked AS (
+              SELECT nm, substring(nm, 1, 2) AS bk, length(nm) AS ln
+              FROM names
+            ),
+            kept AS (
+              SELECT b.* FROM blocked b
+              JOIN (SELECT bk FROM blocked GROUP BY bk
+                    HAVING count(*) <= 500) g USING (bk)
+            )
+            SELECT a.nm AS name_a, b.nm AS name_b,
+                   round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+            FROM kept a JOIN kept b ON a.bk = b.bk AND a.nm < b.nm
+              AND abs(a.ln - b.ln) <= 2
+            WHERE round(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.85
+        """,
+        "q_keyword_profile": f"""
+            WITH kw(k) AS (VALUES {_KW_VALUES_SQL}),
+            hits AS (
+              SELECT k AS keyword,
+                     (length(text) - length(replace(text, k, '')))
+                       // length(k) AS h
+              FROM documents, kw
+            )
+            SELECT keyword, count(*)::BIGINT AS n_docs,
+                   sum(h)::BIGINT AS n_hits
+            FROM hits WHERE h > 0 GROUP BY keyword
+        """,
+        "q_event_loops": """
+            WITH o AS (
+              SELECT user_id, event_type, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                     ) AS rk
+              FROM events
+            )
+            SELECT user_id, event_type, count(*)::INTEGER AS run_len,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM o GROUP BY user_id, event_type, rn - rk
+            HAVING count(*) >= 3
+        """,
+        "q_ngram_containment": f"""
+            WITH {_SHINGLES_CTE},
+            shf AS (
+              SELECT sh.id, sh.shingle FROM sh
+              JOIN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= 1000) rare USING (shingle)
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM shf GROUP BY id),
+            common AS (
+              SELECT a.id AS id1, b.id AS id2, count(*)::DOUBLE AS common
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id1, id2,
+                   round(common / least(s1.n_sh, s2.n_sh), 4) AS containment
+            FROM common
+            JOIN sizes s1 ON common.id1 = s1.id
+            JOIN sizes s2 ON common.id2 = s2.id
+            WHERE round(common / least(s1.n_sh, s2.n_sh), 4) >= 0.6
         """,
     }
     return out

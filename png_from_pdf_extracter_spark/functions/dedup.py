@@ -233,6 +233,67 @@ def ngram_jaccard_pairs(
     return _with_cached_deps(out, [grouped])
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram CONTAINMENT >= threshold:
+    ``|A ∩ B| / min(|A|, |B|)`` over distinct word shingles.
+
+    Jaccard under-scores subset duplication — a paragraph quoted inside a
+    10x-longer document has tiny union-normalized overlap but containment
+    ~1.0. This is the Broder (1997) "containment" resemblance twin of
+    ``ngram_jaccard_pairs`` and the right metric for quote/snippet/
+    boilerplate-inclusion dedup in a training corpus.
+
+    Same plan and the same ``max_shingle_df`` hot-shingle guard as the
+    Jaccard variant (joinless candidate emission from sorted per-shingle
+    id lists — one shuffle, pair emission hard-bounded per shingle); only
+    the final denominator differs. The guard changes the denominator to
+    SURVIVING shingles per doc, mirrored by the oracle."""
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    if max_shingle_df > 0:
+        grouped = grouped.filter(F.size("ids") <= max_shingle_df)
+    grouped = grouped.persist()
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pairs = _pairs_from_sorted_ids(grouped)
+    common = pairs.groupBy("id1", "id2").agg(
+        F.count("*").cast("double").alias("common")
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("id", "id1").withColumnRenamed(
+                "n_sh", "n1"
+            ),
+            "id1",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id2").withColumnRenamed(
+                "n_sh", "n2"
+            ),
+            "id2",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("n1", "n2"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )
+    return _with_cached_deps(out, [grouped])
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -156,3 +156,51 @@ def last_touch_attribution(
             F.countDistinct("__k").cast("long").alias("n_users"),
         )
     )
+
+
+def label_runs(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    order_cols: list,
+    min_run: int = 3,
+) -> DataFrame:
+    """Run-length encoding of consecutive equal labels per key
+    (gaps-and-islands): maximal runs of the same ``label_col`` value in
+    ``order_cols`` order, keeping runs of length >= ``min_run``.
+
+    The transcript-native use is agent-loop detection: a conversation
+    whose consecutive turns repeat the same tool is stuck; at 10^12 turns
+    you find those with windows, not with driver-side scans. Same shape
+    flags user event loops (rage-clicks, retry storms).
+
+    Plan: one Exchange on the key, one Sort shared by both window
+    functions (lag boundary flag + running sum island id — the
+    ``sessionize`` pattern, islands keyed by label change instead of time
+    gap), then one combinable aggregation on (key, island). The run id is
+    NOT emitted (island numbering is an implementation detail); output is
+    (key, label, run_len, start_<order>, end_<order>) per surviving run.
+
+    Reference contract: ordered per-conversation processing
+    (/root/reference/src/services/job_processor.py:75-77) — the ORDER BY
+    tie-break chain here is what makes runs deterministic.
+    """
+    order_exprs = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order_exprs)
+    boundary = (
+        F.lag(label_col).over(w).isNull()
+        | (F.lag(label_col).over(w) != F.col(label_col))
+    ).cast("int")
+    first_order = order_cols[0]
+    runs = (
+        df.withColumn("__island", F.sum(boundary).over(w))
+        .groupBy(key_col, label_col, "__island")
+        .agg(
+            F.count("*").cast("int").alias("run_len"),
+            F.min(first_order).alias(f"start_{first_order}"),
+            F.max(first_order).alias(f"end_{first_order}"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .drop("__island")
+    )
+    return runs

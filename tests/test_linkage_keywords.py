@@ -1,0 +1,194 @@
+"""Record linkage (blocked Jaro-Winkler), Aho-Corasick keyword tagging,
+run-length loop detection, and containment near-dup.
+
+The scorers' exact twins are fuzz-pinned here against their references
+(DuckDB ``jaro_winkler_similarity``; Python ``str.count``) so the DuckDB
+oracles in ``__spark_entry__`` can hash-check the full operators.
+"""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from png_from_pdf_extracter_spark.functions.keywords import (
+    build_automaton,
+    count_keywords,
+    keyword_hits,
+    keyword_profile,
+)
+from png_from_pdf_extracter_spark.functions.linkage import (
+    jaro_winkler_py,
+    jw_blocked_linkage,
+    linkage_canonicalize,
+)
+from png_from_pdf_extracter_spark.operators.sessions import label_runs
+
+
+# ---------------------------------------------------------------- jaro
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    rng = random.Random(7)
+    pairs = [("", ""), ("", "a"), ("abc", "abc"), ("martha", "marhta")]
+    for _ in range(2000):
+        a = "".join(rng.choices("abcd ", k=rng.randint(0, 14)))
+        b = "".join(rng.choices("abcd ", k=rng.randint(0, 14)))
+        pairs.append((a, b))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT jaro_winkler_similarity(a, b) FROM p"
+        ).fetchall()
+    ]
+    for (a, b), d in zip(pairs, duck):
+        assert abs(jaro_winkler_py(a, b) - d) < 1e-9, (a, b)
+
+
+def test_jw_blocked_linkage_finds_typos(spark):
+    rows = [
+        ("a", "Jonathan Smith"),
+        ("b", "Jonathan Smyth"),
+        ("c", "jonathan  smith"),  # normalizes to a distinct near-dup
+        ("d", "Zebra Unrelated"),
+        ("e", "Jon Smith"),  # same block, lower similarity
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = jw_blocked_linkage(df, "name", threshold=0.9).collect()
+    got = {(r.name_a, r.name_b) for r in out}
+    assert ("jonathan smith", "jonathan smyth") in got
+    assert all("zebra" not in a + b for a, b in got)
+    for r in out:
+        assert r.jw >= 0.9
+
+
+def test_jw_blocked_linkage_max_block_guard(spark):
+    # 6 names in one hot block; cap at 5 drops the whole block
+    rows = [(f"x{i}", f"aa name {i}") for i in range(6)] + [
+        ("y1", "zz alpha"),
+        ("y2", "zz alphb"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = jw_blocked_linkage(df, "name", threshold=0.8, max_block=5)
+    names = {r.name_a for r in out.collect()} | {
+        r.name_b for r in out.collect()
+    }
+    assert names and all(n.startswith("zz") for n in names)
+
+
+def test_linkage_canonicalize_broadcast_mapping(spark):
+    rows = [("1", "Acme Corp"), ("2", "acme corp"), ("3", "acme  corp."),
+            ("4", "Other Co")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    pairs = jw_blocked_linkage(df, "name", threshold=0.9)
+    out = linkage_canonicalize(df, "name", pairs)
+    got = {r.id: r.canonical_name for r in out.collect()}
+    # the two acme variants map to the same canonical form
+    assert got["1"] == got["2"] == got["3"]
+    assert got["4"] == "other co"
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------ keywords
+
+def test_count_keywords_matches_str_count_fuzz():
+    rng = random.Random(11)
+    kws = ("ab", "aba", "ba", "abab", "c", "bc", "cab", "aa")
+    auto = build_automaton(kws)
+    for _ in range(2000):
+        t = "".join(rng.choices("abc", k=rng.randint(0, 30)))
+        assert count_keywords(t, kws, auto) == [t.count(k) for k in kws], t
+
+
+def test_keyword_hits_long_format(spark):
+    df = spark.createDataFrame(
+        [("d1", "spark spark and table"), ("d2", "no match here"),
+         ("d3", None)],
+        ["doc_id", "text"],
+    )
+    out = keyword_hits(df, "doc_id", "text", ["spark", "table", "zzz"])
+    got = {(r.doc_id, r.keyword): r.hits for r in out.collect()}
+    assert got == {("d1", "spark"): 2, ("d1", "table"): 1}
+
+
+def test_keyword_profile_rollup(spark):
+    df = spark.createDataFrame(
+        [("d1", "x spark y spark"), ("d2", "spark"), ("d3", "none")],
+        ["doc_id", "text"],
+    )
+    out = keyword_profile(df, "doc_id", "text", ["spark"]).collect()
+    assert len(out) == 1
+    assert (out[0].n_docs, out[0].n_hits) == (2, 3)
+
+
+def test_keyword_overlapping_keywords_independent(spark):
+    # 'abab' contains 'ab' twice (non-overlapping) and 'aba' once —
+    # different keywords count independently even when they overlap
+    df = spark.createDataFrame([("d", "abab")], ["doc_id", "text"])
+    out = keyword_hits(df, "doc_id", "text", ["ab", "aba", "abab"])
+    got = {r.keyword: r.hits for r in out.collect()}
+    assert got == {"ab": 2, "aba": 1, "abab": 1}
+
+
+# ----------------------------------------------------------- label_runs
+
+def test_label_runs_detects_loops(spark):
+    rows = [
+        ("c1", 1, "search"), ("c1", 2, "search"), ("c1", 3, "search"),
+        ("c1", 4, "answer"),
+        ("c2", 1, "search"), ("c2", 2, "browse"), ("c2", 3, "search"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool"])
+    out = label_runs(df, "conv_id", "tool", ["turn_idx"], min_run=3)
+    got = [(r.conv_id, r.tool, r.run_len, r.start_turn_idx, r.end_turn_idx)
+           for r in out.collect()]
+    assert got == [("c1", "search", 3, 1, 3)]
+
+
+def test_label_runs_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("u", i, "a") for i in range(5)], ["k", "o", "lbl"]
+    )
+    out = label_runs(df, "k", "lbl", ["o"], min_run=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one shuffle for the window + the (k,lbl,island) agg reuses the
+    # clustering (hash(k) satisfies the agg's ClusteredDistribution)
+    assert plan.count("Exchange") <= 2
+    assert out.collect()[0].run_len == 5
+
+
+def test_label_runs_min_run_boundary(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "a"), ("u", 3, "b"), ("u", 4, "b"),
+         ("u", 5, "b")],
+        ["k", "o", "lbl"],
+    )
+    out = {(r.lbl, r.run_len) for r in
+           label_runs(df, "k", "lbl", ["o"], min_run=2).collect()}
+    assert out == {("a", 2), ("b", 3)}
+
+
+# ---------------------------------------------------------- containment
+
+def test_ngram_containment_catches_subset_dup(spark):
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "the quick brown fox jumps over the lazy dog today"
+    long_doc = snippet + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [("a", snippet), ("b", long_doc), ("c", "totally different words "
+                                               "all around here now")],
+        ["doc_id", "text"],
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    got = [(r.id1, r.id2, r.containment) for r in cont.collect()]
+    assert got == [("a", "b", 1.0)]
+    # Jaccard misses the same pair at any comparable threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.count() == 0
