@@ -4575,6 +4575,24 @@ _KEYWORDS = (
 _KW_VALUES_SQL = ", ".join(f"('{k}')" for k in _KEYWORDS)
 
 
+def _q_margin_mining(spark, sf_dir):
+    """Ratio-margin bitext mining (similarity.margin_pairs, Artetxe &
+    Schwenk 2019): each even-id embedding's best odd-id match scored by
+    cosine normalized by both endpoints' top-4 neighborhood means — the
+    hubness-robust mined-pair scorer (absolute cosine thresholds break
+    when some vectors are near everything). Exact baseline via
+    cosine_topk; candidate-fed production path shares mutual_nn's
+    equi-join shape."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        margin_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return margin_pairs(left, right, k=4)
+
+
 def _q_jaro_linkage(spark, sf_dir):
     """Blocked Jaro-Winkler record linkage over the distinct part-name
     vocabulary (functions/linkage.py jw_blocked_linkage): block on the
@@ -4870,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_dup_spans_apply": _q_dup_spans_apply,
         "q_bm25": _q_bm25,
+        "q_margin_mining": _q_margin_mining,
         "q_jaro_linkage": _q_jaro_linkage,
         "q_keyword_profile": _q_keyword_profile,
         "q_event_loops": _q_event_loops,
@@ -9715,6 +9734,58 @@ def oracle_sql() -> dict[str, str]:
                         )::DOUBLE * 1e6) / 1e6
                    END AS mom_growth
             FROM monthly
+        """,
+        "q_margin_mining": """
+            WITH l AS (
+              SELECT vec_id AS id, embedding AS v FROM embeddings
+              WHERE vec_id % 2 = 0
+            ),
+            r AS (
+              SELECT vec_id AS id, embedding AS v FROM embeddings
+              WHERE vec_id % 2 = 1
+            ),
+            sc AS (
+              SELECT l.id AS lid, r.id AS rid,
+                round(
+                  list_aggregate(list_transform(range(1, len(l.v) + 1),
+                      i -> l.v[i]::DOUBLE * r.v[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(
+                        range(1, len(l.v) + 1),
+                        i -> l.v[i]::DOUBLE * l.v[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(
+                        range(1, len(r.v) + 1),
+                        i -> r.v[i]::DOUBLE * r.v[i]::DOUBLE), 'sum'))),
+                  6) AS cos_sim
+              FROM l, r
+            ),
+            l2r AS (
+              SELECT lid, rid, cos_sim FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY lid ORDER BY cos_sim DESC, rid ASC
+                ) AS rk FROM sc
+              ) WHERE rk <= 4
+            ),
+            r2l AS (
+              SELECT lid, rid, cos_sim FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY rid ORDER BY cos_sim DESC, lid ASC
+                ) AS rk FROM sc
+              ) WHERE rk <= 4
+            ),
+            lm AS (SELECT lid, avg(cos_sim) AS lm FROM l2r GROUP BY lid),
+            rm AS (SELECT rid, avg(cos_sim) AS rm FROM r2l GROUP BY rid),
+            m AS (
+              SELECT l2r.lid, l2r.rid, l2r.cos_sim,
+                     round(l2r.cos_sim / ((lm.lm + rm.rm) / 2), 4)
+                       AS margin
+              FROM l2r JOIN lm USING (lid) JOIN rm USING (rid)
+            )
+            SELECT lid AS left_id, rid AS right_id, cos_sim, margin
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lid ORDER BY margin DESC, rid ASC
+              ) AS rk FROM m
+            ) WHERE rk = 1
         """,
         "q_jaro_linkage": """
             WITH names AS (

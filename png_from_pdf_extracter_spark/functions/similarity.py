@@ -1406,6 +1406,118 @@ def mutual_nn_pairs(
     )
 
 
+def margin_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Ratio-margin bitext mining (Artetxe & Schwenk 2019): score each
+    candidate pair by its cosine RELATIVE to what both endpoints score
+    against their other neighbors —
+
+        margin(l, r) = cos(l, r) / ((mean_k(l) + mean_k(r)) / 2)
+
+    where mean_k(x) is the mean cosine of x's top-k cross-side
+    neighbors. Absolute-cosine thresholds break under hubness (some
+    vectors are close to everything); the margin normalizes it away and
+    is the standard mined-parallel-corpus scorer. Returns each left
+    vector's best right match by margin: (left_id, right_id, cos_sim,
+    margin), margin rounded to 4 (ranking uses the ROUNDED margin with
+    neighbor-id tie-break so the order is engine-independent).
+
+    ``candidates=None`` (exact baseline, see README "Exact baselines vs
+    production paths"): both directed candidate graphs come from
+    [[cosine_topk]] (round-6dp cosine, id tie-break — the proven score
+    convention), inheriting its broadcast-query contract: fixture scale
+    only. ``candidates`` (the 100-TB path): a (left_id, right_id) frame
+    from ``ivf_topk``/``lsh_bucket_topk``; pairs are re-scored exactly
+    via two id-keyed equi-joins (nothing broadcasts a corpus) and the
+    top-k means are taken WITHIN the candidate graph — the same
+    candidate-fed shape as [[mutual_nn_pairs]], cost O(|candidates|).
+
+    The per-node means are k-bounded aggregates (one row per node —
+    corpus-sized at 100 TB, so they join back by id equi-join, NOT by
+    broadcast; AQE may still broadcast them at fixture scale). The
+    corpus-sized tables never shuffle more than the candidate graph
+    itself."""
+    if candidates is None:
+        l2r = cosine_topk(right, left, id_col, vec_col, k=k).select(
+            F.col("query_id").alias("left_id"),
+            F.col("neighbor_id").alias("right_id"),
+            "cos_sim",
+        )
+        r2l = cosine_topk(left, right, id_col, vec_col, k=k).select(
+            F.col("query_id").alias("right_id"),
+            F.col("neighbor_id").alias("left_id"),
+            "cos_sim",
+        )
+    else:
+        l = left.select(
+            F.col(id_col).alias("left_id"),
+            F.col(vec_col).alias("lvec"),
+            _norm(F.col(vec_col)).alias("ln"),
+        )
+        r = right.select(
+            F.col(id_col).alias("right_id"),
+            F.col(vec_col).alias("rvec"),
+            _norm(F.col(vec_col)).alias("rn"),
+        )
+        scored = (
+            candidates.select("left_id", "right_id")
+            .dropDuplicates(["left_id", "right_id"])
+            .join(l, "left_id")
+            .join(r, "right_id")
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    _dot(F.col("lvec"), F.col("rvec"))
+                    / (F.col("ln") * F.col("rn")),
+                    6,
+                ),
+            )
+            .select("left_id", "right_id", "cos_sim")
+        )
+        wl = Window.partitionBy("left_id").orderBy(
+            F.col("cos_sim").desc(), F.col("right_id").asc()
+        )
+        wr = Window.partitionBy("right_id").orderBy(
+            F.col("cos_sim").desc(), F.col("left_id").asc()
+        )
+        l2r = (
+            scored.withColumn("rk", F.row_number().over(wl))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+        r2l = (
+            scored.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+    lmean = l2r.groupBy("left_id").agg(F.avg("cos_sim").alias("lm"))
+    rmean = r2l.groupBy("right_id").agg(F.avg("cos_sim").alias("rm"))
+    margined = (
+        l2r.join(lmean, "left_id")
+        .join(rmean, "right_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos_sim") / ((F.col("lm") + F.col("rm")) / 2.0), 4
+            ),
+        )
+    )
+    best = Window.partitionBy("left_id").orderBy(
+        F.col("margin").desc(), F.col("right_id").asc()
+    )
+    return (
+        margined.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select("left_id", "right_id", "cos_sim", "margin")
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

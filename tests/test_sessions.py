@@ -787,3 +787,108 @@ def test_candidate_fed_registry_queries_embed_recall(spark):
         recs = {r["recall_vs_exact"] for r in rows}
         assert len(recs) == 1  # one constant recall per run
         assert recs.pop() >= floor, (key, rows[:3])
+
+
+# ---- margin_pairs ----
+
+
+def test_margin_pairs_planted_parallel_pairs(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        margin_pairs,
+    )
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    left = [(i, unit(i * 0.7)) for i in range(5)]
+    right = [(100 + i, unit(i * 0.7 + 0.01)) for i in range(5)]
+    ldf = spark.createDataFrame(left, "vec_id long, embedding array<float>")
+    rdf = spark.createDataFrame(right, "vec_id long, embedding array<float>")
+    out = margin_pairs(ldf, rdf, k=2).collect()
+    assert {(r.left_id, r.right_id) for r in out} == {
+        (i, 100 + i) for i in range(5)
+    }
+    # the true match scores above its neighborhood mean -> margin > 1
+    assert all(r.margin > 1.0 for r in out)
+
+
+def test_margin_pairs_hub_demoted_by_margin(spark):
+    """A hub close to everything has a HIGH neighborhood mean, so its
+    margin is ~1 even where its absolute cosine wins; the true parallel
+    match keeps a clearly larger margin — the reason margin replaces raw
+    cosine in mined-bitext scoring."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        margin_pairs,
+    )
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # l0's true match r0 at tiny angle; hub r9 moderately close to ALL
+    # left vectors (sits between them)
+    ldf = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(1.2)), (2, unit(2.4))],
+        "vec_id long, embedding array<float>",
+    )
+    rdf = spark.createDataFrame(
+        [(100, unit(0.02)), (101, unit(1.22)), (102, unit(2.42)),
+         (109, unit(1.2))],  # hub: exactly on l1, mid-range to others
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.left_id: r for r in margin_pairs(ldf, rdf, k=3).collect()}
+    # l0 and l2 keep their true matches despite the hub's presence
+    assert out[0].right_id == 100
+    assert out[2].right_id == 102
+
+
+def test_margin_pairs_candidate_path_equals_exact_on_full_graph(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        margin_pairs,
+    )
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    left = [(i, unit(i * 0.5)) for i in range(6)]
+    right = [(100 + i, unit(i * 0.5 + 0.03)) for i in range(6)]
+    ldf = spark.createDataFrame(left, "vec_id long, embedding array<float>")
+    rdf = spark.createDataFrame(right, "vec_id long, embedding array<float>")
+    full = spark.createDataFrame(
+        [(l[0], r[0]) for l in left for r in right],
+        "left_id long, right_id long",
+    )
+    exact = {
+        (r.left_id, r.right_id, r.margin)
+        for r in margin_pairs(ldf, rdf, k=3).collect()
+    }
+    fed = {
+        (r.left_id, r.right_id, r.margin)
+        for r in margin_pairs(ldf, rdf, k=3, candidates=full).collect()
+    }
+    assert exact == fed
+
+
+def test_margin_pairs_candidate_plan_has_no_broadcast_of_sides(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        margin_pairs,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, [float(i), 1.2]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(i, 100 + i) for i in range(4)], "left_id long, right_id long"
+    )
+    out = margin_pairs(ldf, rdf, k=2, candidates=cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 4
