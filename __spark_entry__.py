@@ -4575,6 +4575,42 @@ _KEYWORDS = (
 _KW_VALUES_SQL = ", ".join(f"('{k}')" for k in _KEYWORDS)
 
 
+def _q_leakage_split(spark, sf_dir):
+    """Leakage-free train/val/test split (curate.leakage_free_split):
+    the split is an md5 function of each doc's near-dup COMPONENT
+    representative (MinHash-LSH pairs -> connected components), so
+    duplicate clusters can never straddle the train/val boundary — the
+    internal-contamination bug a per-doc split silently commits. Split
+    rollup with doc-id checksums proves the assignment against the
+    DuckDB recursive-CTE component closure."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        leakage_free_split,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+    out = leakage_free_split(d, pairs)
+    return out.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("group_key").cast("long").alias("n_groups"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def _q_good_turing(spark, sf_dir):
+    """Simple Good-Turing re-estimation over corpus bigram counts
+    (functions/lm.py good_turing): r* = (r+1) N_{r+1} / N_r from the
+    freq-of-freq table — integer-exact until the one division; bigrams
+    because the closed unigram vocabulary has no singleton tail (the
+    regime GT exists for)."""
+    from png_from_pdf_extracter_spark.functions.lm import good_turing
+
+    d = _read(spark, sf_dir, "documents")
+    return good_turing(d, "text", n=2)
+
+
 def _q_margin_mining(spark, sf_dir):
     """Ratio-margin bitext mining (similarity.margin_pairs, Artetxe &
     Schwenk 2019): each even-id embedding's best odd-id match scored by
@@ -4888,6 +4924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_dup_spans_apply": _q_dup_spans_apply,
         "q_bm25": _q_bm25,
+        "q_leakage_split": _q_leakage_split,
+        "q_good_turing": _q_good_turing,
         "q_margin_mining": _q_margin_mining,
         "q_jaro_linkage": _q_jaro_linkage,
         "q_keyword_profile": _q_keyword_profile,
@@ -9734,6 +9772,60 @@ def oracle_sql() -> dict[str, str]:
                         )::DOUBLE * 1e6) / 1e6
                    END AS mom_growth
             FROM monthly
+        """,
+        "q_leakage_split": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES},
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM mh_pairs
+              UNION
+              SELECT id2, id1 FROM mh_pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (
+              SELECT a AS node, least(a, min(b))::BIGINT AS component
+              FROM reach GROUP BY a
+            ),
+            assigned AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id)::BIGINT AS group_key
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            ),
+            s AS (
+              SELECT *,
+                     CAST(('0x' || substring(
+                       md5(group_key::VARCHAR), 1, 15)) AS BIGINT)
+                       % 100 AS h
+              FROM assigned
+            )
+            SELECT CASE WHEN h < 10 THEN 'test'
+                        WHEN h < 20 THEN 'val'
+                        ELSE 'train' END AS split,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT group_key)::BIGINT AS n_groups,
+                   sum(doc_id)::BIGINT AS id_sum
+            FROM s GROUP BY 1
+        """,
+        "q_good_turing": """
+            WITH grams AS (
+              SELECT unnest(list_transform(
+                       range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM (SELECT list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      x -> length(x) > 0) AS w
+                    FROM documents)
+            ),
+            counts AS (SELECT gram, count(*) AS r FROM grams GROUP BY gram),
+            fof AS (SELECT r, count(*)::BIGINT AS n_r FROM counts GROUP BY r)
+            SELECT f.r::BIGINT AS r, f.n_r,
+                   round((f.r + 1) * coalesce(g.n_r, 0) / f.r_div, 6)
+                     AS r_star
+            FROM (SELECT r, n_r, n_r::DOUBLE AS r_div FROM fof) f
+            LEFT JOIN fof g ON g.r = f.r + 1
         """,
         "q_margin_mining": """
             WITH l AS (

@@ -951,3 +951,52 @@ def ngram_commonness(
             ).cast("long").alias("common_ppm"),
         )
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: the split is a pure md5 function of each document's
+    NEAR-DUP COMPONENT representative, not of the document id — every
+    member of a duplicate cluster lands in the same split by
+    construction. A per-doc split (``split_assign`` alone) silently
+    puts one copy of a duplicated page in train and its twin in val,
+    inflating eval scores — the classic leakage bug this composition
+    removes (same failure class as benchmark contamination, but
+    INTERNAL to the corpus).
+
+    ``pairs`` is any candidate pair table (MinHash/SimHash/Jaccard/
+    embedding); components come from [[connected_components]] (smallest
+    member id labels the cluster), singleton docs are their own
+    representative via coalesce. The component table is candidate-graph
+    sized (only docs that collided), so the join back to the corpus is
+    a small-side equi-join; the split itself stays a map-only pure
+    function — stable under corpus growth and repartitioning, like
+    every sampling predicate in this module.
+
+    Returns docs + (group_key, split).
+    """
+    from .dedup import connected_components
+
+    comps = connected_components(pairs, id1=id1, id2=id2).withColumnRenamed(
+        "node", id_col
+    )
+    out = (
+        docs.join(comps, id_col, "left")
+        .withColumn(
+            "group_key",
+            F.coalesce(F.col("component"), F.col(id_col)).cast("long"),
+        )
+        .drop("component")
+    )
+    return out.withColumn(
+        "split", split_assign("group_key", val_pct, test_pct, salt)
+    )

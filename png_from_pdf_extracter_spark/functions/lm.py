@@ -800,3 +800,75 @@ def keyness_g2(
         .orderBy(F.desc("g2_q"), "word")
         .limit(top_k)
     )
+
+
+def good_turing(
+    docs: DataFrame, text_col: str = "text", n: int = 1
+) -> DataFrame:
+    """Simple Good-Turing frequency re-estimation over the corpus
+    unigram counts: for each observed count r, the adjusted count
+
+        r* = (r + 1) * N_{r+1} / N_r
+
+    where N_r is the number of distinct words seen exactly r times
+    (Good 1953). r* < r redistributes mass toward unseen events — the
+    estimator under Katz backoff and the classical answer to "how much
+    probability do the words we've never seen deserve" (N_1 / N). The
+    Kneser-Ney twin is [[kn_perplexity]]-adjacent; this is the
+    model-free table.
+
+    Everything is INTEGER until the one float division: word counts,
+    freq-of-freq, and the (r+1) * N_{r+1} numerator are exact BIGINTs in
+    both engines, so the oracle hashes match by construction. Gaps in
+    the r table (no words seen exactly r+1 times) give r* = 0, the
+    standard unsmoothed-SGT convention, via a self-join on r+1 (the
+    freq-of-freq table is tiny — hundreds of rows at any corpus size:
+    distinct r values grow ~ sqrt(max count)).
+
+    ``n`` sets the gram size the counts are taken over — on a
+    closed-vocabulary corpus the unigram table has no singleton tail
+    (every word is frequent) and GT is vacuous; bigrams restore the
+    low-r regime the estimator exists for.
+
+    Plan: one explode -> gram-count aggregation (map-side combinable),
+    one count-of-counts aggregation (key space = distinct r, tiny), one
+    self-join on r+1. The corpus is touched once.
+
+    Returns (r, n_r, r_star) ordered by nothing — caller sorts.
+    """
+    toks = _tokens(text_col)
+    if n == 1:
+        words = docs.select(F.explode(toks).alias("word"))
+    else:
+        # materialize the token array through a Generate barrier before
+        # the n-gram lambda — same projection-collapse trap (and fix) as
+        # dedup.word_shingles
+        arr = docs.select(F.explode(F.array(toks)).alias("_w")).filter(
+            F.size("_w") >= n
+        )
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("_w") - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("_w"), i + j + 1) for j in range(n)],
+            ),
+        )
+        words = arr.select(F.explode(grams).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("r"))
+    fof = counts.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        fof.join(nxt, "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r1"), F.lit(0))
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+        )
+    )

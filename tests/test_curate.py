@@ -620,3 +620,101 @@ def test_ngram_commonness_partial_and_short_docs_drop(spark):
     assert set(out) == {1, 2}
     assert out[1]["n_shingles"] == 2 and out[1]["n_common"] == 1
     assert out[1]["common_ppm"] == 500_000  # floor(1e6 * 1/2)
+
+
+# ---- leakage_free_split ----
+
+
+def test_leakage_free_split_never_straddles(spark):
+    """Every near-dup pair lands in ONE split; the naive per-doc split
+    provably straddles on the same corpus (the bug this op removes)."""
+    from png_from_pdf_extracter_spark.functions import curate
+
+    # 30 clusters of 3 identical docs: ids (i, 1000+i, 2000+i)
+    rows = []
+    for i in range(30):
+        text = f"cluster {i} body repeated tokens " + ("xyz " * 10)
+        for base in (0, 1000, 2000):
+            rows.append((base + i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(30)]
+        + [(i, 2000 + i) for i in range(30)],
+        "id1 long, id2 long",
+    )
+    out = curate.leakage_free_split(docs, pairs).select(
+        "doc_id", "group_key", "split"
+    )
+    got = {r.doc_id: (r.group_key, r.split) for r in out.collect()}
+    for i in range(30):
+        assert got[i] == got[1000 + i] == got[2000 + i] == (i, got[i][1])
+    # naive per-doc split DOES straddle at least one cluster here
+    naive = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", curate.split_assign("doc_id").alias("s")
+        ).collect()
+    }
+    assert any(
+        len({naive[i], naive[1000 + i], naive[2000 + i]}) > 1
+        for i in range(30)
+    )
+
+
+def test_leakage_free_split_singletons_self_keyed(spark):
+    from png_from_pdf_extracter_spark.functions import curate
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    got = {
+        r.doc_id: (r.group_key, r.split)
+        for r in curate.leakage_free_split(docs, pairs).collect()
+    }
+    # singleton group key = own id -> identical to split_assign(doc_id)
+    naive = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", curate.split_assign("doc_id").alias("s")
+        ).collect()
+    }
+    assert got == {1: (1, naive[1]), 2: (2, naive[2])}
+
+
+# ---- good_turing ----
+
+
+def test_good_turing_hand_computed(spark):
+    """Counts: a=3, b=2, c=2, d=1, e=1, f=1 -> N_1=3, N_2=2, N_3=1;
+    r*=  r=1: 2*N_2/N_1 = 4/3;  r=2: 3*N_3/N_2 = 1.5;  r=3: 4*0/1 = 0."""
+    from png_from_pdf_extracter_spark.functions.lm import good_turing
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c c d e f")], "doc_id long, text string"
+    )
+    got = {
+        r.r: (r.n_r, r.r_star)
+        for r in good_turing(docs, "text", n=1).collect()
+    }
+    assert got == {
+        1: (3, round(2 * 2 / 3, 6)),
+        2: (2, 1.5),
+        3: (1, 0.0),
+    }
+
+
+def test_good_turing_bigrams_match_unigram_path_shape(spark):
+    from png_from_pdf_extracter_spark.functions.lm import good_turing
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y q")], "doc_id long, text string"
+    )
+    # bigrams: "x y"x3, "y x"x1, "y z"x1, "y q"x1 -> N_1=3, N_3=1
+    got = {
+        r.r: (r.n_r, r.r_star)
+        for r in good_turing(docs, "text", n=2).collect()
+    }
+    assert got == {1: (3, 0.0), 3: (1, 0.0)}
+    # unseen-mass estimate N_1/N = 3/6 is readable straight off the table
+    assert got[1][0] == 3
