@@ -4575,6 +4575,18 @@ _KEYWORDS = (
 _KW_VALUES_SQL = ", ".join(f"('{k}')" for k in _KEYWORDS)
 
 
+def _q_turn_churn(spark, sf_dir):
+    """Consecutive-turn token-set Jaccard (operators/sessions.py
+    turn_churn): flags turns >= 0.8 similar to their predecessor in the
+    same conversation — the fuzzy agent-loop detector (label_runs'
+    exact-label twin misses paraphrased repeats). One window lag + JVM
+    array_intersect/array_union, no Python."""
+    from png_from_pdf_extracter_spark.operators.sessions import turn_churn
+
+    d = _read(spark, sf_dir, "documents")
+    return turn_churn(d, "source", ["doc_id"], "text", min_jaccard=0.8)
+
+
 def _q_leakage_split(spark, sf_dir):
     """Leakage-free train/val/test split (curate.leakage_free_split):
     the split is an md5 function of each doc's near-dup COMPONENT
@@ -4924,6 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_dup_spans_apply": _q_dup_spans_apply,
         "q_bm25": _q_bm25,
+        "q_turn_churn": _q_turn_churn,
         "q_leakage_split": _q_leakage_split,
         "q_good_turing": _q_good_turing,
         "q_margin_mining": _q_margin_mining,
@@ -9772,6 +9785,32 @@ def oracle_sql() -> dict[str, str]:
                         )::DOUBLE * 1e6) / 1e6
                    END AS mom_growth
             FROM monthly
+        """,
+        "q_turn_churn": """
+            WITH t AS (
+              SELECT source, doc_id,
+                     list_distinct(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS toks
+              FROM documents
+            ),
+            w AS (
+              SELECT source, doc_id, toks,
+                     lag(toks) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                     ) AS prev
+              FROM t
+            ),
+            j AS (
+              SELECT source, doc_id, len(toks)::INT AS n_tokens,
+                     round(len(list_intersect(toks, prev))
+                           / len(list_distinct(toks || prev))::DOUBLE, 4)
+                       AS prev_jaccard
+              FROM w
+              WHERE prev IS NOT NULL
+                AND len(list_distinct(toks || prev)) > 0
+            )
+            SELECT * FROM j WHERE prev_jaccard >= 0.8
         """,
         "q_leakage_split": f"""
             WITH RECURSIVE {_SHINGLES_CTE}, {_MINHASH_PAIRS_CTES},

@@ -204,3 +204,58 @@ def label_runs(
         .drop("__island")
     )
     return runs
+
+
+def turn_churn(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    text_col: str,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Consecutive-turn text-similarity churn: token-set Jaccard between
+    each turn and the PREVIOUS turn in the same conversation — the fuzzy
+    twin of [[label_runs]] for agent-loop detection (an agent stuck
+    re-emitting near-identical messages repeats the text while the tool
+    label may vary; exact run-length misses it). Flags turns whose
+    overlap with their predecessor is >= ``min_jaccard``.
+
+    All JVM builtins: one window lag of the token array (one Exchange on
+    the key, one Sort), then array_intersect/array_union sizes — no
+    shuffle beyond the window, no Python. Token sets, not bags
+    (array_distinct before compare), so reordering tokens still counts
+    as churn — the right call for detecting paraphrased repeats.
+
+    Returns (key, order head, n_tokens, prev_jaccard) for flagged turns;
+    first turns (no predecessor) never flag.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    first_order = order_cols[0]
+    withprev = df.select(
+        F.col(key_col),
+        F.col(first_order),
+        toks.alias("__t"),
+    ).withColumn("__p", F.lag("__t").over(w))
+    inter = F.size(F.array_intersect("__t", "__p"))
+    union = F.size(F.array_union("__t", "__p"))
+    return (
+        withprev.filter(F.col("__p").isNotNull() & (union > 0))
+        .withColumn(
+            "prev_jaccard", F.round(inter / union.cast("double"), 4)
+        )
+        .filter(F.col("prev_jaccard") >= min_jaccard)
+        .select(
+            key_col,
+            first_order,
+            F.size("__t").cast("int").alias("n_tokens"),
+            "prev_jaccard",
+        )
+    )

@@ -192,3 +192,30 @@ def test_ngram_containment_catches_subset_dup(spark):
     # Jaccard misses the same pair at any comparable threshold
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
     assert jac.count() == 0
+
+
+# ---------------------------------------------------------- turn_churn
+
+def test_turn_churn_flags_paraphrased_repeat(spark):
+    from png_from_pdf_extracter_spark.operators.sessions import turn_churn
+
+    rows = [
+        ("c1", 1, "please run the search tool now"),
+        ("c1", 2, "now please run the search tool"),  # same token set
+        ("c1", 3, "completely different answer text here"),
+        ("c2", 1, "please run the search tool now"),  # first turn: never
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = turn_churn(df, "conv_id", ["turn_idx"], "text", min_jaccard=0.8)
+    got = [(r.conv_id, r.turn_idx, r.prev_jaccard) for r in out.collect()]
+    assert got == [("c1", 2, 1.0)]
+
+
+def test_turn_churn_token_set_not_bag(spark):
+    from png_from_pdf_extracter_spark.operators.sessions import turn_churn
+
+    rows = [("c", 1, "a a a b"), ("c", 2, "b a")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = turn_churn(df, "conv_id", ["turn_idx"], "text", min_jaccard=0.9)
+    r = out.collect()
+    assert len(r) == 1 and r[0].prev_jaccard == 1.0 and r[0].n_tokens == 2
