@@ -4060,12 +4060,19 @@ def _q_mutual_nn_ivf(spark, sf_dir):
         F.col("query_id").alias("left_id"),
         F.col("neighbor_id").alias("right_id"),
     )
-    approx = mutual_nn_pairs(left, right, candidates=cand)
-    exact = mutual_nn_pairs(left, right).select("left_id", "right_id")
+    # both sides of the recall computation are read twice (count +
+    # reuse) — persist once, same discipline as logreg_train's IRLS
+    # input (r3 verdict #2); the final plan reads the materialized
+    # approx table, so the driver's collect doesn't recompute the IVF
+    approx = mutual_nn_pairs(left, right, candidates=cand).persist()
+    exact = (
+        mutual_nn_pairs(left, right).select("left_id", "right_id").persist()
+    )
     n_exact = exact.count()
     n_hit = approx.join(
         F.broadcast(exact), ["left_id", "right_id"], "left_semi"
     ).count()
+    exact.unpersist()
     rec = round(n_hit / n_exact, 4) if n_exact else 1.0
     return approx.withColumn("recall_vs_exact", F.lit(rec))
 
@@ -4089,12 +4096,15 @@ def _q_hard_negatives_ivf(spark, sf_dir):
     cand = ivf_topk(emb, q, k=25, n_cells=8, nprobe=4).select(
         "query_id", F.col("neighbor_id").alias("neg_id")
     )
-    approx = hard_negatives(emb, q, k=5, candidates=cand)
-    exact = hard_negatives(emb, q, k=5).select("query_id", "neg_id")
+    # persist both recall inputs — each is read twice (see
+    # _q_mutual_nn_ivf)
+    approx = hard_negatives(emb, q, k=5, candidates=cand).persist()
+    exact = hard_negatives(emb, q, k=5).select("query_id", "neg_id").persist()
     n_exact = exact.count()
     n_hit = approx.join(
         F.broadcast(exact), ["query_id", "neg_id"], "left_semi"
     ).count()
+    exact.unpersist()
     rec = round(n_hit / n_exact, 4) if n_exact else 1.0
     return approx.withColumn("recall_vs_exact", F.lit(rec))
 

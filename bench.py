@@ -506,6 +506,14 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_kappa_langid",
         "q_audio_stats",
         "q_video_stats",
+        "q_jaro_linkage",
+        "q_keyword_profile",
+        "q_event_loops",
+        "q_ngram_containment",
+        "q_margin_mining",
+        "q_leakage_split",
+        "q_good_turing",
+        "q_turn_churn",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

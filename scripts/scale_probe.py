@@ -259,6 +259,20 @@ def main() -> int:
             .collect()[0]["p"]
             or 0,
         )
+        # round-4 additions: the two new pair producers.
+        # containment shares jaccard's verified-threshold shape -> the
+        # linear target; jaro linkage scores the DISTINCT name
+        # vocabulary, which this domain holds CONSTANT as rows grow 10x
+        # -> pair exponent ~0 (the distinct-first design point: linkage
+        # cost follows the vocabulary, not the row count)
+        results["q_ngram_containment"] = run(
+            "q_ngram_containment",
+            lambda d: qs["q_ngram_containment"](spark, d).count(),
+        )
+        results["q_jaro_linkage"] = run(
+            "q_jaro_linkage",
+            lambda d: qs["q_jaro_linkage"](spark, d).count(),
+        )
         # the guards the ungated measurements motivate, measured at 10x
         # only (the point is the 10x cost, not a second exponent):
         # max_block caps edit-distance's quadratic hot blocks; top_k

@@ -219,3 +219,36 @@ def test_turn_churn_token_set_not_bag(spark):
     out = turn_churn(df, "conv_id", ["turn_idx"], "text", min_jaccard=0.9)
     r = out.collect()
     assert len(r) == 1 and r[0].prev_jaccard == 1.0 and r[0].n_tokens == 2
+
+
+# ------------------------------------------------ streaming keyword tag
+
+def test_keyword_hits_works_on_a_stream(spark, tmp_path):
+    """keyword_hits is mapInPandas-only — stream-compatible by
+    construction; pin it so a future rewrite can't silently add a batch-
+    only op (aggregations, windows) to the tagging path."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("d1", "spark x spark"), ("d2", "table"), ("d3", "nothing")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        src
+    )
+    tagged = keyword_hits(stream, "doc_id", "text", ["spark", "table"])
+    assert tagged.isStreaming
+    q = (
+        tagged.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.keyword): r.hits
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("d1", "spark"): 2, ("d2", "table"): 1}
