@@ -4585,6 +4585,20 @@ _KEYWORDS = (
 _KW_VALUES_SQL = ", ".join(f"('{k}')" for k in _KEYWORDS)
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """Per-doc zlib redundancy gate (curate.compression_ratio): deflate
+    bytes / utf8 bytes — the all-orders repetition signal (templated
+    pages compress hard, noise doesn't). Rows-only BY DESIGN: zlib is
+    deterministic but not SQL-expressible; value pins live in
+    tests/test_curate.py with hand-built high/low-redundancy docs."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        compression_ratio,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return compression_ratio(d)
+
+
 def _q_turn_churn(spark, sf_dir):
     """Consecutive-turn token-set Jaccard (operators/sessions.py
     turn_churn): flags turns >= 0.8 similar to their predecessor in the
@@ -4946,6 +4960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": _q_dup_spans,
         "q_dup_spans_apply": _q_dup_spans_apply,
         "q_bm25": _q_bm25,
+        # rows-only: zlib is deterministic but not SQL-expressible
+        "q_compression_ratio": _q_compression_ratio,
         "q_turn_churn": _q_turn_churn,
         "q_leakage_split": _q_leakage_split,
         "q_good_turing": _q_good_turing,

@@ -12,7 +12,7 @@ optionally followed by a MinHash near-dup pass
         jobs/run_curate.py --input /path/docs.parquet \
         --warehouse /path/to/warehouse [--langs en,de] \
         [--min-quality 0.3] [--min-tokens 10] [--max-tokens 100000] \
-        [--near-dup]
+        [--near-dup] [--blocklist term1,term2]
 """
 
 from __future__ import annotations
@@ -32,6 +32,11 @@ def parse_args(argv):
     p.add_argument(
         "--near-dup", action="store_true",
         help="additionally remove MinHash near-duplicates (keep-min-id)",
+    )
+    p.add_argument(
+        "--blocklist", default="",
+        help="comma-separated terms; docs containing ANY are dropped "
+        "(one Aho-Corasick pass for the whole dictionary)",
     )
     p.add_argument("--master", default=None, help="override (tests only)")
     return p.parse_args(argv)
@@ -68,6 +73,19 @@ def main(argv=None) -> int:
             max_tokens=args.max_tokens,
         )
         kept = curate.curate_corpus(docs, **kw)
+        blocked = 0
+        terms = tuple(s for s in args.blocklist.split(",") if s)
+        if terms:
+            from png_from_pdf_extracter_spark.functions.keywords import (
+                keyword_hits,
+            )
+
+            hits = keyword_hits(kept, "doc_id", "text", terms).select(
+                "doc_id"
+            ).distinct()
+            before = kept.count()
+            kept = kept.join(hits, "doc_id", "left_anti")
+            blocked = before - kept.count()
         near_dups_removed = 0
         if args.near_dup:
             pairs = dedup.minhash_lsh_pairs(kept, "doc_id", "text")
@@ -89,7 +107,8 @@ def main(argv=None) -> int:
         n_kept = spark.read.parquet(catalog.path("curated_docs")).count()
         print(
             f"curated kept={n_kept} of={n_in} "
-            f"near_dups_removed={near_dups_removed} langs={','.join(langs)}"
+            f"near_dups_removed={near_dups_removed} blocked={blocked} "
+            f"langs={','.join(langs)}"
         )
         return 0
     finally:

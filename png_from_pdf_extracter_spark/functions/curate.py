@@ -1000,3 +1000,63 @@ def leakage_free_split(
     return out.withColumn(
         "split", split_assign("group_key", val_pct, test_pct, salt)
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the model-free redundancy
+    gate several web-corpus pipelines apply alongside the Gopher rules:
+    templated/keyword-stuffed pages compress far below natural prose,
+    and near-random noise barely compresses at all, so both tails are
+    suspect. Complements [[repetition_signals]] (fixed n-gram window)
+    and [[word_entropy]] (unigram-only) with an ALL-orders redundancy
+    measure (LZ77 window + Huffman).
+
+    ratio = deflate_bytes / utf8_bytes, rounded to 4; empty text gives
+    NULL. Deterministic: zlib at a fixed level is a pure function of the
+    bytes, so results are stable across runs and engines — but NOT
+    SQL-expressible, hence no DuckDB oracle (rows-only registry entry;
+    value pins live in tests with hand-built high/low-redundancy docs).
+
+    Arrow-batched pandas UDF; the per-row Python is irreducible (zlib
+    has no vectorized form) and the op is map-only — no shuffle, scales
+    embarrassingly.
+
+    Returns (id, n_bytes, z_bytes, ratio).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _deflate_len(texts):
+        import zlib
+
+        return pd.Series(
+            [
+                None
+                if t is None or t == ""
+                else len(zlib.compress(t.encode("utf-8"), level))
+                for t in texts
+            ],
+            dtype="Int64",
+        )
+
+    # one zlib pass per row in the UDF; byte length and the ratio stay
+    # JVM-side (octet_length + one division)
+    out = docs.select(
+        F.col(id_col),
+        F.octet_length(text_col).alias("n_bytes"),
+        _deflate_len(F.col(text_col)).alias("z_bytes"),
+    )
+    return out.withColumn(
+        "ratio",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("z_bytes") / F.col("n_bytes"), 4),
+        ),
+    )

@@ -718,3 +718,42 @@ def test_good_turing_bigrams_match_unigram_path_shape(spark):
     assert got == {1: (3, 0.0), 3: (1, 0.0)}
     # unseen-mass estimate N_1/N = 3/6 is readable straight off the table
     assert got[1][0] == 3
+
+
+# ---- compression_ratio ----
+
+
+def test_compression_ratio_separates_template_from_noise(spark):
+    import zlib
+
+    from png_from_pdf_extracter_spark.functions import curate
+
+    template = "the same line repeated verbatim " * 60
+    noise = "k9x2 qv7w zzp1 m4rj t8yl c3hd w6fn b5gs " * 5
+    # make noise actually incompressible-ish: unique token soup
+    noise = " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, template), (2, noise), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curate.compression_ratio(df).collect()}
+    assert got[1].ratio < 0.1 < got[2].ratio
+    # exact value pin: pure function of the bytes
+    raw = template.encode()
+    assert got[1].z_bytes == len(zlib.compress(raw, 6))
+    assert got[1].n_bytes == len(raw)
+    assert got[3].ratio is None and got[4].ratio is None
+
+
+def test_compression_ratio_deterministic_across_runs(spark):
+    from png_from_pdf_extracter_spark.functions import curate
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        (r.doc_id, r.ratio) for r in curate.compression_ratio(df).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.ratio)
+        for r in curate.compression_ratio(df.repartition(7)).collect()
+    )
+    assert a == b

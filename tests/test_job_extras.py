@@ -216,3 +216,40 @@ def test_run_curate_job_inprocess(spark, tmp_path):
     assert run_curate.main(
         ["--input", in_dir, "--warehouse", wh, "--langs", ""]
     ) == 1
+
+
+def test_run_curate_blocklist_gate(spark, tmp_path):
+    """--blocklist drops every doc containing any listed term (one
+    Aho-Corasick pass), and the drop is reflected in the summary count
+    and the survivor table."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    try:
+        import run_curate
+    finally:
+        _sys.path.pop(0)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+    wh = str(tmp_path / "wh")
+
+    assert run_curate.main(
+        ["--input", in_dir, "--warehouse", wh, "--langs", "en,de"]
+    ) == 0
+    cat = Catalog(wh)
+    n_plain = cat.read(spark, "curated_docs").count()
+
+    assert run_curate.main(
+        ["--input", in_dir, "--warehouse", wh, "--langs", "en,de",
+         "--blocklist", "spark,window"]
+    ) == 0
+    spark.catalog.refreshByPath(cat.path("curated_docs"))
+    kept = cat.read(spark, "curated_docs")
+    assert kept.count() < n_plain
+    # no survivor contains a blocked term
+    bad = kept.filter(
+        kept.text.contains("spark") | kept.text.contains("window")
+    ).count()
+    assert bad == 0
