@@ -4728,6 +4728,64 @@ def _q_ngram_containment(spark, sf_dir):
     )
 
 
+def _q_anova(spark, sf_dir):
+    """One-way ANOVA F across the five order priorities on totalprice
+    (functions/stats.py anova_oneway) — the parametric mean-shift
+    companion to q_kruskal_wallis on the same contrast. Per-class sums
+    exact (S_g BIGINT, Q_g DECIMAL so neither engine's overflow rules
+    leak in); the between term accumulates in fixed class order."""
+    from png_from_pdf_extracter_spark.functions.stats import anova_oneway
+
+    o = _read(spark, sf_dir, "orders")
+    return anova_oneway(o, "o_totalprice", "o_orderpriority", quantize=2)
+
+
+def _q_levene(spark, sf_dir):
+    """Brown-Forsythe equal-variance test across event types on the
+    event value (functions/stats.py levene_bf) — the homoscedasticity
+    gate before q_anova's F is trusted. Per-class DOUBLED medians via
+    the exact integer rank-reach test; deviations stay BIGINT; the
+    doubling cancels in W."""
+    from png_from_pdf_extracter_spark.functions.stats import levene_bf
+
+    ev = _read(spark, sf_dir, "events")
+    return levene_bf(ev, "value", "event_type", quantize=2)
+
+
+def _q_cramers_v(spark, sf_dir):
+    """Cramér's V between market segment and nation on customers
+    (functions/stats.py cramers_v) — the effect-size normalization of
+    q_chi2_indep: same one-shuffle contingency plan, but the cross-cell
+    chi2 total is accumulated in fixed (a, b) order so the single float
+    sum stays bit-reproducible."""
+    from png_from_pdf_extracter_spark.functions.stats import cramers_v
+
+    c = _read(spark, sf_dir, "customer")
+    return cramers_v(c, "c_mktsegment", "c_nationkey")
+
+
+def _q_mcnemar(spark, sf_dir):
+    """McNemar paired-classifier test (functions/evalmetrics.py
+    mcnemar_test): the hashed linear scorer (q_hash_classifier's model)
+    vs a length heuristic, both predicting the n_chars >= 500 label on
+    the same documents — only the discordant cells b, c enter the
+    statistic. One map-combinable aggregate; the oracle recomputes the
+    identical md5 model in DuckDB."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        hashed_linear_score,
+    )
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        mcnemar_test,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 500).alias("label"),
+        (hashed_linear_score("text") > 0).alias("pred_a"),
+        (F.col("n_chars") % 7 < 4).alias("pred_b"),
+    )
+    return mcnemar_test(d, "label", "pred_a", "pred_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -4927,6 +4985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_binseg": _q_binseg,
         "q_theil_sen": _q_theil_sen,
         "q_kruskal_wallis": _q_kruskal_wallis,
+        "q_anova": _q_anova,
+        "q_levene": _q_levene,
+        "q_cramers_v": _q_cramers_v,
+        "q_mcnemar": _q_mcnemar,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -9294,6 +9356,215 @@ def oracle_sql() -> dict[str, str]:
                                 - n::DOUBLE)) * 1e6) / 1e6
                    END AS h_tie_q6
             FROM tt, sf
+        """,
+        "q_anova": """
+            WITH base AS (
+              SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+                     o_orderpriority AS g
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ),
+            pc AS (
+              SELECT g, count(*)::BIGINT AS n_g,
+                     sum(v)::BIGINT AS s_g,
+                     sum(CAST(v AS DECIMAL(38,0))
+                         * CAST(v AS DECIMAL(38,0))) AS q_g
+              FROM base GROUP BY g
+            ),
+            stepped AS (
+              SELECT sum(s_g::DOUBLE * s_g::DOUBLE / n_g::DOUBLE) OVER (
+                       ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sb,
+                     row_number() OVER (ORDER BY g) AS rn,
+                     count(*) OVER () AS kk
+              FROM pc
+            ),
+            sf AS (SELECT sb, kk::BIGINT AS k FROM stepped WHERE rn = kk),
+            tt AS (
+              SELECT sum(n_g)::BIGINT AS n, sum(s_g)::BIGINT AS s,
+                     CAST(sum(q_g) AS DECIMAL(38,0)) AS q
+              FROM pc
+            )
+            SELECT n, k,
+                   CAST(floor((sb - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                        / 1e6) AS BIGINT) AS ssb_m6,
+                   CAST(floor((q::DOUBLE - sb) / 1e6) AS BIGINT)
+                     AS ssw_m6,
+                   CASE WHEN k > 1 AND (q::DOUBLE - sb) > 0 THEN
+                     floor(((sb - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                            / (k::DOUBLE - 1.0))
+                           / ((q::DOUBLE - sb) / (n::DOUBLE - k::DOUBLE))
+                           * 1e6) / 1e6
+                   END AS f_q6
+            FROM tt, sf
+        """,
+        "q_levene": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     event_type AS g
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            vg AS (
+              SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v
+            ),
+            ranked AS (
+              SELECT g, v, c,
+                     coalesce(sum(c) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS cb,
+                     sum(c) OVER (PARTITION BY g)::BIGINT AS n_g
+              FROM vg
+            ),
+            med AS (
+              SELECT g,
+                     sum(v * (
+                       (CASE WHEN cb < (n_g + 1) // 2
+                               AND cb + c >= (n_g + 1) // 2
+                             THEN 1 ELSE 0 END)
+                       + (CASE WHEN cb < n_g // 2 + 1
+                                 AND cb + c >= n_g // 2 + 1
+                               THEN 1 ELSE 0 END)
+                     ))::BIGINT AS med2
+              FROM ranked GROUP BY g
+            ),
+            z AS (
+              SELECT vg.g, vg.c, abs(2 * vg.v - med.med2)::BIGINT AS z2
+              FROM vg JOIN med ON vg.g = med.g
+            ),
+            pc AS (
+              SELECT g, sum(c)::BIGINT AS n_g,
+                     sum(c * z2)::BIGINT AS zs,
+                     sum(CAST(c AS DECIMAL(38,0))
+                         * CAST(z2 AS DECIMAL(38,0))
+                         * CAST(z2 AS DECIMAL(38,0))) AS q_g
+              FROM z GROUP BY g
+            ),
+            stepped AS (
+              SELECT sum(zs::DOUBLE * zs::DOUBLE / n_g::DOUBLE) OVER (
+                       ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sb,
+                     row_number() OVER (ORDER BY g) AS rn,
+                     count(*) OVER () AS kk
+              FROM pc
+            ),
+            sf AS (SELECT sb, kk::BIGINT AS k FROM stepped WHERE rn = kk),
+            tt AS (
+              SELECT sum(n_g)::BIGINT AS n, sum(zs)::BIGINT AS z,
+                     CAST(sum(q_g) AS DECIMAL(38,0)) AS q
+              FROM pc
+            )
+            SELECT n, k,
+                   CASE WHEN k > 1 AND (q::DOUBLE - sb) > 0 THEN
+                     floor(((n::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0))
+                           * (sb - z::DOUBLE * z::DOUBLE / n::DOUBLE)
+                           / (q::DOUBLE - sb) * 1e6) / 1e6
+                   END AS w_q6
+            FROM tt, sf
+        """,
+        "q_cramers_v": """
+            WITH cells AS (
+              SELECT c_mktsegment AS a, c_nationkey AS b,
+                     count(*)::BIGINT AS o
+              FROM customer GROUP BY a, b
+            ),
+            rt AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY a),
+            ct AS (SELECT b, sum(o)::BIGINT AS cb FROM cells GROUP BY b),
+            gt AS (SELECT sum(o)::BIGINT AS N FROM cells),
+            j AS (
+              SELECT cells.a, cells.b, cells.o, rt.ra, ct.cb, gt.N
+              FROM cells JOIN rt USING (a) JOIN ct USING (b), gt
+            ),
+            stepped AS (
+              SELECT N,
+                     sum(
+                       (o::DOUBLE - CAST(CAST(ra AS DECIMAL(38,0))
+                          * CAST(cb AS DECIMAL(38,0)) AS DOUBLE)
+                          / N::DOUBLE)
+                       * (o::DOUBLE - CAST(CAST(ra AS DECIMAL(38,0))
+                          * CAST(cb AS DECIMAL(38,0)) AS DOUBLE)
+                          / N::DOUBLE)
+                       / (CAST(CAST(ra AS DECIMAL(38,0))
+                          * CAST(cb AS DECIMAL(38,0)) AS DOUBLE)
+                          / N::DOUBLE)
+                     ) OVER (
+                       ORDER BY a, b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS chi2_obs,
+                     sum(CAST(CAST(ra AS DECIMAL(38,0))
+                          * CAST(cb AS DECIMAL(38,0)) AS DOUBLE)
+                          / N::DOUBLE) OVER (
+                       ORDER BY a, b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS e_obs,
+                     row_number() OVER (ORDER BY a, b) AS rn,
+                     count(*) OVER () AS cells_n
+              FROM j
+            ),
+            last AS (
+              SELECT N, chi2_obs + (N::DOUBLE - e_obs) AS chi2
+              FROM stepped WHERE rn = cells_n
+            ),
+            dims AS (
+              SELECT count(DISTINCT a)::BIGINT AS r,
+                     count(DISTINCT b)::BIGINT AS c
+              FROM cells
+            )
+            SELECT N AS n, r, c,
+                   floor(chi2 * 1e6) / 1e6 AS chi2_q6,
+                   CASE WHEN least(r, c) > 1 THEN
+                     floor(sqrt(chi2 / (N::DOUBLE
+                       * (least(r, c)::DOUBLE - 1.0))) * 1e6) / 1e6
+                   END AS v_q6
+            FROM last, dims
+        """,
+        "q_mcnemar": """
+            WITH toks AS (
+              SELECT doc_id, n_chars,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0
+                     ) AS tok
+              FROM documents
+            ),
+            preds AS (
+              SELECT (n_chars >= 500) AS label,
+                     ((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                            % 2001 - 1000
+                       ))
+                     ELSE 0 END) > 0) AS pred_a,
+                     (n_chars % 7 < 4) AS pred_b
+              FROM toks
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN pred_a = label AND pred_b <> label
+                              THEN 1 ELSE 0 END)::BIGINT AS b,
+                     sum(CASE WHEN pred_a <> label AND pred_b = label
+                              THEN 1 ELSE 0 END)::BIGINT AS c,
+                     sum(CASE WHEN pred_a = label THEN 1 ELSE 0 END)
+                       ::BIGINT AS na,
+                     sum(CASE WHEN pred_b = label THEN 1 ELSE 0 END)
+                       ::BIGINT AS nb
+              FROM preds
+            )
+            SELECT n, b, c,
+                   CASE WHEN b + c > 0 THEN
+                     floor((abs(b - c)::DOUBLE - 1.0)
+                           * (abs(b - c)::DOUBLE - 1.0)
+                           / (b + c)::DOUBLE * 1e6) / 1e6
+                   END AS mcnemar_q6,
+                   CAST(floor(na::DOUBLE / n::DOUBLE * 1e6) AS BIGINT)
+                     AS acc_a_ppm,
+                   CAST(floor(nb::DOUBLE / n::DOUBLE * 1e6) AS BIGINT)
+                     AS acc_b_ppm
+            FROM agg
         """,
         "q_mann_kendall": """
             WITH v AS (

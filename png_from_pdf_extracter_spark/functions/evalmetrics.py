@@ -495,3 +495,55 @@ def cohens_kappa(
             F.floor(num / den * F.lit(1e6)) / F.lit(1e6),
         ).alias("kappa_q6"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+) -> DataFrame:
+    """McNemar's test on PAIRED classifier predictions — the correct
+    way to ask "is model B actually better than model A" on the same
+    eval set (comparing two marginal accuracies ignores the pairing and
+    overstates significance). Only the discordant cells matter:
+    b = (A right, B wrong), c = (A wrong, B right); the continuity-
+    corrected statistic is (|b - c| - 1)^2 / (b + c), chi2_1 under the
+    null that both models err at the same rate.
+
+    EXACT cross-engine: b and c are plain conditional counts (one
+    map-combinable aggregate, no shuffle beyond the single reduce); the
+    statistic is ONE float expression over two exact BIGINTs. Returns
+    one row (n, b, c, mcnemar_q6, acc_a_ppm, acc_b_ppm); mcnemar_q6 is
+    null when b + c = 0 (no discordant pairs — the test is undefined
+    and the models are operationally identical).
+    """
+    y = F.col(label_col).cast("boolean")
+    a_ok = (F.col(pred_a_col).cast("boolean") == y).cast("long")
+    b_ok = (F.col(pred_b_col).cast("boolean") == y).cast("long")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(a_ok * (1 - b_ok)).cast("long").alias("b"),
+        F.sum((1 - a_ok) * b_ok).cast("long").alias("c"),
+        F.sum(a_ok).cast("long").alias("__na"),
+        F.sum(b_ok).cast("long").alias("__nb"),
+    )
+    d = F.abs(F.col("b") - F.col("c")).cast("double") - F.lit(1.0)
+    stat = d * d / (F.col("b") + F.col("c")).cast("double")
+    return agg.select(
+        "n",
+        "b",
+        "c",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.floor(stat * F.lit(1e6)) / F.lit(1e6),
+        ).alias("mcnemar_q6"),
+        F.floor(
+            F.col("__na").cast("double") / F.col("n").cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("acc_a_ppm"),
+        F.floor(
+            F.col("__nb").cast("double") / F.col("n").cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("acc_b_ppm"),
+    )

@@ -1661,3 +1661,265 @@ def cusum_fold_states(
             "alarm", F.col("cusum_q") > F.lit(int(threshold_q))
         )
     return out
+
+
+def _stepped_sq_over_n(per_class, sum_col: str, n_col: str, key_col: str):
+    """Fixed-order float accumulation of sum(S_g^2 / n_g) over the class
+    key — the [[kruskal_wallis]] "stepped" pattern extracted: both
+    engines walk the class table in key order and add identical doubles
+    left-to-right, so the cross-row float sum stays bit-reproducible.
+    Returns a 1-row DataFrame (``__sb``, ``__kk``).
+    """
+    ordw = Window.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = per_class.select(
+        F.sum(
+            F.col(sum_col).cast("double")
+            * F.col(sum_col).cast("double")
+            / F.col(n_col).cast("double")
+        )
+        .over(ordw)
+        .alias("__sb"),
+        F.row_number().over(Window.orderBy(key_col)).alias("__rn"),
+        F.count("*").over(full).alias("__k"),
+    )
+    return stepped.filter(F.col("__rn") == F.col("__k")).select(
+        "__sb", F.col("__k").cast("long").alias("__kk")
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """One-way ANOVA F test — the parametric counterpart of
+    [[kruskal_wallis]]: "do the class MEANS differ" where KW asks about
+    whole distributions. The 100-TB reading: a single map-combinable
+    pass computes per-class (n_g, S_g, Q_g); everything after runs over
+    the k-row class table.
+
+    EXACT cross-engine: values integer-quantized; per-class sums S_g
+    are BIGINT, squared sums Q_g are DECIMAL(38,0) (v^2 sums overflow
+    64 bits at sf0.1 scale — Spark's non-ANSI long sum would wrap
+    SILENTLY, DuckDB widens to HUGEINT, and the two engines would
+    diverge; decimal pins both). The between-groups term sum(S_g^2/n_g)
+    is accumulated in FIXED class-key order ([[_stepped_sq_over_n]]),
+    then SSB = sb - S^2/N and SSW = Q - sb are single shared-op-order
+    expressions. Returns one row (n, k, ssb_q6, ssw_q6, f_q6); f_q6 is
+    null when k < 2 or SSW == 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(v.alias("__v"), F.col(class_col).alias("__g")).filter(
+        F.col("__v").isNotNull() & F.col("__g").isNotNull()
+    )
+    per_class = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n_g"),
+        F.sum("__v").cast("long").alias("__s_g"),
+        F.sum(
+            F.col("__v").cast("decimal(38,0)")
+            * F.col("__v").cast("decimal(38,0)")
+        ).alias("__q_g"),
+    )
+    sb = _stepped_sq_over_n(per_class, "__s_g", "__n_g", "__g")
+    tot = per_class.agg(
+        F.sum("__n_g").cast("long").alias("n"),
+        F.sum("__s_g").cast("long").alias("__s"),
+        F.sum("__q_g").cast("decimal(38,0)").alias("__q"),
+    )
+    nn = F.col("n").cast("double")
+    ssb = F.col("__sb") - (
+        F.col("__s").cast("double") * F.col("__s").cast("double") / nn
+    )
+    ssw = F.col("__q").cast("double") - F.col("__sb")
+    kk = F.col("__kk").cast("double")
+    f_stat = (ssb / (kk - F.lit(1.0))) / (ssw / (nn - kk))
+    # SSB/SSW magnitudes reach ~1e19 in quantized-cents^2 units: floor at
+    # x*1e6 would overflow Spark's LONG-returning floor (DuckDB's floor
+    # stays DOUBLE and the engines diverge) — emit in 1e6-unit bins
+    # instead, which also keeps floor's argument under 2^53.
+    return tot.crossJoin(sb).select(
+        "n",
+        F.col("__kk").alias("k"),
+        F.floor(ssb / F.lit(1e6)).cast("long").alias("ssb_m6"),
+        F.floor(ssw / F.lit(1e6)).cast("long").alias("ssw_m6"),
+        F.when(
+            (F.col("__kk") > 1) & (ssw > 0),
+            F.floor(f_stat * F.lit(1e6)) / F.lit(1e6),
+        ).alias("f_q6"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    value_col: str,
+    class_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of equal variances
+    across classes — the gate you run BEFORE trusting [[anova_oneway]]
+    (whose F assumes homoscedasticity), and a drift check in its own
+    right: "did one shard's variance blow up".
+
+    Construction keeps everything integral until the final assembly:
+    the per-class DOUBLED median med2_g = v_lo + v_hi comes from the
+    per-(class, value) count table via the exact integer rank-reach
+    test (lower + upper order statistics — no float midpoint), so the
+    centered deviations z2 = |2v - med2_g| are exact BIGINTs. Then W =
+    ((N-k)/(k-1)) * [sum_g Z_g^2/n_g - Z^2/N] / [Q - sum_g Z_g^2/n_g]
+    with Z_g = sum(z2) BIGINT, Q = sum(z2^2) DECIMAL(38,0), and the
+    cross-class float term accumulated in fixed key order
+    ([[_stepped_sq_over_n]]); the doubling cancels between numerator
+    and denominator. Plan: one (class, value) count shuffle (bounded by
+    distinct values, map-combinable), the median join-back is against
+    the k-row class table (broadcast). Returns (n, k, w_q6); w_q6 null
+    when k < 2 or the within term is 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(v.alias("__v"), F.col(class_col).alias("__g")).filter(
+        F.col("__v").isNotNull() & F.col("__g").isNotNull()
+    )
+    vg = base.groupBy("__g", "__v").agg(F.count("*").cast("long").alias("__c"))
+    wg = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vg.select(
+        "__g",
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n_g"),
+    )
+    lo = F.floor((F.col("__n_g") + 1) / 2)
+    hi = F.floor(F.col("__n_g") / 2) + 1
+    hits = (
+        F.when((F.col("__cb") < lo) & (F.col("__cb") + F.col("__c") >= lo), 1)
+        .otherwise(0)
+        + F.when(
+            (F.col("__cb") < hi) & (F.col("__cb") + F.col("__c") >= hi), 1
+        ).otherwise(0)
+    )
+    med = ranked.groupBy("__g").agg(
+        F.sum(F.col("__v") * hits).cast("long").alias("__med2")
+    )
+    z = vg.join(F.broadcast(med), "__g").select(
+        "__g",
+        "__c",
+        F.abs(2 * F.col("__v") - F.col("__med2")).alias("__z2"),
+    )
+    per_class = z.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__n_g"),
+        F.sum(F.col("__c") * F.col("__z2")).cast("long").alias("__zs"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * F.col("__z2").cast("decimal(38,0)")
+            * F.col("__z2").cast("decimal(38,0)")
+        ).alias("__q_g"),
+    )
+    sb = _stepped_sq_over_n(per_class, "__zs", "__n_g", "__g")
+    tot = per_class.agg(
+        F.sum("__n_g").cast("long").alias("n"),
+        F.sum("__zs").cast("long").alias("__z"),
+        F.sum("__q_g").cast("decimal(38,0)").alias("__q"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("__kk").cast("double")
+    num = F.col("__sb") - (
+        F.col("__z").cast("double") * F.col("__z").cast("double") / nn
+    )
+    den = F.col("__q").cast("double") - F.col("__sb")
+    w_stat = ((nn - kk) / (kk - F.lit(1.0))) * num / den
+    return tot.crossJoin(sb).select(
+        "n",
+        F.col("__kk").alias("k"),
+        F.when(
+            (F.col("__kk") > 1) & (den > 0),
+            F.floor(w_stat * F.lit(1e6)) / F.lit(1e6),
+        ).alias("w_q6"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V — the [0,1] effect-size normalization of
+    [[chi2_independence]]: chi2 scales with N, so "is the association
+    MEANINGFUL" needs V = sqrt(chi2 / (N * (min(r,c) - 1))). Where
+    chi2_independence emits per-cell rows (order-free floats), V needs
+    the cross-cell total, so the cell contributions are accumulated in
+    FIXED (a, b) key order — the [[_stepped_sq_over_n]] discipline
+    applied to the contingency table. Plan identical to
+    chi2_independence: ONE corpus shuffle to the cell table, margins
+    re-aggregated over cells, broadcast joins. Returns one row
+    (n, r, c, chi2_q6, v_q6); v_q6 null for a degenerate 1xC / Rx1
+    table.
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    row_tot = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    col_tot = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    grand = F.broadcast(cells.agg(F.sum("o").cast("long").alias("N")))
+    j = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(grand)
+    )
+    e = (
+        (F.col("ra").cast(dec) * F.col("cb").cast(dec)).cast("double")
+        / F.col("N").cast("double")
+    )
+    o = F.col("o").cast("double")
+    contrib = (o - e) * (o - e) / e
+    ordw = Window.orderBy("a", "b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy("a", "b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # ZERO cells never appear in the observed-cell table, yet each
+    # contributes its full expected count e to chi2. Sum(e) over ALL
+    # cells is exactly N, so the missing-cell mass is N - sum_observed(e)
+    # — accumulate e alongside the observed contributions in the same
+    # fixed order and add the remainder once at the end.
+    stepped = j.select(
+        F.col("N"),
+        F.sum(contrib).over(ordw).alias("__chi2_obs"),
+        F.sum(e).over(ordw).alias("__e_obs"),
+        F.row_number().over(Window.orderBy("a", "b")).alias("__rn"),
+        F.count("*").over(full).alias("__cells"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__cells")).select(
+        "N",
+        (
+            F.col("__chi2_obs")
+            + (F.col("N").cast("double") - F.col("__e_obs"))
+        ).alias("__chi2"),
+    )
+    dims = cells.agg(
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+    )
+    mdim = F.least(F.col("r"), F.col("c")).cast("double")
+    v_stat = F.sqrt(
+        F.col("__chi2") / (F.col("N").cast("double") * (mdim - F.lit(1.0)))
+    )
+    return last.crossJoin(F.broadcast(dims)).select(
+        F.col("N").alias("n"),
+        "r",
+        "c",
+        (F.floor(F.col("__chi2") * F.lit(1e6)) / F.lit(1e6)).alias("chi2_q6"),
+        F.when(
+            mdim > 1, F.floor(v_stat * F.lit(1e6)) / F.lit(1e6)
+        ).alias("v_q6"),
+    )

@@ -1017,3 +1017,132 @@ def test_cusum_batch_state_single_segment_is_whole_answer(spark):
     )
     assert folded["cusum_q"] == want
     assert folded["alarm"] == (want > 5)
+
+
+# ---- one-way ANOVA / Brown-Forsythe / Cramér's V / McNemar ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    anova_oneway,
+    cramers_v,
+    levene_bf,
+)
+from png_from_pdf_extracter_spark.functions.evalmetrics import (  # noqa: E402
+    mcnemar_test,
+)
+
+
+def test_anova_matches_numpy(spark):
+    import numpy as np
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [2.5, 3.5, 4.5, 5.5],
+        "c": [10.0, 11.0, 12.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g", quantize=2).collect()[0]
+    # numpy reference on the quantized values
+    xs = {g: np.array([round(v * 100) for v in vs]) for g, vs in groups.items()}
+    allv = np.concatenate(list(xs.values()))
+    gm = allv.mean()
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in xs.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in xs.values())
+    k, n = len(xs), len(allv)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n"] == n and r["k"] == k
+    assert abs(r["f_q6"] - f_ref) < 1e-5
+    assert r["ssb_m6"] == int(np.floor(ssb / 1e6))
+    assert r["ssw_m6"] == int(np.floor(ssw / 1e6))
+
+
+def test_anova_equal_means_f_near_zero(spark):
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    assert r["f_q6"] == 0.0  # identical group sums: SSB exactly 0
+
+
+def test_levene_matches_numpy(spark):
+    import numpy as np
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 100.0],  # fat spread
+        "b": [5.0, 5.1, 5.2, 5.3],
+        "c": [7.0, 7.5, 8.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_bf(df, "v", "g", quantize=2).collect()[0]
+    # Brown-Forsythe with LOWER+UPPER median (doubled-median convention)
+    zs = []
+    for vs in groups.values():
+        x = np.sort(np.array([round(v * 100) for v in vs]))
+        n = len(x)
+        med2 = x[(n + 1) // 2 - 1] + x[n // 2]
+        zs.append(np.abs(2 * x - med2))
+    allz = np.concatenate(zs)
+    n, k = len(allz), len(zs)
+    zbar = allz.mean()
+    num = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    den = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w_ref = (n - k) / (k - 1) * num / den
+    assert r["n"] == n and r["k"] == k
+    assert abs(r["w_q6"] - w_ref) < 1e-5
+
+
+def test_levene_identical_spreads_w_zero(spark):
+    # same shape shifted: identical |deviation| multisets per group
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v + 50) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_bf(df, "v", "g").collect()[0]
+    assert r["w_q6"] == 0.0
+
+
+def test_cramers_v_perfect_association(spark):
+    # diagonal table: a fully determines b -> V == 1
+    rows = [("x", 1)] * 5 + [("y", 2)] * 7 + [("z", 3)] * 3
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["n"] == 15 and r["r"] == 3 and r["c"] == 3
+    assert abs(r["v_q6"] - 1.0) < 1e-5
+
+
+def test_cramers_v_independent_near_zero(spark):
+    # perfectly balanced 2x2: chi2 == 0 -> V == 0
+    rows = [("x", 1), ("x", 2), ("y", 1), ("y", 2)] * 4
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["chi2_q6"] == 0.0 and r["v_q6"] == 0.0
+
+
+def test_cramers_v_degenerate_single_column_null(spark):
+    rows = [("x", 1), ("y", 1), ("z", 1)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["v_q6"] is None  # min(r,c)=1: V undefined
+
+
+def test_mcnemar_closed_form(spark):
+    # b=3 (A right, B wrong), c=1 -> (|3-1|-1)^2/4 = 0.25
+    rows = (
+        [(True, True, False)] * 3
+        + [(True, False, True)] * 1
+        + [(True, True, True)] * 6
+    )
+    df = spark.createDataFrame(rows, "label boolean, pa boolean, pb boolean")
+    r = mcnemar_test(df, "label", "pa", "pb").collect()[0]
+    assert (r["b"], r["c"]) == (3, 1)
+    assert abs(r["mcnemar_q6"] - 0.25) < 1e-9
+    assert r["acc_a_ppm"] == 900000 and r["acc_b_ppm"] == 700000
+
+
+def test_mcnemar_no_discordant_null(spark):
+    rows = [(True, True, True)] * 4
+    df = spark.createDataFrame(rows, "label boolean, pa boolean, pb boolean")
+    r = mcnemar_test(df, "label", "pa", "pb").collect()[0]
+    assert r["mcnemar_q6"] is None and r["b"] == 0 and r["c"] == 0
