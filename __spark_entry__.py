@@ -4786,6 +4786,65 @@ def _q_mcnemar(spark, sf_dir):
     return mcnemar_test(d, "label", "pred_a", "pred_b")
 
 
+def _q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b per nation between account balance and name length
+    on customers (functions/stats.py kendall_tau_b) — concordance
+    between two metrics where q_mann_kendall is value-vs-clock. Pairs
+    enumerated once via strict custkey ordering (bounded-group
+    contract); S and the doubled tie terms are exact BIGINTs."""
+    from png_from_pdf_extracter_spark.functions.stats import kendall_tau_b
+
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.length("c_name").cast("double").alias("name_len"),
+    )
+    return kendall_tau_b(
+        c, ("c_nationkey",), "c_acctbal", "name_len", "c_custkey",
+        quantize=2,
+    )
+
+
+def _q_did(spark, sf_dir):
+    """Difference-in-differences on event value (functions/stats.py
+    did_estimate): even-id users as the treated cohort, the month
+    midpoint as the intervention; ONE map-combinable aggregate emits
+    the four (treated x post) cells' exact sums, the estimate is a
+    single fixed-op-order float."""
+    from png_from_pdf_extracter_spark.functions.stats import did_estimate
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (
+            F.col("ts").cast("timestamp")
+            >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ).alias("post"),
+    )
+    return did_estimate(ev, "value", "treated", "post", quantize=2)
+
+
+def _q_l_diversity(spark, sf_dir):
+    """L-diversity audit over (nation, segment) with the thousand-
+    dollar balance bucket as the sensitive attribute
+    (functions/curate.py l_diversity_report) — the attribute-disclosure
+    companion to q_k_anonymity: a combo whose members all share one
+    bucket leaks it under linkage even when k-anonymous."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        l_diversity_report,
+    )
+
+    c = _read(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+    )
+    return l_diversity_report(
+        c, ("c_nationkey", "c_mktsegment"), "bal_kb", l=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -4989,6 +5048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_levene": _q_levene,
         "q_cramers_v": _q_cramers_v,
         "q_mcnemar": _q_mcnemar,
+        "q_kendall_tau": _q_kendall_tau,
+        "q_did": _q_did,
+        "q_l_diversity": _q_l_diversity,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -9565,6 +9627,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(nb::DOUBLE / n::DOUBLE * 1e6) AS BIGINT)
                      AS acc_b_ppm
             FROM agg
+        """,
+        "q_kendall_tau": """
+            WITH base AS (
+              SELECT c_nationkey AS g, c_custkey AS id,
+                     CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x,
+                     CAST(round(length(c_name) * 100.0, 0) AS BIGINT)
+                       AS y
+              FROM customer
+              WHERE c_acctbal IS NOT NULL AND c_name IS NOT NULL
+            ),
+            s AS (
+              SELECT a.g,
+                     sum(
+                       (CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                       * (CASE WHEN b.y > a.y THEN 1
+                               WHEN b.y < a.y THEN -1 ELSE 0 END)
+                     )::BIGINT AS s_stat
+              FROM base a JOIN base b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.g
+            ),
+            cnt AS (SELECT g, count(*)::BIGINT AS n FROM base GROUP BY g),
+            tx AS (
+              SELECT g, sum(t * (t - 1))::BIGINT AS m1 FROM (
+                SELECT g, x, count(*)::BIGINT AS t
+                FROM base GROUP BY g, x
+              ) GROUP BY g
+            ),
+            ty AS (
+              SELECT g, sum(t * (t - 1))::BIGINT AS m2 FROM (
+                SELECT g, y, count(*)::BIGINT AS t
+                FROM base GROUP BY g, y
+              ) GROUP BY g
+            )
+            SELECT cnt.g AS c_nationkey, n, s_stat,
+                   (n * (n - 1))::BIGINT AS m0, m1, m2,
+                   CASE WHEN n * (n - 1) > m1 AND n * (n - 1) > m2 THEN
+                     floor(2.0 * s_stat::DOUBLE
+                           / sqrt((n * (n - 1) - m1)::DOUBLE
+                                  * (n * (n - 1) - m2)::DOUBLE)
+                           * 1e6) / 1e6
+                   END AS tau_q6
+            FROM cnt JOIN s USING (g) JOIN tx USING (g) JOIN ty USING (g)
+        """,
+        "q_did": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS y,
+                     (user_id % 2 = 0) AS t,
+                     (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+                AND ts IS NOT NULL
+            ),
+            agg AS (
+              SELECT
+                sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+                sum(CASE WHEN t AND p THEN y ELSE 0 END)::BIGINT AS s_tp,
+                sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+                  AS n_tq,
+                sum(CASE WHEN t AND NOT p THEN y ELSE 0 END)::BIGINT
+                  AS s_tq,
+                sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT
+                  AS n_cp,
+                sum(CASE WHEN NOT t AND p THEN y ELSE 0 END)::BIGINT
+                  AS s_cp,
+                sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+                  AS n_cq,
+                sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END)::BIGINT
+                  AS s_cq
+              FROM base
+            )
+            SELECT n_tp, n_tq, n_cp, n_cq, s_tp, s_tq, s_cp, s_cq,
+                   CASE WHEN n_tp > 0 AND n_tq > 0 AND n_cp > 0
+                          AND n_cq > 0 THEN
+                     floor(((s_tp::DOUBLE / n_tp::DOUBLE
+                             - s_tq::DOUBLE / n_tq::DOUBLE)
+                            - (s_cp::DOUBLE / n_cp::DOUBLE
+                               - s_cq::DOUBLE / n_cq::DOUBLE))
+                           / 100.0 * 1e6) / 1e6
+                   END AS did_q6
+            FROM agg
+        """,
+        "q_l_diversity": """
+            WITH base AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
+              FROM customer
+            ),
+            cells AS (
+              SELECT c_nationkey, c_mktsegment, bal_kb,
+                     count(*)::BIGINT AS c
+              FROM base GROUP BY 1, 2, 3
+            )
+            SELECT c_nationkey, c_mktsegment,
+                   sum(c)::BIGINT AS n,
+                   count(*)::BIGINT AS n_sensitive,
+                   (count(*) < 3) AS at_risk
+            FROM cells GROUP BY 1, 2
         """,
         "q_mann_kendall": """
             WITH v AS (

@@ -793,6 +793,41 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """L-diversity audit — the attribute-disclosure companion to
+    [[k_anonymity_report]]: a quasi-identifier combination can be
+    k-anonymous yet still leak (every member shares the SAME sensitive
+    value, so linking any member reveals it). A combination is
+    l-diverse when its members carry at least ``l`` distinct sensitive
+    values. Emits one row per observed combination:
+    (quasi..., n, n_sensitive, at_risk).
+
+    Plan: one groupBy on (quasi..., sensitive) — map-combinable — then
+    a re-aggregation over that bounded table; exact counts only, never
+    approx_count_distinct (an audit must not under-count risk).
+    """
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    return (
+        cells.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_sensitive"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < F.lit(l))
+    )
+
+
 def suppress_rare_combos(
     df: DataFrame,
     quasi_cols: tuple[str, ...],

@@ -1923,3 +1923,176 @@ def cramers_v(
             mdim > 1, F.floor(v_stat * F.lit(1e6)) / F.lit(1e6)
         ).alias("v_q6"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Kendall tau-b rank correlation per group between two VALUE
+    columns — where [[mann_kendall]] tests value-vs-time (its S is the
+    tau numerator against the clock), tau-b measures concordance
+    between two metrics (quality score vs length, price vs quantity)
+    with the tie-corrected denominator: tau_b = S / sqrt((n0-n1)(n0-n2)),
+    n0 = C(n,2), n1/n2 = sum of C(t,2) over x/y tie runs.
+
+    Exactness: both values integer-quantized; pairs are enumerated ONCE
+    via the strict id ordering ``id < id2`` (any unique row key — pair
+    identity must not depend on value order or the tie classes double-
+    count); S and the DOUBLED tie terms m0 = n(n-1), m1 = sum t(t-1),
+    m2 likewise are exact BIGINTs (the halving cancels: tau_b =
+    2S / sqrt((m0-m1)(m0-m2))), and the only float is the final emit.
+
+    Plan: self-equi-join on the GROUP key — the bounded-group contract
+    of [[theil_sen_slope]] (per-group O(k^2): cap or sample oversized
+    groups upstream); tie tables are map-combinable re-aggregations of
+    the base. Returns (group..., n, s_stat, m0, m1, m2, tau_q6); tau_q6
+    null when either margin is all-ties.
+    """
+    xq = _quant(F.col(x_col), quantize)
+    yq = _quant(F.col(y_col), quantize)
+    base = df.select(
+        *group_cols,
+        F.col(id_col).alias("__id"),
+        xq.alias("__x"),
+        yq.alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    b = base
+    for c in ("__id", "__x", "__y"):
+        b = b.withColumnRenamed(c, c + "2")
+    pairs = base.join(b, list(group_cols)).filter(
+        F.col("__id") < F.col("__id2")
+    )
+    sgn = lambda a, bb: (  # noqa: E731
+        F.when(a > bb, F.lit(1)).when(a < bb, F.lit(-1)).otherwise(F.lit(0))
+    )
+    s_tab = pairs.groupBy(*group_cols).agg(
+        F.sum(
+            sgn(F.col("__x2"), F.col("__x"))
+            * sgn(F.col("__y2"), F.col("__y"))
+        ).cast("long").alias("s_stat")
+    )
+    counts = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+    def _tie(col):
+        return (
+            base.groupBy(*group_cols, col)
+            .agg(F.count("*").alias("__t"))
+            .groupBy(*group_cols)
+            .agg(
+                F.sum(F.col("__t") * (F.col("__t") - 1))
+                .cast("long")
+                .alias("__m")
+            )
+        )
+
+    gl = list(group_cols)
+    out = (
+        counts.join(s_tab, gl)
+        .join(_tie("__x").withColumnRenamed("__m", "m1"), gl)
+        .join(_tie("__y").withColumnRenamed("__m", "m2"), gl)
+        .withColumn("m0", (F.col("n") * (F.col("n") - 1)).cast("long"))
+    )
+    den = (
+        (F.col("m0") - F.col("m1")).cast("double")
+        * (F.col("m0") - F.col("m2")).cast("double")
+    )
+    tau = F.when(
+        (F.col("m0") > F.col("m1")) & (F.col("m0") > F.col("m2")),
+        F.lit(2.0) * F.col("s_stat").cast("double") / F.sqrt(den),
+    )
+    return out.select(
+        *gl,
+        "n",
+        "s_stat",
+        "m0",
+        "m1",
+        "m2",
+        (F.floor(tau * F.lit(1e6)) / F.lit(1e6)).alias("tau_q6"),
+    )
+
+
+def did_estimate(
+    df: DataFrame,
+    y_col: str,
+    treated_col: str,
+    post_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse "did the
+    intervention move the metric" reading over a (treated, post) 2x2:
+    DiD = (mean_t,post - mean_t,pre) - (mean_c,post - mean_c,pre). The
+    pre-period difference nets out level gaps between the cohorts; the
+    control's pre->post change nets out the secular trend (parallel-
+    trends is the identifying assumption — test it upstream with
+    [[mann_kendall]] on the pre period).
+
+    Exactness: y integer-quantized; ONE map-combinable aggregate emits
+    the four cells' (n, sum) as exact BIGINTs; the estimate is a single
+    fixed-op-order float expression over them, rescaled back to the
+    ORIGINAL units (sums are in 10^quantize units). Returns one row
+    (n_tp, n_tq, n_cp, n_cq, s_tp, s_tq, s_cp, s_cq, did_q6) — cells
+    named t/c x p(ost)/q(pre); did_q6 null when any cell is empty.
+    """
+    yq = _quant(F.col(y_col), quantize)
+    t = F.col(treated_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    base = df.select(
+        yq.alias("__y"), t.alias("__t"), p.alias("__p")
+    ).filter(
+        F.col("__y").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__p").isNotNull()
+    )
+
+    def _cell(tt, pp, tag):
+        cond = (F.col("__t") == tt) & (F.col("__p") == pp)
+        return [
+            F.sum(cond.cast("long")).cast("long").alias("n_" + tag),
+            F.sum(F.when(cond, F.col("__y")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s_" + tag),
+        ]
+
+    agg = base.agg(
+        *(
+            _cell(True, True, "tp")
+            + _cell(True, False, "tq")
+            + _cell(False, True, "cp")
+            + _cell(False, False, "cq")
+        )
+    )
+
+    def _m(tag):
+        return F.col("s_" + tag).cast("double") / F.col(
+            "n_" + tag
+        ).cast("double")
+
+    did = ((_m("tp") - _m("tq")) - (_m("cp") - _m("cq"))) / F.lit(
+        float(10**quantize)
+    )
+    nonempty = (
+        (F.col("n_tp") > 0)
+        & (F.col("n_tq") > 0)
+        & (F.col("n_cp") > 0)
+        & (F.col("n_cq") > 0)
+    )
+    return agg.select(
+        "n_tp",
+        "n_tq",
+        "n_cp",
+        "n_cq",
+        "s_tp",
+        "s_tq",
+        "s_cp",
+        "s_cq",
+        F.when(
+            nonempty, F.floor(did * F.lit(1e6)) / F.lit(1e6)
+        ).alias("did_q6"),
+    )

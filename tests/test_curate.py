@@ -757,3 +757,38 @@ def test_compression_ratio_deterministic_across_runs(spark):
         for r in curate.compression_ratio(df.repartition(7)).collect()
     )
     assert a == b
+
+
+# ---- l-diversity ----
+
+from png_from_pdf_extracter_spark.functions.curate import (  # noqa: E402
+    l_diversity_report,
+)
+
+
+def test_l_diversity_flags_homogeneous_combo(spark):
+    rows = [
+        ("us", "a", "flu"),
+        ("us", "a", "flu"),
+        ("us", "a", "flu"),  # 3 rows, 1 sensitive value -> at risk
+        ("de", "b", "flu"),
+        ("de", "b", "cold"),  # 2 distinct -> diverse at l=2
+    ]
+    df = spark.createDataFrame(rows, "geo string, seg string, dx string")
+    out = {
+        (r["geo"], r["seg"]): r
+        for r in l_diversity_report(df, ("geo", "seg"), "dx", l=2).collect()
+    }
+    assert out[("us", "a")]["at_risk"] is True
+    assert out[("us", "a")]["n"] == 3 and out[("us", "a")]["n_sensitive"] == 1
+    assert out[("de", "b")]["at_risk"] is False
+
+
+def test_l_diversity_param_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], "q string, s string")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, (), "s", l=2)
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ("q",), "s", l=0)

@@ -1146,3 +1146,76 @@ def test_mcnemar_no_discordant_null(spark):
     df = spark.createDataFrame(rows, "label boolean, pa boolean, pb boolean")
     r = mcnemar_test(df, "label", "pa", "pb").collect()[0]
     assert r["mcnemar_q6"] is None and r["b"] == 0 and r["c"] == 0
+
+
+# ---- Kendall tau-b / difference-in-differences ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    did_estimate,
+    kendall_tau_b,
+)
+
+
+def _tau_b_ref(xs, ys):
+    import math
+
+    n = len(xs)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            dy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            s += dx * dy
+    m0 = n * (n - 1)
+    m1 = sum(t * (t - 1) for t in __import__("collections").Counter(xs).values())
+    m2 = sum(t * (t - 1) for t in __import__("collections").Counter(ys).values())
+    return 2.0 * s / math.sqrt((m0 - m1) * (m0 - m2))
+
+
+def test_kendall_tau_brute_force_with_ties(spark):
+    xs = [1, 2, 2, 3, 5, 5, 7, 8]
+    ys = [2, 1, 4, 4, 6, 5, 9, 9]
+    rows = [("g", i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    r = kendall_tau_b(df, ("g",), "x", "y", "id", quantize=0).collect()[0]
+    ref = _tau_b_ref(xs, ys)
+    assert abs(r["tau_q6"] - ref) < 1e-5
+    assert r["n"] == 8 and r["m0"] == 56
+
+
+def test_kendall_tau_perfect_and_inverse(spark):
+    rows = [("a", i, float(i), float(i)) for i in range(6)] + [
+        ("b", i, float(i), float(-i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    out = {r["g"]: r for r in kendall_tau_b(df, ("g",), "x", "y", "id").collect()}
+    assert out["a"]["tau_q6"] == 1.0
+    assert out["b"]["tau_q6"] == -1.0
+
+
+def test_kendall_tau_all_ties_null(spark):
+    rows = [("g", i, 5.0, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    r = kendall_tau_b(df, ("g",), "x", "y", "id").collect()[0]
+    assert r["tau_q6"] is None  # x margin fully tied: denominator zero
+
+
+def test_did_closed_form(spark):
+    # treated: 10 -> 20 (delta 10); control: 5 -> 8 (delta 3); DiD = 7
+    rows = (
+        [(10.0, True, False)] * 3
+        + [(20.0, True, True)] * 2
+        + [(5.0, False, False)] * 4
+        + [(8.0, False, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "y double, t boolean, p boolean")
+    r = did_estimate(df, "y", "t", "p").collect()[0]
+    assert (r["n_tp"], r["n_tq"], r["n_cp"], r["n_cq"]) == (2, 3, 5, 4)
+    assert abs(r["did_q6"] - 7.0) < 1e-9
+
+
+def test_did_empty_cell_null(spark):
+    rows = [(1.0, True, True), (2.0, False, True), (3.0, False, False)]
+    df = spark.createDataFrame(rows, "y double, t boolean, p boolean")
+    r = did_estimate(df, "y", "t", "p").collect()[0]
+    assert r["did_q6"] is None  # no treated-pre cell
