@@ -4845,6 +4845,93 @@ def _q_l_diversity(spark, sf_dir):
     )
 
 
+def _q_mcc(spark, sf_dir):
+    """Matthews correlation per language of the n_chars%7 heuristic
+    against the length label (functions/evalmetrics.py mcc) — the
+    imbalance-honest confusion summary; numerator BIGINT, denominator
+    a fixed-order product of four sqrts so corpus-scale margins never
+    overflow."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import mcc
+
+    d = _read(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") % 7 < 4).alias("pred"),
+        (F.col("n_chars") >= 500).cast("long").alias("label"),
+    )
+    return mcc(d, "pred", "label", ("lang",))
+
+
+def _q_brier(spark, sf_dir):
+    """Murphy decomposition of the Brier score for the length-derived
+    pseudo-probability least(n_chars,2000)/2000 against the n_chars >=
+    500 label (functions/evalmetrics.py brier_decomposition): per
+    distinct 4dp forecast, BIGINT (n, n_pos, sse8) plus fixed-order
+    rel/res terms — the calibration-vs-separation reading a corpus
+    quality gate needs before thresholding."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        brier_decomposition,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        (
+            F.least(F.col("n_chars"), F.lit(2000)).cast("double")
+            / F.lit(2000.0)
+        ).alias("score"),
+        (F.col("n_chars") >= 500).alias("label"),
+    )
+    return brier_decomposition(d, "score", "label")
+
+
+def _q_retrieval(spark, sf_dir):
+    """Precision@5 / recall@5 / reciprocal rank per query
+    (functions/evalmetrics.py retrieval_metrics) over the same judged
+    exact-cosine top-10 as q_ndcg, with the HONEST recall denominator:
+    the corpus-wide same-label count minus the query itself, joined on
+    as total_rel — all BIGINT aggregates, terminal divisions only."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        retrieval_metrics,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10
+    )
+    lab = e.select("vec_id", "label")
+    lab_counts = lab.groupBy("label").agg(
+        F.count("*").cast("long").alias("__labn")
+    )
+    judged = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlab"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(lab_counts).withColumnRenamed("label", "qlab"),
+            "qlab",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("qlab") == F.col("nlab")).cast("int").alias("rel"),
+            (F.col("__labn") - 1).alias("total_rel_corpus"),
+        )
+    )
+    return retrieval_metrics(
+        judged, ("query_id",), "rank", "rel", k=5,
+        total_rel_col="total_rel_corpus",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5051,6 +5138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kendall_tau": _q_kendall_tau,
         "q_did": _q_did,
         "q_l_diversity": _q_l_diversity,
+        "q_mcc": _q_mcc,
+        "q_brier": _q_brier,
+        "q_retrieval": _q_retrieval,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -9725,6 +9815,114 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_sensitive,
                    (count(*) < 3) AS at_risk
             FROM cells GROUP BY 1, 2
+        """,
+        "q_mcc": """
+            WITH cells AS (
+              SELECT lang,
+                sum(CASE WHEN (n_chars % 7 < 4) AND n_chars >= 500
+                    THEN 1 ELSE 0 END)::BIGINT AS tp,
+                sum(CASE WHEN (n_chars % 7 < 4) AND n_chars < 500
+                    THEN 1 ELSE 0 END)::BIGINT AS fp,
+                sum(CASE WHEN NOT (n_chars % 7 < 4) AND n_chars >= 500
+                    THEN 1 ELSE 0 END)::BIGINT AS fn,
+                sum(CASE WHEN NOT (n_chars % 7 < 4) AND n_chars < 500
+                    THEN 1 ELSE 0 END)::BIGINT AS tn
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0 AND tp + fn > 0
+                         AND tn + fp > 0 AND tn + fn > 0 THEN
+                     floor((tp * tn - fp * fn)::DOUBLE
+                           / (sqrt((tp + fp)::DOUBLE)
+                              * sqrt((tp + fn)::DOUBLE)
+                              * sqrt((tn + fp)::DOUBLE)
+                              * sqrt((tn + fn)::DOUBLE)) * 1e6) / 1e6
+                   END AS mcc_q6
+            FROM cells
+        """,
+        "q_brier": """
+            WITH base AS (
+              SELECT CAST(floor((least(n_chars, 2000)::DOUBLE / 2000.0)
+                                * 10000.0) AS BIGINT) AS s4,
+                     CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+              FROM documents
+            ),
+            bins AS (
+              SELECT s4, count(*)::BIGINT AS n,
+                     sum(y)::BIGINT AS n_pos,
+                     sum((s4 - 10000 * y) * (s4 - 10000 * y))::BIGINT
+                       AS sse8
+              FROM base GROUP BY s4
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS pp
+              FROM base
+            )
+            SELECT s4, n, n_pos, sse8,
+                   floor(n::DOUBLE / nn::DOUBLE
+                         * (s4::DOUBLE / 1e4
+                            - n_pos::DOUBLE / n::DOUBLE)
+                         * (s4::DOUBLE / 1e4
+                            - n_pos::DOUBLE / n::DOUBLE)
+                         * 1e9) / 1e9 AS rel_q9,
+                   floor(n::DOUBLE / nn::DOUBLE
+                         * (n_pos::DOUBLE / n::DOUBLE
+                            - pp::DOUBLE / nn::DOUBLE)
+                         * (n_pos::DOUBLE / n::DOUBLE
+                            - pp::DOUBLE / nn::DOUBLE)
+                         * 1e9) / 1e9 AS res_q9
+            FROM bins, tot
+        """,
+        "q_retrieval": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                              label AS qlab
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                         label AS nlab
+                  FROM embeddings),
+            labn AS (SELECT label, count(*)::BIGINT AS labn
+                     FROM embeddings GROUP BY label),
+            scored AS (
+              SELECT query_id, neighbor_id, qlab, nlab,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM c, q WHERE neighbor_id <> query_id
+            ),
+            judged AS (
+              SELECT query_id, rank, qlab,
+                     CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel
+              FROM (
+                SELECT query_id, qlab, nlab,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            agg AS (
+              SELECT query_id,
+                     count(*)::BIGINT AS n_ranked,
+                     sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END)::BIGINT
+                       AS hits_k,
+                     min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                     max(labn) - 1 AS total_rel
+              FROM judged JOIN labn ON judged.qlab = labn.label
+              GROUP BY query_id
+            )
+            SELECT query_id, n_ranked, hits_k, total_rel,
+                   floor(hits_k::DOUBLE / 5.0 * 1e6) / 1e6 AS prec_k_q6,
+                   CASE WHEN total_rel > 0 THEN
+                     floor(hits_k::DOUBLE / total_rel::DOUBLE * 1e6) / 1e6
+                   END AS recall_k_q6,
+                   floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
+                     / 1e6 AS rr_q6
+            FROM agg
         """,
         "q_mann_kendall": """
             WITH v AS (

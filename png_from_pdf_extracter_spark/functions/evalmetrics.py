@@ -547,3 +547,174 @@ def mcnemar_test(
             * F.lit(1e6)
         ).cast("long").alias("acc_b_ppm"),
     )
+
+
+def mcc(
+    df: DataFrame,
+    pred_col: str | Column,
+    label_col: str | Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Matthews correlation coefficient per group — the single-number
+    confusion summary that stays honest under class imbalance (where
+    accuracy and even F1 inflate): MCC = (tp*tn - fp*fn) /
+    sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)), the Pearson correlation of the
+    prediction/label indicator variables. The gate metric of choice
+    when a quality classifier must hold on a corpus that is 99%
+    negative.
+
+    EXACT cross-engine: the four cells come from [[confusion_counts]]'s
+    one map-combinable aggregate; the numerator tp*tn - fp*fn stays
+    BIGINT, the denominator is assembled as a product of four DOUBLE
+    sqrts in fixed order (the BIGINT product of four margins would
+    overflow at corpus scale — sqrt each margin first, exactly the
+    expression the oracle mirrors). Returns (group..., tp, fp, fn, tn,
+    mcc_q6); mcc_q6 null when any margin is zero (MCC undefined —
+    degenerate predictor or single-class group).
+    """
+    cells = confusion_counts(df, pred_col, label_col, group_cols)
+    m1 = (F.col("tp") + F.col("fp")).cast("double")
+    m2 = (F.col("tp") + F.col("fn")).cast("double")
+    m3 = (F.col("tn") + F.col("fp")).cast("double")
+    m4 = (F.col("tn") + F.col("fn")).cast("double")
+    num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast(
+        "double"
+    )
+    val = num / (F.sqrt(m1) * F.sqrt(m2) * F.sqrt(m3) * F.sqrt(m4))
+    return cells.select(
+        *group_cols,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0),
+            F.floor(val * F.lit(1e6)) / F.lit(1e6),
+        ).alias("mcc_q6"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score, one row per distinct
+    forecast value: Brier = reliability - resolution + uncertainty.
+    Reliability (per forecast bin: n/N * (forecast - pos_rate)^2)
+    punishes miscalibration; resolution (n/N * (pos_rate - base)^2)
+    rewards a classifier whose bins actually separate the label. The
+    decomposition is EXACT when forecasts are constant within bins —
+    guaranteed here because the bin IS the 4dp-quantized score
+    ([[calibration_bins]]'s convention), never a range.
+
+    EXACT cross-engine: per-bin n, n_pos and the within-bin squared
+    error sse8 = sum((s4 - 10^4*y)^2) are BIGINTs (units of 1e-8; the
+    global Brier is sum(sse8)/(N*1e8)); rel/res are single fixed-order
+    float expressions over those integers plus the global (N, pos)
+    pair, which rides in on a single-row broadcast crossJoin (the
+    documented scalar pattern). Returns (s4, n, n_pos, sse8, rel_q9,
+    res_q9) ordered by s4 — q9 because per-bin terms are tiny and q6
+    would flush them to zero.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    s4 = F.floor(s * F.lit(10000.0)).cast("long")
+    yl = y.cast("long")
+    base = df.select(
+        s4.alias("s4"),
+        yl.alias("__y"),
+        ((s4 - 10000 * yl) * (s4 - 10000 * yl)).alias("__e8"),
+    )
+    bins = base.groupBy("s4").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum("__e8").cast("long").alias("sse8"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("__nn"),
+        F.sum("__y").cast("long").alias("__pp"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    nn = F.col("__nn").cast("double")
+    fdiff = (
+        F.col("s4").cast("double") / F.lit(1e4)
+        - F.col("n_pos").cast("double") / F.col("n").cast("double")
+    )
+    bdiff = (
+        F.col("n_pos").cast("double") / F.col("n").cast("double")
+        - F.col("__pp").cast("double") / nn
+    )
+    rel = F.col("n").cast("double") / nn * fdiff * fdiff
+    res = F.col("n").cast("double") / nn * bdiff * bdiff
+    return j.select(
+        "s4",
+        "n",
+        "n_pos",
+        "sse8",
+        (F.floor(rel * F.lit(1e9)) / F.lit(1e9)).alias("rel_q9"),
+        (F.floor(res * F.lit(1e9)) / F.lit(1e9)).alias("res_q9"),
+    )
+
+
+def retrieval_metrics(
+    judged: DataFrame,
+    group_cols: tuple[str, ...] = ("query_id",),
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 5,
+    total_rel_col: str | None = None,
+) -> DataFrame:
+    """Precision@k, recall@k and reciprocal rank per query over a
+    judged ranking table ``(group..., rank, rel)`` with binary
+    relevance — the thresholded companions to [[ndcg_at_k]] (graded)
+    and [[roc_auc]] (threshold-free). Recall's denominator is
+    ``total_rel_col`` when given (a per-query constant column carrying
+    the corpus-wide relevant count — the honest recall) else the
+    relevant count within the ranked list itself (recall of the
+    retrieved set).
+
+    EXACT cross-engine: hits@k, the first-relevant rank and the
+    denominators are BIGINT aggregates of one groupBy; every emitted
+    rate is a single terminal division. Returns (group..., n_ranked,
+    hits_k, total_rel, prec_k_q6, recall_k_q6, rr_q6); recall null
+    when total_rel = 0, rr 0 when nothing relevant was ranked (the
+    MRR convention — a query that finds nothing contributes zero, not
+    null, so the mean stays honest).
+    """
+    r = F.col(rank_col).cast("long")
+    rel = F.col(rel_col).cast("long")
+    gl = list(group_cols)
+    aggs = [
+        F.count("*").cast("long").alias("n_ranked"),
+        F.sum(F.when(r <= k, rel).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("hits_k"),
+        F.min(F.when(rel == 1, r)).alias("__first"),
+    ]
+    if total_rel_col is not None:
+        aggs.append(
+            F.max(F.col(total_rel_col)).cast("long").alias("total_rel")
+        )
+    else:
+        aggs.append(F.sum(rel).cast("long").alias("total_rel"))
+    agg = judged.groupBy(*gl).agg(*aggs)
+    prec = F.col("hits_k").cast("double") / F.lit(float(k))
+    rec = F.col("hits_k").cast("double") / F.col("total_rel").cast(
+        "double"
+    )
+    rr = F.coalesce(
+        F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+    )
+    return agg.select(
+        *gl,
+        "n_ranked",
+        "hits_k",
+        "total_rel",
+        (F.floor(prec * F.lit(1e6)) / F.lit(1e6)).alias("prec_k_q6"),
+        F.when(
+            F.col("total_rel") > 0,
+            F.floor(rec * F.lit(1e6)) / F.lit(1e6),
+        ).alias("recall_k_q6"),
+        (F.floor(rr * F.lit(1e6)) / F.lit(1e6)).alias("rr_q6"),
+    )

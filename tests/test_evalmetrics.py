@@ -397,3 +397,98 @@ def test_cohens_kappa_chance_level_is_zero(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r["kappa_q6"] == 0.0
+
+
+# ---- MCC / Brier decomposition / retrieval metrics ----
+
+from png_from_pdf_extracter_spark.functions.evalmetrics import (  # noqa: E402
+    brier_decomposition,
+    mcc,
+    retrieval_metrics,
+)
+
+
+def test_mcc_perfect_and_inverted(spark):
+    rows = [(True, 1)] * 3 + [(False, 0)] * 5
+    df = spark.createDataFrame(rows, "pred boolean, y long")
+    r = mcc(df, "pred", "y").collect()[0]
+    assert r["mcc_q6"] == 1.0
+    inv = spark.createDataFrame(
+        [(False, 1)] * 3 + [(True, 0)] * 5, "pred boolean, y long"
+    )
+    assert mcc(inv, "pred", "y").collect()[0]["mcc_q6"] == -1.0
+
+
+def test_mcc_matches_sklearn_formula(spark):
+    import math
+
+    tp, fp, fn, tn = 6, 2, 3, 9
+    rows = (
+        [(True, 1)] * tp + [(True, 0)] * fp
+        + [(False, 1)] * fn + [(False, 0)] * tn
+    )
+    df = spark.createDataFrame(rows, "pred boolean, y long")
+    r = mcc(df, "pred", "y").collect()[0]
+    ref = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(r["mcc_q6"] - ref) < 2e-6
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+
+
+def test_mcc_degenerate_margin_null(spark):
+    # predictor always fires: tn + fn margin ... fp+tn=0 case
+    df = spark.createDataFrame(
+        [(True, 1)] * 2 + [(True, 0)] * 2, "pred boolean, y long"
+    )
+    assert mcc(df, "pred", "y").collect()[0]["mcc_q6"] is None
+
+
+def test_brier_decomposition_identity(spark):
+    # Brier = REL - RES + UNC must hold exactly for bin-constant
+    # forecasts; verify on a small hand table
+    rows = (
+        [(0.2, 0)] * 4 + [(0.2, 1)] * 1   # bin .2: pos_rate .2 -> calibrated
+        + [(0.8, 1)] * 3 + [(0.8, 0)] * 2  # bin .8: pos_rate .6
+    )
+    df = spark.createDataFrame(rows, "score double, y long")
+    out = brier_decomposition(df, "score", "y").collect()
+    n = sum(r["n"] for r in out)
+    brier = sum(r["sse8"] for r in out) / (n * 1e8)
+    rel = sum(r["rel_q9"] for r in out)
+    res = sum(r["res_q9"] for r in out)
+    base = sum(r["n_pos"] for r in out) / n
+    unc = base * (1 - base)
+    assert abs(brier - (rel - res + unc)) < 1e-6
+    # per-bin exact integers
+    b02 = [r for r in out if r["s4"] == 2000][0]
+    assert b02["n"] == 5 and b02["n_pos"] == 1
+
+
+def test_retrieval_metrics_closed_form(spark):
+    # query a: rel at ranks 2 and 7 of 10; corpus truth 4
+    rows = [("a", r, 1 if r in (2, 7) else 0, 4) for r in range(1, 11)]
+    # query b: nothing relevant
+    rows += [("b", r, 0, 4) for r in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "query_id string, rank long, rel int, tot long"
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(
+            df, ("query_id",), "rank", "rel", k=5, total_rel_col="tot"
+        ).collect()
+    }
+    a = out["a"]
+    assert a["hits_k"] == 1 and a["prec_k_q6"] == 0.2
+    assert a["recall_k_q6"] == 0.25 and a["rr_q6"] == 0.5
+    b = out["b"]
+    assert b["hits_k"] == 0 and b["rr_q6"] == 0.0 and b["prec_k_q6"] == 0.0
+
+
+def test_retrieval_metrics_inlist_denominator(spark):
+    rows = [("q", 1, 1), ("q", 2, 0), ("q", 3, 1)]
+    df = spark.createDataFrame(rows, "query_id string, rank long, rel int")
+    r = retrieval_metrics(df, ("query_id",), "rank", "rel", k=2).collect()[0]
+    assert r["total_rel"] == 2 and r["recall_k_q6"] == 0.5
+    assert r["rr_q6"] == 1.0
