@@ -4932,6 +4932,72 @@ def _q_retrieval(spark, sf_dir):
     )
 
 
+def _q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size between the BUILDING and MACHINERY
+    segments on account balance (functions/stats.py cliffs_delta) —
+    the magnitude reading q_mann_whitney's p-value needs; BIGINT
+    delta_num off the distinct-value count table, Romano band decided
+    by integer cross-multiplication."""
+    from png_from_pdf_extracter_spark.functions.stats import cliffs_delta
+
+    c = _read(spark, sf_dir, "customer")
+    return cliffs_delta(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _q_cochran_q(spark, sf_dir):
+    """Cochran's Q across three deterministic document heuristics
+    (functions/stats.py cochran_q) — McNemar generalized to k raters:
+    the n_chars%7, n_chars%5 and length-threshold rules judge every
+    document; two groupBys to four BIGINT scalars, one division."""
+    from png_from_pdf_extracter_spark.functions.stats import cochran_q
+
+    d = _read(spark, sf_dir, "documents")
+    long = (
+        d.select(
+            "doc_id",
+            F.lit("r1").alias("rater"),
+            (F.col("n_chars") % 7 < 4).cast("long").alias("success"),
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit("r2").alias("rater"),
+                (F.col("n_chars") % 5 < 3).cast("long").alias("success"),
+            )
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit("r3").alias("rater"),
+                (F.col("n_chars") >= 500).cast("long").alias("success"),
+            )
+        )
+    )
+    return cochran_q(long, "doc_id", "rater", "success")
+
+
+def _q_friedman(spark, sf_dir):
+    """Friedman rank test over per-(customer-bucket, order-priority)
+    total spend blocks (functions/stats.py friedman_test) — the
+    repeated-measures companion to q_kruskal_wallis: ranks live WITHIN
+    each subject (window partition size = k, never corpus-wide), the
+    doubled-rank identity keeps S4/A4/C4 exact BIGINTs."""
+    from png_from_pdf_extracter_spark.functions.stats import friedman_test
+
+    o = _read(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        (F.col("o_custkey") % 50).alias("subj"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("spend")
+    )
+    return friedman_test(blocks, "subj", "trt", "spend", quantize=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5141,6 +5207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mcc": _q_mcc,
         "q_brier": _q_brier,
         "q_retrieval": _q_retrieval,
+        "q_cliffs_delta": _q_cliffs_delta,
+        "q_cochran_q": _q_cochran_q,
+        "q_friedman": _q_friedman,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -9923,6 +9992,129 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_cliffs_delta": """
+            WITH pooled AS (
+              SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                     END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT ca, cb,
+                     coalesce(sum(cb) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb_below,
+                     coalesce(sum(cb) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN 1 FOLLOWING
+                                AND UNBOUNDED FOLLOWING), 0) AS cb_above
+              FROM cnt
+            ),
+            agg AS (
+              SELECT sum(ca)::BIGINT AS n_a,
+                     sum(cb)::BIGINT AS n_b,
+                     sum(ca * (cb_below - cb_above))::BIGINT AS delta_num
+              FROM cum
+            )
+            SELECT n_a, n_b, delta_num,
+                   CASE WHEN n_a * n_b > 0 THEN
+                     floor(delta_num::DOUBLE / (n_a * n_b)::DOUBLE * 1e6)
+                       / 1e6
+                   END AS delta_q6,
+                   CASE WHEN n_a * n_b > 0 THEN
+                     CASE WHEN abs(delta_num) * 1000 < 147 * n_a * n_b
+                            THEN 'negligible'
+                          WHEN abs(delta_num) * 1000 < 330 * n_a * n_b
+                            THEN 'small'
+                          WHEN abs(delta_num) * 1000 < 474 * n_a * n_b
+                            THEN 'medium'
+                          ELSE 'large' END
+                   END AS magnitude
+            FROM agg
+        """,
+        "q_cochran_q": """
+            WITH long AS (
+              SELECT doc_id, 'r1' AS rater,
+                     CASE WHEN n_chars % 7 < 4 THEN 1 ELSE 0 END AS s
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'r2',
+                     CASE WHEN n_chars % 5 < 3 THEN 1 ELSE 0 END
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'r3',
+                     CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+              FROM documents
+            ),
+            rt AS (
+              SELECT count(*)::BIGINT AS k,
+                     sum(t * t)::BIGINT AS sum_t2,
+                     sum(t)::BIGINT AS grand
+              FROM (SELECT rater, sum(s)::BIGINT AS t
+                    FROM long GROUP BY rater)
+            ),
+            it AS (
+              SELECT count(*)::BIGINT AS n_items,
+                     sum(r)::BIGINT AS sum_r,
+                     sum(r * r)::BIGINT AS sum_r2
+              FROM (SELECT doc_id, sum(s)::BIGINT AS r
+                    FROM long GROUP BY doc_id)
+            )
+            SELECT n_items, k, grand,
+                   CASE WHEN k * sum_r - sum_r2 > 0 THEN
+                     floor((k - 1)::DOUBLE
+                           * (k * sum_t2 - grand * grand)::DOUBLE
+                           / (k * sum_r - sum_r2)::DOUBLE * 1e6) / 1e6
+                   END AS q_q6
+            FROM rt, it
+        """,
+        "q_friedman": """
+            WITH cells AS (
+              SELECT o_custkey % 50 AS subj, o_orderpriority AS trt,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS v
+              FROM orders GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT subj, trt,
+                     (2 * rank() OVER (PARTITION BY subj ORDER BY v)
+                      + count(*) OVER (PARTITION BY subj, v)
+                      - 1)::BIGINT AS r2
+              FROM cells
+            ),
+            scal AS (
+              SELECT sum(r2 * r2)::BIGINT AS a4,
+                     count(DISTINCT subj)::BIGINT AS n_subj,
+                     count(DISTINCT trt)::BIGINT AS k
+              FROM ranked
+            ),
+            per_trt AS (
+              SELECT trt, sum(r2)::BIGINT AS r2_sum
+              FROM ranked GROUP BY trt
+            ),
+            s AS (
+              SELECT sum((r2_sum - n_subj * (k + 1))
+                         * (r2_sum - n_subj * (k + 1)))::BIGINT AS s4,
+                     max(a4) AS a4,
+                     max(n_subj) AS n_subjects,
+                     max(k) AS k
+              FROM per_trt, scal
+            )
+            SELECT n_subjects, k,
+                   CASE WHEN a4 > n_subjects * k * (k + 1) * (k + 1) THEN
+                     floor((k - 1)::DOUBLE * s4::DOUBLE
+                           / (a4 - n_subjects * k * (k + 1) * (k + 1))::DOUBLE
+                           * 1e6) / 1e6
+                   END AS q_q6
+            FROM s
         """,
         "q_mann_kendall": """
             WITH v AS (

@@ -2096,3 +2096,213 @@ def did_estimate(
             nonempty, F.floor(did * F.lit(1e6)) / F.lit(1e6)
         ).alias("did_q6"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Cliff's delta effect size between ``group_a`` and ``group_b`` —
+    the companion [[mann_whitney_u]] needs before anyone acts on its
+    p-value: delta = (#(a>b) - #(a<b)) / (n_a*n_b) in [-1, 1], the
+    probability a random A-row beats a random B-row minus the reverse
+    (delta = 2*AUC - 1). Significance without magnitude gates nothing
+    at corpus scale, where every test is "significant".
+
+    EXACT cross-engine: the same distinct-quantized-value count table
+    and running sums as mann_whitney_u — delta_num = sum_v ca_v *
+    (cb_below - cb_above) stays BIGINT, and the Romano magnitude band
+    is decided by INTEGER cross-multiplication (|num|*1000 vs
+    threshold*n_a*n_b — no float compare at a band boundary ever).
+    Plan: one map-combinable count per distinct value, one ordered
+    window over the distinct-value table (bounded by value cardinality,
+    not corpus size), one scalar aggregate. Returns one row
+    (n_a, n_b, delta_num, delta_q6, magnitude).
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").alias("ca"), F.sum(1 - F.col("s")).alias("cb")
+    )
+    below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    above = Window.orderBy("v").rowsBetween(1, Window.unboundedFollowing)
+    cum = cnt.select(
+        "ca",
+        F.coalesce(F.sum("cb").over(below), F.lit(0)).alias("cb_below"),
+        F.coalesce(F.sum("cb").over(above), F.lit(0)).alias("cb_above"),
+        "cb",
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (F.col("cb_below") - F.col("cb_above")))
+        .cast("long")
+        .alias("delta_num"),
+    )
+    nn = F.col("n_a") * F.col("n_b")
+    an = F.abs(F.col("delta_num")) * 1000
+    mag = (
+        F.when(an < 147 * nn, F.lit("negligible"))
+        .when(an < 330 * nn, F.lit("small"))
+        .when(an < 474 * nn, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "delta_num",
+        F.when(
+            nn > 0,
+            F.floor(
+                F.col("delta_num").cast("double") / nn.cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("delta_q6"),
+        F.when(nn > 0, mag).alias("magnitude"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test — [[mcnemar_test]] generalized from 2 paired
+    classifiers to k: given a LONG table (item, rater, success 0/1)
+    with every rater judging every item, tests whether the k success
+    rates differ. Q = (k-1) * (k*sum T_j^2 - T^2) / (k*sum R_i -
+    sum R_i^2) with T_j = per-rater totals, R_i = per-item totals,
+    T = grand total; chi2_{k-1} under the null.
+
+    EXACT cross-engine: two map-combinable groupBys (rater totals,
+    item totals) re-aggregated to FOUR BIGINT scalars joined by
+    single-row broadcast crossJoin; one float division at the end.
+    Returns one row (n_items, k, grand, q_q6); q_q6 null when the
+    denominator is zero (every item unanimous — no discordance to
+    test, the k-rater analog of McNemar's b+c=0).
+    """
+    s = F.col(success_col).cast("long")
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        s.alias("__s"),
+    )
+    rater_tot = base.groupBy("__r").agg(F.sum("__s").alias("t"))
+    rt = rater_tot.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sum_t2"),
+        F.sum("t").cast("long").alias("grand"),
+    )
+    item_tot = base.groupBy("__i").agg(F.sum("__s").alias("r"))
+    it = item_tot.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("r").cast("long").alias("sum_r"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_r2"),
+    )
+    j = rt.crossJoin(F.broadcast(it))
+    den = F.col("k") * F.col("sum_r") - F.col("sum_r2")
+    num = (F.col("k") - 1) * (
+        F.col("k") * F.col("sum_t2") - F.col("grand") * F.col("grand")
+    )
+    return j.select(
+        "n_items",
+        "k",
+        "grand",
+        F.when(
+            den > 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("q_q6"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Friedman test — the rank-based repeated-measures ANOVA: given a
+    complete block design (every subject measured under every
+    treatment), ranks each subject's k values, then tests whether the
+    per-treatment rank sums differ. The tie-corrected statistic is
+    Q = (k-1) * sum_j (R_j - n(k+1)/2)^2 / (A - C), A = sum of squared
+    ranks, C = n*k*(k+1)^2/4; chi2_{k-1} under the null. The
+    k-treatment analog of the sign/Wilcoxon pairing — use it to compare
+    k scorers over the same documents when [[cochran_q]]'s binary
+    success is too coarse.
+
+    EXACT cross-engine: within-subject average ranks use the repo's
+    DOUBLED-rank identity (2*avg_rank = 2*rank() + ties - 1, an
+    integer), so S4 = sum_j (2R_j - n(k+1))^2, A4 = sum (2r)^2 and
+    C4 = n*k*(k+1)^2 are exact BIGINTs with the 1/4 cancelling:
+    Q = (k-1)*S4/(A4-C4). Plan: one rank window PARTITIONED BY SUBJECT
+    (partition size = k, never corpus-wide), one groupBy per treatment,
+    two scalar aggregates. Returns one row (n_subjects, k, q_q6);
+    q_q6 null when A4 = C4 (every subject all-tied).
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        F.col(subject_col).alias("__subj"),
+        F.col(treatment_col).alias("__trt"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    w = Window.partitionBy("__subj").orderBy("__v")
+    wt = Window.partitionBy("__subj", "__v")
+    ranked = base.select(
+        "__subj",
+        "__trt",
+        (2 * F.rank().over(w) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("__r2"),
+    )
+    per_trt = ranked.groupBy("__trt").agg(
+        F.sum("__r2").cast("long").alias("r2_sum"),
+        F.count("*").cast("long").alias("n"),
+    )
+    scal = ranked.agg(
+        F.sum(F.col("__r2") * F.col("__r2")).cast("long").alias("a4"),
+        F.countDistinct("__subj").cast("long").alias("n_subj"),
+        F.countDistinct("__trt").cast("long").alias("k"),
+    )
+    j = per_trt.crossJoin(F.broadcast(scal))
+    dev = F.col("r2_sum") - F.col("n_subj") * (F.col("k") + 1)
+    s4 = j.agg(
+        F.sum(dev * dev).cast("long").alias("s4"),
+        F.max("a4").alias("a4"),
+        F.max("n_subj").alias("n_subjects"),
+        F.max("k").alias("k"),
+    )
+    c4 = (
+        F.col("n_subjects")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") + 1)
+    )
+    return s4.select(
+        "n_subjects",
+        "k",
+        F.when(
+            F.col("a4") > c4,
+            F.floor(
+                (F.col("k") - 1).cast("double")
+                * F.col("s4").cast("double")
+                / (F.col("a4") - c4).cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("q_q6"),
+    )

@@ -1219,3 +1219,123 @@ def test_did_empty_cell_null(spark):
     df = spark.createDataFrame(rows, "y double, t boolean, p boolean")
     r = did_estimate(df, "y", "t", "p").collect()[0]
     assert r["did_q6"] is None  # no treated-pre cell
+
+
+# ---- Cliff's delta / Cochran's Q / Friedman ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    cliffs_delta,
+    cochran_q,
+    friedman_test,
+)
+
+
+def _delta_ref(a, b):
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    return (gt - lt) / (len(a) * len(b))
+
+
+def test_cliffs_delta_brute_force(spark):
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 3.0, 4.0]
+    rows = [(x, "a") for x in a] + [(x, "b") for x in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = cliffs_delta(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    ref = _delta_ref(a, b)
+    assert abs(r["delta_q6"] - ref) < 1e-5
+    assert r["delta_num"] == round(ref * len(a) * len(b))
+
+
+def test_cliffs_delta_extremes_and_bands(spark):
+    rows = [(float(i), "a") for i in range(10, 15)] + [
+        (float(i), "b") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+    assert r["delta_q6"] == 1.0 and r["magnitude"] == "large"
+    same = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "b")] * 3, "v double, g string"
+    )
+    r2 = cliffs_delta(same, "v", "g", "a", "b").collect()[0]
+    assert r2["delta_q6"] == 0.0 and r2["magnitude"] == "negligible"
+
+
+def test_cochran_q_textbook(spark):
+    # Conover's 3-rater example shape: hand-computed reference
+    grid = [
+        (1, 1, 1), (1, 1, 1), (0, 1, 0), (1, 1, 0), (0, 0, 0),
+        (1, 1, 1), (1, 1, 1), (0, 1, 0), (1, 0, 0), (0, 0, 0),
+        (1, 1, 1), (1, 1, 1),
+    ]
+    rows = []
+    for i, js in enumerate(grid):
+        for j, s in enumerate(js):
+            rows.append((i, f"r{j}", s))
+    df = spark.createDataFrame(rows, "item long, rater string, s long")
+    r = cochran_q(df, "item", "rater", "s").collect()[0]
+    k = 3
+    T = [sum(g[j] for g in grid) for j in range(3)]
+    R = [sum(g) for g in grid]
+    num = (k - 1) * (k * sum(t * t for t in T) - sum(T) ** 2)
+    den = k * sum(R) - sum(r2 * r2 for r2 in R)
+    import math
+
+    assert abs(r["q_q6"] - math.floor(num / den * 1e6) / 1e6) < 1e-9
+    assert r["k"] == 3 and r["n_items"] == len(grid)
+
+
+def test_cochran_q_unanimous_null(spark):
+    rows = [(i, f"r{j}", 1) for i in range(4) for j in range(3)]
+    df = spark.createDataFrame(rows, "item long, rater string, s long")
+    assert cochran_q(df, "item", "rater", "s").collect()[0]["q_q6"] is None
+
+
+def _friedman_ref(blocks):
+    # blocks: list of per-subject value lists (complete design)
+    import math
+
+    k = len(blocks[0])
+    n = len(blocks)
+    a4 = 0
+    r2_sums = [0] * k
+    for vals in blocks:
+        order = sorted(vals)
+        for j, v in enumerate(vals):
+            rank_min = 1 + sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            r2 = 2 * rank_min + ties - 1
+            r2_sums[j] += r2
+            a4 += r2 * r2
+    c4 = n * k * (k + 1) ** 2
+    s4 = sum((r2s - n * (k + 1)) ** 2 for r2s in r2_sums)
+    if a4 == c4:
+        return None
+    return math.floor((k - 1) * s4 / (a4 - c4) * 1e6) / 1e6
+
+
+def test_friedman_brute_force_with_ties(spark):
+    blocks = [
+        [3.0, 1.0, 2.0],
+        [2.0, 2.0, 1.0],
+        [3.0, 1.0, 1.0],
+        [2.0, 1.0, 3.0],
+        [3.0, 2.0, 1.0],
+    ]
+    rows = [
+        (i, f"t{j}", v)
+        for i, vals in enumerate(blocks)
+        for j, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "subj long, trt string, v double")
+    r = friedman_test(df, "subj", "trt", "v", quantize=0).collect()[0]
+    assert r["q_q6"] == _friedman_ref(blocks)
+    assert r["n_subjects"] == 5 and r["k"] == 3
+
+
+def test_friedman_all_tied_null(spark):
+    rows = [(i, f"t{j}", 1.0) for i in range(3) for j in range(3)]
+    df = spark.createDataFrame(rows, "subj long, trt string, v double")
+    assert (
+        friedman_test(df, "subj", "trt", "v").collect()[0]["q_q6"] is None
+    )
