@@ -4998,6 +4998,49 @@ def _q_friedman(spark, sf_dir):
     return friedman_test(blocks, "subj", "trt", "spend", quantize=0)
 
 
+def _orders_graph(spark, sf_dir):
+    """The shared orders-derived edge list (q_pagerank / q_triangles
+    derivation): src=custkey, dst=orderkey%1500."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % 1500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _q_linkpred(spark, sf_dir):
+    """Adamic-Adar + resource-allocation link prediction on the
+    orders graph (functions/graph.py link_prediction_scores), kept to
+    pairs sharing >= 2 neighbors: per-pivot quantized weights summed as
+    BIGINTs (never a float sum over an unordered set); hub pivots
+    above the cap dropped BEFORE the wedge join."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        link_prediction_scores,
+    )
+
+    edges = _orders_graph(spark, sf_dir)
+    return link_prediction_scores(edges).filter(
+        F.col("common_neighbors") >= 2
+    )
+
+
+def _q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the orders graph
+    (functions/graph.py degree_assortativity) — r multiplied through
+    by 4M^2 so every term is an exact BIGINT, zero transcendentals,
+    one terminal division; the hub-wiring diagnostic read before any
+    pair-generating operator."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_orders_graph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5210,6 +5253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cliffs_delta": _q_cliffs_delta,
         "q_cochran_q": _q_cochran_q,
         "q_friedman": _q_friedman,
+        "q_linkpred": _q_linkpred,
+        "q_assortativity": _q_assortativity,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -9991,6 +10036,84 @@ def oracle_sql() -> dict[str, str]:
                    END AS recall_k_q6,
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
+            FROM agg
+        """,
+        "q_linkpred": """
+            WITH und AS (
+              SELECT DISTINCT
+                least(o_custkey, o_orderkey % 1500) AS a,
+                greatest(o_custkey, o_orderkey % 1500) AS b
+              FROM orders
+              WHERE o_custkey <> o_orderkey % 1500
+            ),
+            adj AS (
+              SELECT a AS w, b AS n FROM und
+              UNION ALL
+              SELECT b AS w, a AS n FROM und
+            ),
+            deg AS (SELECT w, count(*)::BIGINT AS deg
+                    FROM adj GROUP BY w),
+            piv AS (
+              SELECT w,
+                     CAST(floor(1e6 / ln(deg::DOUBLE)) AS BIGINT) AS aa1,
+                     CAST(floor(1e9 / deg::DOUBLE) AS BIGINT) AS ra1
+              FROM deg WHERE deg >= 2 AND deg <= 10000
+            ),
+            wedge AS (
+              SELECT adj.w, adj.n, piv.aa1, piv.ra1
+              FROM adj JOIN piv ON adj.w = piv.w
+            ),
+            pairs AS (
+              SELECT l.n AS u, r.n AS v, l.aa1, l.ra1
+              FROM wedge l JOIN wedge r
+                ON l.w = r.w AND l.n < r.n
+            ),
+            scored AS (
+              SELECT u, v, count(*)::BIGINT AS common_neighbors,
+                     sum(aa1)::BIGINT AS aa_num,
+                     sum(ra1)::BIGINT AS ra_num
+              FROM pairs GROUP BY u, v
+            )
+            SELECT s.u, s.v, s.common_neighbors, s.aa_num, s.ra_num,
+                   coalesce(e.is_edge, false) AS is_edge
+            FROM scored s
+            LEFT JOIN (SELECT a AS u, b AS v, true AS is_edge FROM und) e
+              ON s.u = e.u AND s.v = e.v
+            WHERE s.common_neighbors >= 2
+        """,
+        "q_assortativity": """
+            WITH und AS (
+              SELECT DISTINCT
+                least(o_custkey, o_orderkey % 1500) AS a,
+                greatest(o_custkey, o_orderkey % 1500) AS b
+              FROM orders
+              WHERE o_custkey <> o_orderkey % 1500
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und
+              ) GROUP BY node
+            ),
+            e AS (
+              SELECT da.deg AS da, db.deg AS db
+              FROM und
+              JOIN deg da ON und.a = da.node
+              JOIN deg db ON und.b = db.node
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS m,
+                     sum(da * db)::BIGINT AS s_jk,
+                     sum(da + db)::BIGINT AS s_sum,
+                     sum(da * da + db * db)::BIGINT AS s_sq
+              FROM e
+            )
+            SELECT m, s_jk, s_sum, s_sq,
+                   CASE WHEN 2 * m * s_sq - s_sum * s_sum <> 0 THEN
+                     floor((4 * m * s_jk - s_sum * s_sum)::DOUBLE
+                           / (2 * m * s_sq - s_sum * s_sum)::DOUBLE
+                           * 1e6) / 1e6
+                   END AS r_q6
             FROM agg
         """,
         "q_cliffs_delta": """

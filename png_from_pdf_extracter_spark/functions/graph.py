@@ -486,3 +486,135 @@ def markov_attribution(
     return spark.createDataFrame(
         out, "channel string, removal_effect_ppm long, attribution_ppm long"
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    max_hub_degree: int = 10_000,
+) -> DataFrame:
+    """Common-neighbor link-prediction indices over an undirected graph
+    ``edges(src, dst)``: for every node pair sharing at least one
+    neighbor, the common-neighbor count, the Adamic-Adar score
+    (sum over shared w of 1/ln(deg w) — rare shared neighbors count
+    more) and the resource-allocation index (sum of 1/deg w, Zhou et
+    al. — the integer-exact sibling that usually ranks better). Pairs
+    already connected are flagged ``is_edge`` rather than dropped, so
+    the same table serves link prediction (filter out) and edge
+    strength (keep).
+
+    Scale design: wedges are enumerated by the pivot join on the
+    shared neighbor — a node of degree d emits O(d^2) pairs, and crawl
+    graphs are power-law, so ``max_hub_degree`` DROPS pivots above the
+    cap before the join (documented loss: a 10^6-degree hub adds only
+    ~1/ln(10^6) = 0.07 per pair while generating 10^12 of them — the
+    standard practice is to exclude hubs as evidence, not to pay for
+    them). Three shuffles, all on node keys; no driver state.
+
+    Determinism: deg-1 pivots cannot be common neighbors (they have
+    one edge), so ln(deg) >= ln 2 > 0 always; both scores are BIGINT
+    sums of PER-PIVOT quantized weights — aa_num = sum floor(1e6 /
+    ln(deg_w)), ra_num = sum floor(1e9 / deg_w) — never a float sum
+    over an unordered set. Returns (u, v, common_neighbors, aa_num,
+    ra_num, is_edge) with u < v.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("a").alias("w"), F.col("b").alias("n")
+    ).unionByName(und.select(F.col("b").alias("w"), F.col("a").alias("n")))
+    deg = adj.groupBy("w").agg(F.count("*").cast("long").alias("deg"))
+    pivots = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_hub_degree)
+    ).select(
+        "w",
+        F.floor(F.lit(1e6) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("aa1"),
+        F.floor(F.lit(1e9) / F.col("deg").cast("double"))
+        .cast("long")
+        .alias("ra1"),
+    )
+    wedged = adj.join(pivots, "w")
+    lhs = wedged.select("w", F.col("n").alias("u"), "aa1", "ra1")
+    rhs = wedged.select("w", F.col("n").alias("v"))
+    pairs = lhs.join(rhs, "w").filter(F.col("u") < F.col("v"))
+    scored = pairs.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum("aa1").cast("long").alias("aa_num"),
+        F.sum("ra1").cast("long").alias("ra_num"),
+    )
+    return scored.join(
+        und.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.lit(True).alias("is_edge"),
+        ),
+        ["u", "v"],
+        "left",
+    ).withColumn("is_edge", F.coalesce(F.col("is_edge"), F.lit(False)))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree-assortativity coefficient of an undirected graph
+    ``edges(src, dst)`` — the Pearson correlation of endpoint degrees
+    across edges: positive means hubs attach to hubs (social-network
+    shape), negative means hubs attach to leaves (web/crawl shape).
+    The one-number summary that tells you whether hub-salting will be
+    needed BEFORE you run the pair-generating operators above.
+
+    EXACT cross-engine, zero transcendentals: with M edges and per-edge
+    endpoint degrees (j, k), multiplying Newman's r through by 4M^2
+    gives r = (4M*sum(jk) - sum(j+k)^2) / (2M*sum(j^2+k^2) -
+    sum(j+k)^2) — every term an exact BIGINT from one combinable
+    aggregate over the degree-joined edge list; ONE terminal division.
+    Null when the denominator is zero (a regular graph — assortativity
+    undefined). Plan: dedupe, two degree joins, one scalar aggregate.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    agg = e.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("da") * F.col("db")).cast("long").alias("s_jk"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("s_sum"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("s_sq"),
+    )
+    num = 4 * F.col("m") * F.col("s_jk") - F.col("s_sum") * F.col("s_sum")
+    den = 2 * F.col("m") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum")
+    return agg.select(
+        "m",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        F.when(
+            den != 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("r_q6"),
+    )

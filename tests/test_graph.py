@@ -332,3 +332,95 @@ def test_markov_journey_truncates_at_first_conversion(spark):
         for r in markov_attribution(df, "u", ("i",), "c", "buy").collect()
     }
     assert out == {"a"}
+
+
+# ---- link prediction / assortativity ----
+
+from png_from_pdf_extracter_spark.functions.graph import (  # noqa: E402
+    degree_assortativity,
+    link_prediction_scores,
+)
+
+
+def test_link_prediction_closed_form(spark):
+    import math
+
+    # path graph 1-2-3 plus edge 2-4: pairs sharing neighbor 2 are
+    # (1,3), (1,4), (3,4); deg(2) = 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    )
+    out = {
+        (r["u"], r["v"]): r
+        for r in link_prediction_scores(edges).collect()
+    }
+    assert set(out) == {(1, 3), (1, 4), (3, 4)}
+    aa = math.floor(1e6 / math.log(3))
+    ra = math.floor(1e9 / 3)
+    for pair in out.values():
+        assert pair["common_neighbors"] == 1
+        assert pair["aa_num"] == aa and pair["ra_num"] == ra
+        assert pair["is_edge"] is False
+
+
+def test_link_prediction_is_edge_and_multiplicity(spark):
+    # triangle 1-2-3 plus 1-4, 3-4: pair (1,3) is an edge and shares
+    # neighbors {2, 4}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (3, 4)], "src long, dst long"
+    )
+    out = {
+        (r["u"], r["v"]): r
+        for r in link_prediction_scores(edges).collect()
+    }
+    r13 = out[(1, 3)]
+    assert r13["common_neighbors"] == 2 and r13["is_edge"] is True
+
+
+def test_link_prediction_hub_cap_drops_pivot(spark):
+    # star center 0 with 5 leaves: cap at 4 removes all wedge pairs
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert link_prediction_scores(edges, max_hub_degree=4).count() == 0
+    assert link_prediction_scores(edges).count() == 10  # C(5,2)
+
+
+def test_assortativity_star_is_negative_one(spark):
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["r_q6"] == -1.0 and r["m"] == 4
+
+
+def test_assortativity_regular_graph_null(spark):
+    # 4-cycle: every degree 2 -> undefined
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert degree_assortativity(edges).collect()[0]["r_q6"] is None
+
+
+def test_assortativity_matches_networkx_formula(spark):
+    # hand graph; reference via the stub-based Newman formula
+    el = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in el:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(el)
+    s_jk = sum(deg[a] * deg[b] for a, b in el)
+    s_sum = sum(deg[a] + deg[b] for a, b in el)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in el)
+    import math
+
+    ref = math.floor(
+        (4 * m * s_jk - s_sum**2)
+        / (2 * m * s_sq - s_sum**2)
+        * 1e6
+    ) / 1e6
+    assert degree_assortativity(edges).collect()[0]["r_q6"] == ref
