@@ -5041,6 +5041,46 @@ def _q_assortativity(spark, sf_dir):
     return degree_assortativity(_orders_graph(spark, sf_dir))
 
 
+def _q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann pseudo-median of account balance per nation
+    (functions/stats.py hodges_lehmann): Walsh-average multiset built
+    from the per-(nation, value) COUNT table (V x V on distinct
+    quantized values, never row x row), median via the integer
+    rank-reach test; med4 stays BIGINT."""
+    from png_from_pdf_extracter_spark.functions.stats import hodges_lehmann
+
+    c = _read(spark, sf_dir, "customer")
+    return hodges_lehmann(c, "c_acctbal", ("c_nationkey",), quantize=2)
+
+
+def _q_gaps(spark, sf_dir):
+    """Telemetry coverage gaps per user: consecutive events spaced
+    more than 6 hours apart (operators/temporal.py detect_gaps) — one
+    lag window on the entity key, BIGINT second deltas, map-side
+    filter; the report a resumable ingest reads before declaring a
+    range complete."""
+    from png_from_pdf_extracter_spark.operators.temporal import detect_gaps
+
+    ev = _read(spark, sf_dir, "events")
+    return detect_gaps(ev, "ts", ("user_id",), min_gap_seconds=21600)
+
+
+def _q_seasonal_dow(spark, sf_dir):
+    """Day-of-week seasonal profile of event value per event type
+    (operators/temporal.py seasonal_profile_dow): per-cell BIGINT
+    (n, sum) re-aggregated into group totals, seasonal offset vs the
+    overall mean as one fixed-order float — the deseasonalizer run
+    before any weekly-cycled metric meets a trend test."""
+    from png_from_pdf_extracter_spark.operators.temporal import (
+        seasonal_profile_dow,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return seasonal_profile_dow(
+        ev, "ts", "value", ("event_type",), quantize=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5255,6 +5295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_friedman": _q_friedman,
         "q_linkpred": _q_linkpred,
         "q_assortativity": _q_assortativity,
+        "q_hodges_lehmann": _q_hodges_lehmann,
+        "q_gaps": _q_gaps,
+        "q_seasonal_dow": _q_seasonal_dow,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10037,6 +10080,93 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_hodges_lehmann": """
+            WITH base AS (
+              SELECT c_nationkey AS g,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS v
+              FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            cnt AS (
+              SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v
+            ),
+            walsh AS (
+              SELECT g, w2, sum(pc)::BIGINT AS pc FROM (
+                SELECT a.g, a.v + b.v AS w2,
+                       CASE WHEN a.v = b.v
+                            THEN (a.c * (a.c + 1) / 2)::BIGINT
+                            ELSE a.c * b.c END AS pc
+                FROM cnt a JOIN cnt b
+                  ON a.g = b.g AND a.v <= b.v
+              ) GROUP BY g, w2
+            ),
+            ranked AS (
+              SELECT g, w2, pc,
+                     coalesce(sum(pc) OVER (
+                       PARTITION BY g ORDER BY w2
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb,
+                     sum(pc) OVER (PARTITION BY g) AS nw
+              FROM walsh
+            ),
+            med AS (
+              SELECT g, max(nw)::BIGINT AS n_walsh,
+                     sum(w2 * (
+                       (CASE WHEN cb < floor((nw + 1) / 2)
+                              AND cb + pc >= floor((nw + 1) / 2)
+                        THEN 1 ELSE 0 END)
+                       + (CASE WHEN cb < floor(nw / 2) + 1
+                                AND cb + pc >= floor(nw / 2) + 1
+                          THEN 1 ELSE 0 END)
+                     ))::BIGINT AS med4
+              FROM ranked GROUP BY g
+            ),
+            n_tab AS (SELECT g, count(*)::BIGINT AS n FROM base GROUP BY g)
+            SELECT n_tab.g AS c_nationkey, n, n_walsh, med4,
+                   floor(med4::DOUBLE / 400.0 * 1e6) / 1e6 AS hl_q6
+            FROM n_tab JOIN med USING (g)
+        """,
+        "q_gaps": """
+            WITH seq AS (
+              SELECT user_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS gap_start,
+                     ts AS gap_end
+              FROM events
+            )
+            SELECT user_id, gap_start, gap_end,
+                   CAST(floor((epoch_us(gap_end) - epoch_us(gap_start))
+                              / 1000000.0) AS BIGINT) AS gap_seconds
+            FROM seq
+            WHERE gap_start IS NOT NULL
+              AND floor((epoch_us(gap_end) - epoch_us(gap_start))
+                        / 1000000.0) > 21600
+        """,
+        "q_seasonal_dow": """
+            WITH base AS (
+              SELECT event_type,
+                     (dayofweek(ts) + 1)::INTEGER AS dow,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            cells AS (
+              SELECT event_type, dow, count(*)::BIGINT AS n,
+                     sum(v)::BIGINT AS sum_q
+              FROM base GROUP BY event_type, dow
+            ),
+            tot AS (
+              SELECT event_type, sum(n)::BIGINT AS nn,
+                     sum(sum_q)::BIGINT AS ss
+              FROM cells GROUP BY event_type
+            )
+            SELECT c.event_type, dow, n, sum_q,
+                   floor(sum_q::DOUBLE / n::DOUBLE / 100.0 * 1e6) / 1e6
+                     AS mean_q6,
+                   floor((sum_q::DOUBLE / n::DOUBLE / 100.0
+                          - ss::DOUBLE / nn::DOUBLE / 100.0) * 1e6) / 1e6
+                     AS seasonal_q6
+            FROM cells c JOIN tot t ON c.event_type = t.event_type
         """,
         "q_linkpred": """
             WITH und AS (

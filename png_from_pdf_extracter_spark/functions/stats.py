@@ -2306,3 +2306,91 @@ def friedman_test(
             / F.lit(1e6),
         ).alias("q_q6"),
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """Hodges-Lehmann location estimator per group — the median of all
+    Walsh averages (x_i + x_j)/2 over i <= j: the robust "where is this
+    distribution centered" number that keeps ~96% of the mean's
+    efficiency under normality yet shrugs off the heavy tails every
+    scraped-corpus metric has (the one-sample companion to
+    [[theil_sen_slope]], and the location the Wilcoxon signed-rank
+    test inverts to).
+
+    EXACT cross-engine, and NOT the bounded-group O(k^2) contract: the
+    Walsh multiset is built from the per-(group, value) COUNT table —
+    same-value pairs contribute c*(c+1)/2, cross-value pairs c1*c2 —
+    so the self-join is V x V on DISTINCT QUANTIZED VALUES (bounded by
+    value cardinality, 10^q-grained), never row x row. The median of
+    that weighted multiset comes from the integer rank-reach test
+    ([[levene_bf]]'s lower+upper order statistics); med4 = W_lo + W_hi
+    (odd N: 2*W_mid) stays BIGINT in doubled-Walsh units, HL =
+    med4 / (4 * 10^q). Returns (group..., n, n_walsh, med4, hl_q6).
+    """
+    v = _quant(F.col(value_col), quantize)
+    gl = list(group_cols)
+    base = df.select(*gl, v.alias("__v")).filter(F.col("__v").isNotNull())
+    cnt = base.groupBy(*gl, "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    rhs = cnt.select(
+        *gl,
+        F.col("__v").alias("__v2"),
+        F.col("__c").alias("__c2"),
+    )
+    pairs = (
+        cnt.join(rhs, gl)
+        if gl
+        else cnt.crossJoin(rhs)
+    ).filter(F.col("__v") <= F.col("__v2"))
+    walsh = pairs.select(
+        *gl,
+        (F.col("__v") + F.col("__v2")).alias("__w2"),
+        F.when(
+            F.col("__v") == F.col("__v2"),
+            (F.col("__c") * (F.col("__c") + 1) / 2).cast("long"),
+        )
+        .otherwise(F.col("__c") * F.col("__c2"))
+        .alias("__pc"),
+    ).groupBy(*gl, "__w2").agg(F.sum("__pc").cast("long").alias("__pc"))
+    wg = Window.partitionBy(*gl).orderBy("__w2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = walsh.select(
+        *gl,
+        "__w2",
+        "__pc",
+        F.coalesce(F.sum("__pc").over(wg), F.lit(0)).alias("__cb"),
+        F.sum("__pc").over(Window.partitionBy(*gl)).alias("__nw"),
+    )
+    lo = F.floor((F.col("__nw") + 1) / 2)
+    hi = F.floor(F.col("__nw") / 2) + 1
+    hits = (
+        F.when(
+            (F.col("__cb") < lo) & (F.col("__cb") + F.col("__pc") >= lo), 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("__cb") < hi) & (F.col("__cb") + F.col("__pc") >= hi), 1
+        ).otherwise(0)
+    )
+    med = ranked.groupBy(*gl).agg(
+        F.max("__nw").alias("n_walsh"),
+        F.sum(F.col("__w2") * hits).cast("long").alias("med4"),
+    )
+    n_tab = base.groupBy(*gl).agg(F.count("*").cast("long").alias("n"))
+    out = (
+        n_tab.join(med, gl) if gl else n_tab.crossJoin(med)
+    )
+    hl = F.col("med4").cast("double") / F.lit(float(4 * 10**quantize))
+    return out.select(
+        *gl,
+        "n",
+        "n_walsh",
+        "med4",
+        (F.floor(hl * F.lit(1e6)) / F.lit(1e6)).alias("hl_q6"),
+    )

@@ -640,3 +640,121 @@ def holt_linear(
             q6(lvl + trd).alias("forecast"),
         )
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: tuple[str, ...],
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Coverage-gap detector per entity — the "where is the telemetry
+    missing" report a resumable ingest needs before claiming a range is
+    complete: one row per consecutive-event pair whose spacing exceeds
+    ``min_gap_seconds``, emitting (group..., gap_start, gap_end,
+    gap_seconds). The complement of [[interval_union]] (which merges
+    what IS covered; this names what is not).
+
+    EXACT: gap_seconds is a BIGINT difference of unix timestamps — no
+    float durations. Tie order among duplicate timestamps cannot change
+    the output: the ordered sequence of timestamp VALUES is the same
+    under any tie permutation, and only values are emitted. Plan: ONE
+    window (lag over the entity partition ordered by timestamp) — a
+    single exchange on the entity key, map-side filter after; no join,
+    no collect.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # floor of the MICROSECOND difference — unix_timestamp() floors each
+    # endpoint first, which over-counts by 1s whenever start's fraction
+    # exceeds end's (the classic off-by-one the oracle catches)
+    # cast handles TIMESTAMP_NTZ inputs (unix_micros requires TZ
+    # timestamps; the session-zone shift cancels in the difference)
+    gap = F.floor(
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+        )
+        / F.lit(1000000.0)
+    ).cast("long")
+    return (
+        df.select(
+            *group_cols,
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.alias("gap_seconds"),
+        )
+        .filter(
+            F.col("gap_start").isNotNull()
+            & (F.col("gap_seconds") > min_gap_seconds)
+        )
+    )
+
+
+def seasonal_profile_dow(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """Day-of-week seasonal profile per group — the additive seasonal
+    component of the classical decomposition at weekly period: per
+    (group, dow) the mean value, and ``seasonal`` = dow mean minus the
+    group's overall mean. Subtracting it from raw values deseasonalizes
+    a metric before [[mann_kendall]]/[[holt_linear]] read the trend —
+    otherwise a weekly cycle masquerades as seven alternating trends.
+
+    EXACT cross-engine: values integer-quantized; per-cell (n, sum)
+    and the group totals are BIGINTs (cell sums re-aggregate into the
+    totals — one shuffle feeds both); means and the seasonal offset are
+    single fixed-order float expressions, floor-6dp. dow is ISO-stable
+    via Spark's dayofweek (1=Sunday..7=Saturday, mirrored exactly in
+    the oracle). Returns (group..., dow, n, sum_q, mean_q6,
+    seasonal_q6) — at most 7 rows per group.
+    """
+    v = _quant_temporal(F.col(value_col), quantize)
+    gl = list(group_cols)
+    base = df.select(
+        *gl,
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("dow").isNotNull())
+    cells = base.groupBy(*gl, "dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("sum_q"),
+    )
+    tot = cells.groupBy(*gl).agg(
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("sum_q").cast("long").alias("__ss"),
+    )
+    j = (
+        cells.join(F.broadcast(tot), gl)
+        if gl
+        else cells.crossJoin(F.broadcast(tot))
+    )
+    scale = float(10**quantize)
+    mean = F.col("sum_q").cast("double") / F.col("n").cast("double") / F.lit(
+        scale
+    )
+    overall = (
+        F.col("__ss").cast("double") / F.col("__nn").cast("double")
+        / F.lit(scale)
+    )
+    return j.select(
+        *gl,
+        "dow",
+        "n",
+        "sum_q",
+        (F.floor(mean * F.lit(1e6)) / F.lit(1e6)).alias("mean_q6"),
+        (F.floor((mean - overall) * F.lit(1e6)) / F.lit(1e6)).alias(
+            "seasonal_q6"
+        ),
+    )
+
+
+def _quant_temporal(col, quantize: int):
+    """round(v * 10^q) as BIGINT — same half-away-from-zero contract as
+    functions/stats.py _quant (duplicated to keep operator modules
+    import-independent)."""
+    return F.round(col.cast("double") * F.lit(10**quantize), 0).cast("long")

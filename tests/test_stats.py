@@ -1339,3 +1339,50 @@ def test_friedman_all_tied_null(spark):
     assert (
         friedman_test(df, "subj", "trt", "v").collect()[0]["q_q6"] is None
     )
+
+
+# ---- Hodges-Lehmann ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    hodges_lehmann,
+)
+
+
+def _hl_ref(xs):
+    import statistics
+
+    walsh = [
+        (xs[i] + xs[j]) / 2
+        for i in range(len(xs))
+        for j in range(i, len(xs))
+    ]
+    return statistics.median(walsh)
+
+
+def test_hodges_lehmann_brute_force(spark):
+    xs = [1.0, 2.0, 4.0, 7.0, 11.0]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    r = hodges_lehmann(df, "v", quantize=0).collect()[0]
+    assert r["n"] == 5 and r["n_walsh"] == 15
+    assert abs(r["hl_q6"] - _hl_ref(xs)) < 1e-6
+
+
+def test_hodges_lehmann_with_ties_and_groups(spark):
+    xs_a = [1.0, 1.0, 2.0, 3.0]
+    xs_b = [10.0, 20.0]
+    rows = [("a", x) for x in xs_a] + [("b", x) for x in xs_b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in hodges_lehmann(df, "v", ("g",), quantize=0).collect()
+    }
+    assert out["a"]["n_walsh"] == 10  # C(4,2) + 4 diagonal
+    assert abs(out["a"]["hl_q6"] - _hl_ref(xs_a)) < 1e-6
+    assert abs(out["b"]["hl_q6"] - _hl_ref(xs_b)) < 1e-6
+
+
+def test_hodges_lehmann_outlier_robust(spark):
+    xs = [10.0, 11.0, 12.0, 13.0, 14.0, 1e6]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    r = hodges_lehmann(df, "v", quantize=0).collect()[0]
+    assert 10.0 <= r["hl_q6"] <= 15.0  # one wild point cannot drag it

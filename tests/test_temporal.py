@@ -499,3 +499,69 @@ def test_holt_linear_singleton_and_validation(spark):
         holt_linear(df, ("k",), ("t",), "v", alpha_den=3)
     with pytest.raises(ValueError):
         holt_linear(df, ("k",), ("t",), "v", beta_num=8, beta_den=8)
+
+
+# ---- gap detection / seasonal dow profile ----
+
+from png_from_pdf_extracter_spark.operators.temporal import (  # noqa: E402
+    detect_gaps,
+    seasonal_profile_dow,
+)
+
+
+def test_detect_gaps_basic(spark):
+    rows = [
+        ("u", "2024-01-01 00:00:00"),
+        ("u", "2024-01-01 00:30:00"),
+        ("u", "2024-01-01 09:00:00"),  # 8.5h gap
+        ("v", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string").select(
+        "user", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = detect_gaps(df, "ts", ("user",), min_gap_seconds=3600).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["user"] == "u" and g["gap_seconds"] == 30600
+    assert str(g["gap_start"]) == "2024-01-01 00:30:00"
+
+
+def test_detect_gaps_duplicate_ts_deterministic(spark):
+    rows = [("u", "2024-01-01 00:00:00")] * 3 + [
+        ("u", "2024-01-01 02:00:00")
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string").select(
+        "user", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = detect_gaps(df, "ts", ("user",), min_gap_seconds=3600)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, detect_gaps(
+        df.repartition(5), "ts", ("user",), 3600
+    ).collect()))
+    assert a == b and len(a) == 1 and a[0][3] == 7200
+
+
+def test_seasonal_dow_profile(spark):
+    # Sundays value 10, Mondays value 30 -> overall 20, seasonal +-10
+    rows = [
+        ("e", "2024-01-07 12:00:00", 10.0),
+        ("e", "2024-01-14 12:00:00", 10.0),
+        ("e", "2024-01-08 12:00:00", 30.0),
+        ("e", "2024-01-15 12:00:00", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    out = {
+        r["dow"]: r
+        for r in seasonal_profile_dow(
+            df, "ts", "value", ("event_type",)
+        ).collect()
+    }
+    assert out[1]["mean_q6"] == 10.0 and out[1]["seasonal_q6"] == -10.0
+    assert out[2]["mean_q6"] == 30.0 and out[2]["seasonal_q6"] == 10.0
+    assert out[1]["n"] == 2 and out[1]["sum_q"] == 2000
