@@ -5081,6 +5081,22 @@ def _q_seasonal_dow(spark, sf_dir):
     )
 
 
+def _q_jl_project(spark, sf_dir):
+    """Deterministic JL sign projection of the embeddings to 8 dims
+    (functions/similarity.py jl_project): arithmetic-hash ±1 matrix
+    (i*j cross term breaks linear parity), BIGINT sums over quantized
+    inputs, map-only with zero shuffle — the width reducer ahead of
+    clustering/dedup at corpus scale."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        jl_project,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 2000
+    )
+    return jl_project(e, "vec_id", "embedding", out_dim=8, quantize=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5298,6 +5314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hodges_lehmann": _q_hodges_lehmann,
         "q_gaps": _q_gaps,
         "q_seasonal_dow": _q_seasonal_dow,
+        "q_jl_project": _q_jl_project,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10080,6 +10097,25 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_jl_project": """
+            WITH dims AS (SELECT unnest(range(8)) AS j),
+            base AS (
+              SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 2000
+            )
+            SELECT vec_id, j::INTEGER AS dim_j,
+                   list_aggregate(list_transform(
+                     range(1, len(embedding) + 1),
+                     i -> CAST(round(embedding[i]::DOUBLE * 1e6, 0)
+                               AS BIGINT)
+                          * (CASE WHEN (((i - 1) * 73856093
+                                         + j * 19349663
+                                         + (i - 1) * j * 83492791)
+                                        % 1000003) % 2 = 0
+                             THEN 1 ELSE -1 END)
+                   ), 'sum')::BIGINT AS proj_q
+            FROM base, dims
         """,
         "q_hodges_lehmann": """
             WITH base AS (

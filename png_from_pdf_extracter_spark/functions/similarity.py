@@ -1588,3 +1588,60 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neg_id", "rank", "cos_sim")
     )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    quantize: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    {-1,+1} sign matrix — the dimensionality reducer that preserves
+    pairwise distances within (1±eps) at out_dim = O(log n / eps^2):
+    the cheap front-end for clustering / dedup / ANN when the raw
+    embedding is wide (Achlioptas' database-friendly variant, signs
+    instead of Gaussians). Emitted LONG format (id, dim_j, proj_q),
+    one row per output dimension.
+
+    The sign for input dim i, output dim j is an arithmetic hash both
+    engines compute identically in BIGINT: parity of
+    (i*73856093 + j*19349663 + i*j*83492791) mod 1000003 — the i*j
+    cross term breaks the linear-parity degeneracy a plain linear hash
+    would have; no RNG state, no seed table to ship, any executor can
+    recompute any entry (the property that makes the projection
+    restartable and oracle-checkable).
+
+    EXACT cross-engine: inputs are integer-quantized (round(v*10^q)),
+    signs are ±1, proj_q is a BIGINT sum — no float accumulation at
+    all. Plan: MAP-ONLY — per-row array fold per output dim, then one
+    posexplode; no shuffle, no UDF, whole-stage codegen end to end.
+    """
+    vec = F.col(vec_col)
+
+    def _sign(i, j):
+        h = (
+            i.cast("long") * F.lit(73856093)
+            + F.lit(j * 19349663)
+            + i.cast("long") * F.lit(j * 83492791)
+        ) % F.lit(1000003)
+        return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    def _proj(j):
+        return F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: F.round(
+                    x.cast("double") * F.lit(10**quantize), 0
+                ).cast("long")
+                * _sign(i, j),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    arr = F.array(*[_proj(j) for j in range(out_dim)])
+    return df.select(
+        F.col(id_col), F.posexplode(arr).alias("dim_j", "proj_q")
+    )

@@ -153,3 +153,70 @@ def test_scalar_quantize_codes_never_exceed_int8(spark):
         ).alias("m")
     ).agg(F.max("m").alias("m")).collect()[0]["m"]
     assert worst <= 127
+
+
+# ---- JL projection ----
+
+from png_from_pdf_extracter_spark.functions.similarity import (  # noqa: E402
+    jl_project,
+)
+
+
+def _jl_ref(vec, out_dim, quantize=6):
+    out = []
+    q = [round(v * 10**quantize) for v in vec]
+    for j in range(out_dim):
+        s = 0
+        for i, qi in enumerate(q):
+            h = (i * 73856093 + j * 19349663 + i * j * 83492791) % 1000003
+            s += qi * (1 if h % 2 == 0 else -1)
+        out.append(s)
+    return out
+
+
+def test_jl_project_matches_reference(spark):
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.5, 2.25, -3.0, 0.75]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {}
+    for r in jl_project(df, out_dim=4).collect():
+        out.setdefault(r["vec_id"], {})[r["dim_j"]] = r["proj_q"]
+    for vid, vec in vecs:
+        ref = _jl_ref(vec, 4)
+        assert [out[vid][j] for j in range(4)] == ref
+
+
+def test_jl_project_signs_not_degenerate(spark):
+    # the i*j cross term must make sign(i, j) differ from parity(i + j)
+    # for some cell; otherwise the projection collapses to 2 distinct rows
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    vals = {
+        r["dim_j"]: r["proj_q"] for r in jl_project(df, out_dim=8).collect()
+    }
+    assert len(set(vals.values())) > 2
+
+
+def test_jl_project_distance_preservation_trend(spark):
+    # two near-identical vectors stay closer than two far ones in the
+    # projected space (JL property at trend level, deterministic input)
+    import math
+
+    a = [math.sin(i * 0.7) for i in range(32)]
+    b = [v + 0.01 for v in a]
+    c = [-v for v in a]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<float>"
+    )
+    out = {}
+    for r in jl_project(df, out_dim=8).collect():
+        out.setdefault(r["vec_id"], [0] * 8)[r["dim_j"]] = r["proj_q"]
+
+    def d2(u, v):
+        return sum((x - y) ** 2 for x, y in zip(u, v))
+
+    assert d2(out[1], out[2]) < d2(out[1], out[3])
