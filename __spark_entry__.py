@@ -5097,6 +5097,43 @@ def _q_jl_project(spark, sf_dir):
     return jl_project(e, "vec_id", "embedding", out_dim=8, quantize=6)
 
 
+def _q_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-trend test of totalprice along the
+    five order priorities (functions/stats.py jonckheere_terpstra) —
+    '1-URGENT'..'5-LOW' string order IS the dose order. Doubled J2
+    from two windows over the dense (group x distinct-value) grid,
+    null moments kept integral (mean4, var72)."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        jonckheere_terpstra,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    return jonckheere_terpstra(
+        o, "o_totalprice", "o_orderpriority", quantize=2
+    )
+
+
+def _q_page_trend(spark, sf_dir):
+    """Page's L ordered-trend test over the q_friedman blocks
+    (functions/stats.py page_trend_test): within-subject doubled ranks
+    weighted by the treatment ordinal; L2 BIGINT, z one float
+    expression off integral moments e4/v144."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        page_trend_test,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        (F.col("o_custkey") % 50).alias("subj"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("spend")
+    )
+    return page_trend_test(blocks, "subj", "trt", "spend", quantize=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5315,6 +5352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gaps": _q_gaps,
         "q_seasonal_dow": _q_seasonal_dow,
         "q_jl_project": _q_jl_project,
+        "q_jonckheere": _q_jonckheere,
+        "q_page_trend": _q_page_trend,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10096,6 +10135,100 @@ def oracle_sql() -> dict[str, str]:
                    END AS recall_k_q6,
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
+            FROM agg
+        """,
+        "q_jonckheere": """
+            WITH base AS (
+              SELECT o_orderpriority AS g,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+            ),
+            cnt AS (
+              SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v
+            ),
+            grid AS (
+              SELECT gg.g, vv.v, coalesce(cnt.c, 0)::BIGINT AS c
+              FROM (SELECT DISTINCT g FROM cnt) gg
+              CROSS JOIN (SELECT DISTINCT v FROM cnt) vv
+              LEFT JOIN cnt ON cnt.g = gg.g AND cnt.v = vv.v
+            ),
+            cum AS (
+              SELECT g, v, c,
+                     coalesce(sum(c) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb
+              FROM grid
+            ),
+            pref AS (
+              SELECT g, v, c,
+                     coalesce(sum(cumb) OVER (
+                       PARTITION BY v ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS a,
+                     coalesce(sum(c) OVER (
+                       PARTITION BY v ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS b
+              FROM cum
+            ),
+            j2t AS (SELECT sum(c * (2 * a + b))::BIGINT AS j2 FROM pref),
+            sizes AS (SELECT g, sum(c)::BIGINT AS ng FROM cnt GROUP BY g),
+            mom AS (
+              SELECT sum(ng)::BIGINT AS n,
+                     count(*)::BIGINT AS k,
+                     sum(ng * ng)::BIGINT AS sn2,
+                     sum(ng * ng * (2 * ng + 3))::BIGINT AS sn23
+              FROM sizes
+            )
+            SELECT n, k, j2,
+                   (n * n - sn2)::BIGINT AS mean4,
+                   (n * n * (2 * n + 3) - sn23)::BIGINT AS var72,
+                   CASE WHEN n * n * (2 * n + 3) - sn23 > 0 THEN
+                     floor((2 * j2 - (n * n - sn2))::DOUBLE
+                           / (4.0 * sqrt((n * n * (2 * n + 3)
+                                          - sn23)::DOUBLE / 72.0))
+                           * 1e6) / 1e6
+                   END AS z_q6
+            FROM j2t, mom
+        """,
+        "q_page_trend": """
+            WITH cells AS (
+              SELECT o_custkey % 50 AS subj, o_orderpriority AS trt,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS v
+              FROM orders GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT subj, trt,
+                     (2 * rank() OVER (PARTITION BY subj ORDER BY v)
+                      + count(*) OVER (PARTITION BY subj, v)
+                      - 1)::BIGINT AS r2
+              FROM cells
+            ),
+            ords AS (
+              SELECT trt,
+                     dense_rank() OVER (ORDER BY trt)::BIGINT AS ord
+              FROM (SELECT DISTINCT trt FROM cells)
+            ),
+            agg AS (
+              SELECT sum(ord * r2)::BIGINT AS l2,
+                     count(DISTINCT subj)::BIGINT AS n_subjects,
+                     count(DISTINCT ranked.trt)::BIGINT AS k
+              FROM ranked JOIN ords ON ranked.trt = ords.trt
+            )
+            SELECT n_subjects, k, l2,
+                   CASE WHEN n_subjects * k * k * (k + 1)
+                             * (k * k - 1) > 0 THEN
+                     floor(3.0 * (2 * l2
+                                  - n_subjects * k * (k + 1)
+                                    * (k + 1))::DOUBLE
+                           / sqrt((n_subjects * k * k * (k + 1)
+                                   * (k * k - 1))::DOUBLE)
+                           * 1e6) / 1e6
+                   END AS z_q6
             FROM agg
         """,
         "q_jl_project": """

@@ -2394,3 +2394,179 @@ def hodges_lehmann(
         "med4",
         (F.floor(hl * F.lit(1e6)) / F.lit(1e6)).alias("hl_q6"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative — where
+    [[kruskal_wallis]] asks "do the k groups differ at all", JT asks
+    "do they increase along the group ordering" (dose-response,
+    quality-tier monotonicity): J = sum over group pairs g1 < g2 of the
+    Mann-Whitney U(g1, g2), large when later groups stochastically
+    dominate earlier ones. Groups are ordered by the natural ordering
+    of ``group_col``.
+
+    EXACT cross-engine, never O(rows^2): on the DENSE (group x
+    distinct-quantized-value) grid (zero-filled so window frames line
+    up), two ordered windows build (a) each group's below-value
+    cumulative and (b) the PREFIX OVER GROUPS of those cumulatives at
+    each value; the doubled statistic J2 = sum c_g2,v * (2*A + B)
+    (half-credit ties) is then one BIGINT aggregate. Grid size is
+    k * V — bounded by value cardinality, not corpus size. The z score
+    uses the standard no-tie null moments kept integral: mean4 =
+    n^2 - sum n_i^2 (4x mean), var72 = n^2(2n+3) - sum n_i^2(2n_i+3)
+    (72x variance) — with heavy ties prefer the permutation reading;
+    the statistic J2 itself is tie-exact. Returns one row
+    (n, k, j2, mean4, var72, z_q6); z null when var72 = 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    cnt = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    vals = cnt.select("__v").distinct()
+    grps = cnt.select("__g").distinct()
+    grid = vals.crossJoin(grps).join(cnt, ["__g", "__v"], "left").select(
+        "__g", "__v", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    wb = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "__g",
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__cumb"),
+    )
+    wg = Window.partitionBy("__v").orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = cum.select(
+        "__g",
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__cumb").over(wg), F.lit(0)).alias("__a"),
+        F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__b"),
+    )
+    j2_tab = pref.agg(
+        F.sum(F.col("__c") * (2 * F.col("__a") + F.col("__b")))
+        .cast("long")
+        .alias("j2")
+    )
+    sizes = cnt.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    mom = sizes.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("__n") * F.col("__n")).cast("long").alias("__sn2"),
+        F.sum(
+            F.col("__n") * F.col("__n") * (2 * F.col("__n") + 3)
+        ).cast("long").alias("__sn23"),
+    )
+    out = j2_tab.crossJoin(F.broadcast(mom))
+    mean4 = F.col("n") * F.col("n") - F.col("__sn2")
+    var72 = (
+        F.col("n") * F.col("n") * (2 * F.col("n") + 3) - F.col("__sn23")
+    )
+    z = (2 * F.col("j2") - mean4).cast("double") / (
+        F.lit(4.0) * F.sqrt(var72.cast("double") / F.lit(72.0))
+    )
+    return out.select(
+        "n",
+        "k",
+        "j2",
+        mean4.cast("long").alias("mean4"),
+        var72.cast("long").alias("var72"),
+        F.when(
+            var72 > 0, F.floor(z * F.lit(1e6)) / F.lit(1e6)
+        ).alias("z_q6"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Page's L test — [[friedman_test]] sharpened to an ORDERED
+    alternative: with treatments ordered (dose levels, model
+    generations, context lengths), L = sum_j j * R_j is large when
+    values rise along the ordering — the within-subject twin of
+    [[jonckheere_terpstra]]. Treatment order is the natural ordering
+    of ``treatment_col``; ordinals are dense ranks over the k-row
+    distinct-treatment table (broadcast back).
+
+    EXACT cross-engine: the within-subject DOUBLED average ranks of
+    friedman_test keep L2 = sum ord_j * r2 a BIGINT; the no-tie null
+    moments stay integral as e4 = n*k*(k+1)^2 (4x mean) and v144 =
+    n*k^2*(k+1)*(k^2-1) (144x variance), giving z = 3*(2*L2 - e4) /
+    sqrt(v144) as ONE float expression. Returns one row
+    (n_subjects, k, l2, z_q6); z null when v144 = 0 (k < 2 or no
+    subjects). With heavy ties z is approximate (same caveat as JT);
+    L2 itself is tie-exact.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        F.col(subject_col).alias("__subj"),
+        F.col(treatment_col).alias("__trt"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    w = Window.partitionBy("__subj").orderBy("__v")
+    wt = Window.partitionBy("__subj", "__v")
+    ranked = base.select(
+        "__subj",
+        "__trt",
+        (2 * F.rank().over(w) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("__r2"),
+    )
+    ords = (
+        base.select("__trt")
+        .distinct()
+        .select(
+            "__trt",
+            F.dense_rank()
+            .over(Window.orderBy("__trt"))
+            .cast("long")
+            .alias("__ord"),
+        )
+    )
+    j = ranked.join(F.broadcast(ords), "__trt")
+    agg = j.agg(
+        F.sum(F.col("__ord") * F.col("__r2")).cast("long").alias("l2"),
+        F.countDistinct("__subj").cast("long").alias("n_subjects"),
+        F.countDistinct("__trt").cast("long").alias("k"),
+    )
+    e4 = (
+        F.col("n_subjects")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") + 1)
+    )
+    v144 = (
+        F.col("n_subjects")
+        * F.col("k")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1)
+    )
+    z = (
+        F.lit(3.0)
+        * (2 * F.col("l2") - e4).cast("double")
+        / F.sqrt(v144.cast("double"))
+    )
+    return agg.select(
+        "n_subjects",
+        "k",
+        "l2",
+        F.when(
+            v144 > 0, F.floor(z * F.lit(1e6)) / F.lit(1e6)
+        ).alias("z_q6"),
+    )

@@ -1386,3 +1386,81 @@ def test_hodges_lehmann_outlier_robust(spark):
     df = spark.createDataFrame([(x,) for x in xs], "v double")
     r = hodges_lehmann(df, "v", quantize=0).collect()[0]
     assert 10.0 <= r["hl_q6"] <= 15.0  # one wild point cannot drag it
+
+
+# ---- Jonckheere-Terpstra / Page's L ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    jonckheere_terpstra,
+    page_trend_test,
+)
+
+
+def _jt_ref(groups):
+    # groups: dict ordered-key -> values; doubled J with half-credit ties
+    keys = sorted(groups)
+    j2 = 0
+    for a in range(len(keys)):
+        for b in range(a + 1, len(keys)):
+            for x in groups[keys[a]]:
+                for y in groups[keys[b]]:
+                    j2 += 2 if y > x else (1 if y == x else 0)
+    return j2
+
+
+def test_jonckheere_brute_force_with_ties(spark):
+    groups = {
+        "a": [1.0, 2.0, 2.0],
+        "b": [2.0, 3.0],
+        "c": [3.0, 4.0, 5.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = jonckheere_terpstra(df, "v", "g", quantize=0).collect()[0]
+    assert r["j2"] == _jt_ref(groups)
+    n = 8
+    sn2 = 9 + 4 + 9
+    assert r["mean4"] == n * n - sn2
+    assert r["n"] == n and r["k"] == 3
+
+
+def test_jonckheere_perfect_trend_z_positive(spark):
+    groups = {"a": [1.0, 2.0], "b": [3.0, 4.0], "c": [5.0, 6.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = jonckheere_terpstra(df, "v", "g").collect()[0]
+    assert r["j2"] == 2 * 12  # every later-group value beats every earlier
+    assert r["z_q6"] > 2.0
+
+
+def test_page_trend_perfect_order(spark):
+    # values rise with treatment for every subject -> R_j = n * rank
+    rows = [
+        (s, f"t{j}", float(j)) for s in range(4) for j in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "subj long, trt string, v double")
+    r = page_trend_test(df, "subj", "trt", "v", quantize=0).collect()[0]
+    n, k = 4, 3
+    l2 = sum((j) * 2 * j * n for j in range(1, 4))  # ord j, rank j
+    assert r["l2"] == l2
+    e4 = n * k * (k + 1) ** 2
+    v144 = n * k * k * (k + 1) * (k * k - 1)
+    import math
+
+    assert r["z_q6"] == math.floor(
+        3.0 * (2 * l2 - e4) / math.sqrt(v144) * 1e6
+    ) / 1e6
+    assert r["z_q6"] > 2.0
+
+
+def test_page_trend_flat_is_zero_z(spark):
+    # within-subject ranks identical across treatments in expectation:
+    # reversed order for half the subjects cancels -> z near 0
+    rows = []
+    for s in range(4):
+        vals = [1.0, 2.0, 3.0] if s % 2 == 0 else [3.0, 2.0, 1.0]
+        for j, v in enumerate(vals):
+            rows.append((s, f"t{j}", v))
+    df = spark.createDataFrame(rows, "subj long, trt string, v double")
+    r = page_trend_test(df, "subj", "trt", "v", quantize=0).collect()[0]
+    assert abs(r["z_q6"]) < 1e-6
