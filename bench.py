@@ -514,6 +514,28 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_leakage_split",
         "q_good_turing",
         "q_turn_churn",
+        "q_anova",
+        "q_levene",
+        "q_cramers_v",
+        "q_mcnemar",
+        "q_compression_ratio",
+        "q_kendall_tau",
+        "q_did",
+        "q_l_diversity",
+        "q_mcc",
+        "q_brier",
+        "q_retrieval",
+        "q_cliffs_delta",
+        "q_cochran_q",
+        "q_friedman",
+        "q_linkpred",
+        "q_assortativity",
+        "q_hodges_lehmann",
+        "q_gaps",
+        "q_seasonal_dow",
+        "q_jl_project",
+        "q_jonckheere",
+        "q_page_trend",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
