@@ -5134,6 +5134,68 @@ def _q_page_trend(spark, sf_dir):
     return page_trend_test(blocks, "subj", "trt", "spend", quantize=0)
 
 
+def _rater_long(spark, sf_dir):
+    """Three deterministic 3-class raters over documents — the shared
+    long table for the multi-rater agreement queries."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.lit("r1").alias("rater"),
+            (F.col("n_chars") % 3).cast("int").alias("label"),
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit("r2").alias("rater"),
+                (F.floor(F.col("n_chars") / 7) % 3)
+                .cast("int")
+                .alias("label"),
+            )
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit("r3").alias("rater"),
+                F.when(F.col("n_chars") < 300, 0)
+                .when(F.col("n_chars") < 900, 1)
+                .otherwise(2)
+                .cast("int")
+                .alias("label"),
+            )
+        )
+    )
+
+
+def _q_fleiss(spark, sf_dir):
+    """Fleiss' kappa over three deterministic 3-class document raters
+    (functions/evalmetrics.py fleiss_kappa): complete-design identity
+    keeps every term BIGINT — T^2*agree vs pooled-total chance — with
+    one terminal division; the k-rater agreement gate for an
+    LLM-labeling pipeline."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        fleiss_kappa,
+    )
+
+    return fleiss_kappa(
+        _rater_long(spark, sf_dir), "doc_id", "rater", "label"
+    )
+
+
+def _q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over the same rater table
+    (functions/evalmetrics.py krippendorff_alpha_nominal) — the
+    permutation-null (T-1) chance model; disag_num and pooled totals
+    BIGINT, one division."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        krippendorff_alpha_nominal,
+    )
+
+    return krippendorff_alpha_nominal(
+        _rater_long(spark, sf_dir), "doc_id", "rater", "label"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5354,6 +5416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jl_project": _q_jl_project,
         "q_jonckheere": _q_jonckheere,
         "q_page_trend": _q_page_trend,
+        "q_fleiss": _q_fleiss,
+        "q_krippendorff": _q_krippendorff,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10136,6 +10200,90 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_fleiss": """
+            WITH long AS (
+              SELECT doc_id, 'r1' AS rater,
+                     (n_chars % 3)::INTEGER AS label FROM documents
+              UNION ALL
+              SELECT doc_id, 'r2',
+                     (CAST(floor(n_chars / 7) AS BIGINT) % 3)::INTEGER
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'r3',
+                     (CASE WHEN n_chars < 300 THEN 0
+                           WHEN n_chars < 900 THEN 1
+                           ELSE 2 END)::INTEGER
+              FROM documents
+            ),
+            cell AS (
+              SELECT doc_id, label, count(*)::BIGINT AS c
+              FROM long GROUP BY doc_id, label
+            ),
+            items AS (
+              SELECT count(*)::BIGINT AS n_items,
+                     max(k)::BIGINT AS k,
+                     sum(agree)::BIGINT AS agree_num
+              FROM (SELECT doc_id, sum(c)::BIGINT AS k,
+                           sum(c * (c - 1))::BIGINT AS agree
+                    FROM cell GROUP BY doc_id)
+            ),
+            pooled AS (
+              SELECT sum(t * t)::BIGINT AS st2, sum(t)::BIGINT AS t_tot
+              FROM (SELECT label, count(*)::BIGINT AS t
+                    FROM long GROUP BY label)
+            )
+            SELECT n_items, k, agree_num,
+                   CASE WHEN n_items * k * (k - 1)
+                             * (t_tot * t_tot - st2) > 0 AND k > 1 THEN
+                     floor((t_tot * t_tot * agree_num
+                            - n_items * k * (k - 1) * st2)::DOUBLE
+                           / (n_items * k * (k - 1)
+                              * (t_tot * t_tot - st2))::DOUBLE
+                           * 1e6) / 1e6
+                   END AS kappa_q6
+            FROM items, pooled
+        """,
+        "q_krippendorff": """
+            WITH long AS (
+              SELECT doc_id, 'r1' AS rater,
+                     (n_chars % 3)::INTEGER AS label FROM documents
+              UNION ALL
+              SELECT doc_id, 'r2',
+                     (CAST(floor(n_chars / 7) AS BIGINT) % 3)::INTEGER
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'r3',
+                     (CASE WHEN n_chars < 300 THEN 0
+                           WHEN n_chars < 900 THEN 1
+                           ELSE 2 END)::INTEGER
+              FROM documents
+            ),
+            cell AS (
+              SELECT doc_id, label, count(*)::BIGINT AS c
+              FROM long GROUP BY doc_id, label
+            ),
+            items AS (
+              SELECT count(*)::BIGINT AS n_items,
+                     max(k)::BIGINT AS k,
+                     sum(k * (k - 1) - agree)::BIGINT AS disag_num
+              FROM (SELECT doc_id, sum(c)::BIGINT AS k,
+                           sum(c * (c - 1))::BIGINT AS agree
+                    FROM cell GROUP BY doc_id)
+            ),
+            pooled AS (
+              SELECT sum(t * t)::BIGINT AS st2, sum(t)::BIGINT AS t_tot
+              FROM (SELECT label, count(*)::BIGINT AS t
+                    FROM long GROUP BY label)
+            )
+            SELECT n_items, k, disag_num,
+                   CASE WHEN t_tot * t_tot - st2 > 0 AND k > 1 THEN
+                     floor((1.0 - (disag_num * t_tot * (t_tot - 1))::DOUBLE
+                           / (n_items * k * (k - 1)
+                              * (t_tot * t_tot - st2))::DOUBLE)
+                           * 1e6) / 1e6
+                   END AS alpha_q6
+            FROM items, pooled
         """,
         "q_jonckheere": """
             WITH base AS (

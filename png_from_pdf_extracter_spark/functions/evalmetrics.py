@@ -718,3 +718,164 @@ def retrieval_metrics(
         ).alias("recall_k_q6"),
         (F.floor(rr * F.lit(1e6)) / F.lit(1e6)).alias("rr_q6"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Fleiss' kappa over a LONG (item, rater, label) table — the
+    k-rater generalization of [[cohens_kappa]] for nominal labels: the
+    agreement metric for an LLM-labeling pipeline where every item is
+    judged by the same number of raters (k >= 2) and rater IDENTITY is
+    exchangeable. kappa = (P_bar - P_e) / (1 - P_e) with P_bar the mean
+    within-item ordered-pair agreement and P_e the chance agreement
+    from the pooled label distribution.
+
+    EXACT cross-engine (the complete-design identity): with N items, k
+    raters, per-item label counts c_iv and pooled totals T_v (T = Nk),
+    agree_num = sum_i sum_v c_iv*(c_iv - 1)  [BIGINT]
+    P_bar = agree_num / (N*k*(k-1)),  P_e = sum T_v^2 / T^2,
+    so kappa = (T^2*agree_num - Nk(k-1)*sum T_v^2)
+             / (Nk(k-1)*(T^2 - sum T_v^2)) — every term BIGINT, ONE
+    terminal division. Raises on incomplete designs (unequal per-item
+    rating counts make the denominators item-varying — filter or
+    impute upstream; the check is a 1-row aggregate, not a collect of
+    items). Returns one row (n_items, k, agree_num, kappa_q6); null
+    when P_e = 1 (single label in the pool — agreement vacuous).
+    """
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        F.col(label_col).alias("__v"),
+    )
+    cell = base.groupBy("__i", "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per_item = cell.groupBy("__i").agg(
+        F.sum("__c").cast("long").alias("__k"),
+        F.sum(F.col("__c") * (F.col("__c") - 1))
+        .cast("long")
+        .alias("__agree"),
+    )
+    chk = per_item.agg(
+        F.countDistinct("__k").alias("__kk_n"),
+        F.max("__k").alias("__kmax"),
+        F.min("__k").alias("__kmin"),
+    ).collect()[0]
+    if chk["__kk_n"] not in (0, 1):
+        raise ValueError(
+            "fleiss_kappa requires a complete design: per-item rating "
+            f"counts vary ({chk['__kmin']}..{chk['__kmax']}) — filter "
+            "to fully-rated items upstream"
+        )
+    items = per_item.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.max("__k").cast("long").alias("k"),
+        F.sum("__agree").cast("long").alias("agree_num"),
+    )
+    pooled = base.groupBy("__v").agg(
+        F.count("*").cast("long").alias("__t")
+    ).agg(
+        F.sum(F.col("__t") * F.col("__t")).cast("long").alias("__st2"),
+        F.sum("__t").cast("long").alias("__t_tot"),
+    )
+    j = items.crossJoin(F.broadcast(pooled))
+    t2 = F.col("__t_tot") * F.col("__t_tot")
+    denom_pairs = F.col("n_items") * F.col("k") * (F.col("k") - 1)
+    num = t2 * F.col("agree_num") - denom_pairs * F.col("__st2")
+    den = denom_pairs * (t2 - F.col("__st2"))
+    return j.select(
+        "n_items",
+        "k",
+        "agree_num",
+        F.when(
+            (den > 0) & (F.col("k") > 1),
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        ).alias("kappa_q6"),
+    )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a LONG (item, rater,
+    label) table with a COMPLETE design — the agreement coefficient
+    that, unlike [[fleiss_kappa]], measures chance from the
+    permutation-null over the pooled values (T-1 in the denominator),
+    making it the reviewer-preferred number for annotation studies.
+    alpha = 1 - D_o / D_e with D_o the observed within-item
+    disagreement rate and D_e the expected rate from pooled totals.
+
+    EXACT cross-engine: with N items, k raters, T = Nk and pooled
+    totals T_v, disag_num = sum_i (k*(k-1) - sum_v c_iv*(c_iv-1)),
+    D_o = disag_num/(N*k*(k-1)), D_e = (T^2 - sum T_v^2)/(T*(T-1)),
+    so alpha = 1 - [disag_num * T*(T-1)] / [N*k*(k-1) * (T^2 - sum
+    T_v^2)] — BIGINT throughout, ONE terminal division. Same
+    complete-design guard as fleiss_kappa. Returns one row (n_items,
+    k, disag_num, alpha_q6); null when every pooled label is
+    identical (D_e = 0 — nothing to disagree about).
+    """
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        F.col(label_col).alias("__v"),
+    )
+    cell = base.groupBy("__i", "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per_item = cell.groupBy("__i").agg(
+        F.sum("__c").cast("long").alias("__k"),
+        F.sum(F.col("__c") * (F.col("__c") - 1))
+        .cast("long")
+        .alias("__agree"),
+    )
+    chk = per_item.agg(
+        F.countDistinct("__k").alias("__kk_n"),
+        F.max("__k").alias("__kmax"),
+        F.min("__k").alias("__kmin"),
+    ).collect()[0]
+    if chk["__kk_n"] not in (0, 1):
+        raise ValueError(
+            "krippendorff_alpha_nominal requires a complete design: "
+            f"per-item rating counts vary ({chk['__kmin']}.."
+            f"{chk['__kmax']}) — filter to fully-rated items upstream"
+        )
+    items = per_item.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.max("__k").cast("long").alias("k"),
+        F.sum(
+            F.col("__k") * (F.col("__k") - 1) - F.col("__agree")
+        ).cast("long").alias("disag_num"),
+    )
+    pooled = base.groupBy("__v").agg(
+        F.count("*").cast("long").alias("__t")
+    ).agg(
+        F.sum(F.col("__t") * F.col("__t")).cast("long").alias("__st2"),
+        F.sum("__t").cast("long").alias("__t_tot"),
+    )
+    j = items.crossJoin(F.broadcast(pooled))
+    t = F.col("__t_tot")
+    de_num = t * t - F.col("__st2")
+    pairs = F.col("n_items") * F.col("k") * (F.col("k") - 1)
+    alpha = F.lit(1.0) - (
+        (F.col("disag_num") * t * (t - 1)).cast("double")
+        / (pairs * de_num).cast("double")
+    )
+    return j.select(
+        "n_items",
+        "k",
+        "disag_num",
+        F.when(
+            (de_num > 0) & (F.col("k") > 1),
+            F.floor(alpha * F.lit(1e6)) / F.lit(1e6),
+        ).alias("alpha_q6"),
+    )

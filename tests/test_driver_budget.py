@@ -161,3 +161,17 @@ def test_binseg_rounds_bounded_by_max_changepoints(spark):
         df, ("g",), ("i",), "v", max_changepoints=2
     ).collect()
     assert len(out) <= 3
+
+
+def test_agreement_design_guard_is_one_row(spark):
+    """fleiss_kappa / krippendorff_alpha_nominal collect exactly ONE
+    3-column aggregate row (the completeness guard) — never items."""
+    import inspect
+
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    for fn in (evalmetrics.fleiss_kappa,
+               evalmetrics.krippendorff_alpha_nominal):
+        src = inspect.getsource(fn)
+        assert src.count(".collect()") == 1
+        assert ".collect()[0]" in src  # single-row aggregate, not rows

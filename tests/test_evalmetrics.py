@@ -492,3 +492,106 @@ def test_retrieval_metrics_inlist_denominator(spark):
     r = retrieval_metrics(df, ("query_id",), "rank", "rel", k=2).collect()[0]
     assert r["total_rel"] == 2 and r["recall_k_q6"] == 0.5
     assert r["rr_q6"] == 1.0
+
+
+# ---- Fleiss' kappa / Krippendorff's alpha ----
+
+from png_from_pdf_extracter_spark.functions.evalmetrics import (  # noqa: E402
+    fleiss_kappa,
+    krippendorff_alpha_nominal,
+)
+
+
+def _long(spark, grid):
+    rows = [
+        (i, f"r{j}", lab)
+        for i, labs in enumerate(grid)
+        for j, lab in enumerate(labs)
+    ]
+    return spark.createDataFrame(rows, "item long, rater string, lab int")
+
+
+def _fleiss_ref(grid):
+    import math
+
+    n = len(grid)
+    k = len(grid[0])
+    labels = sorted({v for row in grid for v in row})
+    agree = sum(
+        sum(row.count(v) * (row.count(v) - 1) for v in labels)
+        for row in grid
+    )
+    t = {v: sum(row.count(v) for row in grid) for v in labels}
+    T = n * k
+    p_bar = agree / (n * k * (k - 1))
+    p_e = sum(x * x for x in t.values()) / (T * T)
+    return math.floor((p_bar - p_e) / (1 - p_e) * 1e6) / 1e6
+
+
+def _kripp_ref(grid):
+    import math
+
+    n = len(grid)
+    k = len(grid[0])
+    labels = sorted({v for row in grid for v in row})
+    disag = sum(
+        k * (k - 1)
+        - sum(row.count(v) * (row.count(v) - 1) for v in labels)
+        for row in grid
+    )
+    t = {v: sum(row.count(v) for row in grid) for v in labels}
+    T = n * k
+    d_o = disag / (n * k * (k - 1))
+    d_e = (T * T - sum(x * x for x in t.values())) / (T * (T - 1))
+    return math.floor((1 - d_o / d_e) * 1e6) / 1e6
+
+
+def test_fleiss_kappa_reference_parity(spark):
+    grid = [
+        [0, 0, 1], [1, 1, 1], [2, 2, 0], [0, 1, 2],
+        [1, 1, 0], [2, 2, 2], [0, 0, 0], [1, 2, 1],
+    ]
+    r = fleiss_kappa(_long(spark, grid), "item", "rater", "lab").collect()[0]
+    assert r["kappa_q6"] == _fleiss_ref(grid)
+    assert r["n_items"] == 8 and r["k"] == 3
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    grid = [[0, 0, 0], [1, 1, 1], [2, 2, 2]]
+    r = fleiss_kappa(_long(spark, grid), "item", "rater", "lab").collect()[0]
+    assert r["kappa_q6"] == 1.0
+
+
+def test_fleiss_incomplete_design_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, "r1", 0), (0, "r2", 1), (1, "r1", 0)],
+        "item long, rater string, lab int",
+    )
+    with pytest.raises(ValueError, match="complete design"):
+        fleiss_kappa(df, "item", "rater", "lab")
+
+
+def test_krippendorff_reference_parity_and_perfect(spark):
+    grid = [
+        [0, 0, 1], [1, 1, 1], [2, 2, 0], [0, 1, 2],
+        [1, 1, 0], [2, 2, 2], [0, 0, 0], [1, 2, 1],
+    ]
+    r = krippendorff_alpha_nominal(
+        _long(spark, grid), "item", "rater", "lab"
+    ).collect()[0]
+    assert r["alpha_q6"] == _kripp_ref(grid)
+    perfect = [[0, 0], [1, 1], [0, 0]]
+    r2 = krippendorff_alpha_nominal(
+        _long(spark, perfect), "item", "rater", "lab"
+    ).collect()[0]
+    assert r2["alpha_q6"] == 1.0
+
+
+def test_krippendorff_single_label_null(spark):
+    grid = [[5, 5], [5, 5]]
+    r = krippendorff_alpha_nominal(
+        _long(spark, grid), "item", "rater", "lab"
+    ).collect()[0]
+    assert r["alpha_q6"] is None
