@@ -5196,6 +5196,43 @@ def _q_krippendorff(spark, sf_dir):
     )
 
 
+def _q_conformal(spark, sf_dir):
+    """Split-conformal 90% threshold of event value per event type
+    (functions/evalmetrics.py conformal_threshold): integer target
+    rank ceil((n+1)*900/1000) selected by the rank-reach test over the
+    distinct-value count table — the finite-sample-valid gate
+    calibrator, per stratum."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        conformal_threshold,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return conformal_threshold(
+        ev, "value", ("event_type",), alpha_permille=100, quantize=2
+    )
+
+
+def _q_risk_coverage(spark, sf_dir):
+    """Risk-coverage curve of the n_chars%7 heuristic against the
+    length label with a deterministic confidence (n_chars%1000)/1000
+    (functions/evalmetrics.py risk_coverage_curve): one descending
+    running sum over the distinct-confidence count table — the
+    abstention-policy curve."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        risk_coverage_curve,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 1000).cast("double") / F.lit(1000.0)).alias(
+            "conf"
+        ),
+        (
+            (F.col("n_chars") % 7 < 4) != (F.col("n_chars") >= 500)
+        ).cast("long").alias("err"),
+    )
+    return risk_coverage_curve(d, "conf", "err", quantize=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5418,6 +5455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_trend": _q_page_trend,
         "q_fleiss": _q_fleiss,
         "q_krippendorff": _q_krippendorff,
+        "q_conformal": _q_conformal,
+        "q_risk_coverage": _q_risk_coverage,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10200,6 +10239,74 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_conformal": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT event_type, v, count(*)::BIGINT AS c
+              FROM base GROUP BY event_type, v
+            ),
+            ranked AS (
+              SELECT event_type, v, c,
+                     coalesce(sum(c) OVER (
+                       PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb,
+                     sum(c) OVER (PARTITION BY event_type) AS n
+              FROM cnt
+            ),
+            sel AS (
+              SELECT event_type,
+                     max(n)::BIGINT AS n,
+                     max(CAST(floor(((n + 1) * 900 + 999) / 1000)
+                              AS BIGINT)) AS rank_target,
+                     sum(CASE WHEN cb < floor(((n + 1) * 900 + 999)
+                                              / 1000)
+                               AND cb + c >= floor(((n + 1) * 900 + 999)
+                                                   / 1000)
+                         THEN v END)::BIGINT AS qhat_q
+              FROM ranked GROUP BY event_type
+            )
+            SELECT event_type, n, rank_target, qhat_q,
+                   qhat_q::DOUBLE / 100.0 AS qhat,
+                   (rank_target <= n) AS covered
+            FROM sel
+        """,
+        "q_risk_coverage": """
+            WITH base AS (
+              SELECT CAST(round(((n_chars % 1000)::DOUBLE / 1000.0)
+                                * 10000.0) AS BIGINT) AS conf_q,
+                     (CASE WHEN (n_chars % 7 < 4)
+                                <> (n_chars >= 500)
+                      THEN 1 ELSE 0 END)::BIGINT AS e
+              FROM documents
+            ),
+            cnt AS (
+              SELECT conf_q, count(*)::BIGINT AS n_at,
+                     sum(e)::BIGINT AS err_at
+              FROM base GROUP BY conf_q
+            ),
+            cum AS (
+              SELECT conf_q, n_at, err_at,
+                     sum(n_at) OVER (ORDER BY conf_q DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS n_cum,
+                     sum(err_at) OVER (ORDER BY conf_q DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS err_cum,
+                     sum(n_at) OVER ()::BIGINT AS nn
+              FROM cnt
+            )
+            SELECT conf_q, n_at, err_at, n_cum, err_cum,
+                   floor(n_cum::DOUBLE / nn::DOUBLE * 1e6) / 1e6
+                     AS coverage_q6,
+                   floor(err_cum::DOUBLE / n_cum::DOUBLE * 1e6) / 1e6
+                     AS risk_q6
+            FROM cum
         """,
         "q_fleiss": """
             WITH long AS (

@@ -879,3 +879,138 @@ def krippendorff_alpha_nominal(
             F.floor(alpha * F.lit(1e6)) / F.lit(1e6),
         ).alias("alpha_q6"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    group_cols: tuple[str, ...] = (),
+    alpha_permille: int = 100,
+    quantize: int = 4,
+) -> DataFrame:
+    """Split-conformal quantile threshold per group — the
+    distribution-free guarantee behind "reject when nonconformity
+    exceeds q_hat, and at most alpha of future in-distribution items
+    will be rejected": q_hat is the ceil((n+1)(1-alpha))-th smallest
+    calibration score (Vovk; the finite-sample-valid quantile, NOT the
+    plug-in percentile). The gate calibrator for an LLM quality/safety
+    classifier run per stratum (language, source).
+
+    EXACT cross-engine: alpha arrives as PERMILLE so the target rank
+    r = ceil((n+1)*(1000-ap)/1000) is computed in pure integers
+    (floor((x + 999)/1000) — no float boundary at the rank), and the
+    selection is the integer rank-reach test over the per-(group,
+    value) count table ([[calibration_bins]]' quantization; the
+    window is bounded by value cardinality, not rows). When r > n the
+    guarantee needs more calibration data: qhat is null and
+    ``covered`` false. Returns (group..., n, rank_target, qhat_q,
+    qhat, covered).
+    """
+    if not 0 < alpha_permille < 1000:
+        raise ValueError("alpha_permille must be in (0, 1000)")
+    s = F.col(score_col)
+    sq = F.round(s.cast("double") * F.lit(10**quantize), 0).cast("long")
+    gl = list(group_cols)
+    base = df.select(*gl, sq.alias("__v")).filter(F.col("__v").isNotNull())
+    cnt = base.groupBy(*gl, "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    wb = Window.partitionBy(*gl).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cnt.select(
+        *gl,
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(Window.partitionBy(*gl)).alias("__n"),
+    )
+    r = F.floor(
+        ((F.col("__n") + 1) * (1000 - alpha_permille) + 999) / 1000
+    ).cast("long")
+    hit = (F.col("__cb") < r) & (F.col("__cb") + F.col("__c") >= r)
+    out = ranked.groupBy(*gl).agg(
+        F.max("__n").alias("n"),
+        F.max(r).alias("rank_target"),
+        F.sum(F.when(hit, F.col("__v"))).alias("qhat_q"),
+    )
+    return out.select(
+        *gl,
+        "n",
+        "rank_target",
+        "qhat_q",
+        (
+            F.col("qhat_q").cast("double") / F.lit(float(10**quantize))
+        ).alias("qhat"),
+        (F.col("rank_target") <= F.col("n")).alias("covered"),
+    )
+
+
+def risk_coverage_curve(
+    df: DataFrame,
+    confidence_col: str,
+    error_col: str,
+    quantize: int = 4,
+) -> DataFrame:
+    """Risk-coverage curve for selective prediction — answer "if the
+    model only acts on its most-confident X%, what error rate does it
+    eat": sweep the confidence threshold down through every distinct
+    value; at each operating point emit how much is covered and the
+    cumulative error rate on the covered set. The curve behind every
+    abstention/escalation policy (route low-confidence items to a
+    bigger model or a human).
+
+    EXACT cross-engine: one count table per distinct quantized
+    confidence (n, errors — both BIGINT), one DESCENDING running sum
+    over it (window bounded by value cardinality), terminal divisions
+    only. Returns one row per distinct confidence value:
+    (conf_q, n_at, err_at, n_cum, err_cum, coverage_q6, risk_q6),
+    ordered operating points from strictest to loosest.
+    """
+    c = F.col(confidence_col)
+    e = F.col(error_col).cast("long")
+    cq = F.round(c.cast("double") * F.lit(10**quantize), 0).cast("long")
+    base = df.select(cq.alias("conf_q"), e.alias("__e")).filter(
+        F.col("conf_q").isNotNull() & F.col("__e").isNotNull()
+    )
+    cnt = base.groupBy("conf_q").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("__e").cast("long").alias("err_at"),
+    )
+    wdesc = Window.orderBy(F.col("conf_q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "conf_q",
+        "n_at",
+        "err_at",
+        F.sum("n_at").over(wdesc).cast("long").alias("n_cum"),
+        F.sum("err_at").over(wdesc).cast("long").alias("err_cum"),
+        F.sum("n_at").over(tot).cast("long").alias("__nn"),
+    )
+    return cum.select(
+        "conf_q",
+        "n_at",
+        "err_at",
+        "n_cum",
+        "err_cum",
+        (
+            F.floor(
+                F.col("n_cum").cast("double")
+                / F.col("__nn").cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("coverage_q6"),
+        (
+            F.floor(
+                F.col("err_cum").cast("double")
+                / F.col("n_cum").cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("risk_q6"),
+    )

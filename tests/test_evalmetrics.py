@@ -595,3 +595,75 @@ def test_krippendorff_single_label_null(spark):
         _long(spark, grid), "item", "rater", "lab"
     ).collect()[0]
     assert r["alpha_q6"] is None
+
+
+# ---- conformal threshold / risk-coverage ----
+
+from png_from_pdf_extracter_spark.functions.evalmetrics import (  # noqa: E402
+    conformal_threshold,
+    risk_coverage_curve,
+)
+
+
+def test_conformal_rank_and_value(spark):
+    # n=9, alpha=10%: r = ceil(10 * 0.9) = 9 -> 9th smallest of 1..9
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)], "s double")
+    r = conformal_threshold(df, "s", alpha_permille=100).collect()[0]
+    assert r["rank_target"] == 9 and r["qhat"] == 9.0 and r["covered"]
+
+
+def test_conformal_needs_more_data(spark):
+    # n=3, alpha=10%: r = ceil(4 * 0.9) = 4 > n -> null qhat
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "s double")
+    r = conformal_threshold(df, "s", alpha_permille=100).collect()[0]
+    assert r["qhat_q"] is None and r["covered"] is False
+
+
+def test_conformal_grouped_and_ties(spark):
+    rows = [("a", float(v)) for v in [1, 1, 1, 2, 2, 5, 5, 5, 9]] + [
+        ("b", 3.0)
+    ] * 19
+    df = spark.createDataFrame(rows, "g string, s double")
+    out = {
+        r["g"]: r
+        for r in conformal_threshold(
+            df, "s", ("g",), alpha_permille=100
+        ).collect()
+    }
+    assert out["a"]["rank_target"] == 9 and out["a"]["qhat"] == 9.0
+    # n=19: r = ceil(20*0.9) = 18 -> value 3.0
+    assert out["b"]["rank_target"] == 18 and out["b"]["qhat"] == 3.0
+
+
+def test_conformal_param_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "s double")
+    with pytest.raises(ValueError):
+        conformal_threshold(df, "s", alpha_permille=0)
+
+
+def test_risk_coverage_closed_form(spark):
+    # confidences .9/.5/.1; errors concentrated at low confidence
+    rows = (
+        [(0.9, 0)] * 4
+        + [(0.5, 0)] * 2 + [(0.5, 1)] * 2
+        + [(0.1, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "conf double, err long")
+    out = {r["conf_q"]: r for r in risk_coverage_curve(df, "conf", "err").collect()}
+    assert out[9000]["coverage_q6"] == 0.4 and out[9000]["risk_q6"] == 0.0
+    assert out[5000]["coverage_q6"] == 0.8 and out[5000]["risk_q6"] == 0.25
+    assert out[1000]["coverage_q6"] == 1.0 and out[1000]["risk_q6"] == 0.4
+
+
+def test_risk_coverage_monotone_coverage(spark):
+    rows = [(float(i % 10) / 10.0, i % 3 == 0) for i in range(100)]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "conf double, err boolean")
+    curve = risk_coverage_curve(df, "conf", "err").orderBy(
+        F.col("conf_q").desc()
+    ).collect()
+    covs = [r["coverage_q6"] for r in curve]
+    assert covs == sorted(covs) and covs[-1] == 1.0
