@@ -5233,6 +5233,29 @@ def _q_risk_coverage(spark, sf_dir):
     return risk_coverage_curve(d, "conf", "err", quantize=4)
 
 
+def _q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test of event values per user (ordered by
+    the unique event_id; functions/stats.py runs_test): sides come
+    from the DOUBLED exact median (2v vs med2 — no float compare),
+    runs from one lag window; null moments integral. The streakiness
+    screen on agent telemetry."""
+    from png_from_pdf_extracter_spark.functions.stats import runs_test
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return runs_test(ev, "value", "event_id", ("user_id",), quantize=2)
+
+
+def _q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson lag-1 autocorrelation screen of event values per
+    user (functions/stats.py durbin_watson): the mean cancels in the
+    differences so num is a plain BIGINT; denominator exact via the
+    n^2-scaling sum(n*v - S)^2; one float division."""
+    from png_from_pdf_extracter_spark.functions.stats import durbin_watson
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return durbin_watson(ev, "value", "event_id", ("user_id",), quantize=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5457,6 +5480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_krippendorff": _q_krippendorff,
         "q_conformal": _q_conformal,
         "q_risk_coverage": _q_risk_coverage,
+        "q_runs_test": _q_runs_test,
+        "q_durbin_watson": _q_durbin_watson,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10238,6 +10263,98 @@ def oracle_sql() -> dict[str, str]:
                    END AS recall_k_q6,
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
+            FROM agg
+        """,
+        "q_runs_test": """
+            WITH base AS (
+              SELECT user_id AS g, event_id AS o,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE user_id < 40 AND value IS NOT NULL
+            ),
+            vg AS (
+              SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v
+            ),
+            ranked AS (
+              SELECT g, v, c,
+                     coalesce(sum(c) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb,
+                     sum(c) OVER (PARTITION BY g) AS n_g
+              FROM vg
+            ),
+            med AS (
+              SELECT g,
+                     sum(v * (
+                       (CASE WHEN cb < floor((n_g + 1) / 2)
+                              AND cb + c >= floor((n_g + 1) / 2)
+                        THEN 1 ELSE 0 END)
+                       + (CASE WHEN cb < floor(n_g / 2) + 1
+                                AND cb + c >= floor(n_g / 2) + 1
+                          THEN 1 ELSE 0 END)
+                     ))::BIGINT AS med2
+              FROM ranked GROUP BY g
+            ),
+            sided AS (
+              SELECT base.g, o,
+                     CASE WHEN 2 * v > med2 THEN 1
+                          WHEN 2 * v < med2 THEN 0 END AS side
+              FROM base JOIN med ON base.g = med.g
+            ),
+            seq AS (
+              SELECT g, side,
+                     lag(side) OVER (PARTITION BY g ORDER BY o) AS prev
+              FROM sided WHERE side IS NOT NULL
+            ),
+            agg AS (
+              SELECT g, sum(side)::BIGINT AS n1,
+                     sum(1 - side)::BIGINT AS n2,
+                     (1 + sum(CASE WHEN prev IS NOT NULL
+                                    AND side <> prev
+                              THEN 1 ELSE 0 END))::BIGINT AS runs
+              FROM seq GROUP BY g
+            )
+            SELECT g AS user_id, n1, n2, runs,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2
+                         AND 2 * n1 * n2 > n1 + n2 THEN
+                     floor((runs::DOUBLE
+                            - (1.0 + (2 * n1 * n2)::DOUBLE
+                                     / (n1 + n2)::DOUBLE))
+                           / sqrt((2 * n1 * n2)::DOUBLE
+                                  * (2 * n1 * n2 - n1 - n2)::DOUBLE
+                                  / ((n1 + n2) * (n1 + n2)
+                                     * (n1 + n2 - 1))::DOUBLE)
+                           * 1e6) / 1e6
+                   END AS z_q6
+            FROM agg
+        """,
+        "q_durbin_watson": """
+            WITH base AS (
+              SELECT user_id AS g, event_id AS o,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE user_id < 40 AND value IS NOT NULL
+            ),
+            seq AS (
+              SELECT g, v,
+                     v - lag(v) OVER (PARTITION BY g ORDER BY o) AS d
+              FROM base
+            ),
+            agg AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     sum(v)::BIGINT AS s,
+                     sum(v * v)::BIGINT AS sq,
+                     sum(d * d)::BIGINT AS num
+              FROM seq GROUP BY g
+            )
+            SELECT g AS user_id, n, num,
+                   (n * n * sq - n * s * s)::BIGINT AS den_n2,
+                   CASE WHEN n * n * sq - n * s * s > 0 THEN
+                     floor((n * n * num)::DOUBLE
+                           / (n * n * sq - n * s * s)::DOUBLE * 1e6)
+                       / 1e6
+                   END AS dw_q6
             FROM agg
         """,
         "q_conformal": """

@@ -2570,3 +2570,172 @@ def page_trend_test(
             v144 > 0, F.floor(z * F.lit(1e6)) / F.lit(1e6)
         ).alias("z_q6"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per group — "is this sequence random,
+    or does it streak": dichotomize each value against the group
+    median, count runs (maximal same-side streaks in ``order_col``
+    order), compare with the null moments given n1 above / n2 below.
+    Too FEW runs = clustering/regime behavior (a generator gone
+    sticky, a scraper stuck on one site); too many = oscillation.
+    The sequence-shaped complement of [[mann_kendall]] (which reads
+    monotone trend, not streakiness).
+
+    EXACT cross-engine: the group median is the DOUBLED med2 = v_lo +
+    v_hi from the integer rank-reach test ([[levene_bf]]'s), so the
+    above/below split (2v > med2 / 2v < med2) never touches a float;
+    exact-median values are EXCLUDED (the standard treatment). Runs
+    are counted as 1 + sum(side != lag(side)) in ONE ordered window
+    per group; moments stay integral: E[R] = 1 + 2*n1*n2/n exactly as
+    mean_num/n, Var = 2n1n2(2n1n2-n) / (n^2(n-1)) as var_num/var_den.
+    Returns (group..., n1, n2, runs, z_q6); z null when n1*n2 = 0
+    (one-sided group — no sequence to test).
+    """
+    v = _quant(F.col(value_col), quantize)
+    gl = list(group_cols)
+    base = df.select(
+        *gl, F.col(order_col).alias("__o"), v.alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    vg = base.groupBy(*gl, "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    wg = Window.partitionBy(*gl).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vg.select(
+        *gl,
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(Window.partitionBy(*gl)).alias("__n_g"),
+    )
+    lo = F.floor((F.col("__n_g") + 1) / 2)
+    hi = F.floor(F.col("__n_g") / 2) + 1
+    hits = (
+        F.when(
+            (F.col("__cb") < lo) & (F.col("__cb") + F.col("__c") >= lo), 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("__cb") < hi) & (F.col("__cb") + F.col("__c") >= hi), 1
+        ).otherwise(0)
+    )
+    med = ranked.groupBy(*gl).agg(
+        F.sum(F.col("__v") * hits).cast("long").alias("__med2")
+    )
+    sided = (
+        base.join(F.broadcast(med), gl) if gl else base.crossJoin(
+            F.broadcast(med)
+        )
+    ).select(
+        *gl,
+        "__o",
+        F.when(2 * F.col("__v") > F.col("__med2"), F.lit(1))
+        .when(2 * F.col("__v") < F.col("__med2"), F.lit(0))
+        .alias("__side"),
+    ).filter(F.col("__side").isNotNull())
+    ws = Window.partitionBy(*gl).orderBy("__o")
+    seq = sided.select(
+        *gl,
+        "__side",
+        F.lag("__side").over(ws).alias("__prev"),
+    )
+    agg = seq.groupBy(*gl).agg(
+        F.sum("__side").cast("long").alias("n1"),
+        F.sum(1 - F.col("__side")).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("__side") != F.col("__prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two = 2 * F.col("n1") * F.col("n2")
+    mean_r = F.lit(1.0) + two.cast("double") / n.cast("double")
+    var_r = (
+        two.cast("double")
+        * (two - n).cast("double")
+        / (n * n * (n - 1)).cast("double")
+    )
+    z = (F.col("runs").cast("double") - mean_r) / F.sqrt(var_r)
+    return agg.select(
+        *gl,
+        "n1",
+        "n2",
+        "runs",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 2)
+            & (two > n),
+            F.floor(z * F.lit(1e6)) / F.lit(1e6),
+        ).alias("z_q6"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """Durbin-Watson statistic per group — the first-difference
+    autocorrelation diagnostic: DW = sum (e_t - e_{t-1})^2 / sum e_t^2
+    over mean-centered values in ``order_col`` order; ~2 means no
+    lag-1 autocorrelation, toward 0 positive, toward 4 negative. The
+    single-number screen before the full [[autocorrelation]]
+    correlogram.
+
+    EXACT cross-engine by n^2-scaling: the mean CANCELS in the
+    differences, so num = sum(d_t^2) is a plain BIGINT off one lag
+    window; the denominator is exact as den_n2 = sum (n*v_t - S)^2
+    (BIGINT, with S = sum v), and DW = n^2 * num / den_n2 — one float
+    division, no float mean anywhere. Returns (group..., n, num, den_n2,
+    dw_q6); null when den_n2 = 0 (constant series).
+    """
+    v = _quant(F.col(value_col), quantize)
+    gl = list(group_cols)
+    base = df.select(
+        *gl, F.col(order_col).alias("__o"), v.alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    ws = Window.partitionBy(*gl).orderBy("__o")
+    seq = base.select(
+        *gl,
+        "__v",
+        (F.col("__v") - F.lag("__v").over(ws)).alias("__d"),
+    )
+    agg = seq.groupBy(*gl).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__sq"),
+        F.sum(F.col("__d") * F.col("__d")).cast("long").alias("num"),
+    )
+    # den_n2 = sum (n*v - S)^2 = n^2*sum v^2 - 2nS*S + n*S^2
+    #        = n^2*sq - n*S^2  (expanded with BIGINT terms only)
+    den_n2 = (
+        F.col("n") * F.col("n") * F.col("__sq")
+        - F.col("n") * F.col("__s") * F.col("__s")
+    )
+    dw = (
+        (F.col("n") * F.col("n") * F.col("num")).cast("double")
+        / den_n2.cast("double")
+    )
+    return agg.select(
+        *gl,
+        "n",
+        "num",
+        den_n2.cast("long").alias("den_n2"),
+        F.when(
+            den_n2 > 0, F.floor(dw * F.lit(1e6)) / F.lit(1e6)
+        ).alias("dw_q6"),
+    )

@@ -1464,3 +1464,82 @@ def test_page_trend_flat_is_zero_z(spark):
     df = spark.createDataFrame(rows, "subj long, trt string, v double")
     r = page_trend_test(df, "subj", "trt", "v", quantize=0).collect()[0]
     assert abs(r["z_q6"]) < 1e-6
+
+
+# ---- runs test / Durbin-Watson ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    durbin_watson,
+    runs_test,
+)
+
+
+def test_runs_test_alternating_vs_streaky(spark):
+    import math
+
+    # perfectly alternating around the median -> max runs, z > 0
+    alt = [(i, float(i % 2)) for i in range(12)]
+    df = spark.createDataFrame(alt, "o long, v double")
+    r = runs_test(df, "v", "o", quantize=0).collect()[0]
+    assert r["n1"] == 6 and r["n2"] == 6 and r["runs"] == 12
+    n1 = n2 = 6
+    n = 12
+    mean_r = 1 + 2 * n1 * n2 / n
+    var_r = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert r["z_q6"] == math.floor(
+        (12 - mean_r) / math.sqrt(var_r) * 1e6
+    ) / 1e6
+    # fully streaky: 6 lows then 6 highs -> 2 runs, z < 0
+    streak = [(i, 0.0 if i < 6 else 10.0) for i in range(12)]
+    df2 = spark.createDataFrame(streak, "o long, v double")
+    r2 = runs_test(df2, "v", "o", quantize=0).collect()[0]
+    assert r2["runs"] == 2 and r2["z_q6"] < -2.0
+
+
+def test_runs_test_median_values_excluded(spark):
+    # odd n: exact-median value sits out; 2-1-2 remaining
+    rows = [(0, 1.0), (1, 5.0), (2, 9.0), (3, 5.0), (4, 1.0)]
+    df = spark.createDataFrame(rows, "o long, v double")
+    r = runs_test(df, "v", "o", quantize=0).collect()[0]
+    assert r["n1"] + r["n2"] == 3  # two 5.0s (the median) excluded
+
+
+def test_runs_test_one_sided_null(spark):
+    rows = [(i, 1.0 if i == 0 else 9.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "o long, v double")
+    r = runs_test(df, "v", "o", quantize=0).collect()[0]
+    # median side has everything above/below unbalanced but both
+    # present; construct a truly one-sided case instead:
+    df2 = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (2, 1.0)], "o long, v double"
+    )
+    r2 = runs_test(df2, "v", "o", quantize=0).collect()[0]
+    assert r2["z_q6"] is None
+
+
+def test_durbin_watson_reference(spark):
+    xs = [3.0, 5.0, 2.0, 8.0, 7.0, 1.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "o long, v double"
+    )
+    r = durbin_watson(df, "v", "o", quantize=0).collect()[0]
+    import math
+
+    m = sum(xs) / len(xs)
+    e = [x - m for x in xs]
+    ref = sum(
+        (e[t] - e[t - 1]) ** 2 for t in range(1, len(e))
+    ) / sum(x * x for x in e)
+    assert abs(r["dw_q6"] - math.floor(ref * 1e6) / 1e6) < 1e-9
+
+
+def test_durbin_watson_constant_null_and_alternating(spark):
+    const = spark.createDataFrame(
+        [(i, 4.0) for i in range(5)], "o long, v double"
+    )
+    assert durbin_watson(const, "v", "o").collect()[0]["dw_q6"] is None
+    alt = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(50)], "o long, v double"
+    )
+    r = durbin_watson(alt, "v", "o", quantize=0).collect()[0]
+    assert r["dw_q6"] > 3.5  # strong negative lag-1 autocorrelation
