@@ -635,3 +635,83 @@ def test_keyness_g2_broadcasts_totals_only(spark):
     assert "CartesianProduct" not in plan
     # top-k is a TakeOrdered, not a global sort + limit
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_jl_project_is_shuffle_free(spark):
+    """jl_project must stay MAP-ONLY: no Exchange, no UDF — the whole
+    projection is codegen'd array folds plus a posexplode."""
+    from png_from_pdf_extracter_spark.functions.similarity import jl_project
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(jl_project(e, out_dim=4))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_link_prediction_no_cartesian_and_cap_below_wedge_join(spark):
+    """link_prediction_scores: the wedge join must be an equi-join on
+    the pivot key, never a cartesian, and the hub-degree cap filter
+    must sit BELOW the wedge join (pivots dropped before fan-out)."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        link_prediction_scores,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    plan = _plan(link_prediction_scores(edges, max_hub_degree=100))
+    assert "CartesianProduct" not in plan, plan
+    # the cap predicate appears in the tree below (after) the last join
+    assert plan.rindex("Join") < plan.rindex("100"), plan
+
+
+def test_hodges_lehmann_pairs_on_count_table_not_rows(spark):
+    """hodges_lehmann: the Walsh self-join must consume the aggregated
+    (group, value) COUNT table — a HashAggregate must sit below each
+    join input — and join on the group key, never a cartesian."""
+    from png_from_pdf_extracter_spark.functions.stats import hodges_lehmann
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(hodges_lehmann(c, "c_acctbal", ("c_nationkey",)))
+    assert "CartesianProduct" not in plan, plan
+    # count aggregation happens before pairing: the plan's last Join has
+    # HashAggregate descendants (children print below parents)
+    assert plan.rindex("Join") < plan.rindex("HashAggregate"), plan
+
+
+def test_kendall_tau_pairs_join_on_group_key_only(spark):
+    """kendall_tau_b shares theil_sen's bounded-group contract: pair
+    enumeration is an equi-join on the GROUP key."""
+    from png_from_pdf_extracter_spark.functions.stats import kendall_tau_b
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.length("c_name").cast("double").alias("nl"),
+    )
+    plan = _plan(
+        kendall_tau_b(c, ("c_nationkey",), "c_acctbal", "nl", "c_custkey")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "Join [c_nationkey" in plan
+        or "HashJoin [c_nationkey" in plan
+        or "SortMergeJoin [c_nationkey" in plan
+        or "Join c_nationkey" in plan
+    ), plan
+
+
+def test_conformal_window_over_value_table(spark):
+    """conformal_threshold: the rank-reach window runs over the
+    aggregated distinct-value table (HashAggregate below the Window),
+    never over raw rows."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        conformal_threshold,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(conformal_threshold(ev, "value", ("event_type",)))
+    # children print below parents: the (group, value) count aggregate
+    # must appear BELOW (after) the windows in the tree dump
+    assert plan.rindex("Window") < plan.rindex("HashAggregate"), plan
