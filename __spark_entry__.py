@@ -5256,6 +5256,21 @@ def _q_durbin_watson(spark, sf_dir):
     return durbin_watson(ev, "value", "event_id", ("user_id",), quantize=2)
 
 
+def _q_span_corruption(spark, sf_dir):
+    """T5-style deterministic span-corruption plan over documents
+    (functions/curate.py span_corruption_plan): spans are a pure
+    md5 function of (doc_id, span_idx) — reproducible across re-runs
+    and engines; map-only sequence explode, zero shuffle."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        span_corruption_plan,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return span_corruption_plan(
+        d, "doc_id", "n_chars", mask_permille=150, span_len=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5482,6 +5497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_risk_coverage": _q_risk_coverage,
         "q_runs_test": _q_runs_test,
         "q_durbin_watson": _q_durbin_watson,
+        "q_span_corruption": _q_span_corruption,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10264,6 +10280,25 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_span_corruption": """
+            WITH base AS (
+              SELECT doc_id AS id, n_chars::BIGINT AS len,
+                     CAST(floor(n_chars * 150 / (1000 * 20))
+                          AS BIGINT) AS k
+              FROM documents
+              WHERE floor(n_chars * 150 / (1000 * 20)) > 0
+                AND n_chars >= 20
+            ),
+            spans AS (
+              SELECT id, len, unnest(range(k)) AS span_idx FROM base
+            )
+            SELECT id, span_idx,
+                   (('0x' || substring(
+                       md5(id::VARCHAR || ':' || span_idx::VARCHAR),
+                       1, 12))::BIGINT % (len - 20 + 1)) AS start,
+                   20::BIGINT AS length
+            FROM spans
         """,
         "q_runs_test": """
             WITH base AS (

@@ -1095,3 +1095,73 @@ def compression_ratio(
             F.round(F.col("z_bytes") / F.col("n_bytes"), 4),
         ),
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    mask_permille: int = 150,
+    span_len: int = 20,
+) -> DataFrame:
+    """Deterministic span-corruption plan (the T5 denoising-objective
+    shape): for each document, emit the character spans to mask so
+    that ~mask_permille/1000 of the text is covered by spans of
+    ``span_len`` chars. Spans are a PURE FUNCTION of (doc id, span
+    index) via md5 — no RNG state, any executor (or a re-run, or the
+    oracle) re-derives the identical plan, which is what makes a
+    masking schedule reproducible across a 10^12-row corpus and a
+    resumed job. Candidate spans may overlap; feed them through
+    [[interval_union]] (operators/temporal.py) when the objective
+    needs disjoint spans — T5's jittered lengths add nothing a fixed
+    length doesn't at corpus scale.
+
+    EXACT cross-engine: n_spans = floor(len * permille / (1000 *
+    span_len)) and start = md5_48bit(id:idx) mod (len - span_len + 1)
+    are pure BIGINT arithmetic (the repo's 12-hex-char md5-to-int
+    convention, `q_weighted_sample`). Plan: map-only sequence explode
+    — zero shuffle. Returns (id, span_idx, start, length); documents
+    shorter than span_len or with n_spans = 0 emit nothing.
+    """
+    if not 0 < mask_permille < 1000:
+        raise ValueError("mask_permille must be in (0, 1000)")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    ln = F.col(len_col).cast("long")
+    n_spans = F.floor(
+        ln * F.lit(mask_permille) / F.lit(1000 * span_len)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        ln.alias("__len"),
+        n_spans.alias("__k"),
+    ).filter((F.col("__k") > 0) & (ln >= F.lit(span_len)))
+    spans = base.select(
+        "id",
+        "__len",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("__k") - 1)
+        ).alias("span_idx"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("id").cast("string"),
+                    F.lit(":"),
+                    F.col("span_idx").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    start = h % (F.col("__len") - F.lit(span_len) + 1)
+    return spans.select(
+        "id",
+        "span_idx",
+        start.alias("start"),
+        F.lit(span_len).cast("long").alias("length"),
+    )

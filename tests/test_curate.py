@@ -792,3 +792,57 @@ def test_l_diversity_param_validation(spark):
         l_diversity_report(df, (), "s", l=2)
     with pytest.raises(ValueError):
         l_diversity_report(df, ("q",), "s", l=0)
+
+
+# ---- span corruption plan ----
+
+from png_from_pdf_extracter_spark.functions.curate import (  # noqa: E402
+    span_corruption_plan,
+)
+
+
+def test_span_corruption_counts_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, 400), (2, 19), (3, 133)], "doc_id long, n_chars long"
+    )
+    out = span_corruption_plan(
+        df, mask_permille=150, span_len=20
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: floor(400*150/20000) = 3 spans; doc 2 too short; doc 3: 0
+    assert set(by_doc) == {1}
+    assert len(by_doc[1]) == 3
+    for r in by_doc[1]:
+        assert 0 <= r["start"] <= 400 - 20 and r["length"] == 20
+
+
+def test_span_corruption_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame(
+        [(i, 500 + i) for i in range(50)], "doc_id long, n_chars long"
+    )
+    a = sorted(map(tuple, span_corruption_plan(df).collect()))
+    b = sorted(
+        map(tuple, span_corruption_plan(df.repartition(7)).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_span_corruption_param_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 100)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError):
+        span_corruption_plan(df, mask_permille=0)
+    with pytest.raises(ValueError):
+        span_corruption_plan(df, span_len=0)
+
+
+def test_span_corruption_mask_fraction_close_to_target(spark):
+    df = spark.createDataFrame([(1, 10000)], "doc_id long, n_chars long")
+    out = span_corruption_plan(
+        df, mask_permille=150, span_len=20
+    ).collect()
+    masked = len(out) * 20
+    assert abs(masked / 10000 - 0.15) < 0.01
