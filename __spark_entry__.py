@@ -5271,6 +5271,39 @@ def _q_span_corruption(spark, sf_dir):
     )
 
 
+def _q_procrustes(spark, sf_dir):
+    """Orthogonal Procrustes alignment of a planted rotated snapshot
+    back onto the original embeddings (functions/similarity.py
+    procrustes_align) — the model-migration op: the 'new' space is the
+    old one reversed and sign-flipped (an exact orthogonal map), so
+    the recovered rotation must drive residuals to ~0 (pinned in
+    tests). Rows-only by design (float SVD); d x d driver state."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        procrustes_align,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    dim = len(e.select("embedding").first()["embedding"])
+    rotated = e.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.element_at(
+                F.col("embedding"), dim - i.cast("int")
+            ).cast("float")
+            * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ).alias("embedding"),
+    )
+    out = procrustes_align(e, rotated)
+    return out.select(
+        "vec_id",
+        F.size("aligned").alias("dims"),
+        (F.floor(F.col("resid") * F.lit(1e6)) / F.lit(1e6)).alias(
+            "resid_q6"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5370,6 +5403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nullsafe_join": _q_nullsafe_join,
         "q_weighted_sample": _q_weighted_sample,
         # rows-only (no oracle): kernel/stub/approximate ops
+        "q_procrustes": _q_procrustes,
         "q_profile_sketch": _q_profile_sketch,
         "q_embed_neardup_lsh": _q_embed_neardup_lsh,
         "q_ann_ivf": _q_ann_ivf,

@@ -1645,3 +1645,106 @@ def jl_project(
     return df.select(
         F.col(id_col), F.posexplode(arr).alias("dim_j", "proj_q")
     )
+
+
+def procrustes_align(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Orthogonal Procrustes alignment of a NEW embedding snapshot onto
+    an OLD one — the model-migration tool: after an embedding model
+    upgrade, solve R = argmin ||X_new R - X_old||_F over rotations on
+    the shared ids, then re-index with aligned vectors instead of
+    re-embedding (or measure how much of the space actually moved).
+    R = U V^T from the SVD of the cross-gram M = X_new^T X_old
+    (Schönemann's closed form).
+
+    Scale shape ([[embedding_covariance]]'s pattern): the join on id is
+    the only row-scale shuffle; ``mapInPandas`` emits per-Arrow-batch
+    PARTIAL cross-grams (d x d rows per batch via one BLAS matmul,
+    independent of batch size), one combinable groupBy folds them, and
+    only the d x d matrix reaches the driver (README budget table)
+    where numpy SVDs it. R ships back as ONE folded constant; the
+    per-row application is JVM higher-order functions in codegen.
+
+    Returns (id, aligned array<double>, resid — the float64 L2 gap to
+    the old vector after alignment; floor-quantize before hashing).
+    Raises on empty overlap. Rows-only by design (float SVD): tests
+    pin rotation recovery (planted orthogonal Q -> resid ~ 0) and
+    R^T R = I.
+    """
+    import numpy as np
+
+    j = old_df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__old")
+    ).join(
+        new_df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__new")
+        ),
+        "__id",
+    )
+
+    def cross(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                (o, n)
+                for o, n in zip(pdf["__old"], pdf["__new"])
+                if o is not None and n is not None
+            ]
+            if not rows:
+                continue
+            xo = np.asarray(
+                [np.asarray(o, dtype=np.float64) for o, _ in rows]
+            )
+            xn = np.asarray(
+                [np.asarray(n, dtype=np.float64) for _, n in rows]
+            )
+            m = xn.T @ xo
+            d1, d2 = np.indices(m.shape)
+            yield pd.DataFrame(
+                {
+                    "d1": d1.ravel(),
+                    "d2": d2.ravel(),
+                    "s": m.ravel(),
+                }
+            )
+
+    m_rows = (
+        j.mapInPandas(cross, "d1 int, d2 int, s double")
+        .groupBy("d1", "d2")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    if not m_rows:
+        raise ValueError(
+            "procrustes_align: no overlapping ids with non-null vectors"
+        )
+    dim = max(r["d1"] for r in m_rows) + 1
+    dim2 = max(r["d2"] for r in m_rows) + 1
+    m = np.zeros((dim, dim2))
+    for r in m_rows:
+        m[r["d1"], r["d2"]] = r["s"]
+    u, _, vt = np.linalg.svd(m)
+    r_mat = u @ vt  # dim_new x dim_old
+    r_cols = _nested_lit(
+        [[float(r_mat[i, k]) for i in range(dim)] for k in range(dim2)]
+    )
+    aligned = F.transform(
+        r_cols, lambda c: _dot(F.col("__new"), c)
+    )
+    diff = F.zip_with(
+        aligned, F.col("__old"), lambda a, b: a - b.cast("double")
+    )
+    resid = F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return j.select(
+        F.col("__id").alias(id_col),
+        aligned.alias("aligned"),
+        resid.alias("resid"),
+    )

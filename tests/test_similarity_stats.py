@@ -220,3 +220,64 @@ def test_jl_project_distance_preservation_trend(spark):
         return sum((x - y) ** 2 for x, y in zip(u, v))
 
     assert d2(out[1], out[2]) < d2(out[1], out[3])
+
+
+# ---- Procrustes alignment ----
+
+from png_from_pdf_extracter_spark.functions.similarity import (  # noqa: E402
+    procrustes_align,
+)
+
+
+def _orth_rows(spark, n=20, d=6):
+    import math
+
+    rows = [
+        (i, [math.sin(0.7 * i + 0.3 * k) for k in range(d)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    old = _orth_rows(spark)
+    d = 6
+    # planted orthogonal map: reverse dims + alternate signs
+    from pyspark.sql import functions as F
+
+    new = old.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.element_at(F.col("embedding"), d - i.cast("int"))
+            * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ).alias("embedding"),
+    )
+    out = procrustes_align(old, new).collect()
+    assert len(out) == 20
+    assert all(r["resid"] < 1e-9 for r in out)
+
+
+def test_procrustes_identity_when_unchanged(spark):
+    old = _orth_rows(spark)
+    out = procrustes_align(old, old).collect()
+    assert all(r["resid"] < 1e-9 for r in out)
+    # aligned vectors equal the originals
+    r0 = [r for r in out if r["vec_id"] == 0][0]
+    import math
+
+    ref = [math.sin(0.3 * k) for k in range(6)]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(r0["aligned"], ref))
+
+
+def test_procrustes_empty_overlap_raises(spark):
+    import pytest
+
+    old = _orth_rows(spark, n=5)
+    new = _orth_rows(spark, n=5).withColumn(
+        "vec_id", (F.col("vec_id") + 100)
+    )
+    with pytest.raises(ValueError, match="no overlapping"):
+        procrustes_align(old, new)
