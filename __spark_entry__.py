@@ -5304,6 +5304,32 @@ def _q_procrustes(spark, sf_dir):
     )
 
 
+def _q_mood_median(spark, sf_dir):
+    """Mood's median test of totalprice across the five order
+    priorities (functions/stats.py mood_median_test) — the
+    outlier-immune k-group median check: grand median via the DOUBLED
+    integer rank-reach selection, per-group above/below BIGINTs,
+    chi-square accumulated in fixed group order."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        mood_median_test,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    return mood_median_test(o, "o_totalprice", "o_orderpriority", quantize=2)
+
+
+def _q_script_profile(spark, sf_dir):
+    """Unicode script profile per document (functions/text.py
+    script_profile): per-block char counts via explicit CODEPOINT
+    RANGES (never named properties — Java regex and RE2 disagree on
+    edge blocks), dominant script with fixed tie precedence; map-only,
+    zero shuffle."""
+    from png_from_pdf_extracter_spark.functions.text import script_profile
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return script_profile(d, "text", ("doc_id",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -5532,6 +5558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_runs_test": _q_runs_test,
         "q_durbin_watson": _q_durbin_watson,
         "q_span_corruption": _q_span_corruption,
+        "q_mood_median": _q_mood_median,
+        "q_script_profile": _q_script_profile,
         "q_mann_kendall": _q_mann_kendall,
         "q_cusum": _q_cusum,
         "q_bh_fdr": _q_bh_fdr,
@@ -10314,6 +10342,130 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(1.0 / first_rel::DOUBLE, 0.0) * 1e6)
                      / 1e6 AS rr_q6
             FROM agg
+        """,
+        "q_mood_median": """
+            WITH base AS (
+              SELECT o_orderpriority AS g,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+            ),
+            vc AS (SELECT v, count(*)::BIGINT AS c FROM base GROUP BY v),
+            ranked AS (
+              SELECT v, c,
+                     coalesce(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb,
+                     sum(c) OVER () AS n
+              FROM vc
+            ),
+            med AS (
+              SELECT sum(v * (
+                (CASE WHEN cb < floor((n + 1) / 2)
+                       AND cb + c >= floor((n + 1) / 2)
+                 THEN 1 ELSE 0 END)
+                + (CASE WHEN cb < floor(n / 2) + 1
+                         AND cb + c >= floor(n / 2) + 1
+                   THEN 1 ELSE 0 END)))::BIGINT AS med2
+              FROM ranked
+            ),
+            sided AS (
+              SELECT g, CASE WHEN 2 * v > med2 THEN 1
+                             WHEN 2 * v < med2 THEN 0 END AS side
+              FROM base, med
+            ),
+            per_g AS (
+              SELECT g, sum(side)::BIGINT AS a,
+                     sum(1 - side)::BIGINT AS b
+              FROM sided WHERE side IS NOT NULL GROUP BY g
+            ),
+            tot AS (
+              SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+                     count(*)::BIGINT AS k,
+                     sum(a + b)::BIGINT AS nn
+              FROM per_g
+            ),
+            stepped AS (
+              SELECT k, ta, tb, nn,
+                     sum(
+                       ((a::DOUBLE - (a + b)::DOUBLE * ta::DOUBLE
+                                     / nn::DOUBLE)
+                        * (a::DOUBLE - (a + b)::DOUBLE * ta::DOUBLE
+                                      / nn::DOUBLE)
+                        / ((a + b)::DOUBLE * ta::DOUBLE / nn::DOUBLE))
+                       + ((b::DOUBLE - (a + b)::DOUBLE * tb::DOUBLE
+                                      / nn::DOUBLE)
+                          * (b::DOUBLE - (a + b)::DOUBLE * tb::DOUBLE
+                                        / nn::DOUBLE)
+                          / ((a + b)::DOUBLE * tb::DOUBLE / nn::DOUBLE))
+                     ) OVER (ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS acc,
+                     row_number() OVER (ORDER BY g) AS rn
+              FROM per_g, tot
+            )
+            SELECT nn AS n, k, ta AS above_total,
+                   CASE WHEN ta > 0 AND tb > 0 AND k > 1 THEN
+                     floor(acc * 1e6) / 1e6
+                   END AS chi2_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_script_profile": """
+            WITH c AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars_total,
+                     (length(text) - length(regexp_replace(text,
+                        '[A-Za-zÀ-ɏ]', '', 'g')))::BIGINT AS n_latin,
+                     (length(text) - length(regexp_replace(text,
+                        '[Ѐ-ӿ]', '', 'g')))::BIGINT AS n_cyrillic,
+                     (length(text) - length(regexp_replace(text,
+                        '[Ͱ-Ͽ]', '', 'g')))::BIGINT AS n_greek,
+                     (length(text) - length(regexp_replace(text,
+                        '[؀-ۿ]', '', 'g')))::BIGINT AS n_arabic,
+                     (length(text) - length(regexp_replace(text,
+                        '[ऀ-ॿ]', '', 'g')))::BIGINT AS n_devanagari,
+                     (length(text) - length(regexp_replace(text,
+                        '[一-鿿぀-ヿ]', '', 'g')))::BIGINT AS n_cjk,
+                     (length(text) - length(regexp_replace(text,
+                        '[가-힯ᄀ-ᇿ]', '', 'g')))::BIGINT AS n_hangul,
+                     (length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')))::BIGINT AS n_digit,
+                     (length(text) - length(regexp_replace(text,
+                        '[ \t\r\n]', '', 'g')))::BIGINT AS n_space
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT doc_id, n_chars_total, n_latin, n_cyrillic, n_greek,
+                   n_arabic, n_devanagari, n_cjk, n_hangul, n_digit,
+                   n_space,
+                   (n_chars_total - n_latin - n_cyrillic - n_greek
+                    - n_arabic - n_devanagari - n_cjk - n_hangul
+                    - n_digit - n_space)::BIGINT AS n_other,
+                   CASE
+                     WHEN greatest(n_latin, n_cyrillic, n_greek,
+                                   n_arabic, n_devanagari, n_cjk,
+                                   n_hangul) = 0 THEN 'none'
+                     WHEN n_latin = greatest(n_latin, n_cyrillic,
+                          n_greek, n_arabic, n_devanagari, n_cjk,
+                          n_hangul) THEN 'latin'
+                     WHEN n_cyrillic = greatest(n_latin, n_cyrillic,
+                          n_greek, n_arabic, n_devanagari, n_cjk,
+                          n_hangul) THEN 'cyrillic'
+                     WHEN n_greek = greatest(n_latin, n_cyrillic,
+                          n_greek, n_arabic, n_devanagari, n_cjk,
+                          n_hangul) THEN 'greek'
+                     WHEN n_arabic = greatest(n_latin, n_cyrillic,
+                          n_greek, n_arabic, n_devanagari, n_cjk,
+                          n_hangul) THEN 'arabic'
+                     WHEN n_devanagari = greatest(n_latin, n_cyrillic,
+                          n_greek, n_arabic, n_devanagari, n_cjk,
+                          n_hangul) THEN 'devanagari'
+                     WHEN n_cjk = greatest(n_latin, n_cyrillic,
+                          n_greek, n_arabic, n_devanagari, n_cjk,
+                          n_hangul) THEN 'cjk'
+                     ELSE 'hangul'
+                   END AS dominant
+            FROM c
         """,
         "q_span_corruption": """
             WITH base AS (

@@ -2739,3 +2739,110 @@ def durbin_watson(
             den_n2 > 0, F.floor(dw * F.lit(1e6)) / F.lit(1e6)
         ).alias("dw_q6"),
     )
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Mood's median test across k groups — the coarse, outlier-immune
+    "do the groups share a median" check: dichotomize every value
+    against the GRAND median, then chi-square the k x 2 (above/below)
+    table. Less powerful than [[kruskal_wallis]] but valid under wild
+    tail differences (KW assumes similar shapes); run it when the
+    per-group distributions look nothing alike.
+
+    EXACT cross-engine: the grand median is the DOUBLED med2 = v_lo +
+    v_hi integer rank-reach selection over the distinct-value count
+    table; exact-median values are EXCLUDED (the standard treatment,
+    same as [[runs_test]]); per-group above/below counts are BIGINTs;
+    the chi-square statistic accumulates per-group terms in FIXED
+    group-key order via an ordered window ([[_stepped_sq_over_n]]'s
+    discipline) so both engines add identical doubles. Returns one row
+    (n, k, above_total, chi2_q6); null when a margin is empty (all
+    values on one side — the test is vacuous).
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(F.col(group_col).alias("__g"), v.alias("__v")).filter(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull()
+    )
+    vc = base.groupBy("__v").agg(F.count("*").cast("long").alias("__c"))
+    wb = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.select(
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.floor(F.col("__n") / 2) + 1
+    hits = (
+        F.when((F.col("__cb") < lo) & (F.col("__cb") + F.col("__c") >= lo), 1)
+        .otherwise(0)
+        + F.when(
+            (F.col("__cb") < hi) & (F.col("__cb") + F.col("__c") >= hi), 1
+        ).otherwise(0)
+    )
+    med = ranked.agg(
+        F.sum(F.col("__v") * hits).cast("long").alias("__med2")
+    )
+    sided = base.crossJoin(F.broadcast(med)).select(
+        "__g",
+        F.when(2 * F.col("__v") > F.col("__med2"), F.lit(1))
+        .when(2 * F.col("__v") < F.col("__med2"), F.lit(0))
+        .alias("__side"),
+    ).filter(F.col("__side").isNotNull())
+    per_g = sided.groupBy("__g").agg(
+        F.sum("__side").cast("long").alias("__a"),
+        F.sum(1 - F.col("__side")).cast("long").alias("__b"),
+    )
+    tot = per_g.agg(
+        F.sum("__a").cast("long").alias("__ta"),
+        F.sum("__b").cast("long").alias("__tb"),
+        F.count("*").cast("long").alias("__k"),
+        F.sum(F.col("__a") + F.col("__b")).cast("long").alias("__nn"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    # chi2 term per group, both cells: sum over (g, side) of
+    # (obs - exp)^2 / exp with exp = n_g * side_total / N — accumulated
+    # in fixed group order via an ordered window then max-reduced
+    ng = (F.col("__a") + F.col("__b")).cast("double")
+    ea = ng * F.col("__ta").cast("double") / F.col("__nn").cast("double")
+    eb = ng * F.col("__tb").cast("double") / F.col("__nn").cast("double")
+    # empty margin (ta or tb == 0) makes the expected count 0; the
+    # statistic is nulled below anyway, so pin the term to 0 rather
+    # than tripping ANSI DIVIDE_BY_ZERO
+    term = F.when(
+        (F.col("__ta") > 0) & (F.col("__tb") > 0),
+        (F.col("__a").cast("double") - ea)
+        * (F.col("__a").cast("double") - ea)
+        / ea
+        + (F.col("__b").cast("double") - eb)
+        * (F.col("__b").cast("double") - eb)
+        / eb,
+    ).otherwise(F.lit(0.0))
+    wg = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = j.select(
+        "__k",
+        "__ta",
+        "__tb",
+        "__nn",
+        F.sum(term).over(wg).alias("__acc"),
+        F.row_number().over(Window.orderBy("__g")).alias("__rn"),
+    )
+    out = stepped.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__nn").alias("n"),
+        F.col("__k").alias("k"),
+        F.col("__ta").alias("above_total"),
+        F.when(
+            (F.col("__ta") > 0) & (F.col("__tb") > 0) & (F.col("__k") > 1),
+            F.floor(F.col("__acc") * F.lit(1e6)) / F.lit(1e6),
+        ).alias("chi2_q6"),
+    )
+    return out

@@ -226,3 +226,68 @@ def flesch_reading_ease(col) -> Column:
     return F.when(
         w > 0, F.floor(raw * F.lit(10000.0)) / F.lit(10000.0)
     )
+
+
+def script_profile(df, text_col: str = "text", id_cols=("doc_id",)):
+    """Unicode script profile per document — the multilingual-corpus
+    router: character counts per major script block (Latin, Cyrillic,
+    Greek, Arabic, Devanagari, CJK, Hangul, digits, whitespace, other)
+    and the dominant script, decided by exact counts with a fixed
+    precedence on ties. Run it BEFORE n-gram language ID ([[lang_id]]
+    assumes a Latin-ish alphabet); a "mixed" dominant flags
+    code-switched or mis-encoded documents.
+
+    EXACT cross-engine and map-only: each count is length(text) minus
+    length(regexp_replace(text, [range-class], '')) — explicit
+    CODEPOINT RANGES, not named properties (Java regex \\p{IsCyrillic}
+    and RE2 \\p{Cyrillic} disagree on edge blocks; [\\u0400-\\u04FF]
+    means the same thing in both engines). Zero shuffle, whole-stage
+    codegen; BIGINT counts.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    ranges = {
+        "n_latin": "[A-Za-zÀ-ɏ]",
+        "n_cyrillic": "[Ѐ-ӿ]",
+        "n_greek": "[Ͱ-Ͽ]",
+        "n_arabic": "[؀-ۿ]",
+        "n_devanagari": "[ऀ-ॿ]",
+        "n_cjk": "[一-鿿぀-ヿ]",
+        "n_hangul": "[가-힯ᄀ-ᇿ]",
+        "n_digit": "[0-9]",
+        "n_space": "[ \\t\\r\\n]",
+    }
+
+    def cnt(pat):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    counts = {k: cnt(p) for k, p in ranges.items()}
+    total = F.length(t).cast("long")
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    script_cols = [
+        (counts["n_latin"], "latin"),
+        (counts["n_cyrillic"], "cyrillic"),
+        (counts["n_greek"], "greek"),
+        (counts["n_arabic"], "arabic"),
+        (counts["n_devanagari"], "devanagari"),
+        (counts["n_cjk"], "cjk"),
+        (counts["n_hangul"], "hangul"),
+    ]
+    best = F.greatest(*[c for c, _ in script_cols])
+    dom = F.lit("none")
+    # fixed precedence on ties: later WHEN wins only if strictly greater,
+    # so the listed order (latin first) is the deterministic tiebreak
+    for c, name in reversed(script_cols):
+        dom = F.when((c == best) & (best > 0), F.lit(name)).otherwise(dom)
+    return df.select(
+        *id_cols,
+        total.alias("n_chars_total"),
+        *[counts[k].alias(k) for k in ranges],
+        (total - known).alias("n_other"),
+        dom.alias("dominant"),
+    )

@@ -846,3 +846,48 @@ def test_span_corruption_mask_fraction_close_to_target(spark):
     ).collect()
     masked = len(out) * 20
     assert abs(masked / 10000 - 0.15) < 0.01
+
+
+# ---- script profile ----
+
+from png_from_pdf_extracter_spark.functions.text import (  # noqa: E402
+    script_profile,
+)
+
+
+def test_script_profile_counts_and_dominant(spark):
+    rows = [
+        (1, "hello мир 123"),          # 5 latin, 3 cyrillic, 3 digit
+        (2, "привет"),                  # cyrillic only
+        (3, "日本語テスト"),             # cjk (kanji + katakana)
+        (4, "!!! ???"),                 # none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["n_latin"] == 5 and out[1]["n_cyrillic"] == 3
+    assert out[1]["n_digit"] == 3 and out[1]["dominant"] == "latin"
+    assert out[2]["dominant"] == "cyrillic" and out[2]["n_cyrillic"] == 6
+    assert out[3]["dominant"] == "cjk" and out[3]["n_cjk"] == 6
+    assert out[4]["dominant"] == "none"
+    assert out[4]["n_other"] == 6  # punctuation
+
+
+def test_script_profile_tie_prefers_latin(spark):
+    df = spark.createDataFrame([(1, "abмы")], "doc_id long, text string")
+    r = script_profile(df).collect()[0]
+    assert r["n_latin"] == 2 and r["n_cyrillic"] == 2
+    assert r["dominant"] == "latin"
+
+
+def test_script_profile_totals_partition(spark):
+    df = spark.createDataFrame(
+        [(1, "mixed text с цифрами 42 and 日本")],
+        "doc_id long, text string",
+    )
+    r = script_profile(df).collect()[0]
+    parts = (
+        r["n_latin"] + r["n_cyrillic"] + r["n_greek"] + r["n_arabic"]
+        + r["n_devanagari"] + r["n_cjk"] + r["n_hangul"]
+        + r["n_digit"] + r["n_space"] + r["n_other"]
+    )
+    assert parts == r["n_chars_total"]

@@ -1543,3 +1543,56 @@ def test_durbin_watson_constant_null_and_alternating(spark):
     )
     r = durbin_watson(alt, "v", "o", quantize=0).collect()[0]
     assert r["dw_q6"] > 3.5  # strong negative lag-1 autocorrelation
+
+
+# ---- Mood's median test ----
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    mood_median_test,
+)
+
+
+def test_mood_median_closed_form(spark):
+    import math
+
+    # group a all below the grand median, group b all above
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (10, 11, 12, 13)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "v", "g", quantize=0).collect()[0]
+    # grand median between 4 and 10: 4 below / 4 above, fully separated
+    # -> chi2 = N = 8 for a 2x2 with perfect association
+    assert r["n"] == 8 and r["k"] == 2
+    assert abs(r["chi2_q6"] - 8.0) < 1e-6
+    assert r["above_total"] == 4
+    _ = math
+
+
+def test_mood_median_identical_groups_zero(spark):
+    rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 9, 10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "v", "g", quantize=0).collect()[0]
+    assert r["chi2_q6"] == 0.0
+
+
+def test_mood_median_excludes_exact_median_and_vacuous_null(spark):
+    # odd value at the exact median is excluded from both sides
+    rows = [("a", 1.0), ("a", 5.0), ("b", 5.0), ("b", 9.0), ("a", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "v", "g", quantize=0).collect()[0]
+    assert r["n"] == 2  # three 5.0s (the median) excluded
+    # ALL values at the median -> every row excluded -> empty result
+    # (same zero-row output from the DuckDB oracle shape)
+    const = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0)], "g string, v double"
+    )
+    assert mood_median_test(const, "v", "g").collect() == []
+    # one-sided margin (every surviving value above the median side
+    # used by group b only) -> chi2 is vacuous -> null, row still out
+    skew = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 9.0)],
+        "g string, v double",
+    )
+    r2 = mood_median_test(skew, "v", "g", quantize=0).collect()[0]
+    assert r2["chi2_q6"] is None
