@@ -4455,6 +4455,60 @@ def _q_kaplan_meier(spark, sf_dir):
     return kaplan_meier(obs, "dur_min", "event")
 
 
+def _surv_obs(spark, sf_dir):
+    """Shared time-to-convert observation builder for the survival
+    family (q_kaplan_meier inlines the same construction): per signup
+    user, minutes from first signup to first subsequent purchase,
+    right-censored at the user's last event; arm = user_id parity for
+    the two-sample tests."""
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    anchors = base.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).alias("s0"),
+        F.max("us").alias("last_us"),
+    ).filter(F.col("s0").isNotNull())
+    conv = (
+        base.join(anchors, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("us") >= F.col("s0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p0"))
+    )
+    return anchors.join(conv, "user_id", "left").select(
+        F.floor(
+            (F.coalesce("p0", "last_us") - F.col("s0")) / F.lit(60000000)
+        ).alias("dur_min"),
+        F.col("p0").isNotNull().cast("int").alias("event"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+
+
+def _q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (functions/stats.py nelson_aalen)
+    over the same time-to-convert observations as q_kaplan_meier —
+    per-step floor(d*1e9/n) BIGINT increments, libm-free and
+    order-independent by construction."""
+    from png_from_pdf_extracter_spark.functions.stats import nelson_aalen
+
+    return nelson_aalen(_surv_obs(spark, sf_dir), "dur_min", "event")
+
+
+def _q_log_rank(spark, sf_dir):
+    """Two-group log-rank test (functions/stats.py log_rank_test): do
+    even- and odd-user survival curves differ? Hypergeometric E/V per
+    event time quantized to BIGINT steps; chi2 from the two exact
+    sums."""
+    from png_from_pdf_extracter_spark.functions.stats import log_rank_test
+
+    return log_rank_test(
+        _surv_obs(spark, sf_dir), "dur_min", "event", "arm"
+    )
+
+
 def _q_correlogram(spark, sf_dir):
     """Per-user ACF for lags 1..4 of the event value signal
     (functions/stats.py correlogram): one window computing every lag's
@@ -4842,6 +4896,28 @@ def _q_l_diversity(spark, sf_dir):
     )
     return l_diversity_report(
         c, ("c_nationkey", "c_mktsegment"), "bal_kb", l=3
+    )
+
+
+def _q_t_closeness(spark, sf_dir):
+    """T-closeness audit over (nation, segment) with the thousand-
+    dollar balance bucket as the sensitive numeric attribute
+    (functions/curate.py t_closeness_report) — the distribution-level
+    gate above q_l_diversity: per-combo 1-D Wasserstein distance to
+    the global bucket distribution via the exact DECIMAL step
+    construction, one ordered window per combo over the dense
+    combo x value grid."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        t_closeness_report,
+    )
+
+    c = _read(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+    )
+    return t_closeness_report(
+        c, ("c_nationkey", "c_mktsegment"), "bal_kb", t=0.5
     )
 
 
@@ -5512,6 +5588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_phash": _q_image_phash,
         "q_correlogram": _q_correlogram,
         "q_kaplan_meier": _q_kaplan_meier,
+        "q_nelson_aalen": _q_nelson_aalen,
+        "q_log_rank": _q_log_rank,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -5537,6 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kendall_tau": _q_kendall_tau,
         "q_did": _q_did,
         "q_l_diversity": _q_l_diversity,
+        "q_t_closeness": _q_t_closeness,
         "q_mcc": _q_mcc,
         "q_brier": _q_brier,
         "q_retrieval": _q_retrieval,
@@ -5795,6 +5874,135 @@ _KM_SQL = """
                    END AS survival_q
             FROM stepped
         """
+
+
+_SURV_OBS_SQL = """
+            base AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+            ),
+            anchors AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN us END)
+                       AS s0,
+                     max(us) AS last_us
+              FROM base GROUP BY user_id
+              HAVING min(CASE WHEN event_type = 'signup' THEN us END)
+                     IS NOT NULL
+            ),
+            conv AS (
+              SELECT b.user_id, min(b.us) AS p0
+              FROM base b JOIN anchors a ON b.user_id = a.user_id
+              WHERE b.event_type = 'purchase' AND b.us >= a.s0
+              GROUP BY b.user_id
+            ),
+            obs AS (
+              SELECT CAST(floor(
+                       (coalesce(c.p0, a.last_us) - a.s0) / 60000000.0
+                     ) AS BIGINT) AS t,
+                     CASE WHEN c.p0 IS NOT NULL THEN 1 ELSE 0 END AS e,
+                     CAST(a.user_id % 2 AS INT) AS arm
+              FROM anchors a LEFT JOIN conv c ON a.user_id = c.user_id
+            )
+"""
+
+_NA_SQL = (
+    "WITH "
+    + _SURV_OBS_SQL
+    + """,
+            cnt AS (
+              SELECT t, sum(e)::BIGINT AS d, sum(1 - e)::BIGINT AS c
+              FROM obs GROUP BY t
+            ),
+            tot AS (SELECT sum(d + c) AS n_total FROM cnt),
+            risk AS (
+              SELECT t, d, c,
+                     (n_total - coalesce(sum(d + c) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)) AS n
+              FROM cnt, tot
+            ),
+            stepped AS (
+              SELECT t, n, d, c,
+                     sum(CAST(floor(
+                       CAST(d AS DOUBLE) * 1e9 / CAST(n AS DOUBLE)
+                     ) AS BIGINT)) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM risk
+            )
+            SELECT t AS duration, n::BIGINT AS n_at_risk,
+                   d AS d_events, c AS c_censored,
+                   floor(CAST(cum AS DOUBLE) / 1e3) / 1e6 AS hazard_q
+            FROM stepped
+        """
+)
+
+_LOGRANK_SQL = (
+    "WITH "
+    + _SURV_OBS_SQL
+    + """,
+            tagged AS (
+              SELECT t, e,
+                     CASE WHEN arm = (SELECT min(arm) FROM obs)
+                          THEN 1 ELSE 0 END AS a
+              FROM obs
+            ),
+            cnt AS (
+              SELECT t,
+                     sum(e * a)::BIGINT AS d_a,
+                     sum(e * (1 - a))::BIGINT AS d_b,
+                     sum((1 - e) * a)::BIGINT AS c_a,
+                     sum((1 - e) * (1 - a))::BIGINT AS c_b
+              FROM tagged GROUP BY t
+            ),
+            tot AS (
+              SELECT sum(d_a + c_a) AS tot_a, sum(d_b + c_b) AS tot_b
+              FROM cnt
+            ),
+            risk AS (
+              SELECT t, d_a, d_b, tot_a, tot_b,
+                     (tot_a - coalesce(sum(d_a + c_a) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)) AS r_a,
+                     (tot_b - coalesce(sum(d_b + c_b) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)) AS r_b
+              FROM cnt, tot
+            ),
+            ag AS (
+              SELECT max(tot_a) AS tot_a, max(tot_b) AS tot_b,
+                     sum(d_a)::BIGINT AS o_a,
+                     sum(CAST(floor(
+                       CAST((d_a + d_b) * r_a AS DOUBLE)
+                       / CAST(r_a + r_b AS DOUBLE) * 1e9
+                     ) AS BIGINT))::BIGINT AS e9,
+                     sum(CAST(floor(
+                       CAST((d_a + d_b) * r_a AS DOUBLE)
+                       * CAST(r_b AS DOUBLE)
+                       * CAST(r_a + r_b - d_a - d_b AS DOUBLE)
+                       / (CAST(r_a + r_b AS DOUBLE)
+                          * CAST(r_a + r_b AS DOUBLE)
+                          * CAST(r_a + r_b - 1 AS DOUBLE))
+                       * 1e9
+                     ) AS BIGINT))::BIGINT AS v9
+              FROM risk
+              WHERE (d_a + d_b) > 0 AND (r_a + r_b) > 1
+            )
+            SELECT tot_a::BIGINT AS n_a, tot_b::BIGINT AS n_b, o_a,
+                   floor(CAST(e9 AS DOUBLE) / 1e3) / 1e6 AS e_a_q6,
+                   floor(CAST(v9 AS DOUBLE) / 1e3) / 1e6 AS v_q6,
+                   CASE WHEN v9 > 0 THEN floor(
+                     (CAST(o_a AS DOUBLE) - CAST(e9 AS DOUBLE) / 1e9)
+                     * (CAST(o_a AS DOUBLE) - CAST(e9 AS DOUBLE) / 1e9)
+                     / (CAST(v9 AS DOUBLE) / 1e9) * 1e6) / 1e6
+                   END AS chi2_q6
+            FROM ag
+        """
+)
 
 
 def _kcore_unrolled_sql(k: int = 4, rounds: int = 16) -> str:
@@ -10235,6 +10443,64 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) < 3) AS at_risk
             FROM cells GROUP BY 1, 2
         """,
+        "q_t_closeness": """
+            WITH base AS (
+              SELECT c_nationkey AS g1, c_mktsegment AS g2,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+              FROM customer
+            ),
+            cells AS (
+              SELECT g1, g2, v, count(*)::BIGINT AS c
+              FROM base GROUP BY 1, 2, 3
+            ),
+            vals AS (SELECT v, sum(c)::BIGINT AS cv FROM cells GROUP BY v),
+            grp AS (
+              SELECT g1, g2, sum(c)::BIGINT AS ng FROM cells GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(cv)::BIGINT AS nn FROM vals),
+            grid AS (
+              SELECT grp.g1, grp.g2, grp.ng, vals.v, vals.cv,
+                     coalesce(cells.c, 0) AS c
+              FROM grp CROSS JOIN vals
+              LEFT JOIN cells ON cells.g1 = grp.g1
+                             AND cells.g2 = grp.g2
+                             AND cells.v = vals.v
+            ),
+            cums AS (
+              SELECT g1, g2, ng, v,
+                     sum(c) OVER w AS cg, sum(cv) OVER w AS ct
+              FROM grid
+              WINDOW w AS (PARTITION BY g1, g2 ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            ),
+            run AS (
+              SELECT g1, g2, ng, v,
+                     lag(v) OVER o AS v_prev,
+                     lag(cg) OVER o AS pg,
+                     lag(ct) OVER o AS pt
+              FROM cums
+              WINDOW o AS (PARTITION BY g1, g2 ORDER BY v)
+            ),
+            per_g AS (
+              SELECT g1, g2, nn, max(ng) AS ng,
+                     sum(CASE WHEN v_prev IS NOT NULL THEN
+                       abs(pg::HUGEINT * nn::HUGEINT
+                           - pt::HUGEINT * ng::HUGEINT)
+                       * (v - v_prev)::HUGEINT END) AS emd_int
+              FROM run, tot GROUP BY g1, g2, nn
+            )
+            SELECT c_nationkey, c_mktsegment, n, t_q6,
+                   t_q6 > 0.5 AS at_risk
+            FROM (
+              SELECT g1 AS c_nationkey, g2 AS c_mktsegment,
+                     ng::BIGINT AS n,
+                     floor(coalesce(emd_int, 0)::DOUBLE
+                           / (ng::DOUBLE * nn::DOUBLE * 1.0)
+                           * 1e6) / 1e6 AS t_q6
+              FROM per_g
+            )
+        """,
         "q_mcc": """
             WITH cells AS (
               SELECT lang,
@@ -11577,6 +11843,8 @@ def oracle_sql() -> dict[str, str]:
             FROM o
         """,
         "q_kaplan_meier": _KM_SQL,
+        "q_nelson_aalen": _NA_SQL,
+        "q_log_rank": _LOGRANK_SQL,
         "q_median_survival": (
             "WITH km AS (" + _KM_SQL + "), "
             "half AS (SELECT min(duration) AS median_duration FROM km "

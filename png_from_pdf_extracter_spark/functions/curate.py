@@ -828,6 +828,112 @@ def l_diversity_report(
     )
 
 
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str,
+    t: float = 0.2,
+    quantize: int = 0,
+) -> DataFrame:
+    """T-closeness audit — the distribution-level privacy gate above
+    [[l_diversity_report]]: a quasi-identifier combination passes
+    l-diversity yet still leaks when its sensitive-value DISTRIBUTION
+    differs sharply from the corpus-wide one (skewness attack: "this
+    cell is diverse, but 95% of it is the rare value"). A combination
+    is t-close when the 1-D Wasserstein distance between its sensitive
+    distribution and the GLOBAL distribution is <= ``t`` (the numeric-
+    attribute EMD form of the original paper, normalized to value
+    units).
+
+    Exact-integer construction inherited from [[wasserstein_1d]]:
+    per-(combo, value) counts, a dense combo x distinct-value grid
+    (bounded: combo cardinality x value cardinality — quantize
+    continuous attributes upstream, the module contract), one ordered
+    window PER COMBO; each step is the DECIMAL(38,0) integer
+    ``|cumG*N - cumT*n_g| * Δv`` and each combo divides ONCE at the
+    emit by ``n_g * N * 10^quantize``. No cross-row float sums.
+
+    Plan: one map-combinable groupBy on (quasi..., value); the global
+    per-value table and the combo-size table re-aggregate that bounded
+    cell table; the grid is a broadcast crossJoin of two bounded
+    dimensions. Emits one row per observed combination:
+    (quasi..., n, t_q6, at_risk).
+    """
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    v = F.round(
+        F.col(sensitive_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    base = df.select(*quasi_cols, v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    cells = base.groupBy(*quasi_cols, "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    vals = cells.groupBy("__v").agg(
+        F.sum("__c").cast("long").alias("__cv")
+    )
+    groups = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("__ng")
+    )
+    total = F.broadcast(
+        vals.agg(F.sum("__cv").cast("long").alias("__nn"))
+    )
+    grid = groups.crossJoin(F.broadcast(vals)).join(
+        cells, [*quasi_cols, "__v"], "left"
+    )
+    upto = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordg = Window.partitionBy(*quasi_cols).orderBy("__v")
+    cg = F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(upto)
+    ct = F.sum("__cv").over(upto)
+    run = grid.select(
+        *quasi_cols,
+        "__ng",
+        "__v",
+        F.lag("__v").over(ordg).alias("__v_prev"),
+        F.lag(cg).over(ordg).alias("__pG"),
+        F.lag(ct).over(ordg).alias("__pT"),
+    )
+    dec = "decimal(38,0)"
+    step = F.abs(
+        F.col("__pG").cast(dec) * F.col("__nn").cast(dec)
+        - F.col("__pT").cast(dec) * F.col("__ng").cast(dec)
+    ) * (F.col("__v") - F.col("__v_prev")).cast(dec)
+    per_g = (
+        run.crossJoin(total)
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.max("__nn").alias("__nn"),
+            F.sum(
+                F.when(F.col("__v_prev").isNotNull(), step)
+            ).alias("__emd_int"),
+        )
+    )
+    scale = float(10 ** quantize)
+    t_q6 = F.floor(
+        F.coalesce(
+            F.col("__emd_int"), F.lit(0).cast(dec)
+        ).cast("double")
+        / (
+            F.col("__ng").cast("double")
+            * F.col("__nn").cast("double")
+            * F.lit(scale)
+        )
+        * F.lit(1e6)
+    ) / F.lit(1e6)
+    return per_g.select(
+        *quasi_cols,
+        F.col("__ng").alias("n"),
+        t_q6.alias("t_q6"),
+        (t_q6 > F.lit(float(t))).alias("at_risk"),
+    )
+
+
 def suppress_rare_combos(
     df: DataFrame,
     quasi_cols: tuple[str, ...],

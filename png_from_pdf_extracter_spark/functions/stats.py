@@ -2846,3 +2846,202 @@ def mood_median_test(
         ).alias("chi2_q6"),
     )
     return out
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over (duration, event)
+    observations — the additive twin of [[kaplan_meier]]: H(t) =
+    Σ_{t_i ≤ t} d_i / n_i. Preferred over -ln(KM) when hazard RATES
+    (not survival fractions) are the deliverable, and the estimator of
+    choice for crude-rate monitoring because each step is a plain
+    ratio, no product-limit.
+
+    EXACT cross-engine, stronger than KM: the per-step increment
+    ``floor(d·1e9 / n)`` needs NO libm call at all — d·1e9 ≤ ~1e14
+    stays exact in the double both engines divide, so the quantized
+    step is bit-identical, and the running SUM of BIGINTs is
+    order-independent. Emitted hazard is ``floor(cum/1e3)/1e6`` —
+    pure integer arithmetic end to end.
+
+    Plan (same as [[kaplan_meier]]): one map-combinable count per
+    distinct (duration, outcome), then ONE ordered running window over
+    the distinct-duration table — bounded by duration cardinality, not
+    rows. Returns (duration, n_at_risk, d_events, c_censored,
+    hazard_q).
+    """
+    dur = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    cnt = (
+        df.select(dur.alias("t"), ev.alias("e"))
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.sum(1 - F.col("e")).cast("long").alias("c"),
+        )
+    )
+    total = F.broadcast(
+        cnt.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    )
+    before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = cnt.crossJoin(total).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    step = F.floor(
+        F.col("d").cast("double") * F.lit(1e9) / F.col("n").cast("double")
+    ).cast("long")
+    upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = risk.select(
+        "t",
+        "n",
+        "d",
+        "c",
+        F.sum(step).over(upto).alias("__cum"),
+    )
+    return stepped.select(
+        F.col("t").alias("duration"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        (
+            F.floor(F.col("__cum").cast("double") / F.lit(1e3))
+            / F.lit(1e6)
+        ).alias("hazard_q"),
+    )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test — "do these two survival
+    curves differ": at each event time, compare group A's observed
+    events d_a against its hypergeometric expectation d·n_a/n, then
+    χ² = (O_A − E_A)² / V. The decision-maker companion to
+    [[kaplan_meier]]/[[nelson_aalen]] (which only DRAW the curves).
+
+    Two-group contract: ``group_col`` is binarized against the
+    broadcast 1-row min — the minimum value is arm A, everything else
+    arm B (callers with k > 2 arms map upstream; the query passes a
+    parity arm). EXACT cross-engine: d·n_a is a BIGINT (≤ ~1e10) cast
+    to double once, so the E and V per-step terms are short
+    fixed-order float expressions from exact integers, quantized
+    ``floor(term·1e9)`` to BIGINT steps whose SUM is order-independent
+    — no running float accumulation anywhere. χ² is assembled from the
+    two quantized sums, null when V == 0 (no inter-group event mixing).
+
+    Plan: one count per distinct (duration, arm, outcome) —
+    map-combinable — one ordered at-risk window over the
+    distinct-duration table, one 1-row aggregate. Returns
+    (n_a, n_b, o_a, e_a_q6, v_q6, chi2_q6).
+    """
+    dur = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    base = df.select(
+        dur.alias("t"), ev.alias("e"), F.col(group_col).alias("g")
+    ).filter(F.col("t").isNotNull() & F.col("g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("g").alias("__ga")))
+    tagged = base.crossJoin(gmin).select(
+        "t",
+        "e",
+        (F.col("g") == F.col("__ga")).cast("int").alias("a"),
+    )
+    cnt = tagged.groupBy("t").agg(
+        F.sum(F.col("e") * F.col("a")).cast("long").alias("d_a"),
+        F.sum(F.col("e") * (1 - F.col("a"))).cast("long").alias("d_b"),
+        F.sum((1 - F.col("e")) * F.col("a")).cast("long").alias("c_a"),
+        F.sum((1 - F.col("e")) * (1 - F.col("a")))
+        .cast("long")
+        .alias("c_b"),
+    )
+    total = F.broadcast(
+        cnt.agg(
+            F.sum(F.col("d_a") + F.col("c_a")).alias("tot_a"),
+            F.sum(F.col("d_b") + F.col("c_b")).alias("tot_b"),
+        )
+    )
+    before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = cnt.crossJoin(total).select(
+        "t",
+        "d_a",
+        "d_b",
+        (
+            F.col("tot_a")
+            - F.coalesce(
+                F.sum(F.col("d_a") + F.col("c_a")).over(before), F.lit(0)
+            )
+        ).alias("n_a"),
+        (
+            F.col("tot_b")
+            - F.coalesce(
+                F.sum(F.col("d_b") + F.col("c_b")).over(before), F.lit(0)
+            )
+        ).alias("n_b"),
+        "tot_a",
+        "tot_b",
+    )
+    d = F.col("d_a") + F.col("d_b")
+    n = F.col("n_a") + F.col("n_b")
+    # E step: (d * n_a) is an exact BIGINT; one division, one scale
+    e_step = F.floor(
+        (d * F.col("n_a")).cast("double") / n.cast("double") * F.lit(1e9)
+    ).cast("long")
+    # V step: d*n_a*n_b*(n-d) / (n^2*(n-1)) in a single fixed-order
+    # double expression (numerator exceeds BIGINT range at scale)
+    v_step = F.floor(
+        (d * F.col("n_a")).cast("double")
+        * F.col("n_b").cast("double")
+        * (n - d).cast("double")
+        / (
+            n.cast("double")
+            * n.cast("double")
+            * (n - F.lit(1)).cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    agg = risk.filter((d > 0) & (n > 1)).agg(
+        F.max("tot_a").cast("long").alias("n_a"),
+        F.max("tot_b").cast("long").alias("n_b"),
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum(e_step).alias("__e9"),
+        F.sum(v_step).alias("__v9"),
+    )
+    e_a = F.col("__e9").cast("double") / F.lit(1e9)
+    v = F.col("__v9").cast("double") / F.lit(1e9)
+    chi2 = (F.col("o_a").cast("double") - e_a) * (
+        F.col("o_a").cast("double") - e_a
+    ) / v
+    return agg.select(
+        "n_a",
+        "n_b",
+        "o_a",
+        (
+            F.floor(F.col("__e9").cast("double") / F.lit(1e3)) / F.lit(1e6)
+        ).alias("e_a_q6"),
+        (
+            F.floor(F.col("__v9").cast("double") / F.lit(1e3)) / F.lit(1e6)
+        ).alias("v_q6"),
+        F.when(
+            F.col("__v9") > 0, F.floor(chi2 * F.lit(1e6)) / F.lit(1e6)
+        ).alias("chi2_q6"),
+    )

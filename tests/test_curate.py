@@ -891,3 +891,78 @@ def test_script_profile_totals_partition(spark):
         + r["n_digit"] + r["n_space"] + r["n_other"]
     )
     assert parts == r["n_chars_total"]
+
+
+def test_t_closeness_identical_distributions_zero(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        t_closeness_report,
+    )
+
+    # every combo carries the same value multiset -> EMD to global = 0
+    rows = [(g, v) for g in ("a", "b", "c") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = t_closeness_report(df, ("g",), "v", t=0.1).collect()
+    assert len(out) == 3
+    assert all(r["t_q6"] == 0.0 and not r["at_risk"] for r in out)
+
+
+def test_t_closeness_concentrated_combo_flagged(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        t_closeness_report,
+    )
+
+    # combo "rich" holds only the top value, "poor" only the bottom;
+    # global is the 50/50 mix -> each is 0.5 value-units away
+    rows = [("rich", 10)] * 5 + [("poor", 9)] * 5
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: r
+        for r in t_closeness_report(df, ("g",), "v", t=0.2).collect()
+    }
+    assert out["rich"]["t_q6"] == 0.5 and out["rich"]["at_risk"]
+    assert out["poor"]["t_q6"] == 0.5 and out["poor"]["at_risk"]
+
+
+def test_t_closeness_python_twin(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.curate import (
+        t_closeness_report,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (rng.choice("abcd"), rng.randint(0, 15)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r["t_q6"]
+        for r in t_closeness_report(df, ("g",), "v").collect()
+    }
+    vals = sorted({v for _, v in rows})
+    nn = len(rows)
+    for g in "abcd":
+        ng = sum(1 for x, _ in rows if x == g)
+        cum_g = cum_t = 0
+        emd = 0
+        prev = None
+        for v in vals:
+            if prev is not None:
+                emd += abs(cum_g * nn - cum_t * ng) * (v - prev)
+            cum_g += sum(1 for x, y in rows if x == g and y == v)
+            cum_t += sum(1 for _, y in rows if y == v)
+            prev = v
+        assert got[g] == math.floor(emd / (ng * nn) * 1e6) / 1e6
+
+
+def test_t_closeness_validates(spark):
+    import pytest as _pytest
+
+    from png_from_pdf_extracter_spark.functions.curate import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with _pytest.raises(ValueError):
+        t_closeness_report(df, (), "v")

@@ -1596,3 +1596,112 @@ def test_mood_median_excludes_exact_median_and_vacuous_null(spark):
     )
     r2 = mood_median_test(skew, "v", "g", quantize=0).collect()[0]
     assert r2["chi2_q6"] is None
+
+
+from png_from_pdf_extracter_spark.functions.stats import (  # noqa: E402
+    nelson_aalen,
+    log_rank_test,
+)
+
+
+def test_nelson_aalen_hand_computed(spark):
+    # t=1: d=1 n=4 -> +0.25 ; t=2: censored only ; t=3: d=2 n=2 -> +1.0
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "dur long, e int")
+    out = {
+        r["duration"]: r for r in nelson_aalen(df, "dur", "e").collect()
+    }
+    assert out[1]["hazard_q"] == 0.25 and out[1]["n_at_risk"] == 4
+    assert out[2]["hazard_q"] == 0.25 and out[2]["c_censored"] == 1
+    assert out[3]["hazard_q"] == 1.25 and out[3]["n_at_risk"] == 2
+
+
+def test_nelson_aalen_monotone_and_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 12), rng.randint(0, 1)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "dur long, e int")
+    got = sorted(
+        nelson_aalen(df, "dur", "e").collect(),
+        key=lambda r: r["duration"],
+    )
+    # python twin of the quantized construction
+    from collections import Counter
+
+    d = Counter(t for t, e in rows if e == 1)
+    c = Counter(t for t, e in rows if e == 0)
+    ts = sorted(set(d) | set(c))
+    n = len(rows)
+    cum = 0
+    import math
+
+    prev = -1.0
+    for r in ts:
+        cum += math.floor(d.get(r, 0) * 1e9 / n)
+        row = [x for x in got if x["duration"] == r][0]
+        expect = math.floor(cum / 1e3) / 1e6
+        assert row["hazard_q"] == expect
+        assert row["hazard_q"] >= prev  # cumulative hazard is monotone
+        prev = row["hazard_q"]
+        n -= d.get(r, 0) + c.get(r, 0)
+
+
+def test_log_rank_identical_arms_zero(spark):
+    # both arms share the same (duration, event) multiset -> at every
+    # event time d_a == d/2 and n_a == n/2, so O == E exactly and the
+    # quantized chi2 is exactly 0
+    base = [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0)]
+    rows = [(t, e, g) for g in (0, 1) for (t, e) in base]
+    df = spark.createDataFrame(rows, "dur long, e int, arm int")
+    r = log_rank_test(df, "dur", "e", "arm").collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["chi2_q6"] == 0.0 and r["o_a"] == 3
+
+
+def test_log_rank_separated_arms_and_brute_force(spark):
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(1, 8) + (0 if g == 0 else 6), rng.randint(0, 1), g)
+        for g in (0, 1)
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "dur long, e int, arm int")
+    r = log_rank_test(df, "dur", "e", "arm").collect()[0]
+    # python twin: hypergeometric E and V per event time
+    from collections import Counter
+
+    da = Counter(t for t, e, g in rows if g == 0 and e == 1)
+    db = Counter(t for t, e, g in rows if g == 1 and e == 1)
+    ca = Counter(t for t, e, g in rows if g == 0 and e == 0)
+    cb = Counter(t for t, e, g in rows if g == 1 and e == 0)
+    ts = sorted(set(da) | set(db) | set(ca) | set(cb))
+    ra = sum(1 for _, _, g in rows if g == 0)
+    rb = len(rows) - ra
+    oa = sum(da.values())
+    e9 = v9 = 0
+    for t in ts:
+        d = da.get(t, 0) + db.get(t, 0)
+        n = ra + rb
+        if d > 0 and n > 1:
+            e9 += math.floor(d * ra / n * 1e9)
+            v9 += math.floor(
+                d * ra * rb * (n - d) / (n * n * (n - 1)) * 1e9
+            )
+        ra -= da.get(t, 0) + ca.get(t, 0)
+        rb -= db.get(t, 0) + cb.get(t, 0)
+    assert r["o_a"] == oa
+    assert r["e_a_q6"] == math.floor(e9 / 1e3) / 1e6
+    assert r["v_q6"] == math.floor(v9 / 1e3) / 1e6
+    # arm 0 fails early, arm 1 late -> strong separation
+    assert r["chi2_q6"] > 10.0
+
+
+def test_log_rank_no_mixing_null(spark):
+    # a single subject: V == 0 -> chi2 null (vacuous comparison)
+    df = spark.createDataFrame([(1, 1, 0)], "dur long, e int, arm int")
+    r = log_rank_test(df, "dur", "e", "arm").collect()[0]
+    assert r["chi2_q6"] is None
