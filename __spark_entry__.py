@@ -4509,6 +4509,39 @@ def _q_log_rank(spark, sf_dir):
     )
 
 
+def _q_welch(spark, sf_dir):
+    """Welch's unequal-variance t test (functions/stats.py
+    welch_t_test): do even- and odd-user event values differ in MEAN?
+    The two-sample parametric gate q_anova generalizes to k groups;
+    per-arm exact BIGINT/DECIMAL sums off one conditional aggregate,
+    t / Welch-Satterthwaite df / Cohen's d as fixed-order float
+    expressions over the six exact scalars."""
+    from png_from_pdf_extracter_spark.functions.stats import welch_t_test
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    return welch_t_test(ev, "value", "arm", quantize=2)
+
+
+def _q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test (functions/stats.py
+    cochran_armitage): does the English rate RISE with document length
+    (100-char buckets as the ordered dose)? The ordered 2 x k screen
+    q_chi2_indep throws the ordering away; five exact DECIMAL moment
+    sums off a dose-bounded groupBy, chi2/z in one fixed-order
+    expression."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cochran_armitage,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.floor(F.col("n_chars") / 100).cast("long").alias("dose"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return cochran_armitage(d, "dose", "is_en")
+
+
 def _q_correlogram(spark, sf_dir):
     """Per-user ACF for lags 1..4 of the event value signal
     (functions/stats.py correlogram): one window computing every lag's
@@ -5590,6 +5623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kaplan_meier": _q_kaplan_meier,
         "q_nelson_aalen": _q_nelson_aalen,
         "q_log_rank": _q_log_rank,
+        "q_welch": _q_welch,
+        "q_cochran_armitage": _q_cochran_armitage,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -11845,6 +11880,97 @@ def oracle_sql() -> dict[str, str]:
         "q_kaplan_meier": _KM_SQL,
         "q_nelson_aalen": _NA_SQL,
         "q_log_rank": _LOGRANK_SQL,
+        "q_welch": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CAST(user_id % 2 AS INT) AS g
+              FROM events WHERE value IS NOT NULL
+            ),
+            gm AS (SELECT min(g) AS ga FROM base),
+            agg AS (
+              SELECT
+                sum(CASE WHEN g = ga THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE 1 END)::BIGINT AS n_b,
+                sum(CASE WHEN g = ga THEN v ELSE 0 END)::BIGINT AS s_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE v END)::BIGINT AS s_b,
+                sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))
+                    * CASE WHEN g = ga THEN 1 ELSE 0 END) AS q_a,
+                sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))
+                    * CASE WHEN g = ga THEN 0 ELSE 1 END) AS q_b
+              FROM base, gm
+            ),
+            terms AS (
+              SELECT n_a, n_b,
+                s_a::DOUBLE / n_a::DOUBLE AS ma,
+                s_b::DOUBLE / n_b::DOUBLE AS mb,
+                (q_a::DOUBLE - (s_a::DOUBLE / n_a::DOUBLE) * s_a::DOUBLE)
+                  / (n_a::DOUBLE - 1.0) AS va,
+                (q_b::DOUBLE - (s_b::DOUBLE / n_b::DOUBLE) * s_b::DOUBLE)
+                  / (n_b::DOUBLE - 1.0) AS vb
+              FROM agg
+            ),
+            fin AS (
+              SELECT n_a, n_b, ma, mb, va, vb,
+                va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2,
+                va / n_a::DOUBLE AS sea, vb / n_b::DOUBLE AS seb,
+                sqrt(((n_a::DOUBLE - 1.0) * va + (n_b::DOUBLE - 1.0) * vb)
+                     / (n_a::DOUBLE + n_b::DOUBLE - 2.0)) AS sp
+              FROM terms
+            )
+            SELECT n_a, n_b,
+              floor(ma / 100.0 * 1e6) / 1e6 AS mean_a_q6,
+              floor(mb / 100.0 * 1e6) / 1e6 AS mean_b_q6,
+              CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+                floor((ma - mb) / sqrt(se2) * 1e6) / 1e6 END AS t_q6,
+              CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+                floor((se2 * se2)
+                      / (sea * sea / (n_a::DOUBLE - 1.0)
+                         + seb * seb / (n_b::DOUBLE - 1.0))
+                      * 1e6) / 1e6 END AS df_q6,
+              CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 AND sp > 0 THEN
+                floor((ma - mb) / sp * 1e6) / 1e6 END AS d_q6
+            FROM fin
+        """,
+        "q_cochran_armitage": """
+            WITH base AS (
+              SELECT CAST(floor(n_chars / 100) AS BIGINT) AS x,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS e
+              FROM documents
+              WHERE n_chars IS NOT NULL
+            ),
+            per AS (
+              SELECT x, count(*)::BIGINT AS n_j, sum(e)::BIGINT AS r_j
+              FROM base GROUP BY x
+            ),
+            agg AS (
+              SELECT sum(n_j)::BIGINT AS n, count(*)::BIGINT AS k_doses,
+                     sum(r_j)::BIGINT AS r,
+                     sum(CAST(x AS DECIMAL(38,0))
+                         * CAST(n_j AS DECIMAL(38,0))) AS sxn,
+                     sum(CAST(x AS DECIMAL(38,0))
+                         * CAST(r_j AS DECIMAL(38,0))) AS sxr,
+                     sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+                         * CAST(n_j AS DECIMAL(38,0))) AS sxx
+              FROM per
+            ),
+            fin AS (
+              SELECT n, k_doses, r,
+                n::DOUBLE * sxr::DOUBLE - r::DOUBLE * sxn::DOUBLE AS num,
+                r::DOUBLE * (n::DOUBLE - r::DOUBLE)
+                  * (n::DOUBLE * sxx::DOUBLE - sxn::DOUBLE * sxn::DOUBLE)
+                  AS den
+              FROM agg
+            )
+            SELECT n, k_doses,
+              CASE WHEN r > 0 AND r < n AND k_doses > 1 THEN
+                floor(n::DOUBLE * num * num / den * 1e6) / 1e6
+              END AS chi2_q6,
+              CASE WHEN r > 0 AND r < n AND k_doses > 1 THEN
+                floor(sign(num) * sqrt(n::DOUBLE * num * num / den)
+                      * 1e6) / 1e6
+              END AS z_q6
+            FROM fin
+        """,
         "q_median_survival": (
             "WITH km AS (" + _KM_SQL + "), "
             "half AS (SELECT min(duration) AS median_duration FROM km "

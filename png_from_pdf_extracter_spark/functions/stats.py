@@ -3045,3 +3045,171 @@ def log_rank_test(
             F.col("__v9") > 0, F.floor(chi2 * F.lit(1e6)) / F.lit(1e6)
         ).alias("chi2_q6"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test — the default
+    two-group mean comparison (the k-group equal-variance case is
+    [[anova_oneway]]; the distribution-free twin is [[mann_whitney_u]]).
+    Reports the t statistic AND the Welch-Satterthwaite degrees of
+    freedom, plus Cohen's d on the pooled sd so the effect SIZE travels
+    with the significance number.
+
+    Two-group contract (shared with [[log_rank_test]]): ``group_col``
+    is binarized against the broadcast 1-row min — the minimum value is
+    arm A, everything else arm B.
+
+    EXACT cross-engine: values integer-quantized ([[_quant]]); per-arm
+    S is BIGINT and Q is DECIMAL(38,0) (v^2 sums wrap a silent
+    non-ANSI long at sf0.1 — the [[anova_oneway]] lesson). Means,
+    variances, t, and df are then ONE fixed-op-order float expression
+    each over the six exact scalars, floor-quantized at emit. t/d are
+    null when either arm has n < 2 or both variances are zero; df is
+    null with t.
+
+    Plan: one broadcast min, one map-combinable conditional aggregate
+    over the tagged rows — a single 1-row exchange regardless of input
+    size. Returns (n_a, n_b, mean_a_q6, mean_b_q6, t_q6, df_q6, d_q6).
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    a = (F.col("__g") == F.col("__ga")).cast("int")
+    dec = "decimal(38,0)"
+    vd = F.col("__v").cast(dec)
+    agg = base.crossJoin(gmin).agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(1 - a).cast("long").alias("n_b"),
+        F.sum(F.col("__v") * a).cast("long").alias("__s_a"),
+        F.sum(F.col("__v") * (1 - a)).cast("long").alias("__s_b"),
+        F.sum(vd * vd * a.cast(dec)).alias("__q_a"),
+        F.sum(vd * vd * (1 - a).cast(dec)).alias("__q_b"),
+    )
+    scale = float(10 ** quantize)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # try_divide everywhere: ANSI mode raises on 0-denominators (an arm
+    # with n<2, or a single-group input); nulls propagate into the
+    # `ok`-gated outputs instead.
+    ma = F.try_divide(F.col("__s_a").cast("double"), na)
+    mb = F.try_divide(F.col("__s_b").cast("double"), nb)
+    va = F.try_divide(
+        F.col("__q_a").cast("double") - ma * F.col("__s_a").cast("double"),
+        na - F.lit(1.0),
+    )
+    vb = F.try_divide(
+        F.col("__q_b").cast("double") - mb * F.col("__s_b").cast("double"),
+        nb - F.lit(1.0),
+    )
+    sea = F.try_divide(va, na)
+    seb = F.try_divide(vb, nb)
+    se2 = sea + seb
+    t = F.try_divide(ma - mb, F.sqrt(se2))
+    dfree = F.try_divide(
+        se2 * se2,
+        F.try_divide(sea * sea, na - F.lit(1.0))
+        + F.try_divide(seb * seb, nb - F.lit(1.0)),
+    )
+    sp = F.sqrt(
+        F.try_divide(
+            (na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb,
+            na + nb - F.lit(2.0),
+        )
+    )
+    d = F.try_divide(ma - mb, sp)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        q6(ma / F.lit(scale)).alias("mean_a_q6"),
+        q6(mb / F.lit(scale)).alias("mean_b_q6"),
+        F.when(ok, q6(t)).alias("t_q6"),
+        F.when(ok, q6(dfree)).alias("df_q6"),
+        F.when(ok & (sp > 0), q6(d)).alias("d_q6"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test — "does the event RATE rise with the
+    ordered dose": the 2 x k contingency test with the dose ORDER used
+    (where [[chi2_independence]] throws the ordering away). The
+    canonical monotone-exposure screen (quality-score bucket vs
+    dup-flag, context-length bucket vs error rate).
+
+    Contract: ``dose_col`` is an integer score (callers bucket/quantize
+    upstream); ``event_col`` is 0/1.
+
+    EXACT cross-engine: per-dose (n_j, r_j) counts are exact BIGINTs;
+    the five moment sums N, R, Sxn = SUM(x n), Sxr = SUM(x r),
+    Sxx = SUM(x^2 n) accumulate in DECIMAL(38,0), and
+
+        chi2 = N (N Sxr - R Sxn)^2 / (R (N-R) (N Sxx - Sxn^2))
+
+    is ONE fixed-op-order float expression over the five exact scalars
+    (the squared numerator exceeds decimal range around N ~ 1e9 with
+    1e4-wide doses, so the doubles carry it — both engines run the
+    SAME tree on the SAME exact inputs). Null when degenerate (all
+    doses equal, or R in {0, N}). z_q6 is the signed root (positive =
+    rate rises with dose).
+
+    Plan: one map-combinable (dose) groupBy bounded by dose
+    cardinality, one 1-row aggregate. Returns (n, k_doses, chi2_q6,
+    z_q6).
+    """
+    x = F.col(dose_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per = (
+        df.select(x.alias("__x"), e.alias("__e"))
+        .filter(F.col("__x").isNotNull() & F.col("__e").isNotNull())
+        .groupBy("__x")
+        .agg(
+            F.count("*").cast("long").alias("__n_j"),
+            F.sum("__e").cast("long").alias("__r_j"),
+        )
+    )
+    dec = "decimal(38,0)"
+    xd = F.col("__x").cast(dec)
+    agg = per.agg(
+        F.sum("__n_j").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_doses"),
+        F.sum("__r_j").cast("long").alias("__r"),
+        F.sum(xd * F.col("__n_j").cast(dec)).alias("__sxn"),
+        F.sum(xd * F.col("__r_j").cast(dec)).alias("__sxr"),
+        F.sum(xd * xd * F.col("__n_j").cast(dec)).alias("__sxx"),
+    )
+    nn = F.col("n").cast("double")
+    rr = F.col("__r").cast("double")
+    sxn = F.col("__sxn").cast("double")
+    sxr = F.col("__sxr").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    num = nn * sxr - rr * sxn
+    den = rr * (nn - rr) * (nn * sxx - sxn * sxn)
+    # try_divide: den = 0 on degenerate inputs (all doses equal or R in
+    # {0, N}) must null out, not raise under ANSI mode.
+    chi2 = F.try_divide(nn * num * num, den)
+    z = F.signum(num) * F.sqrt(chi2)
+    ok = (
+        (F.col("__r") > 0)
+        & (F.col("__r") < F.col("n"))
+        & (F.col("k_doses") > 1)
+    )
+    return agg.select(
+        "n",
+        "k_doses",
+        F.when(ok, F.floor(chi2 * F.lit(1e6)) / F.lit(1e6)).alias(
+            "chi2_q6"
+        ),
+        F.when(ok, F.floor(z * F.lit(1e6)) / F.lit(1e6)).alias("z_q6"),
+    )

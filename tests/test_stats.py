@@ -1705,3 +1705,131 @@ def test_log_rank_no_mixing_null(spark):
     df = spark.createDataFrame([(1, 1, 0)], "dur long, e int, arm int")
     r = log_rank_test(df, "dur", "e", "arm").collect()[0]
     assert r["chi2_q6"] is None
+
+
+def test_welch_identical_arms_zero(spark):
+    from png_from_pdf_extracter_spark.functions.stats import welch_t_test
+
+    base = [1.0, 2.0, 3.5, 4.25, 9.0]
+    rows = [(v, g) for g in (0, 1) for v in base]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = welch_t_test(df, "v", "arm", quantize=2).collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["mean_a_q6"] == r["mean_b_q6"]
+    assert r["t_q6"] == 0.0 and r["d_q6"] == 0.0
+
+
+def test_welch_python_twin(spark):
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from png_from_pdf_extracter_spark.functions.stats import welch_t_test
+
+    def q2(v):
+        # Spark F.round on DoubleType = BigDecimal.valueOf (shortest
+        # decimal repr, like Python repr) + HALF_UP — NOT banker's.
+        return int(
+            Decimal(repr(v * 100.0)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(23)
+    rows = [(round(rng.uniform(0, 50), 3) + (0 if g == 0 else 7.5), g)
+            for g in (0, 1) for _ in range(80)]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = welch_t_test(df, "v", "arm", quantize=2).collect()[0]
+    a = [q2(v) for v, g in rows if g == 0]
+    b = [q2(v) for v, g in rows if g == 1]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = (sum(x * x for x in a) - ma * sum(a)) / (na - 1)
+    vb = (sum(x * x for x in b) - mb * sum(b)) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfree = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    assert r["t_q6"] == math.floor(t * 1e6) / 1e6
+    assert r["df_q6"] == math.floor(dfree * 1e6) / 1e6
+    # arm B is shifted +7.5 (~half an sd of U(0,50)) -> t clearly negative
+    assert r["t_q6"] < -2.0
+    # Welch df bounded by n_a + n_b - 2
+    assert 1.0 <= r["df_q6"] <= na + nb - 2
+
+
+def test_welch_degenerate_null(spark):
+    from png_from_pdf_extracter_spark.functions.stats import welch_t_test
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (3.0, 1)], "v double, arm int"
+    )
+    r = welch_t_test(df, "v", "arm").collect()[0]
+    assert r["t_q6"] is None and r["df_q6"] is None
+
+
+def test_cochran_armitage_perfect_trend(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cochran_armitage,
+    )
+
+    # rate rises 10% -> 90% across five doses
+    rows = []
+    for dose, rate in enumerate([0.1, 0.3, 0.5, 0.7, 0.9]):
+        k = int(rate * 20)
+        rows += [(dose, 1)] * k + [(dose, 0)] * (20 - k)
+    df = spark.createDataFrame(rows, "dose long, e int")
+    r = cochran_armitage(df, "dose", "e").collect()[0]
+    assert r["n"] == 100 and r["k_doses"] == 5
+    assert r["z_q6"] > 5.0 and r["chi2_q6"] > 25.0
+
+
+def test_cochran_armitage_flat_rate_exact_zero(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cochran_armitage,
+    )
+
+    # r_j proportional to n_j at every dose -> numerator is exactly 0
+    rows = []
+    for dose in range(4):
+        rows += [(dose, 1)] * 5 + [(dose, 0)] * 15
+    df = spark.createDataFrame(rows, "dose long, e int")
+    r = cochran_armitage(df, "dose", "e").collect()[0]
+    assert r["chi2_q6"] == 0.0 and r["z_q6"] == 0.0
+
+
+def test_cochran_armitage_python_twin_and_degenerate(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cochran_armitage,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (d, 1 if rng.random() < 0.2 + 0.1 * d else 0)
+        for d in range(6)
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(rows, "dose long, e int")
+    r = cochran_armitage(df, "dose", "e").collect()[0]
+    n = len(rows)
+    rr = sum(e for _, e in rows)
+    sxn = sum(d for d, _ in rows)
+    sxr = sum(d for d, e in rows if e)
+    sxx = sum(d * d for d, _ in rows)
+    num = n * sxr - rr * sxn
+    den = rr * (n - rr) * (n * sxx - sxn * sxn)
+    chi2 = n * num * num / den
+    assert r["chi2_q6"] == math.floor(chi2 * 1e6) / 1e6
+    assert r["z_q6"] == math.floor(
+        math.copysign(math.sqrt(chi2), num) * 1e6
+    ) / 1e6
+    # degenerate: single dose level -> null
+    one = spark.createDataFrame([(2, 1), (2, 0)], "dose long, e int")
+    assert cochran_armitage(one, "dose", "e").collect()[0]["chi2_q6"] is None
+    # degenerate: zero events -> null
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "dose long, e int")
+    assert cochran_armitage(zero, "dose", "e").collect()[0]["z_q6"] is None
