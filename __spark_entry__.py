@@ -4542,6 +4542,35 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_cvm(spark, sf_dir):
+    """Cramér-von Mises two-sample criterion (functions/stats.py
+    cramer_von_mises_2s): does the event-value DISTRIBUTION differ
+    between users divisible by 3 and the rest? The integrated-square
+    companion to q_ks_drift's max-gap; exact DECIMAL numerator
+    sum_v c_v * (m*cumA - n*cumB)^2 over the distinct-value table,
+    one float division at emit."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cramer_von_mises_2s,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 3 == 0).cast("int").alias("arm")
+    )
+    return cramer_von_mises_2s(ev, "value", "arm", quantize=2)
+
+
+def _q_tukey(spark, sf_dir):
+    """Tukey-Kramer HSD pairwise mean comparisons (functions/stats.py
+    tukey_hsd): WHICH event types differ in mean value, sharing one
+    MSW error term — the follow-up q_anova's single F cannot answer.
+    One groupBy to the k-row class table, broadcast self-join on
+    g_a < g_b, fixed-order stepped MSW accumulation."""
+    from png_from_pdf_extracter_spark.functions.stats import tukey_hsd
+
+    ev = _read(spark, sf_dir, "events")
+    return tukey_hsd(ev, "value", "event_type", quantize=2)
+
+
 def _q_correlogram(spark, sf_dir):
     """Per-user ACF for lags 1..4 of the event value signal
     (functions/stats.py correlogram): one window computing every lag's
@@ -5625,6 +5654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_rank": _q_log_rank,
         "q_welch": _q_welch,
         "q_cochran_armitage": _q_cochran_armitage,
+        "q_cvm": _q_cvm,
+        "q_tukey": _q_tukey,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -11970,6 +12001,104 @@ def oracle_sql() -> dict[str, str]:
                       * 1e6) / 1e6
               END AS z_q6
             FROM fin
+        """,
+        "q_cvm": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS g
+              FROM events WHERE value IS NOT NULL
+            ),
+            gm AS (SELECT min(g) AS ga FROM base),
+            cnt AS (
+              SELECT v,
+                     sum(CASE WHEN g = ga THEN 1 ELSE 0 END)::BIGINT AS ca,
+                     sum(CASE WHEN g = ga THEN 0 ELSE 1 END)::BIGINT AS cb
+              FROM base, gm GROUP BY v
+            ),
+            tot AS (
+              SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+              FROM cnt
+            ),
+            cum AS (
+              SELECT ca + cb AS c,
+                     sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS ka,
+                     sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS kb
+              FROM cnt
+            ),
+            agg AS (
+              SELECT sum(CAST(c AS DECIMAL(38,0))
+                         * CAST(n_b * ka - n_a * kb AS DECIMAL(38,0))
+                         * CAST(n_b * ka - n_a * kb AS DECIMAL(38,0)))
+                       AS u,
+                     max(n_a) AS n_a, max(n_b) AS n_b
+              FROM cum, tot
+            )
+            SELECT n_a, n_b,
+              CASE WHEN n_a > 0 AND n_b > 0 THEN
+                floor(u::DOUBLE
+                      / (n_a::DOUBLE * n_b::DOUBLE
+                         * (n_a::DOUBLE + n_b::DOUBLE)
+                         * (n_a::DOUBLE + n_b::DOUBLE))
+                      * 1e6) / 1e6
+              END AS t_q6
+            FROM agg
+        """,
+        "q_tukey": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CAST(event_type AS VARCHAR) AS g
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            pc AS (
+              SELECT g, count(*)::BIGINT AS n_g, sum(v)::BIGINT AS s_g,
+                     sum(CAST(v AS DECIMAL(38,0))
+                         * CAST(v AS DECIMAL(38,0))) AS q_g
+              FROM base GROUP BY g
+            ),
+            stepped AS (
+              SELECT sum(s_g::DOUBLE * s_g::DOUBLE / n_g::DOUBLE) OVER (
+                       ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sb,
+                     row_number() OVER (ORDER BY g) AS rn,
+                     count(*) OVER () AS kk
+              FROM pc
+            ),
+            sf AS (
+              SELECT sb, kk::BIGINT AS kk FROM stepped WHERE rn = kk
+            ),
+            tt AS (
+              SELECT sum(n_g)::BIGINT AS n,
+                     CAST(sum(q_g) AS DECIMAL(38,0)) AS q
+              FROM pc
+            ),
+            msw AS (
+              SELECT n, kk,
+                     (q::DOUBLE - sb) / (n::DOUBLE - kk::DOUBLE) AS msw
+              FROM tt, sf
+            )
+            SELECT a.g AS g_a, b.g AS g_b,
+              a.n_g AS n_a, b.n_g AS n_b,
+              floor(a.s_g::DOUBLE / a.n_g::DOUBLE / 100.0 * 1e6) / 1e6
+                AS mean_a_q6,
+              floor(b.s_g::DOUBLE / b.n_g::DOUBLE / 100.0 * 1e6) / 1e6
+                AS mean_b_q6,
+              floor((a.s_g::DOUBLE / a.n_g::DOUBLE
+                     - b.s_g::DOUBLE / b.n_g::DOUBLE) / 100.0 * 1e6) / 1e6
+                AS diff_q6,
+              CASE WHEN msw > 0 AND n > kk THEN
+                floor(abs(a.s_g::DOUBLE / a.n_g::DOUBLE
+                          - b.s_g::DOUBLE / b.n_g::DOUBLE)
+                      / sqrt(msw / 2.0
+                             * (1.0 / a.n_g::DOUBLE
+                                + 1.0 / b.n_g::DOUBLE))
+                      * 1e6) / 1e6
+              END AS q_q6
+            FROM pc a, pc b, msw
+            WHERE a.g < b.g
         """,
         "q_median_survival": (
             "WITH km AS (" + _KM_SQL + "), "

@@ -536,6 +536,23 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_jl_project",
         "q_jonckheere",
         "q_page_trend",
+        "q_fleiss",
+        "q_krippendorff",
+        "q_conformal",
+        "q_risk_coverage",
+        "q_runs_test",
+        "q_durbin_watson",
+        "q_span_corruption",
+        "q_procrustes",
+        "q_mood_median",
+        "q_script_profile",
+        "q_nelson_aalen",
+        "q_log_rank",
+        "q_t_closeness",
+        "q_welch",
+        "q_cochran_armitage",
+        "q_cvm",
+        "q_tukey",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -3213,3 +3213,171 @@ def cochran_armitage(
         ),
         F.when(ok, F.floor(z * F.lit(1e6)) / F.lit(1e6)).alias("z_q6"),
     )
+
+
+def cramer_von_mises_2s(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Cramér-von Mises two-sample criterion — the INTEGRATED
+    squared CDF gap where [[ks_statistic]] takes the max: T =
+    (nm/N^2) * sum_z (F_n(z) - G_m(z))^2 over the pooled order
+    statistics (ties counted with multiplicity). KS sees only the
+    single worst point; CvM accumulates every point, so a broad small
+    shift that never spikes — the typical drift signature — moves CvM
+    first. Same reading as [[wasserstein_1d]] but quadratic, weighting
+    sustained gaps over long thin tails.
+
+    Two-group contract (shared with [[welch_t_test]]): ``group_col``
+    binarized against the broadcast 1-row min.
+
+    EXACT cross-engine: values integer-quantized ([[_quant]]); per
+    distinct value the CDF gap has the INTEGER numerator d = m*cumA -
+    n*cumB (the [[ks_statistic]] trick), so the weighted sum U = sum_v
+    c_v * d^2 is an exact DECIMAL(38,0) and the single float division
+    T = U / (n*m*N^2) happens once at emit. Plan: one map-combinable
+    (value -> per-arm count) shuffle, one running sum over the
+    distinct-value table (bounded by cardinality, not corpus size),
+    one 1-row aggregate. Returns (n_a, n_b, t_q6); t_q6 null when
+    either arm is empty.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    tagged = base.crossJoin(gmin).select(
+        "__v",
+        (F.col("__g") == F.col("__ga")).cast("int").alias("__a"),
+    )
+    cnt = tagged.groupBy("__v").agg(
+        F.sum("__a").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__a")).cast("long").alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        (F.col("__ca") + F.col("__cb")).alias("__c"),
+        F.sum("__ca").over(w).alias("__ka"),
+        F.sum("__cb").over(w).alias("__kb"),
+    )
+    totals = F.broadcast(
+        cnt.agg(
+            F.sum("__ca").cast("long").alias("n_a"),
+            F.sum("__cb").cast("long").alias("n_b"),
+        )
+    )
+    dec = "decimal(38,0)"
+    d = (
+        F.col("n_b") * F.col("__ka") - F.col("n_a") * F.col("__kb")
+    ).cast(dec)
+    agg = (
+        cum.crossJoin(totals)
+        .agg(
+            F.sum(F.col("__c").cast(dec) * d * d).alias("__u"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    t = F.try_divide(F.col("__u").cast("double"), na * nb * nn * nn)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(t * F.lit(1e6)) / F.lit(1e6),
+        ).alias("t_q6"),
+    )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Tukey-Kramer HSD pairwise comparisons — the follow-up to a
+    significant [[anova_oneway]]: WHICH group means differ, with the
+    studentized-range q statistic per pair q_ij = |m_i - m_j| /
+    sqrt((MSW/2) * (1/n_i + 1/n_j)) so the k(k-1)/2 comparisons share
+    one error term instead of k^2 Welch tests.
+
+    EXACT cross-engine: per-group (n_g BIGINT, S_g BIGINT, Q_g
+    DECIMAL(38,0)) off one map-combinable aggregate; MSW = (Q - sb) /
+    (N - k) with sb accumulated in fixed class-key order
+    ([[_stepped_sq_over_n]] — the [[anova_oneway]] lesson); per-pair
+    means and q are fixed-op-order float expressions over exact
+    scalars. Plan: one groupBy shuffle to the k-row class table, a
+    broadcast self-join on g_a < g_b (k^2 rows, k = class cardinality,
+    bounded), one broadcast 1-row MSW. Means emitted in ORIGINAL value
+    units (descaled by 10^quantize); q is scale-free. q_q6 null when
+    MSW <= 0 or N <= k. Returns one row per unordered pair
+    (g_a, g_b, n_a, n_b, mean_a_q6, mean_b_q6, diff_q6, q_q6).
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).cast("string").alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n_g"),
+        F.sum("__v").cast("long").alias("__s_g"),
+        F.sum(
+            F.col("__v").cast("decimal(38,0)")
+            * F.col("__v").cast("decimal(38,0)")
+        ).alias("__q_g"),
+    )
+    sb = _stepped_sq_over_n(per, "__s_g", "__n_g", "__g")
+    tot = per.agg(
+        F.sum("__n_g").cast("long").alias("__n"),
+        F.sum("__q_g").cast("decimal(38,0)").alias("__q"),
+    )
+    msw_row = (
+        tot.crossJoin(sb)
+        .select(
+            "__n",
+            "__kk",
+            F.try_divide(
+                F.col("__q").cast("double") - F.col("__sb"),
+                (F.col("__n") - F.col("__kk")).cast("double"),
+            ).alias("__msw"),
+        )
+    )
+    a = per.select(
+        F.col("__g").alias("g_a"),
+        F.col("__n_g").alias("n_a"),
+        F.col("__s_g").alias("__s_a"),
+    )
+    b = per.select(
+        F.col("__g").alias("g_b"),
+        F.col("__n_g").alias("n_b"),
+        F.col("__s_g").alias("__s_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"), "inner")
+    scale = float(10 ** quantize)
+    ma = F.col("__s_a").cast("double") / F.col("n_a").cast("double")
+    mb = F.col("__s_b").cast("double") / F.col("n_b").cast("double")
+    se = F.sqrt(
+        F.col("__msw")
+        / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    q = F.try_divide(F.abs(ma - mb), se)
+    ok = (F.col("__msw") > 0) & (F.col("__n") > F.col("__kk"))
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return pairs.crossJoin(F.broadcast(msw_row)).select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        q6(ma / F.lit(scale)).alias("mean_a_q6"),
+        q6(mb / F.lit(scale)).alias("mean_b_q6"),
+        q6((ma - mb) / F.lit(scale)).alias("diff_q6"),
+        F.when(ok, q6(q)).alias("q_q6"),
+    )

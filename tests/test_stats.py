@@ -1833,3 +1833,122 @@ def test_cochran_armitage_python_twin_and_degenerate(spark):
     # degenerate: zero events -> null
     zero = spark.createDataFrame([(1, 0), (2, 0)], "dose long, e int")
     assert cochran_armitage(zero, "dose", "e").collect()[0]["z_q6"] is None
+
+
+def test_cvm_identical_arms_small(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cramer_von_mises_2s,
+    )
+
+    base = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(v, g) for g in (0, 1) for v in base]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = cramer_von_mises_2s(df, "v", "arm", quantize=2).collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    # identical samples: F_n == G_m at every pooled point -> T == 0
+    assert r["t_q6"] == 0.0
+
+
+def test_cvm_python_twin(spark):
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cramer_von_mises_2s,
+    )
+
+    def q2(v):
+        return int(
+            Decimal(repr(v * 100.0)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(7)
+    rows = [(round(rng.uniform(0, 20), 2), 0) for _ in range(60)] + [
+        (round(rng.uniform(5, 25), 2), 1) for _ in range(45)
+    ]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = cramer_von_mises_2s(df, "v", "arm", quantize=2).collect()[0]
+    a = sorted(q2(v) for v, g in rows if g == 0)
+    b = sorted(q2(v) for v, g in rows if g == 1)
+    n, m = len(a), len(b)
+    pooled = sorted(set(a) | set(b))
+    u = 0
+    for z in pooled:
+        c = a.count(z) + b.count(z)
+        ka = sum(1 for x in a if x <= z)
+        kb = sum(1 for x in b if x <= z)
+        u += c * (m * ka - n * kb) ** 2
+    t = u / (n * m * (n + m) * (n + m))
+    assert r["n_a"] == n and r["n_b"] == m
+    assert r["t_q6"] == math.floor(t * 1e6) / 1e6
+    # shifted arm -> clearly positive criterion
+    assert r["t_q6"] > 0.05
+
+
+def test_cvm_degenerate_one_arm(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cramer_von_mises_2s,
+    )
+
+    df = spark.createDataFrame([(1.0, 0), (2.0, 0)], "v double, arm int")
+    r = cramer_von_mises_2s(df, "v", "arm", quantize=2).collect()[0]
+    assert r["n_b"] == 0 and r["t_q6"] is None
+
+
+def test_tukey_textbook(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import tukey_hsd
+
+    # three groups of 4; group c is shifted far from a and b
+    data = {
+        "a": [1.0, 2.0, 3.0, 4.0],
+        "b": [1.5, 2.5, 3.5, 4.5],
+        "c": [10.0, 11.0, 12.0, 13.0],
+    }
+    rows = [(v, g) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in tukey_hsd(df, "v", "grp", quantize=2).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # python twin in quantized cents
+    q = {g: [int(round(v * 100)) for v in vs] for g, vs in data.items()}
+    means = {g: sum(vs) / len(vs) for g, vs in q.items()}
+    ssw = sum(
+        sum(x * x for x in vs) - (sum(vs) ** 2) / len(vs)
+        for vs in q.values()
+    )
+    n_tot = sum(len(vs) for vs in q.values())
+    msw = ssw / (n_tot - 3)
+    for (ga, gb), r in out.items():
+        diff = means[ga] - means[gb]
+        se = math.sqrt(msw / 2.0 * (1.0 / 4 + 1.0 / 4))
+        assert r["diff_q6"] == math.floor(diff / 100.0 * 1e6) / 1e6
+        assert abs(r["q_q6"] - abs(diff) / se) < 1e-5
+    # the shifted group dominates: q(a,c) >> q(a,b)
+    assert out[("a", "c")]["q_q6"] > out[("a", "b")]["q_q6"] * 5
+
+
+def test_tukey_unbalanced_kramer_and_degenerate(spark):
+    from png_from_pdf_extracter_spark.functions.stats import tukey_hsd
+
+    # unbalanced arms exercise the Tukey-Kramer 1/n_a + 1/n_b term
+    rows = [(float(v), "x") for v in (1, 2, 3, 4, 5, 6)] + [
+        (float(v), "y") for v in (4, 5)
+    ]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    r = tukey_hsd(df, "v", "grp", quantize=2).collect()
+    assert len(r) == 1 and r[0]["n_a"] == 6 and r[0]["n_b"] == 2
+    assert r[0]["q_q6"] is not None and r[0]["q_q6"] > 0
+    # constant values -> MSW == 0 -> q null, means still emitted
+    df2 = spark.createDataFrame(
+        [(2.0, "x"), (2.0, "x"), (2.0, "y"), (2.0, "y")],
+        "v double, grp string",
+    )
+    r2 = tukey_hsd(df2, "v", "grp", quantize=2).collect()[0]
+    assert r2["q_q6"] is None and r2["diff_q6"] == 0.0
