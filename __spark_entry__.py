@@ -4542,6 +4542,56 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_energy_distance(spark, sf_dir):
+    """Two-sample energy distance (functions/stats.py
+    energy_distance_2s): full-distribution gap between users divisible
+    by 3 and the rest, as the metric E-statistic 2E|X-Y| - E|X-X'| -
+    E|Y-Y'|. The pairwise L1 expectations collapse to ONE linear sweep
+    over the sorted distinct-value table (gap-crossing identity), all
+    integer until the final assembly."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        energy_distance_2s,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 3 == 0).cast("int").alias("arm")
+    )
+    return energy_distance_2s(ev, "value", "arm", quantize=2)
+
+
+def _q_encoding_health(spark, sf_dir):
+    """Per-source encoding-damage rollup (functions/text.py
+    encoding_health): mojibake-mark / replacement-char / C1-control
+    counts and suspect-doc counts. The corpus is clean by construction,
+    so docs with doc_id % 7 == 0 get a deterministic mojibake suffix
+    injected via plain SQL concat (both engines apply the identical
+    injection) — the detector must flag exactly those."""
+    from png_from_pdf_extracter_spark.functions.text import (
+        MOJI_SUFFIX,
+        encoding_health,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(MOJI_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    h = d.select("source", *encoding_health("text"))
+    return h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("enc_suspect").cast("int")).cast("long").alias(
+            "suspect_docs"
+        ),
+        F.sum("moji_marks").cast("long").alias("moji_marks"),
+        F.sum("repl_chars").cast("long").alias("repl_chars"),
+        F.sum("c1_chars").cast("long").alias("c1_chars"),
+    )
+
+
 def _q_cvm(spark, sf_dir):
     """Cramér-von Mises two-sample criterion (functions/stats.py
     cramer_von_mises_2s): does the event-value DISTRIBUTION differ
@@ -5656,6 +5706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cochran_armitage": _q_cochran_armitage,
         "q_cvm": _q_cvm,
         "q_tukey": _q_tukey,
+        "q_energy_distance": _q_energy_distance,
+        "q_encoding_health": _q_encoding_health,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -6115,6 +6167,37 @@ def _kcore_unrolled_sql(k: int = 4, rounds: int = 16) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from png_from_pdf_extracter_spark.functions.text import (
+        C1_PATTERN,
+        MOJI_SUFFIX,
+        MOJIBAKE_PATTERN,
+        REPLACEMENT_CHAR,
+    )
+
+    enc_health = f"""
+        WITH d AS (
+          SELECT source,
+                 CASE WHEN doc_id % 7 = 0 THEN text || '{MOJI_SUFFIX}'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        h AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}'))
+                   AS moji,
+                 len(regexp_extract_all(text, '{REPLACEMENT_CHAR}'))
+                   AS repl,
+                 len(regexp_extract_all(text, '{C1_PATTERN}')) AS c1
+          FROM d
+        )
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN moji > 0 OR repl > 0 OR c1 > 0
+                   THEN 1 ELSE 0 END)::BIGINT AS suspect_docs,
+          sum(moji)::BIGINT AS moji_marks,
+          sum(repl)::BIGINT AS repl_chars,
+          sum(c1)::BIGINT AS c1_chars
+        FROM h GROUP BY source
+    """
     fp = (
         "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     )
@@ -12001,6 +12084,56 @@ def oracle_sql() -> dict[str, str]:
                       * 1e6) / 1e6
               END AS z_q6
             FROM fin
+        """,
+        "q_encoding_health": enc_health,
+        "q_energy_distance": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS g
+              FROM events WHERE value IS NOT NULL
+            ),
+            gm AS (SELECT min(g) AS ga FROM base),
+            cnt AS (
+              SELECT v,
+                     sum(CASE WHEN g = ga THEN 1 ELSE 0 END)::BIGINT AS ca,
+                     sum(CASE WHEN g = ga THEN 0 ELSE 1 END)::BIGINT AS cb
+              FROM base, gm GROUP BY v
+            ),
+            tot AS (
+              SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+              FROM cnt
+            ),
+            cum AS (
+              SELECT v - lag(v) OVER (ORDER BY v) AS gap,
+                     sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - ca AS ka,
+                     sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - cb AS kb
+              FROM cnt
+            ),
+            agg AS (
+              SELECT
+                sum(CAST(gap AS DECIMAL(38,0))
+                    * (CAST(ka * (n_b - kb) AS DECIMAL(38,0))
+                       + CAST(kb * (n_a - ka) AS DECIMAL(38,0)))) AS sxy,
+                sum(CAST(gap AS DECIMAL(38,0))
+                    * CAST(ka * (n_a - ka) AS DECIMAL(38,0))
+                    * CAST(2 AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(gap AS DECIMAL(38,0))
+                    * CAST(kb * (n_b - kb) AS DECIMAL(38,0))
+                    * CAST(2 AS DECIMAL(38,0))) AS syy,
+                max(n_a) AS n_a, max(n_b) AS n_b
+              FROM cum, tot WHERE gap IS NOT NULL
+            )
+            SELECT n_a, n_b,
+              CASE WHEN n_a > 0 AND n_b > 0 THEN
+                floor((2.0 * sxy::DOUBLE
+                         / (n_a::DOUBLE * n_b::DOUBLE)
+                       - sxx::DOUBLE / (n_a::DOUBLE * n_a::DOUBLE)
+                       - syy::DOUBLE / (n_b::DOUBLE * n_b::DOUBLE))
+                      / 100.0 * 1e6) / 1e6
+              END AS d2_q6
+            FROM agg
         """,
         "q_cvm": """
             WITH base AS (

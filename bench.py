@@ -553,6 +553,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_cochran_armitage",
         "q_cvm",
         "q_tukey",
+        "q_energy_distance",
+        "q_encoding_health",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

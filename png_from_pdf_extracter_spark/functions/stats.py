@@ -3381,3 +3381,98 @@ def tukey_hsd(
         q6((ma - mb) / F.lit(scale)).alias("diff_q6"),
         F.when(ok, q6(q)).alias("q_q6"),
     )
+
+
+def energy_distance_2s(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Two-sample energy distance (Székely-Rizzo): D^2 = 2*E|X-Y| -
+    E|X-X'| - E|Y-Y'| — the metric two-sample statistic that is zero
+    IFF the distributions are equal, consistent against ALL
+    alternatives (where [[welch_t_test]] sees only means and
+    [[ks_statistic]] only the worst point; [[cramer_von_mises_2s]] is
+    its rank-space cousin). E|X-Y| sounds quadratic; it is not: over
+    the SORTED pooled distinct values every pairwise L1 expectation
+    collapses to one linear sweep via sum_k gap_k * (cumX_k * (m -
+    cumY_k) + cumY_k * (n - cumX_k)) — each consecutive gap is crossed
+    by exactly that many (x, y) pairs.
+
+    Two-group contract (shared with [[welch_t_test]]): ``group_col``
+    binarized against the broadcast 1-row min.
+
+    EXACT cross-engine: quantized-integer values make every gap and
+    cumulative count an integer, so S_xy, S_xx, S_yy are exact
+    DECIMAL(38,0) sums; the three divisions and the final assembly are
+    ONE fixed-op-order float expression, descaled to original value
+    units at emit. Plan: one map-combinable (value -> per-arm count)
+    shuffle, one lag window over the distinct-value table (bounded by
+    cardinality), one 1-row aggregate. Returns (n_a, n_b, d2_q6);
+    null when either arm is empty.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    tagged = base.crossJoin(gmin).select(
+        "__v",
+        (F.col("__g") == F.col("__ga")).cast("int").alias("__a"),
+    )
+    cnt = tagged.groupBy("__v").agg(
+        F.sum("__a").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__a")).cast("long").alias("__cb"),
+    )
+    ow = Window.orderBy("__v")
+    w = ow.rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        (F.col("__v") - F.lag("__v", 1).over(ow)).alias("__gap"),
+        (
+            F.sum("__ca").over(w) - F.col("__ca")
+        ).alias("__ka"),  # cum counts BELOW the gap (strictly before v)
+        (F.sum("__cb").over(w) - F.col("__cb")).alias("__kb"),
+    )
+    totals = F.broadcast(
+        cnt.agg(
+            F.sum("__ca").cast("long").alias("n_a"),
+            F.sum("__cb").cast("long").alias("n_b"),
+        )
+    )
+    dec = "decimal(38,0)"
+    g = F.col("__gap").cast(dec)
+    ka, kb = F.col("__ka"), F.col("__kb")
+    na_i, nb_i = F.col("n_a"), F.col("n_b")
+    s_xy = g * (
+        (ka * (nb_i - kb)).cast(dec) + (kb * (na_i - ka)).cast(dec)
+    )
+    s_xx = g * (ka * (na_i - ka)).cast(dec) * F.lit(2).cast(dec)
+    s_yy = g * (kb * (nb_i - kb)).cast(dec) * F.lit(2).cast(dec)
+    agg = (
+        cum.crossJoin(totals)
+        .filter(F.col("__gap").isNotNull())
+        .agg(
+            F.sum(s_xy).alias("__sxy"),
+            F.sum(s_xx).alias("__sxx"),
+            F.sum(s_yy).alias("__syy"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    scale = float(10 ** quantize)
+    d2 = (
+        F.lit(2.0) * F.col("__sxy").cast("double") / (na * nb)
+        - F.col("__sxx").cast("double") / (na * na)
+        - F.col("__syy").cast("double") / (nb * nb)
+    ) / F.lit(scale)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(d2 * F.lit(1e6)) / F.lit(1e6),
+        ).alias("d2_q6"),
+    )

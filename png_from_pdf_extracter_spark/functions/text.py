@@ -291,3 +291,67 @@ def script_profile(df, text_col: str = "text", id_cols=("doc_id",)):
         (total - known).alias("n_other"),
         dom.alias("dominant"),
     )
+
+
+# ---------------------------------------------------------------- mojibake
+
+# cp1252 images of the UTF-8 continuation bytes 0x80-0xBF: what a UTF-8
+# multi-byte sequence's trailing byte becomes after a wrong
+# latin-1/cp1252 decode. Built from the codec table itself (the 5
+# cp1252-unmapped bytes drop out), so the class is exact and the source
+# stays free of invisible literals.
+_MOJI_CONT = "".join(
+    bytes([b]).decode("cp1252", errors="ignore") for b in range(0x80, 0xC0)
+)
+# cp1252 images of the UTF-8 LEAD bytes 0xC2-0xC3 (Latin-1 pages) and
+# 0xE2 (general punctuation page: curly quotes, dashes, ellipsis) — the
+# three leads behind the signature 'Ã©' / 'â€™' patterns that dominate
+# real-world mojibake.
+_MOJI_LEADS = "".join(
+    bytes([b]).decode("cp1252") for b in (0xC2, 0xC3, 0xE2)
+)
+# no regex metachars inside either class (cp1252 images are all
+# non-ASCII), so plain bracket concatenation is safe in BOTH Java
+# regex and RE2 — the same literal string feeds Spark and the DuckDB
+# oracle.
+MOJIBAKE_PATTERN = "[" + _MOJI_LEADS + "][" + _MOJI_CONT + "]"
+# C1 controls U+0080-U+009F: cannot appear in clean text; the classic
+# symptom of a latin-1 decode of cp1252 bytes. \x{..} is valid in both
+# Java regex and RE2.
+C1_PATTERN = "[\\x{80}-\\x{9f}]"
+REPLACEMENT_CHAR = chr(0xFFFD)
+# canonical injected-damage fixture: 'é’' UTF-8 bytes wrongly decoded
+# as cp1252 -> one 2-byte marker + one 3-byte marker (2 mojibake hits)
+MOJI_SUFFIX = " " + "é’".encode("utf-8").decode("cp1252")
+
+
+def mojibake_marks(col) -> Column:
+    """Count of double-encoded-UTF-8 markers: a cp1252-image lead char
+    immediately followed by a cp1252-image continuation char — the
+    signature produced when UTF-8 bytes are decoded as latin-1/cp1252.
+    Pure regexp count, JVM-side, map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), F.lit(0)))
+
+
+def encoding_health(col) -> list[Column]:
+    """Per-document encoding-damage profile: [[mojibake_marks]] count,
+    U+FFFD replacement-char count (a decoder ALREADY gave up there), C1
+    control chars, and the boolean gate. The curation read: flagged
+    docs go to re-decode or quarantine BEFORE tokenization — BPE
+    merrily learns mojibake tokens and they poison the vocab forever.
+
+    Returns 4 columns (moji_marks, repl_chars, c1_chars, enc_suspect)
+    for a .select; map-only, whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    moji = mojibake_marks(c)
+    repl = F.size(
+        F.regexp_extract_all(c, F.lit(REPLACEMENT_CHAR), F.lit(0))
+    )
+    c1 = F.size(F.regexp_extract_all(c, F.lit(C1_PATTERN), F.lit(0)))
+    return [
+        moji.alias("moji_marks"),
+        repl.alias("repl_chars"),
+        c1.alias("c1_chars"),
+        ((moji > 0) | (repl > 0) | (c1 > 0)).alias("enc_suspect"),
+    ]

@@ -966,3 +966,47 @@ def test_t_closeness_validates(spark):
     df = spark.createDataFrame([("a", 1)], "g string, v long")
     with _pytest.raises(ValueError):
         t_closeness_report(df, (), "v")
+
+
+def test_mojibake_roundtrip_detection(spark):
+    from png_from_pdf_extracter_spark.functions.text import (
+        encoding_health,
+        mojibake_marks,
+    )
+
+    clean = "A perfectly ordinary sentence, with punctuation."
+    moji2 = "café résumé".encode("utf-8").decode("cp1252")
+    moji3 = "it’s — fine…".encode("utf-8").decode("cp1252")
+    c1 = "it’s".encode("utf-8").decode("latin-1")
+    repl = "lost � bytes � here"
+    df = spark.createDataFrame(
+        [(1, clean), (2, moji2), (3, moji3), (4, c1), (5, repl)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", mojibake_marks("text"), *encoding_health("text")
+        ).collect()
+    }
+    assert not out[1]["enc_suspect"]
+    # three 2-byte sequences (one é in café, two in résumé) -> 3 marks
+    assert out[2]["moji_marks"] == 3 and out[2]["enc_suspect"]
+    # three 3-byte punctuation sequences (’, —, …) -> 3 marks
+    assert out[3]["moji_marks"] == 3 and out[3]["enc_suspect"]
+    # latin-1 decode leaves C1 controls, not cp1252 symbols
+    assert out[4]["c1_chars"] == 2 and out[4]["enc_suspect"]
+    assert out[5]["repl_chars"] == 2 and out[5]["enc_suspect"]
+
+
+def test_mojibake_clean_ascii_and_real_unicode_pass(spark):
+    from png_from_pdf_extracter_spark.functions.text import encoding_health
+
+    # PROPERLY encoded non-ASCII must not be flagged: é’s codepoints are
+    # not cp1252-lead+continuation pairs
+    df = spark.createDataFrame(
+        [(1, "café résumé — it’s fine…"), (2, "plain ascii")],
+        "doc_id long, text string",
+    )
+    rows = df.select("doc_id", *encoding_health("text")).collect()
+    assert all(not r["enc_suspect"] for r in rows)

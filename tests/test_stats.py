@@ -1952,3 +1952,70 @@ def test_tukey_unbalanced_kramer_and_degenerate(spark):
     )
     r2 = tukey_hsd(df2, "v", "grp", quantize=2).collect()[0]
     assert r2["q_q6"] is None and r2["diff_q6"] == 0.0
+
+
+def test_energy_distance_identical_zero_and_shift(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        energy_distance_2s,
+    )
+
+    base = [1.0, 2.0, 3.0, 7.0]
+    rows = [(v, g) for g in (0, 1) for v in base]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = energy_distance_2s(df, "v", "arm", quantize=2).collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 4 and r["d2_q6"] == 0.0
+    # disjoint shifted arms: D^2 -> 2*shift - spread terms, strictly > 0
+    rows2 = [(v, 0) for v in base] + [(v + 100.0, 1) for v in base]
+    df2 = spark.createDataFrame(rows2, "v double, arm int")
+    r2 = energy_distance_2s(df2, "v", "arm", quantize=2).collect()[0]
+    assert r2["d2_q6"] > 100.0
+
+
+def test_energy_distance_python_twin(spark):
+    import math
+    import random
+
+    import pytest
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        energy_distance_2s,
+    )
+
+    def q2(v):
+        return int(
+            Decimal(repr(v * 100.0)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(11)
+    rows = [(round(rng.uniform(0, 30), 2), 0) for _ in range(50)] + [
+        (round(rng.uniform(10, 45), 2), 1) for _ in range(35)
+    ]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = energy_distance_2s(df, "v", "arm", quantize=2).collect()[0]
+    a = [q2(v) for v, g in rows if g == 0]
+    b = [q2(v) for v, g in rows if g == 1]
+    n, m = len(a), len(b)
+    exy = sum(abs(x - y) for x in a for y in b) / (n * m)
+    exx = sum(abs(x - y) for x in a for y in a) / (n * n)
+    eyy = sum(abs(x - y) for x in b for y in b) / (m * m)
+    d2 = (2.0 * exy - exx - eyy) / 100.0
+    # the sweep identity is exact in integers; only the final float
+    # assembly differs in op order from the brute force, so compare to
+    # 1e-9 rather than bit-equality, then pin the q6 floor loosely
+    assert abs((2 * sum(abs(x - y) for x in a for y in b)) / (n * m)
+               - 2.0 * exy) < 1e-9
+    assert r["d2_q6"] == pytest.approx(math.floor(d2 * 1e6) / 1e6, abs=2e-6)
+    assert r["d2_q6"] > 0
+
+
+def test_energy_distance_one_arm_null(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        energy_distance_2s,
+    )
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "v double, arm int")
+    r = energy_distance_2s(df, "v", "arm", quantize=2).collect()[0]
+    assert r["d2_q6"] is None
