@@ -4542,6 +4542,54 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier
+    (functions/evalmetrics.py naive_bayes_train/predict): train on the
+    corpus's own (lang, word) counts with Laplace smoothing, score
+    every doc against every label with INTEGER-quantized log-probs
+    (float-order-immune sums), emit the resubstitution confusion
+    matrix (lang, pred, n). The generative one-pass sibling of
+    q_logreg_train."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    d = _read(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    dd = d.select("doc_id", "lang", toks.alias("toks"))
+    wm, lm = naive_bayes_train(dd, "toks", "lang")
+    pred = naive_bayes_predict(dd, "doc_id", "toks", wm, lm)
+    return (
+        dd.select(F.col("doc_id").alias("id"), "lang")
+        .join(pred, "id")
+        .groupBy("lang", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy-hitter vocabulary (functions/sketch.py
+    heavy_hitters): every word at >= 0.2% of corpus occurrences with
+    its exact count, found by per-partition Misra-Gries candidate
+    pruning + one exact verify pass over candidate rows only — the
+    full-cardinality groupBy (the q_top_words baseline) never runs.
+    Candidacy is order-independent above the threshold, so the output
+    equals the plain GROUP BY/HAVING oracle exactly."""
+    from png_from_pdf_extracter_spark.functions.sketch import heavy_hitters
+
+    d = _read(spark, sf_dir, "documents")
+    wds = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    occ = d.select(F.explode(wds).alias("word"))
+    return heavy_hitters(occ, "word", threshold_frac=0.002)
+
+
 def _q_energy_distance(spark, sf_dir):
     """Two-sample energy distance (functions/stats.py
     energy_distance_2s): full-distribution gap between users divisible
@@ -5708,6 +5756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tukey": _q_tukey,
         "q_energy_distance": _q_energy_distance,
         "q_encoding_health": _q_encoding_health,
+        "q_heavy_hitters": _q_heavy_hitters,
+        "q_naive_bayes": _q_naive_bayes,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12086,6 +12136,80 @@ def oracle_sql() -> dict[str, str]:
             FROM fin
         """,
         "q_encoding_health": enc_health,
+        "q_heavy_hitters": """
+            WITH w AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM w)
+            SELECT word AS item, count(*)::BIGINT AS cnt
+            FROM w, tot GROUP BY word, n
+            HAVING count(*) >= ceil(n * 0.002)
+        """,
+        "q_naive_bayes": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            lw AS (
+              SELECT lang AS label, word, count(*)::BIGINT AS c
+              FROM toks GROUP BY label, word
+            ),
+            lt AS (
+              SELECT lang AS label, count(*)::BIGINT AS t
+              FROM toks GROUP BY label
+            ),
+            vv AS (SELECT count(DISTINCT word)::BIGINT AS v FROM toks),
+            dn AS (
+              SELECT lang AS label, count(*)::BIGINT AS dnn
+              FROM documents WHERE lang IS NOT NULL GROUP BY label
+            ),
+            dd AS (SELECT sum(dnn)::BIGINT AS d FROM dn),
+            wm AS (
+              SELECT word, lw.label,
+                CAST(floor(ln((c::DOUBLE + 1.0)
+                              / (t::DOUBLE + 1.0 * v::DOUBLE)) * 1e6)
+                     AS BIGINT) AS lp_q
+              FROM lw JOIN lt ON lw.label = lt.label, vv
+            ),
+            lm AS (
+              SELECT lt.label,
+                CAST(floor(ln(dnn::DOUBLE / d::DOUBLE) * 1e6)
+                     AS BIGINT) AS prior_q,
+                CAST(floor(ln(1.0 / (t::DOUBLE + 1.0 * v::DOUBLE)) * 1e6)
+                     AS BIGINT) AS oov_q
+              FROM lt JOIN dn ON lt.label = dn.label, vv, dd
+            ),
+            fan AS (
+              SELECT t.doc_id AS id, t.lang, t.word,
+                     lm.label, lm.prior_q, lm.oov_q
+              FROM toks t, lm
+            ),
+            scored AS (
+              SELECT fan.id, fan.lang, fan.label,
+                     sum(coalesce(wm.lp_q, fan.oov_q)) + max(fan.prior_q)
+                       AS score_q
+              FROM fan LEFT JOIN wm
+                ON fan.word = wm.word AND fan.label = wm.label
+              GROUP BY fan.id, fan.lang, fan.label
+            ),
+            best AS (
+              SELECT id, lang, label AS pred FROM (
+                SELECT id, lang, label,
+                       row_number() OVER (
+                         PARTITION BY id
+                         ORDER BY score_q DESC, label ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT lang, pred, count(*)::BIGINT AS n
+            FROM best GROUP BY lang, pred
+        """,
         "q_energy_distance": """
             WITH base AS (
               SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,

@@ -555,6 +555,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_tukey",
         "q_energy_distance",
         "q_encoding_health",
+        "q_heavy_hitters",
+        "q_naive_bayes",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -1014,3 +1014,137 @@ def risk_coverage_curve(
             / F.lit(1e6)
         ).alias("risk_q6"),
     )
+
+
+def naive_bayes_train(
+    docs: DataFrame,
+    tokens_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+    quantize: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trainer over a tokenized corpus — the
+    classic one-pass generative text classifier ([[logreg_train]] is
+    the discriminative iterative sibling; [[hash_classifier]] the
+    featureless-hash strawman). Token log-likelihoods lp(w|l) =
+    ln((c_lw + a) / (T_l + a*V)) with Laplace smoothing, plus the
+    per-label OOV default and ln prior.
+
+    DETERMINISM contract (the TF-IDF APSS lesson): every log-prob is
+    floor-quantized to integer 1e-``quantize`` units at TRAIN time, so
+    prediction-time scores are INTEGER sums — immune to float add
+    order across partitions, exactly reproducible in the DuckDB twin.
+    ln() itself is within 1 ulp across libm implementations; a flip at
+    the floor boundary needs the true value within ~1e-16 of a 1e-6
+    grid line (checked at two SFs by the oracle sweep).
+
+    Plan: token counts = one (label, word) map-combinable groupBy;
+    vocab size + label totals are 1-row/k-row broadcast aggregates.
+    Returns (word_model, label_model): (word, label, lp_q) and
+    (label, prior_q, oov_q) — both bounded by vocab x k, the
+    broadcast-able model the predict side wants.
+    """
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.col(tokens_col)).alias("word"),
+    ).filter(F.col("label").isNotNull() & F.col("word").isNotNull())
+    lw = toks.groupBy("label", "word").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    lab_tot = toks.groupBy("label").agg(
+        F.count("*").cast("long").alias("__t")
+    )
+    vocab = F.broadcast(
+        toks.select("word").distinct().agg(F.count("*").alias("__v"))
+    )
+    doc_n = (
+        docs.select(F.col(label_col).alias("label"))
+        .filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("__dn"))
+    )
+    ndocs = F.broadcast(doc_n.agg(F.sum("__dn").alias("__d")))
+    unit = float(10 ** quantize)
+    a = float(alpha)
+
+    def _q(col):
+        return F.floor(col * F.lit(unit)).cast("long")
+
+    denom = F.col("__t").cast("double") + F.lit(a) * F.col("__v").cast(
+        "double"
+    )
+    word_model = (
+        lw.join(F.broadcast(lab_tot), "label")
+        .crossJoin(vocab)
+        .select(
+            "word",
+            "label",
+            _q(
+                F.log(
+                    (F.col("__c").cast("double") + F.lit(a)) / denom
+                )
+            ).alias("lp_q"),
+        )
+    )
+    label_model = (
+        lab_tot.crossJoin(vocab)
+        .join(doc_n, "label")
+        .crossJoin(ndocs)
+        .select(
+            "label",
+            _q(
+                F.log(
+                    F.col("__dn").cast("double")
+                    / F.col("__d").cast("double")
+                )
+            ).alias("prior_q"),
+            _q(F.log(F.lit(a) / denom)).alias("oov_q"),
+        )
+    )
+    return word_model, label_model
+
+
+def naive_bayes_predict(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    word_model: DataFrame,
+    label_model: DataFrame,
+) -> DataFrame:
+    """Score every document against every label and emit the argmax.
+    Each token occurrence fans out to the k labels (broadcast label
+    table), left-joins the broadcast word model (vocab x k rows —
+    bounded, the [[naive_bayes_train]] contract), falls back to the
+    label's OOV mass, and one (doc, label) integer-sum aggregate +
+    per-doc max_by finishes it. Integer scores -> the argmax (with
+    lexicographic label tie-break) is deterministic across partitions
+    and engines. Returns (id, pred, score_q)."""
+    occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.col(tokens_col)).alias("word"),
+    )
+    fan = occ.crossJoin(
+        F.broadcast(label_model.select("label", "prior_q", "oov_q"))
+    )
+    scored = (
+        fan.join(F.broadcast(word_model), ["word", "label"], "left")
+        .groupBy("id", "label")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("lp_q"), F.col("oov_q")))
+                + F.max("prior_q")
+            ).alias("score_q")
+        )
+    )
+    # argmax with smallest-label-on-tie: min over (negated score,
+    # label) struct ordering — one aggregate, no window
+    best = scored.groupBy("id").agg(
+        F.min(
+            F.struct((-F.col("score_q")).alias("ns"), F.col("label"))
+        ).alias("__b")
+    )
+    return best.select(
+        "id",
+        F.col("__b.label").alias("pred"),
+        (-F.col("__b.ns")).alias("score_q"),
+    )

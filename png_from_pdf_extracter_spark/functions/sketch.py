@@ -197,3 +197,81 @@ def kmv_estimate(
         )
         .alias("est_distinct"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold_frac: float = 0.001,
+    mg_slack: int = 2,
+) -> DataFrame:
+    """Exact heavy hitters via Misra-Gries candidate pruning — "every
+    item with frequency >= threshold_frac * N, with its EXACT count",
+    without ever shuffling the full distinct-key space. The exact
+    [[cms_estimate]] complement: CMS answers point queries with
+    one-sided error; this enumerates the heavy set with no error.
+
+    Two phases:
+    1. CANDIDATES: each partition runs a Misra-Gries summary with
+       k = mg_slack / threshold_frac counters inside ``mapInPandas``
+       (dict state across Arrow batches, O(k) memory, zero shuffle).
+       Averaging argument: an item with global count > N/k exceeds
+       n_p/k on at least one partition, so the union of partition
+       summaries is a SUPERSET of every item at frequency > N/k —
+       and with k = mg_slack/threshold_frac the user threshold sits
+       mg_slack x above the guarantee line, so candidacy is
+       order-independent for every emitted row (the DETERMINISM
+       property the oracle needs; arrival order only perturbs
+       below-threshold candidates, which phase 2 discards).
+    2. VERIFY: one exact count over rows whose item joins the
+       broadcast candidate list (<= k * partitions rows), filtered at
+       ceil(threshold_frac * N).
+
+    100-TB shape: the full-cardinality groupBy (billions of distinct
+    keys) is replaced by a map-only pass plus a groupBy over ONLY
+    candidate rows; driver state is the candidate list, bounded by
+    k * partitions (README "Driver-state budget" applies to the
+    broadcast, not a collect). Returns (item, cnt) exact, descending
+    count then item for stable review order.
+    """
+    import pandas as pd
+
+    k = int(mg_slack / threshold_frac)
+    item = F.col(item_col).cast("string").alias("__it")
+    src = df.select(item).filter(F.col("__it").isNotNull())
+
+    def _mg(batches):
+        # batch-merge Misra-Gries (Agarwal et al., mergeable
+        # summaries): per Arrow batch take vectorized value_counts,
+        # merge into the running summary, and when over k counters
+        # subtract the (k+1)-th largest count from ALL and drop the
+        # non-positives — same error guarantee as row-at-a-time MG
+        # (total subtracted <= n_p/k per surviving item), C-speed.
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf["__it"].value_counts()
+            counters = vc if counters is None else counters.add(
+                vc, fill_value=0
+            )
+            if len(counters) > k:
+                m = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > m] - m
+        keys = [] if counters is None else list(counters.index)
+        yield pd.DataFrame({"__it": keys})
+
+    cand = (
+        src.mapInPandas(_mg, "`__it` string")
+        .select("__it")
+        .distinct()
+    )
+    total = F.broadcast(src.agg(F.count("*").alias("__n")))
+    thr = F.ceil(F.col("__n") * F.lit(float(threshold_frac))).cast("long")
+    return (
+        src.join(F.broadcast(cand), "__it", "inner")
+        .groupBy("__it")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(total)
+        .filter(F.col("cnt") >= thr)
+        .select(F.col("__it").alias("item"), "cnt")
+        .orderBy(F.desc("cnt"), "item")
+    )

@@ -163,3 +163,90 @@ def test_kmv_shard_merge_equals_whole_corpus_sketch(spark):
     assert sorted(r["h"] for r in merged.collect()) == sorted(
         r["h"] for r in direct.collect()
     )
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.functions.sketch import heavy_hitters
+
+    rng = random.Random(3)
+    # zipf-ish: a few heavy items + a long uniform tail, spread over
+    # many partitions so the per-partition MG summaries must merge
+    rows = (
+        [("hot_a",)] * 400
+        + [("hot_b",)] * 250
+        + [("warm_c",)] * 60
+        + [(f"tail_{rng.randrange(2000)}",) for _ in range(4000)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "item", threshold_frac=0.01).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= -(-n // 100))
+        .collect()
+    }
+    assert got == exact and ("hot_a", 400) in got
+
+
+def test_heavy_hitters_order_stable_under_partitioning(spark):
+    from png_from_pdf_extracter_spark.functions.sketch import heavy_hitters
+
+    rows = [(f"k{i % 7}",) for i in range(700)] + [
+        (f"rare_{i}",) for i in range(300)
+    ]
+    df1 = spark.createDataFrame(rows, "item string").repartition(2)
+    df2 = spark.createDataFrame(list(reversed(rows)), "item string").repartition(16)
+    r1 = [tuple(r) for r in heavy_hitters(df1, "item", 0.05).collect()]
+    r2 = [tuple(r) for r in heavy_hitters(df2, "item", 0.05).collect()]
+    # arrival order and partition count must not change the output
+    assert r1 == r2 and len(r1) == 7
+
+
+def test_naive_bayes_separable_and_oov(spark):
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "spam", ["buy", "cheap", "pills", "now"]),
+        (2, "spam", ["cheap", "pills", "buy"]),
+        (3, "ham", ["meeting", "notes", "attached"]),
+        (4, "ham", ["see", "notes", "meeting"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label string, toks array<string>")
+    wm, lm = naive_bayes_train(df, "toks", "label")
+    assert wm.count() > 0 and lm.count() == 2
+    pred = {
+        r["id"]: r["pred"]
+        for r in naive_bayes_predict(df, "doc_id", "toks", wm, lm).collect()
+    }
+    assert pred == {1: "spam", 2: "spam", 3: "ham", 4: "ham"}
+    # all-OOV doc: scores reduce to len*oov + prior per label; 'ham'
+    # and 'spam' tie on counts -> lexicographically smaller label wins
+    oov = spark.createDataFrame(
+        [(9, ["zzz", "qqq"])], "doc_id long, toks array<string>"
+    )
+    p9 = naive_bayes_predict(oov, "doc_id", "toks", wm, lm).collect()[0]
+    assert p9["pred"] == "ham"
+    # score is the integer-quantized sum: recompute in python
+    import math
+
+    toks = [t for _, lab, ts in rows for t in ts]
+    v = len(set(toks))
+    t_ham = sum(len(ts) for _, lab, ts in rows if lab == "ham")
+    oov_q = math.floor(math.log(1.0 / (t_ham + 1.0 * v)) * 1e6)
+    prior_q = math.floor(math.log(2.0 / 4.0) * 1e6)
+    assert p9["score_q"] == 2 * oov_q + prior_q
