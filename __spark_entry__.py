@@ -4542,6 +4542,57 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_label_prop(spark, sf_dir):
+    """Seeded label propagation, 3 synchronous rounds
+    (functions/graph.py label_propagation) over the deterministic
+    orders-derived graph (q_pagerank's): every 10th customer is
+    clamped to its market segment; labels spread by majority vote
+    with smallest-label tie-break. Deterministic rounds => the whole
+    iteration is value-checked against 3 unrolled DuckDB CTEs."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        label_propagation,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % 1500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    c = _read(spark, sf_dir, "customer")
+    seeds = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_mktsegment").alias("label"),
+    )
+    return label_propagation(edges, seeds, rounds=3)
+
+
+def _q_hill_tail(spark, sf_dir):
+    """Hill tail-index of the word-frequency distribution
+    (functions/stats.py hill_tail_index, k=100): HOW Zipf-heavy is
+    the vocabulary tail — the sharp companion to q_zipf_fit's
+    whole-line regression. Top-k membership via integer rank-reach
+    over the distinct-count table; fixed-order ln sum over <= k
+    rows."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hill_tail_index,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    wds = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    wc = (
+        d.select(F.explode(wds).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return hill_tail_index(wc, "f", k=100, quantize=0)
+
+
 def _q_naive_bayes(spark, sf_dir):
     """Multinomial Naive Bayes language classifier
     (functions/evalmetrics.py naive_bayes_train/predict): train on the
@@ -5758,6 +5809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encoding_health": _q_encoding_health,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_naive_bayes": _q_naive_bayes,
+        "q_label_prop": _q_label_prop,
+        "q_hill_tail": _q_hill_tail,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -6171,6 +6224,62 @@ _LOGRANK_SQL = (
             FROM ag
         """
 )
+
+
+def _lpa_unrolled_sql(rounds: int = 3) -> str:
+    """DuckDB oracle for ``q_label_prop``: the synchronous rounds are
+    UNROLLED as chained CTEs (the ``_kcore_unrolled_sql`` trick — and
+    the same AS MATERIALIZED warning: each round references the
+    previous label table twice). Round semantics mirror
+    graph.label_propagation exactly: majority vote over labeled
+    neighbors, smallest label on ties, seeds clamped, no-vote keeps
+    the previous label."""
+    ctes = [
+        """raw AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS src, (o_orderkey % 1500) AS dst
+          FROM orders WHERE o_custkey <> (o_orderkey % 1500)
+        )""",
+        """sym AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM raw
+            UNION ALL SELECT dst AS a, src AS b FROM raw
+          )
+        )""",
+        """l0 AS MATERIALIZED (
+          SELECT DISTINCT c_custkey AS node, c_mktsegment AS label,
+                 TRUE AS is_seed
+          FROM customer WHERE c_custkey % 10 = 0
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+              SELECT s.a AS node, l.label AS nl, count(*)::BIGINT AS c
+              FROM sym s JOIN l{p} l ON s.b = l.node
+              GROUP BY s.a, l.label
+            ),
+            b{i} AS MATERIALIZED (
+              SELECT node, nl AS vote FROM (
+                SELECT node, nl, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, nl ASC) AS rn
+                FROM v{i}
+              ) WHERE rn = 1
+            ),
+            l{i} AS MATERIALIZED (
+              SELECT coalesce(l.node, b.node) AS node,
+                     CASE WHEN coalesce(l.is_seed, FALSE) THEN l.label
+                          ELSE coalesce(b.vote, l.label) END AS label,
+                     coalesce(l.is_seed, FALSE) AS is_seed
+              FROM l{p} l FULL JOIN b{i} b ON l.node = b.node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label, is_seed FROM l{rounds}"
+        + " WHERE label IS NOT NULL"
+    )
 
 
 def _kcore_unrolled_sql(k: int = 4, rounds: int = 16) -> str:
@@ -12147,6 +12256,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT word AS item, count(*)::BIGINT AS cnt
             FROM w, tot GROUP BY word, n
             HAVING count(*) >= ceil(n * 0.002)
+        """,
+        "q_label_prop": _lpa_unrolled_sql(rounds=3),
+        "q_hill_tail": """
+            WITH w AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            wc AS (SELECT word, count(*)::BIGINT AS f FROM w GROUP BY word),
+            base AS (
+              SELECT CAST(round(CAST(f AS DOUBLE) * 1, 0) AS BIGINT) AS v
+              FROM wc
+              WHERE CAST(round(CAST(f AS DOUBLE) * 1, 0) AS BIGINT) > 0
+            ),
+            cnt AS (SELECT v, count(*)::BIGINT AS c FROM base GROUP BY v),
+            reach AS (
+              SELECT v, c, sum(c) OVER (ORDER BY v DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS ge
+              FROM cnt
+            ),
+            topk AS (
+              SELECT v, least(c, 100 - (ge - c)) AS m FROM reach
+              WHERE least(c, 100 - (ge - c)) > 0
+            ),
+            stepped AS (
+              SELECT sum(m::DOUBLE * ln(v::DOUBLE)) OVER (ORDER BY v DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s,
+                     sum(m) OVER () AS k_eff,
+                     row_number() OVER (ORDER BY v DESC) AS rn,
+                     count(*) OVER () AS nr
+              FROM topk
+            ),
+            ls AS (SELECT s, k_eff FROM stepped WHERE rn = nr),
+            xr AS (SELECT max(v) AS xrv FROM reach WHERE ge >= 101),
+            tt AS (SELECT count(*)::BIGINT AS n FROM base)
+            SELECT n, k_eff::BIGINT AS k, xrv::DOUBLE / 1.0 AS xref,
+              CASE WHEN (s / k_eff::DOUBLE - ln(xrv::DOUBLE)) > 0 THEN
+                floor(1.0 / (s / k_eff::DOUBLE - ln(xrv::DOUBLE)) * 1e6)
+                  / 1e6
+              END AS alpha_q6
+            FROM ls, xr, tt
         """,
         "q_naive_bayes": """
             WITH toks AS (

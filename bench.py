@@ -557,6 +557,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_encoding_health",
         "q_heavy_hitters",
         "q_naive_bayes",
+        "q_label_prop",
+        "q_hill_tail",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

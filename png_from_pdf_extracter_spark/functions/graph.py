@@ -618,3 +618,72 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             / F.lit(1e6),
         ).alias("r_q6"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Seeded label propagation (semi-supervised label spreading):
+    given sparse trusted labels on a few nodes, spread them through
+    ``edges(src, dst)`` by synchronous majority vote — the curation
+    move that turns 1% human-labeled quality/topic tags into
+    graph-wide weak labels ([[bfs_hops]] spreads DISTANCE; this
+    spreads the label itself, and a hub voting 60/40 stays contested
+    rather than simply "reached").
+
+    Semantics (pinned for the cross-engine oracle): edges are
+    symmetrized; ``seeds(node, label)`` are CLAMPED (never change);
+    every other node re-votes each round as the most frequent label
+    among its labeled neighbors, ties broken by SMALLEST label; a node
+    with no labeled neighbor keeps its previous label (null until
+    first reached). Synchronous rounds + deterministic tie-break =>
+    the output is a pure function of the graph, immune to partition
+    or arrival order — and expressible as ``rounds`` unrolled SQL
+    CTEs, so the full iteration is value-checked against DuckDB.
+
+    Plan per round (Pregel shape): one edge->label join + one
+    (node, label) vote aggregate + one argmax aggregate + one merge
+    join. State is node-keyed DataFrames only; nothing collects to
+    the driver. At 10^12 edges each round is two shuffles keyed by
+    node id — the same budget as one [[pagerank_fixed_point]] step.
+
+    Returns ``(node, label, is_seed)`` for all nodes that have a
+    label after ``rounds`` rounds.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    cur = seeds.select(
+        "node",
+        F.col("label"),
+        F.lit(True).alias("is_seed"),
+    ).distinct()
+    for _ in range(rounds):
+        labeled = cur.select(
+            F.col("node").alias("b"), F.col("label").alias("__nl")
+        )
+        votes = (
+            sym.join(labeled, "b")
+            .groupBy(F.col("a").alias("node"), F.col("__nl"))
+            .agg(F.count("*").cast("long").alias("__c"))
+        )
+        best = votes.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("__c")).alias("nc"), F.col("__nl"))
+            ).alias("__b")
+        ).select("node", F.col("__b.__nl").alias("__vote"))
+        cur = (
+            cur.join(best, "node", "full")
+            .select(
+                "node",
+                F.when(F.coalesce("is_seed", F.lit(False)), F.col("label"))
+                .otherwise(F.coalesce("__vote", "label"))
+                .alias("label"),
+                F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            )
+        )
+    return cur.filter(F.col("label").isNotNull())

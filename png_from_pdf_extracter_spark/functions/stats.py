@@ -3476,3 +3476,94 @@ def energy_distance_2s(
             F.floor(d2 * F.lit(1e6)) / F.lit(1e6),
         ).alias("d2_q6"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    quantize: int = 0,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-k order
+    statistics: alpha_hat = 1 / (mean_{i<=k} ln(X_(n-i+1)) -
+    ln(X_(n-k))) — the sharp "HOW heavy is the tail" number where
+    [[zipf_fit]] regresses the whole rank-frequency line. The
+    curation read: alpha ~1 means a handful of tokens/domains/users
+    dominate the corpus mass (cap or downsample before they eat the
+    mixture); alpha >= 2 means the tail is integrable and safe.
+
+    EXACT cross-engine: values integer-quantized ([[_quant]]); the
+    top-k membership boundary is the exact k-th-from-top order
+    statistic computed on the distinct-value count table via a
+    REVERSE running count (integer rank-reach, no sort of raw rows);
+    ties at the boundary are truncated by rank so exactly k values
+    enter. The ln sum runs in FIXED value order (descending) over at
+    most k rows — the [[_stepped_sq_over_n]] discipline — and the
+    final assembly is one fixed-op-order float expression. Plan: one
+    map-combinable (value -> count) shuffle; every window is over the
+    distinct-value table, bounded by cardinality not corpus size.
+    Returns (n, k, xref, alpha_q6) — xref is X_(n-k), the (k+1)-th
+    largest value (the classic Hill reference); alpha null when the
+    top-(k+1) span is degenerate (all equal) or n <= k.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(v.alias("__v")).filter(
+        F.col("__v").isNotNull() & (F.col("__v") > 0)
+    )
+    cnt = base.groupBy("__v").agg(F.count("*").cast("long").alias("__c"))
+    wdesc = Window.orderBy(F.desc("__v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # reverse running count: how many raw values are >= this distinct v
+    reach = cnt.select(
+        "__v", "__c", F.sum("__c").over(wdesc).alias("__ge")
+    )
+    # expand only the boundary-straddling distinct values to raw
+    # multiplicity, capped at rank k: rows above the boundary keep
+    # full multiplicity, the boundary value keeps k - (count above)
+    kk = F.lit(int(k))
+    take = F.least(
+        F.col("__c"), kk - (F.col("__ge") - F.col("__c"))
+    )
+    topk = reach.filter(take > 0).select(
+        "__v", take.alias("__m")
+    )
+    # ln sum in fixed descending-value order over <= k distinct rows
+    ordw = Window.orderBy(F.desc("__v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.orderBy(F.desc("__v")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = topk.select(
+        F.sum(F.col("__m").cast("double") * F.log(F.col("__v").cast("double")))
+        .over(ordw)
+        .alias("__s"),
+        F.sum("__m").over(full).alias("__k_eff"),
+        F.row_number().over(Window.orderBy(F.desc("__v"))).alias("__rn"),
+        F.count("*").over(full).alias("__nr"),
+    )
+    lnsum = stepped.filter(F.col("__rn") == F.col("__nr")).select(
+        "__s", "__k_eff"
+    )
+    # classic Hill reference X_(n-k): the (k+1)-th largest raw value =
+    # the largest distinct value whose reverse reach covers k+1
+    xref = F.broadcast(
+        reach.filter(F.col("__ge") >= kk + 1).agg(
+            F.max("__v").alias("__xr")
+        )
+    )
+    totals = F.broadcast(base.agg(F.count("*").cast("long").alias("n")))
+    ke = F.col("__k_eff").cast("double")
+    gap = F.col("__s") / ke - F.log(F.col("__xr").cast("double"))
+    alpha = F.lit(1.0) / gap
+    return lnsum.crossJoin(xref).crossJoin(totals).select(
+        "n",
+        F.col("__k_eff").cast("long").alias("k"),
+        (F.col("__xr").cast("double") / F.lit(10.0 ** quantize)).alias(
+            "xref"
+        ),
+        F.when(gap > 0, F.floor(alpha * F.lit(1e6)) / F.lit(1e6)).alias(
+            "alpha_q6"
+        ),
+    )

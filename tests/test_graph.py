@@ -424,3 +424,55 @@ def test_assortativity_matches_networkx_formula(spark):
         * 1e6
     ) / 1e6
     assert degree_assortativity(edges).collect()[0]["r_q6"] == ref
+
+
+def test_label_propagation_two_camps(spark):
+    from png_from_pdf_extracter_spark.functions.graph import (
+        label_propagation,
+    )
+
+    # two cliques bridged by one edge; one seed per clique
+    e = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(1, "red"), (12, "blue")], "node long, label string"
+    )
+    out = {
+        r["node"]: (r["label"], r["is_seed"])
+        for r in label_propagation(edges, seeds, rounds=3).collect()
+    }
+    assert out[1] == ("red", True) and out[12] == ("blue", True)
+    assert out[2][0] == "red" and out[3][0] == "red"
+    assert out[10][0] == "blue" and out[11][0] == "blue"
+
+
+def test_label_propagation_tie_break_and_clamp(spark):
+    from png_from_pdf_extracter_spark.functions.graph import (
+        label_propagation,
+    )
+
+    # node 5 sees one 'a' and one 'b' neighbor -> smallest label wins
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "b"), (2, "a")], "node long, label string"
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, rounds=1).collect()
+    }
+    assert out[5] == "a"
+    # seeds never flip even when outvoted
+    edges2 = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 4)], "src long, dst long"
+    )
+    seeds2 = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y")],
+        "node long, label string",
+    )
+    out2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges2, seeds2, rounds=2).collect()
+    }
+    assert out2[4] == "y" and out2[9] == "x"

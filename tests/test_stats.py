@@ -2019,3 +2019,53 @@ def test_energy_distance_one_arm_null(spark):
     df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "v double, arm int")
     r = energy_distance_2s(df, "v", "arm", quantize=2).collect()[0]
     assert r["d2_q6"] is None
+
+
+def test_hill_tail_pareto_recovers_alpha(spark):
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hill_tail_index,
+    )
+
+    # exact Pareto(alpha=2) quantiles: x_i = (1 - u_i)^(-1/2), u_i
+    # uniform grid -> Hill over the top tail estimates ~2
+    n = 4000
+    vals = [(1.0 - (i + 0.5) / n) ** -0.5 * 100.0 for i in range(n)]
+    rng = random.Random(5)
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = hill_tail_index(df, "v", k=200, quantize=2).collect()[0]
+    assert r["n"] == n and r["k"] == 200
+    assert 1.6 < r["alpha_q6"] < 2.4
+
+
+def test_hill_tail_python_twin_with_ties(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hill_tail_index,
+    )
+
+    # heavy ties straddling the k boundary exercise the rank-capped
+    # multiplicity logic
+    vals = [50.0] * 3 + [40.0] * 4 + [30.0] * 6 + [20.0] * 10 + [10.0] * 20
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    k = 8
+    r = hill_tail_index(df, "v", k=k, quantize=0).collect()[0]
+    s = sorted(vals, reverse=True)
+    topk = s[:k]
+    xref = s[k]
+    gap = sum(math.log(x) for x in topk) / k - math.log(xref)
+    assert r["k"] == k and r["xref"] == xref
+    assert r["alpha_q6"] == math.floor(1.0 / gap * 1e6) / 1e6
+
+
+def test_hill_tail_degenerate_null(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hill_tail_index,
+    )
+
+    df = spark.createDataFrame([(5.0,)] * 30, "v double")
+    r = hill_tail_index(df, "v", k=10, quantize=0).collect()[0]
+    assert r["alpha_q6"] is None
