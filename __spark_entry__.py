@@ -4542,6 +4542,40 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_prf_expand(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (search.prf_expand,
+    RM1-uniform): BM25 top-10 for q_bm25's 3-term query, integer
+    feedback-tf ranking of their non-query terms with a corpus-df
+    stopword ceiling. All statistics integer => value-checkable; the
+    candidate-term window is bounded by the 10 feedback docs. The
+    ceiling is registered INERT (1.0): the synthetic corpus draws from
+    a 31-word vocabulary with uniform df ~0.77, so any real ceiling
+    empties the candidate set — the parameter's filtering behavior is
+    pinned in tests/test_search.py instead."""
+    return search.prf_expand(
+        _read(spark, sf_dir, "documents"),
+        ["vector", "stream", "merge"],
+        fb_docs=10,
+        n_expansion=10,
+        max_df_frac=1.0,
+    )
+
+
+def _q_prf_rerank(spark, sf_dir):
+    """The full PRF loop (search.prf_rerank): expansion terms feed a
+    SECOND BM25 pass through a broadcast term join — retrieval,
+    expansion, re-ranking as ONE lazy plan, no driver collect of the
+    term set. Top-20 of the expanded query."""
+    return search.prf_rerank(
+        _read(spark, sf_dir, "documents"),
+        ["vector", "stream", "merge"],
+        fb_docs=10,
+        n_expansion=10,
+        max_df_frac=1.0,
+        top_k=20,
+    )
+
+
 def _q_label_prop(spark, sf_dir):
     """Seeded label propagation, 3 synchronous rounds
     (functions/graph.py label_propagation) over the deterministic
@@ -5811,6 +5845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naive_bayes": _q_naive_bayes,
         "q_label_prop": _q_label_prop,
         "q_hill_tail": _q_hill_tail,
+        "q_prf_expand": _q_prf_expand,
+        "q_prf_rerank": _q_prf_rerank,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -6357,6 +6393,116 @@ def oracle_sql() -> dict[str, str]:
           sum(c1)::BIGINT AS c1_chars
         FROM h GROUP BY source
     """
+    # CTE chain shared by q_prf_expand / q_prf_rerank: first-pass BM25
+    # top-10, feedback term counts, corpus df, expansion ranking —
+    # mirrors search.prf_expand exactly (uniform-weight RM1)
+    prf_common = """
+        d AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> length(x) > 0
+                 ) AS t
+          FROM documents
+        ),
+        base AS (SELECT doc_id, len(t) AS dl, t FROM d),
+        scalars AS (
+          SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base
+        ),
+        pairs AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(t) AS term FROM base
+          ) WHERE term IN ('vector', 'stream', 'merge')
+          GROUP BY doc_id, dl, term
+        ),
+        dft AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM pairs GROUP BY term
+        ),
+        scored AS (
+          SELECT doc_id,
+                 round(sum(
+                   ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                 ), 4) AS score
+          FROM pairs JOIN dft USING (term), scalars s
+          GROUP BY doc_id
+        ),
+        top AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+          ) WHERE rank <= 10
+        ),
+        fbt AS (
+          SELECT term, count(*)::BIGINT AS fb_tf FROM (
+            SELECT unnest(t) AS term FROM base JOIN top USING (doc_id)
+          ) WHERE term NOT IN ('vector', 'stream', 'merge')
+            AND length(term) > 2
+          GROUP BY term
+        ),
+        cdf AS (
+          SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+            SELECT doc_id, unnest(t) AS term FROM base
+          ) JOIN (SELECT term FROM fbt) USING (term) GROUP BY term
+        ),
+        nn AS (SELECT count(*) AS n_docs FROM base),
+        expansion AS (
+          SELECT term, fb_tf, df, rank FROM (
+            SELECT f.term, f.fb_tf, c.df,
+                   row_number() OVER (
+                     ORDER BY f.fb_tf DESC, f.term ASC) AS rank
+            FROM fbt f JOIN cdf c USING (term), nn
+            WHERE c.df::DOUBLE <= 1.0 * n_docs::DOUBLE
+          ) WHERE rank <= 10
+        )
+    """
+    prf_expand_sql = (
+        "WITH " + prf_common
+        + ", fin AS (SELECT term, fb_tf, df, rank::INTEGER AS rank"
+        + " FROM expansion) SELECT * FROM fin"
+    )
+    prf_rerank_sql = (
+        "WITH " + prf_common
+        + """,
+        qterms AS (
+          SELECT DISTINCT term FROM (
+            SELECT term FROM expansion
+            UNION ALL
+            SELECT unnest(['vector', 'stream', 'merge']) AS term
+          )
+        ),
+        pairs2 AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(t) AS term FROM base
+          ) JOIN qterms USING (term)
+          GROUP BY doc_id, dl, term
+        ),
+        dft2 AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM pairs2 GROUP BY term
+        ),
+        scored2 AS (
+          SELECT doc_id,
+                 count(*)::INTEGER AS n_terms_hit,
+                 round(sum(
+                   ln(1 + (s.n_docs - dft2.df + 0.5) / (dft2.df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                 ), 4) AS score
+          FROM pairs2 JOIN dft2 USING (term), scalars s
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_hit, score, rank::INTEGER AS rank FROM (
+          SELECT doc_id, n_terms_hit, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM scored2
+        ) WHERE rank <= 20
+    """
+    )
     fp = (
         "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     )
@@ -12257,6 +12403,8 @@ def oracle_sql() -> dict[str, str]:
             FROM w, tot GROUP BY word, n
             HAVING count(*) >= ceil(n * 0.002)
         """,
+        "q_prf_expand": prf_expand_sql,
+        "q_prf_rerank": prf_rerank_sql,
         "q_label_prop": _lpa_unrolled_sql(rounds=3),
         "q_hill_tail": """
             WITH w AS (

@@ -559,6 +559,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_naive_bayes",
         "q_label_prop",
         "q_hill_tail",
+        "q_prf_expand",
+        "q_prf_rerank",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -151,3 +151,168 @@ def rrf_fuse(
         j.select("id", "rank_a", "rank_b", rrf_q.alias("rrf_q"))
         .withColumn("fused_rank", F.row_number().over(w))
     )
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    terms_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """[[bm25_topk]] with the query terms coming from a DATAFRAME
+    (column ``term``) instead of a Python literal list — the shape that
+    lets a data-dependent term set (e.g. [[prf_expand]]'s output) feed
+    a second ranking pass without any driver collect: the term set
+    broadcast-joins against the exploded corpus exactly where the
+    literal filter sat. Same contract and score arithmetic otherwise.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    scalars = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tset = terms_df.select(F.col("term")).distinct()
+    pairs = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(tset), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = pairs.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        pairs.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms_hit"),
+            F.round(F.sum("w"), 4).alias("score"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w)
+    ).select("doc_id", "n_terms_hit", "score", "rank")
+
+
+def prf_expand(
+    docs: DataFrame,
+    query_terms: list,
+    fb_docs: int = 10,
+    n_expansion: int = 10,
+    max_df_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1 with uniform
+    feedback weights, the deterministic core of RM3): take the BM25
+    top ``fb_docs``, count every non-query term's occurrences inside
+    them, drop stopword-frequency terms (corpus df above
+    ``max_df_frac`` * N) and short tokens, and emit the top
+    ``n_expansion`` by (feedback tf desc, term asc).
+
+    Uniform doc weights keep every statistic an INTEGER (the repo's
+    determinism contract) — classic RM3's score-weighted P(w|R) mixes
+    floats whose sum order the engines could disagree on; the ranking
+    this produces is the same family, value-checkable.
+
+    Plan: one BM25 pass (bounded query-term shuffle), one explode over
+    ONLY the fb_docs rows (broadcast semi-join), corpus df computed for
+    the candidate terms only (broadcast semi-join on the exploded
+    corpus — never a full-vocabulary aggregate). The ranking window
+    runs over candidate terms of <= fb_docs documents, bounded.
+    Returns (term, fb_tf, df, rank).
+    """
+    top = bm25_topk(
+        docs, query_terms, id_col=id_col, text_col=text_col,
+        top_k=fb_docs,
+    )
+    fb_ids = top.select("doc_id")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
+    )
+    fb_terms = (
+        base.join(F.broadcast(fb_ids), "doc_id")
+        .select(F.explode("toks").alias("term"))
+        .filter(~F.col("term").isin([t.lower() for t in query_terms]))
+        .filter(F.length("term") > 2)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("fb_tf"))
+    )
+    scalars = base.agg(F.count("*").alias("n_docs"))
+    cand_df = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(fb_terms.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    w = Window.orderBy(F.col("fb_tf").desc(), F.col("term").asc())
+    return (
+        fb_terms.join(F.broadcast(cand_df), "term")
+        .crossJoin(F.broadcast(scalars))
+        .filter(
+            F.col("df").cast("double")
+            <= F.lit(float(max_df_frac)) * F.col("n_docs").cast("double")
+        )
+        .select("term", "fb_tf", "df")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_expansion)
+    )
+
+
+def prf_rerank(
+    docs: DataFrame,
+    query_terms: list,
+    fb_docs: int = 10,
+    n_expansion: int = 10,
+    max_df_frac: float = 0.2,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full PRF loop: [[prf_expand]] the query, union the original
+    terms, re-rank with [[bm25_topk_df]] — first-pass retrieval,
+    expansion and the second pass are ONE lazy plan; the expanded term
+    set never touches the driver. Returns the second-pass top-k
+    (doc_id, n_terms_hit, score, rank)."""
+    exp = prf_expand(
+        docs, query_terms, fb_docs=fb_docs, n_expansion=n_expansion,
+        max_df_frac=max_df_frac, id_col=id_col, text_col=text_col,
+    ).select("term")
+    spark = docs.sparkSession
+    orig = spark.createDataFrame(
+        [(t.lower(),) for t in query_terms], "term string"
+    )
+    return bm25_topk_df(
+        docs, exp.unionByName(orig).distinct(),
+        id_col=id_col, text_col=text_col, top_k=top_k,
+    )

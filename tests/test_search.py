@@ -101,3 +101,76 @@ def test_rrf_fuse_tie_breaks_by_id(spark):
     b = spark.createDataFrame([(2, 1), (5, 2)], "doc_id long, rank int")
     out = {r["id"]: r["fused_rank"] for r in rrf_fuse(a, b).collect()}
     assert out == {2: 1, 5: 2}  # equal scores -> lower id first
+
+
+def test_prf_expand_finds_co_occurring_terms(spark):
+    from png_from_pdf_extracter_spark.functions.search import prf_expand
+
+    # docs about 'query' consistently co-mention 'planner'; unrelated
+    # docs co-mention 'pudding'
+    rows = [
+        (1, "query planner cost planner model"),
+        (2, "query planner rewrite rules"),
+        (3, "query planner join order planner"),
+        (4, "pudding recipe sugar pudding"),
+        (5, "pudding butter flour"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = prf_expand(
+        df, ["query"], fb_docs=3, n_expansion=3, max_df_frac=1.0
+    ).collect()
+    terms = [r["term"] for r in exp]
+    assert terms[0] == "planner" and exp[0]["fb_tf"] == 5
+    assert "pudding" not in terms
+    # ranks are 1..n and fb_tf non-increasing
+    assert [r["rank"] for r in exp] == list(range(1, len(exp) + 1))
+    tfs = [r["fb_tf"] for r in exp]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_prf_expand_df_ceiling_drops_stopwords(spark):
+    from png_from_pdf_extracter_spark.functions.search import prf_expand
+
+    # 'the' appears in EVERY doc -> df ceiling 0.5 must drop it even
+    # though its feedback tf dominates
+    rows = [
+        (1, "the query planner the the"),
+        (2, "the query planner the"),
+        (3, "the pudding the"),
+        (4, "the pudding the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = prf_expand(
+        df, ["query"], fb_docs=2, n_expansion=5, max_df_frac=0.5
+    ).collect()
+    terms = {r["term"] for r in exp}
+    assert terms == {"planner"}
+
+
+def test_prf_rerank_pulls_in_expansion_only_docs(spark):
+    from png_from_pdf_extracter_spark.functions.search import (
+        bm25_topk,
+        prf_rerank,
+    )
+
+    # doc 6 never contains 'query' but is rich in the expansion term
+    # 'planner' -> first pass misses it, PRF rerank retrieves it
+    rows = [
+        (1, "query planner cost model"),
+        (2, "query planner rewrite"),
+        (3, "query join order"),
+        (4, "pudding recipe sugar"),
+        (5, "pudding butter flour"),
+        (6, "planner planner planner heuristics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = {r["doc_id"] for r in bm25_topk(df, ["query"], top_k=6).collect()}
+    assert 6 not in first
+    rer = {
+        r["doc_id"]
+        for r in prf_rerank(
+            df, ["query"], fb_docs=3, n_expansion=2,
+            max_df_frac=1.0, top_k=6,
+        ).collect()
+    }
+    assert 6 in rer and 4 not in rer and 5 not in rer
