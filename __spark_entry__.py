@@ -2283,6 +2283,21 @@ def _q_video_stats(spark, sf_dir):
     return multimodal.video_stats(multimodal.synth_media(spark, 60))
 
 
+def _q_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over REAL decoded Y4M video
+    (multimodal.scene_cuts): per consecutive-frame mean absolute luma
+    difference with the integer-exact floor-4dp quantization, cut flag
+    at MAD > 52. The synthetic frames are a pure function of
+    (media_id, frame, x, y), so the consecutive-frame diff — and thus
+    the DECODER feeding it — is pinned by a closed-form SQL oracle,
+    like q_video_stats. is_cut rides as INT 0/1: a NULLABLE BOOLEAN
+    canonicalizes as None on the Spark side but NaN on the DuckDB side
+    (numeric nulls collapse to NaN on both)."""
+    return multimodal.scene_cuts(multimodal.synth_media(spark, 60)).withColumn(
+        "is_cut", F.col("is_cut").cast("int")
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate ANN — the 100 TB path; approximate by design
     so no exact SQL oracle (recall depends on bucketing). Each row embeds
@@ -5847,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hill_tail": _q_hill_tail,
         "q_prf_expand": _q_prf_expand,
         "q_prf_rerank": _q_prf_rerank,
+        "q_scene_cuts": _q_scene_cuts,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -6801,6 +6817,45 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored
             ) WHERE rank <= 20
+        """,
+        "q_scene_cuts": """
+            WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),
+            vid AS (
+              SELECT i,
+                     8 + (i % 4) * 4 AS w,
+                     8 + (i % 5) * 2 AS h,
+                     2 + (i % 4) AS n_frames
+              FROM ids WHERE i % 3 = 2
+            ),
+            px AS (
+              SELECT vid.i, vid.w, vid.h, f,
+                     abs(((x * 7 + y * 13 + f * 29 + vid.i * 3) % 256)
+                         - ((x * 7 + y * 13 + (f - 1) * 29 + vid.i * 3)
+                            % 256)) AS d
+              FROM vid,
+                   generate_series(1, 4) gf(f),
+                   generate_series(0, 19) gx(x),
+                   generate_series(0, 15) gy(y)
+              WHERE f < vid.n_frames AND x < vid.w AND y < vid.h
+            ),
+            agg AS (
+              SELECT i, w, h, f,
+                     sum(d)::BIGINT AS s, count(*)::BIGINT AS npx
+              FROM px GROUP BY i, w, h, f
+            )
+            SELECT i::BIGINT AS media_id,
+                   (f + 1)::INTEGER AS frame_idx,
+                   w::INTEGER AS width, h::INTEGER AS height,
+                   ((s * 10000 // npx)::DOUBLE / 10000) AS mad,
+                   (((s * 10000 // npx)::DOUBLE / 10000) > 52.0
+                     )::INTEGER AS is_cut,
+                   'ok' AS status, '' AS error_class
+            FROM agg
+            UNION ALL
+            SELECT i::BIGINT, NULL::INTEGER, NULL::INTEGER,
+                   NULL::INTEGER, NULL::DOUBLE, NULL::INTEGER,
+                   'skipped', 'not_video'
+            FROM ids WHERE i % 3 <> 2
         """,
         "q_video_stats": """
             WITH ids AS (SELECT i FROM generate_series(0, 59) t(i)),

@@ -561,6 +561,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_hill_tail",
         "q_prf_expand",
         "q_prf_rerank",
+        "q_scene_cuts",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

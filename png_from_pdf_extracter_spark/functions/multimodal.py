@@ -832,3 +832,89 @@ def video_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, VIDEO_STATS_SCHEMA)
+
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mad", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error_class", T.StringType()),
+    ]
+)
+
+
+def scene_cuts(df: DataFrame, threshold: float = 52.0) -> DataFrame:
+    """Scene-cut detection over REAL decoded video ([[y4mcodec]]): one
+    row per CONSECUTIVE frame pair with the mean absolute luma
+    difference (MAD, the standard shot-boundary signal) and the cut
+    flag ``mad > threshold`` — the frame-sampling curation move that
+    picks per-shot keyframes instead of every-Nth-frame redundancy.
+
+    ``frame_idx`` is the 1-based index of the LATER frame (the frame a
+    cut begins on), matching [[video_stats]] numbering. MAD is
+    integer-exact: sum |p_f - p_(f-1)| over the luma plane, then the
+    ``image_stats`` floor-4dp quantization (s * 10000 // npx), so the
+    cut decision reproduces bit-for-bit in the closed-form SQL oracle
+    (the synthetic frames are a pure function of (i, f, x, y)).
+    Non-video rows emit one skipped row, empty payloads no_payload,
+    undecodable payloads one classified error row, single-frame videos
+    one 'empty' row — the same composable row contract as
+    [[video_stats]]. Map-only ``mapInPandas``; at 10^12 turns the
+    decode parallelizes per-row with zero shuffle."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .y4mcodec import y4m_decode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height", "mad",
+                "is_cut", "status", "error_class",
+            )}
+
+            def emit(mid, idx=None, w=None, h=None, mad=None, cut=None,
+                     status="ok", err=""):
+                for k, v in (
+                    ("media_id", mid), ("frame_idx", idx), ("width", w),
+                    ("height", h), ("mad", mad), ("is_cut", cut),
+                    ("status", status), ("error_class", err),
+                ):
+                    out[k].append(v)
+
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if kind != "video":
+                    emit(mid, status="skipped", err="not_video")
+                elif not b:
+                    emit(mid, status="no_payload")
+                else:
+                    try:
+                        w, h, _, _, frames = y4m_decode(b)
+                        if len(frames) < 2:
+                            emit(mid, status="empty",
+                                 err="single_frame")
+                            continue
+                        for f in range(1, len(frames)):
+                            a, c = frames[f - 1], frames[f]
+                            s = sum(
+                                abs(p - q) for p, q in zip(a, c)
+                            )
+                            mad = (s * 10000 // len(c)) / 10000
+                            emit(
+                                mid, f + 1, w, h, mad,
+                                bool(mad > threshold),
+                            )
+                    except ValueError as e:
+                        emit(mid, status="error",
+                             err=f"decode_failed:{e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, SCENE_CUTS_SCHEMA)

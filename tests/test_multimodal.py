@@ -402,3 +402,56 @@ def test_sample_frames_stub_fallback_for_compressed(spark):
     got = multimodal.sample_frames(df, every_ms=1000).collect()
     assert len(got) == 3
     assert all(len(r["frame_payload"]) == 16 for r in got)  # md5 stub
+
+
+def test_scene_cuts_planted_cut(spark):
+    from png_from_pdf_extracter_spark.functions.multimodal import (
+        scene_cuts,
+    )
+    from png_from_pdf_extracter_spark.functions.y4mcodec import y4m_encode
+
+    # three near-identical frames, then a hard cut to an inverted frame
+    w, h = 8, 8
+    base = bytes((x * 3 + y * 5) % 200 for y in range(h) for x in range(w))
+    drift = bytes((p + 2) % 256 for p in base)
+    cut = bytes(255 - p for p in base)
+    payload = y4m_encode(w, h, [base, drift, base, cut])
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-yuv4mpeg", bytearray(payload), w, h, 120),
+         (2, "image", "image/png", bytearray(b"xx"), 4, 4, None)],
+        "media_id long, kind string, mime string, payload binary,"
+        " width int, height int, duration_ms int",
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in scene_cuts(df, threshold=50.0).collect()
+    }
+    assert rows[(1, 2)]["is_cut"] is False and rows[(1, 2)]["mad"] == 2.0
+    assert rows[(1, 3)]["is_cut"] is False
+    assert rows[(1, 4)]["is_cut"] is True and rows[(1, 4)]["mad"] > 50
+    assert rows[(2, None)]["status"] == "skipped"
+    # python twin of the exact quantized MAD on the cut pair
+    s = sum(abs(a - b) for a, b in zip(base, cut))
+    assert rows[(1, 4)]["mad"] == (s * 10000 // (w * h)) / 10000
+
+
+def test_scene_cuts_degenerate_rows(spark):
+    from png_from_pdf_extracter_spark.functions.multimodal import (
+        scene_cuts,
+    )
+    from png_from_pdf_extracter_spark.functions.y4mcodec import y4m_encode
+
+    single = y4m_encode(4, 4, [bytes(16)])
+    df = spark.createDataFrame(
+        [(1, "video", "v", bytearray(single), 4, 4, 0),
+         (2, "video", "v", bytearray(b""), None, None, None),
+         (3, "video", "v", bytearray(b"not a y4m stream"), None, None,
+          None)],
+        "media_id long, kind string, mime string, payload binary,"
+        " width int, height int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in scene_cuts(df).collect()}
+    assert out[1]["status"] == "empty"
+    assert out[2]["status"] == "no_payload"
+    assert out[3]["status"] == "error"
+    assert out[3]["error_class"].startswith("decode_failed")
