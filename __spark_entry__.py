@@ -4557,6 +4557,61 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B read-out (functions/stats.py
+    cuped_adjust): per-user pre-period metric (cent-quantized value
+    sum over even event_ids) controls the post-period metric (odd
+    event_ids), arms by user parity. Pre/post correlate through user
+    activity, so theta/rho2 are non-trivial. Values are quantized
+    BEFORE the per-user sum — integer per-user moments, no float-order
+    drift."""
+    from png_from_pdf_extracter_spark.functions.stats import cuped_adjust
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_id") % 2 == 0, cents).otherwise(0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("event_id") % 2 == 1, cents).otherwise(0)
+        ).alias("post"),
+    ).select(
+        "pre", "post", (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    return cuped_adjust(pu, "pre", "post", "arm", quantize=0)
+
+
+def _q_off_policy(spark, sf_dir):
+    """IPS/SNIPS off-policy evaluation (functions/evalmetrics.py
+    off_policy_value): what would the 'purchase for even users, click
+    for odd' routing policy have earned on the logged traffic? Logged
+    propensities are deterministic md5-derived tenths (1..9), so every
+    importance weight is the exact rational 10/k and the estimate is
+    integer until the terminal divisions."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        off_policy_value,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("purchase"))
+        .otherwise(F.lit("click"))
+        .alias("target"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 9
+            + 1
+        ).alias("k"),
+        "value",
+    )
+    return off_policy_value(ev, "action", "target", "k", "value")
+
+
 def _q_prf_expand(spark, sf_dir):
     """Pseudo-relevance-feedback query expansion (search.prf_expand,
     RM1-uniform): BM25 top-10 for q_bm25's 3-term query, integer
@@ -5863,6 +5918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prf_expand": _q_prf_expand,
         "q_prf_rerank": _q_prf_rerank,
         "q_scene_cuts": _q_scene_cuts,
+        "q_cuped": _q_cuped,
+        "q_off_policy": _q_off_policy,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12460,6 +12517,107 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_cuped": """
+            WITH pu AS (
+              SELECT user_id,
+                sum(CASE WHEN event_id % 2 = 0
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS x,
+                sum(CASE WHEN event_id % 2 = 1
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS y,
+                CAST(user_id % 2 AS INT) AS g
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id
+            ),
+            gm AS (SELECT min(g) AS ga FROM pu),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS sxx,
+                sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS syy,
+                sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS sxy,
+                sum(CASE WHEN g = ga THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE 1 END)::BIGINT AS n_b,
+                sum(CASE WHEN g = ga THEN x ELSE 0 END)::BIGINT AS sx_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE x END)::BIGINT AS sx_b,
+                sum(CASE WHEN g = ga THEN y ELSE 0 END)::BIGINT AS sy_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE y END)::BIGINT AS sy_b
+              FROM pu, gm
+            ),
+            fin AS (
+              SELECT n, n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+                sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE
+                  AS cov_n,
+                sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE
+                  AS varx_n,
+                syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE
+                  AS vary_n,
+                sx::DOUBLE / n::DOUBLE AS mx
+              FROM agg
+            )
+            SELECT n_a, n_b,
+              floor(sy_a::DOUBLE / n_a::DOUBLE / 1.0 * 1e6) / 1e6
+                AS mean_a_q6,
+              floor(sy_b::DOUBLE / n_b::DOUBLE / 1.0 * 1e6) / 1e6
+                AS mean_b_q6,
+              CASE WHEN varx_n > 0 THEN
+                floor((sy_a::DOUBLE / n_a::DOUBLE
+                       - (cov_n / varx_n)
+                         * (sx_a::DOUBLE / n_a::DOUBLE - mx))
+                      / 1.0 * 1e6) / 1e6 END AS adj_a_q6,
+              CASE WHEN varx_n > 0 THEN
+                floor((sy_b::DOUBLE / n_b::DOUBLE
+                       - (cov_n / varx_n)
+                         * (sx_b::DOUBLE / n_b::DOUBLE - mx))
+                      / 1.0 * 1e6) / 1e6 END AS adj_b_q6,
+              CASE WHEN varx_n > 0 THEN
+                floor(cov_n / varx_n * 1e6) / 1e6 END AS theta_q6,
+              CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+                floor(cov_n * cov_n / (varx_n * vary_n) * 1e6) / 1e6
+              END AS rho2_q6
+            FROM fin
+        """,
+        "q_off_policy": """
+            WITH base AS (
+              SELECT
+                CAST(round(value * 100, 0) AS BIGINT) AS r,
+                CASE WHEN event_type =
+                       (CASE WHEN user_id % 2 = 0 THEN 'purchase'
+                             ELSE 'click' END)
+                     THEN 1 ELSE 0 END AS m,
+                25200 // ((CAST(('0x' || substring(
+                    md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 9) + 1) AS w
+              FROM events WHERE value IS NOT NULL
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(m)::BIGINT AS n_match,
+                CAST(sum(CAST(m * w AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS ww,
+                CAST(sum(CAST(m * w AS DECIMAL(38,0))
+                         * CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS s,
+                CAST(sum(CAST(m * w AS DECIMAL(38,0))
+                         * CAST(m * w AS DECIMAL(38,0)))
+                     AS DECIMAL(38,0)) AS w2
+              FROM base
+            )
+            SELECT n, n_match,
+              floor(s::DOUBLE / 2520.0 / n::DOUBLE / 100.0 * 1e6) / 1e6
+                AS ips_q6,
+              CASE WHEN n_match > 0 THEN
+                floor(s::DOUBLE / ww::DOUBLE / 100.0 * 1e6) / 1e6
+              END AS snips_q6,
+              CASE WHEN n_match > 0 THEN
+                floor(ww::DOUBLE * ww::DOUBLE / w2::DOUBLE * 1e6) / 1e6
+              END AS ess_q6
+            FROM agg
+        """,
         "q_label_prop": _lpa_unrolled_sql(rounds=3),
         "q_hill_tail": """
             WITH w AS (

@@ -562,6 +562,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_prf_expand",
         "q_prf_rerank",
         "q_scene_cuts",
+        "q_cuped",
+        "q_off_policy",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

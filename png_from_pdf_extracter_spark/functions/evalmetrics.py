@@ -1148,3 +1148,75 @@ def naive_bayes_predict(
         F.col("__b.label").alias("pred"),
         (-F.col("__b.ns")).alias("score_q"),
     )
+
+
+def off_policy_value(
+    df: DataFrame,
+    action_col: str,
+    target_col: str,
+    prop_tenths_col: str,
+    reward_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged bandit feedback: IPS (inverse-propensity scoring) and SNIPS
+    (self-normalized IPS) value estimates plus the effective sample
+    size — "what WOULD this routing/ranking policy have earned on the
+    traffic we actually logged", without running it. The pipeline
+    read: compare a candidate curation/serving policy against logged
+    propensity-scored choices before an A/B ([[cuped_adjust]] is the
+    during-experiment companion).
+
+    Propensity contract: ``prop_tenths_col`` holds the logged
+    propensity as INTEGER TENTHS k in 1..9 (p = k/10) — the discrete
+    grid a logging system snapshots. That makes every importance
+    weight the exact rational 10/k, so weights are accumulated in
+    integer 1/2520-units (25200/k is integral for every k) and both
+    sums are EXACT integers: the float division happens once per
+    output column. Immune to partition sum order; bit-reproducible in
+    the DuckDB twin.
+
+    IPS = (S/2520)/n, SNIPS = S/W, ESS = W^2 / sum(w^2) — S, W, W2
+    accumulated as DECIMAL(38,0) off ONE map-combinable aggregate.
+    Returns (n, n_match, ips_q6, snips_q6, ess_q6); snips null when no
+    logged action matches the target policy.
+    """
+    r = F.round(
+        F.col(reward_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    match = (F.col(action_col) == F.col(target_col)).cast("int")
+    k = F.col(prop_tenths_col).cast("long")
+    w_u = (F.lit(25200) / k).cast("long")  # exact: k | 25200 for 1..9
+    dec = "decimal(38,0)"
+    base = df.select(
+        r.alias("__r"), match.alias("__m"), w_u.alias("__w")
+    ).filter(F.col("__r").isNotNull())
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__m").cast("long").alias("n_match"),
+        F.sum((F.col("__m") * F.col("__w")).cast(dec)).alias("__ww"),
+        F.sum(
+            (F.col("__m") * F.col("__w")).cast(dec)
+            * F.col("__r").cast(dec)
+        ).alias("__s"),
+        F.sum(
+            (F.col("__m") * F.col("__w")).cast(dec)
+            * (F.col("__m") * F.col("__w")).cast(dec)
+        ).alias("__w2"),
+    )
+    scale = float(10 ** quantize)
+    nn = F.col("n").cast("double")
+    s = F.col("__s").cast("double")
+    ww = F.col("__ww").cast("double")
+    w2 = F.col("__w2").cast("double")
+    ips = s / F.lit(2520.0) / nn / F.lit(scale)
+    snips = F.try_divide(s, ww) / F.lit(scale)
+    ess = F.try_divide(ww * ww, w2)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n",
+        "n_match",
+        q6(ips).alias("ips_q6"),
+        F.when(F.col("n_match") > 0, q6(snips)).alias("snips_q6"),
+        F.when(F.col("n_match") > 0, q6(ess)).alias("ess_q6"),
+    )

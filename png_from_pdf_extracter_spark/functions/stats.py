@@ -3567,3 +3567,93 @@ def hill_tail_index(
             "alpha_q6"
         ),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    arm_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """CUPED variance-reduced A/B means (Deng et al., controlled-
+    experiment Using Pre-Experiment Data): the adjusted metric
+    Y' = Y - theta * (X - mean(X)) with theta = Cov(X, Y) / Var(X)
+    strips the pre-period component out of each arm's mean, cutting
+    the experiment's variance by the squared pre/post correlation —
+    the standard sensitivity move a plain [[welch_t_test]] on Y
+    leaves on the table. Reported per arm: raw mean, adjusted mean,
+    plus pooled theta and the variance-reduction ratio rho^2.
+
+    Two-group contract (shared with [[welch_t_test]]): ``arm_col``
+    binarized against the broadcast 1-row min.
+
+    EXACT cross-engine: X and Y integer-quantized ([[_quant]]); ONE
+    map-combinable conditional aggregate produces the exact pooled
+    moments (Sx, Sy BIGINT; Sxx, Syy, Sxy DECIMAL(38,0)) and per-arm
+    (n, Sx, Sy); theta, the adjusted means, and rho^2 are each a
+    single fixed-op-order float expression over those scalars,
+    floor-quantized at emit. Null theta/adjusted when Var(X) == 0.
+    Plan: one broadcast min + one 1-row aggregate, any input size.
+    Returns (n_a, n_b, mean_a_q6, mean_b_q6, adj_a_q6, adj_b_q6,
+    theta_q6, rho2_q6).
+    """
+    x = _quant(F.col(pre_col), quantize)
+    y = _quant(F.col(post_col), quantize)
+    base = df.select(
+        x.alias("__x"), y.alias("__y"), F.col(arm_col).alias("__g")
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__g").isNotNull()
+    )
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    a = (F.col("__g") == F.col("__ga")).cast("int")
+    dec = "decimal(38,0)"
+    xd, yd = F.col("__x").cast(dec), F.col("__y").cast(dec)
+    agg = base.crossJoin(gmin).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(1 - a).cast("long").alias("n_b"),
+        F.sum(F.col("__x") * a).cast("long").alias("__sx_a"),
+        F.sum(F.col("__x") * (1 - a)).cast("long").alias("__sx_b"),
+        F.sum(F.col("__y") * a).cast("long").alias("__sy_a"),
+        F.sum(F.col("__y") * (1 - a)).cast("long").alias("__sy_b"),
+    )
+    scale = float(10 ** quantize)
+    nn = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov_n = F.col("__sxy").cast("double") - sx * sy / nn
+    varx_n = F.col("__sxx").cast("double") - sx * sx / nn
+    vary_n = F.col("__syy").cast("double") - sy * sy / nn
+    theta = F.try_divide(cov_n, varx_n)
+    rho2 = F.try_divide(cov_n * cov_n, varx_n * vary_n)
+    mx = sx / nn
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+
+    def arm(side):
+        n = F.col(f"n_{side}").cast("double")
+        my = F.try_divide(F.col(f"__sy_{side}").cast("double"), n)
+        mxs = F.try_divide(F.col(f"__sx_{side}").cast("double"), n)
+        adj = my - theta * (mxs - mx)
+        return my, adj
+
+    my_a, adj_a = arm("a")
+    my_b, adj_b = arm("b")
+    ok = varx_n > 0
+    return agg.select(
+        "n_a",
+        "n_b",
+        q6(my_a / F.lit(scale)).alias("mean_a_q6"),
+        q6(my_b / F.lit(scale)).alias("mean_b_q6"),
+        F.when(ok, q6(adj_a / F.lit(scale))).alias("adj_a_q6"),
+        F.when(ok, q6(adj_b / F.lit(scale))).alias("adj_b_q6"),
+        F.when(ok, q6(theta)).alias("theta_q6"),
+        F.when(ok & (vary_n > 0), q6(rho2)).alias("rho2_q6"),
+    )

@@ -667,3 +667,68 @@ def test_risk_coverage_monotone_coverage(spark):
     ).collect()
     covs = [r["coverage_q6"] for r in curve]
     assert covs == sorted(covs) and covs[-1] == 1.0
+
+
+def test_off_policy_ips_python_twin(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        off_policy_value,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(300):
+        a = rng.choice(["x", "y", "z"])
+        t = "x" if i % 3 == 0 else "y"
+        k = rng.randrange(1, 10)
+        r = round(rng.uniform(0, 10), 2)
+        rows.append((a, t, k, r))
+    df = spark.createDataFrame(
+        rows, "action string, target string, k int, reward double"
+    )
+    out = off_policy_value(df, "action", "target", "k", "reward").collect()[0]
+    n = len(rows)
+    w = [(10.0 / k) if a == t else 0.0 for a, t, k, _ in rows]
+    rq = [int(round(r * 100)) for _, _, _, r in rows]
+    s = sum(wi * ri for wi, ri in zip(w, rq))
+    ips = s / n / 100.0
+    snips = s / sum(w) / 100.0
+    ess = sum(w) ** 2 / sum(wi * wi for wi in w)
+    assert out["n"] == n
+    assert abs(out["ips_q6"] - ips) < 1e-5
+    assert abs(out["snips_q6"] - snips) < 1e-5
+    assert abs(out["ess_q6"] - ess) < 1e-4
+    # ESS is bounded by the match count
+    assert out["ess_q6"] <= out["n_match"]
+
+
+def test_off_policy_logged_policy_recovers_mean(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        off_policy_value,
+    )
+
+    # target == logged action everywhere with p=1.0 is ill-typed for the
+    # tenths grid; use p=0.5 (k=5) uniform: IPS = 2 * mean(reward) *
+    # match_rate; with all matches SNIPS == plain mean exactly
+    rows = [("a", "a", 5, 4.0), ("a", "a", 5, 6.0), ("a", "a", 5, 8.0)]
+    df = spark.createDataFrame(
+        rows, "action string, target string, k int, reward double"
+    )
+    out = off_policy_value(df, "action", "target", "k", "reward").collect()[0]
+    assert out["snips_q6"] == 6.0
+    assert out["ips_q6"] == 12.0  # 2x mean: every weight is 1/0.5
+    assert out["ess_q6"] == 3.0
+
+
+def test_off_policy_no_match_nulls(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        off_policy_value,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b", 5, 4.0)], "action string, target string, k int, reward double"
+    )
+    out = off_policy_value(df, "action", "target", "k", "reward").collect()[0]
+    assert out["ips_q6"] == 0.0 and out["snips_q6"] is None

@@ -2069,3 +2069,48 @@ def test_hill_tail_degenerate_null(spark):
     df = spark.createDataFrame([(5.0,)] * 30, "v double")
     r = hill_tail_index(df, "v", k=10, quantize=0).collect()[0]
     assert r["alpha_q6"] is None
+
+
+def test_cuped_python_twin_and_variance_reduction(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import cuped_adjust
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(200):
+        pre = rng.uniform(10, 50)
+        arm = i % 2
+        # post = pre signal + arm effect + noise -> strong correlation
+        post = pre * 2.0 + (5.0 if arm == 1 else 0.0) + rng.uniform(-3, 3)
+        rows.append((round(pre, 2), round(post, 2), arm))
+    df = spark.createDataFrame(rows, "pre double, post double, arm int")
+    r = cuped_adjust(df, "pre", "post", "arm", quantize=2).collect()[0]
+    x = [int(round(p * 100)) for p, _, _ in rows]
+    y = [int(round(q * 100)) for _, q, _ in rows]
+    n = len(rows)
+    sx, sy = sum(x), sum(y)
+    cov = sum(a * b for a, b in zip(x, y)) - sx * sy / n
+    varx = sum(a * a for a in x) - sx * sx / n
+    vary = sum(b * b for b in y) - sy * sy / n
+    theta = cov / varx
+    assert abs(r["theta_q6"] - theta) < 1e-5
+    assert r["rho2_q6"] > 0.9  # strong pre/post correlation by design
+    # adjusted diff stays close to the planted +5 arm effect
+    adj_diff = r["adj_b_q6"] - r["adj_a_q6"]
+    assert 4.0 < adj_diff < 6.0
+    assert r["mean_a_q6"] is not None and r["mean_b_q6"] is not None
+    assert math.isfinite(adj_diff)
+
+
+def test_cuped_zero_pre_variance_null(spark):
+    from png_from_pdf_extracter_spark.functions.stats import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(3.0, 1.0, 0), (3.0, 2.0, 1), (3.0, 4.0, 0), (3.0, 9.0, 1)],
+        "pre double, post double, arm int",
+    )
+    r = cuped_adjust(df, "pre", "post", "arm", quantize=2).collect()[0]
+    assert r["theta_q6"] is None and r["adj_a_q6"] is None
+    assert r["mean_a_q6"] is not None
