@@ -4557,6 +4557,37 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_wilson(spark, sf_dir):
+    """Per-source Wilson score intervals (functions/stats.py
+    wilson_interval) on the short-document rate (n_chars < 500) —
+    honest error bars on every shard's rate, stable at the 0/1 edges
+    where Wald collapses. One combinable (n, successes) aggregate per
+    group; the interval is a fixed float expression over two
+    integers."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        wilson_interval,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") < 500).cast("int").alias("short")
+    )
+    return wilson_interval(d, "short", group_cols=("source",))
+
+
+def _q_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (functions/keywords.py
+    rake_keyphrases): top-15 stopword-delimited phrases by summed
+    deg/freq word scores — integer-quantized per-word ratios make
+    every phrase score an exact integer sum. Gaps-and-islands
+    segmentation is a per-doc window; all other stages are
+    map-combinable aggregates."""
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(_read(spark, sf_dir, "documents"), top_k=15)
+
+
 def _q_cuped(spark, sf_dir):
     """CUPED variance-reduced A/B read-out (functions/stats.py
     cuped_adjust): per-user pre-period metric (cent-quantized value
@@ -5920,6 +5951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scene_cuts": _q_scene_cuts,
         "q_cuped": _q_cuped,
         "q_off_policy": _q_off_policy,
+        "q_rake": _q_rake,
+        "q_wilson": _q_wilson,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12517,6 +12550,102 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_wilson": """
+            WITH agg AS (
+              SELECT source, count(*)::BIGINT AS n,
+                     sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0
+                         END)::BIGINT AS successes
+              FROM documents GROUP BY source
+            ),
+            t AS (
+              SELECT source, n, successes,
+                successes::DOUBLE / n::DOUBLE AS p,
+                1.0 + 3.8415999999999997 / n::DOUBLE AS denom
+              FROM agg
+            ),
+            f AS (
+              SELECT source, n, successes, p,
+                (p + 3.8415999999999997 / (2.0 * n::DOUBLE)) / denom
+                  AS center,
+                1.96 / denom * sqrt(p * (1.0 - p) / n::DOUBLE
+                  + 3.8415999999999997
+                    / (4.0 * n::DOUBLE * n::DOUBLE)) AS half
+              FROM t
+            )
+            SELECT source, n, successes,
+              floor(p * 1e6) / 1e6 AS p_q6,
+              floor(greatest(center - half, 0.0) * 1e6) / 1e6 AS lo_q6,
+              floor(least(center + half, 1.0) * 1e6) / 1e6 AS hi_q6
+            FROM f
+        """,
+        "q_rake": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, p, t[p] AS w,
+                     CASE WHEN t[p] IN
+                       ('a', 'the', 'of', 'and', 'to', 'in')
+                     THEN 1 ELSE 0 END AS stop
+              FROM d, generate_series(1, 512) g(p)
+              WHERE p <= len(t)
+            ),
+            runs AS (
+              SELECT doc_id, p, w, stop,
+                     sum(stop) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run
+              FROM pos
+            ),
+            ph AS (
+              SELECT list(w ORDER BY p) AS ws
+              FROM runs WHERE stop = 0 GROUP BY doc_id, run
+            ),
+            ph2 AS (
+              SELECT array_to_string(ws, ' ') AS phrase, ws,
+                     len(ws)::INTEGER AS n_words
+              FROM ph WHERE len(ws) BETWEEN 1 AND 4
+            ),
+            words AS (
+              SELECT word,
+                     CAST(floor(sum(n_words)::DOUBLE / count(*)::DOUBLE
+                          * 1e6) AS BIGINT) AS wscore
+              FROM (SELECT unnest(ws) AS word, n_words FROM ph2)
+              GROUP BY word
+            ),
+            scored AS (
+              SELECT phrase, n_words, count(*)::BIGINT AS nrows,
+                     sum(wscore)::BIGINT AS total
+              FROM (
+                SELECT phrase, n_words, unnest(ws) AS word FROM ph2
+              ) JOIN words USING (word)
+              GROUP BY phrase, n_words
+            ),
+            fin AS (
+              SELECT phrase, n_words,
+                     CAST(nrows::DOUBLE / n_words::DOUBLE AS BIGINT)
+                       AS occurrences,
+                     CAST(total::DOUBLE
+                          / CAST(nrows::DOUBLE / n_words::DOUBLE
+                                 AS BIGINT)::DOUBLE AS BIGINT)
+                       AS score_i
+              FROM scored
+            )
+            SELECT phrase, n_words, occurrences,
+                   score_i::DOUBLE / 1e6 AS score_q6,
+                   rank::INTEGER AS rank
+            FROM (
+              SELECT phrase, n_words, occurrences, score_i,
+                     row_number() OVER (ORDER BY score_i DESC,
+                       occurrences DESC, phrase ASC) AS rank
+              FROM fin
+            ) WHERE rank <= 15
+        """,
         "q_cuped": """
             WITH pu AS (
               SELECT user_id,

@@ -564,6 +564,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_scene_cuts",
         "q_cuped",
         "q_off_policy",
+        "q_rake",
+        "q_wilson",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -161,3 +161,129 @@ def keyword_profile(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("hits").cast("long").alias("n_hits"),
     )
+
+
+def rake_keyphrases(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple = ("a", "the", "of", "and", "to", "in"),
+    max_phrase_len: int = 4,
+    top_k: int = 15,
+):
+    """RAKE keyphrase extraction (Rose et al., Rapid Automatic Keyword
+    Extraction): candidate phrases are the maximal stopword-free token
+    runs; each word scores deg(w)/freq(w) (degree = sum of the lengths
+    of the phrases it appears in — words that travel in long phrases
+    beat loners); a phrase scores the sum of its words. The corpus
+    read: the top phrases ARE the domain vocabulary — seed lexicons,
+    tag dictionaries, [[keyword tagging|tag_keywords]] inputs.
+
+    DETERMINISM: the per-word ratio deg/freq is floor-quantized to
+    integer 1e-6 units ONCE, so every phrase score is an INTEGER sum —
+    no float fold order anywhere (the naive-bayes contract). Ranking
+    by (score desc, occurrences desc, phrase asc).
+
+    Plan: phrase segmentation is gaps-and-islands — posexplode the
+    token array, run-id = running count of stopword separators, one
+    (doc, run) collect_list — a per-doc window, bounded by doc length.
+    Word stats and phrase scores are two map-combinable aggregates on
+    (word) / (phrase text). The final top-k window runs over the
+    distinct-phrase table. Returns (phrase, n_words, occurrences,
+    score_q6).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    stops = [s.lower() for s in stopwords]
+    pos = docs.select(
+        F.col(id_col).alias("__d"), toks.alias("__t")
+    ).select(
+        "__d", F.posexplode("__t").alias("__p", "__w")
+    ).withColumn(
+        "__stop", F.col("__w").isin(stops).cast("int")
+    )
+    wrun = Window.partitionBy("__d").orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = pos.withColumn("__run", F.sum("__stop").over(wrun)).filter(
+        F.col("__stop") == 0
+    )
+    phrases = (
+        runs.groupBy("__d", "__run")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__p", "__w"))
+            ).alias("__pw")
+        )
+        .select(
+            F.transform(F.col("__pw"), lambda s: s["__w"]).alias("__ws")
+        )
+        .filter(
+            (F.size("__ws") >= 1) & (F.size("__ws") <= max_phrase_len)
+        )
+        .select(
+            F.concat_ws(" ", F.col("__ws")).alias("phrase"),
+            F.col("__ws"),
+            F.size("__ws").alias("n_words"),
+        )
+    )
+    words = (
+        phrases.select(F.explode("__ws").alias("word"), "n_words")
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("__freq"),
+            F.sum("n_words").cast("long").alias("__deg"),
+        )
+        .select(
+            "word",
+            F.floor(
+                F.col("__deg").cast("double")
+                / F.col("__freq").cast("double")
+                * F.lit(1e6)
+            ).cast("long").alias("__wscore"),
+        )
+    )
+    scored = (
+        phrases.select(
+            "phrase", "n_words", F.explode("__ws").alias("word")
+        )
+        .join(F.broadcast(words), "word")
+        .groupBy("phrase", "n_words")
+        .agg(
+            # integer sum of quantized word scores / phrase occurrence:
+            # each occurrence contributes the same per-word rows, so
+            # sum/occurrences is exact
+            F.count("*").cast("long").alias("__rows"),
+            F.sum("__wscore").alias("__total"),
+        )
+    )
+    occ = (F.col("__rows") / F.col("n_words")).cast("long")
+    per_occ = (F.col("__total") / occ).cast("long")
+    w = Window.orderBy(
+        F.col("__score_i").desc(),
+        F.col("occurrences").desc(),
+        F.col("phrase").asc(),
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_words",
+            occ.alias("occurrences"),
+            per_occ.alias("__score_i"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "phrase",
+            "n_words",
+            "occurrences",
+            (F.col("__score_i").cast("double") / F.lit(1e6)).alias(
+                "score_q6"
+            ),
+            "rank",
+        )
+    )

@@ -3657,3 +3657,55 @@ def cuped_adjust(
         F.when(ok, q6(theta)).alias("theta_q6"),
         F.when(ok & (vary_n > 0), q6(rho2)).alias("rho2_q6"),
     )
+
+
+def wilson_interval(
+    df: DataFrame,
+    success_col: str,
+    group_cols: tuple = (),
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score interval per group for a 0/1 outcome — the
+    proportion CI that behaves at the edges where the Wald interval
+    collapses (p_hat = 0 or 1 still gets a sane nonzero-width
+    interval; the reason every monitoring dashboard should use Wilson
+    for per-shard error rates). [[q_ab_test]]'s z compares two arms;
+    this puts honest error bars on EACH group's rate.
+
+    EXACT cross-engine: (n, s) are the only statistics — one
+    map-combinable aggregate — and center/half-width are single
+    fixed-op-order float expressions over them, floor-quantized at
+    emit. Returns (group..., n, successes, p_q6, lo_q6, hi_q6); null
+    bounds when n = 0 (vacuously absent: groups come from rows).
+    """
+    s = F.col(success_col).cast("int")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(s).cast("long").alias("successes"),
+    )
+    zz = float(z)
+    nn = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / nn
+    z2 = F.lit(zz * zz)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(zz)
+        / denom
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nn
+            + z2 / (F.lit(4.0) * nn * nn)
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    # clamp to [0,1] BEFORE quantizing: at p_hat = 0 the exact
+    # center - half is 0 but floats leave +-1 ulp, and floor would turn
+    # -ulp into -1e-6
+    return agg.select(
+        *group_cols,
+        "n",
+        "successes",
+        q6(p).alias("p_q6"),
+        q6(F.greatest(center - half, F.lit(0.0))).alias("lo_q6"),
+        q6(F.least(center + half, F.lit(1.0))).alias("hi_q6"),
+    )

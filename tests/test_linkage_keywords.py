@@ -252,3 +252,48 @@ def test_keyword_hits_works_on_a_stream(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {("d1", "spark"): 2, ("d2", "table"): 1}
+
+
+def test_rake_textbook_scoring(spark):
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        rake_keyphrases,
+    )
+
+    # classic RAKE behavior: multi-word phrases outrank loners because
+    # degree rewards co-travel
+    rows = [
+        (1, "linear diophantine equations and strict inequations"),
+        (2, "linear diophantine equations of minimal sets"),
+        (3, "strict inequations and minimal sets"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rake_keyphrases(
+        df, stopwords=("and", "of"), top_k=10
+    ).collect()
+    by_phrase = {r["phrase"]: r for r in out}
+    assert "linear diophantine equations" in by_phrase
+    top = out[0]
+    # the 3-word phrase wins: every member word has deg/freq >= 3
+    assert top["phrase"] == "linear diophantine equations"
+    assert top["n_words"] == 3 and top["occurrences"] == 2
+    # python twin of its score: deg/freq quantized per word, summed
+    # linear: deg 6 freq 2; diophantine: 6/2; equations: 6/2 -> 9.0
+    assert top["score_q6"] == 9.0
+    # ranks strictly ordered
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_rake_stopword_segmentation_and_cap(spark):
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        rake_keyphrases,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta the gamma the one two three four five")],
+        "doc_id long, text string",
+    )
+    out = rake_keyphrases(df, stopwords=("the",), max_phrase_len=4).collect()
+    phrases = {r["phrase"] for r in out}
+    # the 5-word run is dropped by the length cap; runs split at 'the'
+    assert "alpha beta" in phrases and "gamma" in phrases
+    assert not any("five" in p for p in phrases)

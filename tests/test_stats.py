@@ -2114,3 +2114,33 @@ def test_cuped_zero_pre_variance_null(spark):
     r = cuped_adjust(df, "pre", "post", "arm", quantize=2).collect()[0]
     assert r["theta_q6"] is None and r["adj_a_q6"] is None
     assert r["mean_a_q6"] is not None
+
+
+def test_wilson_textbook_and_edges(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        wilson_interval,
+    )
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = {
+        r["g"]: r
+        for r in wilson_interval(df, "s", group_cols=("g",)).collect()
+    }
+    # python twin for group a: n=10, s=8
+    n, s, z = 10, 8, 1.96
+    p = s / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = z / denom * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    assert out["a"]["p_q6"] == 0.8
+    assert out["a"]["lo_q6"] == math.floor(max(center - half, 0.0) * 1e6) / 1e6
+    assert out["a"]["hi_q6"] == math.floor(min(center + half, 1.0) * 1e6) / 1e6
+    # p_hat = 0 edge: Wald collapses to [0,0]; Wilson stays open
+    assert out["b"]["p_q6"] == 0.0
+    assert out["b"]["lo_q6"] == 0.0 and out["b"]["hi_q6"] > 0.3
+    # interval brackets the point estimate
+    for r in out.values():
+        assert r["lo_q6"] <= r["p_q6"] <= r["hi_q6"]
