@@ -4557,6 +4557,20 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_jackknife(spark, sf_dir):
+    """Delete-a-source jackknife SE of the global mean document length
+    (functions/stats.py jackknife_group_se): the clustered-sampling
+    error bar — how much any single source moves the headline mean.
+    Exact per-group integer sums; the G leave-out replicates accumulate
+    in fixed group order."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        jackknife_group_se,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("source", "n_chars")
+    return jackknife_group_se(d, "n_chars", "source", quantize=0)
+
+
 def _q_wilson(spark, sf_dir):
     """Per-source Wilson score intervals (functions/stats.py
     wilson_interval) on the short-document rate (n_chars < 500) —
@@ -5953,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_off_policy": _q_off_policy,
         "q_rake": _q_rake,
         "q_wilson": _q_wilson,
+        "q_jackknife": _q_jackknife,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12550,6 +12565,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_jackknife": """
+            WITH base AS (
+              SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1, 0)
+                          AS BIGINT) AS v,
+                     source AS g
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ),
+            per AS (
+              SELECT g, count(*)::BIGINT AS n_g, sum(v)::BIGINT AS s_g
+              FROM base GROUP BY g
+            ),
+            tot AS (
+              SELECT sum(n_g)::BIGINT AS n, sum(s_g)::BIGINT AS s
+              FROM per
+            ),
+            th AS (
+              SELECT g, n_g, s_g, n, s,
+                     (s - s_g)::DOUBLE / (n - n_g)::DOUBLE AS theta
+              FROM per, tot
+            ),
+            stepped AS (
+              SELECT n, s,
+                     sum(theta) OVER w AS st,
+                     sum(theta * theta) OVER w AS st2,
+                     row_number() OVER (ORDER BY g) AS rn,
+                     count(*) OVER () AS gg,
+                     max(CASE WHEN n_g = n THEN 1 ELSE 0 END) OVER ()
+                       AS whole
+              FROM th
+              WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            last AS (SELECT * FROM stepped WHERE rn = gg)
+            SELECT n, gg::BIGINT AS g,
+              floor(s::DOUBLE / n::DOUBLE / 1.0 * 1e6) / 1e6 AS mean_q6,
+              CASE WHEN gg > 1 AND whole = 0
+                   AND ((gg::DOUBLE - 1.0) / gg::DOUBLE
+                        * (st2 - st * st / gg::DOUBLE)) >= 0 THEN
+                floor(sqrt((gg::DOUBLE - 1.0) / gg::DOUBLE
+                           * (st2 - st * st / gg::DOUBLE))
+                      / 1.0 * 1e6) / 1e6
+              END AS se_q6
+            FROM last
+        """,
         "q_wilson": """
             WITH agg AS (
               SELECT source, count(*)::BIGINT AS n,

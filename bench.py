@@ -566,6 +566,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_off_policy",
         "q_rake",
         "q_wilson",
+        "q_jackknife",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

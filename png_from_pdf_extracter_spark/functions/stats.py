@@ -3709,3 +3709,80 @@ def wilson_interval(
         q6(F.greatest(center - half, F.lit(0.0))).alias("lo_q6"),
         q6(F.least(center + half, F.lit(1.0))).alias("hi_q6"),
     )
+
+
+def jackknife_group_se(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Delete-a-group jackknife standard error of the global mean —
+    the honest uncertainty for CLUSTERED corpora: rows inside a
+    source/shard/crawl are correlated, so the iid SE (sd/sqrt(n))
+    understates; leave-one-GROUP-out replicates measure how much any
+    single group moves the headline number ([[bootstrap_ci]]
+    resamples rows; this resamples GROUPS, the right unit when the
+    group is the sampling unit).
+
+    theta_(-g) = (S - s_g) / (N - n_g) over exact per-group integer
+    sums; SE^2 = (G-1)/G * [sum theta^2 - (sum theta)^2 / G]. The two
+    cross-group float sums are accumulated in FIXED group-key order
+    over the G-row table (one ordered window computing both — the
+    [[_stepped_sq_over_n]] discipline), so the result is
+    bit-reproducible. Plan: one map-combinable (group -> n, S)
+    aggregate, windows over G rows. Returns (n, g, mean_q6, se_q6);
+    se null when G < 2 or any group owns the whole corpus.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n_g"),
+        F.sum("__v").cast("long").alias("__s_g"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("__n_g").cast("long").alias("__n"),
+            F.sum("__s_g").cast("long").alias("__s"),
+        )
+    )
+    theta = F.try_divide(
+        (F.col("__s") - F.col("__s_g")).cast("double"),
+        (F.col("__n") - F.col("__n_g")).cast("double"),
+    )
+    ordw = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = per.crossJoin(tot).select(
+        "__n",
+        "__s",
+        F.sum(theta).over(ordw).alias("__st"),
+        F.sum(theta * theta).over(ordw).alias("__st2"),
+        F.row_number().over(Window.orderBy("__g")).alias("__rn"),
+        F.count("*").over(full).alias("__gg"),
+        F.max(F.col("__n_g") == F.col("__n")).over(full).alias(
+            "__whole"
+        ),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__gg"))
+    gg = F.col("__gg").cast("double")
+    var = (
+        (gg - F.lit(1.0))
+        / gg
+        * (F.col("__st2") - F.col("__st") * F.col("__st") / gg)
+    )
+    scale = float(10 ** quantize)
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    ok = (F.col("__gg") > 1) & (~F.col("__whole")) & (var >= 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.col("__n").alias("n"),
+        F.col("__gg").cast("long").alias("g"),
+        q6(mean / F.lit(scale)).alias("mean_q6"),
+        F.when(ok, q6(F.sqrt(var) / F.lit(scale))).alias("se_q6"),
+    )

@@ -652,3 +652,105 @@ def read_cusum_alarms(
     return cusum_fold_states(
         state, group_cols, seq_col="batch_id", threshold_q=threshold_q
     )
+
+
+def _mg_compress(cnt: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Relational Misra-Gries compress of an exact (item, cnt) table to
+    <= k rows: subtract the (k+1)-th largest count from every item and
+    keep the positive remainders (Agarwal et al., mergeable
+    summaries). TakeOrdered finds the threshold (k+1 rows to the
+    driver-free limit plan); no full sort."""
+    thr = (
+        cnt.select(F.col("cnt").alias("__t"))
+        .orderBy(F.desc("__t"))
+        .limit(k + 1)
+        .agg(
+            F.when(F.count("*") > k, F.min("__t"))
+            .otherwise(F.lit(0))
+            .alias("__m")
+        )
+    )
+    return (
+        cnt.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") > F.col("__m"))
+        .select(
+            item_col, (F.col("cnt") - F.col("__m")).alias("cnt")
+        )
+    )
+
+
+def stream_topk_monitor(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    checkpoint: str,
+    item_col: str,
+    k: int = 64,
+    table: str = "topk_state",
+    processing_time: str | None = None,
+):
+    """Streaming heavy-hitters monitor — the ONLINE twin of
+    ``functions/sketch.py heavy_hitters``: every micro-batch reduces to
+    an exact (item, cnt) aggregate, Misra-Gries-compresses it to <= k
+    rows ([[_mg_compress]]), and writes the summary under its
+    ``batch_id`` partition with dynamic overwrite (replayed batches
+    overwrite their own state — the ``stream_kmv_monitor``
+    exactly-once pattern). State per batch: k rows of (string, BIGINT),
+    queryable and mergeable, with the mergeable-summaries guarantee
+    intact across any number of batches: every item whose true stream
+    frequency exceeds N/(k+1) survives in the merged state, and each
+    surviving estimate undershoots its true count by at most N/(k+1)
+    in total."""
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        cnt = (
+            batch_df.select(
+                F.col(item_col).cast("string").alias("item")
+            )
+            .filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        summary = _mg_compress(cnt, "item", k).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            summary.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topk_estimates(
+    spark: SparkSession,
+    catalog: Catalog,
+    k: int = 64,
+    table: str = "topk_state",
+) -> DataFrame:
+    """Merged heavy-hitter estimates from the per-batch MG state: sum
+    the per-batch remainders per item (summary merge = counter
+    addition), compress once more to k, order by estimate. Estimates
+    are LOWER bounds with total undershoot <= N/(k+1) (pinned in
+    tests/test_streaming.py against the exact drained counts)."""
+    state = (
+        catalog.read(spark, table)
+        .groupBy("item")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return _mg_compress(state, "item", k).orderBy(
+        F.desc("cnt"), F.asc("item")
+    )

@@ -2144,3 +2144,51 @@ def test_wilson_textbook_and_edges(spark):
     # interval brackets the point estimate
     for r in out.values():
         assert r["lo_q6"] <= r["p_q6"] <= r["hi_q6"]
+
+
+def test_jackknife_python_twin(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        jackknife_group_se,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    for g in range(8):
+        mu = 10 + g * 3
+        for _ in range(30):
+            rows.append((round(rng.gauss(mu, 2), 2), f"g{g}"))
+    df = spark.createDataFrame(rows, "v double, grp string")
+    r = jackknife_group_se(df, "v", "grp", quantize=2).collect()[0]
+    q = [(int(round(v * 100)), g) for v, g in rows]
+    per = {}
+    for v, g in q:
+        n, s = per.get(g, (0, 0))
+        per[g] = (n + 1, s + v)
+    n_tot = sum(n for n, _ in per.values())
+    s_tot = sum(s for _, s in per.values())
+    thetas = [
+        (s_tot - s) / (n_tot - n) for _, (n, s) in sorted(per.items())
+    ]
+    gg = len(thetas)
+    var = (gg - 1) / gg * (
+        sum(t * t for t in thetas) - sum(thetas) ** 2 / gg
+    )
+    assert r["g"] == 8 and r["n"] == n_tot
+    assert abs(r["se_q6"] - math.sqrt(var) / 100.0) < 1e-5
+    # between-group spread is large by design -> SE well above iid SE
+    assert r["se_q6"] > 0.5
+
+
+def test_jackknife_degenerate_single_group(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        jackknife_group_se,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "only"), (2.0, "only")], "v double, grp string"
+    )
+    r = jackknife_group_se(df, "v", "grp", quantize=2).collect()[0]
+    assert r["se_q6"] is None and r["mean_q6"] == 1.5

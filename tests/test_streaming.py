@@ -426,3 +426,68 @@ def test_stream_cusum_monitor_folds_to_batch_answer(spark, tmp_path):
     assert spark.read.parquet(
         catalog.path("cusum_state")
     ).count() == n_before
+
+
+def test_stream_topk_monitor_mergeable_guarantee(spark, tmp_path):
+    """Per-batch Misra-Gries summaries merge with the mergeable-
+    summaries guarantee: every item above the N/(k+1) frequency line
+    survives, estimates are lower bounds undershooting by <= N/(k+1),
+    and a checkpointed re-drain with no new input changes nothing."""
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming.extract_stream import (
+        read_topk_estimates,
+        stream_topk_monitor,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    k = 8
+    rows = (
+        [("hot_a",)] * 300
+        + [("hot_b",)] * 200
+        + [(f"tail_{i % 97}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "item string")
+
+    def drain():
+        q = stream_topk_monitor(
+            spark, in_dir, catalog, ckpt, "item", k=k
+        )
+        q.awaitTermination()
+
+    # two arrivals -> two micro-batches, BOTH hot items split across
+    # them (the merge has to add partial counters, not just union)
+    df1 = spark.createDataFrame(rows[0::2], "item string")
+    df2 = spark.createDataFrame(rows[1::2], "item string")
+    df1.write.mode("append").parquet(in_dir)
+    drain()
+    df2.write.mode("append").parquet(in_dir)
+    drain()
+
+    est = {r["item"]: r["cnt"] for r in read_topk_estimates(
+        spark, catalog, k=k
+    ).collect()}
+    exact = {
+        r["item"]: r["cnt"]
+        for r in spark.read.parquet(in_dir)
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    bound = n / (k + 1)
+    # heavy items present with lower-bound estimates within the bound
+    for hot in ("hot_a", "hot_b"):
+        assert exact[hot] > bound
+        assert hot in est
+        assert est[hot] <= exact[hot] <= est[hot] + bound
+    assert len(est) <= k
+    # replay idempotence: re-drain with no new files, state unchanged
+    before = sorted(est.items())
+    drain()
+    after = sorted(
+        (r["item"], r["cnt"])
+        for r in read_topk_estimates(spark, catalog, k=k).collect()
+    )
+    assert before == after
