@@ -4557,6 +4557,47 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture population estimate
+    (functions/stats.py capture_recapture): the even-event-id and
+    odd-event-id halves of the log are two 'crawls' of the user space;
+    their overlap estimates the total distinct-user population — the
+    coverage-audit number. Three distinct aggregates + one semi-join,
+    two fixed float expressions."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        capture_recapture,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").alias("id")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("id")
+    )
+    return capture_recapture(a, b)
+
+
+def _q_cond_entropy(spark, sf_dir):
+    """Conditional entropy + Theil's U of event transitions
+    (functions/stats.py conditional_entropy): how much does knowing
+    the PREVIOUS event type tell you about the next one — the
+    asymmetric association q_cramers_v can't express. Same per-user
+    (ts, event_id) lag contract as q_event_transitions; fixed-order
+    stepped ln sums over the k x k contingency table."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        conditional_entropy,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("x"),
+        F.col("event_type").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    return conditional_entropy(seq, "x", "y")
+
+
 def _q_jackknife(spark, sf_dir):
     """Delete-a-source jackknife SE of the global mean document length
     (functions/stats.py jackknife_group_se): the clustered-sampling
@@ -5968,6 +6009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rake": _q_rake,
         "q_wilson": _q_wilson,
         "q_jackknife": _q_jackknife,
+        "q_capture_recapture": _q_capture_recapture,
+        "q_cond_entropy": _q_cond_entropy,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12565,6 +12608,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_capture_recapture": """
+            WITH a AS (
+              SELECT DISTINCT user_id AS id FROM events
+              WHERE event_id % 2 = 0 AND user_id IS NOT NULL
+            ),
+            b AS (
+              SELECT DISTINCT user_id AS id FROM events
+              WHERE event_id % 2 = 1 AND user_id IS NOT NULL
+            ),
+            agg AS (
+              SELECT (SELECT count(*) FROM a)::BIGINT AS n1,
+                     (SELECT count(*) FROM b)::BIGINT AS n2,
+                     (SELECT count(*) FROM a JOIN b USING (id))::BIGINT
+                       AS m
+            )
+            SELECT n1, n2, m,
+              CASE WHEN m > 0 THEN
+                floor(((n1::DOUBLE + 1.0) * (n2::DOUBLE + 1.0)
+                       / (m::DOUBLE + 1.0) - 1.0) * 1e6) / 1e6
+              END AS est_q6,
+              CASE WHEN m > 0 THEN
+                floor(sqrt((n1::DOUBLE + 1.0) * (n2::DOUBLE + 1.0)
+                           * (n1::DOUBLE - m::DOUBLE)
+                           * (n2::DOUBLE - m::DOUBLE)
+                           / ((m::DOUBLE + 1.0) * (m::DOUBLE + 1.0)
+                              * (m::DOUBLE + 2.0))) * 1e6) / 1e6
+              END AS se_q6
+            FROM agg
+        """,
+        "q_cond_entropy": """
+            WITH seq AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS x,
+                     event_type AS y
+              FROM events
+            ),
+            base AS (
+              SELECT x, y FROM seq
+              WHERE x IS NOT NULL AND y IS NOT NULL
+            ),
+            xy AS (
+              SELECT x, y, count(*)::BIGINT AS c FROM base GROUP BY x, y
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM xy),
+            cells AS (
+              SELECT x, y, c, sum(c) OVER (PARTITION BY x) AS cx FROM xy
+            ),
+            stepped AS (
+              SELECT n,
+                     sum(c::DOUBLE / n::DOUBLE
+                         * ln(cx::DOUBLE / c::DOUBLE)) OVER (
+                       ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hc,
+                     row_number() OVER (ORDER BY x, y) AS rn,
+                     count(*) OVER () AS k
+              FROM cells, tot
+            ),
+            hcond AS (SELECT n, hc FROM stepped WHERE rn = k),
+            yc AS (SELECT y, count(*)::BIGINT AS cy FROM base GROUP BY y),
+            ystep AS (
+              SELECT sum(cy::DOUBLE / n::DOUBLE
+                         * ln(n::DOUBLE / cy::DOUBLE)) OVER (
+                       ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+                       CURRENT ROW) AS hy,
+                     row_number() OVER (ORDER BY y) AS rn,
+                     count(*) OVER () AS k
+              FROM yc, tot
+            ),
+            hyt AS (SELECT hy FROM ystep WHERE rn = k)
+            SELECT n,
+              floor(hy * 1e6) / 1e6 AS h_y_q6,
+              floor(hc * 1e6) / 1e6 AS h_cond_q6,
+              CASE WHEN hy > 0 THEN
+                floor((hy - hc) / hy * 1e6) / 1e6
+              END AS theil_u_q6
+            FROM hcond, hyt
+        """,
         "q_jackknife": """
             WITH base AS (
               SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1, 0)

@@ -567,6 +567,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_rake",
         "q_wilson",
         "q_jackknife",
+        "q_capture_recapture",
+        "q_cond_entropy",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -3786,3 +3786,139 @@ def jackknife_group_se(
         q6(mean / F.lit(scale)).alias("mean_q6"),
         F.when(ok, q6(F.sqrt(var) / F.lit(scale))).alias("se_q6"),
     )
+
+
+def capture_recapture(
+    df1: DataFrame,
+    df2: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Chapman capture-recapture estimate of a hidden population size
+    from two overlapping samples: N_hat = (n1+1)(n2+1)/(m+1) - 1 with
+    SE^2 = (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2)) — the corpus
+    read: two independent crawls/dumps of the same space estimate how
+    much of it NEITHER saw (coverage auditing before claiming "we have
+    the web"). The [[kmv_build]] sketches count what you HAVE; this
+    estimates what EXISTS.
+
+    EXACT cross-engine: n1, n2, m are three distinct-counts; both
+    estimators are single fixed-op-order float expressions over the
+    three integers, floor-quantized. Plan: two distinct aggregates +
+    one distinct-intersection (semi-join then distinct — key-hashed,
+    combinable). Returns (n1, n2, m, est_q6, se_q6); null when m = 0
+    (disjoint samples => the estimator is undefined at scale).
+    """
+    a = df1.select(F.col(id_col).alias("__id")).filter(
+        F.col("__id").isNotNull()
+    ).distinct()
+    b = df2.select(F.col(id_col).alias("__id")).filter(
+        F.col("__id").isNotNull()
+    ).distinct()
+    both = a.join(b, "__id", "left_semi")
+    agg = (
+        a.agg(F.count("*").cast("long").alias("n1"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("n2")))
+        .crossJoin(both.agg(F.count("*").cast("long").alias("m")))
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    est = (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (m + F.lit(1.0)) - F.lit(
+        1.0
+    )
+    se2 = (
+        (n1 + F.lit(1.0))
+        * (n2 + F.lit(1.0))
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + F.lit(1.0)) * (m + F.lit(1.0)) * (m + F.lit(2.0)))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.when(F.col("m") > 0, q6(est)).alias("est_q6"),
+        F.when(F.col("m") > 0, q6(F.sqrt(se2))).alias("se_q6"),
+    )
+
+
+def conditional_entropy(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Conditional entropy H(Y|X) and Theil's uncertainty coefficient
+    U(Y|X) = (H(Y) - H(Y|X)) / H(Y) for two categorical columns — the
+    ASYMMETRIC association number [[cramers_v]] can't give: "knowing
+    the source/event type removes WHAT FRACTION of the label's
+    uncertainty". U = 0 independent, U = 1 fully determined.
+
+    H(Y|X) = sum_xy (c_xy / N) * ln(c_x / c_xy) over the (x, y)
+    contingency counts — integers until the ln. Both cross-cell float
+    sums (H(Y|X) over (x, y) order, H(Y) over y order) accumulate in
+    FIXED key order via ordered windows over the contingency table
+    (bounded by cardinality product, not corpus size — the
+    [[_stepped_sq_over_n]] discipline). One (x, y) count shuffle.
+    Returns (n, h_y_q6, h_cond_q6, theil_u_q6); U null when H(Y) = 0.
+    """
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    xy = base.groupBy("__x", "__y").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    wx = Window.partitionBy("__x")
+    tot = F.broadcast(xy.agg(F.sum("__c").cast("long").alias("__n")))
+    cells = xy.withColumn("__cx", F.sum("__c").over(wx)).crossJoin(tot)
+    nn = F.col("__n").cast("double")
+    term_cond = (
+        F.col("__c").cast("double")
+        / nn
+        * F.log(
+            F.col("__cx").cast("double") / F.col("__c").cast("double")
+        )
+    )
+    ordw = Window.orderBy("__x", "__y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.orderBy("__x", "__y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cells.select(
+        "__n",
+        F.sum(term_cond).over(ordw).alias("__hc"),
+        F.row_number().over(Window.orderBy("__x", "__y")).alias("__rn"),
+        F.count("*").over(full).alias("__k"),
+    )
+    hcond = stepped.filter(F.col("__rn") == F.col("__k")).select(
+        "__n", "__hc"
+    )
+    ycnt = base.groupBy("__y").agg(
+        F.count("*").cast("long").alias("__cy")
+    )
+    wyo = Window.orderBy("__y").rowsBetween(Window.unboundedPreceding, 0)
+    wyf = Window.orderBy("__y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    term_y = (
+        F.col("__cy").cast("double")
+        / nn
+        * F.log(nn / F.col("__cy").cast("double"))
+    )
+    ystep = ycnt.crossJoin(tot).select(
+        F.sum(term_y).over(wyo).alias("__hy"),
+        F.row_number().over(Window.orderBy("__y")).alias("__rn"),
+        F.count("*").over(wyf).alias("__k"),
+    )
+    hy = F.broadcast(
+        ystep.filter(F.col("__rn") == F.col("__k")).select("__hy")
+    )
+    u = (F.col("__hy") - F.col("__hc")) / F.col("__hy")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return hcond.crossJoin(hy).select(
+        F.col("__n").alias("n"),
+        q6(F.col("__hy")).alias("h_y_q6"),
+        q6(F.col("__hc")).alias("h_cond_q6"),
+        F.when(F.col("__hy") > 0, q6(u)).alias("theil_u_q6"),
+    )

@@ -2192,3 +2192,89 @@ def test_jackknife_degenerate_single_group(spark):
     )
     r = jackknife_group_se(df, "v", "grp", quantize=2).collect()[0]
     assert r["se_q6"] is None and r["mean_q6"] == 1.5
+
+
+def test_capture_recapture_python_twin(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        capture_recapture,
+    )
+
+    # true population 0..99; sample A = multiples of 2, B = multiples
+    # of 3 -> m = multiples of 6
+    a = spark.createDataFrame([(i,) for i in range(0, 100, 2)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(0, 100, 3)], "id long")
+    r = capture_recapture(a, b).collect()[0]
+    n1, n2, m = 50, 34, 17
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    se2 = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+           / ((m + 1) ** 2 * (m + 2)))
+    assert (r["n1"], r["n2"], r["m"]) == (n1, n2, m)
+    assert r["est_q6"] == math.floor(est * 1e6) / 1e6
+    assert abs(r["se_q6"] - math.sqrt(se2)) < 1e-5
+    # estimate in the plausible neighborhood of the true 100
+    assert 60 < r["est_q6"] < 140
+    # disjoint samples -> null estimate
+    c = spark.createDataFrame([(1000,)], "id long")
+    r2 = capture_recapture(a, c).collect()[0]
+    assert r2["est_q6"] is None
+
+
+def test_conditional_entropy_extremes(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        conditional_entropy,
+    )
+
+    # Y fully determined by X -> H(Y|X) = 0, U = 1
+    det = spark.createDataFrame(
+        [("a", "p")] * 5 + [("b", "q")] * 5, "x string, y string"
+    )
+    r = conditional_entropy(det, "x", "y").collect()[0]
+    assert r["h_cond_q6"] == 0.0 and r["theil_u_q6"] == 1.0
+    assert abs(r["h_y_q6"] - math.log(2)) < 1e-5
+    # X independent of Y -> H(Y|X) = H(Y), U = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "pq" for _ in range(3)],
+        "x string, y string",
+    )
+    r2 = conditional_entropy(ind, "x", "y").collect()[0]
+    assert r2["theil_u_q6"] == 0.0
+    assert r2["h_cond_q6"] == r2["h_y_q6"]
+    # constant Y -> H(Y) = 0, U undefined
+    const = spark.createDataFrame(
+        [("a", "z"), ("b", "z")], "x string, y string"
+    )
+    r3 = conditional_entropy(const, "x", "y").collect()[0]
+    assert r3["theil_u_q6"] is None and r3["h_y_q6"] == 0.0
+
+
+def test_conditional_entropy_python_twin(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        conditional_entropy,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice("abc"), rng.choice("pqrs")) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = conditional_entropy(df, "x", "y").collect()[0]
+    from collections import Counter
+
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    n = len(rows)
+    hc = sum(
+        c / n * math.log(cx[x] / c) for (x, y), c in sorted(cxy.items())
+    )
+    hy = sum(c / n * math.log(n / c) for _, c in sorted(cy.items()))
+    assert abs(r["h_cond_q6"] - hc) < 2e-6
+    assert abs(r["h_y_q6"] - hy) < 2e-6
+    assert 0.0 <= r["theil_u_q6"] < 0.1  # independent by construction
