@@ -715,3 +715,116 @@ def test_conformal_window_over_value_table(spark):
     # children print below parents: the (group, value) count aggregate
     # must appear BELOW (after) the windows in the tree dump
     assert plan.rindex("Window") < plan.rindex("HashAggregate"), plan
+
+
+def test_heavy_hitters_exact_count_joins_broadcast_candidates(spark):
+    """heavy_hitters: the verify phase counts ONLY rows matching the
+    broadcast candidate list — a BroadcastHashJoin must sit in the
+    plan, and the MG candidate stage is a zero-shuffle mapInPandas
+    (no Exchange between scan and the python fan-in)."""
+    from png_from_pdf_extracter_spark.functions.sketch import heavy_hitters
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    occ = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("word")
+    )
+    plan = _plan(heavy_hitters(occ, "word", threshold_frac=0.01))
+    assert "BroadcastHashJoin" in plan, plan
+    # MG summary runs map-side: the python eval feeds the join build
+    # side without an exchange above the scan on its branch
+    assert "MapInPandas" in plan, plan
+
+
+def test_naive_bayes_models_broadcast_to_predict(spark):
+    """naive_bayes_predict: both the word model and the label model
+    reach the scoring join as broadcasts — the corpus side never
+    shuffles for the model."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("toks"),
+    )
+    wm, lm = naive_bayes_train(d, "toks", "lang")
+    plan = _plan(naive_bayes_predict(d, "doc_id", "toks", wm, lm))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # k-row label fan
+
+
+def test_label_propagation_pregel_no_cartesian(spark):
+    """label_propagation: every round is equi-join + aggregate on the
+    node key — no cartesian product anywhere in 3 unrolled rounds."""
+    from png_from_pdf_extracter_spark.functions.graph import (
+        label_propagation,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 1500).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    seeds = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_mktsegment").alias("label"),
+    )
+    plan = _plan(label_propagation(edges, seeds, rounds=3))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_prf_rerank_second_pass_terms_broadcast(spark):
+    """prf_rerank: the expanded term set reaches the second BM25 pass
+    as a broadcast build side (never a shuffled join against the
+    exploded corpus), and no driver collect exists — the whole loop is
+    one plan."""
+    from png_from_pdf_extracter_spark.functions.search import prf_rerank
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        prf_rerank(d, ["vector", "stream"], fb_docs=5, n_expansion=3,
+                   max_df_frac=1.0, top_k=5)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hill_tail_windows_over_distinct_count_table(spark):
+    """hill_tail_index: every window runs over the aggregated
+    distinct-value table (HashAggregate below the windows), never raw
+    rows."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hill_tail_index,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(hill_tail_index(ev, "value", k=50, quantize=2))
+    assert plan.rindex("Window") < plan.rindex("HashAggregate"), plan
+
+
+def test_cuped_single_one_row_aggregate(spark):
+    """cuped_adjust: ONE conditional aggregate regardless of input
+    size — exactly one exchange pair (partial/final over a 1-row
+    group) beyond the broadcast min, no joins on the data path except
+    the two scalar broadcasts."""
+    from png_from_pdf_extracter_spark.functions.stats import cuped_adjust
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("value").alias("pre"),
+        (F.col("value") * 2).alias("post"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    plan = _plan(cuped_adjust(ev, "pre", "post", "arm"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
