@@ -4557,6 +4557,47 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_group_influence(spark, sf_dir):
+    """Per-source influence on the global mean doc length
+    (functions/stats.py group_influence): the leave-one-source-out
+    delta table behind q_jackknife's single SE — which source drags
+    the headline number, and in which direction. One combinable
+    aggregate; each delta a fixed float expression over four
+    integers."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        group_influence,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("source", "n_chars")
+    return group_influence(d, "n_chars", "source", quantize=0)
+
+
+def _q_token_wer(spark, sf_dir):
+    """Token-level edit distance / WER between each doc and its
+    source-successor (functions/dedup.py token_edit_distance_pairs):
+    the vocabulary dense-ranks into single characters so the built-in
+    JVM levenshtein computes the WORD-level DP — no Python UDF. Exact
+    here (31-word vocab << the 190 cap)."""
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        token_edit_distance_pairs,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("toks"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.lead("doc_id").over(w).alias("id_b"),
+    ).filter(F.col("id_b").isNotNull())
+    return token_edit_distance_pairs(d, pairs, "doc_id", "toks")
+
+
 def _q_capture_recapture(spark, sf_dir):
     """Chapman capture-recapture population estimate
     (functions/stats.py capture_recapture): the even-event-id and
@@ -6011,6 +6052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jackknife": _q_jackknife,
         "q_capture_recapture": _q_capture_recapture,
         "q_cond_entropy": _q_cond_entropy,
+        "q_group_influence": _q_group_influence,
+        "q_token_wer": _q_token_wer,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12608,6 +12651,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_group_influence": """
+            WITH base AS (
+              SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1, 0)
+                          AS BIGINT) AS v,
+                     source AS g
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ),
+            per AS (
+              SELECT g, count(*)::BIGINT AS n_g, sum(v)::BIGINT AS s_g
+              FROM base GROUP BY g
+            ),
+            tot AS (
+              SELECT sum(n_g)::BIGINT AS n, sum(s_g)::BIGINT AS s
+              FROM per
+            )
+            SELECT g AS "group", n_g,
+              floor(s_g::DOUBLE / n_g::DOUBLE / 1.0 * 1e6) / 1e6
+                AS mean_g_q6,
+              CASE WHEN n_g < n THEN
+                floor(((s - s_g)::DOUBLE / (n - n_g)::DOUBLE
+                       - s::DOUBLE / n::DOUBLE) / 1.0 * 1e6) / 1e6
+              END AS delta_q6
+            FROM per, tot
+        """,
+        "q_token_wer": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ),
+            vc AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM d) GROUP BY w
+            ),
+            vocab AS (
+              SELECT w, CASE WHEN r <= 190 THEN r + 64 ELSE 255 END
+                       AS code
+              FROM (
+                SELECT w, row_number() OVER (ORDER BY c DESC, w ASC)
+                         AS r
+                FROM vc
+              )
+            ),
+            pos AS (
+              SELECT doc_id, p, t[p] AS w
+              FROM d, generate_series(1, 512) g(p) WHERE p <= len(t)
+            ),
+            enc0 AS (
+              SELECT doc_id,
+                     array_to_string(list(chr(code::INTEGER) ORDER BY p), '')
+                       AS s,
+                     count(*)::INTEGER AS n
+              FROM pos JOIN vocab USING (w) GROUP BY doc_id
+            ),
+            enc AS (
+              SELECT d.doc_id, coalesce(s, '') AS s, coalesce(n, 0) AS n
+              FROM d LEFT JOIN enc0 USING (doc_id)
+            ),
+            pairs AS (
+              SELECT doc_id AS id_a,
+                     lead(doc_id) OVER (
+                       PARTITION BY source ORDER BY doc_id) AS id_b
+              FROM d
+            ),
+            pp AS (SELECT id_a, id_b FROM pairs WHERE id_b IS NOT NULL)
+            SELECT pp.id_a, pp.id_b, a.n AS n_ref, b.n AS n_hyp,
+              levenshtein(a.s, b.s)::BIGINT AS dist,
+              CASE WHEN a.n > 0 THEN
+                floor(levenshtein(a.s, b.s)::DOUBLE / a.n::DOUBLE
+                      * 1e6) / 1e6
+              END AS wer_q6
+            FROM pp JOIN enc a ON pp.id_a = a.doc_id
+                    JOIN enc b ON pp.id_b = b.doc_id
+        """,
         "q_capture_recapture": """
             WITH a AS (
               SELECT DISTINCT user_id AS id FROM events

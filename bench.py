@@ -569,6 +569,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_jackknife",
         "q_capture_recapture",
         "q_cond_entropy",
+        "q_group_influence",
+        "q_token_wer",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -1390,3 +1390,109 @@ def apply_dedup_best(
     )
     out = docs.join(losers, id_col, "left_anti")
     return _with_cached_deps(out, getattr(comp, "_spark_graft_cached", []))
+
+
+def token_edit_distance_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    vocab_cap: int = 190,
+) -> DataFrame:
+    """TOKEN-level edit distance (word error rate) between paired
+    documents — [[edit_distance_pairs]] counts CHARACTER edits; ASR /
+    paraphrase / near-duplicate comparison wants WORD edits. The trick
+    that keeps it all-JVM: dense-rank the vocabulary and encode every
+    token as ONE character (codepoints 0x41..0x41+cap), so the
+    built-in ``levenshtein`` on the encoded strings IS the token-level
+    DP — no Python UDF, no quadratic pair explode.
+
+    Vocabulary contract: ranks are (frequency desc, token asc) —
+    deterministic; tokens past ``vocab_cap`` collapse into one OOV
+    character (an OOV<->OOV substitution then costs 0 instead of 1,
+    documented approximation; EXACT whenever distinct tokens <= cap).
+    The cap exists because Spark's ``char`` wraps at 256 — codepoints
+    stay single-char and identical in both engines' levenshtein.
+
+    Plan: one vocab count shuffle (window over the distinct-token
+    table), one broadcast token->char join, one per-doc ordered
+    re-assembly, then the pair join computes levenshtein JVM-side.
+    ``pairs`` carries (id_a, id_b); WER = dist / len(tokens of a) —
+    the first element is the reference. Returns (id_a, id_b, n_ref,
+    n_hyp, dist, wer_q6); wer null when the reference is empty.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+    )
+    vocab = (
+        toks.select(F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .select(
+            "__w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("__c"), F.asc("__w")))
+            .alias("__r"),
+        )
+        .select(
+            "__w",
+            F.when(F.col("__r") <= vocab_cap, F.col("__r") + 64)
+            .otherwise(F.lit(255))
+            .alias("__code"),
+        )
+    )
+    enc = (
+        toks.select("__id", F.posexplode("__t").alias("__p", "__w"))
+        .join(F.broadcast(vocab), "__w")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__p", "__code"))
+            ).alias("__pc")
+        )
+        .select(
+            "__id",
+            F.array_join(
+                F.transform(F.col("__pc"), lambda s: F.char(s["__code"])),
+                "",
+            ).alias("__s"),
+            F.size("__pc").alias("__n"),
+        )
+    )
+    # empty-token docs never survive the explode join: restore them
+    enc = toks.select("__id").join(enc, "__id", "left").select(
+        "__id",
+        F.coalesce("__s", F.lit("")).alias("__s"),
+        F.coalesce("__n", F.lit(0)).alias("__n"),
+    )
+    a = enc.select(
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__n").alias("n_ref"),
+    )
+    b = enc.select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__n").alias("n_hyp"),
+    )
+    d = F.levenshtein(F.col("__sa"), F.col("__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_ref",
+            "n_hyp",
+            d.cast("long").alias("dist"),
+            F.when(
+                F.col("n_ref") > 0,
+                F.floor(
+                    d.cast("double")
+                    / F.col("n_ref").cast("double")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6),
+            ).alias("wer_q6"),
+        )
+    )

@@ -3922,3 +3922,55 @@ def conditional_entropy(
         q6(F.col("__hc")).alias("h_cond_q6"),
         F.when(F.col("__hy") > 0, q6(u)).alias("theil_u_q6"),
     )
+
+
+def group_influence(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Per-group influence on the global mean: delta_g = theta_(-g) -
+    theta, the leave-one-group-out shift — "which source/shard DRAGS
+    the headline number, and by how much". The per-group table behind
+    [[jackknife_group_se]]'s single SE row; sign tells direction (a
+    positive delta means removing the group RAISES the mean, i.e. the
+    group pulls it down).
+
+    Exact per-group integer sums off one map-combinable aggregate;
+    each delta is a single fixed-op-order float expression over four
+    integers — embarrassingly parallel over the G-row table. Returns
+    one row per group (group, n_g, mean_g_q6, delta_q6), delta null
+    for a group owning the entire corpus.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("__v").cast("long").alias("__s_g"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_g").cast("long").alias("__n"),
+            F.sum("__s_g").cast("long").alias("__s"),
+        )
+    )
+    scale = float(10 ** quantize)
+    mean_all = F.col("__s").cast("double") / F.col("__n").cast("double")
+    loo = F.try_divide(
+        (F.col("__s") - F.col("__s_g")).cast("double"),
+        (F.col("__n") - F.col("n_g")).cast("double"),
+    )
+    mean_g = F.col("__s_g").cast("double") / F.col("n_g").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return per.crossJoin(tot).select(
+        F.col("__g").alias("group"),
+        "n_g",
+        q6(mean_g / F.lit(scale)).alias("mean_g_q6"),
+        F.when(
+            F.col("n_g") < F.col("__n"),
+            q6((loo - mean_all) / F.lit(scale)),
+        ).alias("delta_q6"),
+    )

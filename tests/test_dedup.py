@@ -668,3 +668,53 @@ def test_apply_dedup_best_string_ids(spark):
         r["doc_id"] for r in apply_dedup_best(docs, pairs, "q").collect()
     }
     assert kept == {"b"}  # tie b/c at 3.0 -> min id b
+
+
+def test_token_wer_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        token_edit_distance_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["the", "cat", "sat", "on", "the", "mat"]),
+            (2, ["the", "cat", "stood", "on", "the", "mat"]),
+            (3, ["a", "dog", "ran"]),
+            (4, []),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in token_edit_distance_pairs(docs, pairs, "doc_id", "toks")
+        .collect()
+    }
+    # one substitution (sat -> stood) at token level
+    r = out[(1, 2)]
+    assert r["dist"] == 1 and r["wer_q6"] == 0.166666  # floor-6dp of 1/6
+    # completely different: 3 subs + 3 deletions = 6 edits
+    assert out[(1, 3)]["dist"] == 6 and out[(1, 3)]["wer_q6"] == 1.0
+    # empty reference: dist = len(hyp), wer null
+    assert out[(4, 3)]["dist"] == 3 and out[(4, 3)]["wer_q6"] is None
+    # empty hypothesis: dist = len(ref)
+    assert out[(1, 4)]["dist"] == 6 and out[(1, 4)]["wer_q6"] == 1.0
+
+
+def test_token_wer_word_level_not_char_level(spark):
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        token_edit_distance_pairs,
+    )
+
+    # char-level levenshtein('abcdef','abcdxf') would be 1 regardless;
+    # the point of the encoding is that a whole-word swap costs exactly
+    # 1 even when the words share most characters
+    docs = spark.createDataFrame(
+        [(1, ["internationalization"]), (2, ["internationalisation"])],
+        "doc_id long, toks array<string>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = token_edit_distance_pairs(docs, pairs, "doc_id", "toks").collect()[0]
+    assert r["dist"] == 1 and r["wer_q6"] == 1.0

@@ -2278,3 +2278,35 @@ def test_conditional_entropy_python_twin(spark):
     assert abs(r["h_cond_q6"] - hc) < 2e-6
     assert abs(r["h_y_q6"] - hy) < 2e-6
     assert 0.0 <= r["theil_u_q6"] < 0.1  # independent by construction
+
+
+def test_group_influence_signs_and_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        group_influence,
+    )
+
+    rows = (
+        [(10.0, "low")] * 4 + [(20.0, "mid")] * 4 + [(90.0, "high")] * 2
+    )
+    df = spark.createDataFrame(rows, "v double, grp string")
+    out = {
+        r["group"]: r
+        for r in group_influence(df, "v", "grp", quantize=2).collect()
+    }
+    # removing the heavy group drops the mean -> negative delta;
+    # removing a light group raises it -> positive delta
+    assert out["high"]["delta_q6"] < 0
+    assert out["low"]["delta_q6"] > 0
+    # python twin for one group (cent units)
+    s = sum(int(v * 100) for v, _ in rows)
+    n = len(rows)
+    s_low = 4 * 1000
+    loo = (s - s_low) / (n - 4)
+    import math
+
+    exp = math.floor((loo - s / n) / 100.0 * 1e6) / 1e6
+    assert out["low"]["delta_q6"] == exp
+    # single-group corpus -> null delta
+    one = spark.createDataFrame([(1.0, "x")], "v double, grp string")
+    r = group_influence(one, "v", "grp", quantize=2).collect()[0]
+    assert r["delta_q6"] is None
