@@ -4557,6 +4557,34 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_holm(spark, sf_dir):
+    """Holm step-down FWER control over the same md5-derived per-event
+    p battery as q_bh_fdr (functions/stats.py holm_bonferroni) — the
+    family-wise gate next to BH's FDR gate; min-rank tie convention
+    keeps every frame RANGE-based, no row_number tie gamble."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        holm_bonferroni,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("event_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(1_000_000)
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+    return holm_bonferroni(ev, "p", group_cols=("event_type",))
+
+
 def _q_group_influence(spark, sf_dir):
     """Per-source influence on the global mean doc length
     (functions/stats.py group_influence): the leave-one-source-out
@@ -6054,6 +6082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cond_entropy": _q_cond_entropy,
         "q_group_influence": _q_group_influence,
         "q_token_wer": _q_token_wer,
+        "q_holm": _q_holm,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12651,6 +12680,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_holm": """
+            WITH p AS (
+              SELECT event_type AS g,
+                     CAST(concat('0x', substr(
+                       md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS pq
+              FROM events
+            ),
+            k AS (
+              SELECT g, pq,
+                     coalesce(count(*) OVER (
+                       PARTITION BY g ORDER BY pq
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + 1 AS r_min,
+                     count(*) OVER (PARTITION BY g) AS m
+              FROM p
+            ),
+            c AS (
+              SELECT g, pq, r_min, m,
+                     CASE WHEN pq * (m - r_min + 1) * 100
+                            <= 5 * 1000000
+                          THEN 1 ELSE 0 END AS cond
+              FROM k
+            ),
+            f AS (
+              SELECT g, pq, r_min, m,
+                     min(cond) OVER (
+                       PARTITION BY g ORDER BY pq
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS runmin
+              FROM c
+            )
+            SELECT g AS event_type, pq AS p_q,
+                   r_min::BIGINT AS r_min, m::BIGINT AS m,
+                   (runmin = 1) AS reject
+            FROM f
+        """,
         "q_group_influence": """
             WITH base AS (
               SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1, 0)

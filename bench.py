@@ -571,6 +571,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_cond_entropy",
         "q_group_influence",
         "q_token_wer",
+        "q_holm",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

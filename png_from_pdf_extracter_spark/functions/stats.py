@@ -3974,3 +3974,63 @@ def group_influence(
             q6((loo - mean_all) / F.lit(scale)),
         ).alias("delta_q6"),
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    p_col: str,
+    group_cols: tuple[str, ...] = (),
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    quantize: int = 6,
+) -> DataFrame:
+    """Holm step-down FWER control over a p-value battery — the
+    FAMILY-wise companion to [[bh_fdr]]: BH bounds the expected
+    false-discovery fraction, Holm bounds the probability of even ONE
+    false rejection (the right gate when a single wrong 'this source
+    drifted' page is expensive). Uniformly more powerful than plain
+    Bonferroni, never rejects more than BH.
+
+    Step-down rule: walking p ascending, reject while p_(j) <=
+    alpha / (m - j + 1); the first failure stops everything after it.
+    INTEGER-EXACT ([[bh_fdr]]'s discipline): quantized p and rational
+    alpha turn the condition into ``p_q * (m - r + 1) * alpha_den <=
+    alpha_num * 10^quantize`` — BIGINT both sides. Ties share the
+    MIN-rank multiplier (r = count of strictly smaller p + 1) so tied
+    rows share a fate and the running-AND runs on RANGE frames —
+    deterministic under any partitioning, no row_number tie gamble.
+
+    Plan: two RANGE windows + one full-frame min per group on one
+    exchange, no join back. Returns (group..., p_q, r_min, m,
+    reject).
+    """
+    pq = _quant(F.col(p_col), quantize)
+    gw = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    )
+    below = gw.orderBy("p_q").rangeBetween(Window.unboundedPreceding, -1)
+    upto = gw.orderBy("p_q").rangeBetween(Window.unboundedPreceding, 0)
+    full = gw.orderBy("p_q").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scale = 10**quantize
+    base = (
+        df.select(*group_cols, pq.alias("p_q"))
+        .withColumn(
+            "r_min", F.coalesce(F.count("*").over(below), F.lit(0)) + 1
+        )
+        .withColumn("m", F.count("*").over(full))
+    )
+    cond = (
+        F.col("p_q")
+        * (F.col("m") - F.col("r_min") + 1)
+        * F.lit(int(alpha_den))
+        <= F.lit(int(alpha_num)) * F.lit(scale)
+    ).cast("int")
+    return base.select(
+        *group_cols,
+        "p_q",
+        F.col("r_min").cast("long").alias("r_min"),
+        F.col("m").cast("long").alias("m"),
+        (F.min(cond).over(upto) == 1).alias("reject"),
+    )

@@ -2310,3 +2310,41 @@ def test_group_influence_signs_and_twin(spark):
     one = spark.createDataFrame([(1.0, "x")], "v double, grp string")
     r = group_influence(one, "v", "grp", quantize=2).collect()[0]
     assert r["delta_q6"] is None
+
+
+def test_holm_step_down_textbook(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        bh_fdr,
+        holm_bonferroni,
+    )
+
+    # m=5, alpha=0.05: thresholds 0.01, 0.0125, 0.0167, 0.025, 0.05
+    ps = [0.005, 0.011, 0.02, 0.04, 0.6]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    out = {
+        r["p_q"]: r["reject"]
+        for r in holm_bonferroni(df, "p").collect()
+    }
+    # 0.005 <= 0.01 reject; 0.011 <= 0.0125 reject; 0.02 > 0.0167 stop
+    assert out[5000] and out[11000]
+    assert not out[20000] and not out[40000] and not out[600000]
+    # Holm never rejects more than BH on the same battery
+    bh = {r["p_q"]: r["reject"] for r in bh_fdr(df, "p").collect()}
+    assert all((not h) or bh[p] for p, h in out.items())
+
+
+def test_holm_tie_convention_shares_fate(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        holm_bonferroni,
+    )
+
+    # two tied smallest p straddle the per-position threshold: with
+    # min-rank ties BOTH get multiplier (m - 1 + 1) = 3 -> 0.0166
+    df = spark.createDataFrame(
+        [(0.012,), (0.012,), (0.5,)], "p double"
+    )
+    rows = holm_bonferroni(df, "p").collect()
+    tied = [r for r in rows if r["p_q"] == 12000]
+    assert len(tied) == 2
+    assert tied[0]["reject"] == tied[1]["reject"] == True  # noqa: E712
+    assert all(r["r_min"] == 1 for r in tied)
