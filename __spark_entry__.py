@@ -4557,6 +4557,24 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_mantel_haenszel(spark, sf_dir):
+    """Stratified A/B readout (functions/stats.py mantel_haenszel):
+    pooled odds ratio + CMH chi² of 'high-value event' (value > 150)
+    between user-parity arms, stratified by event type — the
+    Simpson-safe version of q_ab_test's single 2x2. One conditional
+    aggregate to the k-strata cell table, fixed-order stepped pooling."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        mantel_haenszel,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("value") > 150).cast("int").alias("hi"),
+    )
+    return mantel_haenszel(ev, "event_type", "arm", "hi")
+
+
 def _q_holm(spark, sf_dir):
     """Holm step-down FWER control over the same md5-derived per-event
     p battery as q_bh_fdr (functions/stats.py holm_bonferroni) — the
@@ -6083,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_influence": _q_group_influence,
         "q_token_wer": _q_token_wer,
         "q_holm": _q_holm,
+        "q_mantel_haenszel": _q_mantel_haenszel,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12680,6 +12699,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_mantel_haenszel": """
+            WITH base AS (
+              SELECT event_type AS s,
+                     CAST(user_id % 2 AS INT) AS a,
+                     CASE WHEN value > 150 THEN 1 ELSE 0 END AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            per AS (
+              SELECT s,
+                sum(a * y)::BIGINT AS ta,
+                sum(a * (1 - y))::BIGINT AS tb,
+                sum((1 - a) * y)::BIGINT AS tc,
+                sum((1 - a) * (1 - y))::BIGINT AS td
+              FROM base GROUP BY s
+              HAVING (sum(a * y) + sum(a * (1 - y))
+                      + sum((1 - a) * y)
+                      + sum((1 - a) * (1 - y))) >= 2
+            ),
+            t AS (
+              SELECT s, ta, tb, tc, td,
+                (ta + tb + tc + td)::DOUBLE AS n
+              FROM per
+            ),
+            stepped AS (
+              SELECT
+                sum(ta::DOUBLE * td::DOUBLE / n) OVER w AS r,
+                sum(tb::DOUBLE * tc::DOUBLE / n) OVER w AS ss,
+                sum(ta::DOUBLE
+                    - (ta::DOUBLE + tb::DOUBLE)
+                      * (ta::DOUBLE + tc::DOUBLE) / n) OVER w AS dev,
+                sum((ta::DOUBLE + tb::DOUBLE)
+                    * (tc::DOUBLE + td::DOUBLE)
+                    * (ta::DOUBLE + tc::DOUBLE)
+                    * (tb::DOUBLE + td::DOUBLE)
+                    / (n * n * (n - 1.0))) OVER w AS v,
+                row_number() OVER (ORDER BY s) AS rn,
+                count(*) OVER () AS k
+              FROM t
+              WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            last AS (SELECT * FROM stepped WHERE rn = k)
+            SELECT k::BIGINT AS k_strata,
+              CASE WHEN r > 0 AND ss > 0 THEN
+                floor(r / ss * 1e6) / 1e6 END AS or_mh_q6,
+              CASE WHEN v > 0 THEN
+                floor(dev * dev / v * 1e6) / 1e6 END AS chi2_q6
+            FROM last
+        """,
         "q_holm": """
             WITH p AS (
               SELECT event_type AS g,

@@ -572,6 +572,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_group_influence",
         "q_token_wer",
         "q_holm",
+        "q_mantel_haenszel",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

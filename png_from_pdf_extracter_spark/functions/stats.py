@@ -4034,3 +4034,89 @@ def holm_bonferroni(
         F.col("m").cast("long").alias("m"),
         (F.min(cond).over(upto) == 1).alias("reject"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + Cochran-MH chi² across
+    strata — the STRATIFIED A/B readout: [[q_ab_test]]'s single 2x2
+    collapses strata and invites Simpson's paradox; MH pools the
+    per-stratum odds ratios with inverse-variance-like weights and
+    tests the common effect with continuity-free CMH. The pipeline
+    read: treatment effect by source/segment/cohort without letting
+    segment mix confound the answer.
+
+    Contract: ``arm_col`` and ``outcome_col`` are 0/1 ints. Per
+    stratum the 2x2 cells (a, b, c, d) are exact BIGINTs off ONE
+    map-combinable conditional aggregate; the cross-stratum float
+    terms (ad/n, bc/n, a - E[a], Var[a]) accumulate in FIXED stratum
+    order via one ordered window ([[_stepped_sq_over_n]] discipline).
+    Strata with n < 2 contribute no variance and are excluded whole
+    (the standard convention). Returns (k_strata, or_mh_q6, chi2_q6);
+    OR null when either pooled cross-product sum is 0, chi2 null when
+    the variance sum is 0.
+    """
+    a_ = F.col(arm_col).cast("int")
+    y_ = F.col(outcome_col).cast("int")
+    base = df.select(
+        F.col(stratum_col).alias("__s"), a_.alias("__a"), y_.alias("__y")
+    ).filter(
+        F.col("__s").isNotNull()
+        & F.col("__a").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    per = base.groupBy("__s").agg(
+        F.sum(F.col("__a") * F.col("__y")).cast("long").alias("__ta"),
+        F.sum(F.col("__a") * (1 - F.col("__y"))).cast("long").alias("__tb"),
+        F.sum((1 - F.col("__a")) * F.col("__y")).cast("long").alias("__tc"),
+        F.sum((1 - F.col("__a")) * (1 - F.col("__y")))
+        .cast("long")
+        .alias("__td"),
+    ).filter(
+        (F.col("__ta") + F.col("__tb") + F.col("__tc") + F.col("__td"))
+        >= 2
+    )
+    n = (
+        F.col("__ta") + F.col("__tb") + F.col("__tc") + F.col("__td")
+    ).cast("double")
+    ta, tb = F.col("__ta").cast("double"), F.col("__tb").cast("double")
+    tc, td = F.col("__tc").cast("double"), F.col("__td").cast("double")
+    r_term = ta * td / n
+    s_term = tb * tc / n
+    e_term = (ta + tb) * (ta + tc) / n
+    v_term = (
+        (ta + tb)
+        * (tc + td)
+        * (ta + tc)
+        * (tb + td)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    ordw = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = per.select(
+        F.sum(r_term).over(ordw).alias("__r"),
+        F.sum(s_term).over(ordw).alias("__ss"),
+        F.sum(ta - e_term).over(ordw).alias("__dev"),
+        F.sum(v_term).over(ordw).alias("__v"),
+        F.row_number().over(Window.orderBy("__s")).alias("__rn"),
+        F.count("*").over(full).alias("__k"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    chi2 = F.col("__dev") * F.col("__dev") / F.col("__v")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.col("__k").cast("long").alias("k_strata"),
+        F.when(
+            (F.col("__r") > 0) & (F.col("__ss") > 0),
+            q6(F.col("__r") / F.col("__ss")),
+        ).alias("or_mh_q6"),
+        F.when(F.col("__v") > 0, q6(chi2)).alias("chi2_q6"),
+    )

@@ -2348,3 +2348,64 @@ def test_holm_tie_convention_shares_fate(spark):
     assert len(tied) == 2
     assert tied[0]["reject"] == tied[1]["reject"] == True  # noqa: E712
     assert all(r["r_min"] == 1 for r in tied)
+
+
+def test_mantel_haenszel_python_twin(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        mantel_haenszel,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for s, base_rate in (("s1", 0.2), ("s2", 0.5), ("s3", 0.7)):
+        for _ in range(200):
+            arm = rng.randrange(2)
+            # planted uplift on the treated arm in every stratum
+            p = min(0.95, base_rate + (0.15 if arm else 0.0))
+            rows.append((s, arm, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "s string, arm int, y int")
+    r = mantel_haenszel(df, "s", "arm", "y").collect()[0]
+    # python twin
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for s, a, y in rows:
+        idx = 0 if (a, y) == (1, 1) else 1 if (a, y) == (1, 0) else \
+            2 if (a, y) == (0, 1) else 3
+        cells[s][idx] += 1
+    rs = ss = dev = var = 0.0
+    for s in sorted(cells):
+        ta, tb, tc, td = cells[s]
+        n = ta + tb + tc + td
+        rs += ta * td / n
+        ss += tb * tc / n
+        dev += ta - (ta + tb) * (ta + tc) / n
+        var += ((ta + tb) * (tc + td) * (ta + tc) * (tb + td)
+                / (n * n * (n - 1)))
+    assert r["k_strata"] == 3
+    assert abs(r["or_mh_q6"] - rs / ss) < 1e-5
+    assert abs(r["chi2_q6"] - dev * dev / var) < 1e-4
+    # planted uplift -> OR > 1 and clearly significant
+    assert r["or_mh_q6"] > 1.2 and r["chi2_q6"] > 3.84
+
+
+def test_mantel_haenszel_simpson_guard(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        mantel_haenszel,
+    )
+
+    # classic Simpson setup: within each stratum treatment is NEUTRAL
+    # (same odds), but arm assignment is confounded with the stratum;
+    # MH must report OR ~= 1 where the collapsed 2x2 would not
+    rows = (
+        [("easy", 1, 1)] * 80 + [("easy", 1, 0)] * 20
+        + [("easy", 0, 1)] * 8 + [("easy", 0, 0)] * 2
+        + [("hard", 1, 1)] * 2 + [("hard", 1, 0)] * 8
+        + [("hard", 0, 1)] * 20 + [("hard", 0, 0)] * 80
+    )
+    df = spark.createDataFrame(rows, "s string, arm int, y int")
+    r = mantel_haenszel(df, "s", "arm", "y").collect()[0]
+    assert 0.9 < r["or_mh_q6"] < 1.1
