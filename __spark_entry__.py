@@ -4557,6 +4557,29 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_rbo(spark, sf_dir):
+    """Rank-biased overlap between the BM25 top-20 (q_bm25's query)
+    and the longest-documents top-20 (search.rbo_overlap): does
+    lexical relevance agree with sheer length, weighted toward the
+    top ranks? One id join + one k-row geometric window; every count
+    integer."""
+    from png_from_pdf_extracter_spark.functions.search import rbo_overlap
+
+    d = _read(spark, sf_dir, "documents")
+    ra = search.bm25_topk(
+        d, ["vector", "stream", "merge"], top_k=20
+    ).select("doc_id", "rank")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    rb = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    return rbo_overlap(ra, rb, p=0.9, k=20)
+
+
 def _q_mantel_haenszel(spark, sf_dir):
     """Stratified A/B readout (functions/stats.py mantel_haenszel):
     pooled odds ratio + CMH chi² of 'high-value event' (value > 150)
@@ -6102,6 +6125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_wer": _q_token_wer,
         "q_holm": _q_holm,
         "q_mantel_haenszel": _q_mantel_haenszel,
+        "q_rbo": _q_rbo,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12699,6 +12723,85 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_rbo": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ),
+            base AS (SELECT doc_id, n_chars, len(t) AS dl, t FROM d),
+            scalars AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+              FROM base
+            ),
+            pairs AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(t) AS term FROM base
+              ) WHERE term IN ('vector', 'stream', 'merge')
+              GROUP BY doc_id, dl, term
+            ),
+            dft AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM pairs GROUP BY term
+            ),
+            scored AS (
+              SELECT doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                     ), 4) AS score
+              FROM pairs JOIN dft USING (term), scalars s
+              GROUP BY doc_id
+            ),
+            ra AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 20
+            ),
+            rb AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM base
+              ) WHERE rank <= 20
+            ),
+            m AS (
+              SELECT greatest(ra.rank, rb.rank) AS mm
+              FROM ra JOIN rb USING (doc_id)
+            ),
+            mc AS (SELECT mm, count(*)::BIGINT AS c FROM m GROUP BY mm),
+            depths AS (SELECT dd FROM generate_series(1, 20) g(dd)),
+            j AS (
+              SELECT dd, coalesce(c, 0) AS c
+              FROM depths LEFT JOIN mc ON dd = mm
+            ),
+            cum AS (
+              SELECT dd,
+                     sum(c) OVER (ORDER BY dd ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS x,
+                     sum(c) OVER () AS ncommon
+              FROM j
+            ),
+            stepped AS (
+              SELECT sum(pow(0.9, (dd - 1)::DOUBLE) * x::DOUBLE
+                         / dd::DOUBLE) OVER (
+                       ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS s,
+                     x, ncommon,
+                     row_number() OVER (ORDER BY dd) AS rn
+              FROM cum
+            )
+            SELECT 20 AS k, ncommon::BIGINT AS n_common,
+                   x::BIGINT AS overlap_k,
+                   floor(0.09999999999999998 * s * 1e6) / 1e6 AS rbo_q6
+            FROM stepped WHERE rn = 20
+        """,
         "q_mantel_haenszel": """
             WITH base AS (
               SELECT event_type AS s,

@@ -573,6 +573,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_token_wer",
         "q_holm",
         "q_mantel_haenszel",
+        "q_rbo",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -316,3 +316,79 @@ def prf_rerank(
         docs, exp.unionByName(orig).distinct(),
         id_col=id_col, text_col=text_col, top_k=top_k,
     )
+
+
+def rbo_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    p: float = 0.9,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between two top-k rankings,
+    truncated at depth k: RBO = (1-p) * sum_d p^(d-1) * X_d / d with
+    X_d the overlap of the two depth-d prefixes — the top-weighted
+    agreement number for comparing rankers ([[rrf_fuse]] MERGES two
+    rankings; RBO measures how much they already agree, with the
+    geometric weight that makes rank-1 disagreement matter most).
+    Kendall/Spearman need conjoint lists; RBO handles arbitrary
+    top-k lists with partial overlap.
+
+    Mechanics: an id at ranks (ra, rb) enters every prefix-overlap
+    X_d from d = max(ra, rb) on, so X_d is ONE cumulative count over
+    the join table — no per-depth rescan. The k-row depth table then
+    accumulates the geometric series in FIXED depth order (ordered
+    window). Every count is integer; the p^(d-1)/d terms are the only
+    floats and their sum order is pinned. Plan: one inner join on id
+    (both sides <= k rows), one k-row window. Returns (k, n_common,
+    overlap_k, rbo_q6).
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("__id"), F.col("rank").alias("__ra")
+    ).filter(F.col("__ra") <= k)
+    b = ranked_b.select(
+        F.col(id_col).alias("__id"), F.col("rank").alias("__rb")
+    ).filter(F.col("__rb") <= k)
+    m = a.join(b, "__id").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    mc = m.groupBy("__m").agg(F.count("*").cast("long").alias("__c"))
+    spark = ranked_a.sparkSession
+    depths = spark.range(1, k + 1).select(
+        F.col("id").cast("long").alias("__d")
+    )
+    joined = depths.join(
+        mc, depths["__d"] == mc["__m"], "left"
+    ).select("__d", F.coalesce("__c", F.lit(0)).alias("__c"))
+    wcum = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # two passes: windows cannot nest in one projection — first the
+    # cumulative overlap X_d, then the geometric accumulation over it
+    cum = joined.select(
+        "__d",
+        F.sum("__c").over(wcum).alias("__x"),
+        F.sum("__c").over(full).alias("__ncommon"),
+    )
+    term = (
+        F.pow(F.lit(float(p)), (F.col("__d") - 1).cast("double"))
+        * F.col("__x").cast("double")
+        / F.col("__d").cast("double")
+    )
+    stepped = cum.select(
+        F.sum(term).over(wcum).alias("__s"),
+        F.col("__x"),
+        F.col("__ncommon"),
+        F.row_number().over(Window.orderBy("__d")).alias("__rn"),
+    )
+    last = stepped.filter(F.col("__rn") == k)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.lit(int(k)).alias("k"),
+        F.col("__ncommon").cast("long").alias("n_common"),
+        F.col("__x").cast("long").alias("overlap_k"),
+        q6(F.lit(1.0 - float(p)) * F.col("__s")).alias("rbo_q6"),
+    )

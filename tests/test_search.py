@@ -174,3 +174,45 @@ def test_prf_rerank_pulls_in_expansion_only_docs(spark):
         ).collect()
     }
     assert 6 in rer and 4 not in rer and 5 not in rer
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from png_from_pdf_extracter_spark.functions.search import rbo_overlap
+
+    ids = list(range(1, 11))
+    ra = spark.createDataFrame(
+        [(i, r) for r, i in enumerate(ids, 1)], "doc_id long, rank int"
+    )
+    r = rbo_overlap(ra, ra, p=0.9, k=10).collect()[0]
+    # identical rankings: X_d = d at every depth -> truncated RBO =
+    # (1-p) * sum p^(d-1)
+    exp = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert abs(r["rbo_q6"] - exp) < 2e-6
+    assert r["overlap_k"] == 10 and r["n_common"] == 10
+    rb = spark.createDataFrame(
+        [(i + 100, r) for r, i in enumerate(ids, 1)],
+        "doc_id long, rank int",
+    )
+    r2 = rbo_overlap(ra, rb, p=0.9, k=10).collect()[0]
+    assert r2["rbo_q6"] == 0.0 and r2["n_common"] == 0
+
+
+def test_rbo_top_weighting(spark):
+    from png_from_pdf_extracter_spark.functions.search import rbo_overlap
+
+    base = [(i, r) for r, i in enumerate(range(1, 11), 1)]
+    ra = spark.createDataFrame(base, "doc_id long, rank int")
+    # swap at the TOP (ranks 1,2) vs swap at the BOTTOM (9,10):
+    # top disagreement must cost more RBO
+    by_rank = {r: i for i, r in base}
+
+    def swapped(r1, r2):
+        rows = [
+            (by_rank[r2] if r == r1 else by_rank[r1] if r == r2 else i, r)
+            for i, r in base
+        ]
+        return spark.createDataFrame(rows, "doc_id long, rank int")
+
+    top = rbo_overlap(ra, swapped(1, 2), p=0.9, k=10).collect()[0]
+    bot = rbo_overlap(ra, swapped(9, 10), p=0.9, k=10).collect()[0]
+    assert top["rbo_q6"] < bot["rbo_q6"]
