@@ -4557,6 +4557,22 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_yuen(spark, sf_dir):
+    """Yuen's 20%-trimmed-means t test between user-parity arms
+    (functions/stats.py yuen_trimmed_t) — the robust twin of q_welch:
+    rank-interval-overlap trimmed sums and winsorized moments off one
+    (arm, value) count shuffle, all integer until the final t/df
+    assembly."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        yuen_trimmed_t,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    return yuen_trimmed_t(ev, "value", "arm", quantize=2)
+
+
 def _q_rbo(spark, sf_dir):
     """Rank-biased overlap between the BM25 top-20 (q_bm25's query)
     and the longest-documents top-20 (search.rbo_overlap): does
@@ -6126,6 +6142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holm": _q_holm,
         "q_mantel_haenszel": _q_mantel_haenszel,
         "q_rbo": _q_rbo,
+        "q_yuen": _q_yuen,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12723,6 +12740,92 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_yuen": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CAST(user_id % 2 AS INT) AS gg
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            gm AS (SELECT min(gg) AS ga FROM base),
+            tagged AS (
+              SELECT v, CASE WHEN gg = ga THEN 1 ELSE 0 END AS arm
+              FROM base, gm
+            ),
+            cnt AS (
+              SELECT arm, v, count(*)::BIGINT AS c
+              FROM tagged GROUP BY arm, v
+            ),
+            cum AS (
+              SELECT arm, v, c,
+                sum(c) OVER (PARTITION BY arm ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                sum(c) OVER (PARTITION BY arm) AS n
+              FROM cnt
+            ),
+            ext AS (
+              SELECT arm, v, c, cm, n,
+                     CAST(floor(n * 1 / 5) AS BIGINT) AS g
+              FROM cum
+            ),
+            per AS (
+              SELECT arm, max(n) AS n, max(g) AS g2,
+                sum(greatest(0, least(n - g, cm) - greatest(g, cm - c))
+                    * v)::BIGINT AS tsum,
+                sum(greatest(0, least(n - g, cm)
+                    - greatest(g, cm - c)))::BIGINT AS h,
+                max(CASE WHEN cm - c < g + 1 AND cm >= g + 1
+                         THEN v END) AS L,
+                max(CASE WHEN cm - c < n - g AND cm >= n - g
+                         THEN v END) AS U
+              FROM ext GROUP BY arm
+            ),
+            wj AS (
+              SELECT e.arm, e.v, e.c, p.L, p.U
+              FROM ext e JOIN per p ON e.arm = p.arm
+            ),
+            wins AS (
+              SELECT arm,
+                sum(greatest(least(v, U), L) * c)::BIGINT AS ws,
+                sum(CAST(greatest(least(v, U), L) AS DECIMAL(38,0))
+                    * CAST(greatest(least(v, U), L) AS DECIMAL(38,0))
+                    * CAST(c AS DECIMAL(38,0))) AS wq
+              FROM wj GROUP BY arm
+            ),
+            calc AS (
+              SELECT p.arm, p.n, p.h,
+                p.tsum::DOUBLE / p.h::DOUBLE AS tmean,
+                (w.wq::DOUBLE
+                 - w.ws::DOUBLE * w.ws::DOUBLE / p.n::DOUBLE)
+                  / (p.n::DOUBLE - 1.0) AS swin
+              FROM per p JOIN wins w ON p.arm = w.arm
+            ),
+            dd AS (
+              SELECT arm, n, h, tmean,
+                (n::DOUBLE - 1.0) * swin
+                  / (h::DOUBLE * (h::DOUBLE - 1.0)) AS dterm
+              FROM calc
+            ),
+            wide AS (
+              SELECT a.n AS n_a, a.h AS h_a, a.tmean AS ma,
+                     a.dterm AS da,
+                     b.n AS n_b, b.h AS h_b, b.tmean AS mb,
+                     b.dterm AS db
+              FROM dd a, dd b WHERE a.arm = 1 AND b.arm = 0
+            )
+            SELECT n_a, n_b, h_a, h_b,
+              floor(ma / 100.0 * 1e6) / 1e6 AS tmean_a_q6,
+              floor(mb / 100.0 * 1e6) / 1e6 AS tmean_b_q6,
+              CASE WHEN h_a > 1 AND h_b > 1 AND (da + db) > 0 THEN
+                floor((ma - mb) / sqrt(da + db) * 1e6) / 1e6
+              END AS t_q6,
+              CASE WHEN h_a > 1 AND h_b > 1 AND (da + db) > 0 THEN
+                floor((da + db) * (da + db)
+                      / (da * da / (h_a::DOUBLE - 1.0)
+                         + db * db / (h_b::DOUBLE - 1.0)) * 1e6) / 1e6
+              END AS df_q6
+            FROM wide
+        """,
         "q_rbo": """
             WITH d AS (
               SELECT doc_id, n_chars,

@@ -574,6 +574,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_holm",
         "q_mantel_haenszel",
         "q_rbo",
+        "q_yuen",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -4120,3 +4120,157 @@ def mantel_haenszel(
         ).alias("or_mh_q6"),
         F.when(F.col("__v") > 0, q6(chi2)).alias("chi2_q6"),
     )
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    trim_num: int = 1,
+    trim_den: int = 5,
+    quantize: int = 2,
+) -> DataFrame:
+    """Yuen's trimmed-means t test — [[welch_t_test]] for corpora with
+    heavy tails: each arm's top and bottom ``trim_num/trim_den``
+    fraction is trimmed from the MEAN and winsorized into the
+    VARIANCE (clamped, not dropped — the Yuen construction), so a few
+    pathological documents/users can't manufacture or mask a shift.
+    The robust two-sample default when [[robust_outliers]] says the
+    tails are live.
+
+    Two-group contract (shared with [[welch_t_test]]): ``group_col``
+    binarized against the broadcast 1-row min. The trim count is the
+    exact integer g = floor(n * trim_num / trim_den) per arm.
+
+    EXACT cross-engine: per-arm distinct-value count tables carry
+    integer rank intervals; the trimmed sum is the rank-interval
+    overlap identity (max(0, min(n-g, cum) - max(g, cum-c)) per
+    value), the winsorization bounds L/U are integer rank-reach order
+    statistics, and the winsorized moments are BIGINT/DECIMAL sums.
+    t and the Welch-Satterthwaite df over the Yuen d_i terms are each
+    ONE fixed-op-order float expression. Plan: one (arm, value) count
+    shuffle; every window is per-arm over distinct values. Returns
+    (n_a, n_b, h_a, h_b, tmean_a_q6, tmean_b_q6, t_q6, df_q6); t/df
+    null when either trimmed count h < 2 or both winsorized
+    variances are 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    tagged = base.crossJoin(gmin).select(
+        "__v", (F.col("__g") == F.col("__ga")).cast("int").alias("__arm")
+    )
+    cnt = tagged.groupBy("__arm", "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    warm = Window.partitionBy("__arm").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.partitionBy("__arm").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "__arm",
+        "__v",
+        "__c",
+        F.sum("__c").over(warm).alias("__cum"),
+        F.sum("__c").over(wfull).alias("__n"),
+    )
+    g = F.floor(
+        F.col("__n") * F.lit(int(trim_num)) / F.lit(int(trim_den))
+    ).cast("long")
+    # rank-interval overlap with [g+1, n-g]
+    lo_r = F.greatest(g, F.col("__cum") - F.col("__c"))
+    hi_r = F.least(F.col("__n") - g, F.col("__cum"))
+    take = F.greatest(F.lit(0), hi_r - lo_r)
+    # winsorization bounds: L = value at rank g+1, U at rank n-g
+    is_l = (F.col("__cum") - F.col("__c") < g + 1) & (
+        F.col("__cum") >= g + 1
+    )
+    is_u = (F.col("__cum") - F.col("__c") < F.col("__n") - g) & (
+        F.col("__cum") >= F.col("__n") - g
+    )
+    dec = "decimal(38,0)"
+    per = cum.groupBy("__arm").agg(
+        F.max("__n").alias("n"),
+        F.max(g).alias("__gg"),
+        F.sum(take * F.col("__v")).cast("long").alias("__tsum"),
+        F.sum(take).cast("long").alias("h"),
+        F.max(F.when(is_l, F.col("__v"))).alias("__L"),
+        F.max(F.when(is_u, F.col("__v"))).alias("__U"),
+    )
+    # winsorized moments need the clamp bounds: join the 2-row per-arm
+    # table back to the count table (broadcast, bounded)
+    wj = cum.join(
+        F.broadcast(per.select("__arm", "__L", "__U")), "__arm"
+    )
+    clamped = F.greatest(F.least(F.col("__v"), F.col("__U")), F.col("__L"))
+    wins = wj.groupBy("__arm").agg(
+        F.sum(clamped * F.col("__c")).cast("long").alias("__ws"),
+        F.sum(
+            clamped.cast(dec) * clamped.cast(dec) * F.col("__c").cast(dec)
+        ).alias("__wq"),
+    )
+    arm = per.join(wins, "__arm")
+    nn = F.col("n").cast("double")
+    hh = F.col("h").cast("double")
+    tmean = F.try_divide(
+        F.col("__tsum").cast("double"), hh
+    )
+    swin = F.try_divide(
+        F.col("__wq").cast("double")
+        - F.col("__ws").cast("double")
+        * F.col("__ws").cast("double")
+        / nn,
+        nn - F.lit(1.0),
+    )
+    d_term = F.try_divide(
+        (nn - F.lit(1.0)) * swin, hh * (hh - F.lit(1.0))
+    )
+    wide = (
+        arm.filter(F.col("__arm") == 1)
+        .select(
+            F.col("n").alias("n_a"),
+            F.col("h").alias("h_a"),
+            tmean.alias("__ma"),
+            d_term.alias("__da"),
+        )
+        .crossJoin(
+            F.broadcast(
+                arm.filter(F.col("__arm") == 0).select(
+                    F.col("n").alias("n_b"),
+                    F.col("h").alias("h_b"),
+                    tmean.alias("__mb"),
+                    d_term.alias("__db"),
+                )
+            )
+        )
+    )
+    scale = float(10 ** quantize)
+    se2 = F.col("__da") + F.col("__db")
+    t = F.try_divide(F.col("__ma") - F.col("__mb"), F.sqrt(se2))
+    dfree = F.try_divide(
+        se2 * se2,
+        F.try_divide(
+            F.col("__da") * F.col("__da"),
+            F.col("h_a").cast("double") - F.lit(1.0),
+        )
+        + F.try_divide(
+            F.col("__db") * F.col("__db"),
+            F.col("h_b").cast("double") - F.lit(1.0),
+        ),
+    )
+    ok = (F.col("h_a") > 1) & (F.col("h_b") > 1) & (se2 > 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return wide.select(
+        "n_a",
+        "n_b",
+        "h_a",
+        "h_b",
+        q6(F.col("__ma") / F.lit(scale)).alias("tmean_a_q6"),
+        q6(F.col("__mb") / F.lit(scale)).alias("tmean_b_q6"),
+        F.when(ok, q6(t)).alias("t_q6"),
+        F.when(ok, q6(dfree)).alias("df_q6"),
+    )

@@ -2409,3 +2409,79 @@ def test_mantel_haenszel_simpson_guard(spark):
     df = spark.createDataFrame(rows, "s string, arm int, y int")
     r = mantel_haenszel(df, "s", "arm", "y").collect()[0]
     assert 0.9 < r["or_mh_q6"] < 1.1
+
+
+def test_yuen_python_twin(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        yuen_trimmed_t,
+    )
+
+    rng = random.Random(47)
+    rows = [(round(rng.uniform(0, 20), 2), 0) for _ in range(60)] + [
+        (round(rng.uniform(4, 24), 2), 1) for _ in range(45)
+    ]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = yuen_trimmed_t(df, "v", "arm", quantize=2).collect()[0]
+
+    def arm_stats(vals, trim=0.2):
+        s = sorted(vals)
+        n = len(s)
+        g = int(n * 1 // 5)
+        trimmed = s[g:n - g]
+        h = len(trimmed)
+        tmean = sum(trimmed) / h
+        w = [min(max(x, s[g]), s[n - g - 1]) for x in s]
+        sw = (sum(x * x for x in w) - sum(w) ** 2 / n) / (n - 1)
+        d = (n - 1) * sw / (h * (h - 1))
+        return n, h, tmean, d
+
+    a = [int(round(v * 100)) for v, g in rows if g == 0]
+    b = [int(round(v * 100)) for v, g in rows if g == 1]
+    # arm A = broadcast-min group (arm col value 0) -> tagged __arm=1
+    na, ha, ma, da = arm_stats(a)
+    nb, hb, mb, db = arm_stats(b)
+    t = (ma - mb) / math.sqrt(da + db)
+    dfree = (da + db) ** 2 / (da * da / (ha - 1) + db * db / (hb - 1))
+    assert (r["n_a"], r["n_b"], r["h_a"], r["h_b"]) == (na, nb, ha, hb)
+    assert abs(r["tmean_a_q6"] - ma / 100.0) < 1e-5
+    assert abs(r["t_q6"] - t) < 1e-5
+    assert abs(r["df_q6"] - dfree) < 1e-4
+    # planted +4 shift -> clearly negative t
+    assert r["t_q6"] < -2.0
+
+
+def test_yuen_outlier_immunity_vs_welch(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        welch_t_test,
+        yuen_trimmed_t,
+    )
+
+    # identical arms except B carries two absurd outliers; Welch's t
+    # is dragged, Yuen's stays near zero
+    base = [float(x) for x in range(10, 50)]
+    rows = [(x, 0) for x in base] + [(x, 1) for x in base] + [
+        (100000.0, 1), (-90000.0, 1)
+    ]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    y = yuen_trimmed_t(df, "v", "arm", quantize=2).collect()[0]
+    w = welch_t_test(df, "v", "arm", quantize=2).collect()[0]
+    assert abs(y["t_q6"]) < 0.5
+    assert abs(y["tmean_a_q6"] - y["tmean_b_q6"]) < 2.0
+    # Welch sees a huge variance blowup instead
+    assert w is not None
+
+
+def test_yuen_degenerate_null(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        yuen_trimmed_t,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (1.0, 0), (2.0, 1), (2.0, 1)], "v double, arm int"
+    )
+    r = yuen_trimmed_t(df, "v", "arm", quantize=2).collect()[0]
+    # constant arms: winsorized variances 0 -> t null
+    assert r["t_q6"] is None
