@@ -828,3 +828,57 @@ def test_cuped_single_one_row_aggregate(spark):
     plan = _plan(cuped_adjust(ev, "pre", "post", "arm"))
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_yuen_windows_over_count_table_single_shuffle(spark):
+    """yuen_trimmed_t: the per-arm windows run over the (arm, value)
+    count table (HashAggregate below the windows), never raw rows;
+    the winsorization join-back builds broadcast from the 2-row arm
+    table."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        yuen_trimmed_t,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    plan = _plan(yuen_trimmed_t(ev, "value", "arm"))
+    assert plan.rindex("Window") < plan.rindex("HashAggregate"), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_wer_vocab_broadcast_no_cartesian(spark):
+    """token_edit_distance_pairs: the token->char vocabulary reaches
+    the encode join as a broadcast; no cartesian anywhere."""
+    from png_from_pdf_extracter_spark.functions.dedup import (
+        token_edit_distance_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("toks"),
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    plan = _plan(token_edit_distance_pairs(d, pairs, "doc_id", "toks"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_holm_two_range_windows_no_join(spark):
+    """holm_bonferroni: pure window plan — no join back to the input,
+    no sort beyond the in-group p order."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        holm_bonferroni,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", (F.col("value") / 1000).alias("p")
+    )
+    plan = _plan(holm_bonferroni(ev, "p", group_cols=("event_type",)))
+    assert "Join" not in plan, plan
