@@ -4557,6 +4557,28 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_kmv_setops(spark, sf_dir):
+    """KMV sketch set-algebra (functions/sketch.py kmv_set_ops):
+    union / intersection / Jaccard estimates between the even- and
+    odd-half user populations from two 64-hash sketches — the
+    sketch-exchange answer to the question q_capture_recapture
+    answers with exact overlap. Deterministic md5 state => the whole
+    estimate chain reproduces in DuckDB."""
+    from png_from_pdf_extracter_spark.functions.sketch import (
+        kmv_build,
+        kmv_set_ops,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    a = kmv_build(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", (), 64
+    )
+    b = kmv_build(
+        ev.filter(F.col("event_id") % 2 == 1), "user_id", (), 64
+    )
+    return kmv_set_ops(a, b, 64)
+
+
 def _q_yuen(spark, sf_dir):
     """Yuen's 20%-trimmed-means t test between user-parity arms
     (functions/stats.py yuen_trimmed_t) — the robust twin of q_welch:
@@ -6143,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mantel_haenszel": _q_mantel_haenszel,
         "q_rbo": _q_rbo,
         "q_yuen": _q_yuen,
+        "q_kmv_setops": _q_kmv_setops,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12740,6 +12763,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_kmv_setops": """
+            WITH ha AS (
+              SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events WHERE event_id % 2 = 0
+            ),
+            hb AS (
+              SELECT DISTINCT CAST(('0x' || substring(
+                md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events WHERE event_id % 2 = 1
+            ),
+            ka AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rank FROM ha
+              QUALIFY rank <= 64
+            ),
+            kb AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hb
+              QUALIFY rank <= 64
+            ),
+            hu AS (SELECT h FROM ka UNION SELECT h FROM kb),
+            ku AS (
+              SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hu
+              QUALIFY rank <= 64
+            ),
+            ea AS (
+              SELECT count(*)::BIGINT AS n_a_seen,
+                CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+                     ELSE CAST(floor(63 * power(2.0, 60)
+                          / (max(CASE WHEN rank = 64 THEN h
+                                 END))::DOUBLE) AS BIGINT)
+                END AS est_a
+              FROM ka
+            ),
+            eb AS (
+              SELECT count(*)::BIGINT AS n_b_seen,
+                CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+                     ELSE CAST(floor(63 * power(2.0, 60)
+                          / (max(CASE WHEN rank = 64 THEN h
+                                 END))::DOUBLE) AS BIGINT)
+                END AS est_b
+              FROM kb
+            ),
+            eu AS (
+              SELECT count(*)::BIGINT AS union_k,
+                CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+                     ELSE CAST(floor(63 * power(2.0, 60)
+                          / (max(CASE WHEN rank = 64 THEN h
+                                 END))::DOUBLE) AS BIGINT)
+                END AS est_union
+              FROM ku
+            ),
+            inter AS (
+              SELECT count(*)::BIGINT AS inter_in_k FROM ku
+              WHERE h IN (SELECT h FROM ka)
+                AND h IN (SELECT h FROM kb)
+            )
+            SELECT n_a_seen, n_b_seen, est_a, est_b, est_union,
+              inter_in_k, union_k,
+              floor(inter_in_k::DOUBLE / union_k::DOUBLE * 1e6) / 1e6
+                AS jaccard_q6,
+              CAST(floor(inter_in_k::DOUBLE / union_k::DOUBLE
+                         * est_union::DOUBLE) AS BIGINT)
+                AS est_intersection
+            FROM ea, eb, eu, inter
+        """,
         "q_yuen": """
             WITH base AS (
               SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,

@@ -575,6 +575,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_mantel_haenszel",
         "q_rbo",
         "q_yuen",
+        "q_kmv_setops",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

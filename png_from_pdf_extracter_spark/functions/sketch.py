@@ -275,3 +275,75 @@ def heavy_hitters(
         .select(F.col("__it").alias("item"), "cnt")
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """Set-operation estimates from two [[kmv_build]] sketches:
+    union/intersection cardinality and Jaccard similarity WITHOUT
+    touching the original corpora — the sketch-algebra that lets two
+    crawls/dumps/shards compare membership by exchanging k BIGINTs
+    each ([[capture_recapture]] estimates the UNSEEN population; this
+    estimates the overlap of what the two sides HOLD).
+
+    Estimator (Beyer et al.): merge to the union's k-minimum set K;
+    the fraction rho of K present in BOTH input sketches estimates
+    Jaccard, and |A ∩ B| ≈ rho * |A ∪ B|_est. When the union has
+    fewer than k distinct hashes everything degrades to EXACT (the
+    sketches saw every element — the small-range escape).
+
+    Determinism: KMV state is md5-derived BIGINT rows, so every count
+    and estimate here reproduces bit-for-bit in the DuckDB oracle —
+    the transparency that motivated KMV over HLL registers. Plan:
+    sketch-sized joins only (k rows a side), zero corpus access.
+    Returns one row (n_a_seen, n_b_seen, est_a, est_b, est_union,
+    inter_in_k, union_k, jaccard_q6, est_intersection).
+    """
+    ea = kmv_estimate(sketch_a, (), k, hash_bits).select(
+        F.col("n_seen").alias("n_a_seen"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    eb = kmv_estimate(sketch_b, (), k, hash_bits).select(
+        F.col("n_seen").alias("n_b_seen"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    u = kmv_merge([sketch_a, sketch_b], (), k)
+    eu = kmv_estimate(u, (), k, hash_bits).select(
+        F.col("n_seen").alias("union_k"),
+        F.col("est_distinct").alias("est_union"),
+    )
+    inter = (
+        u.join(
+            F.broadcast(sketch_a.select("h").distinct()), "h", "left_semi"
+        )
+        .join(
+            F.broadcast(sketch_b.select("h").distinct()), "h", "left_semi"
+        )
+        .agg(F.count("*").cast("long").alias("inter_in_k"))
+    )
+    row = (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(inter))
+    )
+    rho = F.try_divide(
+        F.col("inter_in_k").cast("double"),
+        F.col("union_k").cast("double"),
+    )
+    return row.select(
+        "n_a_seen",
+        "n_b_seen",
+        "est_a",
+        "est_b",
+        "est_union",
+        "inter_in_k",
+        "union_k",
+        (F.floor(rho * F.lit(1e6)) / F.lit(1e6)).alias("jaccard_q6"),
+        F.floor(rho * F.col("est_union").cast("double"))
+        .cast("long")
+        .alias("est_intersection"),
+    )

@@ -250,3 +250,30 @@ def test_naive_bayes_separable_and_oov(spark):
     oov_q = math.floor(math.log(1.0 / (t_ham + 1.0 * v)) * 1e6)
     prior_q = math.floor(math.log(2.0 / 4.0) * 1e6)
     assert p9["score_q"] == 2 * oov_q + prior_q
+
+
+def test_kmv_set_ops_accuracy_and_exact_small_range(spark):
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.functions.sketch import (
+        kmv_build,
+        kmv_set_ops,
+    )
+
+    # overlapping ranges with known truth: |A|=600, |B|=600, |A∩B|=200
+    a_ids = spark.range(0, 600).select(F.col("id"))
+    b_ids = spark.range(400, 1000).select(F.col("id"))
+    a = kmv_build(a_ids, "id", (), 64)
+    b = kmv_build(b_ids, "id", (), 64)
+    r = kmv_set_ops(a, b, 64).collect()[0]
+    # union truth 1000, jaccard truth 0.2 — k=64 gives ~12% rel error
+    assert 600 < r["est_union"] < 1500
+    assert 0.05 < r["jaccard_q6"] < 0.45
+    assert 50 < r["est_intersection"] < 450
+    # small range: everything exact when both sides fit in k
+    sa = kmv_build(spark.range(0, 30), "id", (), 64)
+    sb = kmv_build(spark.range(20, 50), "id", (), 64)
+    r2 = kmv_set_ops(sa, sb, 64).collect()[0]
+    assert r2["est_union"] == 50 and r2["union_k"] == 50
+    assert r2["inter_in_k"] == 10 and r2["est_intersection"] == 10
+    assert r2["jaccard_q6"] == 0.2
