@@ -4557,6 +4557,19 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_huber(spark, sf_dir):
+    """Per-event-type one-step Huber location (functions/stats.py
+    huber_location): the robust mean that clips — not drops — tail
+    deviations at 1.5 MAD; doubled-median rank-reach keeps every
+    statistic integral until one final float expression."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        huber_location,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    return huber_location(ev, "value", ("event_type",))
+
+
 def _q_kmv_setops(spark, sf_dir):
     """KMV sketch set-algebra (functions/sketch.py kmv_set_ops):
     union / intersection / Jaccard estimates between the even- and
@@ -6166,6 +6179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rbo": _q_rbo,
         "q_yuen": _q_yuen,
         "q_kmv_setops": _q_kmv_setops,
+        "q_huber": _q_huber,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12763,6 +12777,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_huber": """
+            WITH base AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            vg AS (
+              SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY g, v
+            ),
+            r1 AS (
+              SELECT g, v, c,
+                coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cb,
+                sum(c) OVER (PARTITION BY g) AS ng
+              FROM vg
+            ),
+            m1 AS (
+              SELECT g,
+                sum(v * (CASE WHEN cb < floor((ng + 1) / 2)
+                              AND cb + c >= floor((ng + 1) / 2)
+                         THEN 1 ELSE 0 END
+                         + CASE WHEN cb < floor(ng / 2) + 1
+                                AND cb + c >= floor(ng / 2) + 1
+                           THEN 1 ELSE 0 END))::BIGINT AS med2,
+                max(ng)::BIGINT AS ng
+              FROM r1 GROUP BY g
+            ),
+            dev AS (
+              SELECT vg.g, vg.c,
+                     abs(2 * vg.v - m1.med2) AS a2,
+                     2 * vg.v - m1.med2 AS d2
+              FROM vg JOIN m1 ON vg.g = m1.g
+            ),
+            devc AS (
+              SELECT g, a2, sum(c)::BIGINT AS c FROM dev GROUP BY g, a2
+            ),
+            r2 AS (
+              SELECT g, a2, c,
+                coalesce(sum(c) OVER (PARTITION BY g ORDER BY a2
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cb,
+                sum(c) OVER (PARTITION BY g) AS ng
+              FROM devc
+            ),
+            m2 AS (
+              SELECT g,
+                sum(a2 * (CASE WHEN cb < floor((ng + 1) / 2)
+                               AND cb + c >= floor((ng + 1) / 2)
+                          THEN 1 ELSE 0 END
+                          + CASE WHEN cb < floor(ng / 2) + 1
+                                 AND cb + c >= floor(ng / 2) + 1
+                            THEN 1 ELSE 0 END))::BIGINT AS mad4
+              FROM r2 GROUP BY g
+            ),
+            ag AS (
+              SELECT dev.g,
+                sum(dev.c * greatest(-(m2.mad4 * 3),
+                    least(m2.mad4 * 3, 2 * dev.d2 * 2)))::BIGINT AS cs
+              FROM dev JOIN m2 ON dev.g = m2.g GROUP BY dev.g
+            )
+            SELECT m1.g AS event_type, m1.ng AS n_g,
+              floor(m1.med2::DOUBLE / 2.0 / 100.0 * 1e6) / 1e6
+                AS median_q6,
+              floor((m1.med2::DOUBLE / 2.0
+                     + cs::DOUBLE / (4.0 * m1.ng::DOUBLE * 2.0))
+                    / 100.0 * 1e6) / 1e6 AS huber_q6
+            FROM m1 JOIN ag ON m1.g = ag.g
+        """,
         "q_kmv_setops": """
             WITH ha AS (
               SELECT DISTINCT CAST(('0x' || substring(

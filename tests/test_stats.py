@@ -2485,3 +2485,48 @@ def test_yuen_degenerate_null(spark):
     r = yuen_trimmed_t(df, "v", "arm", quantize=2).collect()[0]
     # constant arms: winsorized variances 0 -> t null
     assert r["t_q6"] is None
+
+
+def test_huber_python_twin_and_outlier_bound(spark):
+    import math
+    import random
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        huber_location,
+    )
+
+    rng = random.Random(53)
+    clean = [round(rng.gauss(50, 5), 2) for _ in range(99)]
+    rows = [(v, "g") for v in clean] + [(100000.0, "g")]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    r = huber_location(df, "v", ("grp",), quantize=2).collect()[0]
+
+    q = sorted(int(round(v * 100)) for v, _ in rows)
+    n = len(q)
+    med2 = q[(n + 1) // 2 - 1] + q[n // 2]
+    d2 = [2 * x - med2 for x in q]
+    a2 = sorted(abs(d) for d in d2)
+    mad4 = a2[(n + 1) // 2 - 1] + a2[n // 2]
+    cs = sum(
+        max(-(mad4 * 3), min(mad4 * 3, 2 * d * 2)) for d in d2
+    )
+    med = med2 / 2.0
+    hub = med + cs / (4.0 * n * 2.0)
+    assert r["median_q6"] == math.floor(med / 100.0 * 1e6) / 1e6
+    assert r["huber_q6"] == math.floor(hub / 100.0 * 1e6) / 1e6
+    # the absurd outlier moves the plain mean by ~1000 but the Huber
+    # estimate stays within one clipped-MAD contribution of the median
+    assert abs(r["huber_q6"] - r["median_q6"]) < 1.0
+    assert r["n_g"] == 100
+
+
+def test_huber_symmetric_equals_median_and_mean(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        huber_location,
+    )
+
+    # perfectly symmetric data: median == huber == mean
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0]
+    df = spark.createDataFrame([(v, "s") for v in vals], "v double, grp string")
+    r = huber_location(df, "v", ("grp",), quantize=2).collect()[0]
+    assert r["median_q6"] == 30.0 and r["huber_q6"] == 30.0
