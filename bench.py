@@ -576,6 +576,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_rbo",
         "q_yuen",
         "q_kmv_setops",
+        "q_huber",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
