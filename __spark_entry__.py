@@ -4557,6 +4557,20 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_partition_agreement(spark, sf_dir):
+    """Clustering-agreement battery between the language and source
+    labelings of the corpus (functions/evalmetrics.py
+    partition_agreement): ARI from exact doubled pair-count DECIMAL
+    sums, NMI / homogeneity / completeness / V-measure from
+    fixed-order stepped entropies over the contingency table."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        partition_agreement,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return partition_agreement(d, "lang", "source")
+
+
 def _q_huber(spark, sf_dir):
     """Per-event-type one-step Huber location (functions/stats.py
     huber_location): the robust mean that clips — not drops — tail
@@ -6180,6 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_yuen": _q_yuen,
         "q_kmv_setops": _q_kmv_setops,
         "q_huber": _q_huber,
+        "q_partition_agreement": _q_partition_agreement,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12777,6 +12792,92 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_partition_agreement": """
+            WITH base AS (
+              SELECT lang AS a, source AS b FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ),
+            ab AS (
+              SELECT a, b, count(*)::BIGINT AS c FROM base GROUP BY a, b
+            ),
+            ma AS (SELECT a, sum(c)::BIGINT AS ca FROM ab GROUP BY a),
+            mb AS (SELECT b, sum(c)::BIGINT AS cb FROM ab GROUP BY b),
+            sa2 AS (
+              SELECT CAST(sum(CAST(ca AS DECIMAL(38,0))
+                     * CAST(ca - 1 AS DECIMAL(38,0)))
+                     AS DECIMAL(38,0)) AS sad FROM ma
+            ),
+            sb2 AS (
+              SELECT CAST(sum(CAST(cb AS DECIMAL(38,0))
+                     * CAST(cb - 1 AS DECIMAL(38,0)))
+                     AS DECIMAL(38,0)) AS sbd FROM mb
+            ),
+            ix AS (
+              SELECT CAST(sum(CAST(c AS DECIMAL(38,0))
+                     * CAST(c - 1 AS DECIMAL(38,0)))
+                     AS DECIMAL(38,0)) AS ixd FROM ab
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM ab),
+            cells AS (
+              SELECT a, b, c,
+                     sum(c) OVER (PARTITION BY a) AS cma,
+                     sum(c) OVER (PARTITION BY b) AS cmb
+              FROM ab
+            ),
+            stepped AS (
+              SELECT
+                sum(c::DOUBLE / n::DOUBLE
+                    * ln(n::DOUBLE / c::DOUBLE)) OVER w AS hab,
+                sum(c::DOUBLE / n::DOUBLE
+                    * ln(cmb::DOUBLE / c::DOUBLE)) OVER w AS hagb,
+                sum(c::DOUBLE / n::DOUBLE
+                    * ln(cma::DOUBLE / c::DOUBLE)) OVER w AS hbga,
+                row_number() OVER (ORDER BY a, b) AS rn,
+                count(*) OVER () AS k
+              FROM cells, tot
+              WINDOW w AS (ORDER BY a, b ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+            ),
+            lastr AS (SELECT hab, hagb, hbga FROM stepped WHERE rn = k),
+            f AS (
+              SELECT n,
+                ixd::DOUBLE / 2.0 AS idx,
+                sad::DOUBLE / 2.0 AS sav,
+                sbd::DOUBLE / 2.0 AS sbv,
+                hab, hagb, hbga,
+                hab - hbga AS ha, hab - hagb AS hb2
+              FROM lastr, sa2, sb2, ix, tot
+            ),
+            g AS (
+              SELECT n, hab, hagb, hbga, ha, hb2,
+                idx - sav * sbv
+                  / (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0) AS num,
+                (sav + sbv) / 2.0
+                  - sav * sbv
+                    / (n::DOUBLE * (n::DOUBLE - 1.0) / 2.0) AS den
+              FROM f
+            )
+            SELECT n,
+              CASE WHEN den <> 0 THEN floor(num / den * 1e6) / 1e6
+              END AS ari_q6,
+              CASE WHEN ha > 0 AND hb2 > 0 THEN
+                floor((ha - hagb) / sqrt(ha * hb2) * 1e6) / 1e6
+              END AS nmi_q6,
+              CASE WHEN ha > 0 THEN
+                floor((1.0 - hagb / ha) * 1e6) / 1e6
+              END AS homogeneity_q6,
+              CASE WHEN hb2 > 0 THEN
+                floor((1.0 - hbga / hb2) * 1e6) / 1e6
+              END AS completeness_q6,
+              CASE WHEN ha > 0 AND hb2 > 0
+                   AND ((1.0 - hagb / ha) + (1.0 - hbga / hb2)) > 0
+              THEN
+                floor(2.0 * (1.0 - hagb / ha) * (1.0 - hbga / hb2)
+                      / ((1.0 - hagb / ha) + (1.0 - hbga / hb2))
+                      * 1e6) / 1e6
+              END AS v_q6
+            FROM g
+        """,
         "q_huber": """
             WITH base AS (
               SELECT event_type AS g,

@@ -577,6 +577,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_yuen",
         "q_kmv_setops",
         "q_huber",
+        "q_partition_agreement",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

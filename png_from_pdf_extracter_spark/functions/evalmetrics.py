@@ -1220,3 +1220,132 @@ def off_policy_value(
         F.when(F.col("n_match") > 0, q6(snips)).alias("snips_q6"),
         F.when(F.col("n_match") > 0, q6(ess)).alias("ess_q6"),
     )
+
+
+def partition_agreement(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Agreement between two labelings/partitions of the same rows —
+    Adjusted Rand Index, normalized mutual information, and the
+    V-measure pair (homogeneity / completeness): the clustering-
+    evaluation battery for "does my dedup/kmeans/topic assignment
+    recover the known classes" ([[cohens_kappa]] needs ALIGNED label
+    vocabularies; these are label-permutation-invariant, which is what
+    cluster ids require).
+
+    ARI is INTEGER-EXACT until one float assembly: every term is a
+    sum of pair-counts C(x,2) = x(x-1)/2 over the contingency table
+    or a margin table — DECIMAL(38,0) sums (exact, order-free), no
+    float accumulations. The three entropies reuse the fixed-key-order
+    stepped-sum discipline over the contingency table
+    ([[conditional_entropy]]'s construction). Plan: one (a, b) count
+    shuffle; margins are two further map-combinable aggregates of it;
+    windows bounded by label-cardinality product. Returns one row
+    (n, ari_q6, nmi_q6, homogeneity_q6, completeness_q6, v_q6);
+    normalized scores null when the relevant entropy (or the ARI
+    denominator) is 0.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    ab = base.groupBy("__a", "__b").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    dec = "decimal(38,0)"
+
+    def choose2_sum(counts, col):
+        # DOUBLED pair counts: sum x(x-1) in exact DECIMAL (decimal
+        # DIVISION semantics differ between engines, so the single /2
+        # happens once, in float, at assembly)
+        return counts.agg(
+            F.sum(
+                F.col(col).cast(dec) * (F.col(col) - 1).cast(dec)
+            ).alias("__s")
+        )
+    ma = ab.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ca"))
+    mb = ab.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+    sa = F.broadcast(
+        choose2_sum(ma, "__ca").select(F.col("__s").alias("__sa"))
+    )
+    sb = F.broadcast(
+        choose2_sum(mb, "__cb").select(F.col("__s").alias("__sb"))
+    )
+    idxr = F.broadcast(
+        choose2_sum(ab, "__c").select(F.col("__s").alias("__idx"))
+    )
+    tot = F.broadcast(ab.agg(F.sum("__c").cast("long").alias("__n")))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    cells = ab.select(
+        "__a",
+        "__b",
+        "__c",
+        F.sum("__c").over(wa).alias("__cma"),
+        F.sum("__c").over(wb).alias("__cmb"),
+    ).crossJoin(tot)
+    nn = F.col("__n").cast("double")
+    t_hab = (
+        F.col("__c").cast("double")
+        / nn
+        * F.log(nn / F.col("__c").cast("double"))
+    )
+    t_ha_b = (
+        F.col("__c").cast("double")
+        / nn
+        * F.log(F.col("__cmb").cast("double") / F.col("__c").cast("double"))
+    )
+    t_hb_a = (
+        F.col("__c").cast("double")
+        / nn
+        * F.log(F.col("__cma").cast("double") / F.col("__c").cast("double"))
+    )
+    ordw = Window.orderBy("__a", "__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fullw = Window.orderBy("__a", "__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cells.select(
+        "__n",
+        F.sum(t_hab).over(ordw).alias("__hab"),
+        F.sum(t_ha_b).over(ordw).alias("__hagb"),
+        F.sum(t_hb_a).over(ordw).alias("__hbga"),
+        F.row_number().over(Window.orderBy("__a", "__b")).alias("__rn"),
+        F.count("*").over(fullw).alias("__k"),
+    )
+    last = (
+        stepped.filter(F.col("__rn") == F.col("__k"))
+        .crossJoin(sa)
+        .crossJoin(sb)
+        .crossJoin(idxr)
+    )
+    idx = F.col("__idx").cast("double") / F.lit(2.0)
+    sav = F.col("__sa").cast("double") / F.lit(2.0)
+    sbv = F.col("__sb").cast("double") / F.lit(2.0)
+    cn2 = nn * (nn - F.lit(1.0)) / F.lit(2.0)
+    exp = sav * sbv / cn2
+    mx = (sav + sbv) / F.lit(2.0)
+    ari = F.try_divide(idx - exp, mx - exp)
+    # H(A) = H(A,B) - H(B|A); H(B) = H(A,B) - H(A|B); I = H(A) - H(A|B)
+    ha = F.col("__hab") - F.col("__hbga")
+    hb = F.col("__hab") - F.col("__hagb")
+    mi = ha - F.col("__hagb")
+    nmi = F.try_divide(mi, F.sqrt(ha * hb))
+    hom = F.lit(1.0) - F.try_divide(F.col("__hagb"), ha)
+    com = F.lit(1.0) - F.try_divide(F.col("__hbga"), hb)
+    v = F.try_divide(F.lit(2.0) * hom * com, hom + com)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.col("__n").alias("n"),
+        F.when((mx - exp) != 0, q6(ari)).alias("ari_q6"),
+        F.when((ha > 0) & (hb > 0), q6(nmi)).alias("nmi_q6"),
+        F.when(ha > 0, q6(hom)).alias("homogeneity_q6"),
+        F.when(hb > 0, q6(com)).alias("completeness_q6"),
+        F.when(
+            (ha > 0) & (hb > 0) & ((hom + com) > 0), q6(v)
+        ).alias("v_q6"),
+    )

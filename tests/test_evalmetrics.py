@@ -732,3 +732,69 @@ def test_off_policy_no_match_nulls(spark):
     )
     out = off_policy_value(df, "action", "target", "k", "reward").collect()[0]
     assert out["ips_q6"] == 0.0 and out["snips_q6"] is None
+
+
+def test_partition_agreement_identical_and_permuted(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        partition_agreement,
+    )
+
+    rows = [("x", "p")] * 5 + [("y", "q")] * 4 + [("z", "r")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = partition_agreement(df, "a", "b").collect()[0]
+    # b is a pure relabeling of a: perfect agreement on every metric
+    assert r["ari_q6"] == 1.0 and r["nmi_q6"] == 1.0
+    assert r["homogeneity_q6"] == 1.0 and r["completeness_q6"] == 1.0
+    assert r["v_q6"] == 1.0
+
+
+def test_partition_agreement_python_twin_sklearn_formulae(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        partition_agreement,
+    )
+
+    rng = random.Random(61)
+    rows = [
+        (rng.choice("abc"), rng.choice("pq")) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = partition_agreement(df, "a", "b").collect()[0]
+    n = len(rows)
+    cab = Counter(rows)
+    ca = Counter(x for x, _ in rows)
+    cb = Counter(y for _, y in rows)
+    c2 = lambda x: x * (x - 1) / 2  # noqa: E731
+    idx = sum(c2(c) for c in cab.values())
+    sa = sum(c2(c) for c in ca.values())
+    sb = sum(c2(c) for c in cb.values())
+    exp = sa * sb / c2(n)
+    ari = (idx - exp) / ((sa + sb) / 2 - exp)
+    hab = sum(c / n * math.log(n / c) for c in cab.values())
+    ha = sum(c / n * math.log(n / c) for c in ca.values())
+    hb = sum(c / n * math.log(n / c) for c in cb.values())
+    mi = ha + hb - hab
+    nmi = mi / math.sqrt(ha * hb)
+    assert abs(r["ari_q6"] - ari) < 1e-5
+    assert abs(r["nmi_q6"] - nmi) < 1e-5
+    # homogeneity = 1 - H(A|B)/H(A) = MI/H(A)
+    assert abs(r["homogeneity_q6"] - mi / ha) < 1e-5
+    assert abs(r["completeness_q6"] - mi / hb) < 1e-5
+    # independent labelings -> everything near zero
+    assert abs(r["ari_q6"]) < 0.05 and r["nmi_q6"] < 0.05
+
+
+def test_partition_agreement_degenerate_single_label(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        partition_agreement,
+    )
+
+    df = spark.createDataFrame(
+        [("only", "p"), ("only", "q")], "a string, b string"
+    )
+    r = partition_agreement(df, "a", "b").collect()[0]
+    # H(A) = 0: homogeneity/nmi undefined
+    assert r["nmi_q6"] is None and r["homogeneity_q6"] is None
