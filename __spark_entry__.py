@@ -4557,6 +4557,55 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_avg_precision(spark, sf_dir):
+    """Average precision of the hashed linear quality classifier per
+    source (functions/evalmetrics.py average_precision): the PR-curve
+    area q_classifier_auc's ROC number hides under class imbalance.
+    (score desc, doc_id asc) pins tied-score order on both engines;
+    precision terms accumulate in rank order."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        average_precision,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    return average_precision(
+        scored, "score", "y", "doc_id", group_cols=("source",)
+    )
+
+
+def _q_best_f1(spark, sf_dir):
+    """Best-F1 operating point of the same classifier per source
+    (functions/evalmetrics.py best_f1_threshold): sweep every distinct
+    4dp score as the gate, integer cumulative (tp, fp, fn) over the
+    distinct-score table, deterministic argmax with
+    highest-threshold ties."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        best_f1_threshold,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    return best_f1_threshold(
+        scored, "score", "y", quantize=4, group_cols=("source",)
+    )
+
+
 def _q_partition_agreement(spark, sf_dir):
     """Clustering-agreement battery between the language and source
     labelings of the corpus (functions/evalmetrics.py
@@ -6195,6 +6244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_setops": _q_kmv_setops,
         "q_huber": _q_huber,
         "q_partition_agreement": _q_partition_agreement,
+        "q_avg_precision": _q_avg_precision,
+        "q_best_f1": _q_best_f1,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12792,6 +12843,111 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_avg_precision": """
+            WITH sc AS (
+              SELECT source, doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8))
+                              AS BIGINT) % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000) / 10000 AS score
+              FROM (
+                SELECT source, doc_id, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            r AS (
+              SELECT source, y,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id ASC) AS rr,
+                sum(y) OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cp
+              FROM sc
+            ),
+            stepped AS (
+              SELECT source,
+                sum(CASE WHEN y = 1 THEN cp::DOUBLE / rr::DOUBLE
+                         ELSE 0.0 END) OVER (PARTITION BY source
+                  ORDER BY rr ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS aps,
+                sum(y) OVER (PARTITION BY source) AS n_pos,
+                count(*) OVER (PARTITION BY source)
+                  - sum(y) OVER (PARTITION BY source) AS n_neg,
+                rr,
+                count(*) OVER (PARTITION BY source) AS n
+              FROM r
+            )
+            SELECT source, n_pos::BIGINT AS n_pos,
+                   n_neg::BIGINT AS n_neg,
+              CASE WHEN n_pos > 0 THEN
+                floor(aps / n_pos::DOUBLE * 1e6) / 1e6
+              END AS ap_q6
+            FROM stepped WHERE rr = n
+        """,
+        "q_best_f1": """
+            WITH sc AS (
+              SELECT source,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8))
+                              AS BIGINT) % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000) / 10000 AS score
+              FROM (
+                SELECT source, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            base AS (
+              SELECT source,
+                     CAST(round(score * 10000, 0) AS BIGINT) AS s, y
+              FROM sc
+            ),
+            per AS (
+              SELECT source, s, sum(y)::BIGINT AS p,
+                     sum(1 - y)::BIGINT AS q
+              FROM base GROUP BY source, s
+            ),
+            cum AS (
+              SELECT source, s,
+                sum(p) OVER wd AS tp,
+                sum(q) OVER wd AS fp,
+                sum(p) OVER (PARTITION BY source)
+                  - sum(p) OVER wd AS fn
+              FROM per
+              WINDOW wd AS (PARTITION BY source ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            cand AS (
+              SELECT source, s, tp, fp, fn,
+                CAST(floor((2 * tp)::DOUBLE
+                     / (2 * tp + fp + fn)::DOUBLE * 1e12) AS BIGINT)
+                  AS f1q
+              FROM cum
+            ),
+            best AS (
+              SELECT source, s, tp, fp, fn, f1q,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY f1q DESC, s DESC) AS rn
+              FROM cand
+            )
+            SELECT source, s::DOUBLE / 10000.0 AS threshold, tp, fp, fn,
+              floor(f1q::DOUBLE / 1e6) / 1e6 AS f1_q6
+            FROM best WHERE rn = 1
+        """,
         "q_partition_agreement": """
             WITH base AS (
               SELECT lang AS a, source AS b FROM documents

@@ -578,6 +578,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_kmv_setops",
         "q_huber",
         "q_partition_agreement",
+        "q_avg_precision",
+        "q_best_f1",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

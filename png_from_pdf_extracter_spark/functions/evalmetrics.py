@@ -1349,3 +1349,160 @@ def partition_agreement(
             (ha > 0) & (hb > 0) & ((hom + com) > 0), q6(v)
         ).alias("v_q6"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve by the
+    step rule) per group — the threshold-free metric that, unlike
+    [[roc_auc]], collapses under class imbalance exactly the way a
+    curation gate experiences it: AP = sum over positives of
+    precision@rank / n_pos. The repo's ranked-retrieval metrics
+    ([[retrieval_metrics]]) take a FIXED k; AP integrates over all of
+    them.
+
+    Determinism contract: ranking is (score desc, id asc) — the id
+    tiebreak pins tied-score order on BOTH engines (same convention as
+    the BM25 ranking), so the running precision values are exact
+    rationals cum_pos/rank and the float sum accumulates in pinned
+    rank order via the running window. One exchange per group; the
+    per-group sort is the same cost as [[roc_auc]]'s rank window.
+    Returns (group..., n_pos, n_neg, ap_q6); null when a group has no
+    positives.
+    """
+    s = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(
+        s.desc(), F.col(id_col).asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = df.select(
+        *gcols,
+        y.alias("__y"),
+        F.row_number().over(w).alias("__r"),
+        F.sum(y).over(wrun).alias("__cp"),
+    )
+    term = F.when(
+        F.col("__y") == 1,
+        F.col("__cp").cast("double") / F.col("__r").cast("double"),
+    ).otherwise(F.lit(0.0))
+    # fixed-order accumulation: running sum over the SAME rank window,
+    # take the last row per group
+    wfull = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wordr = Window.partitionBy(*gcols).orderBy("__r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = ranked.select(
+        *gcols,
+        F.sum(term).over(wordr).alias("__ap_s"),
+        F.sum("__y").over(wfull).alias("n_pos"),
+        (F.count("*").over(wfull) - F.sum("__y").over(wfull)).alias(
+            "n_neg"
+        ),
+        F.col("__r"),
+        F.count("*").over(wfull).alias("__n"),
+    )
+    last = stepped.filter(F.col("__r") == F.col("__n"))
+    ap = F.try_divide(
+        F.col("__ap_s"), F.col("n_pos").cast("double")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        *gcols,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(F.col("n_pos") > 0, q6(ap)).alias("ap_q6"),
+    )
+
+
+def best_f1_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int = 4,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Best-F1 operating point per group: sweep EVERY distinct score
+    as the >=-threshold, compute (tp, fp, fn) from cumulative counts,
+    and return the threshold maximizing F1 (ties -> highest
+    threshold, i.e. the more conservative gate). The companion to
+    [[calibration_bins]]: calibration tells you the score MEANS
+    something; this tells you where to CUT it.
+
+    All counts integer off one (score -> pos/neg count) shuffle with
+    cumulative windows over the distinct-score table (bounded by
+    score cardinality — scores are quantized to ``10^-quantize``
+    first, which is also what makes the threshold reportable). The
+    F1 comparison is done on exact integer cross-products (f1a > f1b
+    <=> 2*tp_a*(denom_b) > 2*tp_b*(denom_a)... equivalently compare
+    the rational 2tp/(2tp+fp+fn) via struct max on the
+    floor-quantized value with threshold tiebreak; a q12 grid makes a
+    tie at the grid line share the tiebreak deterministically).
+    Returns (group..., threshold, tp, fp, fn, f1_q6).
+    """
+    from .stats import _quant
+
+    sq = _quant(F.col(score_col), quantize)
+    y = F.col(label_col).cast("int")
+    gcols = list(group_cols)
+    base = df.select(*gcols, sq.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    per = base.groupBy(*gcols, "__s").agg(
+        F.sum("__y").cast("long").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("long").alias("__q"),
+    )
+    wdesc = Window.partitionBy(*gcols).orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        *gcols,
+        "__s",
+        F.sum("__p").over(wdesc).alias("__tp"),
+        F.sum("__q").over(wdesc).alias("__fp"),
+        (F.sum("__p").over(wfull) - F.sum("__p").over(wdesc)).alias(
+            "__fn"
+        ),
+    )
+    f1 = F.try_divide(
+        (2 * F.col("__tp")).cast("double"),
+        (2 * F.col("__tp") + F.col("__fp") + F.col("__fn")).cast(
+            "double"
+        ),
+    )
+    f1q = F.floor(f1 * F.lit(1e12)).cast("long")
+    best = cum.select(
+        *gcols,
+        F.struct(
+            f1q.alias("f1q"),
+            F.col("__s").alias("s"),
+            F.col("__tp").alias("tp"),
+            F.col("__fp").alias("fp"),
+            F.col("__fn").alias("fn"),
+        ).alias("__cand"),
+    ).groupBy(*gcols).agg(F.max("__cand").alias("__b"))
+    scale = float(10 ** quantize)
+    return best.select(
+        *gcols,
+        (F.col("__b.s").cast("double") / F.lit(scale)).alias("threshold"),
+        F.col("__b.tp").alias("tp"),
+        F.col("__b.fp").alias("fp"),
+        F.col("__b.fn").alias("fn"),
+        (
+            F.floor(
+                F.col("__b.f1q").cast("double") / F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("f1_q6"),
+    )

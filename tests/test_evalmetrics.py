@@ -798,3 +798,73 @@ def test_partition_agreement_degenerate_single_label(spark):
     r = partition_agreement(df, "a", "b").collect()[0]
     # H(A) = 0: homogeneity/nmi undefined
     assert r["nmi_q6"] is None and r["homogeneity_q6"] is None
+
+
+def test_average_precision_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        average_precision,
+    )
+
+    # ranked by score desc: labels 1,0,1,1,0 -> AP = (1/1 + 2/3 + 3/4)/3
+    rows = [
+        (1, 0.9, 1), (2, 0.8, 0), (3, 0.7, 1), (4, 0.6, 1), (5, 0.5, 0)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    r = average_precision(df, "score", "y", "id").collect()[0]
+    exp = (1.0 + 2 / 3 + 3 / 4) / 3
+    import math
+
+    assert r["n_pos"] == 3 and r["n_neg"] == 2
+    assert r["ap_q6"] == math.floor(exp * 1e6) / 1e6
+    # perfect ranking -> AP = 1; no positives -> null
+    perfect = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 1), (3, 0.1, 0)], "id long, score double, y int"
+    )
+    assert average_precision(perfect, "score", "y", "id").collect()[0][
+        "ap_q6"
+    ] == 1.0
+    nopos = spark.createDataFrame(
+        [(1, 0.9, 0)], "id long, score double, y int"
+    )
+    assert average_precision(nopos, "score", "y", "id").collect()[0][
+        "ap_q6"
+    ] is None
+
+
+def test_average_precision_tie_break_deterministic(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        average_precision,
+    )
+
+    # two rows tied on score: id asc puts the NEGATIVE (lower id)
+    # first -> AP = (1/2 + ...)/1; flipping ids flips the AP
+    a = spark.createDataFrame(
+        [(1, 0.5, 0), (2, 0.5, 1)], "id long, score double, y int"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.5, 0), (1, 0.5, 1)], "id long, score double, y int"
+    )
+    ra = average_precision(a, "score", "y", "id").collect()[0]["ap_q6"]
+    rb = average_precision(b, "score", "y", "id").collect()[0]["ap_q6"]
+    assert ra == 0.5 and rb == 1.0
+
+
+def test_best_f1_sweep_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        best_f1_threshold,
+    )
+
+    # thresholds: .9 -> tp1 fp0 fn2 f1=.5 ; .7 -> tp2 fp1 fn1 f1=2/3 ;
+    # .5 -> tp3 fp1 fn0 f1=.857 ; .3 -> tp3 fp2 fn0 f1=.75
+    rows = [(0.9, 1), (0.7, 1), (0.7, 0), (0.5, 1), (0.3, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = best_f1_threshold(df, "score", "y").collect()[0]
+    assert r["threshold"] == 0.5
+    assert (r["tp"], r["fp"], r["fn"]) == (3, 1, 0)
+    assert abs(r["f1_q6"] - 6 / 7) < 2e-6
+    # tie on F1 -> highest threshold wins
+    t = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0)], "score double, y int"
+    )
+    rt = best_f1_threshold(t, "score", "y").collect()[0]
+    assert rt["threshold"] == 0.9 and rt["f1_q6"] == 1.0
