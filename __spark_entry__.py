@@ -4557,6 +4557,22 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_curriculum(spark, sf_dir):
+    """Curriculum schedule over the corpus (functions/curate.py
+    curriculum_stages): 4 equal-frequency difficulty stages by doc
+    length with tie-stable integer stage assignment and md5 shuffle
+    keys — the two columns a curriculum loader range-partitions on;
+    no global rank is ever materialized."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        curriculum_stages,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_stages(
+        d, "doc_id", "n_chars", n_stages=4, quantize=0
+    )
+
+
 def _q_avg_precision(spark, sf_dir):
     """Average precision of the hashed linear quality classifier per
     source (functions/evalmetrics.py average_precision): the PR-curve
@@ -6246,6 +6262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partition_agreement": _q_partition_agreement,
         "q_avg_precision": _q_avg_precision,
         "q_best_f1": _q_best_f1,
+        "q_curriculum": _q_curriculum,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12843,6 +12860,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_curriculum": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     CAST(round(CAST(n_chars AS DOUBLE) * 1, 0)
+                          AS BIGINT) AS score_q
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            cnt AS (
+              SELECT score_q, count(*)::BIGINT AS c
+              FROM base GROUP BY score_q
+            ),
+            staged AS (
+              SELECT score_q,
+                     least(3, CAST(floor(cb * 4 / n) AS INTEGER))
+                       AS stage
+              FROM (
+                SELECT score_q, c,
+                  coalesce(sum(c) OVER (ORDER BY score_q ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                  sum(c) OVER () AS n
+                FROM cnt
+              )
+            )
+            SELECT b.id, b.score_q, s.stage,
+                   md5(CAST(b.id AS VARCHAR)) AS sort_key
+            FROM base b JOIN staged s USING (score_q)
+        """,
         "q_avg_precision": """
             WITH sc AS (
               SELECT source, doc_id,

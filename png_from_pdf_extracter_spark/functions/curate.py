@@ -1271,3 +1271,64 @@ def span_corruption_plan(
         start.alias("start"),
         F.lit(span_len).cast("long").alias("length"),
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 4,
+    quantize: int = 4,
+) -> DataFrame:
+    """Curriculum-learning schedule: bucket the corpus into
+    ``n_stages`` equal-frequency difficulty stages (easy -> hard by
+    ``score_col``) and give every row a deterministic intra-stage
+    shuffle key — the two columns a curriculum data loader needs. The
+    intended write is ``repartitionByRange("stage", "sort_key")`` so
+    consumers stream stage 0 first with rows pre-shuffled WITHIN each
+    stage; no global row_number over the corpus is ever materialized
+    (a 10^12-row single-partition rank is exactly the scale-killer
+    this avoids — ordering lives in the range partitioner).
+
+    Stage assignment is tie-stable and engine-exact: over the
+    distinct-score count table, a row's stage is floor(cb * k / n)
+    where cb = count of strictly smaller rows — INTEGER arithmetic,
+    ties share a stage by construction (ntile would split them by
+    arrival order). The shuffle key is the md5 of the id — the repo's
+    standard deterministic-randomness contract. Plan: one (score ->
+    count) shuffle, stage mapping joins back as a broadcast of the
+    distinct-score table. Returns (id, score_q, stage, sort_key).
+    """
+    from .stats import _quant
+
+    sq = _quant(F.col(score_col), quantize)
+    base = df.select(
+        F.col(id_col).alias("id"), sq.alias("score_q")
+    ).filter(F.col("score_q").isNotNull())
+    cnt = base.groupBy("score_q").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    w = Window.orderBy("score_q").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = int(n_stages)
+    staged = cnt.select(
+        "score_q",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(full).alias("__n"),
+    ).select(
+        "score_q",
+        F.least(
+            F.lit(k - 1),
+            F.floor(F.col("__cb") * F.lit(k) / F.col("__n")).cast("int"),
+        ).alias("stage"),
+    )
+    return base.join(F.broadcast(staged), "score_q").select(
+        "id",
+        "score_q",
+        "stage",
+        F.md5(F.col("id").cast("string")).alias("sort_key"),
+    )

@@ -1010,3 +1010,35 @@ def test_mojibake_clean_ascii_and_real_unicode_pass(spark):
     )
     rows = df.select("doc_id", *encoding_health("text")).collect()
     assert all(not r["enc_suspect"] for r in rows)
+
+
+def test_curriculum_stage_balance_and_tie_stability(spark):
+    from pyspark.sql import functions as F
+
+    from png_from_pdf_extracter_spark.functions.curate import (
+        curriculum_stages,
+    )
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = curriculum_stages(df, "doc_id", "s", n_stages=4, quantize=0)
+    per = {
+        r["stage"]: r["n"]
+        for r in out.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {0: 25, 1: 25, 2: 25, 3: 25}
+    # monotone: every stage-0 score below every stage-3 score
+    rowsd = {r["id"]: r for r in out.collect()}
+    assert rowsd[0]["stage"] == 0 and rowsd[99]["stage"] == 3
+    # ties share a stage even when they straddle the quantile line
+    tied = spark.createDataFrame(
+        [(i, 1.0) for i in range(10)] + [(100, 9.0), (101, 9.0)],
+        "doc_id long, s double",
+    )
+    t = curriculum_stages(tied, "doc_id", "s", n_stages=2, quantize=0)
+    stages = {r["id"]: r["stage"] for r in t.collect()}
+    assert len({stages[i] for i in range(10)}) == 1  # all tied -> one stage
+    # sort_key is the md5 of the id, deterministic
+    import hashlib
+
+    assert rowsd[7]["sort_key"] == hashlib.md5(b"7").hexdigest()
