@@ -4557,6 +4557,18 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_rmst(spark, sf_dir):
+    """Restricted mean survival time at tau=5000 minutes
+    (functions/stats.py rmst) over the q_kaplan_meier time-to-convert
+    observations — the area under the KM head, the censoring-aware
+    effect size when the median misleads. Step-rule integral in fixed
+    time order over the quantized KM values."""
+    from png_from_pdf_extracter_spark.functions.stats import rmst
+
+    obs = _surv_obs(spark, sf_dir)
+    return rmst(obs, "dur_min", "event", tau=5000)
+
+
 def _q_curriculum(spark, sf_dir):
     """Curriculum schedule over the corpus (functions/curate.py
     curriculum_stages): 4 equal-frequency difficulty stages by doc
@@ -6263,6 +6275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_precision": _q_avg_precision,
         "q_best_f1": _q_best_f1,
         "q_curriculum": _q_curriculum,
+        "q_rmst": _q_rmst,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12860,6 +12873,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+        "q_rmst": (
+            "WITH km AS (" + _KM_SQL + """),
+            seg AS (
+              SELECT duration AS start, survival_q AS sq,
+                     lead(duration) OVER (ORDER BY duration) AS nxt
+              FROM km
+            ),
+            body AS (
+              SELECT start, sq,
+                     (least(coalesce(nxt, 5000), 5000)
+                      - start)::DOUBLE AS len
+              FROM seg WHERE start < 5000
+            ),
+            fst AS (SELECT min(duration) AS t1 FROM km),
+            ini AS (
+              SELECT CAST(-1 AS BIGINT) AS start, 1.0 AS sq,
+                     least(t1, 5000)::DOUBLE AS len
+              FROM fst WHERE least(t1, 5000) > 0
+            ),
+            segs AS (
+              SELECT * FROM ini UNION ALL SELECT * FROM body
+            ),
+            stepped AS (
+              SELECT sum(sq * len) OVER (ORDER BY start ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS area,
+                     row_number() OVER (ORDER BY start) AS rn,
+                     count(*) OVER () AS k
+              FROM segs
+            )
+            SELECT 5000::BIGINT AS tau, t1 AS t_first,
+              floor(area * 1e6) / 1e6 AS rmst_q6
+            FROM stepped, fst WHERE rn = k
+        """),
         "q_curriculum": """
             WITH base AS (
               SELECT doc_id AS id,

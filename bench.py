@@ -581,6 +581,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_avg_precision",
         "q_best_f1",
         "q_curriculum",
+        "q_rmst",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -4379,3 +4379,68 @@ def huber_location(
         q6(median / F.lit(scale)).alias("median_q6"),
         q6(huber / F.lit(scale)).alias("huber_q6"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time at horizon ``tau``: the area
+    under the [[kaplan_meier]] curve on [0, tau] — "expected
+    time-to-event within the window", the censoring-aware effect size
+    the survival literature recommends over the median when curves
+    cross or the median is unreached ([[median_survival]] reads one
+    quantile; RMST integrates the whole head of the curve).
+
+    Step-rule integral over the KM table: S = 1 on [0, t_1), then
+    each row's quantized survival holds until the next distinct time,
+    clamped at tau. Determinism: survival_q is already the 1e-9-log
+    quantized KM value (bit-stable), interval lengths are integers,
+    and the segment products accumulate in FIXED time order via an
+    ordered window — one float expression chain end to end. Plan:
+    the KM plan + one k-row window over distinct times. Returns
+    (tau, t_first, rmst_q6).
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    t = int(tau)
+    wlead = Window.orderBy("duration")
+    seg = km.select(
+        F.col("duration").alias("__start"),
+        F.col("survival_q").alias("__sq"),
+        F.lead("duration").over(wlead).alias("__nxt"),
+    ).filter(F.col("__start") < t)
+    body = seg.select(
+        "__start",
+        "__sq",
+        (
+            F.least(F.coalesce("__nxt", F.lit(t)), F.lit(t))
+            - F.col("__start")
+        ).cast("double").alias("__len"),
+    )
+    first = km.agg(F.min("duration").alias("__t1"))
+    init = first.select(
+        F.lit(-1).cast("long").alias("__start"),
+        F.lit(1.0).alias("__sq"),
+        F.least(F.col("__t1"), F.lit(t)).cast("double").alias("__len"),
+    ).filter(F.col("__len") > 0)
+    segs = init.unionByName(body)
+    ordw = Window.orderBy("__start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fullw = Window.orderBy("__start").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = segs.select(
+        F.sum(F.col("__sq") * F.col("__len")).over(ordw).alias("__area"),
+        F.row_number().over(Window.orderBy("__start")).alias("__rn"),
+        F.count("*").over(fullw).alias("__k"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.crossJoin(F.broadcast(first)).select(
+        F.lit(t).cast("long").alias("tau"),
+        F.col("__t1").alias("t_first"),
+        q6(F.col("__area")).alias("rmst_q6"),
+    )

@@ -2530,3 +2530,28 @@ def test_huber_symmetric_equals_median_and_mean(spark):
     df = spark.createDataFrame([(v, "s") for v in vals], "v double, grp string")
     r = huber_location(df, "v", ("grp",), quantize=2).collect()[0]
     assert r["median_q6"] == 30.0 and r["huber_q6"] == 30.0
+
+
+def test_rmst_hand_computed_and_horizon(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import rmst
+
+    # events at t=2 (d=1 of n=4) and t=5 (d=1 of n=3); censor at t=8
+    rows = [(2, 1), (5, 1), (8, 0), (10, 1)]
+    df = spark.createDataFrame(rows, "t long, e int")
+    r = rmst(df, "t", "e", tau=9).collect()[0]
+    s1 = math.floor(math.exp(math.floor(math.log(1 - 1 / 4) * 1e9) / 1e9) * 1e6) / 1e6
+    s2 = math.floor(math.exp(
+        (math.floor(math.log(1 - 1 / 4) * 1e9)
+         + math.floor(math.log(1 - 1 / 3) * 1e9)) / 1e9) * 1e6) / 1e6
+    # S=1 on [0,2), s1 on [2,5), s2 on [5,8), s2 on [8,9) (censor step)
+    exp = 2 * 1.0 + s1 * 3 + s2 * 3 + s2 * 1
+    assert r["tau"] == 9 and r["t_first"] == 2
+    assert abs(r["rmst_q6"] - exp) < 2e-6
+    # horizon before the first event: RMST = tau exactly
+    r2 = rmst(df, "t", "e", tau=2).collect()[0]
+    assert r2["rmst_q6"] == 2.0
+    # no censoring, far horizon: RMST below tau
+    r3 = rmst(df, "t", "e", tau=100).collect()[0]
+    assert r3["rmst_q6"] < 100.0
