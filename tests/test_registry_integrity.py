@@ -54,3 +54,19 @@ def test_registry_matches_coverage_totals():
     assert claim in cov, (
         f"COVERAGE.md header out of date: expected '{claim}'"
     )
+
+
+def test_bench_keys_resolve_and_unique():
+    """Every key in bench.py's per-query list must exist in queries()
+    (a typo would crash the driver's round-end bench) and appear only
+    once (a dupe would double-count its wall time)."""
+    import re
+
+    qs = set(_dict_keys("queries"))
+    src = open("bench.py").read()
+    m = re.search(r"keys = \[(.*?)\]", src, re.S)
+    keys = re.findall(r'"(q_\w+)"', m.group(1))
+    missing = [k for k in keys if k not in qs]
+    assert not missing, f"bench keys not in queries(): {missing}"
+    dupes = [k for k in set(keys) if keys.count(k) > 1]
+    assert not dupes, f"duplicate bench keys: {dupes}"
