@@ -4557,6 +4557,44 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_ece(spark, sf_dir):
+    """Expected / maximum calibration error of the hashed linear
+    classifier (functions/evalmetrics.py expected_calibration_error):
+    the one-number summary over q_calibration's reliability bins,
+    weighted in fixed bin order."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        curate.hashed_linear_score("text").alias("score"),
+    )
+    return expected_calibration_error(d, "score", "y")
+
+
+def _q_fairness(spark, sf_dir):
+    """Per-source fairness audit of the classifier gate at threshold 0
+    (functions/evalmetrics.py fairness_gaps): selection rate, TPR, FPR
+    per source plus each metric's max pairwise gap — demographic
+    parity and equalized odds next to q_classifier_auc's accuracy."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        fairness_gaps,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    return fairness_gaps(
+        d.withColumn("pred", F.col("score") > 0), "pred", "y", "source"
+    )
+
+
 def _q_rmst(spark, sf_dir):
     """Restricted mean survival time at tau=5000 minutes
     (functions/stats.py rmst) over the q_kaplan_meier time-to-convert
@@ -6276,6 +6314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_best_f1": _q_best_f1,
         "q_curriculum": _q_curriculum,
         "q_rmst": _q_rmst,
+        "q_ece": _q_ece,
+        "q_fairness": _q_fairness,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12873,6 +12913,103 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
+
+        "q_ece": """
+            WITH sc AS (
+              SELECT source,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8))
+                              AS BIGINT) % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000.0)::BIGINT AS s4
+              FROM (
+                SELECT source, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            bins AS (
+              SELECT least(greatest(
+                       floor(((s4::DOUBLE / 10000.0) - (-1.0)) / 0.2
+                       )::INTEGER, 0), 9) AS bin,
+                     count(*)::BIGINT AS n,
+                     sum(y)::DOUBLE / count(*)::DOUBLE AS pos_rate,
+                     sum(s4)::DOUBLE / (count(*) * 10000)::DOUBLE
+                       AS mean_score
+              FROM sc GROUP BY 1
+            ),
+            tot AS (SELECT sum(n)::BIGINT AS nn FROM bins),
+            stepped AS (
+              SELECT nn,
+                sum(n::DOUBLE / nn::DOUBLE
+                    * abs(pos_rate - mean_score)) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS ece,
+                max(abs(pos_rate - mean_score)) OVER () AS mce,
+                row_number() OVER (ORDER BY bin) AS rn,
+                count(*) OVER () AS k
+              FROM bins, tot
+            )
+            SELECT nn AS n, k::BIGINT AS n_bins_used,
+              floor(ece * 1e6) / 1e6 AS ece_q6,
+              floor(mce * 1e6) / 1e6 AS mce_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_fairness": """
+            WITH sc AS (
+              SELECT source,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8))
+                              AS BIGINT) % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000.0)::BIGINT AS s4
+              FROM (
+                SELECT source, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            cells AS (
+              SELECT source AS "group", count(*)::BIGINT AS n,
+                sum(CASE WHEN s4 > 0 AND y = 1 THEN 1 ELSE 0
+                    END)::BIGINT AS tp,
+                sum(CASE WHEN s4 > 0 AND y = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS fp,
+                sum(CASE WHEN s4 <= 0 AND y = 1 THEN 1 ELSE 0
+                    END)::BIGINT AS fn,
+                sum(CASE WHEN s4 <= 0 AND y = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS tn
+              FROM sc GROUP BY 1
+            ),
+            rates AS (
+              SELECT "group", n,
+                floor((tp + fp)::DOUBLE / n::DOUBLE * 1e6) / 1e6
+                  AS sel_rate_q6,
+                CASE WHEN tp + fn > 0 THEN
+                  floor(tp::DOUBLE / (tp + fn)::DOUBLE * 1e6) / 1e6
+                END AS tpr_q6,
+                CASE WHEN fp + tn > 0 THEN
+                  floor(fp::DOUBLE / (fp + tn)::DOUBLE * 1e6) / 1e6
+                END AS fpr_q6
+              FROM cells
+            )
+            SELECT "group", n, sel_rate_q6, tpr_q6, fpr_q6,
+              max(sel_rate_q6) OVER () - min(sel_rate_q6) OVER ()
+                AS sel_gap_q6,
+              max(tpr_q6) OVER () - min(tpr_q6) OVER () AS tpr_gap_q6,
+              max(fpr_q6) OVER () - min(fpr_q6) OVER () AS fpr_gap_q6
+            FROM rates
+        """,
         "q_rmst": (
             "WITH km AS (" + _KM_SQL + """),
             seg AS (

@@ -582,6 +582,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_best_f1",
         "q_curriculum",
         "q_rmst",
+        "q_ece",
+        "q_fairness",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -1506,3 +1506,147 @@ def best_f1_threshold(
             / F.lit(1e6)
         ).alias("f1_q6"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Expected / maximum calibration error over the
+    [[calibration_bins]] reliability diagram: ECE = sum_b (n_b / N) *
+    |pos_rate_b - mean_score_b|, MCE = max_b of the same gap — the
+    one-number summary the per-bin table leaves to the reader. A
+    quality classifier gating 100 TB needs its scores to MEAN
+    something; ECE is the number that says so.
+
+    The per-bin gap uses the bins' exact integer statistics
+    (pos_rate = n_pos/n exact rational, mean_score from the BIGINT
+    4dp score sum), and the weighted sum accumulates in FIXED bin
+    order over the <= n_bins-row table. Returns one row
+    (n, n_bins_used, ece_q6, mce_q6).
+    """
+    from pyspark.sql import Window
+
+    bins = calibration_bins(df, score_col, label_col, n_bins, lo, hi)
+    tot = F.broadcast(bins.agg(F.sum("n").cast("long").alias("__N")))
+    gap = F.abs(F.col("pos_rate") - F.col("mean_score"))
+    term = F.col("n").cast("double") / F.col("__N").cast("double") * gap
+    ordw = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fullw = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = bins.crossJoin(tot).select(
+        "__N",
+        F.sum(term).over(ordw).alias("__ece"),
+        F.max(gap).over(fullw).alias("__mce"),
+        F.row_number().over(Window.orderBy("bin")).alias("__rn"),
+        F.count("*").over(fullw).alias("__k"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return stepped.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__N").alias("n"),
+        F.col("__k").cast("long").alias("n_bins_used"),
+        q6(F.col("__ece")).alias("ece_q6"),
+        q6(F.col("__mce")).alias("mce_q6"),
+    )
+
+
+def fairness_gaps(
+    df: DataFrame,
+    pred_col,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group classifier fairness audit: selection rate
+    (demographic parity), TPR and FPR per group, plus each metric's
+    max pairwise gap across groups — the equalized-odds /
+    demographic-parity numbers a model gate publishes next to its
+    accuracy. The audit that catches "the quality classifier passes
+    90% of source A but 40% of source B".
+
+    Exact integer confusion cells per group off ONE conditional
+    aggregate ([[confusion_counts]] with rates); each rate is one
+    exact division, and the gaps are max - min over the k-row group
+    table (order-free on exact rationals... comparisons only, no float
+    sums). Returns one row per group plus the gap columns repeated
+    (self-describing audit table): (group, n, sel_rate_q6, tpr_q6,
+    fpr_q6, sel_gap_q6, tpr_gap_q6, fpr_gap_q6); per-group rates null
+    when undefined (no positives / no negatives), and null rates are
+    excluded from their gap.
+    """
+    p = (F.col(pred_col) if isinstance(pred_col, str) else pred_col).cast(
+        "boolean"
+    )
+    y = F.col(label_col).cast("int")
+    pp, yy = F.col("__p"), F.col("__y")
+    per = df.select(
+        F.col(group_col).alias("group"), p.alias("__p"), y.alias("__y")
+    ).groupBy("group").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(pp & (yy == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__tp"),
+        F.sum(F.when(pp & (yy == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("__fp"),
+        F.sum(F.when((~pp) & (yy == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__fn"),
+        F.sum(F.when((~pp) & (yy == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("__tn"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    sel = q6(
+        (F.col("__tp") + F.col("__fp")).cast("double")
+        / F.col("n").cast("double")
+    )
+    tpr = F.when(
+        (F.col("__tp") + F.col("__fn")) > 0,
+        q6(
+            F.col("__tp").cast("double")
+            / (F.col("__tp") + F.col("__fn")).cast("double")
+        ),
+    )
+    fpr = F.when(
+        (F.col("__fp") + F.col("__tn")) > 0,
+        q6(
+            F.col("__fp").cast("double")
+            / (F.col("__fp") + F.col("__tn")).cast("double")
+        ),
+    )
+    rates = per.select(
+        "group",
+        "n",
+        sel.alias("sel_rate_q6"),
+        tpr.alias("tpr_q6"),
+        fpr.alias("fpr_q6"),
+    )
+    from pyspark.sql import Window
+
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rates.select(
+        "group",
+        "n",
+        "sel_rate_q6",
+        "tpr_q6",
+        "fpr_q6",
+        (
+            F.max("sel_rate_q6").over(full)
+            - F.min("sel_rate_q6").over(full)
+        ).alias("sel_gap_q6"),
+        (F.max("tpr_q6").over(full) - F.min("tpr_q6").over(full)).alias(
+            "tpr_gap_q6"
+        ),
+        (F.max("fpr_q6").over(full) - F.min("fpr_q6").over(full)).alias(
+            "fpr_gap_q6"
+        ),
+    )

@@ -868,3 +868,54 @@ def test_best_f1_sweep_hand_computed(spark):
     )
     rt = best_f1_threshold(t, "score", "y").collect()[0]
     assert rt["threshold"] == 0.9 and rt["f1_q6"] == 1.0
+
+
+def test_ece_perfect_and_miscalibrated(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        expected_calibration_error,
+    )
+
+    # scores equal to empirical rates per bin: near-zero ECE
+    rows = []
+    for s, rate, n in ((0.11, 0.1, 50), (0.51, 0.5, 50), (0.91, 0.9, 50)):
+        pos = int(n * rate)
+        rows += [(s, 1)] * pos + [(s, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = expected_calibration_error(
+        df, "score", "y", n_bins=10, lo=0.0, hi=1.0
+    ).collect()[0]
+    assert r["ece_q6"] < 0.02 and r["n"] == 150
+    # anti-calibrated: high score, zero positives -> big ECE
+    bad = spark.createDataFrame(
+        [(0.95, 0)] * 50 + [(0.05, 1)] * 50, "score double, y int"
+    )
+    rb = expected_calibration_error(
+        bad, "score", "y", n_bins=10, lo=0.0, hi=1.0
+    ).collect()[0]
+    assert rb["ece_q6"] > 0.8 and rb["mce_q6"] >= rb["ece_q6"]
+
+
+def test_fairness_gaps_planted_disparity(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        fairness_gaps,
+    )
+
+    # group A: pred fires on all positives; group B: on none
+    rows = (
+        [("A", True, 1)] * 8 + [("A", False, 0)] * 2
+        + [("B", False, 1)] * 5 + [("B", False, 0)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, pred boolean, y int")
+    out = {r["group"]: r for r in fairness_gaps(df, "pred", "y", "g").collect()}
+    assert out["A"]["tpr_q6"] == 1.0 and out["B"]["tpr_q6"] == 0.0
+    assert out["A"]["sel_rate_q6"] == 0.8 and out["B"]["sel_rate_q6"] == 0.0
+    assert out["A"]["tpr_gap_q6"] == 1.0 == out["B"]["tpr_gap_q6"]
+    assert out["A"]["sel_gap_q6"] == 0.8
+    assert out["A"]["fpr_gap_q6"] == 0.0  # FPR 0 in both groups
+    # degenerate: a group with no negatives has null FPR, excluded
+    deg = spark.createDataFrame(
+        [("C", True, 1), ("D", True, 1), ("D", False, 0)],
+        "g string, pred boolean, y int",
+    )
+    o2 = {r["group"]: r for r in fairness_gaps(deg, "pred", "y", "g").collect()}
+    assert o2["C"]["fpr_q6"] is None and o2["C"]["fpr_gap_q6"] == 0.0
