@@ -4557,6 +4557,22 @@ def _q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(d, "dose", "is_en")
 
 
+def _q_slope_break(spark, sf_dir):
+    """Per-event-type slope-change breakpoint (functions/stats.py
+    slope_break): where does the value trend CHANGE SLOPE, the break
+    q_changepoint's mean-shift statistic cannot see. Integer prefix
+    sums off one ordered window; every candidate's two-segment SSE is
+    a fixed float expression; struct-min argmin."""
+    from png_from_pdf_extracter_spark.functions.stats import slope_break
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return slope_break(
+        ev, ("event_type",), ("ts", "event_id"), "value", quantize=2
+    )
+
+
 def _q_ece(spark, sf_dir):
     """Expected / maximum calibration error of the hashed linear
     classifier (functions/evalmetrics.py expected_calibration_error):
@@ -6316,6 +6332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rmst": _q_rmst,
         "q_ece": _q_ece,
         "q_fairness": _q_fairness,
+        "q_slope_break": _q_slope_break,
         "q_gini_sources": _q_gini_sources,
         "q_isotonic": _q_isotonic,
         "q_k_anonymity": _q_k_anonymity,
@@ -12914,6 +12931,103 @@ def oracle_sql() -> dict[str, str]:
         "q_prf_expand": prf_expand_sql,
         "q_prf_rerank": prf_rerank_sql,
 
+
+        "q_slope_break": """
+            WITH base AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS y,
+                     ts, event_id
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            idx AS (
+              SELECT g, y,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY ts, event_id) AS x
+              FROM base
+            ),
+            pre AS (
+              SELECT g, x,
+                sum(x) OVER wr AS sx, sum(y) OVER wr AS sy,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(x AS DECIMAL(38,0))) OVER wr AS sxx,
+                sum(CAST(y AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) OVER wr AS syy,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) OVER wr AS sxy,
+                count(*) OVER (PARTITION BY g) AS n,
+                sum(x) OVER (PARTITION BY g) AS tx,
+                sum(y) OVER (PARTITION BY g) AS ty,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(x AS DECIMAL(38,0)))
+                  OVER (PARTITION BY g) AS txx,
+                sum(CAST(y AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0)))
+                  OVER (PARTITION BY g) AS tyy,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0)))
+                  OVER (PARTITION BY g) AS txy
+              FROM idx
+              WINDOW wr AS (PARTITION BY g ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            c1 AS (
+              SELECT g, n, x,
+                sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / x::DOUBLE
+                  AS cxxl,
+                sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / x::DOUBLE
+                  AS cxyl,
+                syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / x::DOUBLE
+                  AS cyyl,
+                (txx - sxx)::DOUBLE
+                  - (tx - sx)::DOUBLE * (tx - sx)::DOUBLE
+                    / (n - x)::DOUBLE AS cxxr,
+                (txy - sxy)::DOUBLE
+                  - (tx - sx)::DOUBLE * (ty - sy)::DOUBLE
+                    / (n - x)::DOUBLE AS cxyr,
+                (tyy - syy)::DOUBLE
+                  - (ty - sy)::DOUBLE * (ty - sy)::DOUBLE
+                    / (n - x)::DOUBLE AS cyyr,
+                txx::DOUBLE - tx::DOUBLE * tx::DOUBLE / n::DOUBLE
+                  AS cxx1,
+                txy::DOUBLE - tx::DOUBLE * ty::DOUBLE / n::DOUBLE
+                  AS cxy1,
+                tyy::DOUBLE - ty::DOUBLE * ty::DOUBLE / n::DOUBLE
+                  AS cyy1
+              FROM pre
+            ),
+            c2 AS (
+              SELECT g, n, x AS b,
+                (CASE WHEN cxxl > 0
+                      THEN cyyl - cxyl * cxyl / cxxl ELSE cyyl END)
+                + (CASE WHEN cxxr > 0
+                        THEN cyyr - cxyr * cxyr / cxxr ELSE cyyr END)
+                  AS sse,
+                CASE WHEN cxxl <> 0 THEN cxyl / cxxl END AS sl,
+                CASE WHEN cxxr <> 0 THEN cxyr / cxxr END AS sr,
+                CASE WHEN cxx1 > 0
+                     THEN cyy1 - cxy1 * cxy1 / cxx1 ELSE cyy1 END
+                  AS sse1
+              FROM c1 WHERE x >= 3 AND x <= n - 3
+            ),
+            best AS (
+              SELECT g, n, b, sl, sr, sse, sse1,
+                row_number() OVER (PARTITION BY g
+                  ORDER BY sse ASC, b ASC) AS rn
+              FROM c2
+            )
+            SELECT g AS event_type, n::BIGINT AS n, b::BIGINT
+                     AS break_idx,
+              CASE WHEN sl IS NOT NULL THEN
+                floor(sl / 100.0 * 1e6) / 1e6 END AS slope_l_q6,
+              CASE WHEN sr IS NOT NULL THEN
+                floor(sr / 100.0 * 1e6) / 1e6 END AS slope_r_q6,
+              floor(sse / 10000.0 * 100.0) / 100.0 AS sse_break_q2,
+              floor(sse1 / 10000.0 * 100.0) / 100.0 AS sse_single_q2,
+              CASE WHEN sse1 > 0 THEN
+                floor((1.0 - sse / sse1) * 1e6) / 1e6 END AS gain_q6
+            FROM best WHERE rn = 1
+        """,
         "q_ece": """
             WITH sc AS (
               SELECT source,

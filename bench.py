@@ -584,6 +584,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_rmst",
         "q_ece",
         "q_fairness",
+        "q_slope_break",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

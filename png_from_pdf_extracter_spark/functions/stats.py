@@ -4444,3 +4444,141 @@ def rmst(
         F.col("__t1").alias("t_first"),
         q6(F.col("__area")).alias("rmst_q6"),
     )
+
+
+def slope_break(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    quantize: int = 2,
+    min_seg: int = 3,
+) -> DataFrame:
+    """Single slope-change breakpoint per group: fit TWO least-squares
+    lines around every candidate split and keep the split minimizing
+    total SSE — the TREND-break detector where [[changepoint_binseg]]
+    finds MEAN shifts (a metric that keeps rising but suddenly rises
+    slower has no mean shift at the break; it has a slope break).
+
+    Exact machinery: x is the in-group rank (integer), y is quantized
+    ([[_quant]]); one ordered window produces integer prefix sums
+    (Sx, Sy, Sxx, Syy, Sxy — DECIMAL(38,0) for the products), the
+    right-segment stats are total-minus-prefix, and each candidate's
+    two-segment SSE is ONE fixed-op-order float expression over ten
+    exact scalars. The argmin is a struct-min with the earliest-index
+    tie-break — deterministic under any partitioning. Plan: one group
+    exchange, two windows, one argmin aggregate; candidates live on
+    the group's own rows (no join, no explode). Returns (group..., n,
+    break_idx, slope_l_q6, slope_r_q6, sse_break_q2, sse_single_q2,
+    gain_q6 = 1 - sse_break/sse_single); null row fields when n <
+    2*min_seg or the single-line SSE is 0.
+    """
+    gcols = list(group_cols)
+    v = _quant(F.col(value_col), quantize)
+    dec = "decimal(38,0)"
+    base = (
+        df.select(*gcols, *order_cols, v.alias("__y"))
+        .filter(F.col("__y").isNotNull())
+        .withColumn(
+            "__x",
+            F.row_number().over(
+                Window.partitionBy(*gcols).orderBy(
+                    *[F.col(c) for c in order_cols]
+                )
+            ),
+        )
+        .drop(*order_cols)
+    )
+    run = Window.partitionBy(*gcols).orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    xd = F.col("__x").cast(dec)
+    yd = F.col("__y").cast(dec)
+    pre = base.select(
+        *gcols,
+        "__x",
+        F.sum("__x").over(run).cast("long").alias("__sx"),
+        F.sum("__y").over(run).cast("long").alias("__sy"),
+        F.sum(xd * xd).over(run).alias("__sxx"),
+        F.sum(yd * yd).over(run).alias("__syy"),
+        F.sum(xd * yd).over(run).alias("__sxy"),
+        F.count("*").over(full).alias("__n"),
+        F.sum("__x").over(full).cast("long").alias("__tx"),
+        F.sum("__y").over(full).cast("long").alias("__ty"),
+        F.sum(xd * xd).over(full).alias("__txx"),
+        F.sum(yd * yd).over(full).alias("__tyy"),
+        F.sum(xd * yd).over(full).alias("__txy"),
+    )
+
+    def sse(n, sx, sy, sxx, syy, sxy):
+        nn = n.cast("double")
+        sxd, syd = sx.cast("double"), sy.cast("double")
+        sxxd = sxx.cast("double")
+        syyd = syy.cast("double")
+        sxyd = sxy.cast("double")
+        cxx = sxxd - sxd * sxd / nn
+        cxy = sxyd - sxd * syd / nn
+        cyy = syyd - syd * syd / nn
+        return (
+            F.when(cxx > 0, cyy - cxy * cxy / cxx).otherwise(cyy),
+            F.try_divide(cxy, cxx),
+        )
+
+    k = F.col("__x")
+    n_all = F.col("__n")
+    sse_l, slope_l = sse(
+        k, F.col("__sx"), F.col("__sy"), F.col("__sxx"),
+        F.col("__syy"), F.col("__sxy"),
+    )
+    sse_r, slope_r = sse(
+        n_all - k,
+        F.col("__tx") - F.col("__sx"),
+        F.col("__ty") - F.col("__sy"),
+        F.col("__txx") - F.col("__sxx"),
+        F.col("__tyy") - F.col("__syy"),
+        F.col("__txy") - F.col("__sxy"),
+    )
+    sse_1, _ = sse(
+        n_all, F.col("__tx"), F.col("__ty"), F.col("__txx"),
+        F.col("__tyy"), F.col("__txy"),
+    )
+    cand = pre.filter(
+        (k >= min_seg) & (k <= n_all - min_seg)
+    ).select(
+        *gcols,
+        F.col("__n"),
+        F.struct(
+            (sse_l + sse_r).alias("sse"),
+            k.alias("b"),
+            slope_l.alias("sl"),
+            slope_r.alias("sr"),
+        ).alias("__c"),
+        sse_1.alias("__sse1"),
+    )
+    best = cand.groupBy(*gcols).agg(
+        F.min("__c").alias("__b"),
+        F.max("__n").cast("long").alias("n"),
+        F.max("__sse1").alias("__s1"),
+    )
+    scale2 = float((10 ** quantize) ** 2)
+    scale = float(10 ** quantize)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    q2s = lambda c: F.floor(c / F.lit(scale2) * F.lit(100.0)) / F.lit(  # noqa: E731
+        100.0
+    )
+    return best.select(
+        *gcols,
+        "n",
+        F.col("__b.b").cast("long").alias("break_idx"),
+        q6(F.col("__b.sl") / F.lit(scale)).alias("slope_l_q6"),
+        q6(F.col("__b.sr") / F.lit(scale)).alias("slope_r_q6"),
+        q2s(F.col("__b.sse")).alias("sse_break_q2"),
+        q2s(F.col("__s1")).alias("sse_single_q2"),
+        F.when(
+            F.col("__s1") > 0,
+            q6(F.lit(1.0) - F.col("__b.sse") / F.col("__s1")),
+        ).alias("gain_q6"),
+    )

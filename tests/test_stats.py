@@ -2555,3 +2555,43 @@ def test_rmst_hand_computed_and_horizon(spark):
     # no censoring, far horizon: RMST below tau
     r3 = rmst(df, "t", "e", tau=100).collect()[0]
     assert r3["rmst_q6"] < 100.0
+
+
+def test_slope_break_planted_kink(spark):
+    from png_from_pdf_extracter_spark.functions.stats import slope_break
+
+    # slope 2 for 20 points, then slope -1: the kink is at index 20
+    rows = []
+    for i in range(1, 41):
+        y = 2.0 * i if i <= 20 else 40.0 - 1.0 * (i - 20)
+        rows.append(("g", i, y))
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    r = slope_break(df, ("g",), ("o",), "v", quantize=2).collect()[0]
+    assert abs(r["break_idx"] - 20) <= 1
+    assert 1.8 < r["slope_l_q6"] < 2.2
+    assert -1.2 < r["slope_r_q6"] < -0.8
+    # two-line fit dramatically beats one line on a kinked series
+    assert r["gain_q6"] > 0.9
+    assert r["sse_break_q2"] < r["sse_single_q2"]
+
+
+def test_slope_break_pure_line_no_gain(spark):
+    from png_from_pdf_extracter_spark.functions.stats import slope_break
+
+    rows = [("g", i, 3.0 * i + 7.0) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    r = slope_break(df, ("g",), ("o",), "v", quantize=2).collect()[0]
+    # a perfect line: both segment slopes equal the global slope and
+    # the SSE gain is ~0 (single-line SSE is already ~0)
+    assert abs(r["slope_l_q6"] - 3.0) < 0.01
+    assert abs(r["slope_r_q6"] - 3.0) < 0.01
+    assert r["sse_break_q2"] <= r["sse_single_q2"]
+
+
+def test_slope_break_short_group_absent(spark):
+    from png_from_pdf_extracter_spark.functions.stats import slope_break
+
+    rows = [("tiny", i, float(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    # n=4 < 2*min_seg=6: no candidate rows -> no output row
+    assert slope_break(df, ("g",), ("o",), "v").count() == 0
