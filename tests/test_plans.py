@@ -882,3 +882,49 @@ def test_holm_two_range_windows_no_join(spark):
     )
     plan = _plan(holm_bonferroni(ev, "p", group_cols=("event_type",)))
     assert "Join" not in plan, plan
+
+
+def test_slope_break_no_join_no_explode(spark):
+    """slope_break: candidates live on the group's own rows — no join,
+    no explode, windows over the group exchange only."""
+    from png_from_pdf_extracter_spark.functions.stats import slope_break
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        slope_break(ev, ("event_type",), ("ts", "event_id"), "value")
+    )
+    assert "Generate" not in plan, plan  # no explode
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_partition_agreement_margins_broadcast(spark):
+    """partition_agreement: the margin/index pair-count aggregates and
+    totals all reach the final row as broadcasts of 1-row frames."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        partition_agreement,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(partition_agreement(d, "lang", "source"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_average_precision_single_group_exchange(spark):
+    """average_precision: one exchange on the group key; both windows
+    share it (no second shuffle for the rank-order accumulation)."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        average_precision,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id", (F.col("n_chars") > 500).cast("int").alias("y"),
+        F.col("n_chars").alias("score"),
+    )
+    plan = _plan(
+        average_precision(d, "score", "y", "doc_id", ("source",))
+    )
+    import re
+
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert exchanges <= 2, plan
