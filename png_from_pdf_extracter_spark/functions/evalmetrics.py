@@ -1022,6 +1022,7 @@ def naive_bayes_train(
     label_col: str,
     alpha: float = 1.0,
     quantize: int = 6,
+    min_df: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Multinomial Naive Bayes trainer over a tokenized corpus — the
     classic one-pass generative text classifier ([[logreg_train]] is
@@ -1043,6 +1044,14 @@ def naive_bayes_train(
     Returns (word_model, label_model): (word, label, lp_q) and
     (label, prior_q, oov_q) — both bounded by vocab x k, the
     broadcast-able model the predict side wants.
+
+    100-TB bound: the word model must fit the predict side's
+    broadcast. A web-scale vocabulary doesn't — raise ``min_df`` to
+    prune tokens occurring fewer than that many times ACROSS the
+    corpus; pruned tokens score as unseen (the per-label OOV mass) at
+    predict time, and the smoothing denominator keeps the FULL vocab
+    size so retained probabilities are unchanged. The long Zipf tail
+    carries little class signal; the head model stays broadcast-sized.
     """
     toks = docs.select(
         F.col(label_col).alias("label"),
@@ -1051,6 +1060,14 @@ def naive_bayes_train(
     lw = toks.groupBy("label", "word").agg(
         F.count("*").cast("long").alias("__c")
     )
+    if int(min_df) > 1:
+        keep = (
+            lw.groupBy("word")
+            .agg(F.sum("__c").alias("__wt"))
+            .filter(F.col("__wt") >= int(min_df))
+            .select("word")
+        )
+        lw = lw.join(keep, "word")
     lab_tot = toks.groupBy("label").agg(
         F.count("*").cast("long").alias("__t")
     )

@@ -277,3 +277,37 @@ def test_kmv_set_ops_accuracy_and_exact_small_range(spark):
     assert r2["est_union"] == 50 and r2["union_k"] == 50
     assert r2["inter_in_k"] == 10 and r2["est_intersection"] == 10
     assert r2["jaccard_q6"] == 0.2
+
+
+def test_naive_bayes_min_df_prunes_to_oov(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        naive_bayes_predict,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "spam", ["buy", "cheap", "buy", "rarespam"]),
+        (2, "spam", ["cheap", "buy"]),
+        (3, "ham", ["meeting", "notes", "meeting"]),
+        (4, "ham", ["notes", "meeting"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label string, toks array<string>"
+    )
+    wm_full, lm_full = naive_bayes_train(df, "toks", "label")
+    wm, lm = naive_bayes_train(df, "toks", "label", min_df=2)
+    kept = {r["word"] for r in wm.select("word").distinct().collect()}
+    assert "rarespam" not in kept and "buy" in kept
+    # smoothing denominator keeps the FULL vocab: retained rows carry
+    # identical quantized log-probs in both models
+    full = {
+        (r["word"], r["label"]): r["lp_q"] for r in wm_full.collect()
+    }
+    for r in wm.collect():
+        assert r["lp_q"] == full[(r["word"], r["label"])]
+    # prediction still separates the classes with the pruned model
+    pred = {
+        r["id"]: r["pred"]
+        for r in naive_bayes_predict(df, "doc_id", "toks", wm, lm).collect()
+    }
+    assert pred[1] == "spam" and pred[3] == "ham"
