@@ -263,20 +263,31 @@ def rake_keyphrases(
     )
     occ = (F.col("__rows") / F.col("n_words")).cast("long")
     per_occ = (F.col("__total") / occ).cast("long")
-    w = Window.orderBy(
-        F.col("__score_i").desc(),
-        F.col("occurrences").desc(),
-        F.col("phrase").asc(),
-    )
-    return (
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition
+    # partial top-k, driver merge of k-row heads) — the row_number
+    # ranking then runs over <= top_k rows, never a single-partition
+    # window across every distinct phrase (the bm25_topk discipline)
+    top = (
         scored.select(
             "phrase",
             "n_words",
             occ.alias("occurrences"),
             per_occ.alias("__score_i"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        .orderBy(
+            F.col("__score_i").desc(),
+            F.col("occurrences").desc(),
+            F.col("phrase").asc(),
+        )
+        .limit(top_k)
+    )
+    w = Window.orderBy(
+        F.col("__score_i").desc(),
+        F.col("occurrences").desc(),
+        F.col("phrase").asc(),
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "phrase",
             "n_words",

@@ -928,3 +928,16 @@ def test_average_precision_single_group_exchange(spark):
 
     exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert exchanges <= 2, plan
+
+
+def test_rake_top_k_is_take_ordered_not_global_window(spark):
+    """rake_keyphrases: the top-k cut plans as TakeOrderedAndProject
+    (partial per-partition top-k), never a single-partition window
+    over every distinct phrase."""
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        rake_keyphrases,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(rake_keyphrases(d, top_k=15))
+    assert "TakeOrderedAndProject" in plan, plan
