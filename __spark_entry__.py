@@ -6113,6 +6113,50 @@ def _q_script_profile(spark, sf_dir):
     return script_profile(d, "text", ("doc_id",))
 
 
+def _q_reliability(spark, sf_dir):
+    """Cronbach's alpha + ICC(2,1) over the user x event_type value
+    matrix (functions/stats.py interrater_reliability): do the per-type
+    spend signals cohere into one reliable per-user activity scale?
+    Cells are BIGINT sums of cent-quantized values (absent cell = 0 by
+    contract); alpha and the two-way ANOVA mean squares are single
+    fixed-op-order float expressions over five integer aggregates."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        interrater_reliability,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return interrater_reliability(
+        ev, "user_id", "event_type", "value", quantize=2
+    )
+
+
+def _q_agreement(spark, sf_dir):
+    """Lin's CCC + Bland-Altman limits (functions/stats.py
+    concordance_agreement) validating the 6-chars-per-word length
+    estimator against true n_chars, per source — the
+    scale-shift-penalizing agreement read Pearson r can't give.
+    Integer moments (x = n_chars, y = 6 * whitespace tokens); one
+    combinable aggregate per source."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        concordance_agreement,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        (
+            F.lit(6.0)
+            * F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).cast("double")
+        ).alias("y"),
+    )
+    return concordance_agreement(d, "x", "y", ("source",), quantize=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6425,6 +6469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_profile": _q_keyword_profile,
         "q_event_loops": _q_event_loops,
         "q_ngram_containment": _q_ngram_containment,
+        "q_reliability": _q_reliability,
+        "q_agreement": _q_agreement,
     }
 
 
@@ -14684,6 +14730,125 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON common.id1 = s1.id
             JOIN sizes s2 ON common.id2 = s2.id
             WHERE round(common / least(s1.n_sh, s2.n_sh), 4) >= 0.6
+        """,
+        "q_reliability": """
+            WITH cells AS (
+              SELECT user_id AS s, event_type AS i,
+                     sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT
+                       AS x
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id, event_type
+            ),
+            per_item AS (
+              SELECT i, sum(x)::BIGINT AS ci,
+                     sum(CAST(x AS DECIMAL(38,0))
+                         * CAST(x AS DECIMAL(38,0))) AS ci2
+              FROM cells GROUP BY i
+            ),
+            per_subj AS (
+              SELECT s, sum(x)::BIGINT AS ts FROM cells GROUP BY s
+            ),
+            nn AS (
+              SELECT count(*)::BIGINT AS n_subjects,
+                     sum(CAST(ts AS DECIMAL(38,0))
+                         * CAST(ts AS DECIMAL(38,0))) AS st2
+              FROM per_subj
+            ),
+            kk AS (
+              SELECT count(*)::BIGINT AS k_items,
+                     sum(CAST(ci AS DECIMAL(38,0))
+                         * CAST(ci AS DECIMAL(38,0))) AS sc2,
+                     sum(ci2) AS sx2,
+                     sum(ci)::BIGINT AS g
+              FROM per_item
+            ),
+            f AS (
+              SELECT n_subjects, k_items,
+                n_subjects::DOUBLE AS n, k_items::DOUBLE AS k,
+                g::DOUBLE AS g, sx2::DOUBLE AS sx2,
+                st2::DOUBLE AS st2, sc2::DOUBLE AS sc2
+              FROM nn, kk
+            ),
+            m AS (
+              SELECT n_subjects, k_items, n, k,
+                sx2 - g * g / (n * k) AS ss_tot,
+                st2 / k - g * g / (n * k) AS ss_rows,
+                sc2 / n - g * g / (n * k) AS ss_cols,
+                sx2 - sc2 / n AS sum_var_i,
+                st2 - g * g / n AS var_t
+              FROM f
+            ),
+            m2 AS (
+              SELECT n_subjects, k_items, n, k, sum_var_i, var_t,
+                ss_rows / (n - 1.0) AS msr,
+                ss_cols / (k - 1.0) AS msc,
+                (ss_tot - ss_rows - ss_cols)
+                  / ((n - 1.0) * (k - 1.0)) AS mse
+              FROM m
+            )
+            SELECT n_subjects, k_items,
+              CASE WHEN var_t > 0 THEN
+                floor(k / (k - 1.0) * (1.0 - sum_var_i / var_t) * 1e6)
+                  / 1e6
+              END AS alpha_q6,
+              floor((msr - mse)
+                    / (msr + (k - 1.0) * mse + k * (msc - mse) / n)
+                    * 1e6) / 1e6 AS icc2_q6
+            FROM m2
+        """,
+        "q_agreement": """
+            WITH d AS (
+              SELECT source,
+                CAST(round(n_chars::DOUBLE * 1, 0) AS BIGINT) AS x,
+                CAST(round(6.0 * len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0))::DOUBLE * 1, 0) AS BIGINT)
+                  AS y
+              FROM documents
+            ),
+            agg AS (
+              SELECT source, count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(x AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(y AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) AS syy,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) AS sxy
+              FROM d GROUP BY source
+            ),
+            f AS (
+              SELECT source, n,
+                n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd,
+                sxy::DOUBLE AS sxyd
+              FROM agg
+            ),
+            c AS (
+              SELECT source, n, nd,
+                sxxd / nd - (sxd / nd) * (sxd / nd) AS cxx,
+                syyd / nd - (syd / nd) * (syd / nd) AS cyy,
+                sxyd / nd - (sxd / nd) * (syd / nd) AS cxy,
+                sxd / nd - syd / nd AS dm,
+                sxd - syd AS sd_,
+                sxxd - 2.0 * sxyd + syyd AS sdd
+              FROM f
+            ),
+            b AS (
+              SELECT source, n, nd, cxx, cyy, cxy, dm,
+                sd_ / nd AS bias,
+                1.96 * sqrt((sdd - sd_ * sd_ / nd) / (nd - 1.0))
+                  AS half
+              FROM c
+            )
+            SELECT source, n,
+              floor(2.0 * cxy / (cxx + cyy + dm * dm) * 1e6) / 1e6
+                AS ccc_q6,
+              floor(cxy / sqrt(cxx * cyy) * 1e6) / 1e6 AS pearson_q6,
+              floor(bias / 1.0 * 1e6) / 1e6 AS bias_q6,
+              floor((bias - half) / 1.0 * 1e6) / 1e6 AS loa_lo_q6,
+              floor((bias + half) / 1.0 * 1e6) / 1e6 AS loa_hi_q6
+            FROM b
         """,
     }
     return out

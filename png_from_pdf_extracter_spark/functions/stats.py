@@ -4582,3 +4582,167 @@ def slope_break(
             q6(F.lit(1.0) - F.col("__b.sse") / F.col("__s1")),
         ).alias("gain_q6"),
     )
+
+
+def interrater_reliability(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Cronbach's alpha + ICC(2,1) over a subject x item value matrix —
+    the internal-consistency read for any multi-signal score (k quality
+    signals per document, k annotators per example): do the items move
+    together enough that their SUM is a reliable scale? Alpha is the
+    classic tau-equivalent bound; ICC(2,1) is the two-way random-effects
+    absolute-agreement coefficient the annotation literature reports.
+
+    Cells absent from the input are 0 by contract (a subject that never
+    fired an item scored it 0), so the design is complete without an
+    explicit fill: per-item and per-subject sums over present cells ARE
+    the complete-matrix sums. All building blocks — G, sum x^2, row
+    totals T_s, column totals C_i — are BIGINT sums of quantized
+    values; alpha and the ANOVA mean squares are ONE fixed-op-order
+    float expression each, so the statistic is cross-engine exact.
+
+    Plan: one (subject, item) combinable sum shuffle, then three tiny
+    aggregates (per item, per subject, grand) crossJoined as single-row
+    broadcasts. Returns one row
+    (n_subjects, k_items, alpha_q6, icc2_q6).
+    """
+    v = _quant(F.col(value_col), quantize)
+    cells = (
+        df.select(
+            F.col(subject_col).alias("__s"),
+            F.col(item_col).alias("__i"),
+            v.alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__s", "__i")
+        .agg(F.sum("__v").cast("long").alias("__x"))
+    )
+    per_item = cells.groupBy("__i").agg(
+        F.sum("__x").cast("long").alias("__ci"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__ci2"),
+    )
+    per_subj = cells.groupBy("__s").agg(
+        F.sum("__x").cast("long").alias("__ts")
+    )
+    n_ = per_subj.agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum(F.col("__ts") * F.col("__ts")).cast("long").alias("__st2"),
+    )
+    k_ = per_item.agg(
+        F.count("*").cast("long").alias("k_items"),
+        F.sum(F.col("__ci") * F.col("__ci")).cast("long").alias("__sc2"),
+        # sum over items of the per-item raw second moment = global
+        # sum x^2 over the complete matrix (absent cells add 0)
+        F.sum("__ci2").cast("long").alias("__sx2"),
+        F.sum("__ci").cast("long").alias("__g"),
+    )
+    j = n_.crossJoin(F.broadcast(k_))
+    n = F.col("n_subjects").cast("double")
+    k = F.col("k_items").cast("double")
+    g = F.col("__g").cast("double")
+    sx2 = F.col("__sx2").cast("double")
+    st2 = F.col("__st2").cast("double")
+    sc2 = F.col("__sc2").cast("double")
+    cf = g * g / (n * k)
+    ss_tot = sx2 - cf
+    ss_rows = st2 / k - cf
+    ss_cols = sc2 / n - cf
+    ss_err = ss_tot - ss_rows - ss_cols
+    msr = ss_rows / (n - F.lit(1.0))
+    msc = ss_cols / (k - F.lit(1.0))
+    mse = ss_err / ((n - F.lit(1.0)) * (k - F.lit(1.0)))
+    # alpha = k/(k-1) * (1 - sum_i var_i / var_total); with sample
+    # variances over subjects the 1/(n-1) factors cancel, leaving the
+    # integer-sum form below
+    sum_var_i = sx2 - sc2 / n
+    var_t = st2 - g * g / n
+    alpha = (
+        k
+        / (k - F.lit(1.0))
+        * (F.lit(1.0) - sum_var_i / var_t)
+    )
+    icc2 = (msr - mse) / (
+        msr
+        + (k - F.lit(1.0)) * mse
+        + k * (msc - mse) / n
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        "n_subjects",
+        "k_items",
+        F.when(var_t > 0, q6(alpha)).alias("alpha_q6"),
+        q6(icc2).alias("icc2_q6"),
+    )
+
+
+def concordance_agreement(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: tuple = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """Lin's concordance correlation + Bland-Altman limits of agreement
+    between two measurements of the same thing (a cheap estimator vs
+    ground truth, two annotators, two model versions): CCC penalizes
+    scale/location shift that Pearson r forgives — ccc = 2*Sxy / (Sxx +
+    Syy + (mx - my)^2) with population moments — and Bland-Altman
+    reports the bias and the +-1.96 sd band of the per-row differences,
+    the "how far apart can a single reading be" number.
+
+    x and y are quantized to integers, so every moment (sums, squares,
+    cross products, difference moments) is a BIGINT aggregate; ccc,
+    bias and the limits are each one fixed-op-order float expression.
+    Plan: ONE combinable aggregate per group — map-side partials, no
+    second pass. Returns (group..., n, ccc_q6, pearson_q6, bias_q6,
+    loa_lo_q6, loa_hi_q6).
+    """
+    gcols = list(group_cols)
+    x = _quant(F.col(x_col), quantize)
+    y = _quant(F.col(y_col), quantize)
+    base = df.select(*gcols, x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    # population (biased) central moments, the Lin 1989 convention
+    cxx = sxx / n - (sx / n) * (sx / n)
+    cyy = syy / n - (sy / n) * (sy / n)
+    cxy = sxy / n - (sx / n) * (sy / n)
+    dm = sx / n - sy / n
+    ccc = F.lit(2.0) * cxy / (cxx + cyy + dm * dm)
+    pearson = cxy / F.sqrt(cxx * cyy)
+    # Bland-Altman on d = x - y with SAMPLE variance (n-1)
+    sd_ = sx - sy
+    sdd = sxx - F.lit(2.0) * sxy + syy
+    bias = sd_ / n
+    var_d = (sdd - sd_ * sd_ / n) / (n - F.lit(1.0))
+    half = F.lit(1.96) * F.sqrt(var_d)
+    scale = float(10 ** quantize)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n",
+        q6(ccc).alias("ccc_q6"),
+        q6(pearson).alias("pearson_q6"),
+        q6(bias / F.lit(scale)).alias("bias_q6"),
+        q6((bias - half) / F.lit(scale)).alias("loa_lo_q6"),
+        q6((bias + half) / F.lit(scale)).alias("loa_hi_q6"),
+    )

@@ -2595,3 +2595,115 @@ def test_slope_break_short_group_absent(spark):
     df = spark.createDataFrame(rows, "g string, o int, v double")
     # n=4 < 2*min_seg=6: no candidate rows -> no output row
     assert slope_break(df, ("g",), ("o",), "v").count() == 0
+
+
+def test_interrater_reliability_numpy_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        interrater_reliability,
+    )
+    import numpy as np
+
+    # 6 subjects x 3 items, correlated columns -> high alpha
+    mat = np.array(
+        [
+            [4, 5, 4],
+            [3, 3, 4],
+            [5, 5, 5],
+            [2, 2, 3],
+            [4, 4, 5],
+            [1, 2, 1],
+        ],
+        dtype=float,
+    )
+    rows = [
+        (s, f"item{i}", float(mat[s, i]))
+        for s in range(mat.shape[0])
+        for i in range(mat.shape[1])
+    ]
+    df = spark.createDataFrame(rows, "s long, i string, v double")
+    r = interrater_reliability(df, "s", "i", "v", quantize=0).collect()[0]
+    n, k = mat.shape
+    item_var = mat.var(axis=0, ddof=1).sum()
+    tot_var = mat.sum(axis=1).var(ddof=1)
+    alpha = k / (k - 1) * (1 - item_var / tot_var)
+    # two-way ANOVA mean squares for ICC(2,1)
+    g = mat.sum()
+    cf = g * g / (n * k)
+    ss_tot = (mat**2).sum() - cf
+    ss_rows = (mat.sum(axis=1) ** 2).sum() / k - cf
+    ss_cols = (mat.sum(axis=0) ** 2).sum() / n - cf
+    msr = ss_rows / (n - 1)
+    msc = ss_cols / (k - 1)
+    mse = (ss_tot - ss_rows - ss_cols) / ((n - 1) * (k - 1))
+    icc2 = (msr - mse) / (msr + (k - 1) * mse + k * (msc - mse) / n)
+    assert r["n_subjects"] == n and r["k_items"] == k
+    assert abs(r["alpha_q6"] - alpha) < 2e-6
+    assert abs(r["icc2_q6"] - icc2) < 2e-6
+    assert r["alpha_q6"] > 0.8  # coherent items
+
+
+def test_interrater_reliability_uncorrelated_low_alpha(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        interrater_reliability,
+    )
+
+    # anti-correlated items -> alpha near or below 0
+    rows = []
+    for s in range(8):
+        rows.append((s, "a", float(s)))
+        rows.append((s, "b", float(7 - s)))
+    df = spark.createDataFrame(rows, "s long, i string, v double")
+    r = interrater_reliability(df, "s", "i", "v", quantize=0).collect()[0]
+    assert r["alpha_q6"] is None or r["alpha_q6"] < 0.1
+
+
+def test_concordance_perfect_and_shifted(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        concordance_agreement,
+    )
+
+    rows = [("g", float(i), float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = concordance_agreement(df, "x", "y", ("g",), quantize=2).collect()[0]
+    assert r["ccc_q6"] >= 1.0 - 2e-6 and r["pearson_q6"] >= 1.0 - 2e-6
+    assert abs(r["bias_q6"]) < 1e-6
+    assert abs(r["loa_lo_q6"]) < 1e-6 and abs(r["loa_hi_q6"]) < 1e-6
+
+    # constant shift: pearson stays 1, CCC drops, bias = shift
+    rows2 = [("g", float(i), float(i) + 5.0) for i in range(1, 21)]
+    df2 = spark.createDataFrame(rows2, "g string, x double, y double")
+    r2 = concordance_agreement(df2, "x", "y", ("g",), quantize=2).collect()[
+        0
+    ]
+    assert r2["pearson_q6"] >= 1.0 - 2e-6
+    assert r2["ccc_q6"] < 0.8
+    assert abs(r2["bias_q6"] + 5.0) < 1e-5
+
+
+def test_concordance_numpy_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        concordance_agreement,
+    )
+    import numpy as np
+
+    rng = [
+        (3.1, 2.7), (4.0, 4.4), (5.5, 5.0), (2.2, 2.9), (6.1, 5.8),
+        (7.3, 7.9), (1.4, 1.1), (8.8, 8.1), (0.5, 0.9), (9.9, 9.2),
+    ]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in rng], "g string, x double, y double"
+    )
+    r = concordance_agreement(df, "x", "y", ("g",), quantize=2).collect()[0]
+    x = np.array([round(v[0] * 100) for v in rng], dtype=float)
+    y = np.array([round(v[1] * 100) for v in rng], dtype=float)
+    n = len(x)
+    cxx, cyy = x.var(), y.var()
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    ccc = 2 * cxy / (cxx + cyy + (x.mean() - y.mean()) ** 2)
+    d = x - y
+    bias = d.mean() / 100.0
+    half = 1.96 * d.std(ddof=1) / 100.0
+    assert abs(r["ccc_q6"] - ccc) < 2e-6
+    assert abs(r["bias_q6"] - bias) < 2e-6
+    assert abs(r["loa_lo_q6"] - (bias - half)) < 2e-6
+    assert abs(r["loa_hi_q6"] - (bias + half)) < 2e-6
