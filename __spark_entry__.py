@@ -6157,6 +6157,22 @@ def _q_agreement(spark, sf_dir):
     return concordance_agreement(d, "x", "y", ("source",), quantize=0)
 
 
+def _q_lexical_richness(spark, sf_dir):
+    """Lexical-richness battery per source (functions/text.py
+    lexical_richness): Yule's K, Guiraud R, Herdan C, Honore R,
+    Sichel S, lexical Simpson, bias-corrected Chao1 — the
+    vocabulary-shape card next to q_vocab_growth's Heaps curve. Five
+    BIGINTs per source (N, V, V1, V2, sum f^2) feed one float emit
+    each; two combinable shuffles."""
+    from png_from_pdf_extracter_spark.functions.text import (
+        lexical_richness,
+    )
+
+    return lexical_richness(
+        _read(spark, sf_dir, "documents"), "text", ("source",)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6471,6 +6487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_containment": _q_ngram_containment,
         "q_reliability": _q_reliability,
         "q_agreement": _q_agreement,
+        "q_lexical_richness": _q_lexical_richness,
     }
 
 
@@ -14849,6 +14866,47 @@ def oracle_sql() -> dict[str, str]:
               floor((bias - half) / 1.0 * 1e6) / 1e6 AS loa_lo_q6,
               floor((bias + half) / 1.0 * 1e6) / 1e6 AS loa_hi_q6
             FROM b
+        """,
+        "q_lexical_richness": """
+            WITH toks AS (
+              SELECT source, unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> length(t) > 0)) AS t
+              FROM documents
+            ),
+            tc AS (
+              SELECT source, t, count(*)::BIGINT AS f
+              FROM toks GROUP BY source, t
+            ),
+            agg AS (
+              SELECT source,
+                sum(f)::BIGINT AS n_tokens,
+                count(*)::BIGINT AS v_types,
+                sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS v1,
+                sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS v2,
+                sum(f * f)::BIGINT AS s2
+              FROM tc GROUP BY source
+            ),
+            d AS (
+              SELECT source, n_tokens, v_types, v1, v2,
+                n_tokens::DOUBLE AS n, v_types::DOUBLE AS v,
+                v1::DOUBLE AS v1d, v2::DOUBLE AS v2d, s2::DOUBLE AS s2d
+              FROM agg
+            )
+            SELECT source, n_tokens, v_types, v1, v2,
+              floor(1e4 * (s2d - n) / (n * n) * 1e6) / 1e6
+                AS yules_k_q6,
+              floor(v / sqrt(n) * 1e6) / 1e6 AS guiraud_q6,
+              floor(ln(v) / ln(n) * 1e6) / 1e6 AS herdan_q6,
+              CASE WHEN v1 < v_types THEN
+                floor(100.0 * ln(n) / (1.0 - v1d / v) * 1e6) / 1e6
+              END AS honore_q6,
+              floor(v2d / v * 1e6) / 1e6 AS sichel_q6,
+              floor((s2d - n) / (n * (n - 1.0)) * 1e6) / 1e6
+                AS simpson_q6,
+              floor((v + v1d * (v1d - 1.0) / (2.0 * (v2d + 1.0)))
+                    * 1e6) / 1e6 AS chao1_q6
+            FROM d
         """,
     }
     return out

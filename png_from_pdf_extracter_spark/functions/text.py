@@ -355,3 +355,73 @@ def encoding_health(col) -> list[Column]:
         c1.alias("c1_chars"),
         ((moji > 0) | (repl > 0) | (c1 > 0)).alias("enc_suspect"),
     ]
+
+
+def lexical_richness(
+    df,
+    text_col: str = "text",
+    group_cols: tuple = ("source",),
+):
+    """Lexical-richness battery per group — the vocabulary-shape
+    numbers a corpus card reports next to [[vocab_growth]]'s Heaps
+    curve: Yule's K (repeat-rate, length-robust), Guiraud R and
+    Herdan C (type/token ratios that don't collapse with N), Honoré's
+    R (hapax-weighted), Sichel's S (dis-legomena share), the lexical
+    Simpson index, and the Chao1 estimate of UNSEEN vocabulary
+    (bias-corrected form, finite even with zero dis legomena).
+
+    Everything reduces to five BIGINTs per group off the term-count
+    table — N, V, V1, V2, S2 = sum f^2 — so each index is one
+    deterministic float expression. Plan: two combinable shuffles
+    ((group, token) count then group) — the same shape at 100 TB,
+    no collects, no windows.
+    """
+    gcols = list(group_cols)
+    toks = df.select(
+        *gcols,
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("__t"),
+    )
+    tc = toks.groupBy(*gcols, "__t").agg(
+        F.count("*").cast("long").alias("__f")
+    )
+    agg = tc.groupBy(*gcols).agg(
+        F.sum("__f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("v_types"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("__f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+        F.sum(F.col("__f") * F.col("__f")).cast("long").alias("__s2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("v_types").cast("double")
+    v1 = F.col("v1").cast("double")
+    v2 = F.col("v2").cast("double")
+    s2 = F.col("__s2").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n_tokens",
+        "v_types",
+        "v1",
+        "v2",
+        q6(F.lit(1e4) * (s2 - n) / (n * n)).alias("yules_k_q6"),
+        q6(v / F.sqrt(n)).alias("guiraud_q6"),
+        q6(F.log(v) / F.log(n)).alias("herdan_q6"),
+        F.when(
+            F.col("v1") < F.col("v_types"),
+            q6(F.lit(100.0) * F.log(n) / (F.lit(1.0) - v1 / v)),
+        ).alias("honore_q6"),
+        q6(v2 / v).alias("sichel_q6"),
+        q6((s2 - n) / (n * (n - F.lit(1.0)))).alias("simpson_q6"),
+        q6(
+            v + v1 * (v1 - F.lit(1.0)) / (F.lit(2.0) * (v2 + F.lit(1.0)))
+        ).alias("chao1_q6"),
+    )

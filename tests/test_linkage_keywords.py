@@ -297,3 +297,43 @@ def test_rake_stopword_segmentation_and_cap(spark):
     # the 5-word run is dropped by the length cap; runs split at 'the'
     assert "alpha beta" in phrases and "gamma" in phrases
     assert not any("five" in p for p in phrases)
+
+
+def test_lexical_richness_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.text import (
+        lexical_richness,
+    )
+    import math
+
+    # corpus: a a a b b c  -> N=6 V=3 V1=1(c) V2=1(b) S2=9+4+1=14
+    df = spark.createDataFrame(
+        [("s", "a a A"), ("s", "b B c")], "source string, text string"
+    )
+    r = lexical_richness(df, "text", ("source",)).collect()[0]
+    assert (r["n_tokens"], r["v_types"], r["v1"], r["v2"]) == (6, 3, 1, 1)
+    yules = 1e4 * (14 - 6) / 36.0
+    assert abs(r["yules_k_q6"] - yules) < 2e-6
+    assert abs(r["guiraud_q6"] - 3 / math.sqrt(6)) < 2e-6
+    assert abs(r["herdan_q6"] - math.log(3) / math.log(6)) < 2e-6
+    honore = 100.0 * math.log(6) / (1.0 - 1.0 / 3.0)
+    assert abs(r["honore_q6"] - honore) < 1e-5
+    assert abs(r["sichel_q6"] - 1.0 / 3.0) < 2e-6
+    assert abs(r["simpson_q6"] - (14 - 6) / 30.0) < 2e-6
+    # chao1 bias-corrected: V + V1(V1-1)/(2(V2+1)) = 3 + 0 = 3
+    assert abs(r["chao1_q6"] - 3.0) < 2e-6
+
+
+def test_lexical_richness_all_hapax_honore_null(spark):
+    from png_from_pdf_extracter_spark.functions.text import (
+        lexical_richness,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "x y z w")], "source string, text string"
+    )
+    r = lexical_richness(df, "text", ("source",)).collect()[0]
+    # every token hapax: Honore denominator hits 0 -> NULL, chao1 uses
+    # the bias-corrected finite form
+    assert r["honore_q6"] is None
+    assert r["v1"] == r["v_types"] == 4
+    assert r["chao1_q6"] == 4 + 4 * 3 / 2.0
