@@ -6173,6 +6173,53 @@ def _q_lexical_richness(spark, sf_dir):
     )
 
 
+def _q_ljung_box(spark, sf_dir):
+    """Ljung-Box whiteness test on the per-type value series
+    (functions/stats.py ljung_box), lags 1-5 ordered by (ts,
+    event_id): joint autocorrelation read beyond q_autocorr's single
+    lag. Integer lag-product sums per lag; Q accumulates over the
+    5-row lag table in fixed order."""
+    from png_from_pdf_extracter_spark.functions.stats import ljung_box
+
+    ev = _read(spark, sf_dir, "events")
+    return ljung_box(
+        ev, ("event_type",), ("ts", "event_id"), "value",
+        max_lag=5, quantize=2,
+    )
+
+
+def _q_kpss(spark, sf_dir):
+    """KPSS level-stationarity statistic per event type
+    (functions/stats.py kpss_level): partial-sum wander of the
+    demeaned value series, the trend-drift complement to
+    q_ljung_box's whiteness read. The sum of squared partial sums is
+    expanded algebraically into three DECIMAL(38,0) prefix-sum
+    aggregates — no float accumulates over rows."""
+    from png_from_pdf_extracter_spark.functions.stats import kpss_level
+
+    ev = _read(spark, sf_dir, "events")
+    return kpss_level(
+        ev, ("event_type",), ("ts", "event_id"), "value", quantize=2
+    )
+
+
+def _q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratio VR(5) per event type
+    (functions/stats.py variance_ratio): overlapping 5-step-sum
+    variance over 5x the one-step variance — direction-signed
+    random-walk diagnostic next to q_kpss. Overlapping sums off the
+    BIGINT prefix sum; both variances integer-moment exact."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        variance_ratio,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return variance_ratio(
+        ev, ("event_type",), ("ts", "event_id"), "value",
+        q=5, quantize=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6488,6 +6535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reliability": _q_reliability,
         "q_agreement": _q_agreement,
         "q_lexical_richness": _q_lexical_richness,
+        "q_ljung_box": _q_ljung_box,
+        "q_kpss": _q_kpss,
+        "q_variance_ratio": _q_variance_ratio,
     }
 
 
@@ -14907,6 +14957,181 @@ def oracle_sql() -> dict[str, str]:
               floor((v + v1d * (v1d - 1.0) / (2.0 * (v2d + 1.0)))
                     * 1e6) / 1e6 AS chao1_q6
             FROM d
+        """,
+        "q_ljung_box": """
+            WITH s AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS x,
+                     ts, event_id
+              FROM events WHERE value IS NOT NULL
+            ),
+            l AS (
+              SELECT g, x,
+                lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+                lag(x, 5) OVER w AS l5
+              FROM s WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+            ),
+            a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+                sum(CASE WHEN l1 IS NOT NULL THEN x * l1 END)::BIGINT AS c1,
+                sum(CASE WHEN l1 IS NOT NULL THEN x END)::BIGINT AS h1,
+                sum(l1)::BIGINT AS t1,
+                sum(CASE WHEN l2 IS NOT NULL THEN x * l2 END)::BIGINT AS c2,
+                sum(CASE WHEN l2 IS NOT NULL THEN x END)::BIGINT AS h2,
+                sum(l2)::BIGINT AS t2,
+                sum(CASE WHEN l3 IS NOT NULL THEN x * l3 END)::BIGINT AS c3,
+                sum(CASE WHEN l3 IS NOT NULL THEN x END)::BIGINT AS h3,
+                sum(l3)::BIGINT AS t3,
+                sum(CASE WHEN l4 IS NOT NULL THEN x * l4 END)::BIGINT AS c4,
+                sum(CASE WHEN l4 IS NOT NULL THEN x END)::BIGINT AS h4,
+                sum(l4)::BIGINT AS t4,
+                sum(CASE WHEN l5 IS NOT NULL THEN x * l5 END)::BIGINT AS c5,
+                sum(CASE WHEN l5 IS NOT NULL THEN x END)::BIGINT AS h5,
+                sum(l5)::BIGINT AS t5
+              FROM l GROUP BY g
+            ),
+            r AS (
+              SELECT g, n, n::DOUBLE AS nd,
+                sx::DOUBLE / n::DOUBLE AS xb,
+                sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+                  * (sx::DOUBLE / n::DOUBLE) AS den,
+                c1::DOUBLE AS c1d, h1::DOUBLE AS h1d, t1::DOUBLE AS t1d,
+                c2::DOUBLE AS c2d, h2::DOUBLE AS h2d, t2::DOUBLE AS t2d,
+                c3::DOUBLE AS c3d, h3::DOUBLE AS h3d, t3::DOUBLE AS t3d,
+                c4::DOUBLE AS c4d, h4::DOUBLE AS h4d, t4::DOUBLE AS t4d,
+                c5::DOUBLE AS c5d, h5::DOUBLE AS h5d, t5::DOUBLE AS t5d
+              FROM a
+            ),
+            rr AS (
+              SELECT g, n, nd,
+                (c1d - xb * (h1d + t1d) + (nd - 1.0) * xb * xb) / den AS r1,
+                (c2d - xb * (h2d + t2d) + (nd - 2.0) * xb * xb) / den AS r2,
+                (c3d - xb * (h3d + t3d) + (nd - 3.0) * xb * xb) / den AS r3,
+                (c4d - xb * (h4d + t4d) + (nd - 4.0) * xb * xb) / den AS r4,
+                (c5d - xb * (h5d + t5d) + (nd - 5.0) * xb * xb) / den AS r5
+              FROM r
+            ),
+            e AS (
+              SELECT g, n, nd, r1, r2, r3, r4, r5,
+                r1 * r1 / (nd - 1.0) AS e1,
+                r2 * r2 / (nd - 2.0) AS e2,
+                r3 * r3 / (nd - 3.0) AS e3,
+                r4 * r4 / (nd - 4.0) AS e4,
+                r5 * r5 / (nd - 5.0) AS e5
+              FROM rr
+            )
+            SELECT g AS event_type, n, 1 AS lag,
+              floor(r1 * 1e6) / 1e6 AS r_q6,
+              floor(nd * (nd + 2.0) * (e1) * 1e6) / 1e6 AS q_stat_q6
+            FROM e
+            UNION ALL
+            SELECT g, n, 2,
+              floor(r2 * 1e6) / 1e6,
+              floor(nd * (nd + 2.0) * (e1 + e2) * 1e6) / 1e6
+            FROM e
+            UNION ALL
+            SELECT g, n, 3,
+              floor(r3 * 1e6) / 1e6,
+              floor(nd * (nd + 2.0) * (e1 + e2 + e3) * 1e6) / 1e6
+            FROM e
+            UNION ALL
+            SELECT g, n, 4,
+              floor(r4 * 1e6) / 1e6,
+              floor(nd * (nd + 2.0) * (e1 + e2 + e3 + e4) * 1e6) / 1e6
+            FROM e
+            UNION ALL
+            SELECT g, n, 5,
+              floor(r5 * 1e6) / 1e6,
+              floor(nd * (nd + 2.0) * (e1 + e2 + e3 + e4 + e5) * 1e6)
+                / 1e6
+            FROM e
+        """,
+        "q_kpss": """
+            WITH s AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS x,
+                     ts, event_id
+              FROM events WHERE value IS NOT NULL
+            ),
+            p AS (
+              SELECT g, x,
+                sum(x) OVER (PARTITION BY g ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cx,
+                row_number() OVER (PARTITION BY g
+                                   ORDER BY ts, event_id) AS t
+              FROM s
+            ),
+            a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+                sum(cx * cx) AS scx2, sum(cx * t) AS scxt,
+                sum(t * t) AS st2
+              FROM p GROUP BY g
+            ),
+            f AS (
+              SELECT g, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd,
+                sxx::DOUBLE AS sxxd, scx2::DOUBLE AS scx2d,
+                scxt::DOUBLE AS scxtd, st2::DOUBLE AS st2d
+              FROM a
+            )
+            SELECT g AS event_type, n,
+              CASE WHEN (sxxd - sxd * (sxd / nd)) / nd > 0 THEN
+                floor((scx2d - 2.0 * (sxd / nd) * scxtd
+                       + (sxd / nd) * (sxd / nd) * st2d)
+                      / (nd * nd * ((sxxd - sxd * (sxd / nd)) / nd))
+                      * 1e6) / 1e6
+              END AS kpss_q6
+            FROM f
+        """,
+        "q_variance_ratio": """
+            WITH s AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100, 0) AS BIGINT) AS x,
+                     ts, event_id
+              FROM events WHERE value IS NOT NULL
+            ),
+            p AS (
+              SELECT g, x,
+                sum(x) OVER (PARTITION BY g ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cx,
+                row_number() OVER (PARTITION BY g
+                                   ORDER BY ts, event_id) AS t
+              FROM s
+            ),
+            p2 AS (
+              SELECT g, x, t,
+                cx - coalesce(lag(cx, 5) OVER (PARTITION BY g
+                                               ORDER BY t), 0) AS y
+              FROM p
+            ),
+            a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+                sum(CASE WHEN t >= 5 THEN y END)::BIGINT AS sy,
+                sum(CASE WHEN t >= 5 THEN y * y END)::BIGINT AS syy,
+                sum(CASE WHEN t >= 5 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_windows
+              FROM p2 GROUP BY g
+            ),
+            f AS (
+              SELECT g, n, n_windows,
+                sxx::DOUBLE / n::DOUBLE
+                  - (sx::DOUBLE / n::DOUBLE)
+                    * (sx::DOUBLE / n::DOUBLE) AS var1,
+                syy::DOUBLE / n_windows::DOUBLE
+                  - (sy::DOUBLE / n_windows::DOUBLE)
+                    * (sy::DOUBLE / n_windows::DOUBLE) AS varq
+              FROM a
+            )
+            SELECT g AS event_type, n, n_windows,
+              CASE WHEN var1 > 0 THEN
+                floor(varq / (5.0 * var1) * 1e6) / 1e6
+              END AS vr_q6
+            FROM f
         """,
     }
     return out

@@ -4746,3 +4746,244 @@ def concordance_agreement(
         q6((bias - half) / F.lit(scale)).alias("loa_lo_q6"),
         q6((bias + half) / F.lit(scale)).alias("loa_hi_q6"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    max_lag: int = 5,
+    quantize: int = 2,
+) -> DataFrame:
+    """Ljung-Box portmanteau test per group: are the first ``max_lag``
+    autocorrelations of the ordered series jointly zero? The
+    whiteness check behind every "is this metric drifting or just
+    noisy" question — [[autocorr]] reads one lag, this accumulates
+    Q = n(n+2) * sum_k r_k^2/(n-k) so a stack of small correlations
+    still registers.
+
+    Exactness: x is integer-quantized; for each lag the numerator
+    needs only BIGINT sums (sum x_t*x_{t-k}, head/tail sums, n_k), so
+    r_k is one fixed float expression and the cumulative Q is an
+    ordered sum over the tiny (group, lag) table — never over raw
+    rows. Plan: ONE ordered window producing all k lag columns, one
+    combinable aggregate per group, then a k-row window. Returns long
+    form (group..., lag, r_q6, q_stat_q6) with Q cumulative in lag.
+    """
+    gcols = list(group_cols)
+    x = _quant(F.col(value_col), quantize)
+    w = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    lagged = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("__x"),
+        *[
+            F.lag(x, k).over(w).alias(f"__l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), F.col("__x") * lk))
+            .cast("long")
+            .alias(f"__c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("__x")))
+            .cast("long")
+            .alias(f"__h{k}"),
+            F.sum(lk).cast("long").alias(f"__t{k}"),
+        ]
+    g = lagged.groupBy(*gcols).agg(*aggs)
+    n = F.col("n").cast("double")
+    xbar = F.col("__sx").cast("double") / n
+    den = F.col("__sxx").cast("double") - n * xbar * xbar
+    pairs = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"__c{k}").cast("double")
+            - xbar
+            * (
+                F.col(f"__h{k}").cast("double")
+                + F.col(f"__t{k}").cast("double")
+            )
+            + (n - F.lit(float(k))) * xbar * xbar
+        )
+        pairs.append(
+            F.struct(
+                F.lit(k).alias("lag"), (num / den).alias("r")
+            )
+        )
+    long = g.select(
+        *gcols, "n", F.explode(F.array(*pairs)).alias("__kr")
+    ).select(
+        *gcols,
+        "n",
+        F.col("__kr.lag").alias("lag"),
+        F.col("__kr.r").alias("__r"),
+    )
+    wq = Window.partitionBy(*gcols).orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nn = F.col("n").cast("double")
+    term = (
+        F.col("__r")
+        * F.col("__r")
+        / (nn - F.col("lag").cast("double"))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return long.select(
+        *gcols,
+        "n",
+        "lag",
+        q6(F.col("__r")).alias("r_q6"),
+        q6(nn * (nn + F.lit(2.0)) * F.sum(term).over(wq)).alias(
+            "q_stat_q6"
+        ),
+    )
+
+
+def kpss_level(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """KPSS level-stationarity statistic per group (short-run variance
+    form, lags=0): eta = sum_t S_t^2 / (n^2 * sigma^2) over the
+    partial sums S_t of the demeaned ordered series — the
+    null-reversed complement to a unit-root read: LARGE eta means the
+    series wanders (a random walk's partial sums grow), small eta
+    means level-stationary.
+
+    The float-order trap — summing S_t^2 over rows — is eliminated
+    algebraically: with cx_t the BIGINT prefix sum and t the row
+    index, sum S_t^2 = sum cx^2 - 2*(sx/n)*sum(cx*t) +
+    (sx/n)^2 * sum t^2, i.e. three more BIGINT aggregates and ONE
+    fixed float expression. Plan: one ordered window (prefix sum +
+    row index), one combinable aggregate. Returns
+    (group..., n, kpss_q6).
+    """
+    gcols = list(group_cols)
+    x = _quant(F.col(value_col), quantize)
+    w = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("__x"),
+        F.sum(x).over(w).alias("__cx"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*gcols).orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+        )
+        .cast("long")
+        .alias("__t"),
+    )
+    # prefix-sum products overflow int64 once n * (n*x)^2 passes ~9e18
+    # (a few million rows per group at cent quantization), so the three
+    # window-product aggregates accumulate in DECIMAL(38,0) — exact
+    # integer arithmetic to 38 digits, matching DuckDB's HUGEINT sums
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = pre.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(dec(F.col("__cx")) * dec(F.col("__cx"))).alias("__scx2"),
+        F.sum(dec(F.col("__cx")) * dec(F.col("__t"))).alias("__scxt"),
+        F.sum(dec(F.col("__t")) * dec(F.col("__t"))).alias("__st2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    xbar = sx / n
+    sum_s2 = (
+        F.col("__scx2").cast("double")
+        - F.lit(2.0) * xbar * F.col("__scxt").cast("double")
+        + xbar * xbar * F.col("__st2").cast("double")
+    )
+    sigma2 = (F.col("__sxx").cast("double") - sx * xbar) / n
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return g.select(
+        *gcols,
+        "n",
+        F.when(
+            sigma2 > 0, q6(sum_s2 / (n * n * sigma2))
+        ).alias("kpss_q6"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    q: int = 5,
+    quantize: int = 2,
+) -> DataFrame:
+    """Lo-MacKinlay variance ratio per group: the variance of
+    overlapping q-step sums of the ordered series over q times the
+    one-step variance — VR ~ 1 for white noise, > 1 for trending /
+    positively autocorrelated series, < 1 for mean-reverting ones.
+    The random-walk diagnostic that reads the SAME wandering
+    [[kpss_level]] flags, but as a ratio with a direction.
+
+    Overlapping q-sums come off the BIGINT prefix sum (y_t = cx_t -
+    cx_{t-q}), so both variances are integer-moment expressions;
+    population variances, one fixed float emit. Plan: one ordered
+    window, one combinable aggregate. Returns
+    (group..., n, n_windows, vr_q6).
+    """
+    gcols = list(group_cols)
+    x = _quant(F.col(value_col), quantize)
+    ow = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    w = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("__x"),
+        (F.sum(x).over(w) - F.coalesce(
+            F.lag(F.sum(x).over(w), q).over(ow), F.lit(0)
+        )).alias("__y"),
+        F.row_number().over(ow).cast("long").alias("__t"),
+    )
+    g = pre.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.when(F.col("__t") >= q, F.col("__y")))
+        .cast("long")
+        .alias("__sy"),
+        F.sum(
+            F.when(F.col("__t") >= q, F.col("__y") * F.col("__y"))
+        )
+        .cast("long")
+        .alias("__syy"),
+        F.sum(F.when(F.col("__t") >= q, 1).otherwise(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("n_windows").cast("double")
+    sx = F.col("__sx").cast("double")
+    var1 = F.col("__sxx").cast("double") / n - (sx / n) * (sx / n)
+    sy = F.col("__sy").cast("double")
+    varq = F.col("__syy").cast("double") / m - (sy / m) * (sy / m)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return g.select(
+        *gcols,
+        "n",
+        "n_windows",
+        F.when(
+            var1 > 0, q6(varq / (F.lit(float(q)) * var1))
+        ).alias("vr_q6"),
+    )

@@ -2707,3 +2707,105 @@ def test_concordance_numpy_twin(spark):
     assert abs(r["bias_q6"] - bias) < 2e-6
     assert abs(r["loa_lo_q6"] - (bias - half)) < 2e-6
     assert abs(r["loa_hi_q6"] - (bias + half)) < 2e-6
+
+
+def _lcg_seq(n, seed=12345):
+    """Deterministic pseudo-noise in [0, 99]."""
+    out, s = [], seed
+    for _ in range(n):
+        s = (1103515245 * s + 12345) % (2**31)
+        out.append((s >> 16) % 100)
+    return out
+
+
+def test_ljung_box_numpy_twin_and_whiteness(spark):
+    from png_from_pdf_extracter_spark.functions.stats import ljung_box
+    import numpy as np
+
+    vals = _lcg_seq(200)
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = {
+        r["lag"]: r
+        for r in ljung_box(
+            df, ("g",), ("o",), "v", max_lag=5, quantize=0
+        ).collect()
+    }
+    x = np.array(vals, dtype=float)
+    n = len(x)
+    xc = x - x.mean()
+    den = (xc**2).sum()
+    q = 0.0
+    for k in range(1, 6):
+        r = (xc[k:] * xc[:-k]).sum() / den
+        q += r * r / (n - k)
+        assert abs(out[k]["r_q6"] - r) < 2e-6, k
+        assert abs(out[k]["q_stat_q6"] - n * (n + 2) * q) < 1e-4, k
+    # pseudo-noise: Q(5) far below the chi2 tail for strong structure
+    assert out[5]["q_stat_q6"] < 30.0
+
+
+def test_ljung_box_autocorrelated_series_big_q(spark):
+    from png_from_pdf_extracter_spark.functions.stats import ljung_box
+
+    # slow sine-ish alternation: strong lag-1 correlation
+    rows = [("g", i, float(10 + (i % 10))) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = {
+        r["lag"]: r
+        for r in ljung_box(
+            df, ("g",), ("o",), "v", max_lag=5, quantize=0
+        ).collect()
+    }
+    assert out[1]["r_q6"] > 0.4
+    assert out[5]["q_stat_q6"] > 100.0
+
+
+def test_kpss_walk_vs_noise(spark):
+    from png_from_pdf_extracter_spark.functions.stats import kpss_level
+    import numpy as np
+
+    noise = _lcg_seq(300, seed=7)
+    walk = np.cumsum(np.array(noise) - 49.5).tolist()
+    rows = [("noise", i, float(v)) for i, v in enumerate(noise)]
+    rows += [("walk", i, float(v)) for i, v in enumerate(walk)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = {
+        r["g"]: r["kpss_q6"]
+        for r in kpss_level(df, ("g",), ("o",), "v", quantize=1).collect()
+    }
+    # stationarity: noise well under the 1% critical value (0.739),
+    # a random walk far above it
+    assert out["noise"] < 0.739
+    assert out["walk"] > 0.739
+    # numpy twin for the noise series
+    x = np.round(np.array(noise, dtype=float) * 10)
+    s = np.cumsum(x - x.mean())
+    eta = (s**2).sum() / (len(x) ** 2 * x.var())
+    assert abs(out["noise"] - eta) < 1e-5
+
+
+def test_variance_ratio_direction(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        variance_ratio,
+    )
+
+    noise = _lcg_seq(300, seed=99)
+    trend = [v + 5 * i for i, v in enumerate(noise)]  # trending
+    alt = [100 if i % 2 else 0 for i in range(300)]  # mean-reverting
+    rows = (
+        [("noise", i, float(v)) for i, v in enumerate(noise)]
+        + [("trend", i, float(v)) for i, v in enumerate(trend)]
+        + [("alt", i, float(v)) for i, v in enumerate(alt)]
+    )
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = {
+        r["g"]: r
+        for r in variance_ratio(
+            df, ("g",), ("o",), "v", q=5, quantize=0
+        ).collect()
+    }
+    assert out["noise"]["n_windows"] == 300 - 5 + 1
+    assert 0.5 < out["noise"]["vr_q6"] < 1.5
+    assert out["trend"]["vr_q6"] > 2.0
+    assert out["alt"]["vr_q6"] < 0.3
