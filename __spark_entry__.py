@@ -6220,6 +6220,49 @@ def _q_variance_ratio(spark, sf_dir):
     )
 
 
+def _q_graph_profile(spark, sf_dir):
+    """One-row structural profile of the orders graph
+    (functions/graph.py graph_profile): density, global clustering
+    (3T over wedges, triangles via the degree-oriented hub-safe
+    pipeline), directed reciprocity, max degree — the scale-risk card
+    read before any pair-generating operator. All-BIGINT numerators;
+    each ratio one exact float emit."""
+    from png_from_pdf_extracter_spark.functions.graph import graph_profile
+
+    return graph_profile(_orders_graph(spark, sf_dir))
+
+
+def _q_modularity(spark, sf_dir):
+    """Newman modularity of the node%10 partition over the orders
+    graph (functions/graph.py modularity): Q folded to
+    (4m*sum_ec - sum_dc^2)/(4m^2) so both sums are BIGINTs and no
+    float accumulates over the unordered community set. A hash
+    partition scores ~0 — the null reference against which
+    q_label_prop communities are judged."""
+    from png_from_pdf_extracter_spark.functions.graph import modularity
+
+    edges = _orders_graph(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comm = nodes.select(
+        "node", (F.col("node") % 10).alias("community")
+    )
+    return modularity(edges, comm)
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) at k=2,4,8 on the orders graph
+    (functions/graph.py rich_club): do hubs wire to each other? The
+    probe that predicts hub-join skew before it bites. Degree table
+    joined to edges once; integer counts, phi the only float."""
+    from png_from_pdf_extracter_spark.functions.graph import rich_club
+
+    return rich_club(_orders_graph(spark, sf_dir), k_values=(2, 4, 8))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6538,6 +6581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ljung_box": _q_ljung_box,
         "q_kpss": _q_kpss,
         "q_variance_ratio": _q_variance_ratio,
+        "q_graph_profile": _q_graph_profile,
+        "q_modularity": _q_modularity,
+        "q_rich_club": _q_rich_club,
     }
 
 
@@ -15132,6 +15178,136 @@ def oracle_sql() -> dict[str, str]:
                 floor(varq / (5.0 * var1) * 1e6) / 1e6
               END AS vr_q6
             FROM f
+        """,
+        "q_graph_profile": """
+            WITH arcs AS (
+              SELECT DISTINCT o_custkey AS src,
+                              o_orderkey % 1500 AS dst
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            canon AS (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     count(*)::BIGINT AS dirs
+              FROM arcs GROUP BY least(src, dst), greatest(src, dst)
+            ),
+            astat AS (
+              SELECT count(*)::BIGINT AS n_edges,
+                     sum(dirs)::BIGINT AS n_arcs,
+                     sum(CASE WHEN dirs = 2 THEN 2 ELSE 0
+                         END)::BIGINT AS recip
+              FROM canon
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT a AS node FROM canon
+                    UNION ALL SELECT b FROM canon)
+              GROUP BY node
+            ),
+            dstat AS (
+              SELECT count(*)::BIGINT AS n_nodes,
+                     sum(d * (d - 1))::BIGINT AS wedges2,
+                     max(d)::BIGINT AS max_degree
+              FROM deg
+            ),
+            tri AS (
+              SELECT count(*)::BIGINT AS t FROM (
+                SELECT e1.a FROM canon e1
+                JOIN canon e2 ON e2.a = e1.b
+                JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
+            )
+            SELECT n_nodes, n_edges, max_degree, t AS n_triangles,
+              floor(2.0 * n_edges::DOUBLE
+                    / (n_nodes::DOUBLE * (n_nodes::DOUBLE - 1.0))
+                    * 1e6) / 1e6 AS density_q6,
+              CASE WHEN wedges2 > 0 THEN
+                floor((t * 3)::DOUBLE * 2.0 / wedges2::DOUBLE * 1e6)
+                  / 1e6
+              END AS clustering_q6,
+              floor(recip::DOUBLE / n_arcs::DOUBLE * 1e6) / 1e6
+                AS reciprocity_q6
+            FROM astat, dstat, tri
+        """,
+        "q_modularity": """
+            WITH e AS (
+              SELECT DISTINCT
+                least(o_custkey, o_orderkey % 1500) AS a,
+                greatest(o_custkey, o_orderkey % 1500) AS b
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            nodes AS (
+              SELECT DISTINCT node
+              FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            ),
+            comm AS (SELECT node, node % 10 AS c FROM nodes),
+            intra AS (
+              SELECT sum(CASE WHEN ca.c = cb.c THEN 1 ELSE 0
+                         END)::BIGINT AS sum_ec,
+                     count(*)::BIGINT AS m_edges
+              FROM e JOIN comm ca ON e.a = ca.node
+                     JOIN comm cb ON e.b = cb.node
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node
+            ),
+            dc AS (
+              SELECT c, sum(d)::BIGINT AS dcv
+              FROM deg JOIN comm USING (node) GROUP BY c
+            ),
+            ds AS (
+              SELECT count(*)::BIGINT AS n_communities,
+                     sum(dcv * dcv)::BIGINT AS sdc2
+              FROM dc
+            )
+            SELECT n_communities, m_edges,
+              floor((4.0 * m_edges::DOUBLE * sum_ec::DOUBLE
+                     - sdc2::DOUBLE)
+                    / (4.0 * m_edges::DOUBLE * m_edges::DOUBLE)
+                    * 1e6) / 1e6 AS q_modularity_q6
+            FROM intra, ds
+        """,
+        "q_rich_club": """
+            WITH e AS (
+              SELECT DISTINCT
+                least(o_custkey, o_orderkey % 1500) AS a,
+                greatest(o_custkey, o_orderkey % 1500) AS b
+              FROM orders WHERE o_custkey <> o_orderkey % 1500
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node
+            ),
+            ee AS (
+              SELECT da.d AS dda, db.d AS ddb
+              FROM e JOIN deg da ON e.a = da.node
+                     JOIN deg db ON e.b = db.node
+            ),
+            raw AS (
+              SELECT 2 AS k,
+                (SELECT count(*)::BIGINT FROM deg WHERE d > 2)
+                  AS n_nodes_gt_k,
+                (SELECT count(*)::BIGINT FROM ee
+                 WHERE dda > 2 AND ddb > 2) AS n_edges_within
+              UNION ALL
+              SELECT 4,
+                (SELECT count(*)::BIGINT FROM deg WHERE d > 4),
+                (SELECT count(*)::BIGINT FROM ee
+                 WHERE dda > 4 AND ddb > 4)
+              UNION ALL
+              SELECT 8,
+                (SELECT count(*)::BIGINT FROM deg WHERE d > 8),
+                (SELECT count(*)::BIGINT FROM ee
+                 WHERE dda > 8 AND ddb > 8)
+            )
+            SELECT k, n_nodes_gt_k, n_edges_within,
+              CASE WHEN n_nodes_gt_k >= 2 THEN
+                floor(2.0 * n_edges_within::DOUBLE
+                      / (n_nodes_gt_k::DOUBLE
+                         * (n_nodes_gt_k::DOUBLE - 1.0)) * 1e6) / 1e6
+              END AS phi_q6
+            FROM raw
         """,
     }
     return out

@@ -687,3 +687,234 @@ def label_propagation(
             )
         )
     return cur.filter(F.col("label").isNotNull())
+
+
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of an edge list: node/edge counts,
+    density, global clustering coefficient and directed reciprocity —
+    the summary card read before any pair-generating operator (a high
+    clustering or reciprocity number changes which dedup/link-pred
+    strategies are safe).
+
+    The input is read twice: as a DIRECTED graph for reciprocity
+    (distinct non-loop arcs; r = reciprocated arcs / arcs) and as the
+    undirected simplification for everything else. Global clustering
+    is 3*triangles / wedges with triangles from [[triangle_count]]'s
+    degree-oriented enumeration (hub-safe) and wedges = sum d(d-1)/2
+    off the degree table — both BIGINTs, so every emitted ratio is
+    one exact float expression. Plan: the triangle pipeline's node-key
+    shuffles plus two tiny aggregates; no driver state.
+    """
+    arcs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    canon = arcs.groupBy(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).agg(F.count("*").alias("__dirs"))
+    arc_stats = canon.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("__dirs").cast("long").alias("__n_arcs"),
+        F.sum(F.when(F.col("__dirs") == 2, 2).otherwise(0))
+        .cast("long")
+        .alias("__recip"),
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    deg_stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long").alias(
+            "__wedges2"
+        ),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    tri_df = triangle_count(edges)
+    tri_total = tri_df.agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("__tri3")
+    )
+    j = arc_stats.crossJoin(F.broadcast(deg_stats)).crossJoin(
+        F.broadcast(tri_total)
+    )
+    n = F.col("n_nodes").cast("double")
+    e = F.col("n_edges").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = j.select(
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        (F.col("__tri3") / F.lit(3)).cast("long").alias("n_triangles"),
+        q6(F.lit(2.0) * e / (n * (n - F.lit(1.0)))).alias("density_q6"),
+        F.when(
+            F.col("__wedges2") > 0,
+            q6(
+                F.col("__tri3").cast("double")
+                * F.lit(2.0)
+                / F.col("__wedges2").cast("double")
+            ),
+        ).alias("clustering_q6"),
+        q6(
+            F.col("__recip").cast("double")
+            / F.col("__n_arcs").cast("double")
+        ).alias("reciprocity_q6"),
+    )
+    # propagate triangle_count's persisted intermediate so
+    # dedup.release(profile) reclaims it (repo cached-deps contract)
+    out._spark_graft_cached = getattr(tri_df, "_spark_graft_cached", [])
+    return out
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity Q of a given node partition over the
+    undirected simple graph: how much denser are communities than a
+    degree-preserving random rewiring? The quality read for ANY
+    clustering the pipeline produced — [[label_propagation]] labels,
+    connected-component dedup groups, topic buckets.
+
+    The float-order trap (summing e_c/m - (d_c/2m)^2 over an
+    unordered community set) is removed algebraically:
+    Q = (4m * sum_c e_c - sum_c d_c^2) / (4m^2), where sum e_c
+    (intra-community edges) and sum d_c^2 are BIGINT aggregates —
+    ONE fixed float expression, no per-community float terms.
+    ``communities`` is (node, community); unassigned endpoints drop
+    their edges from the intra count but keep degree mass, matching
+    the usual "rest is singleton" convention only when every node is
+    labeled — pass a complete assignment. Plan: two node-key joins +
+    two combinable aggregates. Returns one row
+    (n_communities, m_edges, q_modularity_q6).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ca = communities.select(
+        F.col("node").alias("a"), F.col("community").alias("__cu")
+    )
+    cb = communities.select(
+        F.col("node").alias("b"), F.col("community").alias("__cv")
+    )
+    intra = (
+        und.join(ca, "a")
+        .join(cb, "b")
+        .agg(
+            F.sum(
+                F.when(F.col("__cu") == F.col("__cv"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("__sum_ec"),
+            F.count("*").cast("long").alias("m_edges"),
+        )
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("__deg"))
+    )
+    dc = (
+        deg.join(
+            communities.select("node", F.col("community").alias("__c")),
+            "node",
+        )
+        .groupBy("__c")
+        .agg(F.sum("__deg").cast("long").alias("__dc"))
+    )
+    dsum = dc.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum(F.col("__dc") * F.col("__dc")).cast("long").alias("__sdc2"),
+    )
+    j = intra.crossJoin(F.broadcast(dsum))
+    m = F.col("m_edges").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        "n_communities",
+        "m_edges",
+        q6(
+            (
+                F.lit(4.0) * m * F.col("__sum_ec").cast("double")
+                - F.col("__sdc2").cast("double")
+            )
+            / (F.lit(4.0) * m * m)
+        ).alias("q_modularity_q6"),
+    )
+
+
+def rich_club(edges: DataFrame, k_values: tuple = (2, 4, 8)) -> DataFrame:
+    """Rich-club coefficient phi(k) for each degree threshold: among
+    nodes of degree > k, what fraction of possible edges exist? A
+    rising phi(k) means hubs wire to each other — the structural
+    signature that makes hub-keyed joins skew and candidate counts
+    superlinear, so this is the scale-risk probe to run before
+    pair-generating ops on a new graph.
+
+    Integer end to end: n_k and e_k are counts off the degree-joined
+    edge list; phi = 2 e_k / (n_k (n_k - 1)) is the only float.
+    Plan: degree table joined back on both endpoints once, then one
+    tiny aggregate per k (k list is a handful of literals). Returns
+    (k, n_nodes_gt_k, n_edges_within, phi_q6) long form.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("__da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("__db")),
+        "b",
+    )
+    rows = []
+    for k in k_values:
+        nk = deg.filter(F.col("deg") > k).agg(
+            F.count("*").cast("long").alias("n_nodes_gt_k")
+        )
+        ek = e.filter(
+            (F.col("__da") > k) & (F.col("__db") > k)
+        ).agg(F.count("*").cast("long").alias("n_edges_within"))
+        rows.append(
+            nk.crossJoin(F.broadcast(ek)).select(
+                F.lit(int(k)).alias("k"),
+                "n_nodes_gt_k",
+                "n_edges_within",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    n = F.col("n_nodes_gt_k").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        "k",
+        "n_nodes_gt_k",
+        "n_edges_within",
+        F.when(
+            F.col("n_nodes_gt_k") >= 2,
+            q6(
+                F.lit(2.0)
+                * F.col("n_edges_within").cast("double")
+                / (n * (n - F.lit(1.0)))
+            ),
+        ).alias("phi_q6"),
+    )

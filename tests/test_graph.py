@@ -476,3 +476,64 @@ def test_label_propagation_tie_break_and_clamp(spark):
         for r in label_propagation(edges2, seeds2, rounds=2).collect()
     }
     assert out2[4] == "y" and out2[9] == "x"
+
+
+def test_graph_profile_hand_graph(spark):
+    from png_from_pdf_extracter_spark.functions.graph import graph_profile
+
+    # triangle 1-2-3 plus pendant 3-4; arcs include one mutual pair
+    arcs = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    r = graph_profile(df).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["n_triangles"] == 1 and r["max_degree"] == 3
+    # density 2*4/(4*3) = 2/3
+    assert abs(r["density_q6"] - 2.0 / 3.0) < 2e-6
+    # wedges: deg (2,2,3,1) -> sum d(d-1) = 2+2+6+0 = 10 ->
+    # clustering = 3*1*2/10 = 0.6
+    assert abs(r["clustering_q6"] - 0.6) < 2e-6
+    # 5 arcs, 2 reciprocated -> 0.4
+    assert abs(r["reciprocity_q6"] - 0.4) < 2e-6
+
+
+def test_modularity_planted_vs_hash(spark):
+    from png_from_pdf_extracter_spark.functions.graph import modularity
+
+    # two 5-cliques joined by one bridge
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    edges.append((0, 5))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    good = spark.createDataFrame(
+        [(n, n // 5) for n in range(10)], "node long, community long"
+    )
+    bad = spark.createDataFrame(
+        [(n, n % 2) for n in range(10)], "node long, community long"
+    )
+    qg = modularity(df, good).collect()[0]
+    qb = modularity(df, bad).collect()[0]
+    assert qg["m_edges"] == 21 and qg["n_communities"] == 2
+    # hand value: sum_ec=20; per-community degree sum = 4*4+5 = 21,
+    # so sum_dc2 = 2*21^2 = 882; Q = (4*21*20 - 882)/(4*441)
+    assert abs(qg["q_modularity_q6"] - (4 * 21 * 20 - 882) / 1764.0) < 2e-6
+    assert qg["q_modularity_q6"] > 0.4
+    assert qb["q_modularity_q6"] < 0.1
+
+
+def test_rich_club_clique_core(spark):
+    from png_from_pdf_extracter_spark.functions.graph import rich_club
+
+    # 4-clique core (deg >= 3) + 6 pendants on node 0
+    edges = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges += [(0, 10 + p) for p in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(df, k_values=(2, 4, 8)).collect()}
+    # deg: node0=9, nodes1-3=3, pendants=1
+    assert out[2]["n_nodes_gt_k"] == 4
+    assert out[2]["n_edges_within"] == 6
+    assert abs(out[2]["phi_q6"] - 1.0) < 2e-6  # the club IS a clique
+    assert out[4]["n_nodes_gt_k"] == 1 and out[4]["phi_q6"] is None
+    assert out[8]["n_nodes_gt_k"] == 1
