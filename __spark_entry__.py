@@ -6263,6 +6263,61 @@ def _q_rich_club(spark, sf_dir):
     return rich_club(_orders_graph(spark, sf_dir), k_values=(2, 4, 8))
 
 
+def _q_rank_metrics(spark, sf_dir):
+    """Retrieval metric card beyond q_ndcg (evalmetrics.
+    rank_metrics_at_k): precision@10, recall@10, MRR and cascade-model
+    ERR for the same exact-cosine top-10 / label-match relevance
+    construction. ERR's prefix product folds over the rank-sorted
+    list — order-pinned, never a windowed float product."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    e = _read(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10
+    )
+    lab = e.select("vec_id", "label")
+    judged = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlab"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("qlab") == F.col("nlab")).cast("int").alias("rel"),
+        )
+    )
+    return evalmetrics.rank_metrics_at_k(
+        judged, "rel", "rank", ("query_id",), k=10, gmax=1
+    )
+
+
+def _q_ql_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood top-10 (functions/search.py
+    ql_topk) for the q_bm25 term set — the language-modeling ranker
+    next to BM25's tf-idf one. Postings-only decomposition (absent
+    terms cost no rows); qconst and per-doc hit sums fold over
+    term-sorted lists, order-pinned."""
+    from png_from_pdf_extracter_spark.functions.search import ql_topk
+
+    return ql_topk(
+        _read(spark, sf_dir, "documents"),
+        ["vector", "stream", "merge"],
+        mu=2000.0,
+        top_k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6584,6 +6639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_profile": _q_graph_profile,
         "q_modularity": _q_modularity,
         "q_rich_club": _q_rich_club,
+        "q_rank_metrics": _q_rank_metrics,
+        "q_ql_dirichlet": _q_ql_dirichlet,
     }
 
 
@@ -15308,6 +15365,130 @@ def oracle_sql() -> dict[str, str]:
                          * (n_nodes_gt_k::DOUBLE - 1.0)) * 1e6) / 1e6
               END AS phi_q6
             FROM raw
+        """,
+        "q_rank_metrics": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                              label AS qlab
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                         label AS nlab
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id, qlab, nlab,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM c, q WHERE neighbor_id <> query_id
+            ),
+            judged AS (
+              SELECT query_id, rank,
+                     CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel
+              FROM (
+                SELECT query_id, qlab, nlab,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            agg AS (
+              SELECT query_id,
+                count(*)::BIGINT AS n_ranked,
+                sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_rel_total,
+                sum(CASE WHEN rel > 0 AND rank <= 10 THEN 1 ELSE 0
+                    END)::BIGINT AS rel_at_k,
+                min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                list([1.0 - (pow(2.0, rel) - 1.0) / 2.0,
+                      ((pow(2.0, rel) - 1.0) / 2.0) / rank::DOUBLE]
+                     ORDER BY rank) AS terms
+              FROM judged GROUP BY query_id
+            ),
+            f AS (
+              SELECT query_id, n_ranked, n_rel_total, rel_at_k,
+                first_rel,
+                list_reduce(
+                  list_prepend([1.0, 0.0], terms),
+                  (a, x) -> [a[1] * x[1], a[2] + a[1] * x[2]]
+                ) AS acc
+              FROM agg
+            )
+            SELECT query_id, n_ranked, n_rel_total,
+              floor(rel_at_k::DOUBLE / 10.0 * 1e6) / 1e6 AS p_at_k_q6,
+              CASE WHEN n_rel_total > 0 THEN
+                floor(rel_at_k::DOUBLE / n_rel_total::DOUBLE * 1e6)
+                  / 1e6
+              END AS recall_at_k_q6,
+              CASE WHEN first_rel IS NOT NULL THEN
+                floor(1.0 / first_rel::DOUBLE * 1e6) / 1e6
+              END AS mrr_q6,
+              floor(acc[2] * 1e6) / 1e6 AS err_q6
+            FROM f
+        """,
+        "q_ql_dirichlet": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ),
+            base AS (SELECT doc_id, len(t) AS dl, t FROM d),
+            totals AS (SELECT sum(dl)::BIGINT AS c FROM base),
+            tok AS (
+              SELECT doc_id, dl, unnest(t) AS term FROM base
+            ),
+            cf AS (
+              SELECT term, count(*)::BIGINT AS cf FROM tok
+              WHERE term IN ('merge', 'stream', 'vector')
+              GROUP BY term
+            ),
+            model AS (
+              SELECT term, 2000.0 * (cf::DOUBLE / c::DOUBLE) AS mp
+              FROM cf, totals WHERE cf > 0
+            ),
+            qstats AS (
+              SELECT count(*)::BIGINT AS nq,
+                list_reduce(
+                  list_prepend(0.0, list(ln(mp) ORDER BY term)),
+                  (a, x) -> a + x) AS qconst
+              FROM model
+            ),
+            pairs AS (
+              SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+              FROM tok WHERE term IN ('merge', 'stream', 'vector')
+              GROUP BY doc_id, dl, term
+            ),
+            hits AS (
+              SELECT doc_id, dl, count(*)::INTEGER AS n_terms_hit,
+                list_reduce(
+                  list_prepend(0.0,
+                    list(ln(1.0 + tf::DOUBLE / mp) ORDER BY term)),
+                  (a, x) -> a + x) AS hitsum
+              FROM pairs JOIN model USING (term)
+              GROUP BY doc_id, dl
+            ),
+            scored AS (
+              SELECT doc_id, n_terms_hit, dl,
+                qconst - nq::DOUBLE * ln(dl::DOUBLE + 2000.0)
+                  + hitsum AS score
+              FROM hits, qstats
+            ),
+            ranked AS (
+              SELECT doc_id, n_terms_hit, dl, score,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS rank
+              FROM scored
+            )
+            SELECT doc_id, n_terms_hit, dl,
+              floor(score * 1e6) / 1e6 AS score_q6, rank
+            FROM ranked WHERE rank <= 10
         """,
     }
     return out

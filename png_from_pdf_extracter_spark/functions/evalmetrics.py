@@ -1667,3 +1667,105 @@ def fairness_gaps(
             "fpr_gap_q6"
         ),
     )
+
+
+def rank_metrics_at_k(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    group_cols: tuple = ("query_id",),
+    k: int = 10,
+    gmax: int = 1,
+) -> DataFrame:
+    """The retrieval metric card [[ndcg_at_k]] doesn't cover:
+    precision@k, recall@k, MRR and the cascade-model ERR per query
+    over a ranked judged table ``(group..., rank, rel)``.
+
+    ERR (Chapelle et al.) needs a PREFIX PRODUCT of continue
+    probabilities — the one retrieval metric a plain windowed SUM
+    can't give. Both it and the other three are computed as a single
+    sequential fold over the rank-sorted result list (``F.aggregate``
+    over ``sort_array(collect_list(...))``), so every float op is
+    order-pinned: acc = (p, err); err += p * R_r/r; p *= (1 - R_r),
+    with R = (2^rel - 1)/2^gmax. Recall's denominator is the
+    relevant count in the WHOLE judged table for the query (not just
+    the top k). Result lists are <= a few hundred rows per query by
+    construction — the corpus never enters a collect_list. One
+    group-key shuffle. Returns (group..., n_ranked, n_rel_total,
+    p_at_k_q6, recall_at_k_q6, mrr_q6, err_q6).
+    """
+    gcols = list(group_cols)
+    r = F.col(rank_col).cast("int")
+    rel = F.col(rel_col).cast("long")
+    denom = float(2 ** gmax)
+    base = ranked.select(
+        *gcols,
+        r.alias("__rank"),
+        rel.alias("__rel"),
+        (
+            (F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0))
+            / F.lit(denom)
+        ).alias("__bigr"),
+    )
+    agg = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.sum((F.col("__rel") > 0).cast("long"))
+        .cast("long")
+        .alias("n_rel_total"),
+        F.sum(
+            ((F.col("__rel") > 0) & (F.col("__rank") <= k)).cast("long")
+        )
+        .cast("long")
+        .alias("__rel_at_k"),
+        F.min(
+            F.when(F.col("__rel") > 0, F.col("__rank"))
+        ).alias("__first_rel"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rank") <= k,
+                    F.struct(
+                        F.col("__rank").alias("rank"),
+                        (F.lit(1.0) - F.col("__bigr")).alias("om"),
+                        (
+                            F.col("__bigr")
+                            / F.col("__rank").cast("double")
+                        ).alias("rr"),
+                    ),
+                )
+            )
+        ).alias("__terms"),
+    )
+    folded = F.aggregate(
+        F.col("__terms"),
+        F.struct(
+            F.lit(1.0).alias("p"), F.lit(0.0).alias("err")
+        ),
+        lambda acc, t: F.struct(
+            (acc["p"] * t["om"]).alias("p"),
+            (acc["err"] + acc["p"] * t["rr"]).alias("err"),
+        ),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n_ranked",
+        "n_rel_total",
+        q6(
+            F.col("__rel_at_k").cast("double") / F.lit(float(k))
+        ).alias("p_at_k_q6"),
+        F.when(
+            F.col("n_rel_total") > 0,
+            q6(
+                F.col("__rel_at_k").cast("double")
+                / F.col("n_rel_total").cast("double")
+            ),
+        ).alias("recall_at_k_q6"),
+        F.when(
+            F.col("__first_rel").isNotNull(),
+            q6(
+                F.lit(1.0) / F.col("__first_rel").cast("double")
+            ),
+        ).alias("mrr_q6"),
+        q6(folded["err"]).alias("err_q6"),
+    )

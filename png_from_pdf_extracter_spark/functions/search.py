@@ -392,3 +392,118 @@ def rbo_overlap(
         F.col("__x").cast("long").alias("overlap_k"),
         q6(F.lit(1.0 - float(p)) * F.col("__s")).alias("rbo_q6"),
     )
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+    top_k: int = 10,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty) —
+    the language-modeling complement to [[bm25_topk]]: score(d) =
+    sum_t log((tf + mu*p_c(t)) / (|d| + mu)) with p_c the collection
+    unigram model. Decomposed the standard postings-only way so docs
+    missing a term need NO row: score = qconst - |q|*log(|d| + mu) +
+    sum_hits log(1 + tf/(mu*p_c)) — the corpus-constant ``qconst``
+    and the per-doc hit sum are both sequential folds over
+    term-SORTED lists, so every float op is order-pinned. Query terms
+    absent from the collection (p_c = 0) are dropped from the model
+    on both engines (their smoothed probability is undefined).
+
+    Plan: one exploded-token join against the BROADCAST term set, one
+    (doc, term) count, one doc-key aggregate; the collection stats are
+    single-row broadcasts. Only docs hitting >= 1 term are ranked
+    (standard impact-ordered behavior). Returns
+    (doc_id, n_terms_hit, dl, score_q6, rank), top_k rows.
+    """
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    totals = base.agg(F.sum("dl").cast("long").alias("__c"))
+    tset = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    tok = base.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).join(F.broadcast(tset), "term")
+    cf = tok.groupBy("term").agg(F.count("*").cast("long").alias("__cf"))
+    model = (
+        cf.filter(F.col("__cf") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            (
+                F.lit(float(mu))
+                * (
+                    F.col("__cf").cast("double")
+                    / F.col("__c").cast("double")
+                )
+            ).alias("__mp"),
+        )
+    )
+    qstats = model.agg(
+        F.count("*").cast("long").alias("__nq"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("term").alias("term"),
+                        F.log("__mp").alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["w"],
+        ).alias("__qconst"),
+    )
+    pairs = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").cast("long").alias("__tf")
+    )
+    hits = pairs.join(F.broadcast(model), "term").select(
+        "doc_id",
+        "dl",
+        F.struct(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + F.col("__tf").cast("double") / F.col("__mp")
+            ).alias("w"),
+        ).alias("__hw"),
+    )
+    per_doc = hits.groupBy("doc_id", "dl").agg(
+        F.count("*").cast("int").alias("n_terms_hit"),
+        F.aggregate(
+            F.sort_array(F.collect_list("__hw")),
+            F.lit(0.0),
+            lambda acc, t: acc + t["w"],
+        ).alias("__hitsum"),
+    )
+    scored = per_doc.crossJoin(F.broadcast(qstats)).select(
+        "doc_id",
+        "n_terms_hit",
+        "dl",
+        (
+            F.col("__qconst")
+            - F.col("__nq").cast("double")
+            * F.log(F.col("dl").cast("double") + F.lit(float(mu)))
+            + F.col("__hitsum")
+        ).alias("__score"),
+    )
+    topk = scored.orderBy(
+        F.col("__score").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return topk.withColumn(
+        "rank", F.row_number().over(w)
+    ).select(
+        "doc_id",
+        "n_terms_hit",
+        "dl",
+        q6(F.col("__score")).alias("score_q6"),
+        "rank",
+    )

@@ -919,3 +919,67 @@ def test_fairness_gaps_planted_disparity(spark):
     )
     o2 = {r["group"]: r for r in fairness_gaps(deg, "pred", "y", "g").collect()}
     assert o2["C"]["fpr_q6"] is None and o2["C"]["fpr_gap_q6"] == 0.0
+
+
+def test_rank_metrics_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        rank_metrics_at_k,
+    )
+
+    rows = [("q1", 1, 1), ("q1", 2, 0), ("q1", 3, 1)]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    r = rank_metrics_at_k(
+        df, "rel", "rank", ("query_id",), k=3, gmax=1
+    ).collect()[0]
+    # ERR cascade with R = (2^rel - 1)/2: 0.5/1 + 0.5*0 + 0.5*0.5/3
+    err = 0.5 + 0.5 * 0.5 / 3.0
+    assert abs(r["err_q6"] - err) < 2e-6
+    assert abs(r["mrr_q6"] - 1.0) < 2e-6
+    assert abs(r["p_at_k_q6"] - 2.0 / 3.0) < 2e-6
+    assert abs(r["recall_at_k_q6"] - 1.0) < 2e-6
+    assert r["n_ranked"] == 3 and r["n_rel_total"] == 2
+
+
+def test_rank_metrics_k_cut_and_no_relevant(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        rank_metrics_at_k,
+    )
+
+    rows = [
+        ("q1", 1, 0), ("q1", 2, 1), ("q1", 3, 1),
+        ("q2", 1, 0), ("q2", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    out = {
+        r["query_id"]: r
+        for r in rank_metrics_at_k(
+            df, "rel", "rank", ("query_id",), k=2, gmax=1
+        ).collect()
+    }
+    # k=2 cut: one of q1's two relevant inside; recall denominator is
+    # the WHOLE judged table (2 relevant)
+    assert abs(out["q1"]["p_at_k_q6"] - 0.5) < 2e-6
+    assert abs(out["q1"]["recall_at_k_q6"] - 0.5) < 2e-6
+    assert abs(out["q1"]["mrr_q6"] - 0.5) < 2e-6
+    # ERR only folds ranks <= k: 0 at rank1, 0.5/2 at rank2
+    assert abs(out["q1"]["err_q6"] - 0.25) < 2e-6
+    # no relevant: MRR and recall NULL (undefined), ERR 0
+    assert out["q2"]["mrr_q6"] is None
+    assert out["q2"]["recall_at_k_q6"] is None
+    assert out["q2"]["err_q6"] == 0.0
+    assert out["q2"]["p_at_k_q6"] == 0.0
+
+
+def test_rank_metrics_graded_err(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        rank_metrics_at_k,
+    )
+
+    # graded relevance, gmax=2: R = (2^g - 1)/4 -> g=2 gives 0.75
+    rows = [("q", 1, 2), ("q", 2, 1)]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    r = rank_metrics_at_k(
+        df, "rel", "rank", ("query_id",), k=2, gmax=2
+    ).collect()[0]
+    err = 0.75 / 1.0 + (1 - 0.75) * (0.25 / 2.0)
+    assert abs(r["err_q6"] - err) < 2e-6

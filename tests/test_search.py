@@ -216,3 +216,53 @@ def test_rbo_top_weighting(spark):
     top = rbo_overlap(ra, swapped(1, 2), p=0.9, k=10).collect()[0]
     bot = rbo_overlap(ra, swapped(9, 10), p=0.9, k=10).collect()[0]
     assert top["rbo_q6"] < bot["rbo_q6"]
+
+
+def test_ql_topk_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.search import ql_topk
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog bird"),
+            (3, "fish fish fish"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ql_topk(docs, ["cat", "dog"], mu=10.0, top_k=10).collect()
+    }
+    # collection: 8 tokens; cf(cat)=2, cf(dog)=2 -> p=0.25, mp=2.5
+    # qconst = ln(2.5) + ln(2.5)
+    qc = 2 * math.log(2.5)
+
+    def score(dl, tfs):
+        s = qc - 2 * math.log(dl + 10.0)
+        for tf in tfs:
+            s += math.log(1 + tf / 2.5)
+        return s
+
+    assert abs(out[1]["score_q6"] - score(3, [2, 1])) < 2e-6
+    assert abs(out[2]["score_q6"] - score(2, [1])) < 2e-6
+    # doc 3 hits no query term: not ranked
+    assert 3 not in out
+    # doc1 (both terms, higher tf) outranks doc2
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+    assert out[1]["n_terms_hit"] == 2 and out[2]["n_terms_hit"] == 1
+
+
+def test_ql_topk_absent_term_dropped(spark):
+    from png_from_pdf_extracter_spark.functions.search import ql_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    # 'zzz' has zero collection frequency -> dropped from the model on
+    # both engines; ranking falls back to the 'alpha' model alone
+    out = ql_topk(docs, ["alpha", "zzz"], mu=5.0, top_k=10).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["rank"] == 1  # higher tf, same dl
