@@ -6318,6 +6318,69 @@ def _q_ql_dirichlet(spark, sf_dir):
     )
 
 
+def _q_inequality(spark, sf_dir):
+    """Theil T + Atkinson(1) inequality of document length per source
+    (functions/stats.py inequality_indices) — the decomposable
+    complements to q_gini_sources. ln terms accumulate in fixed value
+    order over the distinct-length table; scale-invariant, so the
+    integer grid needs no descale."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        inequality_indices,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return inequality_indices(d, "n_chars", ("source",), quantize=0)
+
+
+def _q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch chi2 for the 40/30/30 assignment derived
+    from user_id % 10 (functions/stats.py srm_check) — the gate every
+    A/B readout (q_cuped, q_welch, q_ab_test) must pass first.
+    Expected counts are exact rationals off the designed weights; the
+    chi2 sum runs in fixed arm order."""
+    from png_from_pdf_extracter_spark.functions.stats import srm_check
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 4, F.lit("a"))
+        .when(F.col("user_id") % 10 < 7, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("arm")
+    )
+    return srm_check(ev, "arm", {"a": 4, "b": 3, "c": 3})
+
+
+def _q_doubly_robust(spark, sf_dir):
+    """Doubly-robust off-policy estimate (evalmetrics.
+    doubly_robust_value) for q_off_policy's routing policy, with a
+    deterministic outcome model qhat = user_id % 50 — consistent if
+    either the propensities or the model is right. 2520-unit integer
+    accumulation, DECIMAL(38,0) sums, terminal division only."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        doubly_robust_value,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("purchase"))
+        .otherwise(F.lit("click"))
+        .alias("target"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 9
+            + 1
+        ).alias("k"),
+        "value",
+        (F.col("user_id") % 50).cast("double").alias("qhat"),
+    )
+    return doubly_robust_value(
+        ev, "action", "target", "k", "value", "qhat", quantize=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6641,6 +6704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rich_club": _q_rich_club,
         "q_rank_metrics": _q_rank_metrics,
         "q_ql_dirichlet": _q_ql_dirichlet,
+        "q_inequality": _q_inequality,
+        "q_srm": _q_srm,
+        "q_doubly_robust": _q_doubly_robust,
     }
 
 
@@ -15489,6 +15555,120 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_terms_hit, dl,
               floor(score * 1e6) / 1e6 AS score_q6, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "q_inequality": """
+            WITH vg AS (
+              SELECT source,
+                CAST(round(n_chars::DOUBLE * 1, 0) AS BIGINT) AS v,
+                count(*)::BIGINT AS c
+              FROM documents
+              WHERE CAST(round(n_chars::DOUBLE * 1, 0) AS BIGINT) > 0
+              GROUP BY source, v
+            ),
+            cells AS (
+              SELECT source, v, c,
+                sum(c) OVER (PARTITION BY source)::BIGINT AS n,
+                sum(c * v) OVER (PARTITION BY source)::BIGINT AS x
+              FROM vg
+            ),
+            stepped AS (
+              SELECT source, n, x,
+                sum(c::DOUBLE * v::DOUBLE / x::DOUBLE
+                    * ln(v::DOUBLE * n::DOUBLE / x::DOUBLE))
+                  OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS th,
+                sum(c::DOUBLE * ln(v::DOUBLE))
+                  OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sl,
+                row_number() OVER (PARTITION BY source ORDER BY v)
+                  AS rn,
+                count(*) OVER (PARTITION BY source) AS k
+              FROM cells
+            )
+            SELECT source, n,
+              floor(th * 1e6) / 1e6 AS theil_q6,
+              floor((1.0 - exp(sl / n::DOUBLE)
+                     / (x::DOUBLE / n::DOUBLE)) * 1e6) / 1e6
+                AS atkinson_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_srm": """
+            WITH arms AS (
+              SELECT CASE WHEN user_id % 10 < 4 THEN 'a'
+                          WHEN user_id % 10 < 7 THEN 'b'
+                          ELSE 'c' END AS arm
+              FROM events
+            ),
+            obs AS (
+              SELECT arm, count(*)::BIGINT AS o FROM arms GROUP BY arm
+            ),
+            expd AS (
+              SELECT * FROM (VALUES ('a', 4), ('b', 3), ('c', 3))
+                t(arm, w)
+            ),
+            j AS (
+              SELECT coalesce(obs.arm, expd.arm) AS arm,
+                     coalesce(o, 0) AS o, w
+              FROM obs FULL OUTER JOIN expd ON obs.arm = expd.arm
+            ),
+            tot AS (
+              SELECT sum(CASE WHEN w IS NOT NULL THEN o END)::BIGINT
+                       AS nm,
+                     coalesce(sum(CASE WHEN w IS NULL THEN o END),
+                              0)::BIGINT AS nu
+              FROM j
+            ),
+            cells AS (
+              SELECT arm, o, w, nm, nu FROM j, tot WHERE w IS NOT NULL
+            ),
+            stepped AS (
+              SELECT nm, nu,
+                sum((o::DOUBLE - nm::DOUBLE * w::DOUBLE / 10.0)
+                    * (o::DOUBLE - nm::DOUBLE * w::DOUBLE / 10.0)
+                    / (nm::DOUBLE * w::DOUBLE / 10.0))
+                  OVER (ORDER BY arm ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS chi2,
+                row_number() OVER (ORDER BY arm) AS rn,
+                count(*) OVER () AS k
+              FROM cells
+            )
+            SELECT nm AS n, k::BIGINT AS k_arms, nu AS n_unexpected,
+              floor(chi2 * 1e6) / 1e6 AS chi2_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_doubly_robust": """
+            WITH base AS (
+              SELECT
+                CAST(round(value * 100, 0) AS BIGINT) AS r,
+                CAST(round((user_id % 50)::DOUBLE * 100, 0) AS BIGINT)
+                  AS q,
+                CASE WHEN event_type =
+                       (CASE WHEN user_id % 2 = 0 THEN 'purchase'
+                             ELSE 'click' END)
+                     THEN 1 ELSE 0 END AS m,
+                25200 // ((CAST(('0x' || substring(
+                    md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 9) + 1) AS w
+              FROM events WHERE value IS NOT NULL
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(m)::BIGINT AS n_match,
+                CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS sq,
+                CAST(sum(CAST(2520 * q + m * w * (r - q)
+                              AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  AS s
+              FROM base
+            )
+            SELECT n, n_match,
+              floor(sq::DOUBLE / n::DOUBLE / 100.0 * 1e6) / 1e6
+                AS dm_q6,
+              floor(s::DOUBLE / (2520.0 * n::DOUBLE) / 100.0 * 1e6)
+                / 1e6 AS dr_q6
+            FROM agg
         """,
     }
     return out

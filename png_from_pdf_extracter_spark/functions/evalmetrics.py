@@ -1769,3 +1769,70 @@ def rank_metrics_at_k(
         ).alias("mrr_q6"),
         q6(folded["err"]).alias("err_q6"),
     )
+
+
+def doubly_robust_value(
+    df: DataFrame,
+    action_col: str,
+    target_col: str,
+    prop_tenths_col: str,
+    reward_col: str,
+    qhat_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Doubly-robust off-policy estimate: DR = mean( qhat + m * w *
+    (r - qhat) ) — the estimator that stays consistent if EITHER the
+    propensities or the outcome model ``qhat_col`` (the model's
+    predicted reward for the TARGET action, supplied by the caller)
+    is right, and strictly lower-variance than [[off_policy_value]]'s
+    IPS when the model has any signal. Also emits the direct-method
+    mean (pure model) so the reader sees both ends of the bias-
+    variance dial.
+
+    Same propensity contract as off_policy_value (integer tenths k,
+    w = 10/k): with r and qhat integer-quantized, 2520*DR_i =
+    2520*qhat_i + m_i * (25200/k_i) * (r_i - qhat_i) is an exact
+    integer, summed in DECIMAL(38,0) — ONE map-combinable aggregate,
+    terminal division only. Returns (n, n_match, dm_q6, dr_q6).
+    """
+    scale = float(10 ** quantize)
+    r = F.round(
+        F.col(reward_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    qh = F.round(
+        F.col(qhat_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    match = (F.col(action_col) == F.col(target_col)).cast("long")
+    k = F.col(prop_tenths_col).cast("long")
+    w_u = (F.lit(25200) / k).cast("long")
+    dec = "decimal(38,0)"
+    base = df.select(
+        r.alias("__r"),
+        qh.alias("__q"),
+        match.alias("__m"),
+        w_u.alias("__w"),
+    ).filter(F.col("__r").isNotNull() & F.col("__q").isNotNull())
+    unit = (
+        F.lit(2520) * F.col("__q")
+        + F.col("__m") * F.col("__w") * (F.col("__r") - F.col("__q"))
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__m").cast("long").alias("n_match"),
+        F.sum(F.col("__q").cast(dec)).alias("__sq"),
+        F.sum(unit.cast(dec)).alias("__s"),
+    )
+    n = F.col("n").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n",
+        "n_match",
+        q6(
+            F.col("__sq").cast("double") / n / F.lit(scale)
+        ).alias("dm_q6"),
+        q6(
+            F.col("__s").cast("double")
+            / (F.lit(2520.0) * n)
+            / F.lit(scale)
+        ).alias("dr_q6"),
+    )

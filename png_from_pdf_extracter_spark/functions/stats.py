@@ -4987,3 +4987,144 @@ def variance_ratio(
             var1 > 0, q6(varq / (F.lit(float(q)) * var1))
         ).alias("vr_q6"),
     )
+
+
+def inequality_indices(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+    quantize: int = 0,
+) -> DataFrame:
+    """Theil T and Atkinson(eps=1) inequality indices per group over a
+    POSITIVE value column — the decomposable complements to
+    [[gini_concentration]]: Theil is additively decomposable across
+    subgroups (the index audit teams aggregate), Atkinson(1) reads as
+    "the share of total you could discard and keep equal welfare"
+    (1 - geomean/mean). Both are scale-invariant, so the integer
+    quantization needs no descale.
+
+    ln terms accumulate in FIXED value order via the stepped-window
+    discipline ([[conditional_entropy]]): per-group cumulative sums
+    over the DISTINCT-value count table (bounded by the quantization
+    grid, not row count), last row taken. Zero/negative values are
+    excluded by definition on both engines. One (group, value) count
+    shuffle + one group-keyed window. Returns
+    (group..., n, theil_q6, atkinson_q6).
+    """
+    gcols = list(group_cols)
+    v = _quant(F.col(value_col), quantize)
+    vg = (
+        df.select(*gcols, v.alias("__v"))
+        .filter(F.col("__v") > 0)
+        .groupBy(*gcols, "__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    wfull = Window.partitionBy(*gcols)
+    cells = vg.select(
+        *gcols,
+        "__v",
+        "__c",
+        F.sum("__c").over(wfull).cast("long").alias("__n"),
+        F.sum(F.col("__c") * F.col("__v"))
+        .over(wfull)
+        .cast("long")
+        .alias("__X"),
+    )
+    nd = F.col("__n").cast("double")
+    xd = F.col("__X").cast("double")
+    cd = F.col("__c").cast("double")
+    vd = F.col("__v").cast("double")
+    term_theil = cd * vd / xd * F.log(vd * nd / xd)
+    term_log = cd * F.log(vd)
+    ordw = Window.partitionBy(*gcols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = cells.select(
+        *gcols,
+        "__n",
+        "__X",
+        F.sum(term_theil).over(ordw).alias("__th"),
+        F.sum(term_log).over(ordw).alias("__sl"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy("__v"))
+        .alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    atk = F.lit(1.0) - F.exp(F.col("__sl") / nd) / (xd / nd)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        *gcols,
+        F.col("__n").alias("n"),
+        q6(F.col("__th")).alias("theil_q6"),
+        q6(atk).alias("atkinson_q6"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an experiment assignment: chi2
+    goodness-of-fit of observed arm counts against the designed
+    allocation ``expected`` (arm -> integer weight, e.g. {"a": 1,
+    "b": 1} for 50/50). SRM is the first gate any A/B readout must
+    pass — a biased assignment invalidates [[cuped_adjust]] and
+    [[welch_t_test]] downstream no matter how clean the metric is.
+
+    Arms observed outside ``expected`` are counted in
+    ``n_unexpected`` (they're a bug, not a chi2 term). Expected
+    counts e_i = N * w_i / W are exact rationals; the chi2 sum runs
+    in fixed arm order over the k-row arm table (stepped window).
+    One arm-count aggregate. Returns one row
+    (n, k_arms, n_unexpected, chi2_q6).
+    """
+    spark = df.sparkSession
+    exp_rows = sorted((str(a), int(w)) for a, w in expected.items())
+    wtot = sum(w for _, w in exp_rows)
+    edf = spark.createDataFrame(exp_rows, "arm string, w long")
+    obs = df.select(F.col(arm_col).cast("string").alias("arm")).groupBy(
+        "arm"
+    ).agg(F.count("*").cast("long").alias("__o"))
+    joined = obs.join(F.broadcast(edf), "arm", "full_outer").select(
+        "arm",
+        F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        "w",
+    )
+    tot = joined.agg(
+        F.sum(F.when(F.col("w").isNotNull(), F.col("__o")))
+        .cast("long")
+        .alias("__nm"),
+        F.sum(F.when(F.col("w").isNull(), F.col("__o")))
+        .cast("long")
+        .alias("__nu"),
+    )
+    cells = joined.filter(F.col("w").isNotNull()).crossJoin(
+        F.broadcast(tot)
+    )
+    e = (
+        F.col("__nm").cast("double")
+        * F.col("w").cast("double")
+        / F.lit(float(wtot))
+    )
+    od = F.col("__o").cast("double")
+    term = (od - e) * (od - e) / e
+    ordw = Window.orderBy("arm").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("arm").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cells.select(
+        "__nm",
+        F.coalesce(F.col("__nu"), F.lit(0)).alias("__nu"),
+        F.sum(term).over(ordw).alias("__chi2"),
+        F.row_number().over(Window.orderBy("arm")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return stepped.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__nm").alias("n"),
+        F.col("__k").cast("long").alias("k_arms"),
+        F.col("__nu").alias("n_unexpected"),
+        q6(F.col("__chi2")).alias("chi2_q6"),
+    )

@@ -983,3 +983,41 @@ def test_rank_metrics_graded_err(spark):
     ).collect()[0]
     err = 0.75 / 1.0 + (1 - 0.75) * (0.25 / 2.0)
     assert abs(r["err_q6"] - err) < 2e-6
+
+
+def test_doubly_robust_model_ends(spark):
+    from pyspark.sql import functions as F
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        doubly_robust_value,
+        off_policy_value,
+    )
+
+    rows = []
+    for i in range(200):
+        action = "x" if i % 3 == 0 else "y"
+        target = "x"
+        k = (i % 9) + 1
+        r = float(i % 7)
+        rows.append((action, target, k, r))
+    df = spark.createDataFrame(
+        rows, "action string, target string, k int, value double"
+    )
+    # perfect outcome model (qhat = r): correction term vanishes for
+    # matches AND non-matches get the true value -> DR = mean(r) = DM
+    perfect = df.withColumn("qhat", F.col("value"))
+    r1 = doubly_robust_value(
+        perfect, "action", "target", "k", "value", "qhat"
+    ).collect()[0]
+    mean_r = sum(float(i % 7) for i in range(200)) / 200.0
+    assert abs(r1["dr_q6"] - mean_r) < 2e-6
+    assert abs(r1["dm_q6"] - mean_r) < 2e-6
+    # zero model: DR collapses to IPS exactly
+    zero = df.withColumn("qhat", F.lit(0.0))
+    r0 = doubly_robust_value(
+        zero, "action", "target", "k", "value", "qhat"
+    ).collect()[0]
+    ips = off_policy_value(df, "action", "target", "k", "value").collect()[
+        0
+    ]["ips_q6"]
+    assert abs(r0["dr_q6"] - ips) < 2e-6
+    assert r0["dm_q6"] == 0.0

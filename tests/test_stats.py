@@ -2809,3 +2809,64 @@ def test_variance_ratio_direction(spark):
     assert 0.5 < out["noise"]["vr_q6"] < 1.5
     assert out["trend"]["vr_q6"] > 2.0
     assert out["alt"]["vr_q6"] < 0.3
+
+
+def test_inequality_indices_equal_and_concentrated(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        inequality_indices,
+    )
+    import math
+
+    rows = [("eq", 50.0)] * 10 + [("con", 1.0)] * 9 + [("con", 991.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in inequality_indices(df, "v", ("g",), quantize=0).collect()
+    }
+    assert abs(out["eq"]["theil_q6"]) < 2e-6
+    assert abs(out["eq"]["atkinson_q6"]) < 2e-6
+    # numpy twin for the concentrated group
+    xs = [1.0] * 9 + [991.0]
+    n, tot = len(xs), sum(xs)
+    theil = sum(x / tot * math.log(x * n / tot) for x in xs)
+    geo = math.exp(sum(math.log(x) for x in xs) / n)
+    atk = 1.0 - geo / (tot / n)
+    assert abs(out["con"]["theil_q6"] - theil) < 1e-5
+    assert abs(out["con"]["atkinson_q6"] - atk) < 1e-5
+    assert out["con"]["theil_q6"] > 1.5 and out["con"]["atkinson_q6"] > 0.9
+
+
+def test_inequality_drops_nonpositive(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        inequality_indices,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", -5.0), ("g", 10.0), ("g", 10.0)],
+        "g string, v double",
+    )
+    r = inequality_indices(df, "v", ("g",), quantize=0).collect()[0]
+    assert r["n"] == 2 and abs(r["theil_q6"]) < 2e-6
+
+
+def test_srm_balanced_and_planted(spark):
+    from png_from_pdf_extracter_spark.functions.stats import srm_check
+
+    bal = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "arm string"
+    )
+    r = srm_check(bal, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert r["chi2_q6"] == 0.0 and r["n"] == 100 and r["k_arms"] == 2
+    # planted 70/30 against 50/50: chi2 = (20^2/50)*2 = 16
+    skew = spark.createDataFrame(
+        [("a",)] * 70 + [("b",)] * 30, "arm string"
+    )
+    r2 = srm_check(skew, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert abs(r2["chi2_q6"] - 16.0) < 2e-6
+    # rogue arm is counted, not folded into chi2
+    rogue = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50 + [("zz",)] * 5, "arm string"
+    )
+    r3 = srm_check(rogue, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert r3["n_unexpected"] == 5 and r3["n"] == 100
+    assert r3["chi2_q6"] == 0.0
