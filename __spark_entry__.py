@@ -6381,6 +6381,54 @@ def _q_doubly_robust(spark, sf_dir):
     )
 
 
+def _q_linear_cka(spark, sf_dir):
+    """Linear CKA between the raw embeddings and a planted per-dim
+    gain drift y_i = x_i * (1 + i/100) (functions/similarity.py
+    linear_cka) — the representation-similarity read for "did the
+    re-encode/quantize/drift keep the geometry". Components quantized
+    to integer milli-units BEFORE the gram pass, so every partial sum
+    is a BIGINT; Frobenius sums fold in fixed (d1, d2) order."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        linear_cka,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    qz = lambda c: F.round(c.cast("double") * F.lit(1000), 0).cast(  # noqa: E731
+        "long"
+    )
+    d = e.select(
+        F.transform(F.col("embedding"), lambda v: qz(v)).alias("xq"),
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: qz(
+                v.cast("double")
+                * (F.lit(1.0) + i.cast("double") / F.lit(100.0))
+            ),
+        ).alias("yq"),
+    )
+    return linear_cka(d, "xq", "yq")
+
+
+def _q_forecast_accuracy(spark, sf_dir):
+    """Seasonal-naive forecast scorecard per event type
+    (functions/stats.py forecast_accuracy): MAE/RMSE/sMAPE/MAPE/MASE/
+    pinball(0.9) of 'repeat last week' on the daily event-count
+    series — the baseline every forecasting claim must beat. Integer
+    daily counts make all but the percentage metrics BIGINT-exact;
+    sMAPE/MAPE fold through the stepped day-ordered window."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        forecast_accuracy,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return forecast_accuracy(
+        daily, ("event_type",), ("day",), "cnt", season=7, quantize=0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6707,6 +6755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inequality": _q_inequality,
         "q_srm": _q_srm,
         "q_doubly_robust": _q_doubly_robust,
+        "q_linear_cka": _q_linear_cka,
+        "q_forecast_accuracy": _q_forecast_accuracy,
     }
 
 
@@ -15669,6 +15719,138 @@ def oracle_sql() -> dict[str, str]:
               floor(s::DOUBLE / (2520.0 * n::DOUBLE) / 100.0 * 1e6)
                 / 1e6 AS dr_q6
             FROM agg
+        """,
+        "q_linear_cka": """
+            WITH src AS (
+              SELECT vec_id AS id, embedding FROM embeddings
+              WHERE vec_id < 1000
+            ),
+            xz AS (
+              SELECT id, p - 1 AS i,
+                CASE WHEN p <= 64 THEN
+                  CAST(round(embedding[p]::DOUBLE * 1000, 0) AS BIGINT)
+                ELSE
+                  CAST(round(embedding[p - 64]::DOUBLE
+                             * (1.0 + (p - 64 - 1)::DOUBLE / 100.0)
+                             * 1000, 0) AS BIGINT)
+                END AS z
+              FROM src, generate_series(1, 128) g(p)
+            ),
+            cells AS (
+              SELECT a.i AS d1, b.i AS d2, sum(a.z * b.z)::BIGINT AS s
+              FROM xz a JOIN xz b ON a.id = b.id AND a.i <= b.i
+              GROUP BY a.i, b.i
+            ),
+            sums AS (
+              SELECT i, sum(z)::BIGINT AS su FROM xz GROUP BY i
+            ),
+            cnt AS (SELECT count(*)::BIGINT AS n FROM src),
+            cent AS (
+              SELECT d1, d2, n,
+                s::DOUBLE - s1.su::DOUBLE * s2.su::DOUBLE / n::DOUBLE
+                  AS a,
+                CASE WHEN d1 < 64 AND d2 < 64 THEN 'xx'
+                     WHEN d1 >= 64 THEN 'yy' ELSE 'xy' END AS blk,
+                CASE WHEN d1 = d2 OR (d1 < 64) <> (d2 < 64)
+                     THEN 1.0 ELSE 2.0 END AS w
+              FROM cells
+              JOIN sums s1 ON cells.d1 = s1.i
+              JOIN sums s2 ON cells.d2 = s2.i, cnt
+            ),
+            stepped AS (
+              SELECT n, blk,
+                sum(w * (a * a)) OVER (PARTITION BY blk
+                    ORDER BY d1, d2 ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS f,
+                row_number() OVER (PARTITION BY blk ORDER BY d1, d2)
+                  AS rn,
+                count(*) OVER (PARTITION BY blk) AS k
+              FROM cent
+            ),
+            fr AS (
+              SELECT n,
+                max(CASE WHEN blk = 'xx' THEN f END) AS fxx,
+                max(CASE WHEN blk = 'xy' THEN f END) AS fxy,
+                max(CASE WHEN blk = 'yy' THEN f END) AS fyy
+              FROM stepped WHERE rn = k GROUP BY n
+            )
+            SELECT n, 64::BIGINT AS dim,
+              CASE WHEN fxx > 0 AND fyy > 0 THEN
+                floor(fxy / (sqrt(fxx) * sqrt(fyy)) * 1e6) / 1e6
+              END AS cka_q6
+            FROM fr
+        """,
+        "q_forecast_accuracy": """
+            WITH daily AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS x
+              FROM events GROUP BY event_type, date_trunc('day', ts)
+            ),
+            l AS (
+              SELECT g, day, x,
+                lag(x, 7) OVER w AS f,
+                lag(x, 1) OVER w AS p,
+                row_number() OVER w AS rn,
+                count(*) OVER (PARTITION BY g) AS k
+              FROM daily WINDOW w AS (PARTITION BY g ORDER BY day)
+            ),
+            s AS (
+              SELECT g, x, f, p, rn, k,
+                sum(CASE WHEN f IS NOT NULL AND (abs(x) + abs(f)) > 0
+                    THEN 2.0 * abs(x - f)::DOUBLE
+                         / (abs(x) + abs(f))::DOUBLE
+                    ELSE 0.0 END)
+                  OVER (PARTITION BY g ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ss,
+                sum(CASE WHEN f IS NOT NULL AND x <> 0
+                    THEN abs(x - f)::DOUBLE / abs(x)::DOUBLE
+                    ELSE 0.0 END)
+                  OVER (PARTITION BY g ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sm
+              FROM l
+            ),
+            a AS (
+              SELECT g,
+                max(k)::BIGINT AS n,
+                sum(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_eval,
+                sum(CASE WHEN f IS NOT NULL THEN abs(x - f)
+                    END)::BIGINT AS sae,
+                sum(CASE WHEN f IS NOT NULL
+                    THEN (x - f) * (x - f) END)::BIGINT AS sse,
+                sum(CASE WHEN f IS NOT NULL THEN
+                      CASE WHEN x - f >= 0 THEN 9 * (x - f)
+                           ELSE -(x - f) END
+                    END)::BIGINT AS spin,
+                sum(CASE WHEN x <> 0 AND f IS NOT NULL THEN 1 ELSE 0
+                    END)::BIGINT AS n_mape,
+                sum(CASE WHEN p IS NOT NULL THEN abs(x - p)
+                    END)::BIGINT AS snv,
+                sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_nv,
+                max(CASE WHEN rn = k THEN ss END) AS smape_sum,
+                max(CASE WHEN rn = k THEN sm END) AS mape_sum
+              FROM s GROUP BY g
+            )
+            SELECT g AS event_type, n, n_eval,
+              floor(sae::DOUBLE / n_eval::DOUBLE / 1.0 * 1e6) / 1e6
+                AS mae_q6,
+              floor(sqrt(sse::DOUBLE / n_eval::DOUBLE) / 1.0 * 1e6)
+                / 1e6 AS rmse_q6,
+              floor(smape_sum / n_eval::DOUBLE * 1e6) / 1e6
+                AS smape_q6,
+              CASE WHEN n_mape > 0 THEN
+                floor(mape_sum / n_mape::DOUBLE * 1e6) / 1e6
+              END AS mape_q6,
+              CASE WHEN snv > 0 THEN
+                floor((sae::DOUBLE / n_eval::DOUBLE)
+                      / (snv::DOUBLE / n_nv::DOUBLE) * 1e6) / 1e6
+              END AS mase_q6,
+              floor(spin::DOUBLE / (10.0 * n_eval::DOUBLE) / 1.0 * 1e6)
+                / 1e6 AS pinball90_q6
+            FROM a WHERE n_eval > 0
         """,
     }
     return out

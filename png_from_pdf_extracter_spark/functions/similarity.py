@@ -1748,3 +1748,166 @@ def procrustes_align(
         aligned.alias("aligned"),
         resid.alias("resid"),
     )
+
+
+def linear_cka(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Linear CKA between two ROW-ALIGNED integer-quantized embedding
+    columns — the representation-similarity number (Kornblith et al.)
+    for "how much geometry did the new encoder / quantizer / drift
+    keep": CKA = ||Yc'Xc||_F^2 / (||Xc'Xc||_F ||Yc'Yc||_F), invariant
+    to rotation and isotropic scale, 1 = same shape.
+
+    Inputs are ``array<long>`` (quantize BEFORE calling — integer
+    components make every gram sum a BIGINT, the exactness contract).
+    Scale shape: [[embedding_covariance]]'s one-pass partial-gram
+    pattern — ``mapInPandas`` stacks z = [x, y] and emits the int64
+    upper-triangle gram + sums + count per Arrow batch (O(dim^2) rows
+    per batch, never O(n)), one combinable groupBy folds them. The
+    three centered Frobenius sums then accumulate in fixed (d1, d2)
+    order over the <= (2d)^2-row cell table (stepped windows).
+    Returns one row (n, dim, cka_q6).
+    """
+    xc, yc = x_col, y_col
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pairs = [
+                (x, y)
+                for x, y in zip(pdf[xc], pdf[yc])
+                if x is not None and y is not None
+            ]
+            if not pairs:
+                continue
+            z = np.asarray(
+                [
+                    np.concatenate(
+                        [
+                            np.asarray(x, dtype=np.int64),
+                            np.asarray(y, dtype=np.int64),
+                        ]
+                    )
+                    for x, y in pairs
+                ]
+            )
+            g = z.T @ z
+            iu = np.triu_indices(z.shape[1])
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {"d1": iu[0], "d2": iu[1], "s": g[iu]}
+                    ),
+                    pd.DataFrame(
+                        {
+                            "d1": np.arange(z.shape[1]),
+                            "d2": -1,
+                            "s": z.sum(axis=0),
+                        }
+                    ),
+                    pd.DataFrame({"d1": [-1], "d2": [-1], "s": [len(z)]}),
+                ],
+                ignore_index=True,
+            )
+
+    parts = df.select(xc, yc).mapInPandas(
+        gram, "d1 int, d2 int, s long"
+    )
+    folded = parts.groupBy("d1", "d2").agg(
+        F.sum("s").cast("long").alias("s")
+    ).persist()
+    n_row = folded.filter(
+        (F.col("d1") == -1) & (F.col("d2") == -1)
+    ).select(F.col("s").alias("__n"))
+    sums = folded.filter(
+        (F.col("d2") == -1) & (F.col("d1") >= 0)
+    ).select(F.col("d1").alias("__i"), F.col("s").alias("__su"))
+    dims = sums.agg(
+        (((F.max("__i") + 1) / 2).cast("long")).alias("__dx")
+    )
+    cells = (
+        folded.filter(F.col("d2") >= 0)
+        .join(
+            F.broadcast(
+                sums.select(
+                    F.col("__i").alias("d1"), F.col("__su").alias("__s1")
+                )
+            ),
+            "d1",
+        )
+        .join(
+            F.broadcast(
+                sums.select(
+                    F.col("__i").alias("d2"), F.col("__su").alias("__s2")
+                )
+            ),
+            "d2",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(dims))
+    )
+    nd = F.col("__n").cast("double")
+    a = (
+        F.col("s").cast("double")
+        - F.col("__s1").cast("double")
+        * F.col("__s2").cast("double")
+        / nd
+    )
+    dx = F.col("__dx")
+    blk = (
+        F.when((F.col("d1") < dx) & (F.col("d2") < dx), F.lit("xx"))
+        .when(F.col("d1") >= dx, F.lit("yy"))
+        .otherwise(F.lit("xy"))
+    )
+    w = F.when(
+        (F.col("d1") == F.col("d2"))
+        | ((F.col("d1") < dx) != (F.col("d2") < dx)),
+        F.lit(1.0),
+    ).otherwise(F.lit(2.0))
+    cent = cells.select(
+        "d1",
+        "d2",
+        "__n",
+        "__dx",
+        blk.alias("__blk"),
+        (w * (a * a)).alias("__term"),
+    )
+    ordw = Window.partitionBy("__blk").orderBy("d1", "d2").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.partitionBy("__blk")
+    stepped = cent.select(
+        "__n",
+        "__dx",
+        "__blk",
+        F.sum("__term").over(ordw).alias("__f"),
+        F.row_number()
+        .over(Window.partitionBy("__blk").orderBy("d1", "d2"))
+        .alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    fr = (
+        stepped.filter(F.col("__rn") == F.col("__k"))
+        .groupBy("__n", "__dx")
+        .pivot("__blk", ["xx", "xy", "yy"])
+        .agg(F.first("__f"))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = fr.select(
+        F.col("__n").alias("n"),
+        F.col("__dx").alias("dim"),
+        F.when(
+            (F.col("xx") > 0) & (F.col("yy") > 0),
+            q6(
+                F.col("xy")
+                / (F.sqrt(F.col("xx")) * F.sqrt(F.col("yy")))
+            ),
+        ).alias("cka_q6"),
+    )
+    out._spark_graft_cached = [folded]
+    return out

@@ -5128,3 +5128,127 @@ def srm_check(
         F.col("__nu").alias("n_unexpected"),
         q6(F.col("__chi2")).alias("chi2_q6"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    season: int = 7,
+    quantize: int = 0,
+) -> DataFrame:
+    """Forecast-accuracy battery per group against the SEASONAL-NAIVE
+    forecast f_t = x_{t-season}: MAE, RMSE, sMAPE, MAPE, MASE and the
+    tau=0.9 pinball loss — the standard scorecard for "is the fancy
+    forecast actually better than repeating last week", with MASE the
+    scale-free headline (MAE over the in-sample naive-1 MAE, Hyndman
+    & Koehler).
+
+    Exactness: x integer-quantized, so MAE/RMSE/MASE numerators and
+    the pinball sum (10*loss_t = 9d if d >= 0 else -d, an integer) are
+    BIGINT aggregates. Only sMAPE/MAPE have per-row float ratios —
+    those accumulate through the stepped ordered window, never a bare
+    float SUM. Plan: one ordered window (two lags + the stepped sums),
+    one aggregate per group. Returns (group..., n, n_eval, mae_q6,
+    rmse_q6, smape_q6, mape_q6, mase_q6, pinball90_q6); MASE null when
+    the series is constant in-sample.
+    """
+    gcols = list(group_cols)
+    x = _quant(F.col(value_col), quantize)
+    ow = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pre = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("__x"),
+        F.lag(x, season).over(ow).alias("__f"),
+        F.lag(x, 1).over(ow).alias("__p"),
+        *[F.col(c) for c in order_cols],
+    )
+    d = F.col("__x") - F.col("__f")
+    has_f = F.col("__f").isNotNull()
+    smape_term = F.when(
+        has_f & ((F.abs(F.col("__x")) + F.abs(F.col("__f"))) > 0),
+        F.lit(2.0)
+        * F.abs(d).cast("double")
+        / (F.abs(F.col("__x")) + F.abs(F.col("__f"))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    mape_term = F.when(
+        has_f & (F.col("__x") != 0),
+        F.abs(d).cast("double") / F.abs(F.col("__x")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    sw = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    stepped = pre.select(
+        *gcols,
+        "__x",
+        "__f",
+        "__p",
+        F.sum(smape_term).over(sw).alias("__ss"),
+        F.sum(mape_term).over(sw).alias("__sm"),
+        F.row_number().over(ow).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*gcols)).alias("__k"),
+    )
+    pin = F.when(
+        d >= 0, F.lit(9) * d
+    ).otherwise(-d)
+    agg = stepped.groupBy(*gcols).agg(
+        F.max("__k").cast("long").alias("n"),
+        F.sum(has_f.cast("long")).cast("long").alias("n_eval"),
+        F.sum(F.when(has_f, F.abs(d))).cast("long").alias("__sae"),
+        F.sum(F.when(has_f, d * d)).cast("long").alias("__sse"),
+        F.sum(F.when(has_f, pin)).cast("long").alias("__spin"),
+        F.sum(
+            F.when(F.col("__x") != 0, F.lit(1)).otherwise(0)
+            * has_f.cast("int")
+        )
+        .cast("long")
+        .alias("__n_mape"),
+        F.sum(
+            F.when(
+                F.col("__p").isNotNull(),
+                F.abs(F.col("__x") - F.col("__p")),
+            )
+        )
+        .cast("long")
+        .alias("__snv"),
+        F.sum(F.col("__p").isNotNull().cast("long"))
+        .cast("long")
+        .alias("__n_nv"),
+        F.max(F.when(F.col("__rn") == F.col("__k"), F.col("__ss"))).alias(
+            "__smape_sum"
+        ),
+        F.max(F.when(F.col("__rn") == F.col("__k"), F.col("__sm"))).alias(
+            "__mape_sum"
+        ),
+    )
+    m = F.col("n_eval").cast("double")
+    scale = float(10 ** quantize)
+    mae = F.col("__sae").cast("double") / m
+    nv_mae = F.col("__snv").cast("double") / F.col("__n_nv").cast(
+        "double"
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.filter(F.col("n_eval") > 0).select(
+        *gcols,
+        "n",
+        "n_eval",
+        q6(mae / F.lit(scale)).alias("mae_q6"),
+        q6(
+            F.sqrt(F.col("__sse").cast("double") / m) / F.lit(scale)
+        ).alias("rmse_q6"),
+        q6(F.col("__smape_sum") / m).alias("smape_q6"),
+        F.when(
+            F.col("__n_mape") > 0,
+            q6(F.col("__mape_sum") / F.col("__n_mape").cast("double")),
+        ).alias("mape_q6"),
+        F.when(
+            F.col("__snv") > 0, q6(mae / nv_mae)
+        ).alias("mase_q6"),
+        q6(
+            F.col("__spin").cast("double") / (F.lit(10.0) * m)
+            / F.lit(scale)
+        ).alias("pinball90_q6"),
+    )

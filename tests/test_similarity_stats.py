@@ -281,3 +281,46 @@ def test_procrustes_empty_overlap_raises(spark):
     )
     with pytest.raises(ValueError, match="no overlapping"):
         procrustes_align(old, new)
+
+
+def test_linear_cka_identity_permutation_noise(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import linear_cka
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-500, 500, size=(40, 8)).astype(np.int64)
+    perm = x[:, ::-1].copy()
+    noise = rng.randint(-500, 500, size=(40, 8)).astype(np.int64)
+
+    def run(y):
+        rows = [(x[i].tolist(), y[i].tolist()) for i in range(len(x))]
+        df = spark.createDataFrame(
+            rows, "xq array<long>, yq array<long>"
+        )
+        return linear_cka(df, "xq", "yq").collect()[0]
+
+    r_id = run(x)
+    assert r_id["n"] == 40 and r_id["dim"] == 8
+    assert r_id["cka_q6"] >= 1.0 - 2e-6
+    # permutation of dims is orthogonal: CKA stays 1
+    assert run(perm)["cka_q6"] >= 1.0 - 2e-6
+    # independent noise: near zero
+    assert run(noise)["cka_q6"] < 0.2
+
+
+def test_linear_cka_numpy_twin(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import linear_cka
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    x = rng.randint(-100, 100, size=(25, 6)).astype(np.int64)
+    y = x * np.arange(1, 7) + rng.randint(-30, 30, size=(25, 6))
+    rows = [(x[i].tolist(), y[i].tolist()) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "xq array<long>, yq array<long>")
+    r = linear_cka(df, "xq", "yq").collect()[0]
+    xc = x - x.mean(axis=0)
+    yc = y - y.mean(axis=0)
+    num = np.linalg.norm(yc.T @ xc, "fro") ** 2
+    den = np.linalg.norm(xc.T @ xc, "fro") * np.linalg.norm(yc.T @ yc, "fro")
+    assert abs(r["cka_q6"] - num / den) < 1e-5
+    assert 0.5 < r["cka_q6"] < 1.0  # diagonal gain: similar, not equal

@@ -2870,3 +2870,67 @@ def test_srm_balanced_and_planted(spark):
     r3 = srm_check(rogue, "arm", {"a": 1, "b": 1}).collect()[0]
     assert r3["n_unexpected"] == 5 and r3["n"] == 100
     assert r3["chi2_q6"] == 0.0
+
+
+def test_forecast_accuracy_perfect_seasonal(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        forecast_accuracy,
+    )
+
+    # exactly periodic series: seasonal-naive is perfect
+    rows = [("g", t, float(10 + (t % 7))) for t in range(28)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    r = forecast_accuracy(
+        df, ("g",), ("t",), "v", season=7, quantize=0
+    ).collect()[0]
+    assert r["n"] == 28 and r["n_eval"] == 21
+    for c in ("mae_q6", "rmse_q6", "smape_q6", "mape_q6", "pinball90_q6"):
+        assert r[c] == 0.0, c
+    assert r["mase_q6"] == 0.0
+
+
+def test_forecast_accuracy_hand_computed(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        forecast_accuracy,
+    )
+    import math
+
+    vals = [10.0, 12.0, 9.0, 11.0, 15.0, 8.0]
+    rows = [("g", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    r = forecast_accuracy(
+        df, ("g",), ("t",), "v", season=2, quantize=0
+    ).collect()[0]
+    # f_t = x_{t-2}: errors for t=2..5: (9-10), (11-12), (15-9), (8-11)
+    errs = [-1.0, -1.0, 6.0, -3.0]
+    mae = sum(abs(e) for e in errs) / 4
+    rmse = math.sqrt(sum(e * e for e in errs) / 4)
+    assert abs(r["mae_q6"] - mae) < 2e-6
+    assert abs(r["rmse_q6"] - rmse) < 2e-6
+    # naive-1 MAE: diffs 2,3,2,4,7 -> 18/5
+    assert abs(r["mase_q6"] - mae / (18.0 / 5.0)) < 2e-6
+    # pinball 0.9: d>=0 -> .9d, d<0 -> .1|d|: (.1+.1+5.4+.3)/4
+    assert abs(r["pinball90_q6"] - (0.1 + 0.1 + 5.4 + 0.3) / 4) < 2e-6
+    smape = sum(
+        2 * abs(e) / (abs(x) + abs(f))
+        for e, x, f in zip(errs, vals[2:], vals[:4])
+    ) / 4
+    assert abs(r["smape_q6"] - smape) < 2e-6
+    mape = sum(
+        abs(e) / abs(x) for e, x in zip(errs, vals[2:])
+    ) / 4
+    assert abs(r["mape_q6"] - mape) < 2e-6
+
+
+def test_forecast_accuracy_constant_series_mase_null(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        forecast_accuracy,
+    )
+
+    rows = [("g", t, 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    r = forecast_accuracy(
+        df, ("g",), ("t",), "v", season=3, quantize=0
+    ).collect()[0]
+    assert r["mase_q6"] is None  # naive-1 MAE is 0: undefined
+    assert r["mae_q6"] == 0.0
