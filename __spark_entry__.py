@@ -6429,6 +6429,38 @@ def _q_forecast_accuracy(spark, sf_dir):
     )
 
 
+def _q_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel test between the BUILDING and MACHINERY
+    segments on account balance (functions/stats.py brunner_munzel) —
+    q_mann_whitney's Behrens-Fisher-robust sibling: valid when the
+    two segments have different spread. Every ingredient reduces to
+    the distinct-value count table (doubled midranks/placements are
+    BIGINT moment sums); studentized W + Satterthwaite df."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        brunner_munzel,
+    )
+
+    c = _read(spark, sf_dir, "customer")
+    return brunner_munzel(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _q_hurst(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis of the per-type value
+    series (functions/stats.py hurst_rs), block sizes 8-64 — the
+    long-range-dependence probe beyond q_autocorr's fixed lag.
+    Block partial sums are BIGINT; R, the block means and the K-point
+    log-log OLS all fold through stepped ordered windows."""
+    from png_from_pdf_extracter_spark.functions.stats import hurst_rs
+
+    ev = _read(spark, sf_dir, "events")
+    return hurst_rs(
+        ev, ("event_type",), ("ts", "event_id"), "value",
+        block_sizes=(8, 16, 32, 64), quantize=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6757,6 +6789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doubly_robust": _q_doubly_robust,
         "q_linear_cka": _q_linear_cka,
         "q_forecast_accuracy": _q_forecast_accuracy,
+        "q_brunner_munzel": _q_brunner_munzel,
+        "q_hurst": _q_hurst,
     }
 
 
@@ -15851,6 +15885,166 @@ def oracle_sql() -> dict[str, str]:
               floor(spin::DOUBLE / (10.0 * n_eval::DOUBLE) / 1.0 * 1e6)
                 / 1e6 AS pinball90_q6
             FROM a WHERE n_eval > 0
+        """,
+        "q_brunner_munzel": """
+            WITH pooled AS (
+              SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                          ELSE 0 END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT ca, cb,
+                coalesce(sum(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cab,
+                coalesce(sum(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cbb
+              FROM cnt
+            ),
+            agg AS (
+              SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                sum(ca * (2 * (cab + cbb) + ca + cb + 1))::BIGINT
+                  AS sda,
+                sum(cb * (2 * (cab + cbb) + ca + cb + 1))::BIGINT
+                  AS sdb,
+                sum(ca * (2 * cbb + cb))::BIGINT AS sua,
+                sum(ca * (2 * cbb + cb) * (2 * cbb + cb))::BIGINT
+                  AS suua,
+                sum(cb * (2 * cab + ca))::BIGINT AS sub,
+                sum(cb * (2 * cab + ca) * (2 * cab + ca))::BIGINT
+                  AS suub
+              FROM cum
+            ),
+            m AS (
+              SELECT n_a, n_b, n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                sda::DOUBLE / (2.0 * n_a::DOUBLE) AS rba,
+                sdb::DOUBLE / (2.0 * n_b::DOUBLE) AS rbb,
+                sda::DOUBLE / n_a::DOUBLE - (n_a::DOUBLE + 1.0)
+                  AS cca,
+                sdb::DOUBLE / n_b::DOUBLE - (n_b::DOUBLE + 1.0)
+                  AS ccb,
+                sua::DOUBLE AS suad, suua::DOUBLE AS suuad,
+                sub::DOUBLE AS subd, suub::DOUBLE AS suubd
+              FROM agg
+            ),
+            m2 AS (
+              SELECT n_a, n_b, na, nb, rba, rbb,
+                (suuad - 2.0 * cca * suad + na * cca * cca) / 4.0
+                  / (na - 1.0) AS s2a,
+                (suubd - 2.0 * ccb * subd + nb * ccb * ccb) / 4.0
+                  / (nb - 1.0) AS s2b
+              FROM m
+            ),
+            m3 AS (
+              SELECT n_a, n_b, na, nb, rba, rbb, s2a, s2b,
+                na * s2a + nb * s2b AS t
+              FROM m2
+            )
+            SELECT n_a, n_b,
+              floor((rbb - (nb + 1.0) / 2.0) / na * 1e6) / 1e6
+                AS p_hat_q6,
+              CASE WHEN t > 0 THEN
+                floor(na * nb * (rbb - rba) / (na + nb) / sqrt(t)
+                      * 1e6) / 1e6
+              END AS w_q6,
+              CASE WHEN t > 0 THEN
+                floor(t * t
+                      / ((na * s2a) * (na * s2a) / (na - 1.0)
+                         + (nb * s2b) * (nb * s2b) / (nb - 1.0))
+                      * 1e6) / 1e6
+              END AS df_q6
+            FROM m3
+        """,
+        "q_hurst": """
+            WITH pre AS (
+              SELECT event_type AS g,
+                CAST(round(value * 100, 0) AS BIGINT) AS x,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) - 1 AS t
+              FROM events WHERE value IS NOT NULL
+            ),
+            pm AS (
+              SELECT g, x, m, t // m AS b, t % m + 1 AS j
+              FROM pre, (SELECT unnest([8, 16, 32, 64]) AS m)
+            ),
+            r_ AS (
+              SELECT g, m, b, j,
+                sum(x) OVER (PARTITION BY g, m, b ORDER BY j
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cx,
+                sum(x) OVER (PARTITION BY g, m, b) AS sx,
+                sum(x * x) OVER (PARTITION BY g, m, b) AS sxx,
+                count(*) OVER (PARTITION BY g, m, b) AS cnt
+              FROM pm
+            ),
+            complete AS (SELECT * FROM r_ WHERE cnt = m),
+            blocks AS (
+              SELECT g, m, b,
+                max(cx::DOUBLE - j::DOUBLE * sx::DOUBLE / m::DOUBLE)
+                  AS smax,
+                min(cx::DOUBLE - j::DOUBLE * sx::DOUBLE / m::DOUBLE)
+                  AS smin,
+                max(sx)::BIGINT AS bsx, max(sxx)::BIGINT AS bsxx
+              FROM complete GROUP BY g, m, b
+            ),
+            rs AS (
+              SELECT g, m, b,
+                (smax - smin)
+                  / sqrt(bsxx::DOUBLE / m::DOUBLE
+                         - (bsx::DOUBLE / m::DOUBLE)
+                           * (bsx::DOUBLE / m::DOUBLE)) AS rsv
+              FROM blocks
+              WHERE bsxx::DOUBLE / m::DOUBLE
+                    - (bsx::DOUBLE / m::DOUBLE)
+                      * (bsx::DOUBLE / m::DOUBLE) > 0
+            ),
+            stepped AS (
+              SELECT g, m,
+                sum(rsv) OVER (PARTITION BY g, m ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS srs,
+                row_number() OVER (PARTITION BY g, m ORDER BY b) AS rn,
+                count(*) OVER (PARTITION BY g, m) AS nb
+              FROM rs
+            ),
+            per_m AS (
+              SELECT g, m, nb::BIGINT AS n_blocks,
+                     srs / nb::DOUBLE AS rs_mean
+              FROM stepped WHERE rn = nb
+            ),
+            fitted AS (
+              SELECT g, m, n_blocks, rs_mean,
+                sum(ln(m::DOUBLE)) OVER w AS sx2,
+                sum(ln(rs_mean)) OVER w AS sy,
+                sum(ln(m::DOUBLE) * ln(rs_mean)) OVER w AS sxy,
+                sum(ln(m::DOUBLE) * ln(m::DOUBLE)) OVER w AS sxx2,
+                row_number() OVER (PARTITION BY g ORDER BY m) AS rn,
+                count(*) OVER (PARTITION BY g) AS k
+              FROM per_m
+              WINDOW w AS (PARTITION BY g ORDER BY m
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            h AS (
+              SELECT g,
+                CASE WHEN k >= 2 THEN
+                  (k::DOUBLE * sxy - sx2 * sy)
+                    / (k::DOUBLE * sxx2 - sx2 * sx2)
+                END AS hh
+              FROM fitted WHERE rn = k
+            )
+            SELECT per_m.g AS event_type, m AS block_m, n_blocks,
+              floor(rs_mean * 1e6) / 1e6 AS rs_mean_q6,
+              floor(hh * 1e6) / 1e6 AS hurst_q6
+            FROM per_m JOIN h ON per_m.g = h.g
         """,
     }
     return out

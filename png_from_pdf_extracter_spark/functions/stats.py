@@ -5252,3 +5252,264 @@ def forecast_accuracy(
             / F.lit(scale)
         ).alias("pinball90_q6"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Brunner-Munzel test — the rank test to reach for when the two
+    groups may have DIFFERENT shapes/variances ([[mann_whitney_u]]'s
+    null assumes exchangeability; BM only tests P(X<Y) + 1/2 P(X=Y)
+    = 1/2 and stays valid under the nonparametric Behrens-Fisher
+    setup). Emits the effect estimate p_hat, the studentized W and
+    its Satterthwaite df.
+
+    EXACT construction without per-row ranks: every BM ingredient
+    reduces to the distinct-value count table. With ca/cb the counts
+    at value v and *_below their running sums, the doubled combined
+    midrank is D_v = 2(ca_below + cb_below) + ca + cb + 1 and the
+    doubled PLACEMENT of an A-row (combined minus within-group
+    midrank) collapses to u_v = 2*cb_below + cb — so the rank means
+    and placement variances are BIGINT moment sums, finished by one
+    fixed float expression each. Plan: one value-count shuffle, one
+    distinct-value window, one scalar aggregate ([[mann_whitney_u]]'s
+    shape). Returns (n_a, n_b, p_hat_q6, w_q6, df_q6); W null when
+    both placement variances vanish (disjoint or constant samples).
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").cast("long").alias("ca"),
+        F.sum(1 - F.col("s")).cast("long").alias("cb"),
+    )
+    below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnt.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(below), F.lit(0)).alias("cab"),
+        F.coalesce(F.sum("cb").over(below), F.lit(0)).alias("cbb"),
+    )
+    d_v = (
+        2 * (F.col("cab") + F.col("cbb"))
+        + F.col("ca")
+        + F.col("cb")
+        + 1
+    )
+    ua = 2 * F.col("cbb") + F.col("cb")
+    ub = 2 * F.col("cab") + F.col("ca")
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * d_v).cast("long").alias("__sda"),
+        F.sum(F.col("cb") * d_v).cast("long").alias("__sdb"),
+        F.sum(F.col("ca") * ua).cast("long").alias("__sua"),
+        F.sum(F.col("ca") * ua * ua).cast("long").alias("__suua"),
+        F.sum(F.col("cb") * ub).cast("long").alias("__sub"),
+        F.sum(F.col("cb") * ub * ub).cast("long").alias("__suub"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    rba = F.col("__sda").cast("double") / (F.lit(2.0) * na)
+    rbb = F.col("__sdb").cast("double") / (F.lit(2.0) * nb)
+    ca_ = F.col("__sda").cast("double") / na - (na + F.lit(1.0))
+    cb_ = F.col("__sdb").cast("double") / nb - (nb + F.lit(1.0))
+    sqa = (
+        F.col("__suua").cast("double")
+        - F.lit(2.0) * ca_ * F.col("__sua").cast("double")
+        + na * ca_ * ca_
+    ) / F.lit(4.0)
+    sqb = (
+        F.col("__suub").cast("double")
+        - F.lit(2.0) * cb_ * F.col("__sub").cast("double")
+        + nb * cb_ * cb_
+    ) / F.lit(4.0)
+    s2a = sqa / (na - F.lit(1.0))
+    s2b = sqb / (nb - F.lit(1.0))
+    t = na * s2a + nb * s2b
+    w = na * nb * (rbb - rba) / (na + nb) / F.sqrt(t)
+    dof = (
+        t
+        * t
+        / (
+            (na * s2a) * (na * s2a) / (na - F.lit(1.0))
+            + (nb * s2b) * (nb * s2b) / (nb - F.lit(1.0))
+        )
+    )
+    p_hat = (rbb - (nb + F.lit(1.0)) / F.lit(2.0)) / na
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        q6(p_hat).alias("p_hat_q6"),
+        F.when(t > 0, q6(w)).alias("w_q6"),
+        F.when(t > 0, q6(dof)).alias("df_q6"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    block_sizes: tuple = (8, 16, 32, 64),
+    quantize: int = 2,
+) -> DataFrame:
+    """Hurst exponent via classic rescaled-range (R/S) analysis per
+    group: split the ordered series into complete blocks of each size
+    m, compute R/S (range of demeaned partial sums over the block
+    sd), and fit ln(mean R/S) ~ H ln(m) — H ~ 0.5 memoryless, > 0.5
+    long-range persistent (the "does today's burst predict next
+    week's" read that [[autocorr]]'s fixed lag can't see), < 0.5
+    anti-persistent.
+
+    Exactness: within a block the partial sums are BIGINT prefix
+    sums; S_j = cx_j - j*sx/m is ONE per-row float expression and
+    R = max S - min S is order-independent. Block means, the ln
+    points and the K-point OLS slope all accumulate through stepped
+    ordered windows (blocks by index, sizes by m) — no bare float
+    SUMs. Plan: one ordered window for rn, one per-(size, block)
+    window, two tiny stepped layers. Long output
+    (group..., block_m, n_blocks, rs_mean_q6, hurst_q6) with the
+    fitted H replicated per size row.
+    """
+    gcols = list(group_cols)
+    x = _quant(F.col(value_col), quantize)
+    ow = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pre = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("__x"),
+        (F.row_number().over(ow) - 1).cast("long").alias("__t"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(int(m)) for m in block_sizes])
+    ).alias("__m")
+    pm = pre.select(*gcols, "__x", "__t", sizes)
+    pm = pm.select(
+        *gcols,
+        "__x",
+        "__m",
+        F.floor(F.col("__t") / F.col("__m")).cast("long").alias("__b"),
+        (F.col("__t") % F.col("__m") + 1).cast("long").alias("__j"),
+    )
+    bw = Window.partitionBy(*gcols, "__m", "__b")
+    cw = bw.orderBy("__j").rowsBetween(Window.unboundedPreceding, 0)
+    rows = pm.select(
+        *gcols,
+        "__m",
+        "__b",
+        "__j",
+        F.sum("__x").over(cw).alias("__cx"),
+        F.sum("__x").over(bw).cast("long").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x"))
+        .over(bw)
+        .cast("long")
+        .alias("__sxx"),
+        F.count("*").over(bw).alias("__cnt"),
+    ).filter(F.col("__cnt") == F.col("__m"))
+    md = F.col("__m").cast("double")
+    s_j = (
+        F.col("__cx").cast("double")
+        - F.col("__j").cast("double")
+        * F.col("__sx").cast("double")
+        / md
+    )
+    blocks = rows.groupBy(*gcols, "__m", "__b").agg(
+        F.max(s_j).alias("__smax"),
+        F.min(s_j).alias("__smin"),
+        F.max("__sx").alias("__bsx"),
+        F.max("__sxx").alias("__bsxx"),
+    )
+    md2 = F.col("__m").cast("double")
+    var = F.col("__bsxx").cast("double") / md2 - (
+        F.col("__bsx").cast("double") / md2
+    ) * (F.col("__bsx").cast("double") / md2)
+    rs = blocks.select(
+        *gcols,
+        "__m",
+        "__b",
+        F.when(
+            var > 0,
+            (F.col("__smax") - F.col("__smin")) / F.sqrt(var),
+        ).alias("__rs"),
+    ).filter(F.col("__rs").isNotNull())
+    sbw = Window.partitionBy(*gcols, "__m").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sfull = Window.partitionBy(*gcols, "__m")
+    stepped = rs.select(
+        *gcols,
+        "__m",
+        F.sum("__rs").over(sbw).alias("__srs"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols, "__m").orderBy("__b"))
+        .alias("__rn"),
+        F.count("*").over(sfull).alias("__nb"),
+    )
+    per_m = stepped.filter(F.col("__rn") == F.col("__nb")).select(
+        *gcols,
+        "__m",
+        F.col("__nb").cast("long").alias("n_blocks"),
+        (F.col("__srs") / F.col("__nb").cast("double")).alias(
+            "__rs_mean"
+        ),
+    )
+    lx = F.log(F.col("__m").cast("double"))
+    ly = F.log("__rs_mean")
+    mw = Window.partitionBy(*gcols).orderBy("__m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mfull = Window.partitionBy(*gcols)
+    fitted = per_m.select(
+        *gcols,
+        "__m",
+        "n_blocks",
+        "__rs_mean",
+        F.sum(lx).over(mw).alias("__sx2"),
+        F.sum(ly).over(mw).alias("__sy"),
+        F.sum(lx * ly).over(mw).alias("__sxy"),
+        F.sum(lx * lx).over(mw).alias("__sxx2"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy("__m"))
+        .alias("__rn"),
+        F.count("*").over(mfull).alias("__k"),
+    )
+    last = fitted.filter(F.col("__rn") == F.col("__k")).select(
+        *gcols,
+        F.col("__k").cast("double").alias("__kk"),
+        "__sx2",
+        "__sy",
+        "__sxy",
+        "__sxx2",
+    )
+    slope = (
+        F.col("__kk") * F.col("__sxy") - F.col("__sx2") * F.col("__sy")
+    ) / (
+        F.col("__kk") * F.col("__sxx2")
+        - F.col("__sx2") * F.col("__sx2")
+    )
+    hurst = last.select(
+        *gcols,
+        F.when(F.col("__kk") >= 2, slope).alias("__h"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = per_m.join(F.broadcast(hurst), gcols).select(
+        *gcols,
+        F.col("__m").alias("block_m"),
+        "n_blocks",
+        q6(F.col("__rs_mean")).alias("rs_mean_q6"),
+        q6(F.col("__h")).alias("hurst_q6"),
+    )
+    return out

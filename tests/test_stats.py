@@ -2934,3 +2934,129 @@ def test_forecast_accuracy_constant_series_mase_null(spark):
     ).collect()[0]
     assert r["mase_q6"] is None  # naive-1 MAE is 0: undefined
     assert r["mae_q6"] == 0.0
+
+
+def _midranks(vals, pool):
+    """Midrank of each v in vals within the sorted pool."""
+    import bisect
+
+    sp = sorted(pool)
+    out = []
+    for v in vals:
+        lo = bisect.bisect_left(sp, v)
+        hi = bisect.bisect_right(sp, v)
+        out.append((lo + 1 + hi) / 2.0)
+    return out
+
+
+def test_brunner_munzel_python_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        brunner_munzel,
+    )
+    import math
+
+    xs = [1.0, 2.0, 2.0, 4.0, 5.0, 7.0, 7.0, 9.0]
+    ys = [3.0, 4.0, 4.0, 6.0, 7.0, 8.0, 10.0, 12.0, 12.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "v", "g", "a", "b", quantize=0).collect()[0]
+
+    pool = xs + ys
+    na, nb = len(xs), len(ys)
+    rx = _midranks(xs, pool)
+    ry = _midranks(ys, pool)
+    rxw = _midranks(xs, xs)
+    ryw = _midranks(ys, ys)
+    rbx, rby = sum(rx) / na, sum(ry) / nb
+    s2x = sum(
+        (rx[i] - rxw[i] - rbx + (na + 1) / 2.0) ** 2 for i in range(na)
+    ) / (na - 1)
+    s2y = sum(
+        (ry[i] - ryw[i] - rby + (nb + 1) / 2.0) ** 2 for i in range(nb)
+    ) / (nb - 1)
+    t = na * s2x + nb * s2y
+    w = na * nb * (rby - rbx) / (na + nb) / math.sqrt(t)
+    dof = t * t / (
+        (na * s2x) ** 2 / (na - 1) + (nb * s2y) ** 2 / (nb - 1)
+    )
+    p_hat = (rby - (nb + 1) / 2.0) / na
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["p_hat_q6"] - p_hat) < 2e-6
+    assert abs(r["w_q6"] - w) < 2e-6
+    assert abs(r["df_q6"] - dof) < 1e-4
+    assert r["p_hat_q6"] > 0.5  # b stochastically larger
+
+
+def test_brunner_munzel_symmetric_near_zero(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        brunner_munzel,
+    )
+
+    rows = [("a", float(i)) for i in range(20)] + [
+        ("b", float(i) + 0.5) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "v", "g", "a", "b", quantize=1).collect()[0]
+    # near-identical distributions: p_hat ~ 0.5, |W| small
+    assert abs(r["p_hat_q6"] - 0.5) < 0.06
+    assert abs(r["w_q6"]) < 1.0
+
+
+def test_brunner_munzel_disjoint_degenerate(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        brunner_munzel,
+    )
+
+    rows = [("a", 1.0)] * 5 + [("b", 9.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    # complete separation with constant samples: variance 0 -> W null
+    assert r["w_q6"] is None and r["df_q6"] is None
+    assert r["p_hat_q6"] == 1.0
+
+
+def test_hurst_regimes(spark):
+    from png_from_pdf_extracter_spark.functions.stats import hurst_rs
+    import numpy as np
+
+    noise = _lcg_seq(512, seed=3)
+    rng_walk = np.cumsum(np.array(_lcg_seq(512, seed=5)) - 49.5)
+    alt = [100.0 if i % 2 else 0.0 for i in range(512)]
+    rows = (
+        [("noise", i, float(v)) for i, v in enumerate(noise)]
+        + [("walk", i, float(v)) for i, v in enumerate(rng_walk)]
+        + [("alt", i, float(v)) for i, v in enumerate(alt)]
+    )
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = hurst_rs(
+        df, ("g",), ("o",), "v", block_sizes=(8, 16, 32, 64), quantize=1
+    ).collect()
+    h = {r["g"]: r["hurst_q6"] for r in out}
+    per = {(r["g"], r["block_m"]): r for r in out}
+    # each group has all 4 size rows with full block counts
+    assert per[("noise", 8)]["n_blocks"] == 64
+    assert per[("noise", 64)]["n_blocks"] == 8
+    # iid noise ~ 0.5 (R/S bias pulls slightly high at small m)
+    assert 0.35 < h["noise"] < 0.72
+    # integrated walk: persistent, near 1
+    assert h["walk"] > 0.8
+    # strict alternation: strongly anti-persistent
+    assert h["alt"] < 0.2
+    # rs_mean grows with block size for the walk
+    assert (
+        per[("walk", 64)]["rs_mean_q6"] > per[("walk", 8)]["rs_mean_q6"]
+    )
+
+
+def test_hurst_short_group_null_fit(spark):
+    from png_from_pdf_extracter_spark.functions.stats import hurst_rs
+
+    # only 10 points: just the m=8 size yields a complete block ->
+    # single ln point, slope undefined
+    rows = [("g", i, float(i % 3)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    out = hurst_rs(
+        df, ("g",), ("o",), "v", block_sizes=(8, 16, 32, 64), quantize=0
+    ).collect()
+    assert len(out) == 1 and out[0]["block_m"] == 8
+    assert out[0]["hurst_q6"] is None
