@@ -6461,6 +6461,37 @@ def _q_hurst(spark, sf_dir):
     )
 
 
+def _q_dp_counts(spark, sf_dir):
+    """Laplace-mechanism released per-source document counts, eps=1
+    (functions/curate.py dp_group_counts): seeded md5-uniform ->
+    inverse-CDF Laplace noise, clamp at 0 — the privacy-budgeted
+    release shape over the q_k_anonymity partitions. Seeding is for
+    the cross-engine check; production draws fresh randomness."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        dp_group_counts,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return dp_group_counts(d, ("source",), eps_num=1, eps_den=1)
+
+
+def _q_neyman(spark, sf_dir):
+    """Neyman sample allocation of a 10k-row audit budget across
+    order priorities by totalprice spread (functions/curate.py
+    neyman_allocation): n_h ~ N_h * S_h, the minimum-variance
+    stratified design. DECIMAL(38,0) moment sums; the denominator
+    folds in fixed stratum order."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        neyman_allocation,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    return neyman_allocation(
+        o, ("o_orderpriority",), "o_totalprice", total_n=10000,
+        quantize=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6791,6 +6822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_accuracy": _q_forecast_accuracy,
         "q_brunner_munzel": _q_brunner_munzel,
         "q_hurst": _q_hurst,
+        "q_dp_counts": _q_dp_counts,
+        "q_neyman": _q_neyman,
     }
 
 
@@ -16045,6 +16078,72 @@ def oracle_sql() -> dict[str, str]:
               floor(rs_mean * 1e6) / 1e6 AS rs_mean_q6,
               floor(hh * 1e6) / 1e6 AS hurst_q6
             FROM per_m JOIN h ON per_m.g = h.g
+        """,
+        "q_dp_counts": """
+            WITH counts AS (
+              SELECT source, count(*)::BIGINT AS n_true
+              FROM documents GROUP BY source
+            ),
+            u_ AS (
+              SELECT source, n_true,
+                ((CAST(('0x' || substring(
+                    md5('dp0' || chr(31) || source), 1, 15)) AS BIGINT)
+                  % 1000000000000)::DOUBLE + 0.5) / 1e12 AS u
+              FROM counts
+            )
+            SELECT source, n_true,
+              floor(greatest(0.0,
+                n_true::DOUBLE
+                + (-(1.0 / 1.0)) * sign(u - 0.5)
+                  * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6) / 1e6
+                AS released_q6
+            FROM u_
+        """,
+        "q_neyman": """
+            WITH base AS (
+              SELECT o_orderpriority AS st,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            agg AS (
+              SELECT st, count(*)::BIGINT AS n_rows,
+                sum(v)::BIGINT AS s,
+                sum(CAST(v AS DECIMAL(38,0))
+                    * CAST(v AS DECIMAL(38,0))) AS ss
+              FROM base GROUP BY st
+            ),
+            w_ AS (
+              SELECT st, n_rows,
+                CASE WHEN n_rows > 1 THEN
+                  sqrt(greatest(0.0,
+                    (ss::DOUBLE - s::DOUBLE
+                       * (s::DOUBLE / n_rows::DOUBLE))
+                    / (n_rows::DOUBLE - 1.0)))
+                ELSE 0.0 END AS sd
+              FROM agg
+            ),
+            w2 AS (
+              SELECT st, n_rows, sd / 100.0 AS sdq,
+                     n_rows::DOUBLE * sd AS w
+              FROM w_
+            ),
+            cum AS (
+              SELECT st, n_rows, sdq, w,
+                sum(w) OVER (ORDER BY st ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cw,
+                row_number() OVER (ORDER BY st) AS rn,
+                count(*) OVER () AS k
+              FROM w2
+            ),
+            wtot AS (SELECT cw AS wt FROM cum WHERE rn = k)
+            SELECT st AS o_orderpriority, n_rows,
+              floor(sdq * 1e6) / 1e6 AS sd_q6,
+              floor((CASE WHEN wt > 0 THEN w / wt ELSE 0.0 END) * 1e6)
+                / 1e6 AS alloc_frac_q6,
+              CAST(floor(10000.0 * (CASE WHEN wt > 0 THEN w / wt
+                                    ELSE 0.0 END)) AS BIGINT)
+                AS n_alloc
+            FROM cum, wtot
         """,
     }
     return out

@@ -1332,3 +1332,151 @@ def curriculum_stages(
         "stage",
         F.md5(F.col("id").cast("string")).alias("sort_key"),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: tuple,
+    eps_num: int = 1,
+    eps_den: int = 1,
+    seed: str = "dp0",
+) -> DataFrame:
+    """Laplace-mechanism released group counts: count + Lap(1/eps)
+    noise per group (count queries have sensitivity 1 under
+    add/remove-one-row), clamped at 0 — the shape of every
+    privacy-budgeted stats release over [[k_anonymity_report]]-style
+    partitions. eps is the rational ``eps_num/eps_den``.
+
+    The noise here is SEEDED (md5 of seed || group key -> uniform ->
+    inverse-CDF Laplace) so the release is reproducible and
+    cross-engine checkable; that determinism is for TESTS — a
+    production release must draw the seed fresh and keep it secret,
+    or the mechanism provides no privacy. Uniform u lands on the
+    half-open 1e12 grid offset by 0.5 so |u - 0.5| is never 0.5
+    exactly (ln(0) unreachable) on either engine.
+
+    Map-combinable count + per-group scalar noise expression; no
+    extra shuffle. Returns (group..., n_true, released_q6) — callers
+    releasing for real drop n_true.
+    """
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    key = F.concat_ws(
+        "\x1f", F.lit(seed), *[F.col(c).cast("string") for c in gcols]
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    u = (
+        (h % F.lit(10 ** 12)).cast("double") + F.lit(0.5)
+    ) / F.lit(1e12)
+    b = F.lit(float(eps_den)) / F.lit(float(eps_num))
+    centered = u - F.lit(0.5)
+    noise = (
+        -b
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    released = F.greatest(
+        F.lit(0.0), F.col("n_true").cast("double") + noise
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return counts.select(
+        *gcols,
+        "n_true",
+        q6(released).alias("released_q6"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: tuple,
+    value_col: str,
+    total_n: int,
+    quantize: int = 2,
+) -> DataFrame:
+    """Optimal (Neyman) sample allocation across strata for a given
+    sampling budget: n_h proportional to N_h * S_h — big OR noisy
+    strata get more of the budget, the design that minimizes the
+    variance of the stratified mean at fixed cost. The planning step
+    before a [[hash_sample]]-per-stratum audit draw.
+
+    N_h and the sample-sd moments are BIGINT aggregates; the
+    denominator sum_h N_h S_h folds in fixed stratum order (stepped
+    window over the strata table — strata count, not row count).
+    n_alloc is the floor of the exact fraction; the emitted fractions
+    sum to 1. Returns (stratum..., n_rows, sd_q6, alloc_frac_q6,
+    n_alloc); strata with zero variance get weight 0 (a constant
+    stratum needs 1 probe, which floor already grants via frac 0 —
+    callers typically max(1, n_alloc)).
+    """
+    gcols = list(stratum_cols)
+    v = F.round(
+        F.col(value_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, v.alias("__v")
+    )
+    # squares of cent-quantized values overflow int64 above ~10^5 rows
+    # per stratum: accumulate in DECIMAL(38,0) (DuckDB HUGEINT twin)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("__v").cast("long").alias("__s"),
+        F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__ss"),
+    )
+    n = F.col("n_rows").cast("double")
+    var = F.when(
+        F.col("n_rows") > 1,
+        (
+            F.col("__ss").cast("double")
+            - F.col("__s").cast("double")
+            * (F.col("__s").cast("double") / n)
+        )
+        / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    sd = F.sqrt(F.greatest(F.lit(0.0), var))
+    scale = float(10 ** quantize)
+    weighted = agg.select(
+        *gcols,
+        "n_rows",
+        (sd / F.lit(scale)).alias("__sd"),
+        (n * sd).alias("__w"),
+    )
+    ordw = Window.orderBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = weighted.select(
+        *gcols,
+        "n_rows",
+        "__sd",
+        "__w",
+        F.sum("__w").over(ordw).alias("__cw"),
+        F.row_number().over(Window.orderBy(*gcols)).alias("__rn"),
+        F.count("*")
+        .over(
+            Window.orderBy(*gcols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__k"),
+    )
+    wtot = F.broadcast(
+        cum.filter(F.col("__rn") == F.col("__k")).select(
+            F.col("__cw").alias("__wtot")
+        )
+    )
+    stepped = cum.crossJoin(wtot)
+    frac = F.when(
+        F.col("__wtot") > 0, F.col("__w") / F.col("__wtot")
+    ).otherwise(F.lit(0.0))
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return stepped.select(
+        *gcols,
+        "n_rows",
+        q6(F.col("__sd")).alias("sd_q6"),
+        q6(frac).alias("alloc_frac_q6"),
+        F.floor(F.lit(float(total_n)) * frac).cast("long").alias(
+            "n_alloc"
+        ),
+    )

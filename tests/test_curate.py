@@ -1042,3 +1042,72 @@ def test_curriculum_stage_balance_and_tie_stability(spark):
     import hashlib
 
     assert rowsd[7]["sort_key"] == hashlib.md5(b"7").hexdigest()
+
+
+def test_dp_counts_noise_shape_and_clamp(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        dp_group_counts,
+    )
+
+    rows = [(f"g{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string")
+    out = dp_group_counts(df, ("g",), eps_num=1, eps_den=1).collect()
+    assert len(out) == 20
+    errs = [r["released_q6"] - r["n_true"] for r in out]
+    # Laplace(1): most draws within a few units, deterministic per key
+    assert all(abs(e) < 15 for e in errs)
+    assert any(e > 0 for e in errs) and any(e < 0 for e in errs)
+    # determinism: rerun produces identical releases
+    out2 = dp_group_counts(df, ("g",), eps_num=1, eps_den=1).collect()
+    assert {(r["g"], r["released_q6"]) for r in out} == {
+        (r["g"], r["released_q6"]) for r in out2
+    }
+    # different seed -> different noise
+    out3 = dp_group_counts(
+        df, ("g",), eps_num=1, eps_den=1, seed="other"
+    ).collect()
+    assert {(r["g"], r["released_q6"]) for r in out} != {
+        (r["g"], r["released_q6"]) for r in out3
+    }
+    # tight epsilon -> bigger noise scale (eps = 1/10 -> b = 10)
+    wide = dp_group_counts(df, ("g",), eps_num=1, eps_den=10).collect()
+    werrs = [abs(r["released_q6"] - r["n_true"]) for r in wide]
+    assert max(werrs) > max(abs(e) for e in errs)
+    # clamp: a tiny group with large negative noise never goes below 0
+    assert all(r["released_q6"] >= 0.0 for r in wide)
+
+
+def test_neyman_allocation_hand_case(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        neyman_allocation,
+    )
+    import math
+
+    # stratum a: 100 rows sd~0; b: 100 rows sd 10-ish; c: 400 rows same sd
+    rows = (
+        [("a", 5.0)] * 100
+        + [("b", float(v)) for v in range(100)]
+        + [("c", float(v % 100)) for v in range(400)]
+    )
+    df = spark.createDataFrame(rows, "st string, v double")
+    out = {
+        r["st"]: r
+        for r in neyman_allocation(
+            df, ("st",), "v", total_n=1000, quantize=0
+        ).collect()
+    }
+    # constant stratum: weight 0
+    assert out["a"]["alloc_frac_q6"] == 0.0 and out["a"]["n_alloc"] == 0
+    # same sd, 4x the rows -> ~4x the allocation
+    ratio = out["c"]["n_alloc"] / out["b"]["n_alloc"]
+    assert 3.8 < ratio < 4.2
+    # fractions sum to ~1 and allocations to <= total
+    assert (
+        abs(sum(r["alloc_frac_q6"] for r in out.values()) - 1.0) < 1e-4
+    )
+    assert sum(r["n_alloc"] for r in out.values()) <= 1000
+    # sd matches numpy sample sd for stratum b
+    vals = list(range(100))
+    mean = sum(vals) / 100
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / 99)
+    assert abs(out["b"]["sd_q6"] - sd) < 1e-4
