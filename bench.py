@@ -585,6 +585,26 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_ece",
         "q_fairness",
         "q_slope_break",
+        "q_reliability",
+        "q_agreement",
+        "q_lexical_richness",
+        "q_ljung_box",
+        "q_kpss",
+        "q_variance_ratio",
+        "q_graph_profile",
+        "q_modularity",
+        "q_rich_club",
+        "q_rank_metrics",
+        "q_ql_dirichlet",
+        "q_inequality",
+        "q_srm",
+        "q_doubly_robust",
+        "q_linear_cka",
+        "q_forecast_accuracy",
+        "q_brunner_munzel",
+        "q_hurst",
+        "q_dp_counts",
+        "q_neyman",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
