@@ -941,3 +941,100 @@ def test_rake_top_k_is_take_ordered_not_global_window(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(rake_keyphrases(d, top_k=15))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_concordance_single_exchange_one_aggregate(spark):
+    """concordance_agreement: ONE combinable moment aggregate per
+    group — exactly one Exchange (the group-key partial/final
+    aggregate pair), no window, no join."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        concordance_agreement,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        (F.col("n_chars") * 2).cast("double").alias("y"),
+    )
+    plan = _plan(concordance_agreement(d, "x", "y", ("source",)))
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_reliability_broadcast_combine_no_smj(spark):
+    """interrater_reliability: the subject/item/grand stats combine
+    through single-row broadcasts — no sort-merge join anywhere."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        interrater_reliability,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        interrater_reliability(e, "user_id", "event_type", "value")
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ljung_box_single_window_pass(spark):
+    """ljung_box: all five lag columns come off ONE ordered window
+    (one Window node over the raw rows), then one aggregate; the
+    second Window runs over the 5-row lag table."""
+    from png_from_pdf_extracter_spark.functions.stats import ljung_box
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        ljung_box(e, ("event_type",), ("ts", "event_id"), "value")
+    )
+    # one window over raw rows + one over the exploded lag table
+    assert plan.count("Window") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ql_topk_term_set_broadcast_and_take_ordered(spark):
+    """ql_topk: the query-term set joins the exploded corpus as a
+    BROADCAST (never shuffling the token stream against 3 terms) and
+    the top-k cut is TakeOrderedAndProject."""
+    from png_from_pdf_extracter_spark.functions.search import ql_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ql_topk(d, ["vector", "stream", "merge"], top_k=10))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_graph_profile_reuses_triangle_cache(spark):
+    """graph_profile: the triangle pipeline's persisted oriented edge
+    list is propagated for dedup.release — the profile must expose the
+    cached-deps contract attribute."""
+    from png_from_pdf_extracter_spark.functions.graph import graph_profile
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 97).alias("dst"),
+    )
+    prof = graph_profile(edges)
+    cached = getattr(prof, "_spark_graft_cached", None)
+    assert cached, "triangle cache not propagated"
+    for c in cached:
+        c.unpersist()
+
+
+def test_linear_cka_dim2_shuffle_not_rows(spark):
+    """linear_cka: the shuffle after the partial-gram mapInPandas is
+    keyed by (d1, d2) — hashpartitioning on the dim pair, never on a
+    row id — so the exchanged volume is O(dim^2), not O(n)."""
+    from png_from_pdf_extracter_spark.functions.similarity import linear_cka
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qz = lambda c: F.round(c.cast("double") * 1000, 0).cast("long")  # noqa: E731
+    d = e.select(
+        F.transform(F.col("embedding"), lambda v: qz(v)).alias("xq"),
+        F.transform(F.col("embedding"), lambda v: qz(v)).alias("yq"),
+    )
+    out = linear_cka(d, "xq", "yq")
+    plan = _plan(out)
+    assert "hashpartitioning(d1" in plan, plan
+    for c in getattr(out, "_spark_graft_cached", []):
+        c.unpersist()
