@@ -6492,6 +6492,54 @@ def _q_neyman(spark, sf_dir):
     )
 
 
+def _q_kendalls_w(spark, sf_dir):
+    """Kendall's W concordance over q_friedman's spend blocks
+    (functions/stats.py kendalls_w): the agreement EFFECT SIZE next
+    to Friedman's significance — W derived from the emitted Q in the
+    same two-step on both engines, so the division is exact by
+    construction."""
+    from png_from_pdf_extracter_spark.functions.stats import kendalls_w
+
+    o = _read(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        (F.col("o_custkey") % 50).alias("subj"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("spend")
+    )
+    return kendalls_w(blocks, "subj", "trt", "spend", quantize=0)
+
+
+def _q_grubbs(spark, sf_dir):
+    """Grubbs' max-studentized-deviate outlier screen on account
+    balance per market segment (functions/stats.py grubbs_test):
+    integer moments, order-independent max over one per-row float,
+    (deviation, value) struct-max argmax with value tie-break."""
+    from png_from_pdf_extracter_spark.functions.stats import grubbs_test
+
+    c = _read(spark, sf_dir, "customer")
+    return grubbs_test(c, "c_acctbal", ("c_mktsegment",), quantize=2)
+
+
+def _q_hubness(spark, sf_dir):
+    """Hubness profile of the exact-cosine top-10 graph over the
+    first 500 vectors (functions/similarity.py hubness_profile):
+    k-occurrence skewness — the high-dimensional pathology probe to
+    run before trusting q_semdedup/q_mutual_nn neighbors. Integer
+    in-degree moments; one neighbor-key count."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        hubness_profile,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 500), k=10
+    )
+    return hubness_profile(ranked)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6824,6 +6872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hurst": _q_hurst,
         "q_dp_counts": _q_dp_counts,
         "q_neyman": _q_neyman,
+        "q_kendalls_w": _q_kendalls_w,
+        "q_grubbs": _q_grubbs,
+        "q_hubness": _q_hubness,
     }
 
 
@@ -16144,6 +16195,146 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0.0 END)) AS BIGINT)
                 AS n_alloc
             FROM cum, wtot
+        """,
+        "q_kendalls_w": """
+            WITH cells AS (
+              SELECT o_custkey % 50 AS subj, o_orderpriority AS trt,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS v
+              FROM orders GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT subj, trt,
+                     (2 * rank() OVER (PARTITION BY subj ORDER BY v)
+                      + count(*) OVER (PARTITION BY subj, v)
+                      - 1)::BIGINT AS r2
+              FROM cells
+            ),
+            scal AS (
+              SELECT sum(r2 * r2)::BIGINT AS a4,
+                     count(DISTINCT subj)::BIGINT AS n_subj,
+                     count(DISTINCT trt)::BIGINT AS k
+              FROM ranked
+            ),
+            per_trt AS (
+              SELECT trt, sum(r2)::BIGINT AS r2_sum
+              FROM ranked GROUP BY trt
+            ),
+            s AS (
+              SELECT sum((r2_sum - n_subj * (k + 1))
+                         * (r2_sum - n_subj * (k + 1)))::BIGINT AS s4,
+                     max(a4) AS a4,
+                     max(n_subj) AS n_subjects,
+                     max(k) AS k
+              FROM per_trt, scal
+            ),
+            q AS (
+              SELECT n_subjects, k,
+                CASE WHEN a4 > n_subjects * k * (k + 1) * (k + 1) THEN
+                  floor((k - 1)::DOUBLE * s4::DOUBLE
+                        / (a4 - n_subjects * k * (k + 1)
+                           * (k + 1))::DOUBLE * 1e6) / 1e6
+                END AS q_q6
+              FROM s
+            )
+            SELECT n_subjects, k, q_q6,
+              CASE WHEN q_q6 IS NOT NULL AND k > 1 THEN
+                floor(q_q6 / (n_subjects::DOUBLE * (k - 1)::DOUBLE)
+                      * 1e6) / 1e6
+              END AS w_q6
+            FROM q
+        """,
+        "q_grubbs": """
+            WITH base AS (
+              SELECT c_mktsegment AS g,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+              FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            mom AS (
+              SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+                sum(v * v)::BIGINT AS ss
+              FROM base GROUP BY g
+            ),
+            dev AS (
+              SELECT base.g, n, v,
+                abs(v::DOUBLE - s::DOUBLE / n::DOUBLE) AS d,
+                (ss::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                  / (n::DOUBLE - 1.0) AS var
+              FROM base JOIN mom ON base.g = mom.g
+            ),
+            pick AS (
+              SELECT g, n, v, d, var,
+                row_number() OVER (PARTITION BY g
+                                   ORDER BY d DESC, v DESC) AS rn
+              FROM dev
+            )
+            SELECT g AS c_mktsegment, n,
+              v::DOUBLE / 100.0 AS outlier_value_q,
+              CASE WHEN var > 0 THEN
+                floor(d / sqrt(var) * 1e6) / 1e6
+              END AS g_q6
+            FROM pick WHERE rn = 1
+        """,
+        "q_hubness": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 500),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM c, q WHERE neighbor_id <> query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id
+              FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC,
+                                                   neighbor_id ASC)
+                         AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            occ AS (
+              SELECT neighbor_id, count(*)::BIGINT AS c
+              FROM ranked GROUP BY neighbor_id
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n_points,
+                sum(c)::BIGINT AS k_total,
+                sum(c * c)::BIGINT AS s2,
+                sum(c * c * c)::BIGINT AS s3,
+                max(c)::BIGINT AS max_occ
+              FROM occ
+            ),
+            f AS (
+              SELECT n_points, k_total, max_occ,
+                k_total::DOUBLE / n_points::DOUBLE AS m1,
+                s2::DOUBLE / n_points::DOUBLE AS s2n,
+                s3::DOUBLE / n_points::DOUBLE AS s3n
+              FROM agg
+            ),
+            f2 AS (
+              SELECT n_points, k_total, max_occ, m1,
+                s2n - m1 * m1 AS m2,
+                s3n - 3.0 * m1 * s2n + 2.0 * m1 * m1 * m1 AS m3
+              FROM f
+            )
+            SELECT n_points, k_total,
+              floor(m1 * 1e6) / 1e6 AS mean_occ_q6,
+              CASE WHEN m2 > 0 THEN
+                floor(m3 / (sqrt(m2) * m2) * 1e6) / 1e6
+              END AS skew_q6,
+              max_occ
+            FROM f2
         """,
     }
     return out

@@ -1911,3 +1911,53 @@ def linear_cka(
     )
     out._spark_graft_cached = [folded]
     return out
+
+
+def hubness_profile(
+    ranked: DataFrame,
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Hubness profile of a kNN result table: the k-occurrence
+    distribution (how many query lists each point appears in) and its
+    skewness — THE high-dimensional pathology probe for embedding
+    spaces. Skewed k-occurrence means a few "hub" points crowd
+    everyone's neighbor lists, which silently corrupts [[semdedup]]
+    cells, [[mutual_nn_pairs]] matching and any kNN-graph clustering;
+    run this before trusting neighbors at a new dim/model.
+
+    In-degrees are integer counts; mean/sd/skewness (Fisher g1, the
+    biased moment form) come from three BIGINT moment sums — one
+    fixed float expression each. Plan: one neighbor-key count + one
+    scalar aggregate over the occurrence table. Returns one row
+    (n_points, k_total, mean_occ_q6, skew_q6, max_occ).
+    """
+    occ = ranked.groupBy(F.col(neighbor_col).alias("__nb")).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    agg = occ.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("__c").cast("long").alias("k_total"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c"))
+        .cast("long")
+        .alias("__s3"),
+        F.max("__c").cast("long").alias("max_occ"),
+    )
+    n = F.col("n_points").cast("double")
+    m1 = F.col("k_total").cast("double") / n
+    m2 = F.col("__s2").cast("double") / n - m1 * m1
+    m3 = (
+        F.col("__s3").cast("double") / n
+        - F.lit(3.0) * m1 * (F.col("__s2").cast("double") / n)
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_points",
+        "k_total",
+        q6(m1).alias("mean_occ_q6"),
+        F.when(
+            m2 > 0, q6(m3 / (F.sqrt(m2) * m2))
+        ).alias("skew_q6"),
+        "max_occ",
+    )

@@ -5513,3 +5513,108 @@ def hurst_rs(
         q6(F.col("__h")).alias("hurst_q6"),
     )
     return out
+
+
+def kendalls_w(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — the EFFECT SIZE for
+    [[friedman_test]]'s k-ranker agreement question: W = Q/(n(k-1))
+    with the tie-corrected Friedman Q, 0 = no agreement among the n
+    subjects' rankings of the k treatments, 1 = perfect unanimity.
+    Report W next to Q: a huge corpus makes any disagreement
+    "significant" while W says whether the rankers actually agree.
+
+    Derived from the emitted (already floor-quantized) Q in the SAME
+    two-step on both engines, so the division is cross-engine exact by
+    construction. Plan: [[friedman_test]] unchanged (subject-local
+    rank windows, two scalar aggregates). Returns one row
+    (n_subjects, k, q_q6, w_q6).
+    """
+    f = friedman_test(
+        df, subject_col, treatment_col, value_col, quantize
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return f.select(
+        "n_subjects",
+        "k",
+        "q_q6",
+        F.when(
+            F.col("q_q6").isNotNull() & (F.col("k") > 1),
+            q6(
+                F.col("q_q6")
+                / (
+                    F.col("n_subjects").cast("double")
+                    * (F.col("k") - 1).cast("double")
+                )
+            ),
+        ).alias("w_q6"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test per group: G =
+    max|x - mean| / sd, plus WHICH value produced it — the single-
+    outlier screen to run before trusting a group mean, sharper than
+    [[robust_outliers]]'s bulk MAD fence when you suspect exactly one
+    contaminated reading per shard.
+
+    Integer moments give mean/sd in one fixed expression;
+    |x - mean| is one per-row float and MAX over it is order-
+    independent, so no stepped window is needed. The deviate's VALUE
+    comes from the same max via a (deviation, value) struct with the
+    value as a deterministic tie-break. One combinable aggregate +
+    one max — two passes over the group. Returns
+    (group..., n, outlier_value_q, g_q6); null G when sd = 0.
+    """
+    gcols = list(group_cols)
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(*gcols, v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    mom = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("long").alias("__ss"),
+    )
+    j = base.join(F.broadcast(mom), gcols) if gcols else base.crossJoin(
+        F.broadcast(mom)
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * mean
+    ) / (n - F.lit(1.0))
+    dev = F.abs(F.col("__v").cast("double") - mean)
+    picked = j.groupBy(*gcols).agg(
+        F.max(
+            F.struct(
+                dev.alias("d"), F.col("__v").alias("v")
+            )
+        ).alias("__best"),
+        F.max("n").alias("n"),
+        F.max(var).alias("__var"),
+    )
+    scale = float(10 ** quantize)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return picked.select(
+        *gcols,
+        "n",
+        (
+            F.col("__best.v").cast("double") / F.lit(scale)
+        ).alias("outlier_value_q"),
+        F.when(
+            F.col("__var") > 0,
+            q6(F.col("__best.d") / F.sqrt(F.col("__var"))),
+        ).alias("g_q6"),
+    )

@@ -324,3 +324,26 @@ def test_linear_cka_numpy_twin(spark):
     den = np.linalg.norm(xc.T @ xc, "fro") * np.linalg.norm(yc.T @ yc, "fro")
     assert abs(r["cka_q6"] - num / den) < 1e-5
     assert 0.5 < r["cka_q6"] < 1.0  # diagonal gain: similar, not equal
+
+
+def test_hubness_profile_planted_hub(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        hubness_profile,
+    )
+
+    # 20 queries; neighbor 99 appears in every list, others spread
+    rows = []
+    for q in range(20):
+        rows.append((q, 99))
+        rows.append((q, 200 + q))
+    df = spark.createDataFrame(rows, "query_id long, neighbor_id long")
+    r = hubness_profile(df).collect()[0]
+    assert r["max_occ"] == 20 and r["k_total"] == 40
+    assert r["n_points"] == 21
+    assert r["skew_q6"] > 3.0  # one dominating hub
+
+    # perfectly balanced occurrences: skew 0
+    flat = [(q, 100 + q) for q in range(20)]
+    df2 = spark.createDataFrame(flat, "query_id long, neighbor_id long")
+    r2 = hubness_profile(df2).collect()[0]
+    assert r2["skew_q6"] is None or abs(r2["skew_q6"]) < 1e-6

@@ -3060,3 +3060,54 @@ def test_hurst_short_group_null_fit(spark):
     ).collect()
     assert len(out) == 1 and out[0]["block_m"] == 8
     assert out[0]["hurst_q6"] is None
+
+
+def test_kendalls_w_unanimous_and_random(spark):
+    from png_from_pdf_extracter_spark.functions.stats import kendalls_w
+
+    # 6 subjects all rank treatments identically -> W = 1
+    rows = [
+        (s, t, float(t)) for s in range(6) for t in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "subj long, trt int, v double")
+    r = kendalls_w(df, "subj", "trt", "v", quantize=0).collect()[0]
+    assert r["n_subjects"] == 6 and r["k"] == 4
+    assert r["w_q6"] >= 1.0 - 1e-5
+    # derivation contract: W = Q/(n(k-1)) off the emitted Q
+    assert abs(r["w_q6"] - r["q_q6"] / (6 * 3)) < 2e-6
+    # scrambled preferences -> near 0
+    prefs = [
+        [1, 2, 3, 4], [4, 3, 2, 1], [2, 4, 1, 3],
+        [3, 1, 4, 2], [1, 4, 2, 3], [4, 1, 3, 2],
+    ]
+    rows2 = [
+        (s, t + 1, float(p[t]))
+        for s, p in enumerate(prefs)
+        for t in range(4)
+    ]
+    df2 = spark.createDataFrame(rows2, "subj long, trt int, v double")
+    r2 = kendalls_w(df2, "subj", "trt", "v", quantize=0).collect()[0]
+    assert r2["w_q6"] < 0.2
+
+
+def test_grubbs_planted_outlier(spark):
+    from png_from_pdf_extracter_spark.functions.stats import grubbs_test
+    import math
+
+    vals = [10.0] * 9 + [11.0] * 10 + [50.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    r = grubbs_test(df, "v", ("g",), quantize=0).collect()[0]
+    assert r["outlier_value_q"] == 50.0
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+    assert abs(r["g_q6"] - abs(50.0 - mean) / sd) < 2e-6
+    assert r["g_q6"] > 3.0  # clearly beyond any 5% critical value
+    # constant group: G undefined
+    dfc = spark.createDataFrame(
+        [("c", 5.0)] * 8, "g string, v double"
+    )
+    rc = grubbs_test(dfc, "v", ("g",), quantize=0).collect()[0]
+    assert rc["g_q6"] is None
