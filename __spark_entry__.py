@@ -6540,6 +6540,44 @@ def _q_hubness(spark, sf_dir):
     return hubness_profile(ranked)
 
 
+def _q_effect_sizes(spark, sf_dir):
+    """Cohen's d / Hedges' g / Glass's delta for BUILDING vs
+    MACHINERY account balances (functions/stats.py effect_sizes) —
+    the magnitude companion to q_welch's significance. Integer
+    moments in one combinable aggregate; scale-invariant."""
+    from png_from_pdf_extracter_spark.functions.stats import effect_sizes
+
+    c = _read(spark, sf_dir, "customer")
+    return effect_sizes(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _q_partial_corr(spark, sf_dir):
+    """Partial correlation of extended price and quantity controlling
+    for discount (functions/stats.py partial_corr) — does the
+    price-quantity association survive removing the discount channel?
+    Nine DECIMAL(38,0) moments in one aggregate; the three Pearson
+    r's and the partial are fixed float expressions."""
+    from png_from_pdf_extracter_spark.functions.stats import partial_corr
+
+    li = _read(spark, sf_dir, "lineitem")
+    return partial_corr(
+        li, "l_extendedprice", "l_quantity", "l_discount", quantize=2
+    )
+
+
+def _q_gini_gain(spark, sf_dir):
+    """CART split score of source -> lang on documents
+    (functions/stats.py gini_gain): Gini impurity drop from splitting
+    the label by the feature — the no-logarithm sibling of
+    q_cond_entropy's information gain; contingency counts only."""
+    from png_from_pdf_extracter_spark.functions.stats import gini_gain
+
+    d = _read(spark, sf_dir, "documents")
+    return gini_gain(d, "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6875,6 +6913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kendalls_w": _q_kendalls_w,
         "q_grubbs": _q_grubbs,
         "q_hubness": _q_hubness,
+        "q_effect_sizes": _q_effect_sizes,
+        "q_partial_corr": _q_partial_corr,
+        "q_gini_gain": _q_gini_gain,
     }
 
 
@@ -16335,6 +16376,172 @@ def oracle_sql() -> dict[str, str]:
               END AS skew_q6,
               max_occ
             FROM f2
+        """,
+        "q_effect_sizes": """
+            WITH base AS (
+              SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                          ELSE 0 END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+                AND c_acctbal IS NOT NULL
+            ),
+            agg AS (
+              SELECT sum(s)::BIGINT AS n_a,
+                sum(1 - s)::BIGINT AS n_b,
+                sum(s * v)::BIGINT AS sa,
+                sum((1 - s) * v)::BIGINT AS sb,
+                sum(CAST(s * v AS DECIMAL(38,0))
+                    * CAST(v AS DECIMAL(38,0))) AS ssa,
+                sum(CAST((1 - s) * v AS DECIMAL(38,0))
+                    * CAST(v AS DECIMAL(38,0))) AS ssb
+              FROM base
+            ),
+            m AS (
+              SELECT n_a, n_b,
+                n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                sa::DOUBLE / n_a::DOUBLE AS ma,
+                sb::DOUBLE / n_b::DOUBLE AS mb,
+                (ssa::DOUBLE - sa::DOUBLE
+                   * (sa::DOUBLE / n_a::DOUBLE))
+                  / (n_a::DOUBLE - 1.0) AS va,
+                (ssb::DOUBLE - sb::DOUBLE
+                   * (sb::DOUBLE / n_b::DOUBLE))
+                  / (n_b::DOUBLE - 1.0) AS vb
+              FROM agg
+            ),
+            m2 AS (
+              SELECT n_a, n_b, na, nb, ma, mb, vb,
+                ((na - 1.0) * va + (nb - 1.0) * vb)
+                  / (na + nb - 2.0) AS sp2
+              FROM m
+            )
+            SELECT n_a, n_b,
+              floor((ma - mb) / 100.0 * 1e6) / 1e6 AS mean_diff_q,
+              CASE WHEN sp2 > 0 THEN
+                floor((ma - mb) / sqrt(sp2) * 1e6) / 1e6
+              END AS d_q6,
+              CASE WHEN sp2 > 0 THEN
+                floor((ma - mb) / sqrt(sp2)
+                      * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)) * 1e6)
+                  / 1e6
+              END AS g_q6,
+              CASE WHEN vb > 0 THEN
+                floor((ma - mb) / sqrt(vb) * 1e6) / 1e6
+              END AS glass_q6
+            FROM m2
+        """,
+        "q_partial_corr": """
+            WITH base AS (
+              SELECT
+                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+                CAST(round(l_quantity * 100, 0) AS BIGINT) AS y,
+                CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(z)::BIGINT AS sz,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(x AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(y AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) AS syy,
+                sum(CAST(z AS DECIMAL(38,0))
+                    * CAST(z AS DECIMAL(38,0))) AS szz,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(38,0))) AS sxy,
+                sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(z AS DECIMAL(38,0))) AS sxz,
+                sum(CAST(y AS DECIMAL(38,0))
+                    * CAST(z AS DECIMAL(38,0))) AS syz
+              FROM base
+            ),
+            c AS (
+              SELECT n,
+                sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE
+                  AS cxx,
+                syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE
+                  AS cyy,
+                szz::DOUBLE - sz::DOUBLE * sz::DOUBLE / n::DOUBLE
+                  AS czz,
+                sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE
+                  AS cxy,
+                sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE / n::DOUBLE
+                  AS cxz,
+                syz::DOUBLE - sy::DOUBLE * sz::DOUBLE / n::DOUBLE
+                  AS cyz
+              FROM agg
+            ),
+            r AS (
+              SELECT n, cxx, cyy, czz,
+                cxy / sqrt(cxx * cyy) AS rxy,
+                cxz / sqrt(cxx * czz) AS rxz,
+                cyz / sqrt(cyy * czz) AS ryz
+              FROM c
+            ),
+            p AS (
+              SELECT n, cxx, cyy, czz, rxy, rxz, ryz,
+                sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS den
+              FROM r
+            )
+            SELECT n,
+              CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 THEN
+                floor(rxy * 1e6) / 1e6 END AS r_xy_q6,
+              CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 THEN
+                floor(rxz * 1e6) / 1e6 END AS r_xz_q6,
+              CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 THEN
+                floor(ryz * 1e6) / 1e6 END AS r_yz_q6,
+              CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 AND den > 0
+              THEN
+                floor((rxy - rxz * ryz) / den * 1e6) / 1e6
+              END AS partial_q6
+            FROM p
+        """,
+        "q_gini_gain": """
+            WITH fy AS (
+              SELECT source AS f, lang AS y, count(*)::BIGINT AS c
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY source, lang
+            ),
+            per_f AS (
+              SELECT f, sum(c)::BIGINT AS nf,
+                     sum(c * c)::BIGINT AS cf2
+              FROM fy GROUP BY f
+            ),
+            per_y AS (SELECT y, sum(c)::BIGINT AS ny FROM fy GROUP BY y),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM fy),
+            ys AS (
+              SELECT count(*)::BIGINT AS k_labels,
+                     sum(ny * ny)::BIGINT AS sy2,
+                     max(n) AS n
+              FROM per_y, tot
+            ),
+            stepped AS (
+              SELECT
+                sum(cf2::DOUBLE / nf::DOUBLE)
+                  OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sc,
+                row_number() OVER (ORDER BY f) AS rn,
+                count(*) OVER () AS k
+              FROM per_f
+            ),
+            fsum AS (
+              SELECT k::BIGINT AS k_features, sc
+              FROM stepped WHERE rn = k
+            )
+            SELECT n, k_features, k_labels,
+              floor((1.0 - sy2::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                    * 1e6) / 1e6 AS gini_parent_q6,
+              floor((1.0 - sc / n::DOUBLE) * 1e6) / 1e6
+                AS gini_split_q6,
+              floor(((1.0 - sy2::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                     - (1.0 - sc / n::DOUBLE)) * 1e6) / 1e6
+                AS gain_q6
+            FROM ys, fsum
         """,
     }
     return out

@@ -5618,3 +5618,231 @@ def grubbs_test(
             q6(F.col("__best.d") / F.sqrt(F.col("__var"))),
         ).alias("g_q6"),
     )
+
+
+def effect_sizes(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Standardized two-group effect sizes: Cohen's d (pooled sd),
+    Hedges' g (small-sample bias correction) and Glass's delta
+    (control-group sd — use when B is the untreated baseline whose
+    spread you trust). The magnitude companion to [[welch_t_test]]'s
+    significance: at corpus scale everything is significant, d says
+    whether anyone should care.
+
+    Integer moments per group (one combinable aggregate); each
+    estimate is one fixed float expression. Scale-invariant, so no
+    descale. Returns one row (n_a, n_b, mean_diff_q, d_q6, g_q6,
+    glass_q6); nulls when the relevant sd is 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("__v"),
+        F.when(g == group_a, 1).otherwise(0).alias("__s"),
+    ).filter(F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.agg(
+        F.sum("__s").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__s")).cast("long").alias("n_b"),
+        F.sum(F.col("__s") * F.col("__v")).cast("long").alias("__sa"),
+        F.sum((1 - F.col("__s")) * F.col("__v"))
+        .cast("long")
+        .alias("__sb"),
+        F.sum(dec(F.col("__s") * F.col("__v")) * dec(F.col("__v"))).alias(
+            "__ssa"
+        ),
+        F.sum(
+            dec((1 - F.col("__s")) * F.col("__v")) * dec(F.col("__v"))
+        ).alias("__ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    va = (
+        F.col("__ssa").cast("double")
+        - F.col("__sa").cast("double") * ma
+    ) / (na - F.lit(1.0))
+    vb = (
+        F.col("__ssb").cast("double")
+        - F.col("__sb").cast("double") * mb
+    ) / (nb - F.lit(1.0))
+    sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    d = (ma - mb) / F.sqrt(sp2)
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nb) - F.lit(9.0)
+    )
+    scale = float(10 ** quantize)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        q6((ma - mb) / F.lit(scale)).alias("mean_diff_q"),
+        F.when(sp2 > 0, q6(d)).alias("d_q6"),
+        F.when(sp2 > 0, q6(d * corr)).alias("g_q6"),
+        F.when(
+            vb > 0, q6((ma - mb) / F.sqrt(vb))
+        ).alias("glass_q6"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    group_cols: tuple = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — the x-y association
+    with the confounder z regressed out of both sides:
+    (r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2)). The
+    "does the relationship survive controlling for the obvious
+    driver" answer a raw [[spearman_corr]]/Pearson can't give.
+
+    One combinable aggregate per group carries all nine integer
+    moments (sums, squares, three cross-products in DECIMAL(38,0));
+    the three Pearson r's and the partial are fixed float
+    expressions. Returns (group..., n, r_xy_q6, r_xz_q6, r_yz_q6,
+    partial_q6); null when any marginal r is degenerate (zero
+    variance or |r| = 1 in a control).
+    """
+    gcols = list(group_cols)
+    qx = _quant(F.col(x_col), quantize)
+    qy = _quant(F.col(y_col), quantize)
+    qz = _quant(F.col(z_col), quantize)
+    base = df.select(
+        *gcols, qx.alias("__x"), qy.alias("__y"), qz.alias("__z")
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__z").isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum("__z").cast("long").alias("__sz"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+        F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
+        F.sum(dec(F.col("__z")) * dec(F.col("__z"))).alias("__szz"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__y"))).alias("__sxy"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__z"))).alias("__sxz"),
+        F.sum(dec(F.col("__y")) * dec(F.col("__z"))).alias("__syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def cmom(spq, sp, sq):
+        return F.col(spq).cast("double") - F.col(sp).cast(
+            "double"
+        ) * F.col(sq).cast("double") / n
+
+    cxx = cmom("__sxx", "__sx", "__sx")
+    cyy = cmom("__syy", "__sy", "__sy")
+    czz = cmom("__szz", "__sz", "__sz")
+    cxy = cmom("__sxy", "__sx", "__sy")
+    cxz = cmom("__sxz", "__sx", "__sz")
+    cyz = cmom("__syz", "__sy", "__sz")
+    rxy = cxy / F.sqrt(cxx * cyy)
+    rxz = cxz / F.sqrt(cxx * czz)
+    ryz = cyz / F.sqrt(cyy * czz)
+    den = F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    part = (rxy - rxz * ryz) / den
+    ok = (cxx > 0) & (cyy > 0) & (czz > 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n",
+        F.when(ok, q6(rxy)).alias("r_xy_q6"),
+        F.when(ok, q6(rxz)).alias("r_xz_q6"),
+        F.when(ok, q6(ryz)).alias("r_yz_q6"),
+        F.when(ok & (den > 0), q6(part)).alias("partial_q6"),
+    )
+
+
+def gini_gain(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Decision-stump split score: Gini impurity of the label, the
+    feature-weighted impurity after splitting on ``feature_col``, and
+    the gain — the CART answer to "which metadata column best
+    predicts the label", the no-logarithm companion to
+    [[conditional_entropy]]'s information gain (every quantity here
+    is an exact RATIONAL from contingency counts — no transcendental,
+    no stepped window needed).
+
+    G_parent = 1 - sum_y (n_y/N)^2; G_split = sum_f (n_f/N) G_f.
+    Multiplying through: the weighted-child term is
+    sum_f (sum_y c_fy^2) / n_f scaled by 1/N — per-feature integer
+    ratios folded in fixed feature order (values are rationals, but
+    the fold is over the tiny feature table). One (feature, label)
+    count shuffle. Returns one row (n, k_features, k_labels,
+    gini_parent_q6, gini_split_q6, gain_q6).
+    """
+    base = df.select(
+        F.col(feature_col).alias("__f"), F.col(label_col).alias("__y")
+    ).filter(F.col("__f").isNotNull() & F.col("__y").isNotNull())
+    fy = base.groupBy("__f", "__y").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per_f = fy.groupBy("__f").agg(
+        F.sum("__c").cast("long").alias("__nf"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__cf2"),
+    )
+    per_y = fy.groupBy("__y").agg(
+        F.sum("__c").cast("long").alias("__ny")
+    )
+    tot = fy.agg(F.sum("__c").cast("long").alias("__n"))
+    ys = per_y.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("long").alias("k_labels"),
+        F.sum(F.col("__ny") * F.col("__ny")).cast("long").alias("__sy2"),
+        F.max("__n").alias("__n"),
+    )
+    # per-feature child term: cf2/nf, folded in fixed feature order
+    ordw = Window.orderBy("__f").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = per_f.select(
+        "__f",
+        F.sum(
+            F.col("__cf2").cast("double") / F.col("__nf").cast("double")
+        )
+        .over(ordw)
+        .alias("__sc"),
+        F.row_number().over(Window.orderBy("__f")).alias("__rn"),
+        F.count("*")
+        .over(
+            Window.orderBy("__f").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__k"),
+    )
+    fsum = stepped.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__k").cast("long").alias("k_features"),
+        F.col("__sc").alias("__sc"),
+    )
+    j = ys.crossJoin(F.broadcast(fsum))
+    n = F.col("__n").cast("double")
+    g_parent = F.lit(1.0) - F.col("__sy2").cast("double") / (n * n)
+    g_split = F.lit(1.0) - F.col("__sc") / n
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        F.col("__n").alias("n"),
+        "k_features",
+        "k_labels",
+        q6(g_parent).alias("gini_parent_q6"),
+        q6(g_split).alias("gini_split_q6"),
+        q6(g_parent - g_split).alias("gain_q6"),
+    )

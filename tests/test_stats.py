@@ -3111,3 +3111,59 @@ def test_grubbs_planted_outlier(spark):
     )
     rc = grubbs_test(dfc, "v", ("g",), quantize=0).collect()[0]
     assert rc["g_q6"] is None
+
+
+def test_effect_sizes_numpy_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import effect_sizes
+    import math
+
+    xs = [12.0, 14.0, 11.0, 15.0, 13.0, 16.0, 12.0, 14.0]
+    ys = [10.0, 11.0, 9.0, 10.0, 12.0, 11.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = effect_sizes(df, "v", "g", "a", "b", quantize=1).collect()[0]
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((v - ma) ** 2 for v in xs) / (na - 1)
+    vb = sum((v - mb) ** 2 for v in ys) / (nb - 1)
+    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = (ma - mb) / sp
+    g = d * (1 - 3.0 / (4 * (na + nb) - 9))
+    assert abs(r["mean_diff_q"] - (ma - mb)) < 1e-5
+    assert abs(r["d_q6"] - d) < 1e-5
+    assert abs(r["g_q6"] - g) < 1e-5
+    assert abs(r["glass_q6"] - (ma - mb) / math.sqrt(vb)) < 1e-5
+    assert abs(r["g_q6"]) < abs(r["d_q6"])  # correction shrinks
+
+
+def test_partial_corr_confounder_removed(spark):
+    from png_from_pdf_extracter_spark.functions.stats import partial_corr
+
+    # x and y both driven by z; no direct link -> partial ~ 0
+    rows = []
+    for i in range(200):
+        z = float(i % 50)
+        noise_x = float((i * 7) % 11) - 5.0
+        noise_y = float((i * 13) % 11) - 5.0
+        rows.append((2.0 * z + noise_x, 3.0 * z + noise_y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_corr(df, "x", "y", "z", quantize=1).collect()[0]
+    assert r["r_xy_q6"] > 0.9  # raw correlation looks strong
+    assert abs(r["partial_q6"]) < 0.2  # vanishes given z
+
+
+def test_gini_gain_perfect_and_useless_feature(spark):
+    from png_from_pdf_extracter_spark.functions.stats import gini_gain
+
+    # feature == label: split is pure -> gain = parent impurity
+    rows = [(f"f{i % 3}", f"y{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "f string, y string")
+    r = gini_gain(df, "f", "y").collect()[0]
+    assert abs(r["gini_parent_q6"] - (1 - 3 * (1 / 3) ** 2)) < 2e-6
+    assert r["gini_split_q6"] == 0.0
+    assert abs(r["gain_q6"] - r["gini_parent_q6"]) < 2e-6
+    # independent feature: no gain
+    rows2 = [(f"f{i % 2}", f"y{i % 3}") for i in range(120)]
+    df2 = spark.createDataFrame(rows2, "f string, y string")
+    r2 = gini_gain(df2, "f", "y").collect()[0]
+    assert abs(r2["gain_q6"]) < 2e-6
