@@ -6578,6 +6578,40 @@ def _q_gini_gain(spark, sf_dir):
     return gini_gain(d, "source", "lang")
 
 
+def _q_risk_ratios(spark, sf_dir):
+    """2x2 relative-risk / odds-ratio card with 95% log CIs
+    (functions/stats.py risk_ratios): does even-user traffic purchase
+    more — the per-stratum read q_mantel_haenszel pools. Four BIGINT
+    cells from one aggregate; Katz/Woolf intervals as fixed float
+    expressions."""
+    from png_from_pdf_extracter_spark.functions.stats import risk_ratios
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("exposed"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return risk_ratios(ev, "exposed", "converted")
+
+
+def _q_quade(spark, sf_dir):
+    """Quade range-weighted blocked rank test over q_friedman's spend
+    blocks (functions/stats.py quade_test): blocks with bigger spread
+    vote harder. Double-doubled integer construction (S4 = Q2 *
+    (r2 - (k+1))); the 16s cancel in F."""
+    from png_from_pdf_extracter_spark.functions.stats import quade_test
+
+    o = _read(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        (F.col("o_custkey") % 50).alias("subj"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("spend")
+    )
+    return quade_test(blocks, "subj", "trt", "spend", quantize=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6916,6 +6950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_effect_sizes": _q_effect_sizes,
         "q_partial_corr": _q_partial_corr,
         "q_gini_gain": _q_gini_gain,
+        "q_risk_ratios": _q_risk_ratios,
+        "q_quade": _q_quade,
     }
 
 
@@ -16542,6 +16578,116 @@ def oracle_sql() -> dict[str, str]:
                      - (1.0 - sc / n::DOUBLE)) * 1e6) / 1e6
                 AS gain_q6
             FROM ys, fsum
+        """,
+        "q_risk_ratios": """
+            WITH agg AS (
+              SELECT
+                sum(CASE WHEN user_id % 2 = 0
+                         AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END)::BIGINT AS a,
+                sum(CASE WHEN user_id % 2 = 0
+                         AND NOT (event_type = 'purchase')
+                    THEN 1 ELSE 0 END)::BIGINT AS b,
+                sum(CASE WHEN NOT (user_id % 2 = 0)
+                         AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END)::BIGINT AS c,
+                sum(CASE WHEN NOT (user_id % 2 = 0)
+                         AND NOT (event_type = 'purchase')
+                    THEN 1 ELSE 0 END)::BIGINT AS d
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            f AS (
+              SELECT a, b, c, d, a::DOUBLE AS ad, b::DOUBLE AS bd,
+                     c::DOUBLE AS cd, d::DOUBLE AS dd
+              FROM agg
+            ),
+            m AS (
+              SELECT a, b, c, d,
+                (ad / (ad + bd)) / (cd / (cd + dd)) AS rr,
+                sqrt(1.0 / ad - 1.0 / (ad + bd) + 1.0 / cd
+                     - 1.0 / (cd + dd)) AS serr,
+                ad * dd / (bd * cd) AS orr,
+                sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd)
+                  AS seor
+              FROM f
+            )
+            SELECT a, b, c, d,
+              CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                floor(rr * 1e6) / 1e6 END AS rr_q6,
+              CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                floor(exp(ln(rr) - 1.96 * serr) * 1e6) / 1e6
+              END AS rr_lo_q6,
+              CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                floor(exp(ln(rr) + 1.96 * serr) * 1e6) / 1e6
+              END AS rr_hi_q6,
+              CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                floor(orr * 1e6) / 1e6 END AS or_q6,
+              CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                floor(exp(ln(orr) - 1.96 * seor) * 1e6) / 1e6
+              END AS or_lo_q6,
+              CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                floor(exp(ln(orr) + 1.96 * seor) * 1e6) / 1e6
+              END AS or_hi_q6
+            FROM m
+        """,
+        "q_quade": """
+            WITH cells AS (
+              SELECT o_custkey % 50 AS subj, o_orderpriority AS trt,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS v
+              FROM orders GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT subj, trt,
+                     (2 * rank() OVER (PARTITION BY subj ORDER BY v)
+                      + count(*) OVER (PARTITION BY subj, v)
+                      - 1)::BIGINT AS r2
+              FROM cells
+            ),
+            rng AS (
+              SELECT subj, (max(v) - min(v))::BIGINT AS vrange
+              FROM cells GROUP BY subj
+            ),
+            q2 AS (
+              SELECT subj,
+                     (2 * rank() OVER (ORDER BY vrange)
+                      + count(*) OVER (PARTITION BY vrange)
+                      - 1)::BIGINT AS q2
+              FROM rng
+            ),
+            scal AS (
+              SELECT count(DISTINCT subj)::BIGINT AS n_blocks,
+                     count(DISTINCT trt)::BIGINT AS k
+              FROM ranked
+            ),
+            s4 AS (
+              SELECT trt, n_blocks, k,
+                     q2 * (r2 - (k + 1)) AS s4
+              FROM ranked JOIN q2 USING (subj), scal
+            ),
+            per_trt AS (
+              SELECT trt, sum(s4)::BIGINT AS t,
+                     sum(s4 * s4)::BIGINT AS aa,
+                     max(n_blocks) AS n_blocks, max(k) AS k
+              FROM s4 GROUP BY trt
+            ),
+            fin AS (
+              SELECT sum(t * t)::BIGINT AS st2,
+                     sum(aa)::BIGINT AS a16,
+                     max(n_blocks) AS n_blocks, max(k) AS k
+              FROM per_trt
+            )
+            SELECT n_blocks, k,
+              CASE WHEN a16::DOUBLE
+                        > st2::DOUBLE / n_blocks::DOUBLE THEN
+                floor((n_blocks::DOUBLE - 1.0)
+                      * (st2::DOUBLE / n_blocks::DOUBLE)
+                      / (a16::DOUBLE
+                         - st2::DOUBLE / n_blocks::DOUBLE) * 1e6)
+                  / 1e6
+              END AS f_q6
+            FROM fin
         """,
     }
     return out

@@ -5846,3 +5846,168 @@ def gini_gain(
         q6(g_split).alias("gini_split_q6"),
         q6(g_parent - g_split).alias("gain_q6"),
     )
+
+
+def risk_ratios(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2x2 relative risk + odds ratio with 95% log-scale CIs (Katz /
+    Woolf) — the per-stratum read [[mantel_haenszel]] pools: "how
+    much more likely is the outcome under exposure", with the error
+    bars that make a 1.2x on thin cells honestly different from a
+    1.2x on millions. Cells a/b/c/d are one combinable aggregate;
+    estimates and CI bounds are fixed float expressions over the four
+    BIGINTs. Any empty cell -> null estimates (no continuity fudge —
+    callers who want Haldane add 0.5 upstream, identically on both
+    engines). Returns one row
+    (a, b, c, d, rr_q6, rr_lo_q6, rr_hi_q6, or_q6, or_lo_q6,
+    or_hi_q6).
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    agg = df.filter(e.isNotNull() & o.isNotNull()).agg(
+        F.sum((e & o).cast("long")).cast("long").alias("a"),
+        F.sum((e & ~o).cast("long")).cast("long").alias("b"),
+        F.sum((~e & o).cast("long")).cast("long").alias("c"),
+        F.sum((~e & ~o).cast("long")).cast("long").alias("d"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    rr = (a / (a + b)) / (c / (c + d))
+    se_rr = F.sqrt(
+        F.lit(1.0) / a
+        - F.lit(1.0) / (a + b)
+        + F.lit(1.0) / c
+        - F.lit(1.0) / (c + d)
+    )
+    orr = a * d / (b * c)
+    se_or = F.sqrt(
+        F.lit(1.0) / a
+        + F.lit(1.0) / b
+        + F.lit(1.0) / c
+        + F.lit(1.0) / d
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(ok, q6(rr)).alias("rr_q6"),
+        F.when(
+            ok, q6(F.exp(F.log(rr) - F.lit(1.96) * se_rr))
+        ).alias("rr_lo_q6"),
+        F.when(
+            ok, q6(F.exp(F.log(rr) + F.lit(1.96) * se_rr))
+        ).alias("rr_hi_q6"),
+        F.when(ok, q6(orr)).alias("or_q6"),
+        F.when(
+            ok, q6(F.exp(F.log(orr) - F.lit(1.96) * se_or))
+        ).alias("or_lo_q6"),
+        F.when(
+            ok, q6(F.exp(F.log(orr) + F.lit(1.96) * se_or))
+        ).alias("or_hi_q6"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Quade test — [[friedman_test]]'s range-weighted sibling: blocks
+    with a BIGGER spread get more say (block weight = rank of the
+    block's range), which buys real power at small k where Friedman
+    flattens every block to equal votes. Same complete-block design.
+
+    EXACT via double doubling: within-block doubled midranks r2 and
+    doubled block-range midranks Q2 make S4 = Q2*(r2 - (k+1)) an
+    integer (= 4S); A16 = sum S4^2 and the treatment sums T are
+    BIGINTs, and the 16s cancel in
+    F = (b-1) * (sum T^2 / b) / (A16 - sum T^2 / b). Plan: block-local
+    rank windows, one window over the b-row block table, two scalar
+    aggregates. Returns one row (n_blocks, k, f_q6); null when the
+    denominator degenerates (all blocks internally tied).
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        F.col(subject_col).alias("__subj"),
+        F.col(treatment_col).alias("__trt"),
+        v.alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    w = Window.partitionBy("__subj").orderBy("__v")
+    wt = Window.partitionBy("__subj", "__v")
+    ranked = base.select(
+        "__subj",
+        "__trt",
+        (2 * F.rank().over(w) + F.count("*").over(wt) - 1)
+        .cast("long")
+        .alias("__r2"),
+    )
+    rng = base.groupBy("__subj").agg(
+        (F.max("__v") - F.min("__v")).cast("long").alias("__range")
+    )
+    wr = Window.orderBy("__range")
+    wrt = Window.partitionBy("__range")
+    q2 = rng.select(
+        "__subj",
+        (2 * F.rank().over(wr) + F.count("*").over(wrt) - 1)
+        .cast("long")
+        .alias("__q2"),
+    )
+    scal = ranked.agg(
+        F.countDistinct("__subj").cast("long").alias("n_blocks"),
+        F.countDistinct("__trt").cast("long").alias("k"),
+    )
+    s4 = (
+        ranked.join(q2, "__subj")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "__trt",
+            "n_blocks",
+            "k",
+            (
+                F.col("__q2")
+                * (F.col("__r2") - (F.col("k") + 1))
+            ).alias("__s4"),
+        )
+    )
+    per_trt = s4.groupBy("__trt").agg(
+        F.sum("__s4").cast("long").alias("__t"),
+        F.sum(F.col("__s4") * F.col("__s4")).cast("long").alias("__a"),
+        F.max("n_blocks").alias("n_blocks"),
+        F.max("k").alias("k"),
+    )
+    fin = per_trt.agg(
+        F.sum(F.col("__t") * F.col("__t")).cast("long").alias("__st2"),
+        F.sum("__a").cast("long").alias("__a16"),
+        F.max("n_blocks").alias("n_blocks"),
+        F.max("k").alias("k"),
+    )
+    b = F.col("n_blocks").cast("double")
+    bterm = F.col("__st2").cast("double") / b
+    fstat = (
+        (b - F.lit(1.0))
+        * bterm
+        / (F.col("__a16").cast("double") - bterm)
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return fin.select(
+        "n_blocks",
+        "k",
+        F.when(
+            F.col("__a16").cast("double") > bterm, q6(fstat)
+        ).alias("f_q6"),
+    )

@@ -3167,3 +3167,48 @@ def test_gini_gain_perfect_and_useless_feature(spark):
     df2 = spark.createDataFrame(rows2, "f string, y string")
     r2 = gini_gain(df2, "f", "y").collect()[0]
     assert abs(r2["gain_q6"]) < 2e-6
+
+
+def test_risk_ratios_hand_table(spark):
+    from png_from_pdf_extracter_spark.functions.stats import risk_ratios
+    import math
+
+    # a=30 b=70 c=10 d=90: RR = .3/.1 = 3, OR = 30*90/(70*10)
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 70
+        + [(False, True)] * 10 + [(False, False)] * 90
+    )
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    r = risk_ratios(df, "e", "o").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (30, 70, 10, 90)
+    assert abs(r["rr_q6"] - 3.0) < 2e-6
+    orr = 30 * 90 / (70 * 10.0)
+    assert abs(r["or_q6"] - orr) < 2e-6
+    se = math.sqrt(1 / 30 - 1 / 100 + 1 / 10 - 1 / 100)
+    assert abs(r["rr_lo_q6"] - math.exp(math.log(3) - 1.96 * se)) < 1e-5
+    assert abs(r["rr_hi_q6"] - math.exp(math.log(3) + 1.96 * se)) < 1e-5
+    assert r["rr_lo_q6"] > 1.0  # significantly protective exposure? no: risky
+    # empty cell -> nulls
+    df2 = spark.createDataFrame(
+        [(True, True)] * 5 + [(False, False)] * 5, "e boolean, o boolean"
+    )
+    r2 = risk_ratios(df2, "e", "o").collect()[0]
+    assert r2["rr_q6"] is None and r2["or_q6"] is None
+
+
+def test_quade_planted_effect_vs_flat(spark):
+    from png_from_pdf_extracter_spark.functions.stats import quade_test
+
+    # treatment 3 always best, margins scale with block index
+    rows = []
+    for b in range(12):
+        for t in range(1, 4):
+            rows.append((b, t, float(t * (b + 1) * 10)))
+    df = spark.createDataFrame(rows, "subj long, trt int, v double")
+    r = quade_test(df, "subj", "trt", "v", quantize=0).collect()[0]
+    assert r["n_blocks"] == 12 and r["k"] == 3
+    assert r["f_q6"] > 10.0  # strong consistent ordering
+    # flat blocks: all values tied -> ranks tie -> degenerate null
+    flat = [(b, t, 5.0) for b in range(6) for t in range(1, 4)]
+    df2 = spark.createDataFrame(flat, "subj long, trt int, v double")
+    assert quade_test(df2, "subj", "trt", "v").collect()[0]["f_q6"] is None
