@@ -6612,6 +6612,26 @@ def _q_quade(spark, sf_dir):
     return quade_test(blocks, "subj", "trt", "spend", quantize=0)
 
 
+def _q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily event-count
+    series per type (functions/stats.py seasonal_decompose): centered
+    7-MA trend, positional-phase seasonal indices, and the Hyndman
+    trend/seasonal strengths that say whether q_forecast_accuracy's
+    seasonal-naive baseline is even apt. All cross-row float
+    reductions fold through stepped ordered windows."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        seasonal_decompose,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return seasonal_decompose(
+        daily, ("event_type",), ("day",), "cnt", period=7, quantize=0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6952,6 +6972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini_gain": _q_gini_gain,
         "q_risk_ratios": _q_risk_ratios,
         "q_quade": _q_quade,
+        "q_seasonal_decompose": _q_seasonal_decompose,
     }
 
 
@@ -16688,6 +16709,106 @@ def oracle_sql() -> dict[str, str]:
                   / 1e6
               END AS f_q6
             FROM fin
+        """,
+        "q_seasonal_decompose": """
+            WITH daily AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS x
+              FROM events GROUP BY event_type, date_trunc('day', ts)
+            ),
+            pre AS (
+              SELECT g, x,
+                row_number() OVER (PARTITION BY g ORDER BY day) AS t
+              FROM daily
+            ),
+            r_ AS (
+              SELECT g, x, t, ((t - 1) % 7)::INTEGER AS ph,
+                CASE WHEN count(*) OVER w7 = 7 THEN
+                  (sum(x) OVER w7)::DOUBLE / 7.0 END AS trend
+              FROM pre
+              WINDOW w7 AS (PARTITION BY g ORDER BY t
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            comp AS (
+              SELECT g, x, t, ph, x::DOUBLE - trend AS d
+              FROM r_ WHERE trend IS NOT NULL
+            ),
+            ph_step AS (
+              SELECT g, ph,
+                sum(d) OVER (PARTITION BY g, ph ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sd,
+                row_number() OVER (PARTITION BY g, ph ORDER BY t)
+                  AS rn,
+                count(*) OVER (PARTITION BY g, ph) AS np
+              FROM comp
+            ),
+            s_raw AS (
+              SELECT g, ph, sd / np::DOUBLE AS sraw
+              FROM ph_step WHERE rn = np
+            ),
+            s_step AS (
+              SELECT g, ph, sraw,
+                sum(sraw) OVER (PARTITION BY g ORDER BY ph
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cs,
+                row_number() OVER (PARTITION BY g ORDER BY ph) AS rn,
+                count(*) OVER (PARTITION BY g) AS k
+              FROM s_raw
+            ),
+            s_mean AS (
+              SELECT g, cs / k::DOUBLE AS smean
+              FROM s_step WHERE rn = k
+            ),
+            seasonal AS (
+              SELECT s_raw.g AS g, ph, sraw - smean AS s
+              FROM s_raw JOIN s_mean ON s_raw.g = s_mean.g
+            ),
+            joined AS (
+              SELECT comp.g AS g, t, comp.ph AS ph, d,
+                     d - s AS r, x::DOUBLE - s AS xs
+              FROM comp JOIN seasonal
+                ON comp.g = seasonal.g AND comp.ph = seasonal.ph
+            ),
+            var_step AS (
+              SELECT g,
+                sum(d) OVER wt AS s_d, sum(d * d) OVER wt AS s_d2,
+                sum(r) OVER wt AS s_r, sum(r * r) OVER wt AS s_r2,
+                sum(xs) OVER wt AS s_xs,
+                sum(xs * xs) OVER wt AS s_xs2,
+                row_number() OVER (PARTITION BY g ORDER BY t) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+              FROM joined
+              WINDOW wt AS (PARTITION BY g ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+            ),
+            lastr AS (SELECT * FROM var_step WHERE rn = n),
+            st AS (
+              SELECT g, n::BIGINT AS n_days,
+                s_d2 / n::DOUBLE
+                  - (s_d / n::DOUBLE) * (s_d / n::DOUBLE) AS var_d,
+                s_r2 / n::DOUBLE
+                  - (s_r / n::DOUBLE) * (s_r / n::DOUBLE) AS var_r,
+                s_xs2 / n::DOUBLE
+                  - (s_xs / n::DOUBLE) * (s_xs / n::DOUBLE) AS var_xs
+              FROM lastr
+            ),
+            st2 AS (
+              SELECT g, n_days,
+                CASE WHEN var_d > 0 THEN
+                  greatest(0.0, 1.0 - var_r / var_d) END AS fs,
+                CASE WHEN var_xs > 0 THEN
+                  greatest(0.0, 1.0 - var_r / var_xs) END AS ft
+              FROM st
+            )
+            SELECT seasonal.g AS event_type, ph AS phase, n_days,
+              floor(s * 1e6) / 1e6 AS seasonal_q6,
+              CASE WHEN ft IS NOT NULL THEN floor(ft * 1e6) / 1e6
+                END AS f_trend_q6,
+              CASE WHEN fs IS NOT NULL THEN floor(fs * 1e6) / 1e6
+                END AS f_seasonal_q6
+            FROM seasonal JOIN st2 ON seasonal.g = st2.g
         """,
     }
     return out

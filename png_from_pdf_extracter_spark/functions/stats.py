@@ -6011,3 +6011,161 @@ def quade_test(
             F.col("__a16").cast("double") > bterm, q6(fstat)
         ).alias("f_q6"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    period: int = 7,
+    quantize: int = 0,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per group (the
+    moving-average method, the deterministic core of STL without the
+    loess): trend = centered period-MA, seasonal = centered per-phase
+    mean of the detrended series, remainder = the rest — plus the
+    Hyndman trend/seasonal STRENGTH statistics
+    (F = max(0, 1 - Var(R)/Var(component + R))), the two numbers
+    that say whether [[forecast_accuracy]]'s seasonal-naive is even
+    the right baseline.
+
+    Period must be ODD (centered window without the half-weights).
+    Phase is POSITIONAL ((t-1) mod period) so both engines agree
+    without calendar semantics. Exactness: the trend is an integer
+    window sum over period rows divided once; every cross-row float
+    reduction (phase means, the three variances) folds through
+    stepped ordered windows. Plan: one ordered window for t, one
+    centered window, two stepped layers, small join-backs. Returns
+    (group..., phase, n_days, seasonal_q6, f_trend_q6,
+    f_seasonal_q6) — strengths replicated per phase row.
+    """
+    if period % 2 == 0:
+        raise ValueError("period must be odd for the centered MA")
+    gcols = list(group_cols)
+    half = period // 2
+    x = _quant(F.col(value_col), quantize)
+    ow = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pre = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        x.alias("__x"),
+        F.row_number().over(ow).cast("long").alias("__t"),
+    )
+    cw = Window.partitionBy(*gcols).orderBy("__t").rowsBetween(
+        -half, half
+    )
+    rows = pre.select(
+        *gcols,
+        "__x",
+        "__t",
+        ((F.col("__t") - 1) % period).cast("int").alias("__ph"),
+        F.when(
+            F.count("*").over(cw) == period,
+            F.sum("__x").over(cw).cast("double") / F.lit(float(period)),
+        ).alias("__trend"),
+    ).withColumn(
+        "__d", F.col("__x").cast("double") - F.col("__trend")
+    )
+    comp = rows.filter(F.col("__d").isNotNull())
+    pw = Window.partitionBy(*gcols, "__ph").orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pfull = Window.partitionBy(*gcols, "__ph")
+    ph_step = comp.select(
+        *gcols,
+        "__ph",
+        F.sum("__d").over(pw).alias("__sd"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols, "__ph").orderBy("__t"))
+        .alias("__rn"),
+        F.count("*").over(pfull).alias("__np"),
+    )
+    s_raw = ph_step.filter(F.col("__rn") == F.col("__np")).select(
+        *gcols,
+        "__ph",
+        (F.col("__sd") / F.col("__np").cast("double")).alias("__sraw"),
+    )
+    sw = Window.partitionBy(*gcols).orderBy("__ph").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sfull = Window.partitionBy(*gcols)
+    s_step = s_raw.select(
+        *gcols,
+        "__ph",
+        "__sraw",
+        F.sum("__sraw").over(sw).alias("__cs"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy("__ph"))
+        .alias("__rn"),
+        F.count("*").over(sfull).alias("__k"),
+    )
+    s_mean = s_step.filter(F.col("__rn") == F.col("__k")).select(
+        *gcols,
+        (F.col("__cs") / F.col("__k").cast("double")).alias("__smean"),
+    )
+    seasonal = s_raw.join(F.broadcast(s_mean), gcols).select(
+        *gcols,
+        "__ph",
+        (F.col("__sraw") - F.col("__smean")).alias("__s"),
+    )
+    joined = comp.join(seasonal, gcols + ["__ph"]).select(
+        *gcols,
+        "__t",
+        "__ph",
+        "__d",
+        (F.col("__d") - F.col("__s")).alias("__r"),
+        (F.col("__x").cast("double") - F.col("__s")).alias("__xs"),
+    )
+    tw = Window.partitionBy(*gcols).orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tfull = Window.partitionBy(*gcols)
+    var_step = joined.select(
+        *gcols,
+        F.sum("__d").over(tw).alias("__s_d"),
+        F.sum(F.col("__d") * F.col("__d")).over(tw).alias("__s_d2"),
+        F.sum("__r").over(tw).alias("__s_r"),
+        F.sum(F.col("__r") * F.col("__r")).over(tw).alias("__s_r2"),
+        F.sum("__xs").over(tw).alias("__s_xs"),
+        F.sum(F.col("__xs") * F.col("__xs")).over(tw).alias("__s_xs2"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy("__t"))
+        .alias("__rn"),
+        F.count("*").over(tfull).alias("__n"),
+    )
+    last = var_step.filter(F.col("__rn") == F.col("__n"))
+    n = F.col("__n").cast("double")
+
+    def _var(s2, s1):
+        return F.col(s2) / n - (F.col(s1) / n) * (F.col(s1) / n)
+
+    var_d = _var("__s_d2", "__s_d")
+    var_r = _var("__s_r2", "__s_r")
+    var_xs = _var("__s_xs2", "__s_xs")
+    f_seas = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var_r / var_d
+    )
+    f_trend = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var_r / var_xs
+    )
+    strengths = last.select(
+        *gcols,
+        F.col("__n").cast("long").alias("n_days"),
+        F.when(var_d > 0, f_seas).alias("__fs"),
+        F.when(var_xs > 0, f_trend).alias("__ft"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return seasonal.join(F.broadcast(strengths), gcols).select(
+        *gcols,
+        F.col("__ph").alias("phase"),
+        "n_days",
+        q6(F.col("__s")).alias("seasonal_q6"),
+        F.when(
+            F.col("__ft").isNotNull(), q6(F.col("__ft"))
+        ).alias("f_trend_q6"),
+        F.when(
+            F.col("__fs").isNotNull(), q6(F.col("__fs"))
+        ).alias("f_seasonal_q6"),
+    )

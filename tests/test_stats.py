@@ -3212,3 +3212,61 @@ def test_quade_planted_effect_vs_flat(spark):
     flat = [(b, t, 5.0) for b in range(6) for t in range(1, 4)]
     df2 = spark.createDataFrame(flat, "subj long, trt int, v double")
     assert quade_test(df2, "subj", "trt", "v").collect()[0]["f_q6"] is None
+
+
+def test_seasonal_decompose_planted_weekcycle(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        seasonal_decompose,
+    )
+
+    # pure period-7 cycle + slow trend: high seasonal AND trend strength
+    amp = [0, 30, 10, -20, 5, -15, -10]
+    rows = [
+        ("g", t, float(100 + t + amp[t % 7])) for t in range(70)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = {
+        r["phase"]: r
+        for r in seasonal_decompose(
+            df, ("g",), ("t",), "v", period=7, quantize=0
+        ).collect()
+    }
+    assert len(out) == 7
+    r0 = out[0]
+    assert r0["f_seasonal_q6"] > 0.95
+    assert r0["f_trend_q6"] > 0.95
+    # seasonal indices recover the planted amplitudes (centered; the
+    # planted amps already sum to 0)
+    for ph in range(7):
+        # phase p corresponds to t with t%7 == (p+?): t starts at 0,
+        # rn starts at 1 -> phase = (rn-1)%7 = t%7
+        assert abs(out[ph]["seasonal_q6"] - amp[ph]) < 1.5, ph
+    # seasonal indices sum to ~0 by construction
+    assert abs(sum(r["seasonal_q6"] for r in out.values())) < 1e-3
+
+
+def test_seasonal_decompose_white_noise_low_strength(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        seasonal_decompose,
+    )
+
+    vals = _lcg_seq(140, seed=11)
+    rows = [("g", t, float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = seasonal_decompose(
+        df, ("g",), ("t",), "v", period=7, quantize=0
+    ).collect()
+    # iid noise: neither component explains much
+    assert all(r["f_seasonal_q6"] < 0.5 for r in out)
+    assert all(r["f_trend_q6"] < 0.5 for r in out)
+
+
+def test_seasonal_decompose_even_period_rejected(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        seasonal_decompose,
+    )
+    import pytest
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, v double")
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, ("g",), ("t",), "v", period=6)
