@@ -605,6 +605,15 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_hurst",
         "q_dp_counts",
         "q_neyman",
+        "q_kendalls_w",
+        "q_grubbs",
+        "q_hubness",
+        "q_effect_sizes",
+        "q_partial_corr",
+        "q_gini_gain",
+        "q_risk_ratios",
+        "q_quade",
+        "q_seasonal_decompose",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
