@@ -6632,6 +6632,59 @@ def _q_seasonal_decompose(spark, sf_dir):
     )
 
 
+def _q_juilland(spark, sf_dir):
+    """Juilland's D dispersion of the top-20 corpus terms across
+    sources (functions/keywords.py juilland_dispersion): a frequent
+    term with low D is a shard artifact, not a corpus term. Absent
+    cells are zero by contract, so per-term CV comes from integer
+    moments — no stepped window; TakeOrdered top-k."""
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        juilland_dispersion,
+    )
+
+    return juilland_dispersion(
+        _read(spark, sf_dir, "documents"), "source", "text", top_k=20
+    )
+
+
+def _q_ansari(spark, sf_dir):
+    """Ansari-Bradley scale test on account balance, BUILDING vs
+    MACHINERY (functions/stats.py ansari_bradley): rank-based
+    dispersion with R-style tie-averaged scores; block score sums
+    have a closed integer form off the distinct-value table, AB and
+    its tie-corrected moments fold in fixed value order."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ansari_bradley,
+    )
+
+    c = _read(spark, sf_dir, "customer")
+    return ansari_bradley(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _q_stratified_est(spark, sf_dir):
+    """Design-based corpus-mean estimate from a 20% hash-sampled
+    audit, stratified by source (functions/curate.py
+    stratified_estimate): est +- fpc-corrected SE against known
+    population stratum counts — the read-out side of a q_neyman-
+    planned q_hash-style draw. Cross-stratum sums fold in fixed
+    stratum order."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        hash_sample,
+        stratified_estimate,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    samp = d.filter(hash_sample(d, "doc_id", 1, 5))
+    pop = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pop")
+    )
+    return stratified_estimate(
+        samp, pop, ("source",), "n_chars", quantize=0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -6973,6 +7026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_risk_ratios": _q_risk_ratios,
         "q_quade": _q_quade,
         "q_seasonal_decompose": _q_seasonal_decompose,
+        "q_juilland": _q_juilland,
+        "q_ansari": _q_ansari,
+        "q_stratified_est": _q_stratified_est,
     }
 
 
@@ -16809,6 +16865,169 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN fs IS NOT NULL THEN floor(fs * 1e6) / 1e6
                 END AS f_seasonal_q6
             FROM seasonal JOIN st2 ON seasonal.g = st2.g
+        """,
+        "q_juilland": """
+            WITH parts AS (
+              SELECT count(DISTINCT source)::BIGINT AS k
+              FROM documents
+            ),
+            toks AS (
+              SELECT source AS p, unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> length(t) > 0)) AS t
+              FROM documents
+            ),
+            tp AS (
+              SELECT t, p, count(*)::BIGINT AS c
+              FROM toks GROUP BY t, p
+            ),
+            per AS (
+              SELECT t, sum(c)::BIGINT AS total_freq,
+                sum(c * c)::BIGINT AS c2,
+                count(*)::BIGINT AS n_parts_hit
+              FROM tp GROUP BY t
+            )
+            SELECT t AS term, total_freq, n_parts_hit,
+              floor((1.0 - (sqrt(greatest(0.0,
+                       c2::DOUBLE / k::DOUBLE
+                       - (total_freq::DOUBLE / k::DOUBLE)
+                         * (total_freq::DOUBLE / k::DOUBLE)))
+                     / (total_freq::DOUBLE / k::DOUBLE))
+                    / sqrt(k::DOUBLE - 1.0)) * 1e6) / 1e6 AS d_q6
+            FROM per, parts
+            ORDER BY total_freq DESC, term ASC LIMIT 20
+        """,
+        "q_ansari": """
+            WITH pooled AS (
+              SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                          ELSE 0 END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT v, ca, cb,
+                coalesce(sum(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lo,
+                sum(ca + cb) OVER () AS nn
+              FROM cnt
+            ),
+            cells AS (
+              SELECT v, ca, cb, ca + cb AS c, nn,
+                lo + 1 AS a, lo + ca + cb AS b, nn + 1 AS m,
+                (nn + 1) // 2 AS h
+              FROM cum
+            ),
+            bs AS (
+              SELECT v, ca, cb, c, nn,
+                (CASE WHEN least(b, h) >= a THEN
+                   (least(b, h) - a + 1) * (a + least(b, h)) // 2
+                 ELSE 0 END)
+                + (CASE WHEN b >= greatest(a, h + 1) THEN
+                     (b - greatest(a, h + 1) + 1) * m
+                     - (b - greatest(a, h + 1) + 1)
+                       * (greatest(a, h + 1) + b) // 2
+                   ELSE 0 END) AS bsum
+              FROM cells
+            ),
+            stepped AS (
+              SELECT nn,
+                sum(ca) OVER ()::BIGINT AS n_a,
+                sum(cb) OVER ()::BIGINT AS n_b,
+                sum(bsum) OVER ()::BIGINT AS s1,
+                sum(ca::DOUBLE * bsum::DOUBLE / c::DOUBLE)
+                  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ab,
+                sum(bsum::DOUBLE * bsum::DOUBLE / c::DOUBLE)
+                  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS s2,
+                row_number() OVER (ORDER BY v) AS rn,
+                count(*) OVER () AS k
+              FROM bs
+            ),
+            lastr AS (SELECT * FROM stepped WHERE rn = k)
+            SELECT n_a, n_b,
+              floor(ab * 1e6) / 1e6 AS ab_q6,
+              CASE WHEN n_a::DOUBLE * n_b::DOUBLE
+                        * (nn::DOUBLE * s2 - s1::DOUBLE * s1::DOUBLE)
+                        / (nn::DOUBLE * nn::DOUBLE
+                           * (nn::DOUBLE - 1.0)) > 0 THEN
+                floor((ab - n_a::DOUBLE * s1::DOUBLE / nn::DOUBLE)
+                      / sqrt(n_a::DOUBLE * n_b::DOUBLE
+                             * (nn::DOUBLE * s2
+                                - s1::DOUBLE * s1::DOUBLE)
+                             / (nn::DOUBLE * nn::DOUBLE
+                                * (nn::DOUBLE - 1.0))) * 1e6) / 1e6
+              END AS z_q6
+            FROM lastr
+        """,
+        "q_stratified_est": """
+            WITH samp AS (
+              SELECT source,
+                CAST(round(n_chars::DOUBLE * 1, 0) AS BIGINT) AS v
+              FROM documents
+              WHERE (CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 5) < 1
+            ),
+            sa AS (
+              SELECT source, count(*)::BIGINT AS n,
+                sum(v)::BIGINT AS s,
+                sum(CAST(v AS DECIMAL(38,0))
+                    * CAST(v AS DECIMAL(38,0))) AS ss
+              FROM samp GROUP BY source
+            ),
+            pop AS (
+              SELECT source, count(*)::BIGINT AS np
+              FROM documents GROUP BY source
+            ),
+            j AS (
+              SELECT sa.source AS source, n, s, ss, np
+              FROM sa JOIN pop ON sa.source = pop.source
+            ),
+            tots AS (
+              SELECT sum(np)::BIGINT AS npop, sum(n)::BIGINT AS nsamp
+              FROM j
+            ),
+            terms AS (
+              SELECT source, n, npop, nsamp,
+                np::DOUBLE / npop::DOUBLE * (s::DOUBLE / n::DOUBLE)
+                  AS est_term,
+                CASE WHEN n > 1 THEN
+                  (np::DOUBLE / npop::DOUBLE)
+                  * (np::DOUBLE / npop::DOUBLE)
+                  * (1.0 - n::DOUBLE / np::DOUBLE)
+                  * (((ss::DOUBLE - s::DOUBLE
+                        * (s::DOUBLE / n::DOUBLE))
+                      / (n::DOUBLE - 1.0)) / n::DOUBLE)
+                ELSE 0.0 END AS se_term
+              FROM j, tots
+            ),
+            stepped AS (
+              SELECT npop, nsamp,
+                sum(est_term) OVER (ORDER BY source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS est,
+                sum(se_term) OVER (ORDER BY source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sev,
+                sum(CASE WHEN n < 2 THEN 1 ELSE 0 END)
+                  OVER ()::BIGINT AS thin,
+                row_number() OVER (ORDER BY source) AS rn,
+                count(*) OVER () AS k
+              FROM terms
+            )
+            SELECT nsamp AS n_sample, npop AS n_pop,
+              k::BIGINT AS k_strata, thin AS n_thin,
+              floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
+              floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
+            FROM stepped WHERE rn = k
         """,
     }
     return out

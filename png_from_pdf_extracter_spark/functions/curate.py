@@ -1480,3 +1480,103 @@ def neyman_allocation(
             "n_alloc"
         ),
     )
+
+
+def stratified_estimate(
+    sample_df: DataFrame,
+    pop_counts: DataFrame,
+    stratum_cols: tuple,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Design-based stratified estimate of a population mean from an
+    audit SAMPLE: est = sum_h (N_h/N) ybar_h with the
+    finite-population-corrected SE — the read-out side of a
+    [[neyman_allocation]]-planned [[hash_sample]] audit: "the
+    corpus-wide mean quality is X +- SE, measured on 1% of rows".
+    ``pop_counts`` is (stratum..., n_pop) — the full-table stratum
+    counts, known exactly because WE drew the sample.
+
+    Per-stratum sample moments are BIGINT aggregates; the two
+    cross-stratum float sums (the weighted means and the variance
+    terms (N_h/N)^2 (1 - n_h/N_h) s_h^2/n_h) fold in fixed stratum
+    order (stepped window over the strata table). Strata sampled with
+    n_h < 2 contribute their mean but no variance term (flagged in
+    n_thin). Returns one row
+    (n_sample, n_pop, k_strata, n_thin, est_q6, se_q6).
+    """
+    gcols = list(stratum_cols)
+    v = F.round(
+        F.col(value_col).cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    samp = (
+        sample_df.select(*gcols, v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+            F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__ss"),
+        )
+    )
+    joined = samp.join(
+        pop_counts.select(
+            *gcols, F.col("n_pop").cast("long").alias("__np")
+        ),
+        gcols,
+    )
+    tots = joined.agg(
+        F.sum("__np").cast("long").alias("__npop"),
+        F.sum("__n").cast("long").alias("__nsamp"),
+    )
+    cells = joined.crossJoin(F.broadcast(tots))
+    nh = F.col("__n").cast("double")
+    nph = F.col("__np").cast("double")
+    npop = F.col("__npop").cast("double")
+    mean_h = F.col("__s").cast("double") / nh
+    var_h = F.when(
+        F.col("__n") > 1,
+        (
+            F.col("__ss").cast("double")
+            - F.col("__s").cast("double") * mean_h
+        )
+        / (nh - F.lit(1.0)),
+    )
+    w = nph / npop
+    est_term = w * mean_h
+    se_term = F.when(
+        var_h.isNotNull(),
+        w * w * (F.lit(1.0) - nh / nph) * (var_h / nh),
+    ).otherwise(F.lit(0.0))
+    ordw = Window.orderBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.orderBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cells.select(
+        "__npop",
+        "__nsamp",
+        F.sum(est_term).over(ordw).alias("__est"),
+        F.sum(se_term).over(ordw).alias("__sev"),
+        F.sum(
+            F.when(F.col("__n") < 2, 1).otherwise(0)
+        )
+        .over(wfull)
+        .cast("long")
+        .alias("__thin"),
+        F.row_number().over(Window.orderBy(*gcols)).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    scale = float(10 ** quantize)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.col("__nsamp").alias("n_sample"),
+        F.col("__npop").alias("n_pop"),
+        F.col("__k").cast("long").alias("k_strata"),
+        F.col("__thin").alias("n_thin"),
+        q6(F.col("__est") / F.lit(scale)).alias("est_q6"),
+        q6(F.sqrt(F.col("__sev")) / F.lit(scale)).alias("se_q6"),
+    )

@@ -298,3 +298,65 @@ def rake_keyphrases(
             "rank",
         )
     )
+
+
+def juilland_dispersion(
+    docs,
+    part_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 20,
+):
+    """Juilland's D dispersion for the corpus's top-k terms: how EVENLY
+    a term spreads across the k parts (sources/shards) — D = 1 -
+    CV/sqrt(k-1), 1 = perfectly even, 0 = concentrated in one part.
+    The corpus-linguistics complement to [[rake_keyphrases]]/keyness:
+    a high-frequency term with low D is a shard artifact, not a corpus
+    term — the read that catches one crawl seed poisoning a lexicon.
+
+    Absent (term, part) cells are zero by contract, so per-term
+    moments over ALL k parts come from sums over PRESENT cells only
+    (the [[interrater_reliability]] trick) — population CV from
+    integer counts, one fixed float expression per term, no stepped
+    window anywhere. Plan: one (part, term) count shuffle, one term
+    rollup, TakeOrdered top-k. Returns (term, total_freq, n_parts_hit,
+    d_q6) for the top_k terms by total frequency (term asc
+    tie-break).
+    """
+    from pyspark.sql import functions as F
+
+    parts_k = docs.select(part_col).distinct().count()
+    toks = docs.select(
+        F.col(part_col).alias("__p"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("__t"),
+    )
+    tp = toks.groupBy("__t", "__p").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per_term = tp.groupBy("__t").agg(
+        F.sum("__c").cast("long").alias("total_freq"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__c2"),
+        F.count("*").cast("long").alias("n_parts_hit"),
+    )
+    k = float(parts_k)
+    tot = F.col("total_freq").cast("double")
+    mean = tot / F.lit(k)
+    var = F.col("__c2").cast("double") / F.lit(k) - mean * mean
+    cv = F.sqrt(F.greatest(F.lit(0.0), var)) / mean
+    import math
+
+    d = F.lit(1.0) - cv / F.lit(math.sqrt(k - 1.0))
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    scored = per_term.select(
+        F.col("__t").alias("term"),
+        "total_freq",
+        "n_parts_hit",
+        q6(d).alias("d_q6"),
+    )
+    return scored.orderBy(
+        F.col("total_freq").desc(), F.col("term").asc()
+    ).limit(top_k)

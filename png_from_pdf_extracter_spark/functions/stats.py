@@ -6169,3 +6169,127 @@ def seasonal_decompose(
             F.col("__fs").isNotNull(), q6(F.col("__fs"))
         ).alias("f_seasonal_q6"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test: are the two groups
+    equally spread around a common center? Scores walk in from both
+    ends (1, 2, ..., peak, ..., 2, 1), so a group hugging the middle
+    scores high — the rank-based dispersion companion to
+    [[levene_bf]] that needs no variance estimates at all.
+
+    Tie handling matches R's ``ansari.test``: tied observations share
+    the AVERAGE of their positions' scores. Everything reduces to the
+    distinct-value count table: a tie block occupies positions
+    (lo, lo+c], and the block's SCORE SUM has a closed integer form
+    (split the range at floor((N+1)/2); both halves are arithmetic
+    series), so AB, its tie-corrected null mean E = n_a*S1/N and
+    variance Var = n_a*n_b*(N*S2 - S1^2)/(N^2 (N-1)) (S2 = sum of
+    block_sum^2/c) fold over the distinct-value table in fixed value
+    order. Plan: [[mann_whitney_u]]'s shape — one value-count
+    shuffle, one distinct-value window, one scalar aggregate.
+    Returns one row (n_a, n_b, ab_q6, z_q6); z null when Var = 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").cast("long").alias("ca"),
+        F.sum(1 - F.col("s")).cast("long").alias("cb"),
+    )
+    below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(below), F.lit(0)
+        ).alias("lo"),
+        F.sum(F.col("ca") + F.col("cb")).over(full).alias("nn"),
+        F.col("v"),
+    )
+    c = F.col("ca") + F.col("cb")
+    a = F.col("lo") + 1
+    b = F.col("lo") + c
+    m = F.col("nn") + 1
+    h = F.floor(m / 2).cast("long")
+
+    def _ser(x, y):
+        # sum of integers in [x, y], 0 when empty
+        return F.when(
+            y >= x, (y - x + 1) * (x + y) / 2
+        ).otherwise(F.lit(0)).cast("long")
+
+    up_hi = F.least(b, h)
+    dn_lo = F.greatest(a, h + 1)
+    # positions <= h contribute p; positions > h contribute m - p
+    block_sum = _ser(a, up_hi) + F.when(
+        b >= dn_lo, (b - dn_lo + 1) * m - ((b - dn_lo + 1) * (dn_lo + b) / 2).cast("long")
+    ).otherwise(F.lit(0)).cast("long")
+    cells = cum.select(
+        "ca",
+        "cb",
+        "v",
+        c.alias("c"),
+        F.col("nn").alias("nn"),
+        block_sum.alias("bs"),
+    )
+    ordw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wfullv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ab_term = (
+        F.col("ca").cast("double")
+        * F.col("bs").cast("double")
+        / F.col("c").cast("double")
+    )
+    s2_term = (
+        F.col("bs").cast("double")
+        * F.col("bs").cast("double")
+        / F.col("c").cast("double")
+    )
+    stepped = cells.select(
+        "nn",
+        F.sum("ca").over(wfullv).cast("long").alias("n_a"),
+        F.sum("cb").over(wfullv).cast("long").alias("n_b"),
+        F.sum("bs").over(wfullv).cast("long").alias("s1"),
+        F.sum(ab_term).over(ordw).alias("ab"),
+        F.sum(s2_term).over(ordw).alias("s2"),
+        F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count("*").over(wfullv).alias("k"),
+    )
+    last = stepped.filter(F.col("rn") == F.col("k"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = F.col("nn").cast("double")
+    s1 = F.col("s1").cast("double")
+    e = na * s1 / nd
+    var = (
+        na
+        * nb
+        * (nd * F.col("s2") - s1 * s1)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        "n_a",
+        "n_b",
+        q6(F.col("ab")).alias("ab_q6"),
+        F.when(
+            var > 0, q6((F.col("ab") - e) / F.sqrt(var))
+        ).alias("z_q6"),
+    )

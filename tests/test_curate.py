@@ -1111,3 +1111,37 @@ def test_neyman_allocation_hand_case(spark):
     mean = sum(vals) / 100
     sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / 99)
     assert abs(out["b"]["sd_q6"] - sd) < 1e-4
+
+
+def test_stratified_estimate_recovers_population_mean(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        hash_sample,
+        stratified_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    # two strata with very different means; 50% deterministic sample
+    rows = [(i, "a", 100.0 + (i % 7)) for i in range(200)]
+    rows += [(1000 + i, "b", 500.0 + (i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, st string, v double")
+    samp = df.filter(hash_sample(df, "id", 1, 2))
+    pop = df.groupBy("st").agg(F.count("*").cast("long").alias("n_pop"))
+    r = stratified_estimate(samp, pop, ("st",), "v", quantize=0).collect()[
+        0
+    ]
+    true_mean = (
+        sum(100.0 + (i % 7) for i in range(200))
+        + sum(500.0 + (i % 5) for i in range(100))
+    ) / 300.0
+    assert r["n_pop"] == 300 and r["k_strata"] == 2
+    # stratified estimate lands near truth with a small SE
+    assert abs(r["est_q6"] - true_mean) < 3 * max(r["se_q6"], 1.0)
+    assert 0 < r["se_q6"] < 5.0
+    assert r["n_thin"] == 0
+
+    # full census: fpc makes SE exactly 0 and the estimate exact
+    r2 = stratified_estimate(df, pop, ("st",), "v", quantize=0).collect()[
+        0
+    ]
+    assert abs(r2["est_q6"] - true_mean) < 1e-4
+    assert r2["se_q6"] == 0.0

@@ -337,3 +337,25 @@ def test_lexical_richness_all_hapax_honore_null(spark):
     assert r["honore_q6"] is None
     assert r["v1"] == r["v_types"] == 4
     assert r["chao1_q6"] == 4 + 4 * 3 / 2.0
+
+
+def test_juilland_even_vs_concentrated(spark):
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        juilland_dispersion,
+    )
+
+    # 'even' appears equally in all 4 parts; 'lump' only in one
+    docs = []
+    for p in range(4):
+        docs.append((f"s{p}", "even even even"))
+    docs.append(("s0", "lump lump lump lump lump lump lump lump lump"))
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {
+        r["term"]: r
+        for r in juilland_dispersion(df, "source", "text", top_k=5).collect()
+    }
+    assert out["even"]["d_q6"] >= 1.0 - 2e-6  # perfectly even
+    assert out["even"]["n_parts_hit"] == 4
+    # all mass in one of 4 parts: CV = sqrt(3), D = 1 - sqrt(3)/sqrt(3) = 0
+    assert abs(out["lump"]["d_q6"]) < 2e-6
+    assert out["lump"]["n_parts_hit"] == 1

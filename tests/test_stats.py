@@ -3270,3 +3270,56 @@ def test_seasonal_decompose_even_period_rejected(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, v double")
     with pytest.raises(ValueError):
         seasonal_decompose(df, ("g",), ("t",), "v", period=6)
+
+
+def _ab_ref(xs, ys):
+    """Direct Ansari-Bradley with R-style tie-averaged scores."""
+    pool = sorted(xs + ys)
+    n = len(pool)
+    score = [min(i + 1, n - i) for i in range(n)]  # positions 1..N
+    # average scores over tied values
+    from collections import defaultdict
+
+    by_val = defaultdict(list)
+    for i, v in enumerate(pool):
+        by_val[v].append(score[i])
+    avg = {v: sum(s) / len(s) for v, s in by_val.items()}
+    ab = sum(avg[v] for v in xs)
+    s1 = sum(score)
+    s2 = sum(len(s) * (sum(s) / len(s)) ** 2 for s in by_val.values())
+    na, nb = len(xs), len(ys)
+    e = na * s1 / n
+    var = na * nb * (n * s2 - s1 * s1) / (n * n * (n - 1))
+    return ab, e, var
+
+
+def test_ansari_bradley_python_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ansari_bradley,
+    )
+    import math
+
+    xs = [1.0, 3.0, 3.0, 5.0, 9.0, 12.0, 12.0]
+    ys = [4.0, 5.0, 6.0, 6.0, 7.0, 8.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ansari_bradley(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    ab, e, var = _ab_ref(xs, ys)
+    assert r["n_a"] == 7 and r["n_b"] == 6
+    assert abs(r["ab_q6"] - ab) < 2e-6
+    assert abs(r["z_q6"] - (ab - e) / math.sqrt(var)) < 2e-6
+    # a is wide, b is narrow: b's scores high, a's low -> z negative
+    assert r["z_q6"] < 0
+
+
+def test_ansari_bradley_equal_spread_near_zero(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ansari_bradley,
+    )
+
+    xs = [float(i) for i in range(40)]
+    ys = [float(i) + 0.5 for i in range(40)]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ansari_bradley(df, "v", "g", "a", "b", quantize=1).collect()[0]
+    assert abs(r["z_q6"]) < 1.0
