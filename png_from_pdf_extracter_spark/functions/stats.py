@@ -5080,13 +5080,20 @@ def srm_check(
     One arm-count aggregate. Returns one row
     (n, k_arms, n_unexpected, chi2_q6).
     """
-    spark = df.sparkSession
-    exp_rows = sorted((str(a), int(w)) for a, w in expected.items())
-    wtot = sum(w for _, w in exp_rows)
-    edf = spark.createDataFrame(exp_rows, "arm string, w long")
     obs = df.select(F.col(arm_col).cast("string").alias("arm")).groupBy(
         "arm"
     ).agg(F.count("*").cast("long").alias("__o"))
+    return srm_check_counts(obs, expected)
+
+
+def srm_check_counts(obs: DataFrame, expected: dict) -> DataFrame:
+    """[[srm_check]] on a PRE-COUNTED (arm, __o) table — the entry
+    point the streaming monitor's merged per-batch state uses (counts
+    are mergeable; the chi2 is not). Same contract and emit."""
+    spark = obs.sparkSession
+    exp_rows = sorted((str(a), int(w)) for a, w in expected.items())
+    wtot = sum(w for _, w in exp_rows)
+    edf = spark.createDataFrame(exp_rows, "arm string, w long")
     joined = obs.join(F.broadcast(edf), "arm", "full_outer").select(
         "arm",
         F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),

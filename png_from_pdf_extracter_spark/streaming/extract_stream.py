@@ -754,3 +754,72 @@ def read_topk_estimates(
     return _mg_compress(state, "item", k).orderBy(
         F.desc("cnt"), F.asc("item")
     )
+
+
+def stream_srm_monitor(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    checkpoint: str,
+    arm_col: str,
+    table: str = "srm_state",
+    processing_time: str | None = None,
+):
+    """Streaming sample-ratio-mismatch monitor: every micro-batch
+    writes its OWN per-arm assignment counts under the batch's
+    ``batch_id`` partition (dynamic overwrite — the
+    [[stream_drift_monitor]] exactly-once pattern), and
+    [[read_srm]] folds all batch partials and scores the CUMULATIVE
+    chi2 against the designed weights. Counts are the mergeable
+    state; the chi2 is derived at read time — so replays never
+    double-count and the monitor answers both "is THIS batch off"
+    (per-partition rows) and "has the experiment drifted overall"
+    (the fold). State is arms x batches rows of BIGINTs.
+    """
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        counts = (
+            batch_df.select(
+                F.col(arm_col).cast("string").alias("arm")
+            )
+            .groupBy("arm")
+            .agg(F.count("*").cast("long").alias("__o"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            counts.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_srm(
+    spark: SparkSession,
+    catalog: Catalog,
+    expected: dict,
+    table: str = "srm_state",
+) -> DataFrame:
+    """Cumulative SRM verdict from the per-batch count state: merge
+    all batch partials (an integer sum — order-free) and score with
+    [[srm_check_counts]] against the designed weights."""
+    from ..functions.stats import srm_check_counts
+
+    state = catalog.read(spark, table)
+    merged = state.groupBy("arm").agg(
+        F.sum("__o").cast("long").alias("__o")
+    )
+    return srm_check_counts(merged, expected)

