@@ -6685,6 +6685,36 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_cucconi(spark, sf_dir):
+    """Cucconi joint location-scale test, BUILDING vs MACHINERY
+    account balances (functions/stats.py cucconi_test): one statistic
+    that rejects when either the center or the spread moved — the
+    screen before choosing q_mann_whitney vs q_ansari. Doubled
+    midranks keep both squared-rank sums integer."""
+    from png_from_pdf_extracter_spark.functions.stats import cucconi_test
+
+    c = _read(spark, sf_dir, "customer")
+    return cucconi_test(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _q_gwet(spark, sf_dir):
+    """Gwet's AC1 agreement between the recorded lang label and the
+    n-gram detector (functions/stats.py gwet_ac1) — the
+    prevalence-robust companion to q_kappa_langid on the SAME rater
+    pair; a kappa-vs-AC1 gap is the dominant-label warning. Exact
+    rational po/marginals; pe folds over the label table."""
+    from png_from_pdf_extracter_spark.functions.stats import gwet_ac1
+    from png_from_pdf_extracter_spark.functions.text import lang_id
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("lang").alias("r1"),
+        lang_id(F.col("text")).alias("r2"),
+    )
+    return gwet_ac1(d, "r1", "r2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_sanitize": _q_sanitize,
@@ -7029,6 +7059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_juilland": _q_juilland,
         "q_ansari": _q_ansari,
         "q_stratified_est": _q_stratified_est,
+        "q_cucconi": _q_cucconi,
+        "q_gwet": _q_gwet,
     }
 
 
@@ -17027,6 +17059,106 @@ def oracle_sql() -> dict[str, str]:
               k::BIGINT AS k_strata, thin AS n_thin,
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_cucconi": """
+            WITH pooled AS (
+              SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                          ELSE 0 END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT ca, cb,
+                coalesce(sum(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lo
+              FROM cnt
+            ),
+            agg AS (
+              SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                sum(cb * (2 * lo + ca + cb + 1))::BIGINT AS sd1,
+                sum(cb * (2 * lo + ca + cb + 1)
+                       * (2 * lo + ca + cb + 1))::BIGINT AS sd2
+              FROM cum
+            ),
+            f AS (
+              SELECT n_a, n_b, n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                n_a::DOUBLE + n_b::DOUBLE AS nn,
+                sd2::DOUBLE / 4.0 AS ss2, sd1::DOUBLE AS sd1d
+              FROM agg
+            ),
+            m AS (
+              SELECT n_a, n_b, na, nb, nn, ss2,
+                nb * (nn + 1.0) * (nn + 1.0) - (nn + 1.0) * sd1d
+                  + ss2 AS sc2,
+                nb * (nn + 1.0) * (2.0 * nn + 1.0) AS mean0,
+                sqrt(na * nb * (nn + 1.0) * (2.0 * nn + 1.0)
+                     * (8.0 * nn + 11.0) / 5.0) AS den,
+                2.0 * (nn * nn - 4.0)
+                  / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0
+                  AS rho
+              FROM f
+            ),
+            uv AS (
+              SELECT n_a, n_b, rho,
+                (6.0 * ss2 - mean0) / den AS u,
+                (6.0 * sc2 - mean0) / den AS v
+              FROM m
+            )
+            SELECT n_a, n_b,
+              floor(u * 1e6) / 1e6 AS u_q6,
+              floor(v * 1e6) / 1e6 AS v_q6,
+              floor((u * u + v * v - 2.0 * rho * u * v)
+                    / (2.0 * (1.0 - rho * rho)) * 1e6) / 1e6 AS c_q6
+            FROM uv
+        """,
+        "q_gwet": f"""
+            WITH pairs AS (
+              SELECT lang AS a, {_LANG_CASE} AS b
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            tot AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                  AS agree
+              FROM pairs
+            ),
+            m1 AS (SELECT a AS q, count(*)::BIGINT AS c1
+                   FROM pairs GROUP BY a),
+            m2 AS (SELECT b AS q, count(*)::BIGINT AS c2
+                   FROM pairs GROUP BY b),
+            marg AS (
+              SELECT coalesce(m1.q, m2.q) AS q,
+                coalesce(c1, 0) + coalesce(c2, 0) AS m
+              FROM m1 FULL OUTER JOIN m2 ON m1.q = m2.q
+            ),
+            stepped AS (
+              SELECT n, agree,
+                sum((m::DOUBLE / (2.0 * n::DOUBLE))
+                    * (1.0 - m::DOUBLE / (2.0 * n::DOUBLE)))
+                  OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS pt,
+                row_number() OVER (ORDER BY q) AS rn,
+                count(*) OVER () AS k
+              FROM marg, tot
+            )
+            SELECT n, k::BIGINT AS q_labels,
+              floor(agree::DOUBLE / n::DOUBLE * 1e6) / 1e6 AS po_q6,
+              CASE WHEN k > 1 THEN
+                floor(pt / (k::DOUBLE - 1.0) * 1e6) / 1e6
+              END AS pe_q6,
+              CASE WHEN k > 1 AND pt / (k::DOUBLE - 1.0) < 1.0 THEN
+                floor((agree::DOUBLE / n::DOUBLE
+                       - pt / (k::DOUBLE - 1.0))
+                      / (1.0 - pt / (k::DOUBLE - 1.0)) * 1e6) / 1e6
+              END AS ac1_q6
             FROM stepped WHERE rn = k
         """,
     }

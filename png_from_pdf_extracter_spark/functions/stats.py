@@ -6300,3 +6300,174 @@ def ansari_bradley(
             var > 0, q6((F.col("ab") - e) / F.sqrt(var))
         ).alias("z_q6"),
     )
+
+
+def gwet_ac1(
+    df: DataFrame,
+    r1_col: str,
+    r2_col: str,
+) -> DataFrame:
+    """Gwet's AC1 chance-corrected agreement between two categorical
+    raters — the [[cohen_kappa]] alternative that does NOT collapse
+    when one label dominates (the kappa prevalence paradox): chance
+    agreement is modeled from the MEAN marginals, pe = sum_q
+    pi_q(1 - pi_q)/(Q-1), so a 95%-'en' corpus can still score high
+    agreement. Report AC1 next to kappa; a big gap between them IS
+    the prevalence warning.
+
+    po and the marginals are exact rationals from label counts; pe
+    folds over the (tiny) label table in fixed label order; AC1 is
+    one final expression. Plan: one pair-count shuffle + two label
+    rollups. Returns one row (n, q_labels, po_q6, pe_q6, ac1_q6);
+    AC1 null when pe = 1 (degenerate single label).
+    """
+    pairs = df.select(
+        F.col(r1_col).cast("string").alias("__a"),
+        F.col(r2_col).cast("string").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    tot = pairs.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long"))
+        .cast("long")
+        .alias("__agree"),
+    )
+    m1 = pairs.groupBy(F.col("__a").alias("__q")).agg(
+        F.count("*").cast("long").alias("__c1")
+    )
+    m2 = pairs.groupBy(F.col("__b").alias("__q")).agg(
+        F.count("*").cast("long").alias("__c2")
+    )
+    marg = (
+        m1.join(m2, "__q", "full_outer")
+        .select(
+            "__q",
+            (
+                F.coalesce(F.col("__c1"), F.lit(0))
+                + F.coalesce(F.col("__c2"), F.lit(0))
+            )
+            .cast("long")
+            .alias("__m"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("__n").cast("double")
+    pi = F.col("__m").cast("double") / (F.lit(2.0) * n)
+    term = pi * (F.lit(1.0) - pi)
+    ordw = Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("__q").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = marg.select(
+        "__n",
+        "__agree",
+        F.sum(term).over(ordw).alias("__pt"),
+        F.row_number().over(Window.orderBy("__q")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    po = F.col("__agree").cast("double") / n
+    pe = F.col("__pt") / (F.col("__k").cast("double") - F.lit(1.0))
+    ac1 = (po - pe) / (F.lit(1.0) - pe)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.col("__n").alias("n"),
+        F.col("__k").cast("long").alias("q_labels"),
+        q6(po).alias("po_q6"),
+        F.when(F.col("__k") > 1, q6(pe)).alias("pe_q6"),
+        F.when(
+            (F.col("__k") > 1) & (pe < 1.0), q6(ac1)
+        ).alias("ac1_q6"),
+    )
+
+
+def cucconi_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Cucconi test — JOINT location-AND-scale two-sample test in one
+    statistic (predates and often beats the Lepage combination): U
+    standardizes the sum of squared ranks of sample B, V the sum of
+    squared CONTRA-ranks, and C = (U^2 + V^2 - 2 rho U V)/(2(1 -
+    rho^2)) rejects when either the center or the spread moved — the
+    single-number screen before deciding between [[mann_whitney_u]]
+    (location) and [[ansari_bradley]] (scale).
+
+    Doubled midranks off the distinct-value count table make
+    sum S^2 = sum D^2/4 and sum (N+1-S)^2 = sum (2(N+1)-D)^2/4
+    integer-exact; the null moments are closed forms in (n_a, n_b, N)
+    evaluated in double. [[mann_whitney_u]]'s plan shape. Returns one
+    row (n_a, n_b, u_q6, v_q6, c_q6).
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").cast("long").alias("ca"),
+        F.sum(1 - F.col("s")).cast("long").alias("cb"),
+    )
+    below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnt.select(
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(below), F.lit(0)
+        ).alias("lo"),
+    )
+    c = F.col("ca") + F.col("cb")
+    d = 2 * F.col("lo") + c + 1  # doubled midrank
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("cb") * d).cast("long").alias("__sd1"),
+        F.sum(F.col("cb") * d * d).cast("long").alias("__sd2"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    ss2 = F.col("__sd2").cast("double") / F.lit(4.0)
+    # sum (N+1-S)^2 = n_b (N+1)^2 - (N+1) * sum D + sum D^2 / 4
+    sc2 = (
+        nb * (nn + F.lit(1.0)) * (nn + F.lit(1.0))
+        - (nn + F.lit(1.0)) * F.col("__sd1").cast("double")
+        + ss2
+    )
+    mean0 = nb * (nn + F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(1.0))
+    den = F.sqrt(
+        na
+        * nb
+        * (nn + F.lit(1.0))
+        * (F.lit(2.0) * nn + F.lit(1.0))
+        * (F.lit(8.0) * nn + F.lit(11.0))
+        / F.lit(5.0)
+    )
+    u = (F.lit(6.0) * ss2 - mean0) / den
+    vv = (F.lit(6.0) * sc2 - mean0) / den
+    rho = (
+        F.lit(2.0)
+        * (nn * nn - F.lit(4.0))
+        / (
+            (F.lit(2.0) * nn + F.lit(1.0))
+            * (F.lit(8.0) * nn + F.lit(11.0))
+        )
+        - F.lit(1.0)
+    )
+    cstat = (u * u + vv * vv - F.lit(2.0) * rho * u * vv) / (
+        F.lit(2.0) * (F.lit(1.0) - rho * rho)
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        q6(u).alias("u_q6"),
+        q6(vv).alias("v_q6"),
+        q6(cstat).alias("c_q6"),
+    )

@@ -3323,3 +3323,71 @@ def test_ansari_bradley_equal_spread_near_zero(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = ansari_bradley(df, "v", "g", "a", "b", quantize=1).collect()[0]
     assert abs(r["z_q6"]) < 1.0
+
+
+def test_cucconi_python_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import cucconi_test
+    import math
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    ys = [2.5, 3.5, 3.5, 5.5, 6.5, 10.0, 11.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cucconi_test(df, "v", "g", "a", "b", quantize=1).collect()[0]
+
+    pool = sorted(xs + ys)
+    n = len(pool)
+    s_ranks = _midranks(ys, pool)
+    ss2 = sum(s * s for s in s_ranks)
+    sc2 = sum((n + 1 - s) ** 2 for s in s_ranks)
+    na, nb = len(xs), len(ys)
+    den = math.sqrt(
+        na * nb * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0
+    )
+    u = (6 * ss2 - nb * (n + 1) * (2 * n + 1)) / den
+    v = (6 * sc2 - nb * (n + 1) * (2 * n + 1)) / den
+    rho = 2 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+    cref = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert abs(r["u_q6"] - u) < 1e-5
+    assert abs(r["v_q6"] - v) < 1e-5
+    assert abs(r["c_q6"] - cref) < 1e-5
+
+
+def test_cucconi_detects_scale_shift_mw_misses(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        cucconi_test,
+        mann_whitney_u,
+    )
+
+    # same center, very different spread: MW AUC ~ 0.5, Cucconi large
+    xs = [float(v) for v in range(45, 56)] * 4  # tight around 50
+    ys = [float(v) for v in range(0, 101, 5)] * 2  # wide around 50
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    mw = mann_whitney_u(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    cu = cucconi_test(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    assert abs(mw["auc_a"] - 0.5) < 0.05
+    assert cu["c_q6"] > 3.0
+
+
+def test_gwet_ac1_prevalence_vs_kappa_shape(spark):
+    from png_from_pdf_extracter_spark.functions.stats import gwet_ac1
+
+    # 95% of items are label 'x' and raters agree on them; they split
+    # on the rare label -> po is high, AC1 stays high (kappa would not)
+    rows = [("x", "x")] * 95 + [("y", "z")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = gwet_ac1(df, "a", "b").collect()[0]
+    assert r["n"] == 100 and r["q_labels"] == 3
+    assert abs(r["po_q6"] - 0.95) < 2e-6
+    assert r["ac1_q6"] > 0.9
+    # perfect agreement -> AC1 = 1
+    df2 = spark.createDataFrame(
+        [("p", "p")] * 10 + [("q", "q")] * 10, "a string, b string"
+    )
+    r2 = gwet_ac1(df2, "a", "b").collect()[0]
+    assert r2["ac1_q6"] >= 1.0 - 2e-6
+    # hand pe for the first table: margins x: (95+95), y: (5+0), z: (0+5)
+    pi = [190 / 200, 5 / 200, 5 / 200]
+    pe = sum(p * (1 - p) for p in pi) / 2
+    assert abs(r["pe_q6"] - pe) < 2e-6
