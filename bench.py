@@ -614,6 +614,11 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_risk_ratios",
         "q_quade",
         "q_seasonal_decompose",
+        "q_juilland",
+        "q_ansari",
+        "q_stratified_est",
+        "q_cucconi",
+        "q_gwet",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
