@@ -1038,3 +1038,61 @@ def test_linear_cka_dim2_shuffle_not_rows(spark):
     assert "hashpartitioning(d1" in plan, plan
     for c in getattr(out, "_spark_graft_cached", []):
         c.unpersist()
+
+
+def test_brunner_munzel_single_value_count_shuffle(spark):
+    """brunner_munzel: mann_whitney's plan shape — one value-count
+    aggregate, one distinct-value window, no join back to raw rows."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        brunner_munzel,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(
+        brunner_munzel(
+            c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+        )
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_effect_sizes_one_pass_no_join(spark):
+    """effect_sizes: one combinable conditional aggregate — no join,
+    no window, a single aggregate pair in the plan."""
+    from png_from_pdf_extracter_spark.functions.stats import effect_sizes
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(
+        effect_sizes(
+            c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+        )
+    )
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_partial_corr_single_aggregate(spark):
+    """partial_corr: all nine moments in ONE aggregate — exactly one
+    Exchange (the global partial/final pair), no second pass."""
+    from png_from_pdf_extracter_spark.functions.stats import partial_corr
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(
+        partial_corr(
+            li, "l_extendedprice", "l_quantity", "l_discount"
+        )
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_juilland_take_ordered_top_k(spark):
+    """juilland_dispersion: the top-k cut is TakeOrderedAndProject,
+    never a global single-partition sort of the vocabulary."""
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        juilland_dispersion,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(juilland_dispersion(d, "source", "text", top_k=20))
+    assert "TakeOrderedAndProject" in plan, plan
