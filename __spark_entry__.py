@@ -6685,6 +6685,41 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_mix_divergence(spark, sf_dir):
+    """KL/TV/chi2 divergence of the language mixture from the designed
+    4:2:2:1:1 training mix (functions/curate.py mixture_divergence) —
+    the post-materialization drift gate next to q_mix_weights. Exact
+    rational shares; the three sums fold over the 5-row language
+    table in fixed order."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        mixture_divergence,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return mixture_divergence(
+        d, "lang", {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+    )
+
+
+def _q_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report for q_seq_pack's 2000-token
+    sequences (functions/curate.py pack_efficiency): per-source fill
+    factor plus overflow/underfull sequence counts — the padding-waste
+    read before a training run. Integer sums over the (key, seq)
+    rollup."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        pack_efficiency,
+    )
+    from png_from_pdf_extracter_spark.functions.text import token_count
+
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return pack_efficiency(d, "source", "doc_id", "n_tok", 2000)
+
+
 def _q_cucconi(spark, sf_dir):
     """Cucconi joint location-scale test, BUILDING vs MACHINERY
     account balances (functions/stats.py cucconi_test): one statistic
@@ -7061,6 +7096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_est": _q_stratified_est,
         "q_cucconi": _q_cucconi,
         "q_gwet": _q_gwet,
+        "q_mix_divergence": _q_mix_divergence,
+        "q_pack_efficiency": _q_pack_efficiency,
     }
 
 
@@ -17060,6 +17097,98 @@ def oracle_sql() -> dict[str, str]:
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
             FROM stepped WHERE rn = k
+        """,
+        "q_mix_divergence": """
+            WITH obs AS (
+              SELECT lang AS grp, count(*)::BIGINT AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            t AS (
+              SELECT * FROM (VALUES ('de', 2), ('en', 4), ('es', 2),
+                                    ('fr', 1), ('zh', 1)) x(grp, w)
+            ),
+            j AS (
+              SELECT coalesce(obs.grp, t.grp) AS grp,
+                coalesce(n, 0) AS n, w
+              FROM obs FULL OUTER JOIN t ON obs.grp = t.grp
+            ),
+            tot AS (
+              SELECT sum(CASE WHEN w IS NOT NULL THEN n END)::BIGINT
+                       AS nm,
+                coalesce(sum(CASE WHEN w IS NULL THEN n END),
+                         0)::BIGINT AS nu
+              FROM j
+            ),
+            cells AS (
+              SELECT grp, n, w, nm, nu FROM j, tot WHERE w IS NOT NULL
+            ),
+            terms AS (
+              SELECT grp, nm, nu,
+                CASE WHEN n > 0 THEN
+                  (n::DOUBLE / nm::DOUBLE)
+                  * ln((n::DOUBLE / nm::DOUBLE) / (w::DOUBLE / 10.0))
+                ELSE 0.0 END AS klt,
+                abs(n::DOUBLE / nm::DOUBLE - w::DOUBLE / 10.0) / 2.0
+                  AS tvt,
+                (n::DOUBLE / nm::DOUBLE - w::DOUBLE / 10.0)
+                  * (n::DOUBLE / nm::DOUBLE - w::DOUBLE / 10.0)
+                  / (w::DOUBLE / 10.0) AS c2t
+              FROM cells
+            ),
+            stepped AS (
+              SELECT nm, nu,
+                sum(klt) OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS kl,
+                sum(tvt) OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS tv,
+                sum(c2t) OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS c2,
+                row_number() OVER (ORDER BY grp) AS rn,
+                count(*) OVER () AS k
+              FROM terms
+            )
+            SELECT nm AS n, k::BIGINT AS k_groups, nu AS n_unmatched,
+              floor(kl * 1e6) / 1e6 AS kl_q6,
+              floor(tv * 1e6) / 1e6 AS tv_q6,
+              floor(c2 * 1e6) / 1e6 AS chi2n_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_pack_efficiency": """
+            WITH base AS (
+              SELECT source, doc_id,
+                length(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tok
+              FROM documents
+            ),
+            p AS (
+              SELECT source, doc_id, n_tok,
+                     CAST(floor(coalesce(sum(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) / 2000.0) AS INTEGER) AS seq_idx
+              FROM base
+            ),
+            per_seq AS (
+              SELECT source, seq_idx, count(*)::BIGINT AS d,
+                     sum(n_tok)::BIGINT AS t
+              FROM p GROUP BY source, seq_idx
+            ),
+            agg AS (
+              SELECT source, sum(d)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_seqs,
+                sum(t)::BIGINT AS total_tokens,
+                sum(CASE WHEN t > 2000 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_over,
+                sum(CASE WHEN t < 2000 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_under
+              FROM per_seq GROUP BY source
+            )
+            SELECT source, n_docs, n_seqs, total_tokens,
+              floor(total_tokens::DOUBLE
+                    / (n_seqs::DOUBLE * 2000.0) * 1e6) / 1e6
+                AS fill_q6,
+              n_over, n_under
+            FROM agg
         """,
         "q_cucconi": """
             WITH pooled AS (

@@ -1580,3 +1580,141 @@ def stratified_estimate(
         q6(F.col("__est") / F.lit(scale)).alias("est_q6"),
         q6(F.sqrt(F.col("__sev")) / F.lit(scale)).alias("se_q6"),
     )
+
+
+def mixture_divergence(
+    df: DataFrame,
+    group_col: str,
+    target: dict,
+) -> DataFrame:
+    """How far is the corpus's group mixture from the DESIGNED mix?
+    KL(p||q), total variation and the chi-square-per-row divergence
+    between the observed group shares and the target weights — the
+    continuous companion to [[mix_weights]]/[[materialize_mix]]: run
+    it after a materialization (or on every incremental delivery) to
+    catch a drifting pipeline before the training mix skews.
+
+    ``target`` is group -> integer weight (normalized internally).
+    Groups in the data but NOT in the target are a contract breach:
+    counted in ``n_unmatched`` and excluded from the divergences
+    (their q is undefined); target groups with zero rows contribute
+    their full TV/chi2 mass and the KL limit 0. Counts/weights are
+    exact rationals; the three sums fold over the k-row group table
+    in fixed group order. Returns one row
+    (n, k_groups, n_unmatched, kl_q6, tv_q6, chi2n_q6).
+    """
+    spark = df.sparkSession
+    t_rows = sorted((str(g), int(w)) for g, w in target.items())
+    wtot = float(sum(w for _, w in t_rows))
+    tdf = spark.createDataFrame(t_rows, "grp string, w long")
+    obs = (
+        df.select(F.col(group_col).cast("string").alias("grp"))
+        .filter(F.col("grp").isNotNull())
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    joined = obs.join(F.broadcast(tdf), "grp", "full_outer").select(
+        "grp",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+        "w",
+    )
+    tot = joined.agg(
+        F.sum(F.when(F.col("w").isNotNull(), F.col("__n")))
+        .cast("long")
+        .alias("__nm"),
+        F.coalesce(
+            F.sum(F.when(F.col("w").isNull(), F.col("__n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__nu"),
+    )
+    cells = joined.filter(F.col("w").isNotNull()).crossJoin(
+        F.broadcast(tot)
+    )
+    p = F.col("__n").cast("double") / F.col("__nm").cast("double")
+    q = F.col("w").cast("double") / F.lit(wtot)
+    kl_term = F.when(
+        F.col("__n") > 0, p * F.log(p / q)
+    ).otherwise(F.lit(0.0))
+    tv_term = F.abs(p - q) / F.lit(2.0)
+    chi_term = (p - q) * (p - q) / q
+    ordw = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cells.select(
+        "__nm",
+        "__nu",
+        F.sum(kl_term).over(ordw).alias("__kl"),
+        F.sum(tv_term).over(ordw).alias("__tv"),
+        F.sum(chi_term).over(ordw).alias("__c2"),
+        F.row_number().over(Window.orderBy("grp")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return stepped.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__nm").alias("n"),
+        F.col("__k").cast("long").alias("k_groups"),
+        F.col("__nu").alias("n_unmatched"),
+        q6(F.col("__kl")).alias("kl_q6"),
+        q6(F.col("__tv")).alias("tv_q6"),
+        q6(F.col("__c2")).alias("chi2n_q6"),
+    )
+
+
+def pack_efficiency(
+    docs: DataFrame,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    token_col: str = "n_tok",
+    target_tokens: int = 2000,
+) -> DataFrame:
+    """Packing-efficiency report over [[sequence_pack]]'s assignment:
+    per key, how full are the training sequences the offset-chunking
+    produced? fill = total_tokens / (n_seqs * target); overflow
+    sequences (> target, a doc straddled the boundary) and underfull
+    ones (< target, typically each key's tail) are counted — the
+    numbers that justify (or kill) a target_tokens choice before a
+    training run burns padding.
+
+    Same single key-shuffle as sequence_pack plus a (key, seq)
+    rollup; integer sums, one float fill expression. Returns
+    (key, n_docs, n_seqs, total_tokens, fill_q6, n_over, n_under).
+    """
+    packed = sequence_pack(
+        docs, key_col, order_col, token_col, target_tokens
+    )
+    per_seq = packed.groupBy(key_col, "seq_idx").agg(
+        F.count("*").cast("long").alias("__d"),
+        F.sum(token_col).cast("long").alias("__t"),
+    )
+    agg = per_seq.groupBy(key_col).agg(
+        F.sum("__d").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum("__t").cast("long").alias("total_tokens"),
+        F.sum(
+            (F.col("__t") > target_tokens).cast("long")
+        )
+        .cast("long")
+        .alias("n_over"),
+        F.sum(
+            (F.col("__t") < target_tokens).cast("long")
+        )
+        .cast("long")
+        .alias("n_under"),
+    )
+    fill = F.col("total_tokens").cast("double") / (
+        F.col("n_seqs").cast("double") * F.lit(float(target_tokens))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        key_col,
+        "n_docs",
+        "n_seqs",
+        "total_tokens",
+        q6(fill).alias("fill_q6"),
+        "n_over",
+        "n_under",
+    )

@@ -1145,3 +1145,65 @@ def test_stratified_estimate_recovers_population_mean(spark):
     ]
     assert abs(r2["est_q6"] - true_mean) < 1e-4
     assert r2["se_q6"] == 0.0
+
+
+def test_mixture_divergence_on_target_and_skewed(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        mixture_divergence,
+    )
+    import math
+
+    # exactly the 1:1 target -> all divergences 0
+    rows = [("a",)] * 50 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "g string")
+    r = mixture_divergence(df, "g", {"a": 1, "b": 1}).collect()[0]
+    assert r["kl_q6"] == 0.0 and r["tv_q6"] == 0.0
+    assert r["chi2n_q6"] == 0.0 and r["n_unmatched"] == 0
+
+    # 80/20 against 50/50: hand-computed divergences
+    rows2 = [("a",)] * 80 + [("b",)] * 20
+    df2 = spark.createDataFrame(rows2, "g string")
+    r2 = mixture_divergence(df2, "g", {"a": 1, "b": 1}).collect()[0]
+    kl = 0.8 * math.log(0.8 / 0.5) + 0.2 * math.log(0.2 / 0.5)
+    assert abs(r2["kl_q6"] - kl) < 2e-6
+    assert abs(r2["tv_q6"] - 0.3) < 2e-6
+    assert abs(r2["chi2n_q6"] - (0.09 / 0.5 + 0.09 / 0.5)) < 2e-6
+
+    # rogue group counted, excluded from the sums; empty target group
+    # contributes its TV mass
+    rows3 = [("a",)] * 50 + [("zz",)] * 10
+    df3 = spark.createDataFrame(rows3, "g string")
+    r3 = mixture_divergence(df3, "g", {"a": 1, "b": 1}).collect()[0]
+    assert r3["n_unmatched"] == 10 and r3["n"] == 50
+    assert abs(r3["tv_q6"] - 0.5) < 2e-6  # p=(1,0) vs q=(.5,.5)
+
+
+def test_pack_efficiency_fill_and_overflow(spark):
+    from png_from_pdf_extracter_spark.functions.curate import (
+        pack_efficiency,
+    )
+
+    # docs of 600 tokens, target 1000: seqs get 2 docs (1200 tokens,
+    # overflow) except possibly the tail
+    rows = [("k", i, 600) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    r = pack_efficiency(df, "source", "doc_id", "n_tok", 1000).collect()[
+        0
+    ]
+    assert r["n_docs"] == 10 and r["total_tokens"] == 6000
+    # offset chunking: 600-token docs at offsets 0..5400 land in seqs
+    # 0,0,1,1,2,3,3,4,4,5 -> 6 seqs, four 1200-token overflows and two
+    # 600-token tails
+    assert r["n_seqs"] == 6 and r["n_over"] == 4 and r["n_under"] == 2
+    assert abs(r["fill_q6"] - 1.0) < 2e-6
+
+    # perfect packing: 1000-token docs, target 1000
+    rows2 = [("k", i, 1000) for i in range(4)]
+    df2 = spark.createDataFrame(
+        rows2, "source string, doc_id int, n_tok int"
+    )
+    r2 = pack_efficiency(df2, "source", "doc_id", "n_tok", 1000).collect()[
+        0
+    ]
+    assert r2["n_seqs"] == 4 and r2["n_over"] == 0 and r2["n_under"] == 0
+    assert r2["fill_q6"] == 1.0
