@@ -6685,6 +6685,41 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_bowker(spark, sf_dir):
+    """Bowker symmetry test on the lang-vs-detector confusion
+    (functions/stats.py bowker_symmetry): are the disagreements
+    DIRECTIONAL — does 'fr' get read as 'es' more than the reverse?
+    The drift question q_gwet's symmetric agreement can't answer,
+    on the same rater pair. Integer cells; per-pair rationals folded
+    in fixed pair order."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        bowker_symmetry,
+    )
+    from png_from_pdf_extracter_spark.functions.text import lang_id
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("lang").alias("r1"),
+        lang_id(F.col("text")).alias("r2"),
+    )
+    return bowker_symmetry(d, "r1", "r2")
+
+
+def _q_hellinger(spark, sf_dir):
+    """Hellinger distance between purchase and click value
+    distributions (functions/stats.py hellinger_distance) — the
+    bounded overlap-everywhere distance next to q_wasserstein's
+    magnitude and q_jsd_split's information reads. Exact rational
+    bin masses; the BC sum folds over the distinct-value table."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hellinger_distance,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return hellinger_distance(
+        ev, "value", "event_type", "purchase", "click", quantize=1
+    )
+
+
 def _q_mix_divergence(spark, sf_dir):
     """KL/TV/chi2 divergence of the language mixture from the designed
     4:2:2:1:1 training mix (functions/curate.py mixture_divergence) —
@@ -7098,6 +7133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gwet": _q_gwet,
         "q_mix_divergence": _q_mix_divergence,
         "q_pack_efficiency": _q_pack_efficiency,
+        "q_bowker": _q_bowker,
+        "q_hellinger": _q_hellinger,
     }
 
 
@@ -17096,6 +17133,72 @@ def oracle_sql() -> dict[str, str]:
               k::BIGINT AS k_strata, thin AS n_thin,
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_bowker": f"""
+            WITH pairs AS (
+              SELECT lang AS a, {_LANG_CASE} AS b
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM pairs),
+            cells AS (
+              SELECT a, b, count(*)::BIGINT AS c
+              FROM pairs WHERE a <> b GROUP BY a, b
+            ),
+            canon AS (
+              SELECT least(a, b) AS i, greatest(a, b) AS j,
+                sum(CASE WHEN a < b THEN c ELSE 0 END)::BIGINT AS nij,
+                sum(CASE WHEN a > b THEN c ELSE 0 END)::BIGINT AS nji
+              FROM cells GROUP BY least(a, b), greatest(a, b)
+            ),
+            stepped AS (
+              SELECT n,
+                sum((nij - nji)::DOUBLE * (nij - nji)::DOUBLE
+                    / (nij + nji)::DOUBLE)
+                  OVER (ORDER BY i, j ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS chi2,
+                row_number() OVER (ORDER BY i, j) AS rn,
+                count(*) OVER () AS k
+              FROM canon, tot
+            )
+            SELECT n, k::BIGINT AS n_offdiag_pairs,
+              floor(chi2 * 1e6) / 1e6 AS chi2_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_hellinger": """
+            WITH pooled AS (
+              SELECT CAST(round(value * 10, 0) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END AS s
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+                AND value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT v, ca, cb,
+                sum(ca) OVER ()::BIGINT AS n_a,
+                sum(cb) OVER ()::BIGINT AS n_b
+              FROM cnt
+            ),
+            stepped AS (
+              SELECT n_a, n_b,
+                sum(sqrt((ca::DOUBLE / n_a::DOUBLE)
+                         * (cb::DOUBLE / n_b::DOUBLE)))
+                  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS bc,
+                row_number() OVER (ORDER BY v) AS rn,
+                count(*) OVER () AS k
+              FROM cum
+            )
+            SELECT n_a, n_b,
+              floor(bc * 1e6) / 1e6 AS bc_q6,
+              floor(sqrt(greatest(0.0, 1.0 - bc)) * 1e6) / 1e6
+                AS hellinger_q6
             FROM stepped WHERE rn = k
         """,
         "q_mix_divergence": """

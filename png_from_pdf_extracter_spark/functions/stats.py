@@ -6471,3 +6471,145 @@ def cucconi_test(
         q6(vv).alias("v_q6"),
         q6(cstat).alias("c_q6"),
     )
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    r1_col: str,
+    r2_col: str,
+) -> DataFrame:
+    """Bowker's test of symmetry — [[mcnemar_test]] generalized to a
+    k x k rater/version confusion: are disagreements DIRECTIONAL
+    (label i flips to j more than j flips to i)? The drift read for a
+    re-annotation or model-version swap that [[gwet_ac1]]'s symmetric
+    agreement number can't see. chi2 = sum_{i<j}
+    (n_ij - n_ji)^2 / (n_ij + n_ji) over pairs with any off-diagonal
+    mass; df = count of such pairs.
+
+    Cells are BIGINT counts; each pair term is one rational and the
+    sum folds over the (tiny) unordered-pair table in fixed pair
+    order. One (label, label) count shuffle. Returns one row
+    (n, n_offdiag_pairs, chi2_q6).
+    """
+    pairs = df.select(
+        F.col(r1_col).cast("string").alias("__a"),
+        F.col(r2_col).cast("string").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    tot = pairs.agg(F.count("*").cast("long").alias("__n"))
+    cells = pairs.filter(F.col("__a") != F.col("__b")).groupBy(
+        "__a", "__b"
+    ).agg(F.count("*").cast("long").alias("__c"))
+    canon = cells.groupBy(
+        F.least("__a", "__b").alias("__i"),
+        F.greatest("__a", "__b").alias("__j"),
+    ).agg(
+        F.sum(
+            F.when(F.col("__a") < F.col("__b"), F.col("__c")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("__nij"),
+        F.sum(
+            F.when(F.col("__a") > F.col("__b"), F.col("__c")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("__nji"),
+    )
+    d = (F.col("__nij") - F.col("__nji")).cast("double")
+    s = (F.col("__nij") + F.col("__nji")).cast("double")
+    term = d * d / s
+    ordw = Window.orderBy("__i", "__j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.orderBy("__i", "__j").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = canon.crossJoin(F.broadcast(tot)).select(
+        "__n",
+        F.sum(term).over(ordw).alias("__chi2"),
+        F.row_number().over(Window.orderBy("__i", "__j")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = stepped.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__n").alias("n"),
+        F.col("__k").cast("long").alias("n_offdiag_pairs"),
+        q6(F.col("__chi2")).alias("chi2_q6"),
+    )
+    return out
+
+
+def hellinger_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Hellinger distance between two groups' value distributions over
+    the distinct quantized values: H = sqrt(1 - BC), BC = sum
+    sqrt(p_v q_v) — the bounded [0, 1] distribution distance that,
+    unlike [[ks_statistic]]'s max-gap, rewards overlap EVERYWHERE and,
+    unlike KL, never blows up on disjoint support. The third member
+    of the distance family next to [[wasserstein_1d]] (magnitude) and
+    JSD (information).
+
+    p/q are exact rationals per distinct value; the BC sum folds in
+    fixed value order over the distinct-value table
+    ([[mann_whitney_u]]'s plan shape). Returns one row
+    (n_a, n_b, bc_q6, hellinger_q6).
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = (
+        df.filter(
+            g.isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            v.alias("v"),
+            F.when(g == group_a, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("s"),
+        )
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").cast("long").alias("ca"),
+        F.sum(1 - F.col("s")).cast("long").alias("cb"),
+    )
+    wfull = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(wfull).cast("long").alias("n_a"),
+        F.sum("cb").over(wfull).cast("long").alias("n_b"),
+        F.col("v"),
+    )
+    p = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    q = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    term = F.sqrt(p * q)
+    stepped = cum.select(
+        "n_a",
+        "n_b",
+        F.sum(term).over(ordw).alias("__bc"),
+        F.row_number().over(Window.orderBy("v")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return stepped.filter(F.col("__rn") == F.col("__k")).select(
+        "n_a",
+        "n_b",
+        q6(F.col("__bc")).alias("bc_q6"),
+        q6(
+            F.sqrt(
+                F.greatest(F.lit(0.0), F.lit(1.0) - F.col("__bc"))
+            )
+        ).alias("hellinger_q6"),
+    )

@@ -3391,3 +3391,56 @@ def test_gwet_ac1_prevalence_vs_kappa_shape(spark):
     pi = [190 / 200, 5 / 200, 5 / 200]
     pe = sum(p * (1 - p) for p in pi) / 2
     assert abs(r["pe_q6"] - pe) < 2e-6
+
+
+def test_bowker_directional_vs_symmetric(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        bowker_symmetry,
+    )
+
+    # symmetric disagreements: x->y 10, y->x 10 -> chi2 = 0
+    rows = [("x", "y")] * 10 + [("y", "x")] * 10 + [("x", "x")] * 30
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = bowker_symmetry(df, "a", "b").collect()[0]
+    assert r["chi2_q6"] == 0.0 and r["n_offdiag_pairs"] == 1
+    assert r["n"] == 50
+    # one-way drift: x->y 20, y->x 2 -> (18)^2/22
+    rows2 = [("x", "y")] * 20 + [("y", "x")] * 2 + [("z", "z")] * 5
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = bowker_symmetry(df2, "a", "b").collect()[0]
+    assert abs(r2["chi2_q6"] - 18 * 18 / 22.0) < 2e-6
+
+
+def test_hellinger_identical_and_disjoint(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        hellinger_distance,
+    )
+    import math
+
+    same = [("a", float(v % 5)) for v in range(50)] + [
+        ("b", float(v % 5)) for v in range(50)
+    ]
+    df = spark.createDataFrame(same, "g string, v double")
+    r = hellinger_distance(df, "v", "g", "a", "b", quantize=0).collect()[
+        0
+    ]
+    assert r["bc_q6"] >= 1.0 - 2e-6
+    assert r["hellinger_q6"] <= 1e-3
+    # disjoint support: BC = 0, H = 1
+    dis = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v) + 100.0) for v in range(10)
+    ]
+    df2 = spark.createDataFrame(dis, "g string, v double")
+    r2 = hellinger_distance(df2, "v", "g", "a", "b", quantize=0).collect()[
+        0
+    ]
+    assert r2["bc_q6"] == 0.0 and r2["hellinger_q6"] == 1.0
+    # hand case: p = (.5, .5), q = (1, 0)
+    h3rows = [("a", 0.0)] * 5 + [("a", 1.0)] * 5 + [("b", 0.0)] * 8
+    df3 = spark.createDataFrame(h3rows, "g string, v double")
+    r3 = hellinger_distance(df3, "v", "g", "a", "b", quantize=0).collect()[
+        0
+    ]
+    bc = math.sqrt(0.5 * 1.0)
+    assert abs(r3["bc_q6"] - bc) < 2e-6
+    assert abs(r3["hellinger_q6"] - math.sqrt(1 - bc)) < 2e-6
