@@ -619,6 +619,10 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_stratified_est",
         "q_cucconi",
         "q_gwet",
+        "q_mix_divergence",
+        "q_pack_efficiency",
+        "q_bowker",
+        "q_hellinger",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
