@@ -175,3 +175,16 @@ def test_agreement_design_guard_is_one_row(spark):
         src = inspect.getsource(fn)
         assert src.count(".collect()") == 1
         assert ".collect()[0]" in src  # single-row aggregate, not rows
+
+
+def test_juilland_driver_action_is_part_cardinality_only(spark):
+    """juilland_dispersion's single driver action is a distinct-count
+    of the PART column — the README budget row. Assert the source has
+    exactly that one action (no collect/toPandas) so a refactor can't
+    silently add a row-sized round-trip."""
+    from png_from_pdf_extracter_spark.functions import keywords
+
+    src = inspect.getsource(keywords.juilland_dispersion)
+    assert src.count(".count()") == 1
+    assert "distinct().count()" in src
+    assert ".collect()" not in src and "toPandas" not in src
