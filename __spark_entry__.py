@@ -6685,6 +6685,40 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_woolf(spark, sf_dir):
+    """Woolf homogeneity of odds ratios across q_mantel_haenszel's
+    strata (functions/stats.py woolf_homogeneity): is there ONE
+    effect, or does the pooled MH number paper over stratum
+    heterogeneity? Haldane +0.5 on every cell; two fixed-order
+    stepped reductions with the pooled lnOR broadcast between."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        woolf_homogeneity,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("value") > 150).cast("int").alias("hi"),
+    )
+    return woolf_homogeneity(ev, "event_type", "arm", "hi")
+
+
+def _q_burrows(spark, sf_dir):
+    """Burrows' Delta stylistic outlierness per source
+    (functions/keywords.py burrows_delta): mean |z| of top-30
+    function-word frequencies — flags the shard whose word-usage
+    PROFILE deviates (template farm, register shift), the
+    part-centric complement to q_juilland. Explicit grid completion;
+    every float reduction order-pinned."""
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        burrows_delta,
+    )
+
+    return burrows_delta(
+        _read(spark, sf_dir, "documents"), "source", "text", top_k=30
+    )
+
+
 def _q_bowker(spark, sf_dir):
     """Bowker symmetry test on the lang-vs-detector confusion
     (functions/stats.py bowker_symmetry): are the disagreements
@@ -7135,6 +7169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_efficiency": _q_pack_efficiency,
         "q_bowker": _q_bowker,
         "q_hellinger": _q_hellinger,
+        "q_woolf": _q_woolf,
+        "q_burrows": _q_burrows,
     }
 
 
@@ -17134,6 +17170,129 @@ def oracle_sql() -> dict[str, str]:
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
             FROM stepped WHERE rn = k
+        """,
+        "q_woolf": """
+            WITH base AS (
+              SELECT event_type AS s, CAST(user_id % 2 AS INT) AS arm,
+                     CASE WHEN value > 150 THEN 1 ELSE 0 END AS o
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                AND value IS NOT NULL
+            ),
+            cells AS (
+              SELECT s, count(*)::BIGINT AS n,
+                sum(CASE WHEN arm = 1 AND o = 1 THEN 1 ELSE 0
+                    END)::BIGINT AS a,
+                sum(CASE WHEN arm = 1 AND o = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS b,
+                sum(CASE WHEN arm = 0 AND o = 1 THEN 1 ELSE 0
+                    END)::BIGINT AS c,
+                sum(CASE WHEN arm = 0 AND o = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS d
+              FROM base GROUP BY s
+            ),
+            f AS (
+              SELECT s, n,
+                ln((a::DOUBLE + 0.5) * (d::DOUBLE + 0.5)
+                   / ((b::DOUBLE + 0.5) * (c::DOUBLE + 0.5))) AS lnor,
+                1.0 / (1.0 / (a::DOUBLE + 0.5)
+                       + 1.0 / (b::DOUBLE + 0.5)
+                       + 1.0 / (c::DOUBLE + 0.5)
+                       + 1.0 / (d::DOUBLE + 0.5)) AS w
+              FROM cells
+            ),
+            step1 AS (
+              SELECT s, lnor, w,
+                sum(w) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS sw,
+                sum(w * lnor) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS swl,
+                sum(n) OVER () AS ntot,
+                row_number() OVER (ORDER BY s) AS rn,
+                count(*) OVER () AS k
+              FROM f
+            ),
+            pooled AS (
+              SELECT swl / sw AS pool, ntot AS ntot2, k AS kk
+              FROM step1 WHERE rn = k
+            ),
+            step2 AS (
+              SELECT kk, ntot2, pool,
+                sum(w * (lnor - pool) * (lnor - pool))
+                  OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS chi2,
+                row_number() OVER (ORDER BY s) AS rn2,
+                count(*) OVER () AS k2
+              FROM step1, pooled
+            )
+            SELECT kk::BIGINT AS k_strata, ntot2::BIGINT AS n,
+              floor(exp(pool) * 1e6) / 1e6 AS pooled_or_q6,
+              floor(chi2 * 1e6) / 1e6 AS chi2_q6
+            FROM step2 WHERE rn2 = k2
+        """,
+        "q_burrows": """
+            WITH toks AS (
+              SELECT source AS p, unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> length(t) > 0)) AS t
+              FROM documents
+            ),
+            tp AS (
+              SELECT p, t, count(*)::BIGINT AS c
+              FROM toks GROUP BY p, t
+            ),
+            totals AS (SELECT p, sum(c)::BIGINT AS tpn FROM tp GROUP BY p),
+            topw AS (
+              SELECT t FROM (
+                SELECT t, sum(c)::BIGINT AS tot FROM tp GROUP BY t
+              ) ORDER BY tot DESC, t ASC LIMIT 30
+            ),
+            grid AS (
+              SELECT totals.p AS p, topw.t AS t, tpn
+              FROM totals CROSS JOIN topw
+            ),
+            filled AS (
+              SELECT grid.p AS p, grid.t AS t, tpn,
+                coalesce(tp.c, 0)::DOUBLE / tpn::DOUBLE AS f
+              FROM grid LEFT JOIN tp
+                ON grid.p = tp.p AND grid.t = tp.t
+            ),
+            wstats AS (
+              SELECT p, t, tpn, f,
+                sum(f) OVER (PARTITION BY t ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sf,
+                sum(f * f) OVER (PARTITION BY t ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sf2,
+                row_number() OVER (PARTITION BY t ORDER BY p) AS rn,
+                count(*) OVER (PARTITION BY t) AS k
+              FROM filled
+            ),
+            per_word AS (
+              SELECT t, sf / k::DOUBLE AS mean,
+                sqrt(greatest(0.0, sf2 / k::DOUBLE
+                     - (sf / k::DOUBLE) * (sf / k::DOUBLE))) AS sd
+              FROM wstats WHERE rn = k
+            ),
+            z AS (
+              SELECT filled.p AS p, filled.t AS t, tpn,
+                CASE WHEN sd > 0 THEN abs((f - mean) / sd)
+                     ELSE 0.0 END AS az
+              FROM filled JOIN per_word ON filled.t = per_word.t
+            ),
+            stepped AS (
+              SELECT p, tpn,
+                sum(az) OVER (PARTITION BY p ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sz,
+                row_number() OVER (PARTITION BY p ORDER BY t) AS rn,
+                count(*) OVER (PARTITION BY p) AS kw
+              FROM z
+            )
+            SELECT p AS part, tpn AS n_tokens,
+              floor(sz / kw::DOUBLE * 1e6) / 1e6 AS delta_q6
+            FROM stepped WHERE rn = kw
         """,
         "q_bowker": f"""
             WITH pairs AS (

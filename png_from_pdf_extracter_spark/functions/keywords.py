@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections import deque
 from typing import Iterator, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -360,3 +360,119 @@ def juilland_dispersion(
     return scored.orderBy(
         F.col("total_freq").desc(), F.col("term").asc()
     ).limit(top_k)
+
+
+def burrows_delta(
+    docs,
+    part_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 30,
+):
+    """Burrows' Delta stylistic-outlierness per part: z-score the
+    relative frequencies of the corpus's top-k function words across
+    parts, then score each part by its mean |z| — the stylometry
+    distance that flags a shard whose WORD-USAGE PROFILE (not topic,
+    not length) deviates: machine-generated text, a different
+    register, a template farm. Complements [[juilland_dispersion]]
+    (term-centric evenness) with a part-centric read.
+
+    The grid is completed explicitly (top-k words x parts, a tiny
+    crossJoin of two bounded sides) so absent words contribute their
+    true z = -mean/sd. Relative frequencies are rationals; the
+    per-word mean/sd folds over the part-ordered stepped window and
+    each part's mean |z| folds word-ordered — every cross-row float
+    reduction is order-pinned. Parts-count and top-k tables are the
+    only small materializations (TakeOrdered; no collect). Returns
+    (part, n_tokens, delta_q6) — higher = stylistically farther from
+    the corpus centroid.
+    """
+    toks = docs.select(
+        F.col(part_col).alias("__p"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("__t"),
+    )
+    tp = toks.groupBy("__p", "__t").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    totals = tp.groupBy("__p").agg(
+        F.sum("__c").cast("long").alias("__tp")
+    )
+    topw = (
+        tp.groupBy("__t")
+        .agg(F.sum("__c").cast("long").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("__t").asc())
+        .limit(top_k)
+        .select("__t")
+    )
+    grid = totals.crossJoin(F.broadcast(topw))
+    filled = grid.join(tp, ["__p", "__t"], "left").select(
+        "__p",
+        "__t",
+        "__tp",
+        (
+            F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+            / F.col("__tp").cast("double")
+        ).alias("__f"),
+    )
+    pw = Window.partitionBy("__t").orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pfull = Window.partitionBy("__t")
+    wstats = filled.select(
+        "__p",
+        "__t",
+        "__tp",
+        "__f",
+        F.sum("__f").over(pw).alias("__sf"),
+        F.sum(F.col("__f") * F.col("__f")).over(pw).alias("__sf2"),
+        F.row_number()
+        .over(Window.partitionBy("__t").orderBy("__p"))
+        .alias("__rn"),
+        F.count("*").over(pfull).alias("__k"),
+    )
+    per_word = wstats.filter(F.col("__rn") == F.col("__k")).select(
+        "__t",
+        (F.col("__sf") / F.col("__k").cast("double")).alias("__mean"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("__sf2") / F.col("__k").cast("double")
+                - (F.col("__sf") / F.col("__k").cast("double"))
+                * (F.col("__sf") / F.col("__k").cast("double")),
+            )
+        ).alias("__sd"),
+    )
+    z = filled.join(F.broadcast(per_word), "__t").select(
+        "__p",
+        "__t",
+        "__tp",
+        F.when(
+            F.col("__sd") > 0,
+            F.abs((F.col("__f") - F.col("__mean")) / F.col("__sd")),
+        ).otherwise(F.lit(0.0)).alias("__az"),
+    )
+    dw = Window.partitionBy("__p").orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dfull = Window.partitionBy("__p")
+    stepped = z.select(
+        "__p",
+        "__tp",
+        F.sum("__az").over(dw).alias("__sz"),
+        F.row_number()
+        .over(Window.partitionBy("__p").orderBy("__t"))
+        .alias("__rn"),
+        F.count("*").over(dfull).alias("__kw"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return stepped.filter(F.col("__rn") == F.col("__kw")).select(
+        F.col("__p").alias("part"),
+        F.col("__tp").alias("n_tokens"),
+        q6(F.col("__sz") / F.col("__kw").cast("double")).alias(
+            "delta_q6"
+        ),
+    )

@@ -6613,3 +6613,103 @@ def hellinger_distance(
             )
         ).alias("hellinger_q6"),
     )
+
+
+def woolf_homogeneity(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Woolf's test of odds-ratio HOMOGENEITY across strata — the
+    check [[mantel_haenszel]] quietly assumes: is there ONE odds
+    ratio, or does the effect differ by stratum (in which case the
+    pooled number is a fiction)? chi2 = sum_k w_k (lnOR_k -
+    lnOR_pooled)^2 with inverse-variance weights, df = k - 1.
+
+    Haldane-Anscombe +0.5 is applied to EVERY cell unconditionally
+    (identically on both engines), so zero cells never produce
+    infinities and the estimator is continuous. Per-stratum cells are
+    one conditional aggregate; the two cross-stratum reductions
+    (pooled lnOR, then the chi2 around it) fold in fixed stratum
+    order with the pooled value broadcast between them. Returns one
+    row (k_strata, n, pooled_or_q6, chi2_q6).
+    """
+    s = F.col(stratum_col)
+    arm = F.col(arm_col).cast("int")
+    out = F.col(outcome_col).cast("int")
+    base = df.filter(
+        s.isNotNull() & arm.isNotNull() & out.isNotNull()
+    ).select(s.alias("__s"), arm.alias("__arm"), out.alias("__out"))
+    cells = base.groupBy("__s").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(((F.col("__arm") == 1) & (F.col("__out") == 1)).cast("long"))
+        .cast("long")
+        .alias("__a"),
+        F.sum(((F.col("__arm") == 1) & (F.col("__out") == 0)).cast("long"))
+        .cast("long")
+        .alias("__b"),
+        F.sum(((F.col("__arm") == 0) & (F.col("__out") == 1)).cast("long"))
+        .cast("long")
+        .alias("__c"),
+        F.sum(((F.col("__arm") == 0) & (F.col("__out") == 0)).cast("long"))
+        .cast("long")
+        .alias("__d"),
+    )
+    h = lambda c: c.cast("double") + F.lit(0.5)  # noqa: E731
+    a, b, c_, d = (
+        h(F.col("__a")),
+        h(F.col("__b")),
+        h(F.col("__c")),
+        h(F.col("__d")),
+    )
+    lnor = F.log(a * d / (b * c_))
+    w = F.lit(1.0) / (
+        F.lit(1.0) / a
+        + F.lit(1.0) / b
+        + F.lit(1.0) / c_
+        + F.lit(1.0) / d
+    )
+    ordw = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    step1 = cells.select(
+        "__s",
+        F.col("__n"),
+        lnor.alias("__lnor"),
+        w.alias("__w"),
+        F.sum(w).over(ordw).alias("__sw"),
+        F.sum(w * lnor).over(ordw).alias("__swl"),
+        F.sum("__n").over(wfull).cast("long").alias("__ntot"),
+        F.row_number().over(Window.orderBy("__s")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k"),
+    )
+    pooled = F.broadcast(
+        step1.filter(F.col("__rn") == F.col("__k")).select(
+            (F.col("__swl") / F.col("__sw")).alias("__pool"),
+            F.col("__ntot"),
+            F.col("__k").cast("long").alias("k_strata"),
+        )
+    )
+    dev = step1.select("__s", "__lnor", "__w").crossJoin(pooled)
+    term = (
+        F.col("__w")
+        * (F.col("__lnor") - F.col("__pool"))
+        * (F.col("__lnor") - F.col("__pool"))
+    )
+    step2 = dev.select(
+        "k_strata",
+        "__ntot",
+        "__pool",
+        F.sum(term).over(ordw).alias("__chi2"),
+        F.row_number().over(Window.orderBy("__s")).alias("__rn"),
+        F.count("*").over(wfull).alias("__k2"),
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return step2.filter(F.col("__rn") == F.col("__k2")).select(
+        "k_strata",
+        F.col("__ntot").alias("n"),
+        q6(F.exp(F.col("__pool"))).alias("pooled_or_q6"),
+        q6(F.col("__chi2")).alias("chi2_q6"),
+    )

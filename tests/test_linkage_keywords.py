@@ -359,3 +359,34 @@ def test_juilland_even_vs_concentrated(spark):
     # all mass in one of 4 parts: CV = sqrt(3), D = 1 - sqrt(3)/sqrt(3) = 0
     assert abs(out["lump"]["d_q6"]) < 2e-6
     assert out["lump"]["n_parts_hit"] == 1
+
+
+def test_burrows_delta_flags_style_outlier(spark):
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        burrows_delta,
+    )
+
+    # 4 parts share a function-word profile; the 5th inverts it
+    normal = "the the the of of and a a the of"
+    weird = "and and and and a a a a a and"
+    rows = [(f"s{i}", normal) for i in range(4)] + [("weird", weird)]
+    df = spark.createDataFrame(rows * 3, "source string, text string")
+    out = {
+        r["part"]: r["delta_q6"]
+        for r in burrows_delta(df, "source", "text", top_k=4).collect()
+    }
+    assert out["weird"] > 1.5
+    for i in range(4):
+        assert out[f"s{i}"] < out["weird"]
+
+
+def test_burrows_delta_uniform_parts_zero(spark):
+    from png_from_pdf_extracter_spark.functions.keywords import (
+        burrows_delta,
+    )
+
+    rows = [(f"s{i}", "x y z x y") for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = burrows_delta(df, "source", "text", top_k=3).collect()
+    # identical profiles: sd = 0 everywhere -> delta 0 for every part
+    assert all(r["delta_q6"] == 0.0 for r in out)

@@ -3444,3 +3444,47 @@ def test_hellinger_identical_and_disjoint(spark):
     bc = math.sqrt(0.5 * 1.0)
     assert abs(r3["bc_q6"] - bc) < 2e-6
     assert abs(r3["hellinger_q6"] - math.sqrt(1 - bc)) < 2e-6
+
+
+def test_woolf_homogeneous_vs_heterogeneous(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        woolf_homogeneity,
+    )
+    import math
+
+    # two strata with the SAME OR ~ 4 -> tiny chi2
+    def stratum(name, a, b, c, d):
+        rows = (
+            [(name, 1, 1)] * a + [(name, 1, 0)] * b
+            + [(name, 0, 1)] * c + [(name, 0, 0)] * d
+        )
+        return rows
+
+    homo = stratum("s1", 40, 10, 10, 10) + stratum("s2", 80, 20, 20, 20)
+    df = spark.createDataFrame(homo, "s string, arm int, o int")
+    r = woolf_homogeneity(df, "s", "arm", "o").collect()[0]
+    assert r["k_strata"] == 2
+    assert r["chi2_q6"] < 0.1
+    # pooled OR near 4 (Haldane pulls slightly)
+    assert 3.0 < r["pooled_or_q6"] < 5.0
+
+    # opposite effects (OR 4 vs OR 1/4): chi2 blows past the df=1
+    # critical value
+    het = stratum("s1", 40, 10, 10, 10) + stratum("s2", 10, 40, 40, 10)
+    df2 = spark.createDataFrame(het, "s string, arm int, o int")
+    r2 = woolf_homogeneity(df2, "s", "arm", "o").collect()[0]
+    assert r2["chi2_q6"] > 10.0
+
+    # python twin for the homogeneous case
+    def cellstats(a, b, c, d):
+        a, b, c, d = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+        lnor = math.log(a * d / (b * c))
+        w = 1.0 / (1 / a + 1 / b + 1 / c + 1 / d)
+        return lnor, w
+
+    l1, w1 = cellstats(40, 10, 10, 10)
+    l2, w2 = cellstats(80, 20, 20, 20)
+    pool = (w1 * l1 + w2 * l2) / (w1 + w2)
+    chi2 = w1 * (l1 - pool) ** 2 + w2 * (l2 - pool) ** 2
+    assert abs(r["pooled_or_q6"] - math.exp(pool)) < 1e-5
+    assert abs(r["chi2_q6"] - chi2) < 1e-5
