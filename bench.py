@@ -623,6 +623,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_pack_efficiency",
         "q_bowker",
         "q_hellinger",
+        "q_woolf",
+        "q_burrows",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
