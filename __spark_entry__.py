@@ -6525,7 +6525,7 @@ def _q_grubbs(spark, sf_dir):
 
 def _q_hubness(spark, sf_dir):
     """Hubness profile of the exact-cosine top-10 graph over the
-    first 500 vectors (functions/similarity.py hubness_profile):
+    first 200 query vectors (functions/similarity.py hubness_profile):
     k-occurrence skewness — the high-dimensional pathology probe to
     run before trusting q_semdedup/q_mutual_nn neighbors. Integer
     in-degree moments; one neighbor-key count."""
@@ -6535,7 +6535,7 @@ def _q_hubness(spark, sf_dir):
 
     e = _read(spark, sf_dir, "embeddings")
     ranked = similarity.cosine_topk(
-        e, e.filter(F.col("vec_id") < 500), k=10
+        e, e.filter(F.col("vec_id") < 200), k=10
     )
     return hubness_profile(ranked)
 
@@ -16573,7 +16573,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_hubness": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-                       FROM embeddings WHERE vec_id < 500),
+                       FROM embeddings WHERE vec_id < 200),
             c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
                   FROM embeddings),
             scored AS (
