@@ -6685,6 +6685,58 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_competing_risks(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence of first-purchase vs
+    first-error per user (functions/stats.py competing_risks_cif):
+    cause = whichever comes first (purchase wins exact ties),
+    censored at last activity; integer-hour durations from exact
+    epoch-microsecond arithmetic. The competing-risks completion of
+    the q_kaplan_meier family — 1-KM per cause would overstate
+    both."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        competing_risks_cif,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start"),
+        F.max("ts").alias("last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("e"),
+    )
+    cause = (
+        F.when(
+            F.col("p").isNotNull()
+            & (F.col("e").isNull() | (F.col("p") <= F.col("e"))),
+            F.lit(1),
+        )
+        .when(F.col("e").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    endt = (
+        F.when(cause == 1, F.col("p"))
+        .when(cause == 2, F.col("e"))
+        .otherwise(F.col("last"))
+    )
+    # parquet timestamps load as NTZ; the NTZ->LTZ cast shifts BOTH
+    # endpoints by the same session offset, so the difference is exact
+    um = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    obs = per_user.select(
+        F.floor(
+            (um(endt) - um(F.col("start"))).cast("double")
+            / F.lit(3600000000.0)
+        )
+        .cast("long")
+        .alias("dur_h"),
+        cause.alias("cause"),
+    )
+    return competing_risks_cif(obs, "dur_h", "cause")
+
+
 def _q_woolf(spark, sf_dir):
     """Woolf homogeneity of odds ratios across q_mantel_haenszel's
     strata (functions/stats.py woolf_homogeneity): is there ONE
@@ -7171,6 +7223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hellinger": _q_hellinger,
         "q_woolf": _q_woolf,
         "q_burrows": _q_burrows,
+        "q_competing_risks": _q_competing_risks,
     }
 
 
@@ -17170,6 +17223,83 @@ def oracle_sql() -> dict[str, str]:
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
             FROM stepped WHERE rn = k
+        """,
+        "q_competing_risks": """
+            WITH per_user AS (
+              SELECT user_id, min(ts) AS startt, max(ts) AS lastt,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS p,
+                min(CASE WHEN event_type = 'error' THEN ts END) AS e
+              FROM events GROUP BY user_id
+            ),
+            obs AS (
+              SELECT
+                CASE WHEN p IS NOT NULL AND (e IS NULL OR p <= e)
+                     THEN 1
+                     WHEN e IS NOT NULL THEN 2 ELSE 0 END AS cause,
+                CAST(floor(
+                  (epoch_us(CASE WHEN p IS NOT NULL
+                                      AND (e IS NULL OR p <= e)
+                                 THEN p
+                                 WHEN e IS NOT NULL THEN e
+                                 ELSE lastt END)
+                   - epoch_us(startt))::DOUBLE / 3600000000.0)
+                  AS BIGINT) AS t
+              FROM per_user
+            ),
+            tc AS (
+              SELECT t, cause AS k, count(*)::BIGINT AS dk
+              FROM obs GROUP BY t, cause
+            ),
+            per_t AS (
+              SELECT t,
+                sum(CASE WHEN k > 0 THEN dk ELSE 0 END)::BIGINT AS d,
+                sum(dk)::BIGINT AS all_exits
+              FROM tc GROUP BY t
+            ),
+            total AS (
+              SELECT sum(all_exits)::BIGINT AS n_total FROM per_t
+            ),
+            risk AS (
+              SELECT t, d,
+                (n_total - coalesce(sum(all_exits) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0))::BIGINT AS n
+              FROM per_t, total
+            ),
+            steps AS (
+              SELECT t, n,
+                CASE WHEN d = 0 THEN 0
+                     WHEN d < n THEN
+                       CAST(floor(ln(1.0 - d::DOUBLE / n::DOUBLE)
+                                  * 1e9) AS BIGINT)
+                END AS step
+              FROM risk
+            ),
+            cumb AS (
+              SELECT t, n,
+                coalesce(sum(step) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb,
+                coalesce(max(CASE WHEN step IS NULL THEN 1 ELSE 0
+                             END) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS absorbed
+              FROM steps
+            ),
+            terms AS (
+              SELECT k, tc.t AS t, n AS n_at_risk, dk AS d_cause,
+                (CASE WHEN absorbed = 1 THEN 0.0
+                      ELSE exp(cb::DOUBLE / 1e9) END)
+                  * (dk::DOUBLE / n::DOUBLE) AS inc
+              FROM tc JOIN cumb ON tc.t = cumb.t
+              WHERE k > 0
+            )
+            SELECT k AS cause, t, n_at_risk, d_cause,
+              floor(sum(inc) OVER (PARTITION BY k ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1e6) / 1e6 AS cif_q6
+            FROM terms
         """,
         "q_woolf": """
             WITH base AS (

@@ -3488,3 +3488,70 @@ def test_woolf_homogeneous_vs_heterogeneous(spark):
     chi2 = w1 * (l1 - pool) ** 2 + w2 * (l2 - pool) ** 2
     assert abs(r["pooled_or_q6"] - math.exp(pool)) < 1e-5
     assert abs(r["chi2_q6"] - chi2) < 1e-5
+
+
+def test_competing_risks_python_twin_and_bounds(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        competing_risks_cif,
+    )
+    import math
+
+    # (duration, cause): cause 0 censored, 1, 2 competing
+    obs = [
+        (1, 1), (1, 2), (2, 0), (3, 1), (3, 1), (4, 2), (5, 0),
+        (6, 1), (7, 2), (8, 0),
+    ]
+    df = spark.createDataFrame(obs, "dur int, cause int")
+    rows = competing_risks_cif(df, "dur", "cause").collect()
+    got = {(r["cause"], r["t"]): r for r in rows}
+
+    # python twin with the same 1e-9-quantized-log survival
+    times = sorted({t for t, _ in obs})
+    n = len(obs)
+    at_risk = {}
+    removed = 0
+    for t in times:
+        at_risk[t] = n - removed
+        removed += sum(1 for d, _ in obs if d == t)
+    cum = 0
+    cif = {1: 0.0, 2: 0.0}
+    for t in times:
+        d_all = sum(1 for d, c in obs if d == t and c > 0)
+        s_before = math.exp(cum / 1e9)
+        for k in (1, 2):
+            dk = sum(1 for d, c in obs if d == t and c == k)
+            if dk:
+                cif[k] += s_before * dk / at_risk[t]
+                assert (
+                    abs(got[(k, t)]["cif_q6"] - cif[k]) < 2e-6
+                ), (k, t)
+        if d_all:
+            cum += math.floor(
+                math.log(1 - d_all / at_risk[t]) * 1e9
+            )
+    # CIFs are monotone and their total stays below 1
+    assert cif[1] + cif[2] < 1.0
+    last1 = max(r["cif_q6"] for r in rows if r["cause"] == 1)
+    last2 = max(r["cif_q6"] for r in rows if r["cause"] == 2)
+    assert abs(last1 - cif[1]) < 2e-6 and abs(last2 - cif[2]) < 2e-6
+
+
+def test_competing_risks_single_cause_matches_1_minus_km(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        competing_risks_cif,
+        kaplan_meier,
+    )
+
+    # only one cause: CIF_1(t) == 1 - S_km(t)
+    obs = [(1, 1), (2, 1), (2, 0), (4, 1), (5, 0), (6, 1)]
+    df = spark.createDataFrame(obs, "dur int, cause int")
+    cif = {
+        r["t"]: r["cif_q6"]
+        for r in competing_risks_cif(df, "dur", "cause").collect()
+    }
+    km = {
+        r["duration"]: r["survival_q"]
+        for r in kaplan_meier(df, "dur", "cause").collect()
+    }
+    for t, c in cif.items():
+        assert abs(c - (1.0 - km[t])) < 5e-6, t
