@@ -6685,6 +6685,49 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_lift_table(spark, sf_dir):
+    """Decile lift/gains table for the hashed linear classifier
+    against the lang='en' label (evalmetrics.lift_table) — the
+    review-queue-depth read next to q_classifier_auc. (score desc,
+    doc_id) tie-break makes ntile cross-engine exact; every number a
+    rational of BIGINT counts."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    return evalmetrics.lift_table(
+        scored, "score", "y", "doc_id", n_buckets=10
+    )
+
+
+def _q_ppv_card(spark, sf_dir):
+    """Bayes-corrected PPV/NPV of the threshold-0 classifier at
+    design prevalences 1/5/10/50% (evalmetrics.
+    ppv_npv_at_prevalence) — the base-rate reality check that stops a
+    '99% accurate' detector flooding a 0.1%-prevalence corpus with
+    false alerts. One confusion aggregate; per-prevalence rationals."""
+    from png_from_pdf_extracter_spark.functions import evalmetrics
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    return evalmetrics.ppv_npv_at_prevalence(
+        scored, F.col("score") > 0, "y", prevalences=(1, 5, 10, 50)
+    )
+
+
 def _q_competing_risks(spark, sf_dir):
     """Aalen-Johansen cumulative incidence of first-purchase vs
     first-error per user (functions/stats.py competing_risks_cif):
@@ -7224,6 +7267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_woolf": _q_woolf,
         "q_burrows": _q_burrows,
         "q_competing_risks": _q_competing_risks,
+        "q_lift_table": _q_lift_table,
+        "q_ppv_card": _q_ppv_card,
     }
 
 
@@ -17223,6 +17268,116 @@ def oracle_sql() -> dict[str, str]:
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
             FROM stepped WHERE rn = k
+        """,
+        "q_lift_table": """
+            WITH sc AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                            % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000) / 10000 AS score
+              FROM (
+                SELECT doc_id, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            rk AS (
+              SELECT y, ntile(10) OVER (ORDER BY score DESC,
+                                        doc_id ASC) AS bucket
+              FROM sc
+            ),
+            per AS (
+              SELECT bucket, count(*)::BIGINT AS n,
+                     sum(y)::BIGINT AS n_pos
+              FROM rk GROUP BY bucket
+            ),
+            cum AS (
+              SELECT bucket, n, n_pos,
+                sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW)::BIGINT AS cn,
+                sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cp,
+                sum(n) OVER ()::BIGINT AS nt,
+                sum(n_pos) OVER ()::BIGINT AS pt
+              FROM per
+            )
+            SELECT bucket, n, n_pos,
+              floor(n_pos::DOUBLE / n::DOUBLE * 1e6) / 1e6 AS rate_q6,
+              CASE WHEN pt > 0 THEN
+                floor(n_pos::DOUBLE / n::DOUBLE
+                      / (pt::DOUBLE / nt::DOUBLE) * 1e6) / 1e6
+              END AS lift_q6,
+              CASE WHEN pt > 0 THEN
+                floor(cp::DOUBLE / pt::DOUBLE * 1e6) / 1e6
+              END AS cum_gain_q6,
+              CASE WHEN pt > 0 THEN
+                floor(cp::DOUBLE / cn::DOUBLE
+                      / (pt::DOUBLE / nt::DOUBLE) * 1e6) / 1e6
+              END AS cum_lift_q6
+            FROM cum
+        """,
+        "q_ppv_card": """
+            WITH sc AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                            % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000) / 10000 AS score
+              FROM (
+                SELECT lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            agg AS (
+              SELECT
+                sum(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0
+                    END)::BIGINT AS tp,
+                sum(CASE WHEN y = 1 AND NOT (score > 0) THEN 1 ELSE 0
+                    END)::BIGINT AS fn,
+                sum(CASE WHEN y = 0 AND score > 0 THEN 1 ELSE 0
+                    END)::BIGINT AS fp,
+                sum(CASE WHEN y = 0 AND NOT (score > 0) THEN 1 ELSE 0
+                    END)::BIGINT AS tn
+              FROM sc
+            ),
+            rows_ AS (
+              SELECT tp, fn, fp, tn, unnest([1, 5, 10, 50]) AS prev_pct
+              FROM agg
+            ),
+            m AS (
+              SELECT prev_pct, tp, fn, fp, tn,
+                tp::DOUBLE / (tp + fn)::DOUBLE AS se,
+                tn::DOUBLE / (tn + fp)::DOUBLE AS sp,
+                prev_pct::DOUBLE / 100.0 AS p
+              FROM rows_
+            )
+            SELECT prev_pct,
+              CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+                floor(se * 1e6) / 1e6 END AS se_q6,
+              CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+                floor(sp * 1e6) / 1e6 END AS sp_q6,
+              CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+                floor(se * p / (se * p + (1.0 - sp) * (1.0 - p))
+                      * 1e6) / 1e6
+              END AS ppv_q6,
+              CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+                floor(sp * (1.0 - p)
+                      / (sp * (1.0 - p) + (1.0 - se) * p) * 1e6) / 1e6
+              END AS npv_q6
+            FROM m
         """,
         "q_competing_risks": """
             WITH per_user AS (

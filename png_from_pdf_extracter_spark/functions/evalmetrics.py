@@ -1836,3 +1836,133 @@ def doubly_robust_value(
             / F.lit(scale)
         ).alias("dr_q6"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift/gains table — the deployment-facing classifier
+    read [[roc_auc]] abstracts away: rank by score, cut into
+    ``n_buckets`` equal-count buckets, and report each bucket's
+    positive rate, lift over base rate, and the CUMULATIVE gain
+    ("top 20% of scores capture X% of positives") — the table that
+    decides how deep a review/curation queue should go.
+
+    Determinism: the rank order is (score desc, id asc) — the id
+    tie-break makes ntile assignment identical cross-engine even on
+    heavily tied scores. Every emitted number is an exact rational
+    of BIGINT counts; the cumulative columns are integer prefix sums
+    over the n_buckets-row table. ONE global-sort exchange (ntile
+    needs the total order — at 100 TB pre-aggregate to a score
+    histogram first and cut that instead). Returns (bucket, n,
+    n_pos, rate_q6, lift_q6, cum_gain_q6, cum_lift_q6).
+    """
+    w = Window.orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(label_col).cast("long").alias("__y"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    ordw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(ordw).cast("long").alias("__cn"),
+        F.sum("n_pos").over(ordw).cast("long").alias("__cp"),
+        F.sum("n").over(wfull).cast("long").alias("__nt"),
+        F.sum("n_pos").over(wfull).cast("long").alias("__pt"),
+    )
+    base = F.col("__pt").cast("double") / F.col("__nt").cast("double")
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    crate = F.col("__cp").cast("double") / F.col("__cn").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return cum.select(
+        "bucket",
+        "n",
+        "n_pos",
+        q6(rate).alias("rate_q6"),
+        F.when(F.col("__pt") > 0, q6(rate / base)).alias("lift_q6"),
+        F.when(
+            F.col("__pt") > 0,
+            q6(
+                F.col("__cp").cast("double")
+                / F.col("__pt").cast("double")
+            ),
+        ).alias("cum_gain_q6"),
+        F.when(F.col("__pt") > 0, q6(crate / base)).alias(
+            "cum_lift_q6"
+        ),
+    )
+
+
+def ppv_npv_at_prevalence(
+    df: DataFrame,
+    pred_col,
+    label_col: str,
+    prevalences: tuple = (1, 5, 10, 50),
+) -> DataFrame:
+    """Operating-point card: sensitivity/specificity from the
+    confusion counts, then Bayes-corrected PPV/NPV at each DESIGN
+    prevalence (given in percent) — the number that stops a "99%
+    accurate" contamination detector being deployed on a 0.1%-base-
+    rate corpus where most alerts would be false. PPV = se*p /
+    (se*p + (1-sp)(1-p)); NPV analogous.
+
+    The confusion cells are ONE combinable aggregate; each (cell,
+    prevalence) row is a fixed rational expression. Returns
+    (prev_pct, se_q6, sp_q6, ppv_q6, npv_q6) — one row per requested
+    prevalence.
+    """
+    pred = (
+        pred_col if not isinstance(pred_col, str) else F.col(pred_col)
+    ).cast("boolean")
+    y = F.col(label_col).cast("long")
+    agg = df.agg(
+        F.sum(((y == 1) & pred).cast("long")).cast("long").alias("tp"),
+        F.sum(((y == 1) & ~pred).cast("long")).cast("long").alias("fn"),
+        F.sum(((y == 0) & pred).cast("long")).cast("long").alias("fp"),
+        F.sum(((y == 0) & ~pred).cast("long")).cast("long").alias("tn"),
+    )
+    pr = F.explode(
+        F.array(*[F.lit(int(p)) for p in prevalences])
+    ).alias("prev_pct")
+    rows = agg.select("tp", "fn", "fp", "tn", pr)
+    se = F.col("tp").cast("double") / (
+        F.col("tp") + F.col("fn")
+    ).cast("double")
+    sp = F.col("tn").cast("double") / (
+        F.col("tn") + F.col("fp")
+    ).cast("double")
+    p = F.col("prev_pct").cast("double") / F.lit(100.0)
+    ppv = se * p / (se * p + (F.lit(1.0) - sp) * (F.lit(1.0) - p))
+    npv = (
+        sp
+        * (F.lit(1.0) - p)
+        / (sp * (F.lit(1.0) - p) + (F.lit(1.0) - se) * p)
+    )
+    ok = ((F.col("tp") + F.col("fn")) > 0) & (
+        (F.col("tn") + F.col("fp")) > 0
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return rows.select(
+        "prev_pct",
+        F.when(ok, q6(se)).alias("se_q6"),
+        F.when(ok, q6(sp)).alias("sp_q6"),
+        F.when(ok, q6(ppv)).alias("ppv_q6"),
+        F.when(ok, q6(npv)).alias("npv_q6"),
+    )

@@ -1021,3 +1021,71 @@ def test_doubly_robust_model_ends(spark):
     ]["ips_q6"]
     assert abs(r0["dr_q6"] - ips) < 2e-6
     assert r0["dm_q6"] == 0.0
+
+
+def test_lift_table_perfect_classifier(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        lift_table,
+    )
+
+    # 100 rows, 20 positives, perfect score separation
+    rows = [(i, 1 if i < 20 else 0, float(100 - i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, y long, score double")
+    out = {
+        r["bucket"]: r
+        for r in lift_table(df, "score", "y", "id", 10).collect()
+    }
+    assert len(out) == 10 and all(out[b]["n"] == 10 for b in out)
+    # top two deciles capture everything: lift 5x, then cumulative
+    # gain hits 1.0 and stays
+    assert out[1]["n_pos"] == 10 and abs(out[1]["lift_q6"] - 5.0) < 2e-6
+    assert abs(out[2]["cum_gain_q6"] - 1.0) < 2e-6
+    assert out[3]["n_pos"] == 0 and out[3]["lift_q6"] == 0.0
+    assert abs(out[10]["cum_lift_q6"] - 1.0) < 2e-6  # full depth = base
+
+
+def test_lift_table_random_scores_flat(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        lift_table,
+    )
+
+    rows = [
+        (i, 1 if i % 5 == 0 else 0, float((i * 37) % 101))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, y long, score double")
+    out = lift_table(df, "score", "y", "id", 10).collect()
+    # uninformative scores: no decile shows strong lift and the full
+    # depth converges to the base rate exactly
+    assert max(r["lift_q6"] for r in out) < 3.0
+    full = [r for r in out if r["bucket"] == 10][0]
+    assert abs(full["cum_lift_q6"] - 1.0) < 2e-6
+    assert abs(full["cum_gain_q6"] - 1.0) < 2e-6
+
+
+def test_ppv_at_prevalence_hand_case(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        ppv_npv_at_prevalence,
+    )
+    from pyspark.sql import functions as F
+
+    # se = 0.9 (18/20), sp = 0.8 (64/80)
+    rows = (
+        [(1, True)] * 18 + [(1, False)] * 2
+        + [(0, True)] * 16 + [(0, False)] * 64
+    )
+    df = spark.createDataFrame(rows, "y long, pred boolean")
+    out = {
+        r["prev_pct"]: r
+        for r in ppv_npv_at_prevalence(
+            df, F.col("pred"), "y", prevalences=(1, 50)
+        ).collect()
+    }
+    assert abs(out[50]["se_q6"] - 0.9) < 2e-6
+    assert abs(out[50]["sp_q6"] - 0.8) < 2e-6
+    # at 50%: ppv = .9/(.9+.2) ; at 1%: base-rate collapse
+    assert abs(out[50]["ppv_q6"] - 0.9 / 1.1) < 2e-6
+    ppv1 = 0.9 * 0.01 / (0.9 * 0.01 + 0.2 * 0.99)
+    assert abs(out[1]["ppv_q6"] - ppv1) < 2e-6
+    assert out[1]["ppv_q6"] < 0.05  # the 99%-accurate-detector trap
+    assert out[1]["npv_q6"] > 0.99
