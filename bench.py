@@ -625,6 +625,9 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_hellinger",
         "q_woolf",
         "q_burrows",
+        "q_competing_risks",
+        "q_lift_table",
+        "q_ppv_card",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
