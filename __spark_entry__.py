@@ -6685,6 +6685,37 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_pettitt(spark, sf_dir):
+    """Pettitt rank change-point per event type (functions/stats.py
+    pettitt_test): outlier-immune single-break detector next to
+    q_changepoint's mean CUSUM and q_slope_break's trend break.
+    Fully integer U_t via cumsum(doubled midranks) - t(n+1); the
+    approximate p is the only float."""
+    from png_from_pdf_extracter_spark.functions.stats import pettitt_test
+
+    ev = _read(spark, sf_dir, "events")
+    return pettitt_test(
+        ev, ("event_type",), ("ts", "event_id"), "value", quantize=2
+    )
+
+
+def _q_wilcoxon(spark, sf_dir):
+    """One-sample Wilcoxon signed-rank per market segment against a
+    hypothesized 4500.00 balance (functions/stats.py
+    wilcoxon_signed_rank): the distribution-free 'is the median
+    really at the SLA point' gate; doubled midranks over \\|diff\\|
+    keep 2W+ BIGINT, tie-corrected z."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    c = _read(spark, sf_dir, "customer")
+    return wilcoxon_signed_rank(
+        c, "c_acctbal", m0_q=450000, group_cols=("c_mktsegment",),
+        quantize=2,
+    )
+
+
 def _q_lift_table(spark, sf_dir):
     """Decile lift/gains table for the hashed linear classifier
     against the lang='en' label (evalmetrics.lift_table) — the
@@ -7269,6 +7300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_competing_risks": _q_competing_risks,
         "q_lift_table": _q_lift_table,
         "q_ppv_card": _q_ppv_card,
+        "q_pettitt": _q_pettitt,
+        "q_wilcoxon": _q_wilcoxon,
     }
 
 
@@ -17268,6 +17301,99 @@ def oracle_sql() -> dict[str, str]:
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
             FROM stepped WHERE rn = k
+        """,
+        "q_pettitt": """
+            WITH base AS (
+              SELECT event_type AS g,
+                CAST(round(value * 100, 0) AS BIGINT) AS v,
+                ts, event_id
+              FROM events WHERE value IS NOT NULL
+            ),
+            cnt AS (
+              SELECT g, v, count(*)::BIGINT AS c
+              FROM base GROUP BY g, v
+            ),
+            dmap AS (
+              SELECT g, v,
+                2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + c + 1 AS d
+              FROM cnt
+            ),
+            j AS (
+              SELECT base.g AS g, d,
+                row_number() OVER (PARTITION BY base.g
+                                   ORDER BY ts, event_id) AS t,
+                count(*) OVER (PARTITION BY base.g) AS n
+              FROM base JOIN dmap
+                ON base.g = dmap.g AND base.v = dmap.v
+            ),
+            per_t AS (
+              SELECT g, n, t,
+                sum(d) OVER (PARTITION BY g ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - t * (n + 1) AS u2
+              FROM j
+            ),
+            flt AS (SELECT * FROM per_t WHERE t < n),
+            pick AS (
+              SELECT g, n, t, abs(u2) AS k,
+                row_number() OVER (PARTITION BY g
+                    ORDER BY abs(u2) DESC, t ASC) AS rn
+              FROM flt
+            )
+            SELECT g AS event_type, n::BIGINT AS n, t AS t_star,
+              k::BIGINT AS k_stat,
+              floor(least(1.0,
+                2.0 * exp(-6.0 * k::DOUBLE * k::DOUBLE
+                          / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                             + n::DOUBLE * n::DOUBLE))) * 1e6) / 1e6
+                AS p_approx_q6
+            FROM pick WHERE rn = 1
+        """,
+        "q_wilcoxon": """
+            WITH base AS (
+              SELECT c_mktsegment AS g,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) - 450000
+                  AS d
+              FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            nz AS (SELECT g, d FROM base WHERE d <> 0),
+            cnt AS (
+              SELECT g, abs(d) AS a,
+                sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS cp,
+                count(*)::BIGINT AS c
+              FROM nz GROUP BY g, abs(d)
+            ),
+            rk AS (
+              SELECT g, cp, c,
+                2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + c + 1 AS d2
+              FROM cnt
+            ),
+            agg AS (
+              SELECT g, sum(c)::BIGINT AS n_nonzero,
+                sum(cp * d2)::BIGINT AS w2,
+                sum(c * c * c - c)::BIGINT AS tie3
+              FROM rk GROUP BY g
+            ),
+            m AS (
+              SELECT g, n_nonzero,
+                n_nonzero::DOUBLE AS nd,
+                w2::DOUBLE / 2.0 AS w,
+                tie3::DOUBLE AS tie3d
+              FROM agg
+            )
+            SELECT g AS c_mktsegment, n_nonzero,
+              w AS w_plus_q1,
+              CASE WHEN nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+                        - tie3d / 48.0 > 0 THEN
+                floor((w - nd * (nd + 1.0) / 4.0)
+                      / sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0)
+                             / 24.0 - tie3d / 48.0) * 1e6) / 1e6
+              END AS z_q6
+            FROM m
         """,
         "q_lift_table": """
             WITH sc AS (

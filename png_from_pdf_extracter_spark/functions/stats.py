@@ -6806,3 +6806,172 @@ def competing_risks_cif(
         "d_cause",
         q6(F.sum("__inc").over(cw)).alias("cif_q6"),
     )
+
+
+def pettitt_test(
+    df: DataFrame,
+    group_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Pettitt change-point test per group — the RANK-based single
+    break detector: where does the series split into two halves with
+    maximally different rank mass? Outlier-immune where
+    [[changepoint]]'s mean-shift CUSUM is not, and distribution-free
+    where [[slope_break]] assumes a line. K = max_t |U_t| with the
+    classical identity U_t = 2 sum_{i<=t} r_i - t(n+1) (midranks for
+    ties), plus the standard approximate significance
+    2 exp(-6K^2/(n^3 + n^2)).
+
+    FULLY INTEGER: with doubled midranks D (off the distinct-value
+    count table, joined back by value), U2_t = cumsum(D) - t*(n+1)*...
+    stays a BIGINT prefix-sum expression — no float until the final
+    p. Plan: one value-count shuffle, a broadcast value->rank map,
+    one time-ordered window, one argmax aggregate. Returns
+    (group..., n, t_star, k_stat, p_approx_q6) with K an exact
+    BIGINT (cumsum(D) - t(n+1) = -U_t identically).
+    """
+    gcols = list(group_cols)
+    v = _quant(F.col(value_col), quantize)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        v.alias("__v"),
+        *[F.col(c) for c in order_cols],
+    )
+    cnt = base.groupBy(*gcols, "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    below = Window.partitionBy(*gcols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dmap = cnt.select(
+        *gcols,
+        "__v",
+        (
+            2 * F.coalesce(F.sum("__c").over(below), F.lit(0))
+            + F.col("__c")
+            + 1
+        ).alias("__d"),
+    )
+    ow = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    joined = base.join(dmap, gcols + ["__v"]).select(
+        *gcols,
+        F.col("__d"),
+        F.row_number().over(ow).cast("long").alias("__t"),
+        F.count("*")
+        .over(Window.partitionBy(*gcols))
+        .cast("long")
+        .alias("__n"),
+    )
+    cw = Window.partitionBy(*gcols).orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # U_t in doubled units: U2_t = cumsum(D) - t*(n+1)
+    u2 = F.sum("__d").over(cw) - F.col("__t") * (F.col("__n") + 1)
+    per_t = joined.select(
+        *gcols,
+        "__n",
+        "__t",
+        u2.alias("__u2"),
+    ).filter(F.col("__t") < F.col("__n"))
+    best = per_t.groupBy(*gcols).agg(
+        F.max("__n").alias("n"),
+        F.max(
+            F.struct(
+                F.abs(F.col("__u2")).alias("a"),
+                (-F.col("__t")).alias("negt"),
+            )
+        ).alias("__b"),
+    )
+    n = F.col("n").cast("double")
+    # cumsum(D) - t(n+1) = 2*sum(r) - t(n+1) = -U_t exactly, so the
+    # struct max already holds |U| as a BIGINT
+    k = F.col("__b.a").cast("double")
+    p = F.lit(2.0) * F.exp(
+        -F.lit(6.0) * k * k / (n * n * n + n * n)
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return best.select(
+        *gcols,
+        "n",
+        (-F.col("__b.negt")).cast("long").alias("t_star"),
+        F.col("__b.a").cast("long").alias("k_stat"),
+        q6(F.least(F.lit(1.0), p)).alias("p_approx_q6"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    value_col: str,
+    m0_q: int,
+    group_cols: tuple = (),
+    quantize: int = 2,
+) -> DataFrame:
+    """One-sample Wilcoxon signed-rank test against the hypothesized
+    location ``m0_q`` (ALREADY in quantized units): the
+    distribution-free "is the median really m0" check —
+    [[mann_whitney_u]]'s one-sample sibling, the right gate for "did
+    this week's quality median move off the SLA point". Zero
+    differences drop (Wilcoxon convention); W+ = rank-sum of positive
+    differences with midranks over |diff|, z uses the tie-corrected
+    null variance.
+
+    Doubled midranks over the distinct |diff| table keep 2*W+ a
+    BIGINT; the tie correction sum_blocks (c^3 - c) is integer too.
+    Plan: one |diff|-count shuffle, one distinct-value window, one
+    scalar aggregate. Returns (group..., n_nonzero, w_plus_q1, z_q6).
+    """
+    gcols = list(group_cols)
+    v = _quant(F.col(value_col), quantize)
+    d = (v - F.lit(int(m0_q))).alias("__d")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, d
+    ).filter(F.col("__d") != 0)
+    cnt = base.groupBy(
+        *gcols, F.abs(F.col("__d")).alias("__a")
+    ).agg(
+        F.sum((F.col("__d") > 0).cast("long"))
+        .cast("long")
+        .alias("__cp"),
+        F.count("*").cast("long").alias("__c"),
+    )
+    below = Window.partitionBy(*gcols).orderBy("__a").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cnt.select(
+        *gcols,
+        "__cp",
+        "__c",
+        (
+            2 * F.coalesce(F.sum("__c").over(below), F.lit(0))
+            + F.col("__c")
+            + 1
+        ).alias("__d2"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__c").cast("long").alias("n_nonzero"),
+        F.sum(F.col("__cp") * F.col("__d2")).cast("long").alias("__w2"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        )
+        .cast("long")
+        .alias("__tie3"),
+    )
+    n = F.col("n_nonzero").cast("double")
+    w = F.col("__w2").cast("double") / F.lit(2.0)
+    mean0 = n * (n + F.lit(1.0)) / F.lit(4.0)
+    var0 = n * (n + F.lit(1.0)) * (
+        F.lit(2.0) * n + F.lit(1.0)
+    ) / F.lit(24.0) - F.col("__tie3").cast("double") / F.lit(48.0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n_nonzero",
+        w.alias("w_plus_q1"),
+        F.when(
+            var0 > 0, q6((w - mean0) / F.sqrt(var0))
+        ).alias("z_q6"),
+    )

@@ -3555,3 +3555,103 @@ def test_competing_risks_single_cause_matches_1_minus_km(spark):
     }
     for t, c in cif.items():
         assert abs(c - (1.0 - km[t])) < 5e-6, t
+
+
+def test_pettitt_python_twin_and_planted_break(spark):
+    from png_from_pdf_extracter_spark.functions.stats import pettitt_test
+    import math
+
+    vals = [5.0, 6.0, 5.0, 7.0, 6.0, 6.0, 15.0, 16.0, 14.0, 15.0,
+            16.0, 15.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    r = pettitt_test(df, ("g",), ("o",), "v", quantize=0).collect()[0]
+
+    # direct O(n^2) U_t with sign (ties -> 0)
+    n = len(vals)
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    best_k, best_t = -1, None
+    for t in range(1, n):
+        u = sum(
+            sgn(vals[j] - vals[i])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), t
+    assert r["n"] == n
+    assert r["k_stat"] == best_k
+    assert r["t_star"] == best_t
+    assert r["t_star"] == 6  # the planted break
+    p = 2 * math.exp(-6 * best_k**2 / (n**3 + n**2))
+    assert abs(r["p_approx_q6"] - min(1.0, p)) < 2e-6
+    assert r["p_approx_q6"] < 0.05
+
+
+def test_pettitt_no_break_weak_k(spark):
+    from png_from_pdf_extracter_spark.functions.stats import pettitt_test
+
+    vals = _lcg_seq(60, seed=21)
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, o int, v double")
+    r = pettitt_test(df, ("g",), ("o",), "v", quantize=0).collect()[0]
+    assert r["p_approx_q6"] > 0.05  # nothing to find
+
+
+def test_wilcoxon_signed_rank_python_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        wilcoxon_signed_rank,
+    )
+    import math
+
+    vals = [3.0, 5.0, 5.0, 7.0, 2.0, 9.0, 4.0, 4.0, 6.0, 8.0, 1.0]
+    m0 = 4
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = wilcoxon_signed_rank(
+        df, "v", m0_q=m0, group_cols=("g",), quantize=0
+    ).collect()[0]
+    diffs = [v - m0 for v in vals if v != m0]
+    absd = sorted(abs(d) for d in diffs)
+    rank = {
+        a: (
+            sum(1 for x in absd if x < a)
+            + (sum(1 for x in absd if x <= a) + 1)
+        ) / 2.0
+        + sum(1 for x in absd if x < a) * 0  # midrank
+        for a in set(absd)
+    }
+    # midrank of value a = (#less) + (#eq + 1)/2
+    rank = {
+        a: sum(1 for x in absd if x < a)
+        + (sum(1 for x in absd if x == a) + 1) / 2.0
+        for a in set(absd)
+    }
+    wplus = sum(rank[abs(d)] for d in diffs if d > 0)
+    nn = len(diffs)
+    ties = {}
+    for a in absd:
+        ties[a] = ties.get(a, 0) + 1
+    var0 = nn * (nn + 1) * (2 * nn + 1) / 24.0 - sum(
+        c**3 - c for c in ties.values()
+    ) / 48.0
+    z = (wplus - nn * (nn + 1) / 4.0) / math.sqrt(var0)
+    assert r["n_nonzero"] == nn
+    assert abs(r["w_plus_q1"] - wplus) < 1e-9
+    assert abs(r["z_q6"] - z) < 2e-6
+
+
+def test_wilcoxon_symmetric_about_m0_near_zero(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    rows = [("g", float(50 + d)) for d in range(-20, 21) if d != 0]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = wilcoxon_signed_rank(
+        df, "v", m0_q=50, group_cols=("g",), quantize=0
+    ).collect()[0]
+    assert abs(r["z_q6"]) < 1e-6  # perfectly symmetric
