@@ -628,6 +628,8 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_competing_risks",
         "q_lift_table",
         "q_ppv_card",
+        "q_pettitt",
+        "q_wilcoxon",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 
