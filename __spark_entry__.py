@@ -6685,6 +6685,36 @@ def _q_stratified_est(spark, sf_dir):
     )
 
 
+def _q_ordinal_assoc(spark, sf_dir):
+    """Gamma / Somers' D / tau-b between document length band and
+    token band (functions/stats.py ordinal_association) — the
+    graded-bucket association card next to q_cramers_v (nominal) and
+    q_kendall_tau (numeric). One k x k cell self-join; everything
+    BIGINT until the terminal ratios."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ordinal_association,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    band = (
+        lambda c, b1, b2, b3: F.when(c < b1, 1)
+        .when(c < b2, 2)
+        .when(c < b3, 3)
+        .otherwise(4)
+    )
+    g = d.select(
+        band(F.col("n_chars"), 200, 500, 1000).alias("xb"),
+        band(toks, 30, 80, 160).alias("yb"),
+    )
+    return ordinal_association(g, "xb", "yb")
+
+
 def _q_pettitt(spark, sf_dir):
     """Pettitt rank change-point per event type (functions/stats.py
     pettitt_test): outlier-immune single-break detector next to
@@ -7302,6 +7332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppv_card": _q_ppv_card,
         "q_pettitt": _q_pettitt,
         "q_wilcoxon": _q_wilcoxon,
+        "q_ordinal_assoc": _q_ordinal_assoc,
     }
 
 
@@ -17301,6 +17332,71 @@ def oracle_sql() -> dict[str, str]:
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
             FROM stepped WHERE rn = k
+        """,
+        "q_ordinal_assoc": """
+            WITH g AS (
+              SELECT
+                CASE WHEN n_chars < 200 THEN 1
+                     WHEN n_chars < 500 THEN 2
+                     WHEN n_chars < 1000 THEN 3 ELSE 4 END AS xb,
+                CASE WHEN len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0)) < 30 THEN 1
+                     WHEN len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0)) < 80 THEN 2
+                     WHEN len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0)) < 160 THEN 3
+                     ELSE 4 END AS yb
+              FROM documents
+            ),
+            cells AS (
+              SELECT xb AS x, yb AS y, count(*)::BIGINT AS c
+              FROM g GROUP BY xb, yb
+            ),
+            agg AS (
+              SELECT
+                coalesce(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                    THEN a.c * b.c END), 0)::BIGINT AS c_pairs,
+                coalesce(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                    THEN a.c * b.c END), 0)::BIGINT AS d_pairs,
+                coalesce(sum(CASE WHEN b.x = a.x AND b.y > a.y
+                    THEN a.c * b.c END), 0)::BIGINT AS tx,
+                coalesce(sum(CASE WHEN b.y = a.y AND b.x > a.x
+                    THEN a.c * b.c END), 0)::BIGINT AS ty
+              FROM cells a CROSS JOIN cells b
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM cells)
+            SELECT n, c_pairs, d_pairs,
+              CASE WHEN c_pairs::DOUBLE + d_pairs::DOUBLE > 0 THEN
+                floor((c_pairs::DOUBLE - d_pairs::DOUBLE)
+                      / (c_pairs::DOUBLE + d_pairs::DOUBLE) * 1e6)
+                  / 1e6
+              END AS gamma_q6,
+              CASE WHEN c_pairs::DOUBLE + d_pairs::DOUBLE
+                        + ty::DOUBLE > 0 THEN
+                floor((c_pairs::DOUBLE - d_pairs::DOUBLE)
+                      / (c_pairs::DOUBLE + d_pairs::DOUBLE
+                         + ty::DOUBLE) * 1e6) / 1e6
+              END AS somers_yx_q6,
+              CASE WHEN c_pairs::DOUBLE + d_pairs::DOUBLE
+                        + tx::DOUBLE > 0 THEN
+                floor((c_pairs::DOUBLE - d_pairs::DOUBLE)
+                      / (c_pairs::DOUBLE + d_pairs::DOUBLE
+                         + tx::DOUBLE) * 1e6) / 1e6
+              END AS somers_xy_q6,
+              CASE WHEN (c_pairs::DOUBLE + d_pairs::DOUBLE
+                         + tx::DOUBLE) > 0
+                    AND (c_pairs::DOUBLE + d_pairs::DOUBLE
+                         + ty::DOUBLE) > 0 THEN
+                floor((c_pairs::DOUBLE - d_pairs::DOUBLE)
+                      / sqrt((c_pairs::DOUBLE + d_pairs::DOUBLE
+                              + tx::DOUBLE)
+                             * (c_pairs::DOUBLE + d_pairs::DOUBLE
+                                + ty::DOUBLE)) * 1e6) / 1e6
+              END AS tau_b_q6
+            FROM agg, tot
         """,
         "q_pettitt": """
             WITH base AS (

@@ -630,6 +630,7 @@ def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
         "q_ppv_card",
         "q_pettitt",
         "q_wilcoxon",
+        "q_ordinal_assoc",
     ]
     from png_from_pdf_extracter_spark.functions import dedup
 

@@ -6975,3 +6975,110 @@ def wilcoxon_signed_rank(
             var0 > 0, q6((w - mean0) / F.sqrt(var0))
         ).alias("z_q6"),
     )
+
+
+def ordinal_association(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Ordinal-by-ordinal association card from the contingency
+    table: Goodman-Kruskal gamma (ties ignored), Somers' D in both
+    directions (the asymmetric "does knowing X order Y" readings) and
+    Kendall tau-b (tie-symmetric) — the ORDERED-category complement
+    to [[cramers_v]] (nominal) and the numeric [[kendall_tau]]: use
+    it when both axes are graded buckets (quality tier, length band,
+    priority).
+
+    Concordant/discordant/tied pair masses come from ONE self-join of
+    the k x k cell table (k^4 products of counts — cells, never
+    rows), so every ingredient is an exact BIGINT and each statistic
+    is one rational (tau-b's sqrt the only irrational). Returns one
+    row (n, c_pairs, d_pairs, gamma_q6, somers_yx_q6, somers_xy_q6,
+    tau_b_q6).
+    """
+    cells = (
+        df.select(
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x", "__y")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    a = cells.select(
+        F.col("__x").alias("ax"),
+        F.col("__y").alias("ay"),
+        F.col("__c").alias("ac"),
+    )
+    b = cells.select(
+        F.col("__x").alias("bx"),
+        F.col("__y").alias("by"),
+        F.col("__c").alias("bc"),
+    )
+    pairs = a.join(F.broadcast(b), how="cross")
+    prod = (F.col("ac") * F.col("bc")).cast("long")
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax"))
+                & (F.col("by") > F.col("ay")),
+                prod,
+            )
+        )
+        .cast("long")
+        .alias("c_pairs"),
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax"))
+                & (F.col("by") < F.col("ay")),
+                prod,
+            )
+        )
+        .cast("long")
+        .alias("d_pairs"),
+        F.sum(
+            F.when(
+                (F.col("bx") == F.col("ax"))
+                & (F.col("by") > F.col("ay")),
+                prod,
+            )
+        )
+        .cast("long")
+        .alias("__tx"),
+        F.sum(
+            F.when(
+                (F.col("by") == F.col("ay"))
+                & (F.col("bx") > F.col("ax")),
+                prod,
+            )
+        )
+        .cast("long")
+        .alias("__ty"),
+    )
+    n_tot = cells.agg(F.sum("__c").cast("long").alias("n"))
+    j = agg.crossJoin(F.broadcast(n_tot))
+    c = F.coalesce(F.col("c_pairs"), F.lit(0)).cast("double")
+    d = F.coalesce(F.col("d_pairs"), F.lit(0)).cast("double")
+    tx = F.coalesce(F.col("__tx"), F.lit(0)).cast("double")
+    ty = F.coalesce(F.col("__ty"), F.lit(0)).cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        "n",
+        F.coalesce(F.col("c_pairs"), F.lit(0)).alias("c_pairs"),
+        F.coalesce(F.col("d_pairs"), F.lit(0)).alias("d_pairs"),
+        F.when(c + d > 0, q6((c - d) / (c + d))).alias("gamma_q6"),
+        F.when(
+            c + d + ty > 0, q6((c - d) / (c + d + ty))
+        ).alias("somers_yx_q6"),
+        F.when(
+            c + d + tx > 0, q6((c - d) / (c + d + tx))
+        ).alias("somers_xy_q6"),
+        F.when(
+            ((c + d + tx) > 0) & ((c + d + ty) > 0),
+            q6(
+                (c - d)
+                / F.sqrt((c + d + tx) * (c + d + ty))
+            ),
+        ).alias("tau_b_q6"),
+    )

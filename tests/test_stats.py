@@ -3655,3 +3655,51 @@ def test_wilcoxon_symmetric_about_m0_near_zero(spark):
         df, "v", m0_q=50, group_cols=("g",), quantize=0
     ).collect()[0]
     assert abs(r["z_q6"]) < 1e-6  # perfectly symmetric
+
+
+def test_ordinal_association_python_twin(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ordinal_association,
+    )
+    import math
+
+    rows = [
+        (1, 1), (1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (2, 3),
+        (3, 2), (3, 3), (3, 3), (3, 1), (4, 3), (4, 4), (4, 4),
+    ]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = ordinal_association(df, "x", "y").collect()[0]
+
+    c = d = tx = ty = 0
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = rows[j][0] - rows[i][0]
+            dy = rows[j][1] - rows[i][1]
+            if dx == 0 and dy != 0:
+                tx += 1
+            elif dy == 0 and dx != 0:
+                ty += 1
+            elif dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    assert (r["c_pairs"], r["d_pairs"]) == (c, d)
+    assert abs(r["gamma_q6"] - (c - d) / (c + d)) < 2e-6
+    assert abs(r["somers_yx_q6"] - (c - d) / (c + d + ty)) < 2e-6
+    assert abs(r["somers_xy_q6"] - (c - d) / (c + d + tx)) < 2e-6
+    taub = (c - d) / math.sqrt((c + d + tx) * (c + d + ty))
+    assert abs(r["tau_b_q6"] - taub) < 2e-6
+    assert r["gamma_q6"] > 0.7  # strongly concordant plant
+
+
+def test_ordinal_association_reversed_negative(spark):
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ordinal_association,
+    )
+
+    rows = [(i % 4 + 1, 4 - i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = ordinal_association(df, "x", "y").collect()[0]
+    assert r["gamma_q6"] <= -1.0 + 2e-6  # perfect reversal
+    assert r["tau_b_q6"] < -0.9
