@@ -1096,3 +1096,54 @@ def test_juilland_take_ordered_top_k(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(juilland_dispersion(d, "source", "text", top_k=20))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ordinal_assoc_cell_self_join_broadcast(spark):
+    """ordinal_association: the concordance join is over the k x k
+    CELL table (broadcast nested-loop on counts), never a row-level
+    self-join — no SortMergeJoin of the raw input anywhere."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        ordinal_association,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        (F.col("n_chars") % 4 + 1).alias("x"),
+        (F.col("doc_id") % 4 + 1).alias("y"),
+    )
+    plan = _plan(ordinal_association(d, "x", "y"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_wilcoxon_single_count_shuffle_no_join(spark):
+    """wilcoxon_signed_rank: one |diff|-count aggregate + one
+    distinct-value window — no join at all."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(
+        wilcoxon_signed_rank(
+            c, "c_acctbal", m0_q=450000, group_cols=("c_mktsegment",)
+        )
+    )
+    assert "Join" not in plan, plan
+
+
+def test_lift_table_single_global_window(spark):
+    """lift_table: ntile needs ONE global-sort window (the documented
+    trade-off) and nothing else joins — exactly the windows expected,
+    no SortMergeJoin."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        lift_table,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("y"),
+        (F.col("n_chars")).cast("double").alias("score"),
+    )
+    plan = _plan(lift_table(d, "score", "y", "doc_id", 10))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ntile" in plan or "Window" in plan, plan
