@@ -15990,11 +15990,11 @@ def oracle_sql() -> dict[str, str]:
             comm AS (SELECT node, node % 10 AS c FROM nodes),
             intra AS (
               SELECT sum(CASE WHEN ca.c = cb.c THEN 1 ELSE 0
-                         END)::BIGINT AS sum_ec,
-                     count(*)::BIGINT AS m_edges
+                         END)::BIGINT AS sum_ec
               FROM e JOIN comm ca ON e.a = ca.node
                      JOIN comm cb ON e.b = cb.node
             ),
+            met AS (SELECT count(*)::BIGINT AS m_edges FROM e),
             deg AS (
               SELECT node, count(*)::BIGINT AS d
               FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -16014,7 +16014,7 @@ def oracle_sql() -> dict[str, str]:
                      - sdc2::DOUBLE)
                     / (4.0 * m_edges::DOUBLE * m_edges::DOUBLE)
                     * 1e6) / 1e6 AS q_modularity_q6
-            FROM intra, ds
+            FROM intra, met, ds
         """,
         "q_rich_club": """
             WITH e AS (
@@ -17295,6 +17295,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT sa.source AS source, n, s, ss, np
               FROM sa JOIN pop ON sa.source = pop.source
             ),
+            miss AS (
+              SELECT count(*)::BIGINT AS n_unsampled,
+                coalesce(sum(np), 0)::BIGINT AS np_missing
+              FROM pop LEFT JOIN sa ON pop.source = sa.source
+              WHERE sa.source IS NULL
+            ),
             tots AS (
               SELECT sum(np)::BIGINT AS npop, sum(n)::BIGINT AS nsamp
               FROM j
@@ -17329,9 +17335,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT nsamp AS n_sample, npop AS n_pop,
               k::BIGINT AS k_strata, thin AS n_thin,
+              n_unsampled, np_missing AS n_pop_missing,
               floor(est / 1.0 * 1e6) / 1e6 AS est_q6,
               floor(sqrt(sev) / 1.0 * 1e6) / 1e6 AS se_q6
-            FROM stepped WHERE rn = k
+            FROM stepped, miss WHERE rn = k
         """,
         "q_ordinal_assoc": """
             WITH g AS (

@@ -1502,8 +1502,14 @@ def stratified_estimate(
     terms (N_h/N)^2 (1 - n_h/N_h) s_h^2/n_h) fold in fixed stratum
     order (stepped window over the strata table). Strata sampled with
     n_h < 2 contribute their mean but no variance term (flagged in
-    n_thin). Returns one row
-    (n_sample, n_pop, k_strata, n_thin, est_q6, se_q6).
+    n_thin). Population strata that received ZERO sampled rows cannot
+    contribute a mean at all; the estimate renormalizes over the
+    sampled strata (n_pop = sampled-strata mass) and the coverage gap
+    is REPORTED, not hidden: n_unsampled counts the missing strata
+    and n_pop_missing carries their population mass, so a caller can
+    reject an audit draw that failed to reach part of the frame.
+    Returns one row (n_sample, n_pop, k_strata, n_thin, n_unsampled,
+    n_pop_missing, est_q6, se_q6).
     """
     gcols = list(stratum_cols)
     v = F.round(
@@ -1520,12 +1526,16 @@ def stratified_estimate(
             F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__ss"),
         )
     )
-    joined = samp.join(
-        pop_counts.select(
-            *gcols, F.col("n_pop").cast("long").alias("__np")
-        ),
-        gcols,
+    all_strata = pop_counts.select(
+        *gcols, F.col("n_pop").cast("long").alias("__np")
+    ).join(samp, gcols, "left")
+    miss = all_strata.filter(F.col("__n").isNull()).agg(
+        F.count("*").cast("long").alias("__n_unsampled"),
+        F.coalesce(F.sum("__np"), F.lit(0))
+        .cast("long")
+        .alias("__np_missing"),
     )
+    joined = all_strata.filter(F.col("__n").isNotNull())
     tots = joined.agg(
         F.sum("__np").cast("long").alias("__npop"),
         F.sum("__n").cast("long").alias("__nsamp"),
@@ -1569,7 +1579,9 @@ def stratified_estimate(
         F.row_number().over(Window.orderBy(*gcols)).alias("__rn"),
         F.count("*").over(wfull).alias("__k"),
     )
-    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    last = stepped.filter(F.col("__rn") == F.col("__k")).crossJoin(
+        F.broadcast(miss)
+    )
     scale = float(10 ** quantize)
     q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
     return last.select(
@@ -1577,6 +1589,8 @@ def stratified_estimate(
         F.col("__npop").alias("n_pop"),
         F.col("__k").cast("long").alias("k_strata"),
         F.col("__thin").alias("n_thin"),
+        F.col("__n_unsampled").alias("n_unsampled"),
+        F.col("__np_missing").alias("n_pop_missing"),
         q6(F.col("__est") / F.lit(scale)).alias("est_q6"),
         q6(F.sqrt(F.col("__sev")) / F.lit(scale)).alias("se_q6"),
     )

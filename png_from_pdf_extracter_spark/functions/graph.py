@@ -784,10 +784,12 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     (intra-community edges) and sum d_c^2 are BIGINT aggregates —
     ONE fixed float expression, no per-community float terms.
     ``communities`` is (node, community); unassigned endpoints drop
-    their edges from the intra count but keep degree mass, matching
-    the usual "rest is singleton" convention only when every node is
-    labeled — pass a complete assignment. Plan: two node-key joins +
-    two combinable aggregates. Returns one row
+    their edges from the intra count but keep degree mass AND their
+    edges in m (m_edges is counted off the FULL undirected simple
+    edge set, not the label-joined table), matching the usual "rest
+    is singleton" convention only when every node is labeled — pass
+    a complete assignment. Plan: two node-key joins + three
+    combinable aggregates. Returns one row
     (n_communities, m_edges, q_modularity_q6).
     """
     und = (
@@ -813,9 +815,9 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
             )
             .cast("long")
             .alias("__sum_ec"),
-            F.count("*").cast("long").alias("m_edges"),
         )
     )
+    mtot = und.agg(F.count("*").cast("long").alias("m_edges"))
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -834,7 +836,9 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_communities"),
         F.sum(F.col("__dc") * F.col("__dc")).cast("long").alias("__sdc2"),
     )
-    j = intra.crossJoin(F.broadcast(dsum))
+    j = intra.crossJoin(F.broadcast(mtot)).crossJoin(
+        F.broadcast(dsum)
+    )
     m = F.col("m_edges").cast("double")
     q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
     return j.select(

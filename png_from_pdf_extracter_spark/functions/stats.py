@@ -6200,7 +6200,10 @@ def ansari_bradley(
     series), so AB, its tie-corrected null mean E = n_a*S1/N and
     variance Var = n_a*n_b*(N*S2 - S1^2)/(N^2 (N-1)) (S2 = sum of
     block_sum^2/c) fold over the distinct-value table in fixed value
-    order. Plan: [[mann_whitney_u]]'s shape — one value-count
+    order. Block score sums are exact DECIMAL(38,0) integers at any
+    N (the /2 lands on the even factor before the product; positions
+    scale with ROW count, so long-float division would break past
+    ~6.7e8 pooled rows). Plan: [[mann_whitney_u]]'s shape — one value-count
     shuffle, one distinct-value window, one scalar aggregate.
     Returns one row (n_a, n_b, ab_q6, z_q6); z null when Var = 0.
     """
@@ -6235,18 +6238,36 @@ def ansari_bradley(
     m = F.col("nn") + 1
     h = F.floor(m / 2).cast("long")
 
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    zero_d = F.lit(0).cast("decimal(38,0)")
+
     def _ser(x, y):
-        # sum of integers in [x, y], 0 when empty
-        return F.when(
-            y >= x, (y - x + 1) * (x + y) / 2
-        ).otherwise(F.lit(0)).cast("long")
+        # sum of integers in [x, y], 0 when empty. Exact at corpus
+        # scale (ADVICE r4): the count (y-x+1) and the end-sum (x+y)
+        # have opposite parity, so the /2 lands on whichever factor
+        # is even as LONG integer division (both factors are < 2^53,
+        # only their product overflows), then the product folds in
+        # DECIMAL(38,0) — no float division anywhere.
+        n_t = y - x + 1
+        s = x + y
+        half = F.when(
+            n_t % 2 == 0,
+            dec(F.floor(n_t / F.lit(2)).cast("long")) * dec(s),
+        ).otherwise(
+            dec(n_t) * dec(F.floor(s / F.lit(2)).cast("long"))
+        )
+        return F.when(y >= x, half).otherwise(zero_d)
 
     up_hi = F.least(b, h)
     dn_lo = F.greatest(a, h + 1)
     # positions <= h contribute p; positions > h contribute m - p
-    block_sum = _ser(a, up_hi) + F.when(
-        b >= dn_lo, (b - dn_lo + 1) * m - ((b - dn_lo + 1) * (dn_lo + b) / 2).cast("long")
-    ).otherwise(F.lit(0)).cast("long")
+    block_sum = (
+        _ser(a, up_hi)
+        + F.when(
+            b >= dn_lo,
+            dec(b - dn_lo + 1) * dec(m) - _ser(dn_lo, b),
+        ).otherwise(zero_d)
+    ).cast("decimal(38,0)")
     cells = cum.select(
         "ca",
         "cb",
@@ -6273,7 +6294,7 @@ def ansari_bradley(
         "nn",
         F.sum("ca").over(wfullv).cast("long").alias("n_a"),
         F.sum("cb").over(wfullv).cast("long").alias("n_b"),
-        F.sum("bs").over(wfullv).cast("long").alias("s1"),
+        F.sum("bs").over(wfullv).cast("decimal(38,0)").alias("s1"),
         F.sum(ab_term).over(ordw).alias("ab"),
         F.sum(s2_term).over(ordw).alias("s2"),
         F.row_number().over(Window.orderBy("v")).alias("rn"),

@@ -1139,12 +1139,40 @@ def test_stratified_estimate_recovers_population_mean(spark):
     assert 0 < r["se_q6"] < 5.0
     assert r["n_thin"] == 0
 
+    assert r["n_unsampled"] == 0 and r["n_pop_missing"] == 0
+
     # full census: fpc makes SE exactly 0 and the estimate exact
     r2 = stratified_estimate(df, pop, ("st",), "v", quantize=0).collect()[
         0
     ]
     assert abs(r2["est_q6"] - true_mean) < 1e-4
     assert r2["se_q6"] == 0.0
+
+
+def test_stratified_estimate_reports_unsampled_strata(spark):
+    """A stratum the audit draw never reached must surface as a
+    coverage gap (n_unsampled / n_pop_missing), not silently vanish
+    into a renormalized estimate."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        stratified_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a", 10.0) for i in range(40)]
+    rows += [(100 + i, "b", 99.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, st string, v double")
+    pop = df.groupBy("st").agg(F.count("*").cast("long").alias("n_pop"))
+    # the sample only ever saw stratum "a"
+    samp = df.filter(F.col("st") == "a").limit(10)
+    r = stratified_estimate(samp, pop, ("st",), "v", quantize=0).collect()[
+        0
+    ]
+    assert r["k_strata"] == 1
+    assert r["n_unsampled"] == 1
+    assert r["n_pop_missing"] == 60
+    # the estimate renormalizes over the SAMPLED strata only
+    assert r["n_pop"] == 40
+    assert abs(r["est_q6"] - 10.0) < 1e-6
 
 
 def test_mixture_divergence_on_target_and_skewed(spark):

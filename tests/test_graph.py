@@ -523,6 +523,32 @@ def test_modularity_planted_vs_hash(spark):
     assert qb["q_modularity_q6"] < 0.1
 
 
+def test_modularity_partial_assignment_keeps_full_m(spark):
+    """Unlabeled endpoints must drop edges from the intra count only:
+    m_edges stays the FULL undirected simple edge count, so sum(d_c)
+    can never exceed 2m's accounting basis (the documented
+    semantics)."""
+    from png_from_pdf_extracter_spark.functions.graph import modularity
+
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    edges.append((0, 5))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # label only the first clique; second clique's 10 edges and the
+    # bridge leave the intra count but NOT m
+    part = spark.createDataFrame(
+        [(n, 0) for n in range(5)], "node long, community long"
+    )
+    r = modularity(df, part).collect()[0]
+    assert r["m_edges"] == 21
+    assert r["n_communities"] == 1
+    # sum_ec = 10 (clique-0 edges), d_c = 4*4 + 5 = 21
+    assert abs(r["q_modularity_q6"] - (4 * 21 * 10 - 441) / 1764.0) < 2e-6
+
+
 def test_rich_club_clique_core(spark):
     from png_from_pdf_extracter_spark.functions.graph import rich_club
 
