@@ -276,11 +276,52 @@ def _q_kmeans(spark, sf_dir):
     seeded Lloyd, 2 rounds, 8 clusters) rolled up to per-cluster size + mean
     cosine-to-centroid. Rows-only: iterative float means make borderline
     assignments engine-specific; planted-cluster separation is pinned in
+    tests/test_sessions.py.
+
+    Every row also embeds ``sep_vs_global`` (r4 verdict #6, the
+    ``recall_vs_exact`` pattern): mean cosine-to-owning-centroid minus
+    the k=1 baseline (mean cosine to the single GLOBAL mean vector) —
+    a clustering that beats one-cluster by a margin is doing real
+    work, so the driver's rows-only check observes QUALITY, not just
+    shape. The global mean is a dim-bounded collect folded back as a
+    constant (the kmeans centroid discipline); floor asserted in
     tests/test_sessions.py."""
+    import json as _json
+
     e = _read(spark, sf_dir, "embeddings")
     a = similarity.kmeans_assign(
         e, "vec_id", "embedding", n_clusters=8, iterations=2
+    ).persist()
+    mu_rows = (
+        e.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .orderBy("d")
+        .collect()  # dim-bounded driver state (README budget table)
     )
+    mu = F.from_json(
+        F.lit(_json.dumps([float(r["m"]) for r in mu_rows])),
+        "array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), mu, lambda x, m: x.cast("double") * m
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = e.select(
+        (dot / (nrm(F.col("embedding")) * nrm(mu))).alias("cg")
+    ).agg(F.avg("cg")).first()[0]
+    assigned = a.agg(F.avg("cos_to_centroid")).first()[0]
+    sep = round(float(assigned) - float(base), 6)
     return (
         a.groupBy("cluster")
         .agg(
@@ -289,6 +330,7 @@ def _q_kmeans(spark, sf_dir):
                 "mean_cos"
             ),
         )
+        .withColumn("sep_vs_global", F.lit(sep))
         .orderBy("cluster")
     )
 
@@ -3115,15 +3157,41 @@ def _q_pca_whiten(spark, sf_dir):
     projection in JVM builtins), rolled up to per-dim variance of the
     whitened output (== 1 by construction; identity-covariance pinned in
     tests/test_similarity_stats.py). Rows-only: eigendecomposition is not
-    SQL-expressible."""
+    SQL-expressible.
+
+    Every row also embeds ``max_abs_cov_dev`` (r4 verdict #6, the
+    ``recall_vs_exact`` pattern): the max absolute deviation of the
+    whitened output's FULL sample covariance (upper triangle via
+    embedding_covariance's O(dim²) partial-gram fold) from the
+    identity — whitening's defining property, so the driver's
+    rows-only check observes the transform actually whitened, not
+    just that per-dim variances line up. Ceiling asserted in
+    tests/test_sessions.py."""
     e = _read(spark, sf_dir, "embeddings")
-    w = similarity.pca_whiten(e, "vec_id", "embedding")
+    w = similarity.pca_whiten(e, "vec_id", "embedding").persist()
+    dev = (
+        similarity.embedding_covariance(w, "vec_id", "whitened")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cov")
+                    - F.when(
+                        F.col("d1") == F.col("d2"), F.lit(1.0)
+                    ).otherwise(F.lit(0.0))
+                )
+            ).alias("dev")
+        )
+        .first()[0]
+    )
     return (
         w.select(F.posexplode("whitened").alias("d", "x"))
         .groupBy("d")
         .agg(
             F.count("*").alias("n_vecs"),
             (F.floor(F.var_samp("x") * 1000) / 1000).alias("var_q"),
+        )
+        .withColumn(
+            "max_abs_cov_dev", F.lit(round(float(dev), 9))
         )
         .orderBy("d")
     )
@@ -4059,11 +4127,21 @@ def _q_mutual_nn_ivf(spark, sf_dir):
     candidate pairs, the mutual filter runs over them via id-keyed
     equi-joins — no side is broadcast whole. Rows-only by design
     (candidate recall depends on cell assignment); every row embeds
-    ``recall_vs_exact`` — the candidate path's mutual-pair recall against
-    the exact broadcast baseline on the same halves — so the artifact
-    records QUALITY, not just shape. Floor pinned in
-    tests/test_sessions.py."""
+    ``recall_vs_exact`` so the artifact records QUALITY, not just shape.
+    Floor pinned in tests/test_sessions.py.
+
+    The recall AUDIT is sampled (r4 verdict #4: the previous inline
+    full-exact baseline made this query's bench time measure exact +
+    approx, not the production path it exists to showcase): ground
+    truth is computed only for a deterministic 1/4 of left anchors —
+    but mutuality is still judged against the FULL halves (l→r top-1
+    over all of right; each hit's r→l top-1 over all of left), so the
+    sampled pairs are true members of the exact mutual set, not a
+    truth on shrunken corpora. Cost drops from 2·N² to ~2·(N/4)·N
+    while the estimate stays unbiased (every exact pair's anchor is
+    sampled with equal probability)."""
     from png_from_pdf_extracter_spark.functions.similarity import (
+        cosine_topk,
         ivf_topk,
         mutual_nn_pairs,
     )
@@ -4075,19 +4153,32 @@ def _q_mutual_nn_ivf(spark, sf_dir):
         F.col("query_id").alias("left_id"),
         F.col("neighbor_id").alias("right_id"),
     )
-    # both sides of the recall computation are read twice (count +
-    # reuse) — persist once, same discipline as logreg_train's IRLS
-    # input (r3 verdict #2); the final plan reads the materialized
-    # approx table, so the driver's collect doesn't recompute the IVF
+    # the final plan reads the materialized approx table, so the
+    # driver's collect doesn't recompute the IVF (r3 verdict #2
+    # persist discipline)
     approx = mutual_nn_pairs(left, right, candidates=cand).persist()
-    exact = (
-        mutual_nn_pairs(left, right).select("left_id", "right_id").persist()
+    in_sample = lambda c: F.crc32(c.cast("string")) % 4 == 0  # noqa: E731
+    ls = left.filter(in_sample(F.col("vec_id")))
+    l2r = cosine_topk(right, ls, k=1).select(
+        F.col("query_id").alias("left_id"),
+        F.col("neighbor_id").alias("right_id"),
     )
-    n_exact = exact.count()
-    n_hit = approx.join(
-        F.broadcast(exact), ["left_id", "right_id"], "left_semi"
-    ).count()
-    exact.unpersist()
+    rhits = right.join(
+        l2r.select(F.col("right_id").alias("vec_id")).distinct(),
+        "vec_id",
+    )
+    r2l = cosine_topk(left, rhits, k=1).select(
+        F.col("neighbor_id").alias("left_id"),
+        F.col("query_id").alias("right_id"),
+    )
+    exact_s = l2r.join(r2l, ["left_id", "right_id"]).persist()
+    n_exact = exact_s.count()
+    n_hit = (
+        approx.filter(in_sample(F.col("left_id")))
+        .join(F.broadcast(exact_s), ["left_id", "right_id"], "left_semi")
+        .count()
+    )
+    exact_s.unpersist()
     rec = round(n_hit / n_exact, 4) if n_exact else 1.0
     return approx.withColumn("recall_vs_exact", F.lit(rec))
 
@@ -4097,8 +4188,10 @@ def _q_hard_negatives_ivf(spark, sf_dir):
     4x k headroom (same-label candidates are discarded below the rank
     window), vectors+labels fetched by id-keyed joins — the full corpus
     is never broadcast. Rows-only by design; every row embeds
-    ``recall_vs_exact`` vs the exact broadcast baseline. Floor pinned in
-    tests/test_sessions.py."""
+    ``recall_vs_exact`` vs the exact baseline on a deterministic HALF
+    of the query set (sampled audit, r4 verdict #4 — the bench time
+    now reflects the candidate-fed shape, not exact+approx). Floor
+    pinned in tests/test_sessions.py."""
     from png_from_pdf_extracter_spark.functions.similarity import (
         hard_negatives,
         ivf_topk,
@@ -4111,15 +4204,25 @@ def _q_hard_negatives_ivf(spark, sf_dir):
     cand = ivf_topk(emb, q, k=25, n_cells=8, nprobe=4).select(
         "query_id", F.col("neighbor_id").alias("neg_id")
     )
-    # persist both recall inputs — each is read twice (see
-    # _q_mutual_nn_ivf)
     approx = hard_negatives(emb, q, k=5, candidates=cand).persist()
-    exact = hard_negatives(emb, q, k=5).select("query_id", "neg_id").persist()
-    n_exact = exact.count()
-    n_hit = approx.join(
-        F.broadcast(exact), ["query_id", "neg_id"], "left_semi"
-    ).count()
-    exact.unpersist()
+    # sampled recall audit (r4 verdict #4): exact negatives computed
+    # for HALF the query set (even ids — deterministic), scanned
+    # against the full corpus, so the bench time reflects the
+    # candidate-fed production path plus half an audit, and the
+    # recall estimate stays a true exact-set comparison per query
+    qs_audit = q.filter(F.col("vec_id") % 2 == 0)
+    exact_s = (
+        hard_negatives(emb, qs_audit, k=5)
+        .select("query_id", "neg_id")
+        .persist()
+    )
+    n_exact = exact_s.count()
+    n_hit = (
+        approx.filter(F.col("query_id") % 2 == 0)
+        .join(F.broadcast(exact_s), ["query_id", "neg_id"], "left_semi")
+        .count()
+    )
+    exact_s.unpersist()
     rec = round(n_hit / n_exact, 4) if n_exact else 1.0
     return approx.withColumn("recall_vs_exact", F.lit(rec))
 

@@ -165,25 +165,73 @@ def run_stream(spark: SparkSession, in_path: str, out_dir: str,
     return time.time() - t0
 
 
+def guarded_stream_runs(spark: SparkSession, in_path: str, work: str,
+                        runs: int) -> dict:
+    """The availableNow drain under the SAME noise-adaptive rerun
+    discipline as ``level_runs`` (r4 verdict #1: the r4 artifact's
+    single-sample 21.6s drain vs 13.0s session best was
+    uninterpretable — regression or ambient window, nobody could say).
+    Each attempt gets a FRESH output dir + checkpoint (a reused
+    checkpoint would drain 0 rows and measure nothing); extra drains
+    run only while ``_trust_stats`` says the timed samples are
+    untrusted, bounded by SPARK_GRAFT_BENCH_MAX_EXTRA. Minima are
+    noise-robust — a noise window can only inflate a sample — so
+    best-of-N is safe. Returns the streaming row with runs_sec /
+    jitter / jitter_best3 / trusted next to sec (= best)."""
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "5"))
+    if runs < 2:
+        max_extra = 0  # explicit smoke config: honestly-untrusted
+    times = []
+    rows = None
+    i = 0
+    while True:
+        out = os.path.join(work, f"s_out_{i}")
+        ckpt = os.path.join(work, f"s_ckpt_{i}")
+        times.append(round(run_stream(spark, in_path, out, ckpt), 3))
+        if rows is None:
+            rows = count_parquet_rows(out)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        i += 1
+        _, _, trusted = _trust_stats(times)
+        if (i >= runs and trusted) or i >= runs + max_extra:
+            break
+    jitter_all, jitter_best3, trusted = _trust_stats(times)
+    best = min(times)
+    return {
+        "trigger": "availableNow",
+        "sec": best,
+        "runs_sec": times,
+        "rows": rows,
+        "turns_per_sec": round(rows / best, 1),
+        "jitter": jitter_all,
+        "jitter_best3": jitter_best3,
+        "trusted": trusted,
+    }
+
+
 def run_stream_sustained(spark: SparkSession, in_path: str, out_dir: str,
                          ckpt: str) -> dict:
-    """Steady-state micro-batch run (round-2 verdict #7, fixed per round-3
-    verdict #3): the SAME input drained through a ``processingTime``
-    trigger — the literal daemon-loop surface — recording per-batch rows
-    and commit overhead from the streaming progress events.
-    ``maxFilesPerTrigger`` is sized FROM the input's file count so the
-    drain is guaranteed multi-batch (target >= 8 triggers); a run that
-    still lands under 5 batches reports ``input_rows_per_sec_sustained:
-    None`` with a note instead of passing off a single batch as a
-    sustained rate. Per-batch p50/p95 wall times sit next to the mean so
-    trigger-to-trigger variance is in the artifact."""
+    """Steady-state micro-batch run (round-2 verdict #7, deepened per r3
+    verdict #3 and r4 verdict #8): the SAME input drained through a
+    ``processingTime`` trigger — the literal daemon-loop surface —
+    recording per-batch rows and commit overhead from the streaming
+    progress events. ``maxFilesPerTrigger`` is sized FROM the input's
+    file count for >= 16 triggers; a run that still lands under 5
+    batches reports ``input_rows_per_sec_sustained: None`` with a note
+    instead of passing off a single batch as a sustained rate. Next to
+    the p50/p95/p99 batch walls the artifact carries the failure modes
+    one mean can hide: a commit-overhead TREND (least-squares slope in
+    ms/batch plus first-half vs second-half means — a daemon whose
+    checkpoint commits grow per trigger is dying slowly) and the
+    per-batch jitter/trust stats so a noisy window is visibly noisy."""
     from png_from_pdf_extracter_spark.plans import JobParams
     from png_from_pdf_extracter_spark.streaming import stream_extract
 
     import pyarrow.dataset as ds
 
     n_files = len(ds.dataset(in_path).files)
-    mfpt = max(1, n_files // 8)  # >= 8 triggers over the backlog
+    mfpt = max(1, n_files // 16)  # >= 16 triggers over the backlog
     params = JobParams(n_buckets=256)
     t0 = time.time()
     q = (
@@ -208,8 +256,43 @@ def run_stream_sustained(spark: SparkSession, in_path: str, out_dir: str,
     busy_sec = sum(trigger_ms) / 1000.0
     overhead_ms = [t - a for t, a in zip(trigger_ms, add_batch_ms)]
     n = max(1, len(prog))
-    sec_sorted = sorted(t / 1000.0 for t in trigger_ms)
+    secs = [t / 1000.0 for t in trigger_ms]
+    sec_sorted = sorted(secs)
     sustained = len(prog) >= 5 and busy_sec > 0
+
+    def _pct(p):
+        return round(
+            sec_sorted[min(len(sec_sorted) - 1,
+                           int(p * len(sec_sorted)))], 3
+        ) if sec_sorted else None
+
+    # commit-overhead trend: least-squares slope of overhead_ms over
+    # batch index — the one number that separates "steady 300ms commit
+    # cost" from "grows 50ms every trigger" (r4 verdict #8)
+    trend = None
+    if len(overhead_ms) >= 4:
+        k = len(overhead_ms)
+        xbar = (k - 1) / 2.0
+        ybar = sum(overhead_ms) / k
+        sxx = sum((i - xbar) ** 2 for i in range(k))
+        sxy = sum(
+            (i - xbar) * (y - ybar) for i, y in enumerate(overhead_ms)
+        )
+        half = k // 2
+        trend = {
+            "slope_ms_per_batch": round(sxy / sxx, 2),
+            "first_half_mean_ms": round(
+                sum(overhead_ms[:half]) / half, 1
+            ),
+            "second_half_mean_ms": round(
+                sum(overhead_ms[half:]) / (k - half), 1
+            ),
+        }
+    if sustained:
+        jitter_all, jitter_best3, trusted = _trust_stats(secs)
+    else:
+        jitter_all = jitter_best3 = None
+        trusted = False
     return {
         "trigger": "processingTime=500ms",
         "max_files_per_trigger": mfpt,
@@ -224,13 +307,17 @@ def run_stream_sustained(spark: SparkSession, in_path: str, out_dir: str,
         ),
         "note": None if sustained else "n_batches < 5: not sustained",
         "mean_batch_sec": round(busy_sec / n, 3),
-        "p50_batch_sec": round(sec_sorted[len(sec_sorted) // 2], 3)
-        if sec_sorted else None,
-        "p95_batch_sec": round(
-            sec_sorted[min(len(sec_sorted) - 1,
-                           int(0.95 * len(sec_sorted)))], 3
-        ) if sec_sorted else None,
+        "p50_batch_sec": _pct(0.50),
+        "p95_batch_sec": _pct(0.95),
+        "p99_batch_sec": _pct(0.99),
         "mean_commit_overhead_ms": round(sum(overhead_ms) / n, 1),
+        "commit_overhead_trend": trend,
+        # per-BATCH jitter: 16+ same-sized triggers are 16+ samples of
+        # the same work, so the level_runs trust rule applies within
+        # one sustained run (r4 verdict #1)
+        "jitter": jitter_all,
+        "jitter_best3": jitter_best3,
+        "trusted": trusted,
     }
 
 
@@ -327,311 +414,27 @@ def level_runs(cores: int, in_path: str, out_base: str, runs: int) -> dict:
             "trusted": trusted}
 
 
+# Per-query bench exclusions: key -> one-line reason. EMPTY by design —
+# every registered query is benched (r4 verdict #2: 53 unbenched queries
+# were a blind spot where a per-query regression could hide). The
+# registry-integrity suite asserts set(queries()) == benched ∪ excluded,
+# so a future exclusion must land here WITH its reason or the tests fail.
+BENCH_EXCLUDED: dict = {}
+
+
+def bench_query_keys(all_keys) -> list:
+    """The per-query sweep list: the ENTIRE registry minus the explicit
+    exclusion table, sorted for a stable artifact order."""
+    return sorted(k for k in all_keys if k not in BENCH_EXCLUDED)
+
+
 def bench_sf_queries(spark: SparkSession, sf_dir: str) -> dict:
-    """Time the headline operator queries from __spark_entry__ at sf_dir."""
+    """Time every registered operator query from __spark_entry__ at
+    sf_dir (full-registry sweep; see BENCH_EXCLUDED)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    keys = [
-        "q_minhash_lsh",
-        "q_ngram_jaccard",
-        "q_simhash",
-        "q_dedup_exact",
-        "q_knn_cosine",
-        "q_embed_near_dup",
-        "q_lang_id",
-        "q_quality_tokens",
-        "q_tpch_q1",
-        "q_tpch_q3",
-        "q_join_topn",
-        "q_window_order",
-        "q_group_metrics",
-        "q_conv_rollup",
-        "q_asof_attr",
-        "q_asof_dim",
-        "q_range_attr",
-        "q_curate",
-        "q_profile",
-        "q_profile_sketch",
-        "q_argmax",
-        "q_running_total",
-        "q_pivot",
-        "q_json_extract",
-        "q_rollup_agg",
-        "q_set_ops",
-        "q_sessionize",
-        "q_dedup_latest",
-        "q_contamination",
-        "q_gopher_quality",
-        "q_seq_pack",
-        "q_rank_family",
-        "q_asof_skewed",
-        "q_semi_anti",
-        "q_tpch_q5",
-        "q_tfidf",
-        "q_trailing_window",
-        "q_domain_cap",
-        "q_retention_cohort",
-        "q_url_extract",
-        "q_vector_stats",
-        "q_dedup_ratio",
-        "q_unicode_normalize",
-        "q_pii_scrub",
-        "q_corpus_diff",
-        "q_tpch_q6",
-        "q_tpch_q10",
-        "q_ann_pq",
-        "q_ann_ivfpq",
-        "q_tpch_q2",
-        "q_tpch_q13",
-        "q_tpch_q21",
-        "q_line_dedup",
-        "q_hash_classifier",
-        "q_semdedup",
-        "q_kmeans",
-        "q_embed_covariance",
-        "q_pca_whiten",
-        "q_pmi_bigrams",
-        "q_zipf_fit",
-        "q_jsd_split",
-        "q_ks_drift",
-        "q_edit_distance",
-        "q_event_transitions",
-        "q_chi2_terms",
-        "q_trend_per_group",
-        "q_price_histogram",
-        "q_ab_test",
-        "q_hits",
-        "q_triangles",
-        "q_classifier_auc",
-        "q_readability",
-        "q_chunk_sliding",
-        "q_embed_quantize",
-        "q_rrf_fusion",
-        "q_decontaminate",
-        "q_jaccard_prefix",
-        "q_skew_report",
-        "q_ndcg",
-        "q_bfs_hops",
-        "q_calibration",
-        "q_boilerplate_strip",
-        "q_source_similarity",
-        "q_time_weighted_avg",
-        "q_weighted_median",
-        "q_rendezvous_shard",
-        "q_vocab_growth",
-        "q_merge_upsert",
-        "q_scd2",
-        "q_pagerank",
-        "q_dsir_weights",
-        "q_url_canonical",
-        "q_cms_freq",
-        "q_skew_join",
-        "q_grouping_cube",
-        "q_inverted_index",
-        "q_bloom_antijoin",
-        "q_perplexity",
-        "q_forward_fill",
-        "q_ntile_deciles",
-        "q_incr_dedup",
-        "q_winsorize",
-        "q_funnel_steps",
-        "q_nullsafe_join",
-        "q_weighted_sample",
-        "q_bigram_perplexity",
-        "q_repetition",
-        "q_ppl_buckets",
-        "q_minhash_dedup_apply",
-        "q_bpe_pairs",
-        "q_robust_outliers",
-        "q_expectations",
-        "q_psi_drift",
-        "q_minhash_incr_dedup",
-        "q_materialize_mix",
-        "q_temperature_mix",
-        "q_rolling_fp",
-        "q_dup_spans",
-        "q_dup_spans_apply",
-        "q_bpe_encode",
-        "q_bm25",
-        "q_train_split",
-        "q_word_entropy",
-        "q_mann_whitney",
-        "q_spearman",
-        "q_autocorr",
-        "q_ewma",
-        "q_kn_perplexity",
-        "q_kmv_distinct",
-        "q_logreg_train",
-        "q_running_distinct",
-        "q_attribution",
-        "q_changepoint",
-        "q_interval_union",
-        "q_benford",
-        "q_kcore",
-        "q_rolling_median",
-        "q_mom_growth",
-        "q_image_phash",
-        "q_correlogram",
-        "q_kaplan_meier",
-        "q_gini_sources",
-        "q_cooccur_lift",
-        "q_bootstrap_ci",
-        "q_isotonic",
-        "q_quantile_norm",
-        "q_chi2_indep",
-        "q_k_anonymity",
-        "q_theil_sen",
-        "q_mutual_nn",
-        "q_binseg",
-        "q_negative_sample",
-        "q_hard_negatives",
-        "q_wasserstein",
-        "q_holt",
-        "q_markov_attribution",
-        "q_tfidf_cosine",
-        "q_dedup_best_rep",
-        "q_gini_scoped",
-        "q_median_survival",
-        # round 4
-        "q_mutual_nn_ivf",
-        "q_hard_negatives_ivf",
-        "q_kruskal_wallis",
-        "q_mann_kendall",
-        "q_cusum",
-        "q_bh_fdr",
-        "q_winsorize_exact",
-        "q_keyness",
-        "q_ngram_commonness",
-        "q_kappa_langid",
-        "q_audio_stats",
-        "q_video_stats",
-        "q_jaro_linkage",
-        "q_keyword_profile",
-        "q_event_loops",
-        "q_ngram_containment",
-        "q_margin_mining",
-        "q_leakage_split",
-        "q_good_turing",
-        "q_turn_churn",
-        "q_anova",
-        "q_levene",
-        "q_cramers_v",
-        "q_mcnemar",
-        "q_compression_ratio",
-        "q_kendall_tau",
-        "q_did",
-        "q_l_diversity",
-        "q_mcc",
-        "q_brier",
-        "q_retrieval",
-        "q_cliffs_delta",
-        "q_cochran_q",
-        "q_friedman",
-        "q_linkpred",
-        "q_assortativity",
-        "q_hodges_lehmann",
-        "q_gaps",
-        "q_seasonal_dow",
-        "q_jl_project",
-        "q_jonckheere",
-        "q_page_trend",
-        "q_fleiss",
-        "q_krippendorff",
-        "q_conformal",
-        "q_risk_coverage",
-        "q_runs_test",
-        "q_durbin_watson",
-        "q_span_corruption",
-        "q_procrustes",
-        "q_mood_median",
-        "q_script_profile",
-        "q_nelson_aalen",
-        "q_log_rank",
-        "q_t_closeness",
-        "q_welch",
-        "q_cochran_armitage",
-        "q_cvm",
-        "q_tukey",
-        "q_energy_distance",
-        "q_encoding_health",
-        "q_heavy_hitters",
-        "q_naive_bayes",
-        "q_label_prop",
-        "q_hill_tail",
-        "q_prf_expand",
-        "q_prf_rerank",
-        "q_scene_cuts",
-        "q_cuped",
-        "q_off_policy",
-        "q_rake",
-        "q_wilson",
-        "q_jackknife",
-        "q_capture_recapture",
-        "q_cond_entropy",
-        "q_group_influence",
-        "q_token_wer",
-        "q_holm",
-        "q_mantel_haenszel",
-        "q_rbo",
-        "q_yuen",
-        "q_kmv_setops",
-        "q_huber",
-        "q_partition_agreement",
-        "q_avg_precision",
-        "q_best_f1",
-        "q_curriculum",
-        "q_rmst",
-        "q_ece",
-        "q_fairness",
-        "q_slope_break",
-        "q_reliability",
-        "q_agreement",
-        "q_lexical_richness",
-        "q_ljung_box",
-        "q_kpss",
-        "q_variance_ratio",
-        "q_graph_profile",
-        "q_modularity",
-        "q_rich_club",
-        "q_rank_metrics",
-        "q_ql_dirichlet",
-        "q_inequality",
-        "q_srm",
-        "q_doubly_robust",
-        "q_linear_cka",
-        "q_forecast_accuracy",
-        "q_brunner_munzel",
-        "q_hurst",
-        "q_dp_counts",
-        "q_neyman",
-        "q_kendalls_w",
-        "q_grubbs",
-        "q_hubness",
-        "q_effect_sizes",
-        "q_partial_corr",
-        "q_gini_gain",
-        "q_risk_ratios",
-        "q_quade",
-        "q_seasonal_decompose",
-        "q_juilland",
-        "q_ansari",
-        "q_stratified_est",
-        "q_cucconi",
-        "q_gwet",
-        "q_mix_divergence",
-        "q_pack_efficiency",
-        "q_bowker",
-        "q_hellinger",
-        "q_woolf",
-        "q_burrows",
-        "q_competing_risks",
-        "q_lift_table",
-        "q_ppv_card",
-        "q_pettitt",
-        "q_wilcoxon",
-        "q_ordinal_assoc",
-    ]
+    keys = bench_query_keys(qs.keys())
     from png_from_pdf_extracter_spark.functions import dedup
 
     # ambient-noise guard: this VM has hypervisor-neighbor windows where a
@@ -769,29 +572,44 @@ def main() -> None:
         streaming_sustained = None
         if os.environ.get("SPARK_GRAFT_SKIP_STREAM") != "1":
             sp = build_session(width)
-            s_sec = run_stream(
-                sp, in_path, os.path.join(work, "s_out"),
-                os.path.join(work, "s_ckpt"),
+            # r4 verdict #1: the drain gets the level_runs rerun guard
+            stream_runs = int(
+                os.environ.get(
+                    "SPARK_GRAFT_BENCH_STREAM_RUNS", str(min(2, runs))
+                )
             )
-            s_rows = count_parquet_rows(os.path.join(work, "s_out"))
-            streaming = {
-                "trigger": "availableNow",
-                "cores": width,
-                "sec": round(s_sec, 3),
-                "rows": s_rows,
-                "turns_per_sec": round(s_rows / s_sec, 1),
-            }
-            queries["extract_stream_availablenow"] = round(s_sec, 3)
-            shutil.rmtree(os.path.join(work, "s_out"), ignore_errors=True)
-            shutil.rmtree(os.path.join(work, "s_ckpt"), ignore_errors=True)
-            streaming_sustained = run_stream_sustained(
-                sp, in_path, os.path.join(work, "ss_out"),
-                os.path.join(work, "ss_ckpt"),
-            )
+            streaming = guarded_stream_runs(sp, in_path, work, stream_runs)
+            streaming["cores"] = width
+            queries["extract_stream_availablenow"] = streaming["sec"]
+            # sustained run: its 16+ per-batch walls carry their own
+            # jitter/trust stats; one bounded re-run when the window was
+            # visibly noisy (a full re-drain is ~1 min — same budget
+            # shape as level_runs' max_extra)
+            attempts = 0
+            while True:
+                streaming_sustained = run_stream_sustained(
+                    sp, in_path,
+                    os.path.join(work, f"ss_out_{attempts}"),
+                    os.path.join(work, f"ss_ckpt_{attempts}"),
+                )
+                shutil.rmtree(
+                    os.path.join(work, f"ss_out_{attempts}"),
+                    ignore_errors=True,
+                )
+                shutil.rmtree(
+                    os.path.join(work, f"ss_ckpt_{attempts}"),
+                    ignore_errors=True,
+                )
+                attempts += 1
+                if (
+                    streaming_sustained.get("trusted")
+                    or attempts > 1
+                    or runs < 2
+                ):
+                    break
+            streaming_sustained["attempts"] = attempts
             streaming_sustained["cores"] = width
             sp.stop()
-            shutil.rmtree(os.path.join(work, "ss_out"), ignore_errors=True)
-            shutil.rmtree(os.path.join(work, "ss_ckpt"), ignore_errors=True)
 
         width32 = None
         if not skip_wide and cpus > width:

@@ -11,7 +11,13 @@ names, and a value hash.
 Usage:
     python scripts/check_oracle.py [query ...]   # default: all queries
 Env:
-    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.01)
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.01)
+    SPARK_GRAFT_ORACLE_JSON  write the full per-query result map to this
+        path (r4 verdict #3: the full-matrix sweep becomes a committed
+        artifact — CORRECTNESS_full.json — instead of a commit-message
+        claim). The file maps sf label -> query -> {status, rows, sec};
+        when the file already exists, the new sf's block is merged in,
+        so one artifact carries both scales.
 """
 
 from __future__ import annotations
@@ -91,6 +97,7 @@ def main() -> int:
         return 2
     n_pass = n_rowsonly = n_fail = 0
     failures = []
+    record = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -101,12 +108,17 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
+            record[name] = {"status": "err_spark", "rows": None}
             print(f"ERR  {name}: spark side\n{traceback.format_exc()}")
             continue
         sql = oracles.get(name)
+        sec = round(time.time() - t0, 1)
         if sql is None:
             n_rowsonly += 1
-            print(f"rows {name}: {s_rows} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "rows_only", "rows": s_rows, "sec": sec,
+            }
+            print(f"rows {name}: {s_rows} rows (no oracle) [{sec}s]")
             continue
         try:
             odf = con.execute(sql).fetchdf()
@@ -114,15 +126,25 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
+            record[name] = {"status": "err_oracle", "rows": s_rows}
             print(f"ERR  {name}: oracle side\n{traceback.format_exc()}")
             continue
         ok = (s_rows == o_rows) and (s_cols == o_cols) and (s_hash == o_hash)
+        sec = round(time.time() - t0, 1)
         if ok:
             n_pass += 1
-            print(f"PASS {name}: {s_rows} rows [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "pass", "rows": s_rows, "sec": sec}
+            print(f"PASS {name}: {s_rows} rows [{sec}s]")
         else:
             n_fail += 1
             failures.append(name)
+            record[name] = {
+                "status": "fail",
+                "rows": s_rows,
+                "oracle_rows": o_rows,
+                "cols_match": s_cols == o_cols,
+                "hash_match": s_hash == o_hash,
+            }
             print(
                 f"FAIL {name}: rows {s_rows}/{o_rows} "
                 f"cols_match={s_cols == o_cols} hash_match={s_hash == o_hash}"
@@ -134,6 +156,26 @@ def main() -> int:
         f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail"
         + (f" ({', '.join(failures)})" if failures else "")
     )
+    out_json = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_json:
+        import json
+
+        sf_label = os.path.basename(sf_dir.rstrip("/"))
+        blob = {}
+        if os.path.exists(out_json):
+            with open(out_json) as f:
+                blob = json.load(f)
+        blob.setdefault("sweeps", {})[sf_label] = {
+            "n_pass": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": n_fail,
+            "queries": record,
+        }
+        blob["registry_total"] = len(queries)
+        blob["oracled_total"] = len(oracles)
+        with open(out_json, "w") as f:
+            json.dump(blob, f, indent=1, sort_keys=True)
+        print(f"== wrote {out_json} [{sf_label}]")
     spark.stop()
     return 1 if n_fail else 0
 

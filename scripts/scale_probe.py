@@ -303,6 +303,197 @@ def main() -> int:
             "wall_sec": round(time.time() - t0, 2),
         }
 
+        # ---- round-5 probe targets (r4 verdict #5): the four pair
+        # producers round 4 added or left unprobed.
+        from png_from_pdf_extracter_spark.functions import (
+            graph,
+            linkage,
+            stats,
+        )
+
+        # jw_blocked_linkage over a GROWING name domain (first 4 words
+        # of each doc — part names' constant 64-vocab would probe
+        # nothing). The cost driver is the block-size distribution of
+        # the DISTINCT-name table: sum(b^2) is the uncapped self-join
+        # work, max block the hot key the max_block=500 guard drops.
+        def _names(d):
+            return spark.read.parquet(f"{d}/documents.parquet").select(
+                F.array_join(
+                    F.slice(F.split("text", " "), 1, 4), " "
+                ).alias("name")
+            )
+
+        jw = {}
+        for scale in ("x1", "x10"):
+            t0 = time.time()
+            n_pairs = linkage.jw_blocked_linkage(
+                _names(dirs[scale]), "name"
+            ).count()
+            wall = round(time.time() - t0, 2)
+            st = (
+                _names(dirs[scale])
+                .select(F.lower(F.trim(F.col("name"))).alias("nm"))
+                .filter(F.length("nm") > 0)
+                .distinct()
+                .withColumn("bk", F.substring("nm", 1, 2))
+                .groupBy("bk")
+                .agg(F.count("*").alias("bn"))
+                .agg(
+                    F.count("*").alias("n_blocks"),
+                    F.max("bn").alias("max_block"),
+                    F.sum(F.col("bn") * F.col("bn")).alias("join_work"),
+                )
+                .collect()[0]
+            )
+            jw[scale] = {
+                "pairs": int(n_pairs),
+                "wall_sec": wall,
+                "n_blocks": int(st["n_blocks"]),
+                "max_block_size": int(st["max_block"]),
+                "uncapped_join_work": int(st["join_work"]),
+            }
+        jw["pair_exponent"] = round(
+            math.log10(
+                max(jw["x10"]["pairs"], 1) / max(jw["x1"]["pairs"], 1)
+            ),
+            3,
+        )
+        jw["work_exponent"] = round(
+            math.log10(
+                max(jw["x10"]["uncapped_join_work"], 1)
+                / max(jw["x1"]["uncapped_join_work"], 1)
+            ),
+            3,
+        )
+        print(f"# jw_blocked_linkage: {jw}", file=sys.stderr)
+        results["jw_blocked_linkage"] = jw
+
+        # link_prediction_scores on a synthetic preferential-attachment
+        # graph: 3 deterministic arcs per doc, target density ∝ j^(-2/3)
+        # (dst = floor(src * u^3), u md5-uniform), so hub degrees grow
+        # ~N^(2/3) and UNCAPPED wedge counts ~N^(4/3) — the superlinear
+        # regime max_hub_degree exists to cut. Measured at the default
+        # cap (10_000: nothing dropped at these sizes) and at 200.
+        def _edges(d):
+            e = (
+                spark.read.parquet(f"{d}/documents.parquet")
+                .select("doc_id")
+                .select(
+                    "doc_id",
+                    F.explode(
+                        F.array(F.lit(0), F.lit(1), F.lit(2))
+                    ).alias("t"),
+                )
+            )
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", F.col("doc_id"), F.col("t"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                + 1.0
+            ) / 4294967296.0
+            return e.select(
+                F.col("doc_id").alias("src"),
+                F.floor(F.col("doc_id").cast("double") * F.pow(u, 3))
+                .cast("long")
+                .alias("dst"),
+            ).filter(F.col("dst") < F.col("src"))
+
+        for label, cap in (
+            ("link_prediction_uncapped", 10_000),
+            ("link_prediction_hub200", 200),
+        ):
+            results[label] = run(
+                label,
+                lambda d, cap=cap: graph.link_prediction_scores(
+                    _edges(d), max_hub_degree=cap
+                ).count(),
+            )
+            results[label]["max_hub_degree"] = cap
+
+        # ordinal_association: the k x k contingency self-join is on
+        # CELLS, never rows — banding holds k constant, so the join
+        # work (k^2 cell pairs) must stay FLAT at 10x while only the
+        # row-keyed groupBy grows. The probe records the cell count at
+        # both scales next to the wall exponent.
+        def _banded(d):
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            return docs.select(
+                F.least(
+                    F.floor(F.col("n_chars") / 100), F.lit(4)
+                ).alias("xb"),
+                F.least(
+                    F.floor(F.size(F.split("text", " ")) / 20), F.lit(4)
+                ).alias("yb"),
+            )
+
+        oa = {}
+        for scale in ("x1", "x10"):
+            t0 = time.time()
+            stats.ordinal_association(
+                _banded(dirs[scale]), "xb", "yb"
+            ).collect()
+            wall = round(time.time() - t0, 2)
+            cells = (
+                _banded(dirs[scale]).distinct().count()
+            )
+            oa[scale] = {"cells": int(cells), "wall_sec": wall}
+        oa["cell_exponent"] = round(
+            math.log10(
+                max(oa["x10"]["cells"], 1) / max(oa["x1"]["cells"], 1)
+            ),
+            3,
+        )
+        oa["wall_exponent"] = round(
+            math.log10(
+                max(oa["x10"]["wall_sec"], 0.01)
+                / max(oa["x1"]["wall_sec"], 0.01)
+            ),
+            3,
+        )
+        print(f"# ordinal_association: {oa}", file=sys.stderr)
+        results["ordinal_association"] = oa
+
+        # hodges_lehmann: Walsh pairs are V x V on DISTINCT QUANTIZED
+        # values — V is bounded by the value range / grid, not by row
+        # count, so the work metric (V*(V+1)/2) must grow FAR slower
+        # than rows (saturating toward the grid size).
+        hl = {}
+        for scale in ("x1", "x10"):
+            docs = spark.read.parquet(
+                f"{dirs[scale]}/documents.parquet"
+            )
+            t0 = time.time()
+            stats.hodges_lehmann(docs, "n_chars", quantize=0).collect()
+            wall = round(time.time() - t0, 2)
+            v = docs.select("n_chars").distinct().count()
+            hl[scale] = {
+                "distinct_values": int(v),
+                "walsh_work": int(v * (v + 1) // 2),
+                "wall_sec": wall,
+            }
+        hl["value_exponent"] = round(
+            math.log10(
+                max(hl["x10"]["distinct_values"], 1)
+                / max(hl["x1"]["distinct_values"], 1)
+            ),
+            3,
+        )
+        hl["work_exponent"] = round(
+            math.log10(
+                max(hl["x10"]["walsh_work"], 1)
+                / max(hl["x1"]["walsh_work"], 1)
+            ),
+            3,
+        )
+        print(f"# hodges_lehmann: {hl}", file=sys.stderr)
+        results["hodges_lehmann"] = hl
+
         block = {
             "scale_probe": {
                 "base": {"docs": BASE_DOCS, "parts": BASE_PARTS},

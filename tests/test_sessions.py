@@ -789,6 +789,28 @@ def test_candidate_fed_registry_queries_embed_recall(spark):
         assert recs.pop() >= floor, (key, rows[:3])
 
 
+def test_no_oracle_registry_queries_embed_quality_pins(spark):
+    """r4 verdict #6 'done' gate: the two remaining no-oracle queries
+    carry embedded quality columns (the recall_vs_exact pattern) with
+    thresholds, so the driver's rows-only check observes quality, not
+    just shape. q_kmeans: mean cos-to-centroid must beat the k=1
+    global-mean baseline by a margin; q_pca_whiten: the whitened
+    output's full covariance must be the identity to float precision."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    km = qs["q_kmeans"](spark, "/root/testdata/sf0.001").collect()
+    assert km
+    seps = {r["sep_vs_global"] for r in km}
+    assert len(seps) == 1  # one constant pin per run
+    assert seps.pop() >= 0.05, km[:3]
+    pw = qs["q_pca_whiten"](spark, "/root/testdata/sf0.001").collect()
+    assert pw
+    devs = {r["max_abs_cov_dev"] for r in pw}
+    assert len(devs) == 1
+    assert devs.pop() <= 1e-6, pw[:3]
+
+
 # ---- margin_pairs ----
 
 
