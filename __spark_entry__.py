@@ -6818,6 +6818,64 @@ def _q_ordinal_assoc(spark, sf_dir):
     return ordinal_association(g, "xb", "yb")
 
 
+def _q_weighted_kappa(spark, sf_dir):
+    """Linear + quadratic weighted Cohen's kappa between document
+    length band and token band (functions/evalmetrics.py
+    weighted_kappa) — the ordinal-AGREEMENT companion to
+    q_ordinal_assoc's correlation card, on the same graded buckets.
+    DECIMAL(38,0) weighted sums off the k x k cell table and the
+    margin cross join; one terminal division per kappa."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        weighted_kappa,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    band = (
+        lambda c, b1, b2, b3: F.when(c < b1, 1)
+        .when(c < b2, 2)
+        .when(c < b3, 3)
+        .otherwise(4)
+    )
+    g = d.select(
+        band(F.col("n_chars"), 200, 500, 1000).alias("xb"),
+        band(toks, 30, 80, 160).alias("yb"),
+    )
+    return weighted_kappa(g, "xb", "yb")
+
+
+def _q_diversity(spark, sf_dir):
+    """Per-language source-diversity card (functions/curate.py
+    diversity_card): Shannon/evenness, unbiased Simpson/Gini-Simpson,
+    Berger-Parker dominance — the mixture-health read next to
+    q_mix_divergence. Shannon folds in fixed item order (stepped
+    window); Simpson numerator and dominance BIGINT-exact."""
+    from png_from_pdf_extracter_spark.functions.curate import (
+        diversity_card,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return diversity_card(d, "lang", "source").orderBy("lang")
+
+
+def _q_msprt(spark, sf_dir):
+    """Anytime-valid mixture-SPRT mean gate on even- vs odd-user event
+    values (functions/stats.py msprt_gate) — the always-valid peeking
+    companion to q_welch on the SAME arms: exact quantized moments,
+    one closed-form mixture likelihood ratio, p valid at every n."""
+    from png_from_pdf_extracter_spark.functions.stats import msprt_gate
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("arm")
+    )
+    return msprt_gate(ev, "value", "arm", tau=5.0, quantize=2)
+
+
 def _q_pettitt(spark, sf_dir):
     """Pettitt rank change-point per event type (functions/stats.py
     pettitt_test): outlier-immune single-break detector next to
@@ -7436,6 +7494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pettitt": _q_pettitt,
         "q_wilcoxon": _q_wilcoxon,
         "q_ordinal_assoc": _q_ordinal_assoc,
+        "q_weighted_kappa": _q_weighted_kappa,
+        "q_diversity": _q_diversity,
+        "q_msprt": _q_msprt,
     }
 
 
@@ -17507,6 +17568,164 @@ def oracle_sql() -> dict[str, str]:
                                 + ty::DOUBLE)) * 1e6) / 1e6
               END AS tau_b_q6
             FROM agg, tot
+        """,
+        "q_weighted_kappa": """
+            WITH g AS (
+              SELECT
+                CASE WHEN n_chars < 200 THEN 1
+                     WHEN n_chars < 500 THEN 2
+                     WHEN n_chars < 1000 THEN 3 ELSE 4 END AS a,
+                CASE WHEN len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0)) < 30 THEN 1
+                     WHEN len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0)) < 80 THEN 2
+                     WHEN len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> length(t) > 0)) < 160 THEN 3
+                     ELSE 4 END AS b
+              FROM documents
+            ),
+            cells AS (
+              SELECT a, b, count(*)::BIGINT AS o FROM g GROUP BY a, b
+            ),
+            obs AS (
+              SELECT sum(o)::BIGINT AS n,
+                sum(CAST(abs(a - b) AS DECIMAL(38,0))
+                    * CAST(o AS DECIMAL(38,0))) AS wo_lin,
+                sum(CAST(a - b AS DECIMAL(38,0))
+                    * CAST(a - b AS DECIMAL(38,0))
+                    * CAST(o AS DECIMAL(38,0))) AS wo_quad
+              FROM cells
+            ),
+            ma AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY a),
+            mb AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+            chance AS (
+              SELECT
+                sum(CAST(abs(ma.a - mb.b) AS DECIMAL(38,0))
+                    * CAST(r AS DECIMAL(38,0))
+                    * CAST(c AS DECIMAL(38,0))) AS we_lin,
+                sum(CAST(ma.a - mb.b AS DECIMAL(38,0))
+                    * CAST(ma.a - mb.b AS DECIMAL(38,0))
+                    * CAST(r AS DECIMAL(38,0))
+                    * CAST(c AS DECIMAL(38,0))) AS we_quad
+              FROM ma CROSS JOIN mb
+            ),
+            kc AS (
+              SELECT count(DISTINCT k)::BIGINT AS k_cats
+              FROM (SELECT a AS k FROM g UNION ALL SELECT b FROM g)
+            )
+            SELECT n, k_cats,
+              CASE WHEN we_lin::DOUBLE > 0 THEN
+                floor((1.0 - n::DOUBLE * wo_lin::DOUBLE
+                       / we_lin::DOUBLE) * 1e6) / 1e6
+              END AS kappa_lin_q6,
+              CASE WHEN we_quad::DOUBLE > 0 THEN
+                floor((1.0 - n::DOUBLE * wo_quad::DOUBLE
+                       / we_quad::DOUBLE) * 1e6) / 1e6
+              END AS kappa_quad_q6
+            FROM obs, chance, kc
+        """,
+        "q_diversity": """
+            WITH cnt AS (
+              SELECT lang AS grp, CAST(source AS VARCHAR) AS i,
+                count(*)::BIGINT AS c
+              FROM documents WHERE source IS NOT NULL
+              GROUP BY lang, source
+            ),
+            wide AS (
+              SELECT grp, i, c,
+                sum(c) OVER (PARTITION BY grp)::BIGINT AS n,
+                sum(CAST(c AS DECIMAL(38,0))
+                    * CAST(c - 1 AS DECIMAL(38,0)))
+                  OVER (PARTITION BY grp) AS spair,
+                max(c) OVER (PARTITION BY grp)::BIGINT AS cmax,
+                count(*) OVER (PARTITION BY grp)::BIGINT AS k
+              FROM cnt
+            ),
+            stepped AS (
+              SELECT grp, n, spair, cmax, k,
+                sum((c::DOUBLE / n::DOUBLE)
+                    * ln(n::DOUBLE / c::DOUBLE))
+                  OVER (PARTITION BY grp ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS h,
+                row_number() OVER (PARTITION BY grp ORDER BY i) AS rn
+              FROM wide
+            )
+            SELECT grp AS lang, n AS n_rows, k AS k_items,
+              floor(h * 1e6) / 1e6 AS shannon_q6,
+              CASE WHEN k > 1 THEN
+                floor(h / ln(k::DOUBLE) * 1e6) / 1e6
+              END AS evenness_q6,
+              CASE WHEN n > 1 THEN
+                floor(spair::DOUBLE
+                      / (n::DOUBLE * (n::DOUBLE - 1.0)) * 1e6) / 1e6
+              END AS simpson_q6,
+              CASE WHEN n > 1 THEN
+                floor((1.0 - spair::DOUBLE
+                       / (n::DOUBLE * (n::DOUBLE - 1.0))) * 1e6) / 1e6
+              END AS gini_simpson_q6,
+              floor(cmax::DOUBLE / n::DOUBLE * 1e6) / 1e6
+                AS berger_parker_q6
+            FROM stepped WHERE rn = k
+            ORDER BY lang
+        """,
+        "q_msprt": """
+            WITH base AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                     CAST(user_id % 2 AS INT) AS g
+              FROM events WHERE value IS NOT NULL
+            ),
+            gm AS (SELECT min(g) AS ga FROM base),
+            agg AS (
+              SELECT
+                sum(CASE WHEN g = ga THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE 1 END)::BIGINT AS n_b,
+                sum(CASE WHEN g = ga THEN v ELSE 0 END)::BIGINT AS s_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE v END)::BIGINT AS s_b,
+                sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))
+                    * CASE WHEN g = ga THEN 1 ELSE 0 END) AS q_a,
+                sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))
+                    * CASE WHEN g = ga THEN 0 ELSE 1 END) AS q_b
+              FROM base, gm
+            ),
+            terms AS (
+              SELECT n_a, n_b,
+                s_a::DOUBLE / n_a::DOUBLE AS ma,
+                s_b::DOUBLE / n_b::DOUBLE AS mb,
+                (q_a::DOUBLE - (s_a::DOUBLE / n_a::DOUBLE) * s_a::DOUBLE)
+                  / (n_a::DOUBLE - 1.0) AS va,
+                (q_b::DOUBLE - (s_b::DOUBLE / n_b::DOUBLE) * s_b::DOUBLE)
+                  / (n_b::DOUBLE - 1.0) AS vb
+              FROM agg
+            ),
+            fin AS (
+              SELECT n_a, n_b,
+                (mb - ma) / 100.0 AS theta,
+                (va / n_a::DOUBLE + vb / n_b::DOUBLE) / 10000.0 AS vv
+              FROM terms
+            ),
+            ll AS (
+              SELECT n_a, n_b, theta, vv,
+                0.5 * ln(vv / (vv + 25.0))
+                  + (theta * theta * 25.0)
+                    / ((2.0 * vv) * (vv + 25.0)) AS log_l
+              FROM fin
+            )
+            SELECT n_a, n_b,
+              CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0 THEN
+                floor(theta * 1e6) / 1e6 END AS diff_q6,
+              CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0 THEN
+                floor(log_l * 1e6) / 1e6 END AS log_lambda_q6,
+              CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0 THEN
+                floor(least(1.0, exp(-log_l)) * 1e6) / 1e6
+              END AS p_always_q6,
+              CAST(CASE WHEN n_a > 1 AND n_b > 1 AND vv > 0
+                         AND least(1.0, exp(-log_l)) < 0.05
+                    THEN 1 ELSE 0 END AS INT) AS reject
+            FROM ll
         """,
         "q_pettitt": """
             WITH base AS (

@@ -1732,3 +1732,97 @@ def pack_efficiency(
         "n_over",
         "n_under",
     )
+
+
+def diversity_card(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Per-group diversity card over a categorical composition column —
+    the mixture-health read-out next to [[mix_weights]] /
+    [[mixture_divergence]]: Shannon entropy H (nats) with Pielou
+    evenness J = H/ln(k), the UNBIASED Simpson concentration
+    sum n_i(n_i-1) / (n(n-1)) with its Gini-Simpson complement, and
+    Berger-Parker dominance max n_i / n. One number family answers
+    "is this source/domain/language mix collapsing onto a head?" —
+    H and J fall, Simpson and Berger-Parker rise — before a drifting
+    pipeline trains on a monoculture.
+
+    Exactness: everything reduces to the per-(group, item) count
+    table. Simpson's numerator and Berger-Parker are BIGINT-exact;
+    Shannon's cross-item float sum folds in FIXED item order (stepped
+    window over the count table, the house rule for unordered float
+    reductions). Plan: one (group, item) shuffle, one stepped window
+    per group, no driver state. Returns (group, n_rows, k_items,
+    shannon_q6, evenness_q6, simpson_q6, gini_simpson_q6,
+    berger_parker_q6); evenness null when k = 1 (ln k = 0), Simpson
+    pair stats null when n < 2.
+    """
+    cnt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(item_col).cast("string").alias("__i"),
+        )
+        .filter(F.col("__i").isNotNull())
+        .groupBy("grp", "__i")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    ordw = (
+        Window.partitionBy("grp")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wfull = Window.partitionBy("grp")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # layer 1: full-partition totals next to each cell (no nested
+    # windows — the ordered Shannon fold needs n as a plain column)
+    wide = cnt.select(
+        "grp",
+        "__i",
+        "__c",
+        F.sum("__c").over(wfull).cast("long").alias("__n"),
+        F.sum(dec(F.col("__c")) * dec(F.col("__c") - 1))
+        .over(wfull)
+        .cast("decimal(38,0)")
+        .alias("__spair"),
+        F.max("__c").over(wfull).cast("long").alias("__cmax"),
+        F.count("*").over(wfull).cast("long").alias("__k"),
+    )
+    h_term = (
+        F.col("__c").cast("double") / F.col("__n").cast("double")
+    ) * F.log(
+        F.col("__n").cast("double") / F.col("__c").cast("double")
+    )
+    stepped = wide.select(
+        "grp",
+        "__n",
+        "__spair",
+        "__cmax",
+        "__k",
+        F.sum(h_term).over(ordw).alias("__h"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("__i"))
+        .alias("__rn"),
+    )
+    last = stepped.filter(F.col("__rn") == F.col("__k"))
+    n = F.col("__n").cast("double")
+    k = F.col("__k").cast("double")
+    simpson = F.col("__spair").cast("double") / (n * (n - F.lit(1.0)))
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        F.col("grp").alias(group_col),
+        F.col("__n").alias("n_rows"),
+        F.col("__k").alias("k_items"),
+        q6(F.col("__h")).alias("shannon_q6"),
+        F.when(
+            F.col("__k") > 1, q6(F.col("__h") / F.log(k))
+        ).alias("evenness_q6"),
+        F.when(F.col("__n") > 1, q6(simpson)).alias("simpson_q6"),
+        F.when(
+            F.col("__n") > 1, q6(F.lit(1.0) - simpson)
+        ).alias("gini_simpson_q6"),
+        q6(F.col("__cmax").cast("double") / n).alias(
+            "berger_parker_q6"
+        ),
+    )

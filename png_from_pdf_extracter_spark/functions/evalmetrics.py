@@ -497,6 +497,96 @@ def cohens_kappa(
     )
 
 
+def weighted_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels — linear and quadratic
+    disagreement weights in one pass: a rating one band off is a lesser
+    error than one three bands off, which nominal [[cohens_kappa]]
+    cannot see. Quadratic-weighted kappa is the standard agreement
+    number for graded annotation tasks (quality tiers, length bands,
+    priority grades) — the ordinal-AGREEMENT companion to
+    [[ordinal_association]]'s correlation card.
+
+    INTEGER-EXACT assembly: categories cast to BIGINT; with observed
+    cells O_ij, margins R_i / C_j and disagreement weights
+    w_ij = |i-j| (linear) / (i-j)^2 (quadratic),
+    kappa_w = 1 - N * sum_ij w_ij O_ij / sum_ij w_ij R_i C_j. Both
+    sums fold in DECIMAL(38,0) off the k x k cell table and the
+    margin cross join (bounded by CATEGORY cardinality — broadcast,
+    never row-sized), ONE terminal float division each. NULL when the
+    chance-disagreement denominator is 0 (both raters constant —
+    kappa degenerate). Returns one row
+    (n, k_cats, kappa_lin_q6, kappa_quad_q6).
+    """
+    pairs = df.select(
+        F.col(rater_a).cast("long").alias("__a"),
+        F.col(rater_b).cast("long").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = pairs.groupBy("__a", "__b").agg(
+        F.count("*").cast("long").alias("__o")
+    )
+    obs = cells.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.sum(
+            dec(F.abs(F.col("__a") - F.col("__b"))) * dec(F.col("__o"))
+        ).alias("__wo_lin"),
+        F.sum(
+            dec(F.col("__a") - F.col("__b"))
+            * dec(F.col("__a") - F.col("__b"))
+            * dec(F.col("__o"))
+        ).alias("__wo_quad"),
+    )
+    ma = pairs.groupBy("__a").agg(F.count("*").cast("long").alias("__r"))
+    mb = pairs.groupBy(F.col("__b").alias("__bb")).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    chance = ma.crossJoin(F.broadcast(mb)).agg(
+        F.sum(
+            dec(F.abs(F.col("__a") - F.col("__bb")))
+            * dec(F.col("__r"))
+            * dec(F.col("__c"))
+        ).alias("__we_lin"),
+        F.sum(
+            dec(F.col("__a") - F.col("__bb"))
+            * dec(F.col("__a") - F.col("__bb"))
+            * dec(F.col("__r"))
+            * dec(F.col("__c"))
+        ).alias("__we_quad"),
+    )
+    kcats = (
+        pairs.select(F.col("__a").alias("__k"))
+        .unionByName(pairs.select(F.col("__b").alias("__k")))
+        .agg(F.countDistinct("__k").cast("long").alias("k_cats"))
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+
+    def _kap(wo, we):
+        return F.when(
+            F.col(we).cast("double") > 0,
+            q6(
+                F.lit(1.0)
+                - F.col("n").cast("double")
+                * F.col(wo).cast("double")
+                / F.col(we).cast("double")
+            ),
+        )
+
+    return (
+        obs.crossJoin(F.broadcast(chance))
+        .crossJoin(F.broadcast(kcats))
+        .select(
+            "n",
+            "k_cats",
+            _kap("__wo_lin", "__we_lin").alias("kappa_lin_q6"),
+            _kap("__wo_quad", "__we_quad").alias("kappa_quad_q6"),
+        )
+    )
+
+
 def mcnemar_test(
     df: DataFrame,
     label_col: str,

@@ -7103,3 +7103,87 @@ def ordinal_association(
             ),
         ).alias("tau_b_q6"),
     )
+
+
+def msprt_gate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+    quantize: int = 2,
+) -> DataFrame:
+    """Anytime-valid two-sample mean test — the mixture SPRT (mSPRT,
+    Johari et al.'s "always-valid inference"): the experimentation gate
+    you may PEEK at on every micro-batch without inflating the false-
+    positive rate, unlike the fixed-horizon [[welch_t_test]] whose
+    alpha explodes under continuous monitoring (the daemon-loop
+    experiment readout [[srm_check]]'s streaming monitor wants).
+
+    With a N(0, tau^2) mixture prior over the mean difference and the
+    plug-in Welch variance V = s_a^2/n_a + s_b^2/n_b, the mixture
+    likelihood ratio has the closed form
+    log L = 0.5 ln(V/(V+tau^2)) + theta^2 tau^2 / (2 V (V+tau^2)),
+    and p_always = min(1, exp(-log L)) is a valid p-value at EVERY
+    sample size simultaneously. ``tau`` is in ORIGINAL value units —
+    the prior scale of effects worth detecting.
+
+    Two-group contract and exactness inherited from [[welch_t_test]]:
+    arms binarized against the broadcast 1-row min, integer-quantized
+    moments (S BIGINT, Q DECIMAL(38,0)), then ONE fixed-op-order float
+    expression — one 1-row exchange total. Returns one row
+    (n_a, n_b, diff_q6, log_lambda_q6, p_always_q6, reject) with the
+    statistics null (reject 0) when either arm has n < 2 or V = 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    base = df.select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    a = (F.col("__g") == F.col("__ga")).cast("int")
+    dec = "decimal(38,0)"
+    vd = F.col("__v").cast(dec)
+    agg = base.crossJoin(gmin).agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(1 - a).cast("long").alias("n_b"),
+        F.sum(F.col("__v") * a).cast("long").alias("__s_a"),
+        F.sum(F.col("__v") * (1 - a)).cast("long").alias("__s_b"),
+        F.sum(vd * vd * a.cast(dec)).alias("__q_a"),
+        F.sum(vd * vd * (1 - a).cast(dec)).alias("__q_b"),
+    )
+    scale = float(10 ** quantize)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.try_divide(F.col("__s_a").cast("double"), na)
+    mb = F.try_divide(F.col("__s_b").cast("double"), nb)
+    va = F.try_divide(
+        F.col("__q_a").cast("double") - ma * F.col("__s_a").cast("double"),
+        na - F.lit(1.0),
+    )
+    vb = F.try_divide(
+        F.col("__q_b").cast("double") - mb * F.col("__s_b").cast("double"),
+        nb - F.lit(1.0),
+    )
+    # back to ORIGINAL units before mixing with tau
+    theta = (mb - ma) / F.lit(scale)
+    vv = (
+        F.try_divide(va, na) + F.try_divide(vb, nb)
+    ) / F.lit(scale * scale)
+    t2 = F.lit(float(tau) * float(tau))
+    log_l = F.lit(0.5) * F.log(vv / (vv + t2)) + (
+        theta * theta * t2
+    ) / (F.lit(2.0) * vv * (vv + t2))
+    p_always = F.least(F.lit(1.0), F.exp(-log_l))
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (vv > 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, q6(theta)).alias("diff_q6"),
+        F.when(ok, q6(log_l)).alias("log_lambda_q6"),
+        F.when(ok, q6(p_always)).alias("p_always_q6"),
+        F.when(ok & (p_always < F.lit(float(alpha))), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("reject"),
+    )

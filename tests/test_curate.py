@@ -1235,3 +1235,36 @@ def test_pack_efficiency_fill_and_overflow(spark):
     ]
     assert r2["n_seqs"] == 4 and r2["n_over"] == 0 and r2["n_under"] == 0
     assert r2["fill_q6"] == 1.0
+
+
+def test_diversity_card_hand_case(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.curate import (
+        diversity_card,
+    )
+
+    rows = (
+        [("g1", "a")] * 4
+        + [("g1", "b")] * 3
+        + [("g1", "c")] * 2
+        + [("g1", "d")] * 1
+        + [("g2", "x")] * 7
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = {r["grp"]: r for r in diversity_card(df, "grp", "item").collect()}
+    g1 = out["g1"]
+    assert g1["n_rows"] == 10 and g1["k_items"] == 4
+    h = sum((c / 10) * math.log(10 / c) for c in (4, 3, 2, 1))
+    assert abs(g1["shannon_q6"] - math.floor(h * 1e6) / 1e6) < 2e-6
+    assert abs(g1["evenness_q6"] - math.floor(h / math.log(4) * 1e6) / 1e6) < 2e-6
+    simpson = (4 * 3 + 3 * 2 + 2 * 1 + 0) / (10 * 9)
+    assert abs(g1["simpson_q6"] - math.floor(simpson * 1e6) / 1e6) < 2e-6
+    assert abs(g1["berger_parker_q6"] - 0.4) < 2e-6
+    # monoculture group: H = 0, Simpson = 1, evenness undefined (k=1)
+    g2 = out["g2"]
+    assert g2["shannon_q6"] == 0.0
+    assert g2["simpson_q6"] == 1.0
+    assert g2["gini_simpson_q6"] == 0.0
+    assert g2["evenness_q6"] is None
+    assert g2["berger_parker_q6"] == 1.0

@@ -1089,3 +1089,48 @@ def test_ppv_at_prevalence_hand_case(spark):
     assert abs(out[1]["ppv_q6"] - ppv1) < 2e-6
     assert out[1]["ppv_q6"] < 0.05  # the 99%-accurate-detector trap
     assert out[1]["npv_q6"] > 0.99
+
+
+def test_weighted_kappa_hand_case(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        weighted_kappa,
+    )
+
+    # 3 ordinal categories; hand-checkable contingency
+    pairs = [(1, 1), (1, 2), (2, 2), (2, 2), (3, 3), (3, 1), (2, 3)]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    n = len(pairs)
+    # python twin: O, margins, weighted sums
+    from collections import Counter
+
+    o = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    for p, key in ((1, "kappa_lin_q6"), (2, "kappa_quad_q6")):
+        wo = sum(abs(a - b) ** p * c for (a, b), c in o.items())
+        we = sum(
+            abs(i - j) ** p * ra[i] * cb[j] for i in ra for j in cb
+        )
+        exp = 1.0 - n * wo / we
+        import math
+
+        assert abs(r[key] - math.floor(exp * 1e6) / 1e6) < 2e-6, key
+    assert r["n"] == n and r["k_cats"] == 3
+
+
+def test_weighted_kappa_perfect_and_constant(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        weighted_kappa,
+    )
+
+    # perfect agreement -> both kappas exactly 1
+    df = spark.createDataFrame(
+        [(i % 4, i % 4) for i in range(40)], "a int, b int"
+    )
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert r["kappa_lin_q6"] == 1.0 and r["kappa_quad_q6"] == 1.0
+    # both raters constant -> chance disagreement 0 -> NULL kappas
+    dfc = spark.createDataFrame([(2, 2)] * 5, "a int, b int")
+    rc = weighted_kappa(dfc, "a", "b").collect()[0]
+    assert rc["kappa_lin_q6"] is None and rc["kappa_quad_q6"] is None

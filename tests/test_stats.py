@@ -3703,3 +3703,39 @@ def test_ordinal_association_reversed_negative(spark):
     r = ordinal_association(df, "x", "y").collect()[0]
     assert r["gamma_q6"] <= -1.0 + 2e-6  # perfect reversal
     assert r["tau_b_q6"] < -0.9
+
+
+def test_msprt_gate_null_and_effect(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import msprt_gate
+
+    # identical arms -> theta ~ 0, log Lambda < 0, p_always = 1
+    rows = [(float(i % 7), i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, arm int")
+    r = msprt_gate(df, "v", "arm", tau=1.0, quantize=0).collect()[0]
+    assert r["p_always_q6"] == 1.0
+    assert r["reject"] == 0
+
+    # strong planted effect -> tiny p, reject
+    rows2 = [(float(i % 3), 0) for i in range(150)] + [
+        (10.0 + float(i % 3), 1) for i in range(150)
+    ]
+    df2 = spark.createDataFrame(rows2, "v double, arm int")
+    r2 = msprt_gate(df2, "v", "arm", tau=5.0, quantize=0).collect()[0]
+    assert r2["reject"] == 1
+    assert r2["p_always_q6"] < 0.001
+    assert abs(r2["diff_q6"] - 10.0) < 1e-6
+
+    # python twin of the closed form on the planted case
+    import statistics
+
+    a = [v for v, g in rows2 if g == 0]
+    b = [v for v, g in rows2 if g == 1]
+    theta = statistics.mean(b) - statistics.mean(a)
+    vv = statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+    t2 = 25.0
+    log_l = 0.5 * math.log(vv / (vv + t2)) + (theta * theta * t2) / (
+        (2.0 * vv) * (vv + t2)
+    )
+    assert abs(r2["log_lambda_q6"] - math.floor(log_l * 1e6) / 1e6) < 1e-5
