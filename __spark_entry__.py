@@ -6766,6 +6766,38 @@ def _q_ansari(spark, sf_dir):
     )
 
 
+def _q_anderson_darling(spark, sf_dir):
+    """Two-sample Anderson-Darling (functions/stats.py
+    anderson_darling_2s, the Scholz-Stephens midrank A2akN): do EN and
+    DE document lengths share a distribution, with the tails weighted
+    where q_ks_drift is weakest? Doubled-integer midrank counts off
+    the distinct-value table; per-value integer-ratio terms fold in
+    fixed value order."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        anderson_darling_2s,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return anderson_darling_2s(
+        d, "n_chars", "lang", "en", "de", quantize=0
+    )
+
+
+def _q_siegel_tukey(spark, sf_dir):
+    """Siegel-Tukey scale test on account balance, BUILDING vs
+    MACHINERY (functions/stats.py siegel_tukey) — the zigzag-score
+    dispersion companion to q_ansari on the SAME arms, so the two
+    scale tests corroborate each other in one artifact. Closed-form
+    block score sums (series +- parity counts) off the distinct-value
+    table; Wilcoxon moments with tie correction."""
+    from png_from_pdf_extracter_spark.functions.stats import siegel_tukey
+
+    c = _read(spark, sf_dir, "customer")
+    return siegel_tukey(
+        c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
 def _q_stratified_est(spark, sf_dir):
     """Design-based corpus-mean estimate from a 20% hash-sampled
     audit, stratified by source (functions/curate.py
@@ -7497,6 +7529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_kappa": _q_weighted_kappa,
         "q_diversity": _q_diversity,
         "q_msprt": _q_msprt,
+        "q_anderson_darling": _q_anderson_darling,
+        "q_siegel_tukey": _q_siegel_tukey,
     }
 
 
@@ -17427,6 +17461,156 @@ def oracle_sql() -> dict[str, str]:
                         / (nn::DOUBLE * nn::DOUBLE
                            * (nn::DOUBLE - 1.0)) > 0 THEN
                 floor((ab - n_a::DOUBLE * s1::DOUBLE / nn::DOUBLE)
+                      / sqrt(n_a::DOUBLE * n_b::DOUBLE
+                             * (nn::DOUBLE * s2
+                                - s1::DOUBLE * s1::DOUBLE)
+                             / (nn::DOUBLE * nn::DOUBLE
+                                * (nn::DOUBLE - 1.0))) * 1e6) / 1e6
+              END AS z_q6
+            FROM lastr
+        """,
+        "q_anderson_darling": """
+            WITH pooled AS (
+              SELECT CAST(round(n_chars::DOUBLE * 1, 0) AS BIGINT) AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s
+              FROM documents WHERE lang IN ('en', 'de')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT v, ca, cb,
+                coalesce(sum(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cua,
+                coalesce(sum(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cub,
+                sum(ca) OVER ()::BIGINT AS n_a,
+                sum(cb) OVER ()::BIGINT AS n_b
+              FROM cnt
+            ),
+            cells AS (
+              SELECT v, n_a, n_b,
+                ca + cb AS l, n_a + n_b AS nn,
+                (n_a + n_b) * (2 * cua + ca)
+                  - n_a * (2 * (cua + cub) + ca + cb) AS ra,
+                (n_a + n_b) * (2 * cub + cb)
+                  - n_b * (2 * (cua + cub) + ca + cb) AS rb,
+                (2 * (cua + cub) + ca + cb)
+                  * (2 * (n_a + n_b) - (2 * (cua + cub) + ca + cb))
+                  - (n_a + n_b) * (ca + cb) AS den
+              FROM cum
+            ),
+            terms AS (
+              SELECT v, n_a, n_b, nn,
+                l::DOUBLE / nn::DOUBLE
+                * (CASE WHEN den <> 0 THEN
+                     ra::DOUBLE * ra::DOUBLE
+                     / (n_a::DOUBLE * den::DOUBLE)
+                   END
+                   + CASE WHEN den <> 0 THEN
+                       rb::DOUBLE * rb::DOUBLE
+                       / (n_b::DOUBLE * den::DOUBLE)
+                     END) AS t
+              FROM cells
+            ),
+            stepped AS (
+              SELECT n_a, n_b, nn,
+                sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS t,
+                row_number() OVER (ORDER BY v) AS rn,
+                count(*) OVER () AS k
+              FROM terms
+            )
+            SELECT n_a, n_b,
+              CASE WHEN k > 1 AND n_a > 0 AND n_b > 0 THEN
+                floor((nn::DOUBLE - 1.0) / nn::DOUBLE * t * 1e6) / 1e6
+              END AS a2_q6
+            FROM stepped WHERE rn = k
+        """,
+        "q_siegel_tukey": """
+            WITH pooled AS (
+              SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                          ELSE 0 END AS s
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            cnt AS (
+              SELECT v, sum(s)::BIGINT AS ca,
+                     sum(1 - s)::BIGINT AS cb
+              FROM pooled GROUP BY v
+            ),
+            cum AS (
+              SELECT v, ca, cb,
+                coalesce(sum(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lo,
+                sum(ca + cb) OVER () AS nn
+              FROM cnt
+            ),
+            cells AS (
+              SELECT v, ca, cb, ca + cb AS c, nn,
+                lo + 1 AS a, lo + ca + cb AS b,
+                nn // 2 AS h
+              FROM cum
+            ),
+            segs AS (
+              SELECT v, ca, cb, c, nn, a, b, h,
+                least(b, h) AS yb,
+                nn - b + 1 AS qlo,
+                least(nn - a + 1, h) AS qhi
+              FROM cells
+            ),
+            bs AS (
+              SELECT v, ca, cb, c, nn,
+                -- bottom: 2*tri(a, yb) - odds(a, yb)
+                (CASE WHEN yb >= a THEN
+                   2 * (CASE WHEN (yb - a + 1) % 2 = 0 THEN
+                          ((yb - a + 1) // 2) * (a + yb)
+                        ELSE (yb - a + 1) * ((a + yb) // 2) END)
+                   - ((yb + 1) // 2 - a // 2)
+                 ELSE 0 END)
+                -- middle: odd N, position h+1 scores N
+                + (CASE WHEN nn % 2 = 1 AND a <= h + 1 AND b >= h + 1
+                   THEN nn ELSE 0 END)
+                -- top: 2*tri(qlo, qhi) - evens(qlo, qhi)
+                + (CASE WHEN qhi >= qlo THEN
+                     2 * (CASE WHEN (qhi - qlo + 1) % 2 = 0 THEN
+                            ((qhi - qlo + 1) // 2) * (qlo + qhi)
+                          ELSE (qhi - qlo + 1) * ((qlo + qhi) // 2)
+                          END)
+                     - (qhi // 2 - (qlo - 1) // 2)
+                   ELSE 0 END) AS bsum
+              FROM segs
+            ),
+            stepped AS (
+              SELECT nn,
+                sum(ca) OVER ()::BIGINT AS n_a,
+                sum(cb) OVER ()::BIGINT AS n_b,
+                sum(bsum) OVER ()::BIGINT AS s1,
+                sum(ca::DOUBLE * bsum::DOUBLE / c::DOUBLE)
+                  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS st,
+                sum(bsum::DOUBLE * bsum::DOUBLE / c::DOUBLE)
+                  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS s2,
+                row_number() OVER (ORDER BY v) AS rn,
+                count(*) OVER () AS k
+              FROM bs
+            ),
+            lastr AS (SELECT * FROM stepped WHERE rn = k)
+            SELECT n_a, n_b,
+              floor(st * 1e6) / 1e6 AS st_q6,
+              CASE WHEN n_a::DOUBLE * n_b::DOUBLE
+                        * (nn::DOUBLE * s2 - s1::DOUBLE * s1::DOUBLE)
+                        / (nn::DOUBLE * nn::DOUBLE
+                           * (nn::DOUBLE - 1.0)) > 0 THEN
+                floor((st - n_a::DOUBLE * s1::DOUBLE / nn::DOUBLE)
                       / sqrt(n_a::DOUBLE * n_b::DOUBLE
                              * (nn::DOUBLE * s2
                                 - s1::DOUBLE * s1::DOUBLE)

@@ -7187,3 +7187,263 @@ def msprt_gate(
         .cast("int")
         .alias("reject"),
     )
+
+
+def anderson_darling_2s(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz-Stephens A2akN, the
+    midrank tie-adjusted version, k=2) — the omnibus distribution-
+    equality test that WEIGHTS THE TAILS, where [[ks_drift]] is at its
+    weakest and scraped-corpus distributions actually differ; the
+    rank-based sibling of [[cvm_test]] with 1/(B(N-B)) tail
+    amplification.
+
+    Everything reduces to the distinct-value count table: with
+    midrank cumulative counts held in DOUBLED integer units
+    (M2 = 2*cum_i + f_i, B2 = 2*cum + l — so the half-steps stay
+    BIGINT), each distinct value contributes
+    t_j = (l_j/N) * [ (N*M2a - n_a*B2)^2 / (n_a*D) +
+                      (N*M2b - n_b*B2)^2 / (n_b*D) ],
+    D = B2*(2N - B2) - N*l_j, and A2 = (N-1)/N * sum_j t_j / (2N)...
+    — concretely the quartered numerator/denominator cancel, giving
+    the integer-ratio form with NO float until the per-row division.
+    Numerators fold in DECIMAL(38,0) (up to 4N^4); the cross-value
+    float sum folds in fixed value order (stepped window). Plan:
+    [[mann_whitney_u]]'s shape — one value-count shuffle, one
+    distinct-value window, one scalar aggregate. Returns one row
+    (n_a, n_b, a2_q6); null when the pooled sample is constant.
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").cast("long").alias("ca"),
+        F.sum(1 - F.col("s")).cast("long").alias("cb"),
+    )
+    below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(below), F.lit(0)).alias("cua"),
+        F.coalesce(F.sum("cb").over(below), F.lit(0)).alias("cub"),
+        F.sum("ca").over(full).cast("long").alias("n_a"),
+        F.sum("cb").over(full).cast("long").alias("n_b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    l = F.col("ca") + F.col("cb")  # noqa: E741
+    nn = F.col("n_a") + F.col("n_b")
+    m2a = 2 * F.col("cua") + F.col("ca")
+    m2b = 2 * F.col("cub") + F.col("cb")
+    b2 = 2 * (F.col("cua") + F.col("cub")) + l
+    ra = dec(nn) * dec(m2a) - dec(F.col("n_a")) * dec(b2)
+    rb = dec(nn) * dec(m2b) - dec(F.col("n_b")) * dec(b2)
+    den = dec(b2) * dec(2 * nn - b2) - dec(nn) * dec(l)
+    term = (
+        l.cast("double") / nn.cast("double")
+    ) * (
+        F.try_divide(
+            (ra * ra).cast("double"),
+            F.col("n_a").cast("double") * den.cast("double"),
+        )
+        + F.try_divide(
+            (rb * rb).cast("double"),
+            F.col("n_b").cast("double") * den.cast("double"),
+        )
+    )
+    ordw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wfullv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = cum.select(
+        "n_a",
+        "n_b",
+        F.sum(term).over(ordw).alias("t"),
+        F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count("*").over(wfullv).alias("k"),
+    )
+    last = stepped.filter(F.col("rn") == F.col("k"))
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("k") > 1)
+            & (F.col("n_a") > 0)
+            & (F.col("n_b") > 0),
+            q6((nd - F.lit(1.0)) / nd * F.col("t")),
+        ).alias("a2_q6"),
+    )
+
+
+def siegel_tukey(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Siegel-Tukey two-sample SCALE test: Wilcoxon rank-sum on the
+    ZIGZAG scores (1 to the minimum, 2-3 to the two maxima, 4-5 to the
+    next two minima, ...) — the dispersion test whose null distribution
+    is EXACTLY Mann-Whitney's, so it needs no new tables; the companion
+    to [[ansari_bradley]] (both-ends-in scores) with the classic
+    one-end-first assignment.
+
+    Tie handling: tied observations share the AVERAGE of their
+    positions' scores (the [[ansari_bradley]] convention). A tie block
+    occupying positions (lo, lo+c] splits into a bottom-half segment
+    (p <= floor(N/2): score 2p - [p odd]), an optional middle element
+    (odd N: score N) and a top segment (q = N-p+1 <= floor(N/2):
+    score 2q - [q even]); each part is an arithmetic series +- a
+    parity count, all BIGINT (DECIMAL(38,0) products — positions
+    scale with ROW count, the [[ansari_bradley]] overflow lesson).
+    ST, its null mean E = n_a*S1/N (S1 = N(N+1)/2 — the scores are a
+    permutation of 1..N) and tie-corrected variance
+    Var = n_a*n_b*(N*S2 - S1^2)/(N^2 (N-1)) fold over the
+    distinct-value table in fixed value order. Plan: one value-count
+    shuffle, one distinct-value window, one scalar aggregate.
+    Returns one row (n_a, n_b, st_q6, z_q6); z null when Var = 0.
+    """
+    v = _quant(F.col(value_col), quantize)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        v.alias("v"),
+        F.when(g == group_a, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    cnt = pooled.groupBy("v").agg(
+        F.sum("s").cast("long").alias("ca"),
+        F.sum(1 - F.col("s")).cast("long").alias("cb"),
+    )
+    below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(below), F.lit(0)
+        ).alias("lo"),
+        F.sum(F.col("ca") + F.col("cb")).over(full).alias("nn"),
+        F.col("v"),
+    )
+    c = F.col("ca") + F.col("cb")
+    a = F.col("lo") + 1
+    b = F.col("lo") + c
+    nn = F.col("nn")
+    h = F.floor(nn / 2).cast("long")  # bottom-half cutoff
+    dec = lambda cc: cc.cast("decimal(38,0)")  # noqa: E731
+    zero_d = F.lit(0).cast("decimal(38,0)")
+
+    def _tri(x, y):
+        # sum of integers in [x, y] (exact: /2 on the even factor)
+        n_t = y - x + 1
+        s = x + y
+        half = F.when(
+            n_t % 2 == 0,
+            dec(F.floor(n_t / F.lit(2)).cast("long")) * dec(s),
+        ).otherwise(
+            dec(n_t) * dec(F.floor(s / F.lit(2)).cast("long"))
+        )
+        return F.when(y >= x, half).otherwise(zero_d)
+
+    def _odds(x, y):
+        # count of ODD integers in [x, y]
+        cnt_o = (
+            F.floor((y + 1) / F.lit(2)) - F.floor(x / F.lit(2))
+        ).cast("long")
+        return F.when(y >= x, dec(cnt_o)).otherwise(zero_d)
+
+    def _evens(x, y):
+        cnt_e = (
+            F.floor(y / F.lit(2)) - F.floor((x - 1) / F.lit(2))
+        ).cast("long")
+        return F.when(y >= x, dec(cnt_e)).otherwise(zero_d)
+
+    # bottom segment of the block: positions p in [a, min(b, h)]
+    yb = F.least(b, h)
+    bot = F.lit(2).cast("decimal(38,0)") * _tri(a, yb) - _odds(a, yb)
+    # middle element (odd N): p = h + 1 scores N
+    mid = F.when(
+        (nn % 2 == 1) & (a <= h + 1) & (b >= h + 1), dec(nn)
+    ).otherwise(zero_d)
+    # top segment: positions p in [max(a, N - h + 1), b] -> q = N-p+1
+    # in [N - b + 1, min(N - a + 1, h)] scores 2q - [q even]
+    qlo = nn - b + 1
+    qhi = F.least(nn - a + 1, h)
+    top = F.lit(2).cast("decimal(38,0)") * _tri(qlo, qhi) - _evens(
+        qlo, qhi
+    )
+    block_sum = (bot + mid + top).cast("decimal(38,0)")
+    cells = cum.select(
+        "ca",
+        "cb",
+        "v",
+        c.alias("c"),
+        nn.alias("nn"),
+        block_sum.alias("bs"),
+    )
+    ordw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wfullv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st_term = (
+        F.col("ca").cast("double")
+        * F.col("bs").cast("double")
+        / F.col("c").cast("double")
+    )
+    s2_term = (
+        F.col("bs").cast("double")
+        * F.col("bs").cast("double")
+        / F.col("c").cast("double")
+    )
+    stepped = cells.select(
+        "nn",
+        F.sum("ca").over(wfullv).cast("long").alias("n_a"),
+        F.sum("cb").over(wfullv).cast("long").alias("n_b"),
+        F.sum("bs").over(wfullv).cast("decimal(38,0)").alias("s1"),
+        F.sum(st_term).over(ordw).alias("st"),
+        F.sum(s2_term).over(ordw).alias("s2"),
+        F.row_number().over(Window.orderBy("v")).alias("rn"),
+        F.count("*").over(wfullv).alias("k"),
+    )
+    last = stepped.filter(F.col("rn") == F.col("k"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = F.col("nn").cast("double")
+    s1 = F.col("s1").cast("double")
+    e = na * s1 / nd
+    var = (
+        na
+        * nb
+        * (nd * F.col("s2") - s1 * s1)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return last.select(
+        "n_a",
+        "n_b",
+        q6(F.col("st")).alias("st_q6"),
+        F.when(
+            var > 0, q6((F.col("st") - e) / F.sqrt(var))
+        ).alias("z_q6"),
+    )

@@ -3739,3 +3739,129 @@ def test_msprt_gate_null_and_effect(spark):
         (2.0 * vv) * (vv + t2)
     )
     assert abs(r2["log_lambda_q6"] - math.floor(log_l * 1e6) / 1e6) < 1e-5
+
+
+def _ad2_twin(a_vals, b_vals):
+    """Independent midrank A2akN (Scholz-Stephens, k=2)."""
+    from collections import Counter
+
+    fa, fb = Counter(a_vals), Counter(b_vals)
+    na, nb = len(a_vals), len(b_vals)
+    nn = na + nb
+    cua = cub = 0
+    tot = 0.0
+    for z in sorted(set(a_vals) | set(b_vals)):
+        la, lb = fa.get(z, 0), fb.get(z, 0)
+        lj = la + lb
+        ma = cua + la / 2.0
+        mb = cub + lb / 2.0
+        bj = cua + cub + lj / 2.0
+        den = bj * (nn - bj) - nn * lj / 4.0
+        if den != 0:
+            tot += (lj / nn) * (
+                (nn * ma - na * bj) ** 2 / (na * den)
+                + (nn * mb - nb * bj) ** 2 / (nb * den)
+            )
+        cua += la
+        cub += lb
+    return (nn - 1.0) / nn * tot
+
+
+def test_anderson_darling_2s_twin_and_separation(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        anderson_darling_2s,
+    )
+
+    # same distribution (ties included) -> small A2; python twin exact
+    a = [float(i % 10) for i in range(60)]
+    b = [float(i % 10) for i in range(40)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = anderson_darling_2s(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    exp = _ad2_twin(a, b)
+    assert abs(r["a2_q6"] - math.floor(exp * 1e6) / 1e6) < 1e-5
+    assert r["a2_q6"] < 1.0  # H0 holds: statistic near its ~1 null mean
+
+    # disjoint supports -> A2 far above any critical value
+    a2 = [float(i % 5) for i in range(50)]
+    b2 = [100.0 + i % 5 for i in range(50)]
+    rows2 = [(v, "a") for v in a2] + [(v, "b") for v in b2]
+    df2 = spark.createDataFrame(rows2, "v double, g string")
+    r2 = anderson_darling_2s(df2, "v", "g", "a", "b", quantize=0).collect()[
+        0
+    ]
+    exp2 = _ad2_twin(a2, b2)
+    assert abs(r2["a2_q6"] - math.floor(exp2 * 1e6) / 1e6) < 1e-4
+    assert r2["a2_q6"] > 10.0
+
+    # constant pooled sample -> null (degenerate)
+    dfc = spark.createDataFrame(
+        [(1.0, "a")] * 5 + [(1.0, "b")] * 5, "v double, g string"
+    )
+    rc = anderson_darling_2s(dfc, "v", "g", "a", "b", quantize=0).collect()[
+        0
+    ]
+    assert rc["a2_q6"] is None
+
+
+def _st_scores(n):
+    """Zigzag Siegel-Tukey scores by sorted position (1-indexed)."""
+    out = []
+    for p in range(1, n + 1):
+        q = n - p + 1
+        if p < q:
+            out.append(2 * p - 1 if p % 2 == 1 else 2 * p)
+        elif q < p:
+            out.append(2 * q if q % 2 == 1 else 2 * q - 1)
+        else:
+            out.append(n)
+    return out
+
+
+def test_siegel_tukey_scores_are_permutation():
+    for n in (1, 2, 3, 4, 5, 6, 7, 10, 11, 16, 25):
+        s = _st_scores(n)
+        assert sorted(s) == list(range(1, n + 1)), n
+
+
+def test_siegel_tukey_twin_and_direction(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import siegel_tukey
+
+    # group a hugs the center, group b spreads wide -> a collects the
+    # HIGH zigzag scores -> ST > E -> z > 0
+    a = [50.0 + (i % 3) for i in range(30)]
+    b = [float(10 * (i % 11)) for i in range(30)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = siegel_tukey(df, "v", "g", "a", "b", quantize=0).collect()[0]
+    assert r["z_q6"] is not None and r["z_q6"] > 2.0
+
+    # python twin with tie-averaged scores
+    pooled = sorted([(v, "a") for v in a] + [(v, "b") for v in b])
+    n = len(pooled)
+    scores = _st_scores(n)
+    from collections import defaultdict
+
+    by_val = defaultdict(list)
+    for (v, g), s in zip(pooled, scores):
+        by_val[v].append((g, s))
+    st = 0.0
+    s1 = 0
+    s2 = 0.0
+    for v, items in sorted(by_val.items()):
+        bsum = sum(s for _, s in items)
+        c = len(items)
+        ca = sum(1 for g, _ in items if g == "a")
+        st += ca * bsum / c
+        s1 += bsum
+        s2 += bsum * bsum / c
+    na = nb = 30
+    e = na * s1 / n
+    var = na * nb * (n * s2 - s1 * s1) / (n * n * (n - 1.0))
+    z = (st - e) / math.sqrt(var)
+    assert abs(r["st_q6"] - math.floor(st * 1e6) / 1e6) < 1e-5
+    assert abs(r["z_q6"] - math.floor(z * 1e6) / 1e6) < 1e-5
