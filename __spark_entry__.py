@@ -6798,6 +6798,111 @@ def _q_siegel_tukey(spark, sf_dir):
     )
 
 
+def _q_youden(spark, sf_dir):
+    """Youden-J operating point of the hashed linear classifier per
+    source (functions/evalmetrics.py youden_j_threshold) — the
+    prevalence-free cut next to q_best_f1's F1 cut on the SAME scored
+    input, so the imbalance gap between the two thresholds is
+    readable from one artifact. Integer cumulative (tp,fp,fn,tn) over
+    the distinct-score table; q12 argmax, highest-threshold ties."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        youden_j_threshold,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (
+            F.floor(curate.hashed_linear_score("text") * F.lit(10000.0))
+            / F.lit(10000.0)
+        ).alias("score"),
+    )
+    return youden_j_threshold(
+        scored, "score", "y", quantize=4, group_cols=("source",)
+    )
+
+
+def _q_spiegelhalter(spark, sf_dir):
+    """Spiegelhalter's binning-free calibration Z on the hashed linear
+    score mapped to [0,1] vs the lang='en' label
+    (functions/evalmetrics.py spiegelhalter_z) — the significance
+    companion to q_calibration / q_ece: the S-grid normalizers cancel,
+    so Z is a ratio of two DECIMAL(38,0) integer sums."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        spiegelhalter_z,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        (
+            (curate.hashed_linear_score("text") + F.lit(1.0))
+            / F.lit(2.0)
+        ).alias("prob"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return spiegelhalter_z(scored, "prob", "y", quantize=4)
+
+
+def _q_rbp(spark, sf_dir):
+    """Rank-biased precision with persistence 0.8 over the same
+    exact-cosine top-10 / label-match judged table as q_rank_metrics
+    (functions/evalmetrics.py rank_biased_precision) — the
+    user-model-weighted retrieval read WITH its residual, so shallow
+    judgment pools are visible per query."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        rank_biased_precision,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    ranked = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10
+    )
+    lab = e.select("vec_id", "label")
+    judged = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlab"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlab"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("qlab") == F.col("nlab")).cast("int").alias("rel"),
+        )
+    )
+    return rank_biased_precision(
+        judged, "rel", "rank", ("query_id",), p_num=4, p_den=5
+    ).orderBy("query_id")
+
+
+def _q_overdispersion(spark, sf_dir):
+    """Poisson overdispersion of per-user event counts per event type
+    (functions/stats.py overdispersion_index): VMR + dispersion z off
+    exact integer moments — the modeling gate before any per-user
+    rate assumption."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        overdispersion_index,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return overdispersion_index(
+        per_user, "n_events", group_cols=("event_type",)
+    ).orderBy("event_type")
+
+
 def _q_stratified_est(spark, sf_dir):
     """Design-based corpus-mean estimate from a 20% hash-sampled
     audit, stratified by source (functions/curate.py
@@ -7531,6 +7636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_msprt": _q_msprt,
         "q_anderson_darling": _q_anderson_darling,
         "q_siegel_tukey": _q_siegel_tukey,
+        "q_youden": _q_youden,
+        "q_spiegelhalter": _q_spiegelhalter,
+        "q_rbp": _q_rbp,
+        "q_overdispersion": _q_overdispersion,
     }
 
 
@@ -17618,6 +17727,193 @@ def oracle_sql() -> dict[str, str]:
                                 * (nn::DOUBLE - 1.0))) * 1e6) / 1e6
               END AS z_q6
             FROM lastr
+        """,
+        "q_youden": """
+            WITH sc AS (
+              SELECT source,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     floor((CASE WHEN len(tok) > 0 THEN
+                       list_sum(list_transform(tok, t ->
+                         CAST(concat('0x', substr(md5(t), 1, 8))
+                              AS BIGINT) % 2001 - 1000
+                       ))::DOUBLE / (len(tok) * 1000.0)
+                     ELSE 0.0 END) * 10000) / 10000 AS score
+              FROM (
+                SELECT source, lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            base AS (
+              SELECT source,
+                     CAST(round(score * 10000, 0) AS BIGINT) AS s, y
+              FROM sc
+            ),
+            per AS (
+              SELECT source, s, sum(y)::BIGINT AS p,
+                     sum(1 - y)::BIGINT AS q
+              FROM base GROUP BY source, s
+            ),
+            cum AS (
+              SELECT source, s,
+                sum(p) OVER wd AS tp,
+                sum(q) OVER wd AS fp,
+                sum(p) OVER (PARTITION BY source) AS pos,
+                sum(q) OVER (PARTITION BY source) AS neg
+              FROM per
+              WINDOW wd AS (PARTITION BY source ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            cand AS (
+              SELECT source, s, tp, fp, pos - tp AS fn,
+                neg - fp AS tn, pos, neg,
+                CAST(floor((tp::DOUBLE / pos::DOUBLE
+                            - fp::DOUBLE / neg::DOUBLE) * 1e12)
+                     AS BIGINT) AS jq
+              FROM cum
+            ),
+            best AS (
+              SELECT source, s, tp, fp, fn, tn, pos, neg, jq,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY jq DESC, s DESC) AS rn
+              FROM cand
+            )
+            SELECT source, s::DOUBLE / 10000.0 AS threshold,
+              tp, fp, fn, tn,
+              floor(jq::DOUBLE / 1e6) / 1e6 AS j_q6,
+              floor(tp::DOUBLE / pos::DOUBLE * 1e6) / 1e6 AS tpr_q6,
+              floor(fp::DOUBLE / neg::DOUBLE * 1e6) / 1e6 AS fpr_q6
+            FROM best WHERE rn = 1
+        """,
+        "q_spiegelhalter": """
+            WITH sc AS (
+              SELECT
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                (CASE WHEN len(tok) > 0 THEN
+                   list_sum(list_transform(tok, t ->
+                     CAST(concat('0x', substr(md5(t), 1, 8))
+                          AS BIGINT) % 2001 - 1000
+                   ))::DOUBLE / (len(tok) * 1000.0)
+                 ELSE 0.0 END) AS score
+              FROM (
+                SELECT lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            base AS (
+              SELECT y,
+                CAST(round((score + 1.0) / 2.0 * 10000, 0) AS BIGINT)
+                  AS k
+              FROM sc
+            ),
+            agg AS (
+              SELECT count(*)::BIGINT AS n,
+                sum(CAST(10000 * y - k AS DECIMAL(38,0))
+                    * CAST(10000 - 2 * k AS DECIMAL(38,0))) AS num,
+                sum(CAST(k AS DECIMAL(38,0))
+                    * CAST(10000 - k AS DECIMAL(38,0))
+                    * CAST(10000 - 2 * k AS DECIMAL(38,0))
+                    * CAST(10000 - 2 * k AS DECIMAL(38,0))) AS den
+              FROM base
+            )
+            SELECT n,
+              CASE WHEN den::DOUBLE > 0 THEN
+                floor(num::DOUBLE / sqrt(den::DOUBLE) * 1e6) / 1e6
+              END AS z_q6
+            FROM agg
+        """,
+        "q_rbp": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                              label AS qlab
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                         label AS nlab
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id, qlab, nlab,
+                round(
+                  list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum')
+                  / (sqrt(list_aggregate(list_transform(range(1, len(qvec) + 1),
+                      i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE), 'sum'))
+                   * sqrt(list_aggregate(list_transform(range(1, len(cvec) + 1),
+                      i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum'))), 6)
+                AS cos_sim
+              FROM c, q WHERE neighbor_id <> query_id
+            ),
+            judged AS (
+              SELECT query_id, rank,
+                     CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel
+              FROM (
+                SELECT query_id, qlab, nlab,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            wide AS (
+              SELECT query_id, rank, rel,
+                count(*) OVER (PARTITION BY query_id)::BIGINT AS d
+              FROM judged
+            ),
+            agg AS (
+              SELECT query_id, max(d)::BIGINT AS n_ranked,
+                sum(rel
+                    * CAST(round(pow(4, (rank - 1)::DOUBLE), 0)
+                           AS BIGINT)
+                    * CAST(round(pow(5, (d - rank)::DOUBLE), 0)
+                           AS BIGINT))::BIGINT AS isum
+              FROM wide GROUP BY query_id
+            )
+            SELECT query_id, n_ranked,
+              floor((1.0 * isum::DOUBLE)
+                    / round(pow(5, n_ranked::DOUBLE), 0) * 1e6) / 1e6
+                AS rbp_q6,
+              floor(round(pow(4, n_ranked::DOUBLE), 0)
+                    / round(pow(5, n_ranked::DOUBLE), 0) * 1e6) / 1e6
+                AS rbp_residual_q6
+            FROM agg
+            ORDER BY query_id
+        """,
+        "q_overdispersion": """
+            WITH per_user AS (
+              SELECT event_type, user_id, count(*)::BIGINT AS c
+              FROM events GROUP BY event_type, user_id
+            ),
+            agg AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                sum(c)::BIGINT AS s,
+                sum(CAST(c AS DECIMAL(38,0))
+                    * CAST(c AS DECIMAL(38,0))) AS q
+              FROM per_user GROUP BY event_type
+            ),
+            terms AS (
+              SELECT event_type, n, s,
+                s::DOUBLE / n::DOUBLE AS mean,
+                (q::DOUBLE - (s::DOUBLE / n::DOUBLE) * s::DOUBLE)
+                  / (n::DOUBLE - 1.0) AS var
+              FROM agg
+            )
+            SELECT event_type, n,
+              CASE WHEN n > 0 THEN floor(mean * 1e6) / 1e6
+              END AS mean_q6,
+              CASE WHEN n > 1 AND s > 0 THEN
+                floor(var / mean * 1e6) / 1e6 END AS vmr_q6,
+              CASE WHEN n > 1 AND s > 0 THEN
+                floor(((n::DOUBLE - 1.0) * (var / mean)
+                       - (n::DOUBLE - 1.0))
+                      / sqrt(2.0 * (n::DOUBLE - 1.0)) * 1e6) / 1e6
+              END AS z_q6
+            FROM terms
+            ORDER BY event_type
         """,
         "q_stratified_est": """
             WITH samp AS (

@@ -2056,3 +2056,230 @@ def ppv_npv_at_prevalence(
         F.when(ok, q6(ppv)).alias("ppv_q6"),
         F.when(ok, q6(npv)).alias("npv_q6"),
     )
+
+
+def youden_j_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    quantize: int = 4,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Youden-J operating point per group: sweep every distinct score
+    as the >=-threshold and return the one maximizing
+    J = TPR - FPR = tp/P - fp/N — the cut that weighs the two error
+    rates equally regardless of prevalence, where [[best_f1_threshold]]
+    optimizes the precision/recall tradeoff (prevalence-sensitive).
+    Report both cards side by side: a big gap between the two
+    thresholds IS the class-imbalance warning.
+
+    Same machinery as [[best_f1_threshold]]: one (score -> pos/neg
+    count) shuffle, cumulative windows over the distinct-score table
+    (bounded by score cardinality after 10^-quantize quantization),
+    deterministic argmax via struct max on the floor-q12 J with
+    highest-threshold ties. Returns (group..., threshold, tp, fp, fn,
+    tn, j_q6, tpr_q6, fpr_q6).
+    """
+    from .stats import _quant
+
+    sq = _quant(F.col(score_col), quantize)
+    y = F.col(label_col).cast("int")
+    gcols = list(group_cols)
+    base = df.select(*gcols, sq.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    per = base.groupBy(*gcols, "__s").agg(
+        F.sum("__y").cast("long").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("long").alias("__q"),
+    )
+    wdesc = Window.partitionBy(*gcols).orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wfull = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        *gcols,
+        "__s",
+        F.sum("__p").over(wdesc).alias("__tp"),
+        F.sum("__q").over(wdesc).alias("__fp"),
+        F.sum("__p").over(wfull).alias("__pos"),
+        F.sum("__q").over(wfull).alias("__neg"),
+    )
+    j = F.try_divide(
+        F.col("__tp").cast("double"), F.col("__pos").cast("double")
+    ) - F.try_divide(
+        F.col("__fp").cast("double"), F.col("__neg").cast("double")
+    )
+    jq = F.floor(j * F.lit(1e12)).cast("long")
+    best = cum.select(
+        *gcols,
+        F.struct(
+            jq.alias("jq"),
+            F.col("__s").alias("s"),
+            F.col("__tp").alias("tp"),
+            F.col("__fp").alias("fp"),
+            (F.col("__pos") - F.col("__tp")).alias("fn"),
+            (F.col("__neg") - F.col("__fp")).alias("tn"),
+            F.col("__pos").alias("pos"),
+            F.col("__neg").alias("neg"),
+        ).alias("__cand"),
+    ).groupBy(*gcols).agg(F.max("__cand").alias("__b"))
+    scale = float(10 ** quantize)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return best.select(
+        *gcols,
+        (F.col("__b.s").cast("double") / F.lit(scale)).alias("threshold"),
+        F.col("__b.tp").alias("tp"),
+        F.col("__b.fp").alias("fp"),
+        F.col("__b.fn").alias("fn"),
+        F.col("__b.tn").alias("tn"),
+        (
+            F.floor(F.col("__b.jq").cast("double") / F.lit(1e6))
+            / F.lit(1e6)
+        ).alias("j_q6"),
+        q6(
+            F.try_divide(
+                F.col("__b.tp").cast("double"),
+                F.col("__b.pos").cast("double"),
+            )
+        ).alias("tpr_q6"),
+        q6(
+            F.try_divide(
+                F.col("__b.fp").cast("double"),
+                F.col("__b.neg").cast("double"),
+            )
+        ).alias("fpr_q6"),
+    )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    quantize: int = 4,
+) -> DataFrame:
+    """Spiegelhalter's Z test of calibration — the significance
+    companion to [[calibration_bins]]/[[expected_calibration_error]]:
+    is the Brier score worse than a PERFECTLY CALIBRATED forecaster
+    with these same probabilities would produce by chance? Binning-free
+    (no bin-count knob to argue about), N(0,1) under the null.
+
+    INTEGER-EXACT on the probability grid: with p quantized to
+    k/S (S = 10^quantize), the S² / S⁴ normalizers of numerator and
+    denominator cancel in the ratio, leaving
+    Z = sum (S·y - k)(S - 2k) / sqrt(sum k(S-k)(S-2k)²) — both sums
+    DECIMAL(38,0) over per-row integer products (one map-combinable
+    aggregate, no shuffle beyond the single reduce), ONE terminal
+    float division. Returns one row (n, z_q6); null when the
+    denominator is 0 (all probabilities at 0/1 — the null variance is
+    degenerate).
+    """
+    from .stats import _quant
+
+    s_grid = 10 ** quantize
+    k = _quant(F.col(prob_col), quantize)
+    y = F.col(label_col).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(k.alias("__k"), y.alias("__y")).filter(
+        F.col("__k").isNotNull() & F.col("__y").isNotNull()
+    )
+    s_lit = F.lit(s_grid).cast("long")
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            dec(s_lit * F.col("__y") - F.col("__k"))
+            * dec(s_lit - 2 * F.col("__k"))
+        ).alias("__num"),
+        F.sum(
+            dec(F.col("__k"))
+            * dec(s_lit - F.col("__k"))
+            * dec(s_lit - 2 * F.col("__k"))
+            * dec(s_lit - 2 * F.col("__k"))
+        ).alias("__den"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n",
+        F.when(
+            F.col("__den").cast("double") > 0,
+            q6(
+                F.col("__num").cast("double")
+                / F.sqrt(F.col("__den").cast("double"))
+            ),
+        ).alias("z_q6"),
+    )
+
+
+def rank_biased_precision(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    group_cols: tuple = ("query_id",),
+    p_num: int = 4,
+    p_den: int = 5,
+) -> DataFrame:
+    """Rank-biased precision (Moffat & Zobel) per query over a ranked
+    judged table — the top-weighted metric with an explicit USER MODEL
+    (persistence p = probability of examining the next result) and,
+    unlike [[rank_metrics_at_k]]'s cutoffs, a built-in RESIDUAL: p^d
+    bounds how much the unjudged tail below depth d could still add,
+    so a shallow judgment pool is visibly shallow in the artifact.
+
+    Persistence is an exact RATIONAL p = p_num/p_den (default 4/5 =
+    the standard 0.8): a float-pow formulation drifts by an ulp
+    between engines' libm pow and flips floor-1e-6 boundaries (caught
+    by the sf0.1 oracle the first time), whereas
+    RBP = (den-num) * sum_r rel_r num^(r-1) den^(d-r) / den^d makes
+    every per-rank term an exact BIGINT (order-free integer sum — no
+    stepped window needed) and leaves ONE terminal float division;
+    the residual p^d = num^d/den^d is a ratio of two exact integers.
+    Depth bound: den^d must fit a BIGINT (d <= 27 at den=5 —
+    documented, ranker k is far below). One group-key shuffle.
+    Returns (group..., n_ranked, rbp_q6, rbp_residual_q6).
+    """
+    if not 0 < p_num < p_den:
+        raise ValueError("need 0 < p_num < p_den")
+    gcols = list(group_cols)
+    r = F.col(rank_col).cast("int")
+    rel = F.col(rel_col).cast("long")
+    base = ranked.select(
+        *gcols, r.alias("__rank"), rel.alias("__rel")
+    )
+    wfull = Window.partitionBy(*gcols)
+    wide = base.select(
+        *gcols,
+        "__rank",
+        "__rel",
+        F.count("*").over(wfull).cast("long").alias("__d"),
+    )
+    # exact integer powers: round() kills any 1-ulp pow error before
+    # the cast (values < 2^53 are exactly representable)
+    ipow = lambda b, e: F.round(  # noqa: E731
+        F.pow(F.lit(float(b)), e.cast("double")), 0
+    ).cast("long")
+    term = (
+        F.col("__rel")
+        * ipow(p_num, F.col("__rank") - 1)
+        * ipow(p_den, F.col("__d") - F.col("__rank"))
+    )
+    agg = wide.groupBy(*gcols).agg(
+        F.max("__d").cast("long").alias("n_ranked"),
+        F.sum(term).cast("long").alias("__isum"),
+    )
+    den_d = F.round(
+        F.pow(F.lit(float(p_den)), F.col("n_ranked").cast("double")), 0
+    )
+    num_d = F.round(
+        F.pow(F.lit(float(p_num)), F.col("n_ranked").cast("double")), 0
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n_ranked",
+        q6(
+            (F.lit(float(p_den - p_num)) * F.col("__isum").cast("double"))
+            / den_d
+        ).alias("rbp_q6"),
+        q6(num_d / den_d).alias("rbp_residual_q6"),
+    )

@@ -7447,3 +7447,57 @@ def siegel_tukey(
             var > 0, q6((F.col("st") - e) / F.sqrt(var))
         ).alias("z_q6"),
     )
+
+
+def overdispersion_index(
+    df: DataFrame,
+    count_col: str,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Poisson overdispersion check per group over a COUNT column —
+    variance-to-mean ratio (VMR: 1 under Poisson, >1 clumped, <1
+    regular) plus the chi-square dispersion z statistic
+    z = ((n-1)·VMR - (n-1)) / sqrt(2(n-1)) (the normal approximation
+    of (n-1)s²/x̄ ~ χ²_{n-1}). The modeling gate before any per-user /
+    per-shard event-rate assumption: crawl and usage counts are almost
+    always overdispersed, and a Poisson CI on clumped counts is a lie.
+
+    Counts are integers, so the moments are exact with NO quantization
+    step: S is BIGINT, Q is DECIMAL(38,0) (the [[welch_t_test]]
+    overflow rule); VMR and z are fixed-op-order float expressions
+    over the three exact scalars. One map-combinable aggregate per
+    group. Returns (group..., n, mean_q6, vmr_q6, z_q6); null stats
+    when n < 2 or the mean is 0.
+    """
+    gcols = list(group_cols)
+    dec = "decimal(38,0)"
+    c = F.col(count_col).cast("long")
+    base = df.select(*gcols, c.alias("__c")).filter(
+        F.col("__c").isNotNull()
+    )
+    cd = F.col("__c").cast(dec)
+    agg = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__c").cast("long").alias("__s"),
+        F.sum(cd * cd).alias("__q"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.try_divide(F.col("__s").cast("double"), n)
+    var = F.try_divide(
+        F.col("__q").cast("double") - mean * F.col("__s").cast("double"),
+        n - F.lit(1.0),
+    )
+    vmr = F.try_divide(var, mean)
+    z = F.try_divide(
+        (n - F.lit(1.0)) * vmr - (n - F.lit(1.0)),
+        F.sqrt(F.lit(2.0) * (n - F.lit(1.0))),
+    )
+    ok = (F.col("n") > 1) & (F.col("__s") > 0)
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *gcols,
+        "n",
+        F.when(F.col("n") > 0, q6(mean)).alias("mean_q6"),
+        F.when(ok, q6(vmr)).alias("vmr_q6"),
+        F.when(ok, q6(z)).alias("z_q6"),
+    )

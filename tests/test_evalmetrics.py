@@ -1134,3 +1134,100 @@ def test_weighted_kappa_perfect_and_constant(spark):
     dfc = spark.createDataFrame([(2, 2)] * 5, "a int, b int")
     rc = weighted_kappa(dfc, "a", "b").collect()[0]
     assert rc["kappa_lin_q6"] is None and rc["kappa_quad_q6"] is None
+
+
+def test_youden_j_threshold_hand_case(spark):
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        youden_j_threshold,
+    )
+
+    # scores 0.1..0.9; positives concentrated above 0.6
+    rows = [(0.9, 1), (0.8, 1), (0.7, 1), (0.6, 0), (0.5, 1),
+            (0.4, 0), (0.3, 0), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = youden_j_threshold(df, "score", "y", quantize=2).collect()[0]
+    # brute force in python
+    import math
+
+    best = None
+    for thr in sorted({s for s, _ in rows}, reverse=True):
+        tp = sum(1 for s, y in rows if s >= thr and y == 1)
+        fp = sum(1 for s, y in rows if s >= thr and y == 0)
+        j = tp / 4 - fp / 5
+        if best is None or j > best[0] or (j == best[0] and thr > best[1]):
+            best = (j, thr, tp, fp)
+    assert abs(r["threshold"] - best[1]) < 1e-9
+    assert r["tp"] == best[2] and r["fp"] == best[3]
+    assert r["tn"] == 5 - best[3] and r["fn"] == 4 - best[2]
+    assert abs(r["j_q6"] - math.floor(best[0] * 1e6) / 1e6) < 2e-6
+    assert abs(r["tpr_q6"] - math.floor(best[2] / 4 * 1e6) / 1e6) < 2e-6
+
+
+def test_spiegelhalter_z_calibrated_vs_not(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        spiegelhalter_z,
+    )
+
+    # perfectly calibrated: p=0.3 block with 30% positives, p=0.7
+    # block with 70% positives -> Z near 0
+    rows = [(0.3, 1)] * 30 + [(0.3, 0)] * 70
+    rows += [(0.7, 1)] * 70 + [(0.7, 0)] * 30
+    df = spark.createDataFrame(rows, "prob double, y int")
+    r = spiegelhalter_z(df, "prob", "y", quantize=4).collect()[0]
+    assert r["n"] == 200
+    assert abs(r["z_q6"]) < 0.5
+
+    # grossly miscalibrated: confident wrong -> strongly positive Z
+    rows2 = [(0.95, 0)] * 50 + [(0.05, 1)] * 50
+    df2 = spark.createDataFrame(rows2, "prob double, y int")
+    r2 = spiegelhalter_z(df2, "prob", "y", quantize=4).collect()[0]
+    assert r2["z_q6"] > 5.0
+
+    # python twin of the integer-grid closed form on the first case
+    s = 10000
+    num = sum((s * y - round(p * s)) * (s - 2 * round(p * s))
+              for p, y in rows)
+    den = sum(round(p * s) * (s - round(p * s))
+              * (s - 2 * round(p * s)) ** 2 for p, y in rows)
+    z = num / math.sqrt(den)
+    assert abs(r["z_q6"] - math.floor(z * 1e6) / 1e6) < 2e-6
+
+    # degenerate: all probabilities at 0/1 -> null
+    df3 = spark.createDataFrame(
+        [(1.0, 1)] * 5 + [(0.0, 0)] * 5, "prob double, y int"
+    )
+    assert spiegelhalter_z(df3, "prob", "y").collect()[0]["z_q6"] is None
+
+
+def test_rank_biased_precision_hand_case(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        rank_biased_precision,
+    )
+
+    # q1: rel at ranks 1,3 of depth 5; q2: nothing relevant
+    rows = [("q1", 1, 1), ("q1", 2, 0), ("q1", 3, 1), ("q1", 4, 0),
+            ("q1", 5, 0)] + [("q2", r, 0) for r in range(1, 6)]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel int")
+    out = {
+        r["query_id"]: r
+        for r in rank_biased_precision(
+            df, "rel", "rank", ("query_id",)
+        ).collect()
+    }
+    exp = 0.2 * (0.8 ** 0 + 0.8 ** 2)
+    assert out["q1"]["n_ranked"] == 5
+    assert abs(out["q1"]["rbp_q6"] - math.floor(exp * 1e6) / 1e6) < 2e-6
+    assert out["q2"]["rbp_q6"] == 0.0
+    res = 0.8 ** 5
+    assert abs(out["q1"]["rbp_residual_q6"]
+               - math.floor(res * 1e6) / 1e6) < 2e-6
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rank_biased_precision(df, "rel", "rank", ("query_id",), p_num=5,
+                              p_den=5)

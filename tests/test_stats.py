@@ -3865,3 +3865,39 @@ def test_siegel_tukey_twin_and_direction(spark):
     z = (st - e) / math.sqrt(var)
     assert abs(r["st_q6"] - math.floor(st * 1e6) / 1e6) < 1e-5
     assert abs(r["z_q6"] - math.floor(z * 1e6) / 1e6) < 1e-5
+
+
+def test_overdispersion_index_poisson_vs_clumped(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        overdispersion_index,
+    )
+
+    # near-constant counts -> VMR << 1, z negative; clumped -> VMR >> 1
+    rows = [("flat", 5)] * 50 + [("flat", 6)] * 50
+    rows += [("clump", 0)] * 90 + [("clump", 50)] * 10
+    df = spark.createDataFrame(rows, "g string, c long")
+    out = {
+        r["g"]: r
+        for r in overdispersion_index(df, "c", ("g",)).collect()
+    }
+    f = out["flat"]
+    assert abs(f["mean_q6"] - 5.5) < 1e-6
+    assert f["vmr_q6"] < 0.1 and f["z_q6"] < -5.0
+    c = out["clump"]
+    assert c["vmr_q6"] > 20.0 and c["z_q6"] > 10.0
+    # python twin on the clumped group
+    vals = [0] * 90 + [50] * 10
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    vmr = var / mean
+    z = ((n - 1) * vmr - (n - 1)) / math.sqrt(2 * (n - 1))
+    assert abs(c["vmr_q6"] - math.floor(vmr * 1e6) / 1e6) < 1e-4
+    assert abs(c["z_q6"] - math.floor(z * 1e6) / 1e6) < 1e-4
+
+    # n = 1 group: stats null
+    one = spark.createDataFrame([("solo", 3)], "g string, c long")
+    r1 = overdispersion_index(one, "c", ("g",)).collect()[0]
+    assert r1["vmr_q6"] is None and r1["z_q6"] is None
