@@ -6903,6 +6903,100 @@ def _q_overdispersion(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_isotropy(spark, sf_dir):
+    """Embedding anisotropy (similarity.embedding_isotropy): the
+    all-pairs mean dot computed WITHOUT a pair table via the
+    sum-vector identity ||S||² − Σ||v||² — an O(N²) statistic in one
+    O(N·dim) pass, integer-exact on the 1e-4 component grid. The
+    collapse gate before trusting cosine thresholds."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        embedding_isotropy,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_isotropy(e, "vec_id", "embedding", quantize=4)
+
+
+def _q_effective_rank(spark, sf_dir):
+    """Participation ratio of the embedding covariance spectrum
+    (similarity.embedding_effective_rank): (Σλ)²/Σλ² WITHOUT an
+    eigendecomposition — trace and Frobenius read off the covariance
+    upper triangle, floor-1e-6 quantized first so both engines fold
+    identical integers. The dimensional-collapse companion to
+    q_isotropy."""
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        embedding_effective_rank,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_effective_rank(e, "vec_id", "embedding")
+
+
+def _q_rate_ratio(spark, sf_dir):
+    """Poisson rate ratio of events per observed day, even- vs
+    odd-user arms (functions/stats.py poisson_rate_ratio): per-user
+    (events, exposure-days) rows aggregated to exact arm totals, the
+    exposure-aware rate comparison q_welch (means) and
+    q_overdispersion (clumping) bracket."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        poisson_rate_ratio,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    arms = per_user.select(
+        "n_events",
+        "days",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    return poisson_rate_ratio(
+        arms, "n_events", "days", "arm", quantize=0
+    )
+
+
+def _q_log_odds(spark, sf_dir):
+    """Monroe 'Fightin' Words' log-odds with informative Dirichlet
+    prior, English vs the rest (functions/lm.py log_odds_prior) — the
+    shrunk corpus-comparison reading next to q_keyness (G²) on the
+    SAME split, so small-sample artifacts are visible as terms only
+    the unshrunk statistic flags. Deterministic top-k cut on the
+    floor-6dp |z|."""
+    from png_from_pdf_extracter_spark.functions.lm import log_odds_prior
+
+    d = _read(spark, sf_dir, "documents")
+    return log_odds_prior(
+        d, "lang", "en", alpha0=500.0, min_count=5, top_k=100
+    )
+
+
+def _q_two_proportion(spark, sf_dir):
+    """Two-proportion card on high-value event rates, even- vs
+    odd-user arms (functions/stats.py two_proportion_diff): pooled z
+    plus the Newcombe hybrid-score CI built from each arm's Wilson
+    bounds — the binary-outcome companion to q_welch/q_msprt on the
+    same arm split."""
+    from png_from_pdf_extracter_spark.functions.stats import (
+        two_proportion_diff,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    flags = ev.select(
+        (F.col("value") > 50).cast("long").alias("hi"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    return two_proportion_diff(flags, "hi", "arm")
+
+
 def _q_stratified_est(spark, sf_dir):
     """Design-based corpus-mean estimate from a 20% hash-sampled
     audit, stratified by source (functions/curate.py
@@ -7640,6 +7734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spiegelhalter": _q_spiegelhalter,
         "q_rbp": _q_rbp,
         "q_overdispersion": _q_overdispersion,
+        "q_isotropy": _q_isotropy,
+        "q_effective_rank": _q_effective_rank,
+        "q_rate_ratio": _q_rate_ratio,
+        "q_log_odds": _q_log_odds,
+        "q_two_proportion": _q_two_proportion,
     }
 
 
@@ -17914,6 +18013,241 @@ def oracle_sql() -> dict[str, str]:
               END AS z_q6
             FROM terms
             ORDER BY event_type
+        """,
+        "q_isotropy": """
+            WITH e AS (
+              SELECT CAST(round(unnest(embedding)::DOUBLE * 10000, 0)
+                          AS BIGINT) AS q,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings
+            ),
+            dims AS (
+              SELECT d, sum(q)::BIGINT AS s FROM e GROUP BY d
+            ),
+            p AS (
+              SELECT sum(CAST(s AS DECIMAL(38,0))
+                         * CAST(s AS DECIMAL(38,0))) AS p,
+                     count(*)::BIGINT AS dim
+              FROM dims
+            ),
+            qq AS (
+              SELECT sum(CAST(q AS DECIMAL(38,0))
+                         * CAST(q AS DECIMAL(38,0))) AS qq
+              FROM e
+            ),
+            nr AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+            SELECT n, dim,
+              CASE WHEN n > 1 THEN
+                floor((p - qq)::DOUBLE
+                      / (n::DOUBLE * (n::DOUBLE - 1.0))
+                      / 100000000.0 * 1e6) / 1e6
+              END AS mean_dot_q6,
+              CASE WHEN n > 0 THEN
+                floor(qq::DOUBLE / n::DOUBLE / 100000000.0 * 1e6)
+                  / 1e6
+              END AS mean_sq_norm_q6,
+              CASE WHEN n > 1 AND qq::DOUBLE > 0 THEN
+                floor((p - qq)::DOUBLE
+                      / ((n::DOUBLE - 1.0) * qq::DOUBLE) * 1e6) / 1e6
+              END AS anisotropy_q6
+            FROM nr, p, qq
+        """,
+        "q_effective_rank": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS d,
+                     unnest(embedding)::DOUBLE AS x
+              FROM embeddings
+            ),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+            cov AS (
+              SELECT a.d AS d1, b.d AS d2,
+                CAST(floor(((sum(a.x * b.x)
+                             - sum(a.x) * sum(b.x) / any_value(n))
+                            / (any_value(n) - 1)) * 1000000)
+                     AS BIGINT) AS q
+              FROM e a JOIN e b ON a.vec_id = b.vec_id
+                                AND a.d <= b.d, tot
+              GROUP BY a.d, b.d
+            ),
+            agg AS (
+              SELECT (max(d2) + 1)::BIGINT AS dim,
+                sum(CASE WHEN d1 = d2 THEN q ELSE 0 END)::BIGINT
+                  AS tr,
+                sum(CASE WHEN d1 = d2 THEN
+                      CAST(q AS DECIMAL(38,0))
+                      * CAST(q AS DECIMAL(38,0))
+                    ELSE CAST(2 AS DECIMAL(38,0))
+                      * CAST(q AS DECIMAL(38,0))
+                      * CAST(q AS DECIMAL(38,0)) END) AS fr
+              FROM cov
+            )
+            SELECT dim,
+              floor(tr::DOUBLE / 1e6 * 1e6) / 1e6 AS trace_q6,
+              CASE WHEN tr > 0 AND fr::DOUBLE > 0 THEN
+                floor(tr::DOUBLE * tr::DOUBLE / fr::DOUBLE * 1e6)
+                  / 1e6
+              END AS pr_q6,
+              CASE WHEN tr > 0 AND fr::DOUBLE > 0 THEN
+                floor(tr::DOUBLE * tr::DOUBLE / fr::DOUBLE
+                      / dim::DOUBLE * 1e6) / 1e6
+              END AS pr_share_q6
+            FROM agg
+        """,
+        "q_rate_ratio": """
+            WITH per_user AS (
+              SELECT user_id, count(*)::BIGINT AS x,
+                (date_diff('day', min(CAST(ts AS DATE)),
+                           max(CAST(ts AS DATE))) + 1)::BIGINT AS t
+              FROM events GROUP BY user_id
+            ),
+            arms AS (
+              SELECT x, t, CAST(user_id % 2 AS INT) AS g
+              FROM per_user
+            ),
+            gm AS (SELECT min(g) AS ga FROM arms),
+            agg AS (
+              SELECT
+                sum(CASE WHEN g = ga THEN x ELSE 0 END)::BIGINT AS x_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE x END)::BIGINT AS x_b,
+                sum(CASE WHEN g = ga THEN t ELSE 0 END)::BIGINT AS t_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE t END)::BIGINT AS t_b
+              FROM arms, gm
+            ),
+            rates AS (
+              SELECT x_a, x_b, t_a, t_b,
+                x_a::DOUBLE / (t_a::DOUBLE / 1.0) AS ra,
+                x_b::DOUBLE / (t_b::DOUBLE / 1.0) AS rb
+              FROM agg
+            )
+            SELECT x_a, x_b,
+              CASE WHEN t_a > 0 THEN floor(ra * 1e6) / 1e6
+              END AS rate_a_q6,
+              CASE WHEN t_b > 0 THEN floor(rb * 1e6) / 1e6
+              END AS rate_b_q6,
+              CASE WHEN x_a > 0 AND x_b > 0 AND t_a > 0 AND t_b > 0
+              THEN floor(ra / rb * 1e6) / 1e6 END AS rr_q6,
+              CASE WHEN x_a > 0 AND x_b > 0 AND t_a > 0 AND t_b > 0
+              THEN floor(ln(ra / rb)
+                         / sqrt(1.0 / x_a::DOUBLE
+                                + 1.0 / x_b::DOUBLE) * 1e6) / 1e6
+              END AS z_q6
+            FROM rates
+        """,
+        "q_log_odds": """
+            WITH terms AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+              FROM documents
+            ),
+            wc AS (
+              SELECT word, sum(in_a)::BIGINT AS a,
+                     sum(1 - in_a)::BIGINT AS b
+              FROM terms GROUP BY word
+            ),
+            tot AS (
+              SELECT sum(in_a)::BIGINT AS na,
+                     sum(1 - in_a)::BIGINT AS nb
+              FROM terms
+            ),
+            scored AS (
+              SELECT word, a, b,
+                ln((a::DOUBLE + 500.0 * (a::DOUBLE + b::DOUBLE)
+                      / (na::DOUBLE + nb::DOUBLE))
+                   / (na::DOUBLE + 500.0 - a::DOUBLE
+                      - 500.0 * (a::DOUBLE + b::DOUBLE)
+                        / (na::DOUBLE + nb::DOUBLE)))
+                - ln((b::DOUBLE + 500.0 * (a::DOUBLE + b::DOUBLE)
+                        / (na::DOUBLE + nb::DOUBLE))
+                     / (nb::DOUBLE + 500.0 - b::DOUBLE
+                        - 500.0 * (a::DOUBLE + b::DOUBLE)
+                          / (na::DOUBLE + nb::DOUBLE))) AS delta,
+                1.0 / (a::DOUBLE + 500.0 * (a::DOUBLE + b::DOUBLE)
+                       / (na::DOUBLE + nb::DOUBLE))
+                + 1.0 / (b::DOUBLE + 500.0 * (a::DOUBLE + b::DOUBLE)
+                         / (na::DOUBLE + nb::DOUBLE)) AS var
+              FROM wc, tot
+              WHERE a + b >= 5
+            ),
+            zz AS (
+              SELECT word, a, b, delta,
+                delta / sqrt(var) AS z
+              FROM scored
+            )
+            SELECT word, a, b,
+              floor(delta * 1e6) / 1e6 AS delta_q6,
+              floor(z * 1e6) / 1e6 AS z_q6,
+              (CASE WHEN z > 0 THEN 1 WHEN z < 0 THEN -1
+                    ELSE 0 END)::INTEGER AS direction
+            FROM zz
+            ORDER BY floor(abs(z) * 1e6) / 1e6 DESC, word
+            LIMIT 100
+        """,
+        "q_two_proportion": """
+            WITH flags AS (
+              SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END::BIGINT
+                       AS hi,
+                     CAST(user_id % 2 AS INT) AS g
+              FROM events
+            ),
+            gm AS (SELECT min(g) AS ga FROM flags),
+            agg AS (
+              SELECT
+                sum(CASE WHEN g = ga THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE 1 END)::BIGINT AS n_b,
+                sum(CASE WHEN g = ga THEN hi ELSE 0 END)::BIGINT
+                  AS x_a,
+                sum(CASE WHEN g = ga THEN 0 ELSE hi END)::BIGINT
+                  AS x_b
+              FROM flags, gm
+            ),
+            t AS (
+              SELECT n_a, n_b, x_a, x_b,
+                x_a::DOUBLE / n_a::DOUBLE AS pa,
+                x_b::DOUBLE / n_b::DOUBLE AS pb,
+                1.959964 * 1.959964 AS z2,
+                1.959964 AS zc
+              FROM agg
+            ),
+            w AS (
+              SELECT *,
+                (pa * n_a::DOUBLE + z2 / 2.0) / (n_a::DOUBLE + z2)
+                  AS ca,
+                zc * sqrt(pa * (1.0 - pa) / n_a::DOUBLE
+                          + z2 / (4.0 * n_a::DOUBLE * n_a::DOUBLE))
+                  / (1.0 + z2 / n_a::DOUBLE) AS ha,
+                (pb * n_b::DOUBLE + z2 / 2.0) / (n_b::DOUBLE + z2)
+                  AS cb,
+                zc * sqrt(pb * (1.0 - pb) / n_b::DOUBLE
+                          + z2 / (4.0 * n_b::DOUBLE * n_b::DOUBLE))
+                  / (1.0 + z2 / n_b::DOUBLE) AS hb,
+                (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pp
+              FROM t
+            ),
+            fin AS (
+              SELECT n_a, n_b, x_a, x_b, pa, pb,
+                pa - pb AS d,
+                ca - ha AS la, ca + ha AS ua,
+                cb - hb AS lb, cb + hb AS ub,
+                sqrt(pp * (1.0 - pp)
+                     * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS se
+              FROM w
+            )
+            SELECT n_a, n_b, x_a, x_b,
+              floor(pa * 1e6) / 1e6 AS p_a_q6,
+              floor(pb * 1e6) / 1e6 AS p_b_q6,
+              floor(d * 1e6) / 1e6 AS diff_q6,
+              CASE WHEN se > 0 THEN floor(d / se * 1e6) / 1e6
+              END AS z_q6,
+              floor((d - sqrt((pa - la) * (pa - la)
+                              + (ub - pb) * (ub - pb))) * 1e6) / 1e6
+                AS ci_lo_q6,
+              floor((d + sqrt((ua - pa) * (ua - pa)
+                              + (pb - lb) * (pb - lb))) * 1e6) / 1e6
+                AS ci_hi_q6
+            FROM fin
         """,
         "q_stratified_est": """
             WITH samp AS (

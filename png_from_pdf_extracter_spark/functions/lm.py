@@ -872,3 +872,87 @@ def good_turing(
             ).alias("r_star"),
         )
     )
+
+
+def log_odds_prior(
+    docs: DataFrame,
+    class_col: str,
+    focus_class: str,
+    text_col: str = "text",
+    alpha0: float = 500.0,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Monroe-Colaresi-Quinn "Fightin' Words" log-odds with an
+    informative Dirichlet prior — WHICH terms distinguish the focus
+    corpus, with the low-count tail SHRUNK toward the pooled language
+    instead of dominating the ranking (the failure mode raw log-odds
+    and, to a lesser degree, [[keyness_g2]] share). The third corpus-
+    comparison reading next to G² and [[chi2_terms]]; report them
+    together — a term only the unshrunk statistics flag is a
+    small-sample artifact.
+
+    Per term w with focus/reference counts a/b, totals Na/Nb and
+    prior alpha_w = alpha0 * (a+b)/(Na+Nb) (pooled-frequency prior
+    with total mass alpha0):
+
+        delta_w = ln((a + aw)/(Na + alpha0 - a - aw))
+                - ln((b + aw)/(Nb + alpha0 - b - aw))
+        var_w   ~ 1/(a + aw) + 1/(b + aw),  z_w = delta / sqrt(var)
+
+    Counts and margins are exact BIGINTs (two map-combinable counts +
+    one broadcast totals row); delta/var/z are ONE fixed-op-order
+    float expression per term row, written identically in the DuckDB
+    oracle. Ordering is on the floor-6dp |z| (then word) so the
+    top-k cut is deterministic cross-engine. Returns
+    (word, a, b, delta_q6, z_q6, direction) — direction +1 when the
+    term leans focus.
+    """
+    terms = docs.select(
+        F.when(F.col(class_col) == focus_class, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+        F.explode(_tokens(text_col)).alias("word"),
+    )
+    wc = terms.groupBy("word").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+    )
+    tot = F.broadcast(
+        terms.agg(
+            F.sum("in_a").cast("long").alias("na"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("nb"),
+        )
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    a0 = F.lit(float(alpha0))
+    aw = a0 * (a + b) / (na + nb)
+    delta = F.log(
+        (a + aw) / (na + a0 - a - aw)
+    ) - F.log((b + aw) / (nb + a0 - b - aw))
+    var = F.lit(1.0) / (a + aw) + F.lit(1.0) / (b + aw)
+    z = delta / F.sqrt(var)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        wc.filter(F.col("a") + F.col("b") >= min_count)
+        .crossJoin(tot)
+        .select(
+            "word",
+            "a",
+            "b",
+            q6(delta).alias("delta_q6"),
+            q6(z).alias("z_q6"),
+            F.when(z > 0, F.lit(1))
+            .when(z < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("direction"),
+            q6(F.abs(z)).alias("__absz"),
+        )
+        .orderBy(F.desc("__absz"), "word")
+        .limit(top_k)
+        .drop("__absz")
+    )

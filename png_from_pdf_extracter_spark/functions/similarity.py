@@ -1961,3 +1961,129 @@ def hubness_profile(
         ).alias("skew_q6"),
         "max_occ",
     )
+
+
+def embedding_isotropy(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 4,
+) -> DataFrame:
+    """Anisotropy of an embedding set — the fraction of the vectors'
+    energy living in one common direction, the Ethayarajh-style
+    collapse diagnostic: near 0 the space is isotropic (directions
+    carry information), near 1 every vector points the same way and
+    cosine similarity stops meaning anything. Run it BEFORE trusting
+    any cosine-based dedup/ANN threshold on a new embedding source.
+
+    The all-pairs mean dot product is computed WITHOUT pairs via the
+    sum-vector identity sum_{i != j} v_i . v_j = ||S||^2 - sum_i
+    ||v_i||^2 (S = sum of all vectors) — the textbook example of an
+    O(N^2) statistic with an O(N * dim) one-pass form, and the shape
+    this engine prefers everywhere: never emit a pair table for an
+    algebraic reduction. INTEGER-EXACT: components quantized to the
+    10^-quantize grid, so the per-dim sums S_d, the total squared
+    norm Q and P = sum_d S_d^2 are BIGINT/DECIMAL(38,0) and the only
+    floats are two terminal divisions. Plan: one posexplode shuffle
+    keyed by dim (dim-bounded), one scalar aggregate. Returns one row
+    (n, dim, mean_dot_q6, mean_sq_norm_q6, anisotropy_q6) in ORIGINAL
+    value units; anisotropy = mean pairwise dot / mean squared norm,
+    null when n < 2 or Q = 0.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    qv = F.round(
+        F.col("x").cast("double") * F.lit(10 ** quantize), 0
+    ).cast("long")
+    e = corpus.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).select("d", qv.alias("__q"))
+    dims = e.groupBy("d").agg(F.sum("__q").cast("long").alias("__s"))
+    p = dims.agg(
+        F.sum(dec(F.col("__s")) * dec(F.col("__s"))).alias("__p"),
+        F.count("*").cast("long").alias("dim"),
+    )
+    qq = e.agg(
+        F.sum(dec(F.col("__q")) * dec(F.col("__q"))).alias("__qq")
+    )
+    nrow = corpus.agg(F.count("*").cast("long").alias("n"))
+    j = nrow.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(qq))
+    scale2 = float(10 ** quantize) ** 2
+    n = F.col("n").cast("double")
+    pd_ = F.col("__p").cast("double")
+    qd = F.col("__qq").cast("double")
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    ok = (F.col("n") > 1) & (qd > 0)
+    return j.select(
+        "n",
+        "dim",
+        F.when(
+            F.col("n") > 1,
+            q6(
+                (pd_ - qd)
+                / (n * (n - F.lit(1.0)))
+                / F.lit(scale2)
+            ),
+        ).alias("mean_dot_q6"),
+        F.when(
+            F.col("n") > 0, q6(qd / n / F.lit(scale2))
+        ).alias("mean_sq_norm_q6"),
+        F.when(
+            ok, q6((pd_ - qd) / ((n - F.lit(1.0)) * qd))
+        ).alias("anisotropy_q6"),
+    )
+
+
+def embedding_effective_rank(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Participation ratio of the embedding covariance spectrum —
+    PR = trace(C)^2 / ||C||_F^2 = (sum lambda)^2 / sum lambda^2, the
+    "how many directions actually carry the variance" number in
+    [1, dim], computed WITHOUT an eigendecomposition: trace and the
+    Frobenius norm read straight off [[embedding_covariance]]'s
+    upper-triangle table (sum lambda = sum of diagonal entries,
+    sum lambda^2 = sum of ALL squared entries). The dimensional-
+    collapse gate next to [[embedding_isotropy]]: a 768-dim space
+    with PR 12 is a 12-dimensional space wearing a trench coat, and
+    every cosine threshold tuned elsewhere is off.
+
+    Determinism: covariance entries are floor-quantized to the 1e-6
+    grid FIRST (the same grid the q_embed_covariance oracle pins
+    cross-engine), so trace is BIGINT, Frobenius DECIMAL(38,0), and
+    PR one terminal float ratio. Plan: embedding_covariance's
+    O(dim^2)-key fold plus one scalar aggregate. Returns one row
+    (dim, trace_q6, pr_q6, pr_share_q6); null when the trace is 0.
+    """
+    ec = embedding_covariance(corpus, id_col, vec_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    qv = F.floor(F.col("cov") * F.lit(1e6)).cast("long")
+    cells = ec.select("d1", "d2", qv.alias("__q"))
+    diag = F.col("d1") == F.col("d2")
+    agg = cells.agg(
+        (F.max("d2") + 1).cast("long").alias("dim"),
+        F.sum(F.when(diag, F.col("__q")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__tr"),
+        F.sum(
+            F.when(diag, dec(F.col("__q")) * dec(F.col("__q"))).otherwise(
+                F.lit(2).cast("decimal(38,0)")
+                * dec(F.col("__q"))
+                * dec(F.col("__q"))
+            )
+        ).alias("__fr"),
+    )
+    tr = F.col("__tr").cast("double")
+    fr = F.col("__fr").cast("double")
+    pr = tr * tr / fr
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    ok = (F.col("__tr") > 0) & (fr > 0)
+    return agg.select(
+        "dim",
+        q6(tr / F.lit(1e6)).alias("trace_q6"),
+        F.when(ok, q6(pr)).alias("pr_q6"),
+        F.when(
+            ok, q6(pr / F.col("dim").cast("double"))
+        ).alias("pr_share_q6"),
+    )

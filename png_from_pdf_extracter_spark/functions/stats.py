@@ -7501,3 +7501,162 @@ def overdispersion_index(
         F.when(ok, q6(vmr)).alias("vmr_q6"),
         F.when(ok, q6(z)).alias("z_q6"),
     )
+
+
+def poisson_rate_ratio(
+    df: DataFrame,
+    events_col: str,
+    exposure_col: str,
+    group_col: str,
+    quantize: int = 0,
+) -> DataFrame:
+    """Two-group Poisson rate-ratio test over (events, exposure) rows —
+    "does arm B fire events at a different RATE per unit of exposure
+    than arm A", the correct comparison when users are observed for
+    different lengths of time (comparing raw means ignores exposure
+    and [[welch_t_test]] on per-user counts ignores it too). Run
+    [[overdispersion_index]] first: under clumping the Poisson z is
+    anti-conservative and this test's verdict needs shrinking.
+
+    RR = (X_a/T_a)/(X_b/T_b); the log-scale z = ln(RR)/sqrt(1/X_a +
+    1/X_b) (the classic asymptotic whose variance depends only on the
+    COUNTS). Two-group contract from [[welch_t_test]]: arms binarized
+    against the broadcast 1-row min. EXACT: event and quantized
+    exposure totals are BIGINT off one conditional aggregate; RR and
+    z are fixed-op-order float expressions over four exact scalars.
+    Returns one row (x_a, x_b, rate_a_q6, rate_b_q6, rr_q6, z_q6);
+    null stats when either arm has 0 events or 0 exposure.
+    """
+    ev = F.col(events_col).cast("long")
+    ex = _quant(F.col(exposure_col), quantize)
+    base = df.select(
+        ev.alias("__x"), ex.alias("__t"), F.col(group_col).alias("__g")
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__g").isNotNull()
+    )
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    a = (F.col("__g") == F.col("__ga")).cast("int")
+    agg = base.crossJoin(gmin).agg(
+        F.sum(F.col("__x") * a).cast("long").alias("x_a"),
+        F.sum(F.col("__x") * (1 - a)).cast("long").alias("x_b"),
+        F.sum(F.col("__t") * a).cast("long").alias("__t_a"),
+        F.sum(F.col("__t") * (1 - a)).cast("long").alias("__t_b"),
+    )
+    scale = float(10 ** quantize)
+    ra = F.try_divide(
+        F.col("x_a").cast("double"),
+        F.col("__t_a").cast("double") / F.lit(scale),
+    )
+    rb = F.try_divide(
+        F.col("x_b").cast("double"),
+        F.col("__t_b").cast("double") / F.lit(scale),
+    )
+    rr = F.try_divide(ra, rb)
+    z = F.try_divide(
+        F.log(rr),
+        F.sqrt(
+            F.lit(1.0) / F.col("x_a").cast("double")
+            + F.lit(1.0) / F.col("x_b").cast("double")
+        ),
+    )
+    ok = (
+        (F.col("x_a") > 0)
+        & (F.col("x_b") > 0)
+        & (F.col("__t_a") > 0)
+        & (F.col("__t_b") > 0)
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "x_a",
+        "x_b",
+        F.when(F.col("__t_a") > 0, q6(ra)).alias("rate_a_q6"),
+        F.when(F.col("__t_b") > 0, q6(rb)).alias("rate_b_q6"),
+        F.when(ok, q6(rr)).alias("rr_q6"),
+        F.when(ok, q6(z)).alias("z_q6"),
+    )
+
+
+def two_proportion_diff(
+    df: DataFrame,
+    success_col: str,
+    group_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Two-proportion comparison card: difference p_a - p_b with the
+    pooled-variance z test AND the Newcombe hybrid-score interval —
+    the CI built by combining each arm's [[wilson_interval]] bounds,
+    which keeps honest coverage at extreme rates (0%, 100%) where the
+    naive Wald interval collapses to zero width. The binary-outcome
+    companion to [[welch_t_test]]/[[msprt_gate]] (fixed-horizon
+    version): conversion, violation-rate, and filter-pass-rate
+    comparisons are all this shape.
+
+    Two-group contract from [[welch_t_test]] (arms binarized against
+    the broadcast 1-row min). EXACT: per-arm (n, x) are BIGINT off
+    one conditional aggregate; z and the Newcombe bounds are
+    fixed-op-order float expressions over four exact scalars —
+    Wilson per arm: center (x + z²/2)/(n + z²), half-width
+    z*sqrt(p(1-p)/n + z²/4n²)/(1 + z²/n); Newcombe:
+    [d - sqrt((pa-la)² + (ub-pb)²), d + sqrt((ua-pa)² + (pb-lb)²)].
+    Returns one row (n_a, n_b, x_a, x_b, p_a_q6, p_b_q6, diff_q6,
+    z_q6, ci_lo_q6, ci_hi_q6); z null when the pooled variance is 0.
+    """
+    y = F.col(success_col).cast("long")
+    base = df.select(
+        y.alias("__y"), F.col(group_col).alias("__g")
+    ).filter(F.col("__y").isNotNull() & F.col("__g").isNotNull())
+    gmin = F.broadcast(base.agg(F.min("__g").alias("__ga")))
+    a = (F.col("__g") == F.col("__ga")).cast("int")
+    agg = base.crossJoin(gmin).agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(1 - a).cast("long").alias("n_b"),
+        F.sum(F.col("__y") * a).cast("long").alias("x_a"),
+        F.sum(F.col("__y") * (1 - a)).cast("long").alias("x_b"),
+    )
+    zc = F.lit(float(z_crit))
+    z2 = zc * zc
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    xa = F.col("x_a").cast("double")
+    xb = F.col("x_b").cast("double")
+    pa = F.try_divide(xa, na)
+    pb = F.try_divide(xb, nb)
+
+    def _wilson(p, n):
+        center = (p * n + z2 / F.lit(2.0)) / (n + z2)
+        half = (
+            zc
+            * F.sqrt(
+                p * (F.lit(1.0) - p) / n
+                + z2 / (F.lit(4.0) * n * n)
+            )
+            / (F.lit(1.0) + z2 / n)
+        )
+        return center - half, center + half
+
+    la, ua = _wilson(pa, na)
+    lb, ub = _wilson(pb, nb)
+    d = pa - pb
+    lo = d - F.sqrt((pa - la) * (pa - la) + (ub - pb) * (ub - pb))
+    hi = d + F.sqrt((ua - pa) * (ua - pa) + (pb - lb) * (pb - lb))
+    pp = F.try_divide(xa + xb, na + nb)
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    zstat = F.try_divide(d, se)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.when(ok, q6(pa)).alias("p_a_q6"),
+        F.when(ok, q6(pb)).alias("p_b_q6"),
+        F.when(ok, q6(d)).alias("diff_q6"),
+        F.when(ok & (se > 0), q6(zstat)).alias("z_q6"),
+        F.when(ok, q6(lo)).alias("ci_lo_q6"),
+        F.when(ok, q6(hi)).alias("ci_hi_q6"),
+    )

@@ -823,3 +823,143 @@ def read_srm(
         F.sum("__o").cast("long").alias("__o")
     )
     return srm_check_counts(merged, expected)
+
+
+def stream_msprt_monitor(
+    spark: SparkSession,
+    input_path: str,
+    catalog: Catalog,
+    checkpoint: str,
+    value_col: str,
+    arm_col: str,
+    table: str = "msprt_state",
+    quantize: int = 2,
+    processing_time: str | None = None,
+):
+    """Streaming anytime-valid experiment monitor — the state side of
+    [[stats.msprt_gate]], which is the one test you MAY score on every
+    micro-batch without alpha inflation (that's its whole design; the
+    fixed-horizon [[stream_srm_monitor]] chi2 would need correction
+    under continuous peeking). Every batch writes its OWN per-arm
+    moment partials (n, sum, sum-of-squares of the quantized values —
+    all exact, all mergeable) under the batch's ``batch_id`` partition
+    (dynamic overwrite: the [[stream_drift_monitor]] exactly-once
+    pattern, replays never double-count), and [[read_msprt]] folds the
+    partials and scores the CUMULATIVE mixture likelihood ratio at
+    read time. State is arms x batches rows of BIGINT/DECIMAL.
+    """
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+    scale = 10 ** quantize
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        v = F.round(
+            F.col(value_col).cast("double") * F.lit(scale), 0
+        ).cast("long")
+        vd = v.cast("decimal(38,0)")
+        moments = (
+            batch_df.select(
+                F.col(arm_col).cast("string").alias("arm"),
+                v.alias("__v"),
+                vd.alias("__vd"),
+            )
+            .filter(F.col("__v").isNotNull())
+            .groupBy("arm")
+            .agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum("__v").cast("long").alias("__s"),
+                F.sum(F.col("__vd") * F.col("__vd")).alias("__q"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            moments.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(catalog.path(table))
+        )
+
+    writer = src.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_msprt(
+    spark: SparkSession,
+    catalog: Catalog,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+    table: str = "msprt_state",
+    quantize: int = 2,
+) -> DataFrame:
+    """Cumulative anytime-valid verdict from the mSPRT moment state:
+    merge all batch partials (integer sums — order-free), binarize the
+    two arms by their MIN name (the [[stats.msprt_gate]] contract),
+    and evaluate the same closed-form mixture likelihood ratio the
+    batch operator uses — log L = 0.5 ln(V/(V+tau^2)) +
+    theta^2 tau^2 / (2 V (V+tau^2)), p_always = min(1, exp(-log L)).
+    Because the p-value is valid at EVERY n simultaneously, calling
+    this after any batch is statistically safe — the property the
+    monitor exists to exploit. Returns one row
+    (n_a, n_b, diff_q6, log_lambda_q6, p_always_q6, reject).
+    """
+    state = catalog.read(spark, table)
+    merged = state.groupBy("arm").agg(
+        F.sum("__n").cast("long").alias("__n"),
+        F.sum("__s").cast("long").alias("__s"),
+        F.sum("__q").cast("decimal(38,0)").alias("__q"),
+    )
+    gmin = F.broadcast(merged.agg(F.min("arm").alias("__ga")))
+    a = (F.col("arm") == F.col("__ga")).cast("int")
+    agg = merged.crossJoin(gmin).agg(
+        F.sum(F.col("__n") * a).cast("long").alias("n_a"),
+        F.sum(F.col("__n") * (1 - a)).cast("long").alias("n_b"),
+        F.sum(F.col("__s") * a).cast("long").alias("__s_a"),
+        F.sum(F.col("__s") * (1 - a)).cast("long").alias("__s_b"),
+        F.sum(F.col("__q") * a.cast("decimal(38,0)")).alias("__q_a"),
+        F.sum(F.col("__q") * (1 - a).cast("decimal(38,0)")).alias(
+            "__q_b"
+        ),
+    )
+    scale = float(10 ** quantize)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.try_divide(F.col("__s_a").cast("double"), na)
+    mb = F.try_divide(F.col("__s_b").cast("double"), nb)
+    va = F.try_divide(
+        F.col("__q_a").cast("double") - ma * F.col("__s_a").cast("double"),
+        na - F.lit(1.0),
+    )
+    vb = F.try_divide(
+        F.col("__q_b").cast("double") - mb * F.col("__s_b").cast("double"),
+        nb - F.lit(1.0),
+    )
+    theta = (mb - ma) / F.lit(scale)
+    vv = (
+        F.try_divide(va, na) + F.try_divide(vb, nb)
+    ) / F.lit(scale * scale)
+    t2 = F.lit(float(tau) * float(tau))
+    log_l = F.lit(0.5) * F.log(vv / (vv + t2)) + (
+        theta * theta * t2
+    ) / (F.lit(2.0) * vv * (vv + t2))
+    p_always = F.least(F.lit(1.0), F.exp(-log_l))
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (vv > 0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, q6(theta)).alias("diff_q6"),
+        F.when(ok, q6(log_l)).alias("log_lambda_q6"),
+        F.when(ok, q6(p_always)).alias("p_always_q6"),
+        F.when(ok & (p_always < F.lit(float(alpha))), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("reject"),
+    )

@@ -295,3 +295,33 @@ def test_kn_short_docs_dropped_and_discount_validated(spark):
     assert {r["doc_id"] for r in out} == {1}
     with _pytest.raises(ValueError):
         kn_bigram_perplexity(_docs(spark, ["a b"]), discount_den=5)
+
+
+def test_log_odds_prior_planted_and_twin(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.lm import log_odds_prior
+
+    # focus corpus says "zebra" a lot; shared background vocabulary
+    rows = [(1, "en", "alpha beta zebra zebra zebra")] * 20
+    rows += [(2, "de", "alpha beta gamma gamma")] * 20
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    out = log_odds_prior(
+        df, "lang", "en", alpha0=10.0, min_count=5, top_k=10
+    ).collect()
+    byw = {r["word"]: r for r in out}
+    assert byw["zebra"]["direction"] == 1
+    assert byw["gamma"]["direction"] == -1
+    assert byw["zebra"]["z_q6"] > 2.0
+    # python twin for one word
+    a, b = 60, 0  # zebra: 3 per focus doc x 20; absent in reference
+    na = 5 * 20
+    nb = 4 * 20
+    aw = 10.0 * (a + b) / (na + nb)
+    delta = math.log((a + aw) / (na + 10.0 - a - aw)) - math.log(
+        (b + aw) / (nb + 10.0 - b - aw)
+    )
+    z = delta / math.sqrt(1.0 / (a + aw) + 1.0 / (b + aw))
+    assert abs(byw["zebra"]["z_q6"] - math.floor(z * 1e6) / 1e6) < 1e-5
+    # shared-background words shrink toward zero
+    assert abs(byw["alpha"]["z_q6"]) < byw["zebra"]["z_q6"]

@@ -347,3 +347,83 @@ def test_hubness_profile_planted_hub(spark):
     df2 = spark.createDataFrame(flat, "query_id long, neighbor_id long")
     r2 = hubness_profile(df2).collect()[0]
     assert r2["skew_q6"] is None or abs(r2["skew_q6"]) < 1e-6
+
+
+def test_embedding_isotropy_collapsed_vs_spread(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        embedding_isotropy,
+    )
+
+    # collapsed: every vector is the SAME direction -> anisotropy ~ 1
+    rows = [(i, [1.0, 2.0, 2.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_isotropy(df).collect()[0]
+    assert r["n"] == 50 and r["dim"] == 3
+    assert r["anisotropy_q6"] > 0.999
+
+    # balanced +-v pairs -> pairwise dots cancel -> anisotropy ~ 0
+    rows2 = [(i, [4.0, -1.0, 3.0]) for i in range(25)] + [
+        (100 + i, [-4.0, 1.0, -3.0]) for i in range(25)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>"
+    )
+    r2 = embedding_isotropy(df2).collect()[0]
+    assert abs(r2["anisotropy_q6"]) < 0.03
+
+    # brute-force twin on a tiny irregular set (quantized grid)
+    import math
+
+    vecs = [[0.3, -1.2], [2.0, 0.7], [-0.5, 0.4], [1.1, 1.1]]
+    df3 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    r3 = embedding_isotropy(df3, quantize=4).collect()[0]
+    q = [[round(x * 1e4) for x in v] for v in vecs]
+    n = len(q)
+    dots = sum(
+        sum(a * b for a, b in zip(q[i], q[j]))
+        for i in range(n)
+        for j in range(n)
+        if i != j
+    )
+    sq = sum(sum(x * x for x in v) for v in q)
+    mean_dot = dots / (n * (n - 1)) / 1e8
+    aniso = dots / ((n - 1) * sq)
+    assert abs(r3["mean_dot_q6"] - math.floor(mean_dot * 1e6) / 1e6) < 2e-6
+    assert abs(r3["anisotropy_q6"] - math.floor(aniso * 1e6) / 1e6) < 2e-6
+
+
+def test_embedding_effective_rank_planted_dims(spark):
+    from png_from_pdf_extracter_spark.functions.similarity import (
+        embedding_effective_rank,
+    )
+
+    # variance lives in exactly 2 of 4 dims (independent, equal) ->
+    # PR ~ 2; md5-free determinism via index arithmetic
+    rows = [
+        (
+            i,
+            [
+                float((i * 7) % 13) - 6.0,
+                float((i * 5) % 11) - 5.0,
+                0.0,
+                0.0,
+            ],
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_effective_rank(df).collect()[0]
+    assert r["dim"] == 4
+    assert 1.7 < r["pr_q6"] < 2.3
+    assert abs(r["pr_share_q6"] - r["pr_q6"] / 4) < 1e-5
+
+    # one dominant direction -> PR ~ 1
+    rows2 = [(i, [float(i % 100), 0.001 * (i % 3), 0.0]) for i in range(300)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>"
+    )
+    r2 = embedding_effective_rank(df2).collect()[0]
+    assert r2["pr_q6"] < 1.1

@@ -3901,3 +3901,69 @@ def test_overdispersion_index_poisson_vs_clumped(spark):
     one = spark.createDataFrame([("solo", 3)], "g string, c long")
     r1 = overdispersion_index(one, "c", ("g",)).collect()[0]
     assert r1["vmr_q6"] is None and r1["z_q6"] is None
+
+
+def test_poisson_rate_ratio_null_and_planted(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        poisson_rate_ratio,
+    )
+
+    # equal rates (5 events / 10 days per user in both arms)
+    rows = [(5, 10, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "x long, t long, g int")
+    r = poisson_rate_ratio(df, "x", "t", "g").collect()[0]
+    assert abs(r["rr_q6"] - 1.0) < 1e-6
+    assert abs(r["z_q6"]) < 1e-6
+
+    # arm 1 fires at double the rate
+    rows2 = [(5, 10, 0)] * 60 + [(10, 10, 1)] * 60
+    df2 = spark.createDataFrame(rows2, "x long, t long, g int")
+    r2 = poisson_rate_ratio(df2, "x", "t", "g").collect()[0]
+    # arm A = min group = 0 -> RR = rate_a / rate_b = 0.5
+    assert abs(r2["rr_q6"] - 0.5) < 1e-6
+    xa, xb = 300, 600
+    z = math.log(0.5) / math.sqrt(1 / xa + 1 / xb)
+    assert abs(r2["z_q6"] - math.floor(z * 1e6) / 1e6) < 2e-6
+
+    # zero-event arm -> null stats
+    rows3 = [(0, 10, 0)] * 5 + [(3, 10, 1)] * 5
+    df3 = spark.createDataFrame(rows3, "x long, t long, g int")
+    r3 = poisson_rate_ratio(df3, "x", "t", "g").collect()[0]
+    assert r3["rr_q6"] is None and r3["z_q6"] is None
+
+
+def test_two_proportion_diff_null_planted_and_extreme(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.stats import (
+        two_proportion_diff,
+    )
+
+    # equal proportions -> diff 0, CI straddles 0
+    rows = [(i % 5 == 0, i % 2) for i in range(200)]
+    df = spark.createDataFrame(
+        [(int(h), g) for h, g in rows], "hi int, g int"
+    )
+    r = two_proportion_diff(df, "hi", "g").collect()[0]
+    assert abs(r["diff_q6"]) < 1e-6
+    assert r["ci_lo_q6"] < 0 < r["ci_hi_q6"]
+
+    # planted gap 0.6 vs 0.2 -> z big, CI excludes 0; python twin
+    rows2 = [(1, 0)] * 60 + [(0, 0)] * 40 + [(1, 1)] * 20 + [(0, 1)] * 80
+    df2 = spark.createDataFrame(rows2, "hi int, g int")
+    r2 = two_proportion_diff(df2, "hi", "g").collect()[0]
+    assert abs(r2["diff_q6"] - 0.4) < 2e-6
+    pp = 80 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    z = 0.4 / se
+    assert abs(r2["z_q6"] - math.floor(z * 1e6) / 1e6) < 2e-6
+    assert r2["ci_lo_q6"] > 0
+
+    # extreme arm at 0%: Newcombe bounds stay finite and ordered
+    rows3 = [(0, 0)] * 50 + [(1, 1)] * 30 + [(0, 1)] * 20
+    df3 = spark.createDataFrame(rows3, "hi int, g int")
+    r3 = two_proportion_diff(df3, "hi", "g").collect()[0]
+    assert r3["ci_lo_q6"] < r3["diff_q6"] < r3["ci_hi_q6"]
+    assert r3["ci_hi_q6"] < 0  # arm A (0%) minus arm B (60%) is negative

@@ -544,3 +544,62 @@ def test_stream_srm_monitor_cumulative_and_idempotent(spark, tmp_path):
     assert cum["n"] == whole["n"]
     assert cum["chi2_q6"] == whole["chi2_q6"]
     assert cum["k_arms"] == 2 and cum["n_unexpected"] == 0
+
+
+def test_stream_msprt_monitor_matches_batch_gate(spark, tmp_path):
+    """Per-batch moment partials fold to the IDENTICAL anytime-valid
+    verdict the batch msprt_gate gives on the whole drained input; a
+    checkpointed re-drain with no new input changes nothing (replay
+    safety); a planted-effect second arrival drives p_always down."""
+    from png_from_pdf_extracter_spark.functions.stats import msprt_gate
+    from png_from_pdf_extracter_spark.sources.catalog import Catalog
+    from png_from_pdf_extracter_spark.streaming.extract_stream import (
+        read_msprt,
+        stream_msprt_monitor,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(str(tmp_path / "wh"))
+    rows = [(float(i % 7), i % 2, i) for i in range(400)]
+    ev = spark.createDataFrame(rows, "v double, arm int, i long")
+
+    def drain():
+        q = stream_msprt_monitor(
+            spark, in_dir, catalog, ckpt, "v", "arm", quantize=2
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("i") < 200).drop("i").write.mode("append").parquet(
+        in_dir
+    )
+    drain()
+    first = read_msprt(spark, catalog, tau=1.0, quantize=2).collect()[0]
+    batch = msprt_gate(
+        ev.filter(F.col("i") < 200).drop("i"),
+        "v",
+        "arm",
+        tau=1.0,
+        quantize=2,
+    ).collect()[0]
+    # the streaming fold IS the batch statistic — exact moments merge
+    assert first.asDict() == batch.asDict()
+    assert first["p_always_q6"] == 1.0  # identical arms
+
+    # idempotent re-drain
+    drain()
+    again = read_msprt(spark, catalog, tau=1.0, quantize=2).collect()[0]
+    assert again.asDict() == first.asDict()
+
+    # planted effect arrives: arm 1 shifts by +10 -> reject
+    shifted = ev.filter(F.col("i") >= 200).drop("i").withColumn(
+        "v",
+        F.when(F.col("arm") == 1, F.col("v") + 10.0).otherwise(
+            F.col("v")
+        ),
+    )
+    shifted.write.mode("append").parquet(in_dir)
+    drain()
+    cum = read_msprt(spark, catalog, tau=5.0, quantize=2).collect()[0]
+    assert cum["n_a"] == 200 and cum["n_b"] == 200
+    assert cum["p_always_q6"] < 0.01 and cum["reject"] == 1
