@@ -6997,6 +6997,52 @@ def _q_two_proportion(spark, sf_dir):
     return two_proportion_diff(flags, "hi", "arm")
 
 
+def _q_gries_dp(spark, sf_dir):
+    """Gries' Deviation of Proportions for the corpus's top-20 terms
+    across sources (functions/keywords.py gries_dp) — the
+    part-size-robust dispersion standard next to q_juilland on the
+    same layout. Exact-integer present-cell sums (the absent-cell
+    mass folds in algebraically), two terminal divisions, TakeOrdered
+    top-k."""
+    from png_from_pdf_extracter_spark.functions.keywords import gries_dp
+
+    d = _read(spark, sf_dir, "documents")
+    return gries_dp(d, "source", "text", top_k=20)
+
+
+def _q_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness + adaptation over documents
+    (functions/lm.py term_burstiness): cf/df and P(repeat|occurs) per
+    term — the single-term template/boilerplate detector next to
+    q_ngram_commonness. Exact BIGINT counts off one (term, doc)
+    table; deterministic top-k by (cf, term)."""
+    from png_from_pdf_extracter_spark.functions.lm import term_burstiness
+
+    d = _read(spark, sf_dir, "documents")
+    return term_burstiness(d, "doc_id", "text", min_df=5, top_k=100)
+
+
+def _q_hosmer(spark, sf_dir):
+    """Hosmer-Lemeshow binned calibration chi2 on the same [0,1]
+    score as q_spiegelhalter (functions/evalmetrics.py
+    hosmer_lemeshow) — the grouped significance read completing the
+    calibration trio; equal-width bins so the edges are pure
+    arithmetic, expected sums exact on the probability grid."""
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        hosmer_lemeshow,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        (
+            (curate.hashed_linear_score("text") + F.lit(1.0))
+            / F.lit(2.0)
+        ).alias("prob"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return hosmer_lemeshow(scored, "prob", "y", n_bins=10, quantize=4)
+
+
 def _q_stratified_est(spark, sf_dir):
     """Design-based corpus-mean estimate from a 20% hash-sampled
     audit, stratified by source (functions/curate.py
@@ -7739,6 +7785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rate_ratio": _q_rate_ratio,
         "q_log_odds": _q_log_odds,
         "q_two_proportion": _q_two_proportion,
+        "q_gries_dp": _q_gries_dp,
+        "q_burstiness": _q_burstiness,
+        "q_hosmer": _q_hosmer,
     }
 
 
@@ -18248,6 +18297,159 @@ def oracle_sql() -> dict[str, str]:
                               + (pb - lb) * (pb - lb))) * 1e6) / 1e6
                 AS ci_hi_q6
             FROM fin
+        """,
+        "q_gries_dp": """
+            WITH toks AS (
+              SELECT source AS p,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS t
+              FROM documents
+            ),
+            psize AS (
+              SELECT p, count(*)::BIGINT AS pn FROM toks GROUP BY p
+            ),
+            tot AS (
+              SELECT sum(pn)::BIGINT AS nn, min(pn)::BIGINT AS pmin
+              FROM psize
+            ),
+            tp AS (
+              SELECT t, p, count(*)::BIGINT AS c
+              FROM toks GROUP BY t, p
+            ),
+            cells AS (
+              SELECT tp.t, tp.p, tp.c, psize.pn
+              FROM tp JOIN psize ON tp.p = psize.p
+            ),
+            per_term AS (
+              SELECT t, sum(c)::BIGINT AS total_freq,
+                     count(*)::BIGINT AS n_parts_hit,
+                     sum(pn)::BIGINT AS bp
+              FROM cells GROUP BY t
+            ),
+            a_sum AS (
+              SELECT cells.t,
+                sum(abs(CAST(cells.c AS DECIMAL(38,0))
+                        * CAST(nn AS DECIMAL(38,0))
+                        - CAST(cells.pn AS DECIMAL(38,0))
+                        * CAST(total_freq AS DECIMAL(38,0))))
+                  AS a
+              FROM cells
+                JOIN per_term ON cells.t = per_term.t, tot
+              GROUP BY cells.t
+            ),
+            j AS (
+              SELECT per_term.t, total_freq, n_parts_hit, bp, a,
+                     nn, pmin
+              FROM per_term JOIN a_sum ON per_term.t = a_sum.t, tot
+            ),
+            scored AS (
+              SELECT t, total_freq, n_parts_hit,
+                0.5 * (1.0
+                       + a::DOUBLE / (total_freq::DOUBLE * nn::DOUBLE)
+                       - bp::DOUBLE / nn::DOUBLE) AS dp,
+                pmin::DOUBLE / nn::DOUBLE AS smin
+              FROM j
+            )
+            SELECT t AS term, total_freq, n_parts_hit,
+              floor(dp * 1e6) / 1e6 AS dp_q6,
+              CASE WHEN smin < 1.0 THEN
+                floor(dp / (1.0 - smin) * 1e6) / 1e6
+              END AS dp_norm_q6
+            FROM scored
+            ORDER BY total_freq DESC, term
+            LIMIT 20
+        """,
+        "q_burstiness": """
+            WITH td AS (
+              SELECT doc_id AS d,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS t
+              FROM documents
+            ),
+            tdc AS (
+              SELECT t, d, count(*)::BIGINT AS c
+              FROM td GROUP BY t, d
+            ),
+            per_term AS (
+              SELECT t, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df,
+                sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS df2
+              FROM tdc GROUP BY t
+            )
+            SELECT t AS term, cf, df, df2,
+              floor(cf::DOUBLE / df::DOUBLE * 1e6) / 1e6
+                AS burstiness_q6,
+              floor(df2::DOUBLE / df::DOUBLE * 1e6) / 1e6
+                AS adaptation_q6
+            FROM per_term
+            WHERE df >= 5
+            ORDER BY cf DESC, term
+            LIMIT 100
+        """,
+        "q_hosmer": """
+            WITH sc AS (
+              SELECT
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                (CASE WHEN len(tok) > 0 THEN
+                   list_sum(list_transform(tok, t ->
+                     CAST(concat('0x', substr(md5(t), 1, 8))
+                          AS BIGINT) % 2001 - 1000
+                   ))::DOUBLE / (len(tok) * 1000.0)
+                 ELSE 0.0 END) AS score
+              FROM (
+                SELECT lang,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> length(t) > 0
+                       ) AS tok
+                FROM documents
+              )
+            ),
+            base AS (
+              SELECT y,
+                CAST(round((score + 1.0) / 2.0 * 10000, 0) AS BIGINT)
+                  AS k
+              FROM sc
+            ),
+            binned AS (
+              SELECT least(9, CAST(floor(k::DOUBLE / 10000.0 * 10.0)
+                                   AS INT)) AS b, y, k
+              FROM base
+            ),
+            bins AS (
+              SELECT b, count(*)::BIGINT AS n, sum(y)::BIGINT AS o1,
+                     sum(k)::BIGINT AS sk
+              FROM binned GROUP BY b
+            ),
+            terms AS (
+              SELECT b, n, o1,
+                sk::DOUBLE / 10000.0 AS e1,
+                n::DOUBLE - sk::DOUBLE / 10000.0 AS e0
+              FROM bins
+            ),
+            stepped AS (
+              SELECT
+                sum(n) OVER ()::BIGINT AS n,
+                sum(CASE WHEN e1 > 0 AND e0 > 0 THEN 1 ELSE 0 END)
+                  OVER ()::BIGINT AS n_bins_used,
+                sum(CASE WHEN e1 > 0 AND e0 > 0 THEN
+                      (o1::DOUBLE - e1) * (o1::DOUBLE - e1) / e1
+                      + ((n - o1)::DOUBLE - e0)
+                        * ((n - o1)::DOUBLE - e0) / e0
+                    END)
+                  OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS chi2,
+                row_number() OVER (ORDER BY b) AS rn,
+                count(*) OVER () AS nb
+              FROM terms
+            )
+            SELECT n, n_bins_used,
+              CASE WHEN n_bins_used >= 3 THEN
+                floor(chi2 * 1e6) / 1e6 END AS chi2_q6,
+              CASE WHEN n_bins_used >= 3 THEN n_bins_used - 2
+              END AS dof
+            FROM stepped WHERE rn = nb
         """,
         "q_stratified_est": """
             WITH samp AS (

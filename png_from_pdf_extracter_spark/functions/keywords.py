@@ -476,3 +476,100 @@ def burrows_delta(
             "delta_q6"
         ),
     )
+
+
+def gries_dp(
+    docs,
+    part_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 20,
+):
+    """Gries' Deviation of Proportions (DP) for the corpus's top-k
+    terms — the modern dispersion standard next to
+    [[juilland_dispersion]]: DP = 0.5 * sum_i |v_i - s_i| with s_i the
+    part's share of corpus tokens and v_i the term's share of its own
+    occurrences in part i. 0 = the term distributes exactly like the
+    corpus, 1 = confined to one vanishing part; DP_norm divides by
+    (1 - min_i s_i) so corpora with different part layouts compare.
+    Same read as Juilland (a frequent term with high DP is a shard
+    artifact) but robust to very uneven part SIZES, which D is not.
+
+    INTEGER-EXACT without a stepped window: absent (term, part) cells
+    contribute |0 - s_i| = s_i, so
+    sum_i |v_i - s_i| = 1 + [sum_present |c_i*N - P_i*T|]/(T*N)
+                          - [sum_present P_i]/N
+    — both present-cell sums are exact integers (DECIMAL(38,0) /
+    BIGINT; the absolute values are integer before summing, so the
+    reduction is order-free), and DP needs just two terminal
+    divisions. Plan: one (part, term) count shuffle, one term rollup
+    joined to the broadcast part-size table, TakeOrdered top-k.
+    Returns (term, total_freq, n_parts_hit, dp_q6, dp_norm_q6), top_k
+    by total frequency (term asc tie-break).
+    """
+    from pyspark.sql import functions as F
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    toks = docs.select(
+        F.col(part_col).alias("__p"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("__t"),
+    )
+    psize = toks.groupBy("__p").agg(
+        F.count("*").cast("long").alias("__pn")
+    )
+    tot = F.broadcast(
+        psize.agg(
+            F.sum("__pn").cast("long").alias("__nn"),
+            F.min("__pn").cast("long").alias("__pmin"),
+        )
+    )
+    tp = toks.groupBy("__t", "__p").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    cells = tp.join(F.broadcast(psize), "__p")
+    per_term = cells.groupBy("__t").agg(
+        F.sum("__c").cast("long").alias("total_freq"),
+        F.count("*").cast("long").alias("n_parts_hit"),
+        F.sum(dec(F.col("__c"))).alias("__tf_d"),
+        F.sum("__pn").cast("long").alias("__bp"),
+    )
+    # A = sum_present |c_i * N - P_i * T| needs T (the term total), so
+    # a second pass over the cells with T joined back in
+    with_t = cells.join(
+        per_term.select("__t", "total_freq"), "__t"
+    ).crossJoin(tot)
+    a_sum = with_t.groupBy("__t").agg(
+        F.sum(
+            F.abs(
+                dec(F.col("__c")) * dec(F.col("__nn"))
+                - dec(F.col("__pn")) * dec(F.col("total_freq"))
+            )
+        ).alias("__a")
+    )
+    j = per_term.join(a_sum, "__t").crossJoin(tot)
+    t_d = F.col("total_freq").cast("double")
+    n_d = F.col("__nn").cast("double")
+    dp = F.lit(0.5) * (
+        F.lit(1.0)
+        + F.col("__a").cast("double") / (t_d * n_d)
+        - F.col("__bp").cast("double") / n_d
+    )
+    smin = F.col("__pmin").cast("double") / n_d
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        j.select(
+            F.col("__t").alias("term"),
+            "total_freq",
+            "n_parts_hit",
+            q6(dp).alias("dp_q6"),
+            F.when(
+                smin < 1.0, q6(dp / (F.lit(1.0) - smin))
+            ).alias("dp_norm_q6"),
+        )
+        .orderBy(F.desc("total_freq"), "term")
+        .limit(top_k)
+    )

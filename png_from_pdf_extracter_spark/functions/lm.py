@@ -956,3 +956,59 @@ def log_odds_prior(
         .limit(top_k)
         .drop("__absz")
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Church-Gale term burstiness: for each term, cf/df (mean
+    occurrences per CONTAINING document) and the adaptation
+    probability P(term occurs again | it occurred) = df2/df (df2 =
+    docs with >= 2 occurrences). Content words are bursty (a doc
+    about zebras says "zebra" many times: adaptation high); function
+    words are Poisson-flat — so a HIGH-adaptation high-frequency term
+    in a web corpus is usually a template/boilerplate artifact, the
+    [[ngram_commonness]] signal at the single-term level, and the
+    reason unigram frequency alone misranks importance.
+
+    All four per-term numbers are exact BIGINTs off ONE
+    (term, doc) -> count table (two shuffles: tokenize-count,
+    term rollup); burstiness and adaptation are single terminal
+    rationals. Deterministic top-k cut by (cf desc, term asc).
+    Returns (term, cf, df, df2, burstiness_q6, adaptation_q6).
+    """
+    td = docs.select(
+        F.col(doc_id_col).alias("__d"),
+        F.explode(_tokens(text_col)).alias("__t"),
+    ).groupBy("__t", "__d").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per_term = td.groupBy("__t").agg(
+        F.sum("__c").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+        F.sum((F.col("__c") >= 2).cast("long"))
+        .cast("long")
+        .alias("df2"),
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_term.filter(F.col("df") >= min_df)
+        .select(
+            F.col("__t").alias("term"),
+            "cf",
+            "df",
+            "df2",
+            q6(
+                F.col("cf").cast("double") / F.col("df").cast("double")
+            ).alias("burstiness_q6"),
+            q6(
+                F.col("df2").cast("double") / F.col("df").cast("double")
+            ).alias("adaptation_q6"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(top_k)
+    )

@@ -1231,3 +1231,42 @@ def test_rank_biased_precision_hand_case(spark):
     with pytest.raises(ValueError):
         rank_biased_precision(df, "rel", "rank", ("query_id",), p_num=5,
                               p_den=5)
+
+
+def test_hosmer_lemeshow_calibrated_vs_not(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.evalmetrics import (
+        hosmer_lemeshow,
+    )
+
+    # three exactly-calibrated blocks landing in bins 0/1/3 of 4 ->
+    # O == E per bin -> chi2 exactly 0
+    rows = [(0.15, 1)] * 15 + [(0.15, 0)] * 85
+    rows += [(0.45, 1)] * 45 + [(0.45, 0)] * 55
+    rows += [(0.85, 1)] * 85 + [(0.85, 0)] * 15
+    df = spark.createDataFrame(rows, "prob double, y int")
+    r = hosmer_lemeshow(df, "prob", "y", n_bins=4).collect()[0]
+    assert r["n"] == 300
+    assert r["n_bins_used"] == 3 and r["dof"] == 1
+    assert r["chi2_q6"] == 0.0
+
+    # same occupancy but confidently wrong -> huge chi2; python twin
+    rows2 = [(0.15, 0)] * 15 + [(0.15, 1)] * 85
+    rows2 += [(0.45, 1)] * 45 + [(0.45, 0)] * 55
+    rows2 += [(0.85, 0)] * 85 + [(0.85, 1)] * 15
+    df2 = spark.createDataFrame(rows2, "prob double, y int")
+    r2 = hosmer_lemeshow(df2, "prob", "y", n_bins=4).collect()[0]
+    assert r2["chi2_q6"] > 100.0
+    chi2 = 0.0
+    for o1, e1, n in ((85, 15.0, 100), (45, 45.0, 100), (15, 85.0, 100)):
+        e0 = n - e1
+        o0 = n - o1
+        chi2 += (o1 - e1) ** 2 / e1 + (o0 - e0) ** 2 / e0
+    assert abs(r2["chi2_q6"] - math.floor(chi2 * 1e6) / 1e6) < 1e-4
+
+    # fewer than 3 occupied bins -> null verdict by design
+    rows3 = [(0.9, 0)] * 50 + [(0.1, 1)] * 50
+    df3 = spark.createDataFrame(rows3, "prob double, y int")
+    r3 = hosmer_lemeshow(df3, "prob", "y", n_bins=4).collect()[0]
+    assert r3["n_bins_used"] == 2 and r3["chi2_q6"] is None

@@ -390,3 +390,35 @@ def test_burrows_delta_uniform_parts_zero(spark):
     out = burrows_delta(df, "source", "text", top_k=3).collect()
     # identical profiles: sd = 0 everywhere -> delta 0 for every part
     assert all(r["delta_q6"] == 0.0 for r in out)
+
+
+def test_gries_dp_even_vs_confined(spark):
+    import math
+
+    from png_from_pdf_extracter_spark.functions.keywords import gries_dp
+
+    # 2 parts of equal token mass; "even" spreads 50/50, "conf" is
+    # confined to part a
+    rows = [("a", "even conf filler1 filler2")] * 10
+    rows += [("b", "even fillerx fillery fillerz")] * 10
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["term"]: r for r in gries_dp(df, top_k=20).collect()}
+    # brute-force twin (absent cells included)
+    def dp_twin(counts, psizes):
+        nn = sum(psizes.values())
+        t = sum(counts.values())
+        s = 0.0
+        for p, pn in psizes.items():
+            v = counts.get(p, 0) / t
+            s += abs(v - pn / nn)
+        return 0.5 * s
+
+    psz = {"a": 40, "b": 40}
+    exp_even = dp_twin({"a": 10, "b": 10}, psz)
+    exp_conf = dp_twin({"a": 10}, psz)
+    assert abs(out["even"]["dp_q6"] - math.floor(exp_even * 1e6) / 1e6) < 2e-6
+    assert abs(out["conf"]["dp_q6"] - math.floor(exp_conf * 1e6) / 1e6) < 2e-6
+    assert out["even"]["dp_q6"] < 0.01
+    assert out["conf"]["dp_q6"] > 0.49
+    # normalization: smin = 0.5 -> dp_norm = dp / 0.5
+    assert abs(out["conf"]["dp_norm_q6"] - out["conf"]["dp_q6"] * 2) < 1e-5

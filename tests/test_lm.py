@@ -325,3 +325,22 @@ def test_log_odds_prior_planted_and_twin(spark):
     assert abs(byw["zebra"]["z_q6"] - math.floor(z * 1e6) / 1e6) < 1e-5
     # shared-background words shrink toward zero
     assert abs(byw["alpha"]["z_q6"]) < byw["zebra"]["z_q6"]
+
+
+def test_term_burstiness_bursty_vs_flat(spark):
+    from png_from_pdf_extracter_spark.functions.lm import term_burstiness
+
+    # "flat" once in each of 10 docs; "bursty" 4x in each of 5 docs
+    rows = [(i, "flat " + ("bursty " * 4 if i < 5 else "pad ")) for i in
+            range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["term"]: r
+        for r in term_burstiness(df, min_df=5, top_k=10).collect()
+    }
+    f = out["flat"]
+    assert (f["cf"], f["df"], f["df2"]) == (10, 10, 0)
+    assert f["burstiness_q6"] == 1.0 and f["adaptation_q6"] == 0.0
+    b = out["bursty"]
+    assert (b["cf"], b["df"], b["df2"]) == (20, 5, 5)
+    assert b["burstiness_q6"] == 4.0 and b["adaptation_q6"] == 1.0
